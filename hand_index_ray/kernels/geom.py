@@ -1,0 +1,411 @@
+"""Planar geometry kernels over the ragged WKB representation.
+
+Vectorized replacements for the spatial predicates the reference gets
+from DuckDB-spatial / shapely (SURVEY.md §2.8): area, centroid,
+point-in-polygon, polygon intersection (predicate + clipped area),
+contains/within, Douglas–Peucker simplify, bboxes. All operate on
+``wkb.Ragged`` or plain coordinate arrays; no Python per-vertex loops
+in the hot paths.
+
+Semantics notes (reference parity):
+- overlap metrics reproduce query_geojson.py:187-196 exactly, including
+  the 0-area → NA → 0 rule (see ``overlap_stats``).
+- ``clip_area`` assumes the *clip* polygon is convex (Sutherland–
+  Hodgman); catchment fixtures are convex parts (FIXTURES.md F3), and
+  the engine clips ROI-against-catchment, so the convex side is always
+  the clip side. Rect×rect has a closed-form fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import Ragged
+
+# ---------------------------------------------------------------------------
+# per-ring reductions
+
+
+def _ring_signed_area2(coords: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """2× signed shoelace area per ring (vectorized over all rings)."""
+    x, y = coords[:, 0], coords[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cum = np.concatenate([[0.0], np.cumsum(cross)])
+    # rings are closed, so the wrap-around edge is already included
+    starts, ends = off[:-1], np.maximum(off[1:] - 1, off[:-1])
+    return cum[ends] - cum[starts]
+
+
+def _segment_reduce(values: np.ndarray, off: np.ndarray) -> np.ndarray:
+    cum = np.concatenate([[0.0], np.cumsum(values)])
+    return cum[off[1:]] - cum[off[:-1]]
+
+
+def area(r: Ragged) -> np.ndarray:
+    """Unsigned area per geometry: |shell| − Σ|holes| summed over parts.
+
+    Replaces ``geoms.geometry.area`` (query_geojson.py:187).
+    """
+    a2 = _ring_signed_area2(r.coords, r.ring_coord_off)
+    ring_abs = np.abs(a2) / 2.0
+    nrings = len(ring_abs)
+    is_shell = np.zeros(nrings, dtype=bool)
+    is_shell[r.part_ring_off[:-1][r.part_ring_off[:-1] < nrings]] = True
+    signed = np.where(is_shell, ring_abs, -ring_abs)
+    per_part = _segment_reduce(signed, r.part_ring_off)
+    return _segment_reduce(per_part, r.geom_part_off)
+
+
+def centroid(r: Ragged) -> tuple[np.ndarray, np.ndarray]:
+    """Area-weighted centroid per geometry (holes subtract).
+
+    Replaces ``ST_Centroid`` (reference load.py:165-166). Degenerate
+    zero-area geometries fall back to the vertex mean.
+    """
+    x, y = r.coords[:, 0], r.coords[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cx_e = (x[:-1] + x[1:]) * cross
+    cy_e = (y[:-1] + y[1:]) * cross
+
+    def ring_sum(v: np.ndarray) -> np.ndarray:
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        starts, ends = r.ring_coord_off[:-1], np.maximum(r.ring_coord_off[1:] - 1, r.ring_coord_off[:-1])
+        return cum[ends] - cum[starts]
+
+    a2 = ring_sum(cross)
+    cxr = ring_sum(cx_e)
+    cyr = ring_sum(cy_e)
+    # orient every ring positive, then holes subtract
+    sign = np.where(a2 < 0, -1.0, 1.0)
+    a2o, cxo, cyo = a2 * sign, cxr * sign, cyr * sign
+    nrings = len(a2)
+    is_shell = np.zeros(nrings, dtype=bool)
+    is_shell[r.part_ring_off[:-1][r.part_ring_off[:-1] < nrings]] = True
+    hole_sign = np.where(is_shell, 1.0, -1.0)
+    a2g = _segment_reduce(_segment_reduce(a2o * hole_sign, r.part_ring_off), r.geom_part_off)
+    cxg = _segment_reduce(_segment_reduce(cxo * hole_sign, r.part_ring_off), r.geom_part_off)
+    cyg = _segment_reduce(_segment_reduce(cyo * hole_sign, r.part_ring_off), r.geom_part_off)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = cxg / (3.0 * a2g)
+        cy = cyg / (3.0 * a2g)
+    bad = ~np.isfinite(cx) | ~np.isfinite(cy)
+    if bad.any():
+        # vertex mean fallback for zero-area geometries
+        sx = np.concatenate([[0.0], np.cumsum(x)])
+        sy = np.concatenate([[0.0], np.cumsum(y)])
+        for g in np.nonzero(bad)[0]:
+            p0, p1 = r.geom_part_off[g], r.geom_part_off[g + 1]
+            if p0 == p1:
+                cx[g] = np.nan
+                cy[g] = np.nan
+                continue
+            c0 = r.ring_coord_off[r.part_ring_off[p0]]
+            c1 = r.ring_coord_off[r.part_ring_off[p1]]
+            cnt = max(c1 - c0, 1)
+            cx[g] = (sx[c1] - sx[c0]) / cnt
+            cy[g] = (sy[c1] - sy[c0]) / cnt
+    return cx, cy
+
+
+def bounds(r: Ragged) -> np.ndarray:
+    """Per-geometry (minx, miny, maxx, maxy) as an (G, 4) array."""
+    g = len(r)
+    out = np.full((g, 4), np.nan)
+    x, y = r.coords[:, 0], r.coords[:, 1]
+    mins_x = np.minimum.accumulate  # noqa: F841  (kept simple below)
+    for i in range(g):
+        p0, p1 = r.geom_part_off[i], r.geom_part_off[i + 1]
+        if p0 == p1:
+            continue
+        c0 = r.ring_coord_off[r.part_ring_off[p0]]
+        c1 = r.ring_coord_off[r.part_ring_off[p1]]
+        if c1 > c0:
+            out[i, 0] = x[c0:c1].min()
+            out[i, 1] = y[c0:c1].min()
+            out[i, 2] = x[c0:c1].max()
+            out[i, 3] = y[c0:c1].max()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, g: Ragged, geom_idx: int = 0,
+                   edge_chunk: int = 4096) -> np.ndarray:
+    """Even-odd (crossing-number) PIP of many points vs one geometry.
+
+    Holes/multiparts handled by even-odd parity over all rings. Chunked
+    over edges so the (points × edges) broadcast stays bounded.
+    Replaces shapely ``.contains``-style tests after candidate pruning.
+    """
+    gg = g.geom_slice(geom_idx) if len(g) > 1 or geom_idx != 0 else g
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    # build edge list excluding ring-closing duplicates handled naturally
+    c = gg.coords
+    off = gg.ring_coord_off
+    if len(c) == 0:
+        return inside
+    # edges within each ring: indices [start, end-1)
+    eidx = []
+    for ri in range(len(off) - 1):
+        s, e = off[ri], off[ri + 1]
+        if e - s >= 2:
+            eidx.append(np.arange(s, e - 1))
+    if not eidx:
+        return inside
+    ei = np.concatenate(eidx)
+    x1, y1 = c[ei, 0], c[ei, 1]
+    x2, y2 = c[ei + 1, 0], c[ei + 1, 1]
+    for s in range(0, len(ei), edge_chunk):
+        a_y1 = y1[s : s + edge_chunk][None, :]
+        a_y2 = y2[s : s + edge_chunk][None, :]
+        a_x1 = x1[s : s + edge_chunk][None, :]
+        a_x2 = x2[s : s + edge_chunk][None, :]
+        pyv = py[:, None]
+        pxv = px[:, None]
+        cond = (a_y1 > pyv) != (a_y2 > pyv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = a_x1 + (pyv - a_y1) * (a_x2 - a_x1) / (a_y2 - a_y1)
+        crosses = cond & (pxv < xint)
+        inside ^= (crosses.sum(axis=1) & 1).astype(bool)
+    return inside
+
+
+def _geom_edges(g: Ragged, geom_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """All edges of one geometry as (E,2) start and end arrays."""
+    gg = g.geom_slice(geom_idx)
+    c, off = gg.coords, gg.ring_coord_off
+    eidx = []
+    for ri in range(len(off) - 1):
+        s, e = off[ri], off[ri + 1]
+        if e - s >= 2:
+            eidx.append(np.arange(s, e - 1))
+    if not eidx:
+        z = np.empty((0, 2))
+        return z, z
+    ei = np.concatenate(eidx)
+    return c[ei], c[ei + 1]
+
+
+def segments_cross(a1: np.ndarray, a2: np.ndarray, b1: np.ndarray, b2: np.ndarray,
+                   chunk: int = 2048) -> bool:
+    """True if any segment of A properly intersects any segment of B."""
+    def orient(p, q, r):
+        return (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    for s in range(0, len(a1), chunk):
+        A1 = a1[s : s + chunk][:, None, :]
+        A2 = a2[s : s + chunk][:, None, :]
+        B1 = b1[None, :, :]
+        B2 = b2[None, :, :]
+        d1 = orient(B1, B2, A1)
+        d2 = orient(B1, B2, A2)
+        d3 = orient(A1, A2, B1)
+        d4 = orient(A1, A2, B2)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        if proper.any():
+            return True
+    return False
+
+
+def geom_intersects(a: Ragged, ai: int, b: Ragged, bi: int) -> bool:
+    """ST_Intersects for two area geometries (reference J1/J5 predicate,
+    query_geojson.py:71, viz/query_visualization.py:150-155).
+
+    bbox reject → vertex-in-other tests → proper edge crossing test.
+    """
+    ba = bounds(a.geom_slice(ai))[0]
+    bb = bounds(b.geom_slice(bi))[0]
+    if np.isnan(ba[0]) or np.isnan(bb[0]):
+        return False
+    if ba[0] > bb[2] or bb[0] > ba[2] or ba[1] > bb[3] or bb[1] > ba[3]:
+        return False
+    ga, gb = a.geom_slice(ai), b.geom_slice(bi)
+    if points_in_geom(gb.coords[:, 0], gb.coords[:, 1], ga).any():
+        return True
+    if points_in_geom(ga.coords[:, 0], ga.coords[:, 1], gb).any():
+        return True
+    a1, a2 = _geom_edges(a, ai)
+    b1, b2 = _geom_edges(b, bi)
+    return segments_cross(a1, a2, b1, b2)
+
+
+def geom_contains(outer: Ragged, oi: int, inner: Ragged, ii: int) -> bool:
+    """outer ⊇ inner: all inner vertices inside/on outer and no proper
+    edge crossings (matches shapely contains/within up to boundary
+    touch cases; reference query_geojson.py:199-204)."""
+    go, gi = outer.geom_slice(oi), inner.geom_slice(ii)
+    if len(gi.coords) == 0 or len(go.coords) == 0:
+        return False
+    inside = points_in_geom(gi.coords[:, 0], gi.coords[:, 1], go)
+    if not inside.all():
+        return False
+    a1, a2 = _geom_edges(outer, oi)
+    b1, b2 = _geom_edges(inner, ii)
+    return not segments_cross(a1, a2, b1, b2)
+
+
+# ---------------------------------------------------------------------------
+# clipping
+
+
+def _sh_clip(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip an open subject ring by a CONVEX ring."""
+    # ensure CCW clip ring
+    cr = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    x, y = cr[:, 0], cr[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) < 0:
+        cr = cr[::-1]
+    out = subject
+    n = len(cr)
+    for k in range(n):
+        if len(out) == 0:
+            break
+        a, b = cr[k], cr[(k + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        d = ex * (out[:, 1] - a[1]) - ey * (out[:, 0] - a[0])  # >0 inside (left)
+        inside = d >= 0
+        nxt = np.roll(out, -1, axis=0)
+        d_n = np.roll(d, -1)
+        res: list[np.ndarray] = []
+        denom = d - d_n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom != 0, d / denom, 0.0)
+        inter = out + t[:, None] * (nxt - out)
+        for i in range(len(out)):
+            if inside[i]:
+                res.append(out[i])
+                if not inside[(i + 1) % len(out)]:
+                    res.append(inter[i])
+            elif inside[(i + 1) % len(out)]:
+                res.append(inter[i])
+        out = np.asarray(res).reshape(-1, 2)
+    return out
+
+
+def _ring_area_abs(ring: np.ndarray) -> float:
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2.0
+
+
+def clip_area(subject: Ragged, si: int, clip: Ragged, ci: int) -> float:
+    """area(subject ∩ clip) with clip convex per part.
+
+    Shells add, holes subtract, summed over the cartesian parts
+    (subject parts × clip parts). Replaces
+    ``g.intersection(query).area`` (query_geojson.py:188-192) under the
+    fixtures' convexity guarantee for the clip side.
+    """
+    total = 0.0
+    gs, gc = subject.geom_slice(si), clip.geom_slice(ci)
+    for cp in range(len(gc.part_ring_off) - 1):
+        cr0 = gc.part_ring_off[cp]
+        c0, c1 = gc.ring_coord_off[cr0], gc.ring_coord_off[cr0 + 1]
+        clip_ring = gc.coords[c0:c1]
+        for sp in range(len(gs.part_ring_off) - 1):
+            r0, r1 = gs.part_ring_off[sp], gs.part_ring_off[sp + 1]
+            for ri in range(r0, r1):
+                s0, s1 = gs.ring_coord_off[ri], gs.ring_coord_off[ri + 1]
+                ring = gs.coords[s0:s1]
+                ring_open = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+                clipped = _sh_clip(ring_open, clip_ring)
+                a = _ring_area_abs(clipped)
+                total += a if ri == r0 else -a
+    return max(total, 0.0)
+
+
+def box_clip_area(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy) -> np.ndarray:
+    """Vectorized rectangle∩rectangle area (tile-footprint fast path)."""
+    w = np.minimum(amaxx, bmaxx) - np.maximum(aminx, bminx)
+    h = np.minimum(amaxy, bmaxy) - np.maximum(aminy, bminy)
+    return np.maximum(w, 0.0) * np.maximum(h, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# overlap-filter semantics (reference parity)
+
+
+def overlap_stats(areas: np.ndarray, inter: np.ndarray) -> np.ndarray:
+    """overlap_pct with the reference's 0-area→NA→0 rule.
+
+    Mirrors query_geojson.py:193-196:
+      pct = inter / area.replace({0: NA}) * 100 ; pct = pct.fillna(0)
+    """
+    pct = np.where(areas == 0.0, 0.0, np.divide(inter, np.where(areas == 0.0, np.nan, areas)) * 100.0)
+    return np.nan_to_num(pct, nan=0.0)
+
+
+def keep_mask(contains_q: np.ndarray, within_q: np.ndarray, overlap_pct: np.ndarray,
+              threshold_pct: float) -> np.ndarray:
+    """Selection mask: contains OR within OR pct ≥ threshold
+    (query_geojson.py:213-219)."""
+    return contains_q | within_q | (overlap_pct >= threshold_pct)
+
+
+# ---------------------------------------------------------------------------
+# simplification
+
+
+def douglas_peucker(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker ring simplification (reference ST_Simplify,
+    load.py:155-156). Iterative stack, numpy distance step; keeps
+    closed rings closed and refuses to collapse below 4 points."""
+    closed = len(ring) > 1 and np.array_equal(ring[0], ring[-1])
+    pts = ring[:-1] if closed else ring
+    n = len(pts)
+    if n <= 3:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0, p1 = pts[i0], pts[i1]
+        seg = p1 - p0
+        L2 = seg @ seg
+        mid = pts[i0 + 1 : i1]
+        if L2 == 0:
+            d = np.hypot(mid[:, 0] - p0[0], mid[:, 1] - p0[1])
+        else:
+            t = np.clip(((mid - p0) @ seg) / L2, 0.0, 1.0)
+            proj = p0 + t[:, None] * seg
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        j = int(np.argmax(d))
+        if d[j] > tol:
+            keep[i0 + 1 + j] = True
+            stack.append((i0, i0 + 1 + j))
+            stack.append((i0 + 1 + j, i1))
+    out = pts[keep]
+    if len(out) < 3:
+        return ring
+    if closed:
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+def simplify(r: Ragged, tol: float) -> Ragged:
+    """Apply Douglas–Peucker to every ring of every geometry."""
+    from .wkb import from_parts
+
+    geoms = []
+    for g in range(len(r)):
+        gg = r.geom_slice(g)
+        parts = []
+        for p in range(len(gg.part_ring_off) - 1):
+            rings = []
+            for ri in range(gg.part_ring_off[p], gg.part_ring_off[p + 1]):
+                c0, c1 = gg.ring_coord_off[ri], gg.ring_coord_off[ri + 1]
+                rings.append(douglas_peucker(gg.coords[c0:c1], tol))
+            parts.append(rings)
+        geoms.append(parts)
+    return from_parts(geoms)

@@ -1,0 +1,165 @@
+"""Unit tests: projection, WKB codec, geometry kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from hand_index_ray.kernels import geom, proj, wkb
+
+
+def test_proj_origin_and_roundtrip():
+    x, y = proj.lonlat_to_albers(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-125, -66, 500)
+    lat = rng.uniform(24, 50, 500)
+    X, Y = proj.lonlat_to_albers(lon, lat)
+    lon2, lat2 = proj.albers_to_lonlat(X, Y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_proj_scale_on_standard_parallel():
+    # scale factor along a standard parallel must be ~1
+    x1, _ = proj.lonlat_to_albers(np.array([-96.0]), np.array([29.5]))
+    x2, _ = proj.lonlat_to_albers(np.array([-95.9]), np.array([29.5]))
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = 2 * f - f * f
+    phi = np.deg2rad(29.5)
+    arc = a * np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2) * np.deg2rad(0.1)
+    assert abs((x2[0] - x1[0]) / arc - 1.0) < 1e-5
+
+
+def _square(cx, cy, half):
+    return np.array(
+        [[cx - half, cy - half], [cx + half, cy - half], [cx + half, cy + half],
+         [cx - half, cy + half], [cx - half, cy - half]]
+    )
+
+
+def test_wkb_roundtrip_polygon_multipolygon():
+    sq = _square(0, 0, 1)
+    hole = _square(0, 0, 0.25)[::-1]  # CW hole
+    r = wkb.from_parts([
+        [[sq, hole]],                     # polygon with hole
+        [[sq + 10], [_square(20, 20, 2)]],  # multipolygon, 2 parts
+    ])
+    blobs = wkb.encode(r)
+    assert blobs[0][1:5] == (3).to_bytes(4, "little")
+    assert blobs[1][1:5] == (6).to_bytes(4, "little")
+    r2 = wkb.decode(blobs)
+    np.testing.assert_allclose(r2.coords, r.coords)
+    np.testing.assert_array_equal(r2.ring_coord_off, r.ring_coord_off)
+    np.testing.assert_array_equal(r2.part_ring_off, r.part_ring_off)
+    np.testing.assert_array_equal(r2.geom_part_off, r.geom_part_off)
+
+
+def test_wkb_big_endian_decode():
+    import struct
+    sq = _square(0, 0, 1)
+    buf = struct.pack(">BII", 0, 3, 1) + struct.pack(">I", 5) + sq.astype(">f8").tobytes()
+    r = wkb.decode([buf])
+    np.testing.assert_allclose(r.coords, sq)
+
+
+def test_wkb_encode_box_matches_generic():
+    blobs = wkb.encode_box(np.array([0.0]), np.array([1.0]), np.array([2.0]), np.array([4.0]))
+    r = wkb.decode(blobs)
+    assert geom.area(r)[0] == pytest.approx(2 * 3)
+    b = geom.bounds(r)[0]
+    np.testing.assert_allclose(b, [0, 1, 2, 4])
+
+
+def test_area_with_hole_and_multi():
+    sq = _square(0, 0, 1)          # area 4
+    hole = _square(0, 0, 0.25)     # area 0.25
+    r = wkb.from_parts([
+        [[sq, hole]],
+        [[sq], [sq + 10]],
+    ])
+    a = geom.area(r)
+    assert a[0] == pytest.approx(4 - 0.25)
+    assert a[1] == pytest.approx(8)
+
+
+def test_centroid():
+    r = wkb.from_parts([[[_square(3, 7, 2)]]])
+    cx, cy = geom.centroid(r)
+    assert cx[0] == pytest.approx(3) and cy[0] == pytest.approx(7)
+    # degenerate zero-area polygon → vertex mean fallback
+    line = np.array([[0, 0], [2, 0], [0, 0]])
+    rd = wkb.from_parts([[[line]]])
+    cx, cy = geom.centroid(rd)
+    assert np.isfinite(cx[0]) and np.isfinite(cy[0])
+
+
+def test_points_in_geom_with_hole():
+    sq = _square(0, 0, 1)
+    hole = _square(0, 0, 0.25)[::-1]
+    r = wkb.from_parts([[[sq, hole]]])
+    px = np.array([0.0, 0.5, 2.0, 0.1])
+    py = np.array([0.0, 0.5, 0.0, 0.0])
+    inside = geom.points_in_geom(px, py, r)
+    # (0,0) is in the hole; (0.5,0.5) inside; (2,0) outside; (0.1,0) in hole
+    assert list(inside) == [False, True, False, False]
+
+
+def test_intersects_and_contains():
+    a = wkb.from_parts([[[_square(0, 0, 2)]]])
+    b = wkb.from_parts([[[_square(1, 1, 2)]]])   # overlaps a
+    c = wkb.from_parts([[[_square(10, 10, 1)]]])  # disjoint
+    d = wkb.from_parts([[[_square(0, 0, 0.5)]]])  # inside a
+    # cross shape: edges cross but no vertex containment
+    horiz = np.array([[-3, -0.1], [3, -0.1], [3, 0.1], [-3, 0.1], [-3, -0.1]])
+    vert = np.array([[-0.1, -3], [0.1, -3], [0.1, 3], [-0.1, 3], [-0.1, -3]])
+    h = wkb.from_parts([[[horiz]]])
+    v = wkb.from_parts([[[vert]]])
+    assert geom.geom_intersects(a, 0, b, 0)
+    assert not geom.geom_intersects(a, 0, c, 0)
+    assert geom.geom_intersects(a, 0, d, 0)
+    assert geom.geom_intersects(h, 0, v, 0)
+    assert geom.geom_contains(a, 0, d, 0)
+    assert not geom.geom_contains(d, 0, a, 0)
+    assert not geom.geom_contains(a, 0, b, 0)
+
+
+def test_clip_area_rect_and_convex():
+    a = wkb.from_parts([[[_square(0, 0, 1)]]])
+    b = wkb.from_parts([[[_square(1, 1, 1)]]])
+    assert geom.clip_area(a, 0, b, 0) == pytest.approx(1.0)  # unit overlap corner
+    # subject with hole clipped by big square = subject area
+    hole = _square(0, 0, 0.25)[::-1]
+    s = wkb.from_parts([[[_square(0, 0, 1), hole]]])
+    big = wkb.from_parts([[[_square(0, 0, 10)]]])
+    assert geom.clip_area(s, 0, big, 0) == pytest.approx(4 - 0.25)
+    # vectorized rect x rect agrees
+    va = geom.box_clip_area(np.array([-1.0]), np.array([-1.0]), np.array([1.0]), np.array([1.0]),
+                            np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
+    assert va[0] == pytest.approx(1.0)
+    # triangle clip (convex, non-rect)
+    tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]])
+    t = wkb.from_parts([[[tri]]])
+    sq = wkb.from_parts([[[_square(1, 1, 1)]]])
+    # square [0,2]x[0,2] ∩ triangle x+y<=4 → area 4 - 0 = 4? corner (2,2) on line x+y=4 → full square inside
+    assert geom.clip_area(sq, 0, t, 0) == pytest.approx(4.0)
+    sq2 = wkb.from_parts([[[_square(2, 2, 1)]]])
+    # square [1,3]^2 ∩ triangle: half of it (cut along x+y=4)
+    assert geom.clip_area(sq2, 0, t, 0) == pytest.approx(2.0)
+
+
+def test_overlap_stats_na_rule():
+    areas = np.array([4.0, 0.0, 2.0])
+    inter = np.array([1.0, 0.0, 2.0])
+    pct = geom.overlap_stats(areas, inter)
+    np.testing.assert_allclose(pct, [25.0, 0.0, 100.0])
+    mask = geom.keep_mask(np.array([False, True, False]), np.zeros(3, bool), pct, 50.0)
+    assert list(mask) == [False, True, True]
+
+
+def test_douglas_peucker():
+    # a square with redundant collinear midpoints
+    ring = np.array([[0, 0], [1, 0], [2, 0], [2, 1], [2, 2], [0, 2], [0, 0]], dtype=float)
+    out = geom.douglas_peucker(ring, 0.01)
+    assert len(out) == 5  # 4 corners + closure
+    r = wkb.from_parts([[[ring]]])
+    rs = geom.simplify(r, 0.01)
+    assert geom.area(rs)[0] == pytest.approx(geom.area(r)[0])
