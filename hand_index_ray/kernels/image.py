@@ -1,0 +1,192 @@
+"""Image payload codecs + metrics — numpy/stdlib only (no PIL/cv2).
+
+The north rule's input is a Lance-style table of image+caption tiles
+(``bytes: binary`` + ``fmt``), standing in for the reference's HAND
+raster files (referenced by path at schema/hand-index-ver-fim100.sql:18-26
+and never decoded by the reference itself). This engine decodes pixels
+inside ``map_batches`` stages, so the codecs here must be deterministic
+and dependency-free:
+
+  raw   H×W×3 uint8, row-major — zero-copy view onto the WKB bytes
+  ppm   binary P6 (ASCII header + raw samples)
+  png   real PNG (RGB8): zlib IDAT, filters 0-4 on decode, filter 0
+        on encode — lossless
+  qjpg  deterministic quantizing lossy codec defined by this engine
+        (6 bits/sample + zlib): worst-case |err| ≤ 2 → PSNR ≈ 47 dB,
+        satisfying the ≥40 dB per-row invariant (BASELINE.json input_hint)
+
+Plus PSNR and a 64-bit block-mean perceptual hash (``phash`` column).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FORMATS = ("raw", "ppm", "png", "qjpg")
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    """Encode an H×W×3 uint8 array."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    if fmt == "raw":
+        return img.tobytes()
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if fmt == "png":
+        raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+        idat = zlib.compress(raw, 6)
+        out = [_PNG_SIG]
+        for tag, body in ((b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+                          (b"IDAT", idat), (b"IEND", b"")):
+            out.append(struct.pack(">I", len(body)) + tag + body
+                       + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+        return b"".join(out)
+    if fmt == "qjpg":
+        q = (img >> 2).astype(np.uint8)  # 6-bit quantization
+        return b"QJPG" + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), 6)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _png_unfilter(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = w * 3
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = ftypes[r]
+        cur = rows[r]
+        prev = out[r - 1].astype(np.int16) if r > 0 else np.zeros(stride, dtype=np.int16)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+            line = np.empty(stride, dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            ul = np.zeros(3, dtype=np.int16)
+            for x in range(0, stride, 3):
+                up = prev[x : x + 3]
+                if f == 1:
+                    rec = cur[x : x + 3] + left
+                elif f == 3:
+                    rec = cur[x : x + 3] + ((left + up) >> 1)
+                else:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+                    rec = cur[x : x + 3] + pred
+                rec &= 0xFF
+                line[x : x + 3] = rec
+                left = rec
+                ul = up.astype(np.int16)
+        else:
+            raise ValueError(f"PNG filter {f} unsupported")
+        out[r] = (line & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> np.ndarray:
+    """Decode to an H×W×3 uint8 array. ``raw`` needs w/h from columns."""
+    buf = bytes(buf)
+    if fmt == "raw":
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        assert buf[:2] == b"P6"
+        # header: P6 <ws> w <ws> h <ws> 255 <single ws>
+        parts = buf.split(b"\n", 3)
+        dims = parts[1].split()
+        pw, ph = int(dims[0]), int(dims[1])
+        payload = parts[3]
+        return np.frombuffer(payload, dtype=np.uint8, count=pw * ph * 3).reshape(ph, pw, 3)
+    if fmt == "png":
+        assert buf[:8] == _PNG_SIG, "bad PNG signature"
+        pos = 8
+        pw = ph = 0
+        idat = []
+        while pos < len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                pw, ph, depth, ctype = struct.unpack_from(">IIBB", body)
+                assert depth == 8 and ctype == 2, "only RGB8 PNG supported"
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+        return _png_unfilter(zlib.decompress(b"".join(idat)), pw, ph)
+    if fmt == "qjpg":
+        assert buf[:4] == b"QJPG"
+        pw, ph = struct.unpack_from("<HH", buf, 4)
+        q = np.frombuffer(zlib.decompress(buf[8:]), dtype=np.uint8).reshape(ph, pw, 3)
+        return ((q.astype(np.uint16) << 2) | 2).astype(np.uint8)  # mid-rise reconstruction
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# metrics
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(d * d))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit block-mean perceptual hash, any H×W.
+
+    Grayscale → 8×8 grid of block means (integral image, exact for any
+    size) → bit = mean > median. Deterministic; near-duplicate images
+    (e.g. re-encodes of the same tile) hash equal or within a small
+    Hamming distance.
+    """
+    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    # integral image
+    I = np.zeros((h + 1, w + 1))
+    I[1:, 1:] = g.cumsum(0).cumsum(1)
+    ys = np.linspace(0, h, 9).round().astype(int)
+    xs = np.linspace(0, w, 9).round().astype(int)
+    blocks = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            y0, y1, x0, x1 = ys[r], ys[r + 1], xs[c], xs[c + 1]
+            area = max((y1 - y0) * (x1 - x0), 1)
+            blocks[r, c] = (I[y1, x1] - I[y0, x1] - I[y1, x0] + I[y0, x0]) / area
+    bits = (blocks > np.median(blocks)).ravel()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return v
+
+
+def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 phash columns."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    # popcount via bit tricks on uint64
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,104 @@
+"""Unit tests: image codecs, PSNR, phash (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from hand_index_ray.kernels import image as im
+
+
+def _img(h=64, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((yy * 255 / max(h - 1, 1))[..., None] * np.array([1, 0.5, 0.25])).astype(np.uint8)
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.uint8)
+    return (base + noise).astype(np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["raw", "ppm", "png"])
+def test_lossless_roundtrip(fmt):
+    img = _img()
+    buf = im.encode(img, fmt)
+    out = im.decode(buf, fmt, w=img.shape[1], h=img.shape[0])
+    np.testing.assert_array_equal(out, img)
+
+
+def test_qjpg_psnr_at_least_40db():
+    img = _img(128, 128, seed=3)
+    out = im.decode(im.encode(img, "qjpg"), "qjpg")
+    assert img.shape == out.shape
+    p = im.psnr(img, out)
+    assert p >= 40.0, p
+    # quantization error strictly bounded
+    assert np.abs(img.astype(int) - out.astype(int)).max() <= 3
+
+
+def test_png_filtered_decode():
+    """Decode PNGs that use filters 1/2/3/4, not just filter 0."""
+    import struct
+    import zlib
+
+    img = _img(16, 16, seed=1)
+    h, w, _ = img.shape
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.int16)
+    for r in range(h):
+        cur = img[r].reshape(-1).astype(np.int16)
+        f = [0, 1, 2, 3, 4][r % 5]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            enc = np.empty_like(cur)
+            left = np.zeros(3, dtype=np.int16)
+            ul = np.zeros(3, dtype=np.int16)
+            for x in range(0, w * 3, 3):
+                up = prev[x : x + 3]
+                px = cur[x : x + 3]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+                enc[x : x + 3] = (px - pred) & 0xFF
+                left = px
+                ul = up
+        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(rows))
+    chunks = [b"\x89PNG\r\n\x1a\n"]
+    for tag, body in ((b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+                      (b"IDAT", idat), (b"IEND", b"")):
+        chunks.append(struct.pack(">I", len(body)) + tag + body
+                      + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    out = im.decode(b"".join(chunks), "png")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_psnr_identical_inf():
+    img = _img()
+    assert im.psnr(img, img) == float("inf")
+
+
+def test_phash_properties():
+    a = _img(64, 64, seed=5)
+    b = np.ascontiguousarray(np.rot90(a))  # structurally different image
+    ha = im.phash64(a)
+    # identical → same hash
+    assert im.phash64(a.copy()) == ha
+    # lossy re-encode → very near
+    a2 = im.decode(im.encode(a, "qjpg"), "qjpg")
+    d_near = im.phash_hamming(np.array([ha]), np.array([im.phash64(a2)]))[0]
+    assert d_near <= 4
+    # different image → far
+    d_far = im.phash_hamming(np.array([ha]), np.array([im.phash64(b)]))[0]
+    assert d_far > d_near
+
+
+def test_phash_hamming_vectorized():
+    a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], dtype=np.uint64)
+    b = np.array([0, 0, 0b0010], dtype=np.uint64)
+    np.testing.assert_array_equal(im.phash_hamming(a, b), [0, 64, 3])
