@@ -101,4 +101,4 @@ def test_phash_properties():
 def test_phash_hamming_vectorized():
     a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], dtype=np.uint64)
     b = np.array([0, 0, 0b0010], dtype=np.uint64)
-    np.testing.assert_array_equal(im.phash_hamming(a, b), [0, 64, 3])
+    np.testing.assert_array_equal(im.phash_hamming(a, b), [0, 64, 2])
