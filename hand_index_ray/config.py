@@ -1,0 +1,33 @@
+"""Engine configuration (the analog of the reference's CLI knobs:
+--h3-resolution load.py:314, --batch-size load.py:317-322,
+--threshold query_geojson.py:269-275, --calb load.py:315)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # cell index resolutions (north rule: H3 res 5–9 + S2 per footprint)
+    hex_res_min: int = 5
+    hex_res_max: int = 9
+    s2_level: int = 16          # fine S2 key per row
+    part_level: int = 4         # S2 level of the output partition key
+    zonal_join_level: int = 7   # fixed S2 covering level for zonal-join keys
+    # reference-parity knobs
+    catchment_h3_res: int = 1   # reference default (load.py:314)
+    simplify_tol_m: float = 100.0  # ST_Simplify tolerance (load.py:155-156)
+    overlap_threshold_pct: float = 10.0  # query default (query_geojson.py:269-275)
+    # execution
+    decode_batch_size: int = 256       # wide binary rows → small batches
+    encode_batch_size: int = 8192
+    encode_concurrency: int | tuple[int, int] = 4
+    # skew handling: salt cells whose row count exceeds this multiple of
+    # the mean (pre-pass counts, SURVEY.md §4 "skew")
+    salt_hot_factor: float = 8.0
+    salt_buckets: int = 8
+    hand_version: str = "fimtest1"
+
+
+DEFAULT = EngineConfig()

@@ -1,0 +1,232 @@
+"""Index build pipelines — the engine's flagship (reference load.py).
+
+Two entry points:
+
+``footprint_dataset(source)``
+    The pure streaming pipeline: ``read_parquet`` → stateless decode
+    tasks → ``CellEncoder`` actor pool, returning a lazy Dataset of
+    footprint rows. Used by ``entry()``, queries and benchmarks.
+
+``build_index(images_dir, out_dir)``
+    The resumable, materialized build (analog of
+    ``partition_tables_to_parquet``, load.py:263-301). Resume unit =
+    input fragment; each fragment is processed by one Ray Data task
+    (deterministic output file per (fragment, cell), atomic manifest
+    record last — see state/manifest.py). Partitioning assumption,
+    stated: fragments are the parallelism grain (a 100 TB input has
+    10³–10⁵ fragments, far above cluster core counts), and each
+    fragment's rows are grouped to output cells in-memory (a fragment
+    is sized to fit a worker's heap, like any Lance/parquet fragment).
+
+Also here: ``build_catchments`` — the vector-side catalog (grouped
+geometry union + simplify + centroid cell, reference load.py:146-173)
+expressed as ``groupby(branch).map_groups``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as uuidlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import DEFAULT, EngineConfig
+from ..kernels import geom, hexgrid as hx, proj, wkb
+from ..stages.encode import CellEncoder, decode_images, derive_footprints
+from ..state.manifest import FragmentRecord, Manifest, PartitionStat
+
+FOOTPRINT_META_COLS = [
+    "image_id", "w", "h", "fmt", "caption", "phash", "fragment_id", "row_idx",
+]
+
+
+def list_fragments(images_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(images_dir, f) for f in os.listdir(images_dir) if f.endswith(".parquet")
+    )
+
+
+def footprint_dataset(source: "str | list[str] | ray.data.Dataset",
+                      cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """images table → footprint+cells Dataset (lazy, streaming)."""
+    if isinstance(source, ray.data.Dataset):
+        ds = source
+    else:
+        paths = list_fragments(source) if isinstance(source, str) else source
+        ds = ray.data.read_parquet(paths)
+    return (
+        ds.map_batches(decode_images, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=cfg.decode_batch_size)
+        .map_batches(derive_footprints, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(CellEncoder, fn_constructor_args=(cfg,),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=cfg.encode_batch_size,
+                     concurrency=cfg.encode_concurrency)
+    )
+
+
+def _process_fragment_table(tbl: pa.Table, fragment_id: int, cfg: EngineConfig) -> pa.Table:
+    """Run the decode→footprint→cells stages over one fragment table."""
+    enc = CellEncoder(cfg)
+    outs = []
+    bs = cfg.decode_batch_size
+    for start in range(0, tbl.num_rows, bs):
+        chunk = tbl.slice(start, bs)
+        chunk = decode_images(chunk)
+        chunk = derive_footprints(chunk)
+        outs.append(enc(chunk))
+    return pa.concat_tables(outs) if outs else None
+
+
+class FragmentBuilder:
+    """Actor-pool stage over a Dataset of fragment paths.
+
+    For each input fragment: transform → group by partition cell →
+    write one deterministic file per (fragment, cell) via tmp+rename →
+    write the atomic manifest record LAST (completion marker).
+    """
+
+    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats_rows = []
+        for row in batch.to_pylist():
+            path, fid = row["path"], int(row["fragment_id"])
+            tbl = pq.read_table(path)
+            out = _process_fragment_table(tbl, fid, self.cfg)
+            parts: list[PartitionStat] = []
+            nrows = 0
+            if out is not None and out.num_rows:
+                nrows = out.num_rows
+                cells = out.column("part_cell").to_numpy()
+                order = np.argsort(cells, kind="stable")
+                sorted_cells = cells[order]
+                bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(cells)]])
+                taken = out.take(pa.array(order))
+                for s, e in zip(starts, ends):
+                    cell = int(sorted_cells[s])
+                    sub = taken.slice(int(s), int(e - s))
+                    rel = os.path.join(f"cell={cell}", f"frag-{fid:06d}.parquet")
+                    dest = os.path.join(self.out_dir, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+                    os.close(fd)
+                    pq.write_table(sub, tmp)
+                    os.replace(tmp, dest)
+                    parts.append(PartitionStat(
+                        cell=cell, path=rel, row_count=sub.num_rows,
+                        bytes=os.path.getsize(dest),
+                        minx=float(pc.min(sub.column("minx")).as_py()),
+                        miny=float(pc.min(sub.column("miny")).as_py()),
+                        maxx=float(pc.max(sub.column("maxx")).as_py()),
+                        maxy=float(pc.max(sub.column("maxy")).as_py()),
+                    ))
+            Manifest.write_record(self.manifest_dir, FragmentRecord(
+                fragment_id=fid, input_path=path, row_count=nrows, partitions=parts))
+            stats_rows.append({"fragment_id": fid, "rows": nrows, "cells": len(parts)})
+        return pa.Table.from_pylist(stats_rows) if stats_rows else pa.table(
+            {"fragment_id": pa.array([], pa.int64()),
+             "rows": pa.array([], pa.int64()),
+             "cells": pa.array([], pa.int64())})
+
+
+def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
+                resume: bool = True, concurrency: int | None = None) -> dict:
+    """Resumable materialized footprint index build.
+
+    Returns summary stats. Safe to re-run after a kill: completed
+    fragments (manifest records present) are pruned from the input scan
+    before any work is scheduled — the north rule's "resumes without
+    re-encoding completed partitions".
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+    frags = list_fragments(images_dir)
+    done = manifest.completed_fragments() if resume else set()
+    todo = [{"path": p, "fragment_id": i} for i, p in enumerate(frags) if i not in done]
+    skipped = len(frags) - len(todo)
+    if todo:
+        ds = ray.data.from_items(todo)
+        stats = ds.map_batches(
+            FragmentBuilder, fn_constructor_args=(out_dir, cfg),
+            batch_format="pyarrow", batch_size=1,
+            concurrency=(1, max(2, min(16, len(todo)))),
+        )
+        built = stats.to_pandas()
+        rows_built = int(built["rows"].sum()) if len(built) else 0
+    else:
+        rows_built = 0
+    return {
+        "fragments_total": len(frags),
+        "fragments_built": len(todo),
+        "fragments_skipped_resume": skipped,
+        "rows_built": rows_built,
+        "rows_total": manifest.total_rows(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# vector side: catchments catalog build (reference load.py:131-196)
+
+
+def build_catchments(raw: "ray.data.Dataset", cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Grouped geometry union per branch → simplify → centroid cell.
+
+    Reference semantics (load.py:146-173): GROUP BY branch_path,
+    ST_Union_Agg(geom) → ST_Simplify(…, 100 m) → uuid + centroid-H3 at
+    res 1. Differences, by design: deterministic uuid5(branch_path)
+    instead of random uuid() (load.py:161) so rebuilds are idempotent
+    (SURVEY.md §4 idempotency); the union of disjoint polygons is the
+    multipolygon of the parts (the reference's union of touching
+    catchment meshes dissolves boundaries — our fixture branches hold
+    disjoint parts, for which multipolygon collection IS the union).
+
+    Input: Dataset with (geometry: WKB binary, branch_path: string).
+    The groupby is the build's one shuffle, keyed on branch_path
+    (SURVEY.md §7.3).
+    """
+
+    def union_branch(group: pa.Table) -> pa.Table:
+        branch = group.column("branch_path")[0].as_py()
+        blobs = [v.as_py() for v in group.column("geometry") if v.is_valid]
+        blobs = [b for b in blobs if b is not None]
+        if not blobs:
+            return pa.Table.from_pylist([])
+        rag = wkb.decode(blobs)
+        # collect all parts of all geometries into one multipolygon
+        parts = []
+        for g in range(len(rag)):
+            gg = rag.geom_slice(g)
+            for p in range(len(gg.part_ring_off) - 1):
+                rings = []
+                for ri in range(gg.part_ring_off[p], gg.part_ring_off[p + 1]):
+                    c0, c1 = gg.ring_coord_off[ri], gg.ring_coord_off[ri + 1]
+                    rings.append(gg.coords[c0:c1])
+                parts.append(rings)
+        merged = wkb.from_parts([parts])
+        merged = geom.simplify(merged, cfg.simplify_tol_m)
+        cx, cy = geom.centroid(merged)
+        lon, lat = proj.albers_to_lonlat(cx, cy)
+        cell = hx.lonlat_to_cell(lon, lat, cfg.catchment_h3_res)
+        return pa.table({
+            "catchment_id": pa.array([str(uuidlib.uuid5(uuidlib.NAMESPACE_URL, branch))]),
+            "hand_version_id": pa.array([cfg.hand_version]),
+            "geometry": pa.array(wkb.encode(merged), pa.binary()),
+            "h3_index": pa.array(cell.astype(np.uint64), pa.uint64()),
+            "branch_path": pa.array([branch]),
+            "geom_count": pa.array([len(rag)], pa.int64()),
+        })
+
+    return raw.groupby("branch_path").map_groups(union_branch, batch_format="pyarrow")

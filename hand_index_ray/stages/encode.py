@@ -1,0 +1,108 @@
+"""Build-side stages: image decode, footprint derivation, cell encode.
+
+These are the engine's analog of the reference's per-branch insert
+pipeline (load.py:146-173: read → union → centroid → h3 cell → row),
+re-expressed as vectorized Arrow batch transforms. The decode stage is
+stateless (plain function → Ray tasks); the cell encoder is a callable
+class used as an actor pool (``map_batches(CellEncoder, concurrency=N)``)
+so the icosahedron face tables / Hilbert lookup tables are touched once
+per actor, not per batch (SURVEY.md §2.3 ST1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT, EngineConfig
+from ..kernels import hexgrid as hx
+from ..kernels import image as imk
+from ..kernels import s2
+from ..sources import synth
+
+
+def decode_images(batch: pa.Table) -> pa.Table:
+    """Decode pixel payloads; emit per-row image features.
+
+    Zero-copy reads of the ``bytes`` column (Arrow buffer → numpy view
+    inside each codec); the heavy binary column is DROPPED from the
+    output so downstream stages and shuffles move only slim metadata —
+    the reference analogously never carries raster bytes through its
+    pipeline, only paths (schema/…sql:18-26).
+
+    Per-row invariant hooks (BASELINE.json input_hint): ``phash_decoded``
+    recomputed from decoded pixels (allclose/PSNR checks compare it to
+    the stored ``phash``), caption passed through untouched.
+    """
+    n = batch.num_rows
+    bts = batch.column("bytes")
+    fmts = batch.column("fmt").to_pylist()
+    ws = batch.column("w").to_numpy()
+    hs = batch.column("h").to_numpy()
+    phash_dec = np.empty(n, dtype=np.int64)
+    pix_mean = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        buf = bts[i].as_buffer()  # zero-copy view into the Arrow block
+        img = imk.decode(buf, fmts[i], w=int(ws[i]), h=int(hs[i]))
+        phash_dec[i] = np.uint64(imk.phash64(img)).astype(np.int64)
+        pix_mean[i] = float(img.mean())
+    keep = [c for c in batch.column_names if c != "bytes"]
+    out = batch.select(keep)
+    out = out.append_column("phash_decoded", pa.array(phash_dec, pa.int64()))
+    out = out.append_column("pixel_mean", pa.array(pix_mean, pa.float64()))
+    return out
+
+
+def derive_footprints(batch: pa.Table) -> pa.Table:
+    """Attach the tile footprint (EPSG:4326 bbox + centroid) from the
+    documented deterministic geo-referencing formula (FIXTURES.md F1).
+
+    Vectorized: image ids are parsed to row indices with Arrow string
+    kernels, the footprint math is pure numpy.
+    """
+    ids = pc.utf8_slice_codeunits(batch.column("image_id"), 4, 99)
+    idx = pc.cast(ids, pa.int64()).to_numpy()
+    minx, miny, maxx, maxy, clon, clat = synth.footprint_of(idx)
+    cols = {
+        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        "centroid_lon": clon, "centroid_lat": clat,
+    }
+    out = batch
+    for name, arr in cols.items():
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out
+
+
+class CellEncoder:
+    """Actor-pool stage: multi-resolution spatial keys per footprint.
+
+    The engine's ``h3_latlng_to_cell`` (reference load.py:164-168)
+    generalized per the north rule: H3-style cells at res 5–9, the S2
+    fine key, and the S2 parent at the partition level (the hive
+    partition key, playing the role of the reference's single
+    ``h3_index`` partition column, load.py:279-283).
+
+    Stateful setup (face/Hilbert tables) happens once per actor in
+    ``__init__``; ``__call__`` is pure vectorized numpy per batch.
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT):
+        self.cfg = cfg
+        # touch the module-level tables so their lazy construction cost
+        # lands here (once per actor), not in the first batch
+        hx.lonlat_to_cell(np.array([0.0]), np.array([0.0]), cfg.hex_res_min)
+        s2.lonlat_to_cell(np.array([0.0]), np.array([0.0]), cfg.s2_level)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("centroid_lon").to_numpy()
+        lat = batch.column("centroid_lat").to_numpy()
+        out = batch
+        for res in range(self.cfg.hex_res_min, self.cfg.hex_res_max + 1):
+            out = out.append_column(f"h3_r{res}",
+                                    pa.array(hx.lonlat_to_cell(lon, lat, res), pa.uint64()))
+        s2c = s2.lonlat_to_cell(lon, lat, self.cfg.s2_level)
+        out = out.append_column("s2_cell", pa.array(s2c, pa.uint64()))
+        out = out.append_column("part_cell",
+                                pa.array(s2.parent(s2c, self.cfg.part_level), pa.uint64()))
+        return out

@@ -1,0 +1,128 @@
+"""Lineage manifest: per-fragment / per-partition checkpoint records.
+
+The reference's only resume mechanism is ``--skip-load`` on a whole
+DuckDB file (load.py:316,350-363) and it *loses data silently* on
+per-batch errors (load.py:175-180). Here every completed input
+fragment writes one atomic JSON record (tmp + rename) into
+``<out>/_manifest/`` carrying its lineage: which output partition
+(cell) files it produced, per-partition row counts, byte sizes and
+footprint bbox stats.
+
+The manifest doubles as the partition-stats index: query-time pruning
+(bbox scans, ROI queries, kNN radius search) selects candidate files
+from these stats *exactly-conservatively* — the stats are derived from
+the actual data, so pruning can never drop a true match (SURVEY.md §4
+"checkpoint / resume" + §2.4 J5).
+
+Resume contract: a fragment id present in the manifest is complete and
+is skipped; output files without a manifest record are from a killed
+run and are safely overwritten (ids and content are deterministic, so
+the rewrite is byte-identical — FIXTURES.md F6 invariant 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionStat:
+    cell: int            # partition key (uint64 cell id as int)
+    path: str            # output file, relative to the index root
+    row_count: int
+    bytes: int
+    minx: float
+    miny: float
+    maxx: float
+    maxy: float
+
+
+@dataclass
+class FragmentRecord:
+    fragment_id: int
+    input_path: str
+    row_count: int
+    status: str = "done"
+    partitions: list[PartitionStat] = field(default_factory=list)
+
+
+class Manifest:
+    """Directory of one-JSON-file-per-fragment records."""
+
+    def __init__(self, index_dir: str):
+        self.dir = os.path.join(index_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    @staticmethod
+    def record_path(manifest_dir: str, fragment_id: int) -> str:
+        return os.path.join(manifest_dir, f"frag-{fragment_id:06d}.json")
+
+    @staticmethod
+    def write_record(manifest_dir: str, rec: FragmentRecord) -> None:
+        """Atomic: write tmp in the same dir, fsync, rename."""
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = Manifest.record_path(manifest_dir, rec.fragment_id)
+        fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(asdict(rec), f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def completed_fragments(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.dir):
+            if name.startswith("frag-") and name.endswith(".json"):
+                out.add(int(name[5:-5]))
+        return out
+
+    def records(self) -> list[FragmentRecord]:
+        recs = []
+        for name in sorted(os.listdir(self.dir)):
+            if not (name.startswith("frag-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.dir, name)) as f:
+                d = json.load(f)
+            recs.append(FragmentRecord(
+                fragment_id=d["fragment_id"], input_path=d["input_path"],
+                row_count=d["row_count"], status=d.get("status", "done"),
+                partitions=[PartitionStat(**p) for p in d["partitions"]],
+            ))
+        return recs
+
+    # ---- query-side pruning -------------------------------------------------
+
+    def files_for_bbox(self, index_dir: str, minx: float, miny: float,
+                       maxx: float, maxy: float) -> list[str]:
+        """Files whose partition bbox stats overlap the query bbox —
+        exact-conservative pruning (never misses a candidate)."""
+        out = []
+        for rec in self.records():
+            for p in rec.partitions:
+                if p.row_count == 0:
+                    continue
+                if p.minx <= maxx and minx <= p.maxx and p.miny <= maxy and miny <= p.maxy:
+                    out.append(os.path.join(index_dir, p.path))
+        return sorted(set(out))
+
+    def files_for_cells(self, index_dir: str, cells: set[int]) -> list[str]:
+        out = []
+        for rec in self.records():
+            for p in rec.partitions:
+                if p.cell in cells:
+                    out.append(os.path.join(index_dir, p.path))
+        return sorted(set(out))
+
+    def all_files(self, index_dir: str) -> list[str]:
+        return sorted({os.path.join(index_dir, p.path)
+                       for rec in self.records() for p in rec.partitions})
+
+    def total_rows(self) -> int:
+        return sum(rec.row_count for rec in self.records())
