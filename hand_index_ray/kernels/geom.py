@@ -329,6 +329,109 @@ def box_clip_area(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy) -> np.
     return np.maximum(w, 0.0) * np.maximum(h, 0.0)
 
 
+def segments_intersect_rects(p: np.ndarray, q: np.ndarray,
+                             minx: np.ndarray, miny: np.ndarray,
+                             maxx: np.ndarray, maxy: np.ndarray,
+                             chunk: int = 1024) -> np.ndarray:
+    """Liang–Barsky: for R rects, does ANY segment p[i]→q[i] hit rect r?
+
+    Returns bool (R,). Vectorized over (segments × rects), chunked.
+    """
+    R = len(minx)
+    out = np.zeros(R, dtype=bool)
+    dx = (q[:, 0] - p[:, 0])[:, None]
+    dy = (q[:, 1] - p[:, 1])[:, None]
+    px = p[:, 0][:, None]
+    py = p[:, 1][:, None]
+    for s in range(0, R, chunk):
+        sl = slice(s, s + chunk)
+        t0 = np.zeros((len(dx), maxx[sl].shape[0]))
+        t1 = np.ones_like(t0)
+        ok = np.ones_like(t0, dtype=bool)
+        for dd, pp, lo, hi in ((dx, px, minx[sl][None, :], maxx[sl][None, :]),
+                               (dy, py, miny[sl][None, :], maxy[sl][None, :])):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tlo = (lo - pp) / dd
+                thi = (hi - pp) / dd
+            tmin = np.minimum(tlo, thi)
+            tmax = np.maximum(tlo, thi)
+            par = dd == 0
+            inside_band = (pp >= lo) & (pp <= hi)
+            ok &= ~par | inside_band
+            t0 = np.where(par, t0, np.maximum(t0, tmin))
+            t1 = np.where(par, t1, np.minimum(t1, tmax))
+        hit = ok & (t0 <= t1)
+        out[sl] |= hit.any(axis=0)
+    return out
+
+
+def rects_vs_polygon(minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+                     poly: Ragged, poly_idx: int = 0):
+    """Vectorized spatial relation of R rectangles vs one polygon.
+
+    Returns dict of (R,) arrays: ``intersects``, ``rect_within_poly``,
+    ``rect_contains_poly``, ``inter_area``. This is the footprint-side
+    ROI predicate (reference J1 intersects + A5 overlap metrics,
+    query_geojson.py:107-118,187-204) specialized to axis-aligned tile
+    footprints.
+    """
+    R = len(minx)
+    pb = bounds(poly.geom_slice(poly_idx))[0]
+    bbox_ok = (minx <= pb[2]) & (pb[0] <= maxx) & (miny <= pb[3]) & (pb[1] <= maxy)
+
+    # corners of each rect inside polygon (even-odd)
+    cx = np.stack([minx, maxx, maxx, minx], axis=1).ravel()
+    cy = np.stack([miny, miny, maxy, maxy], axis=1).ravel()
+    corners_in = points_in_geom(cx, cy, poly.geom_slice(poly_idx)).reshape(R, 4)
+    any_corner_in = corners_in.any(axis=1)
+    all_corners_in = corners_in.all(axis=1)
+
+    gp = poly.geom_slice(poly_idx)
+    vx, vy = gp.coords[:, 0], gp.coords[:, 1]
+    # any polygon vertex inside each rect (chunked broadcast)
+    any_vert_in = np.zeros(R, dtype=bool)
+    all_vert_in = np.ones(R, dtype=bool)
+    for s in range(0, len(vx), 4096):
+        vX = vx[s : s + 4096][:, None]
+        vY = vy[s : s + 4096][:, None]
+        inside = (vX >= minx[None, :]) & (vX <= maxx[None, :]) & (vY >= miny[None, :]) & (vY <= maxy[None, :])
+        any_vert_in |= inside.any(axis=0)
+        all_vert_in &= inside.all(axis=0)
+
+    e1, e2 = _geom_edges(poly, poly_idx)
+    edge_hit = segments_intersect_rects(e1, e2, minx, miny, maxx, maxy) if len(e1) else np.zeros(R, bool)
+
+    intersects = bbox_ok & (any_corner_in | any_vert_in | edge_hit)
+    rect_within = all_corners_in & ~edge_hit
+    rect_contains = all_vert_in
+    # boundary-touch edge case: a rect whose corner lies exactly on the
+    # polygon boundary may report neither; bbox_ok & edge_hit keeps those
+    intersects |= edge_hit & bbox_ok
+
+    inter_area = np.zeros(R, dtype=np.float64)
+    rect_area = np.maximum(maxx - minx, 0) * np.maximum(maxy - miny, 0)
+    poly_area = area(poly)[poly_idx] if len(poly) > poly_idx else area(poly.geom_slice(poly_idx))[0]
+    inter_area[rect_within] = rect_area[rect_within]
+    full_contain = rect_contains & ~edge_hit
+    inter_area[full_contain & ~rect_within] = poly_area
+    partial = intersects & ~rect_within & ~(full_contain & ~rect_within)
+    for r in np.nonzero(partial)[0]:
+        clip_rect = Ragged(
+            coords=np.array([[minx[r], miny[r]], [maxx[r], miny[r]], [maxx[r], maxy[r]],
+                             [minx[r], maxy[r]], [minx[r], miny[r]]]),
+            ring_coord_off=np.array([0, 5], dtype=np.int64),
+            part_ring_off=np.array([0, 1], dtype=np.int64),
+            geom_part_off=np.array([0, 1], dtype=np.int64),
+        )
+        inter_area[r] = clip_area(poly, poly_idx, clip_rect, 0)
+    return {
+        "intersects": intersects,
+        "rect_within_poly": rect_within,
+        "rect_contains_poly": rect_contains,
+        "inter_area": inter_area,
+    }
+
+
 # ---------------------------------------------------------------------------
 # overlap-filter semantics (reference parity)
 

@@ -1,0 +1,552 @@
+"""Query pipelines over the built index — the engine's analog of
+query_geojson.py and viz/query_visualization.py, Ray-Data-first.
+
+Operator map (SURVEY.md §2.4–2.6):
+  bbox_scan            J5  envelope scan w/ manifest partition pruning
+  roi_query_footprints J1+A5  point-in-polygon + overlap-filter on tiles
+  roi_query_catchments J1+A5+J2  reference-parity catchment query
+  attach_attributes    J2/J4  3-way left join via broadcast small side
+  write_per_group      S8  one parquet per catchment_id (id col dropped)
+  knn_query            J6+O3  cell-ring expansion + exact top-k
+  zonal_join           J7  co-partitioned footprint×catchment join with
+                           lattice-cell keys, hot-cell salting, and
+                           shared-cell pair dedup (no extra shuffle)
+
+Broadcast discipline: small sides (the ROI geometry, the filtered id
+set, the catchment polygons of one query) are put in the object store
+ONCE via ``ray.put`` and read inside actor ``__init__`` / task closures
+— never re-shipped per batch (SURVEY.md §2.3 ST2/ST3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import DEFAULT, EngineConfig
+from ..kernels import geom, proj, s2, wkb
+from ..state.manifest import Manifest
+
+FOOTPRINT_COLS = ["image_id", "minx", "miny", "maxx", "maxy",
+                  "centroid_lon", "centroid_lat", "part_cell"]
+
+
+def _read_pruned(index_dir: str, bbox: tuple[float, float, float, float],
+                 columns: list[str] | None = None) -> ray.data.Dataset | None:
+    """Manifest-stat partition pruning (exact-conservative), then a
+    column-pruned parquet read — the engine's 'prune at the read'."""
+    man = Manifest(index_dir)
+    files = man.files_for_bbox(index_dir, *bbox)
+    if not files:
+        return None
+    return ray.data.read_parquet(files, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# J5: bbox / cell-range scan
+
+
+def bbox_scan(index_dir: str, minx: float, miny: float, maxx: float, maxy: float,
+              columns: list[str] | None = None) -> ray.data.Dataset | None:
+    """All footprints whose bbox intersects the query envelope
+    (reference viz/query_visualization.py:145-159, ST_MakeEnvelope +
+    ST_Intersects). Exact test vectorized with Arrow kernels."""
+    ds = _read_pruned(index_dir, (minx, miny, maxx, maxy), columns)
+    if ds is None:
+        return None
+
+    def exact(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.less_equal(t["minx"], maxx), pc.greater_equal(t["maxx"], minx)),
+            pc.and_(pc.less_equal(t["miny"], maxy), pc.greater_equal(t["maxy"], miny)),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# J1 + A5: ROI polygon query over tile footprints
+
+
+class RoiMatcher:
+    """Actor-pool stage holding the prepared ROI geometry (ST2).
+
+    The ROI ragged arrays are broadcast once via ``ray.put``; each actor
+    fetches them in ``__init__`` and reuses them across batches
+    (reference prepares the query polygon once at
+    query_geojson.py:54-73,105 — per process instead of per actor)."""
+
+    def __init__(self, roi_ref, threshold_pct: float):
+        roi_blob = ray.get(roi_ref)
+        self.roi = wkb.decode([roi_blob])
+        self.threshold = threshold_pct
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        minx = t.column("minx").to_numpy()
+        miny = t.column("miny").to_numpy()
+        maxx = t.column("maxx").to_numpy()
+        maxy = t.column("maxy").to_numpy()
+        rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, self.roi)
+        areas = (maxx - minx) * (maxy - miny)
+        pct = geom.overlap_stats(areas, rel["inter_area"])
+        keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
+                              pct, self.threshold) & rel["intersects"]
+        out = t.append_column("area", pa.array(areas))
+        out = out.append_column("overlap_pct", pa.array(pct))
+        out = out.append_column("contains_query", pa.array(rel["rect_contains_poly"]))
+        out = out.append_column("within_query", pa.array(rel["rect_within_poly"]))
+        return out.filter(pa.array(keep))
+
+
+def roi_query_footprints(index_dir: str, roi_ring_lonlat: np.ndarray,
+                         threshold_pct: float | None = None,
+                         cfg: EngineConfig = DEFAULT) -> ray.data.Dataset | None:
+    """Footprints selected by the reference's overlap-filter semantics
+    (contains OR within OR overlap_pct ≥ threshold,
+    query_geojson.py:213-219) against a lon/lat ROI polygon."""
+    thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
+    rag = wkb.from_parts([[[np.asarray(roi_ring_lonlat, dtype=np.float64)]]])
+    b = geom.bounds(rag)[0]
+    ds = _read_pruned(index_dir, (b[0], b[1], b[2], b[3]))
+    if ds is None:
+        return None
+    roi_ref = ray.put(wkb.encode(rag)[0])
+    return ds.map_batches(RoiMatcher, fn_constructor_args=(roi_ref, thr),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# reference-parity catchment ROI query (J1 + A5)
+
+
+def roi_query_catchments(catchments_path: str, roi_ring_lonlat: np.ndarray,
+                         threshold_pct: float | None = None,
+                         cfg: EngineConfig = DEFAULT,
+                         with_stats: bool = False):
+    """The reference query, end to end (query_geojson.py:76-248):
+    ROI 4326 → EPSG:5070, ST_Intersects against stored WKB catchments,
+    then the overlap filter with the exact NA rule and keep mask.
+
+    Returns a Dataset of kept catchment rows with the same metric
+    columns the reference computes (area, overlap_pct, contains_query,
+    within_query); optionally the summary stats dict
+    (query_geojson.py:236-246).
+    """
+    thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
+    ring = np.asarray(roi_ring_lonlat, dtype=np.float64)
+    x, y = proj.lonlat_to_albers(ring[:, 0], ring[:, 1])
+    roi5070 = wkb.from_parts([[[np.stack([x, y], axis=1)]]])
+    roi_ref = ray.put(wkb.encode(roi5070)[0])
+
+    class CatchmentMatcher:
+        def __init__(self):
+            self.roi = wkb.decode([ray.get(roi_ref)])
+            self.roi_bounds = geom.bounds(self.roi)[0]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            blobs = t.column("geometry")
+            n = t.num_rows
+            inter = np.zeros(n)
+            areas = np.zeros(n)
+            contains = np.zeros(n, dtype=bool)
+            within = np.zeros(n, dtype=bool)
+            hit = np.zeros(n, dtype=bool)
+            rag = wkb.decode([blobs[i].as_py() for i in range(n)])
+            gb = geom.bounds(rag)
+            rb = self.roi_bounds
+            cand = (gb[:, 0] <= rb[2]) & (rb[0] <= gb[:, 2]) & (gb[:, 1] <= rb[3]) & (rb[1] <= gb[:, 3])
+            garea = geom.area(rag)
+            for i in np.nonzero(cand)[0]:
+                if not geom.geom_intersects(rag, int(i), self.roi, 0):
+                    continue
+                hit[i] = True
+                areas[i] = garea[i]
+                # clip side must be convex → catchment parts are convex
+                inter[i] = geom.clip_area(self.roi, 0, rag, int(i))
+                contains[i] = geom.geom_contains(rag, int(i), self.roi, 0)
+                within[i] = geom.geom_contains(self.roi, 0, rag, int(i))
+            pct = geom.overlap_stats(areas, inter)
+            keep = geom.keep_mask(contains, within, pct, thr) & hit
+            out = t.append_column("area", pa.array(areas))
+            out = out.append_column("overlap_pct", pa.array(pct))
+            out = out.append_column("contains_query", pa.array(contains))
+            out = out.append_column("within_query", pa.array(within))
+            out = out.append_column("intersects", pa.array(hit))
+            return out.filter(pa.array(hit)) if with_stats else out.filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(catchments_path)
+    matched = ds.map_batches(CatchmentMatcher, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=(1, 8))
+    if not with_stats:
+        return matched
+    # stats pass (reference query_geojson.py:236-246): candidates kept
+    df = matched.to_pandas()
+    keep = geom.keep_mask(df["contains_query"].to_numpy(),
+                          df["within_query"].to_numpy(),
+                          df["overlap_pct"].to_numpy(), thr)
+    stats = {
+        "initial_geoms": int(len(df)),
+        "final_geoms": int(keep.sum()),
+        "removed_geoms": int((~keep).sum()),
+        "contains_count": int(df["contains_query"].sum()),
+        "within_count": int(df["within_query"].sum()),
+        "overlap_only_count": int(((df["overlap_pct"] >= thr)
+                                   & ~df["contains_query"] & ~df["within_query"]).sum()),
+    }
+    return df[keep], stats
+
+
+# ---------------------------------------------------------------------------
+# J2/J4: attribute attach (3-way left join, broadcast small side)
+
+
+def attach_attributes(kept_ids: list[str], vector_dir: str) -> pa.Table:
+    """3-way LEFT join of sidecar tables onto the filtered catchment id
+    set (reference query_geojson.py:139-153). The id set is small after
+    the spatial filter (J1), so each sidecar Dataset is semi-join
+    filtered with a broadcast id set (``pc.is_in`` inside map_batches,
+    J4) and the final joins run on the collected small tables."""
+    ids = pa.array(sorted(set(kept_ids)), pa.string())
+    id_ref = ray.put(ids)
+
+    def semi(t: pa.Table) -> pa.Table:
+        want = ray.get(id_ref)
+        return t.filter(pc.is_in(t["catchment_id"], value_set=want))
+
+    def load(name: str) -> pa.Table:
+        ds = ray.data.read_parquet(os.path.join(vector_dir, f"{name}.parquet"))
+        refs = ds.map_batches(semi, batch_format="pyarrow",
+                              zero_copy_batch=True).to_arrow_refs()
+        return pa.concat_tables([ray.get(r) for r in refs])
+
+    base = pa.table({"catchment_id": ids})
+    hydro = load("hydrotables")
+    rem = load("rem_rasters").rename_columns(["catchment_id", "rem_raster_path"])
+    cat = load("catchment_rasters").rename_columns(["catchment_id", "catchment_raster_path"])
+    out = base.join(hydro, keys="catchment_id", join_type="left outer")
+    out = out.join(rem, keys="catchment_id", join_type="left outer")
+    out = out.join(cat, keys="catchment_id", join_type="left outer")
+    return out.sort_by([("catchment_id", "ascending"), ("csv_path", "ascending")])
+
+
+def write_per_group(attrs: pa.Table, outdir: str) -> list[str]:
+    """One parquet per catchment_id with the id column dropped inside
+    the file (reference S8, query_geojson.py:317-331)."""
+    os.makedirs(outdir, exist_ok=True)
+    df = attrs.to_pandas()
+    paths = []
+    for cid, group in df.groupby("catchment_id"):
+        sub = group.drop(columns=["catchment_id"])
+        p = os.path.join(outdir, f"{cid}.parquet")
+        sub.to_parquet(p, index=False)
+        paths.append(p)
+    return paths
+
+
+def load_query_results(outdir: str) -> ray.data.Dataset:
+    """Read the per-catchment files back, re-attaching the id from the
+    file name (reference viz/query_visualization.py:35-69)."""
+    ds = ray.data.read_parquet(outdir, include_paths=True)
+
+    def add_id(t: pa.Table) -> pa.Table:
+        ids = [os.path.splitext(os.path.basename(p))[0] for p in t.column("path").to_pylist()]
+        out = t.drop_columns(["path"])
+        return out.append_column("catchment_id", pa.array(ids, pa.string()))
+
+    return ds.map_batches(add_id, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J6 + O3: kNN via cell-ring expansion
+
+
+def _haversine_m(lon1, lat1, lon2, lat2):
+    R = 6371008.8
+    p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+    dphi = p2 - p1
+    dlmb = np.deg2rad(lon2 - lon1)
+    a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
+    return 2 * R * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def knn_query(index_dir: str, lon: float, lat: float, k: int,
+              cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
+    """k nearest footprints (centroid great-circle distance) to a point.
+
+    Fast path: BFS ring expansion over S2 partition cells from the
+    query cell (north rule "kNN nearest-tile search via cell-ring
+    expansion") — each ring only opens the partition files the manifest
+    lists for those cells. Correctness arbiter: after ≥k candidates are
+    found with k-th distance d, one final exact-conservative bbox fetch
+    with radius d guarantees no nearer tile was missed (manifest stats
+    pruning never drops a candidate). Final ordering via sort + head
+    (O3)."""
+    man = Manifest(index_dir)
+    level = cfg.part_level
+    start = s2.lonlat_to_cell(np.array([lon]), np.array([lat]), level)
+    seen_cells: set[int] = set()
+    frontier = start.astype(np.uint64)
+    cand_files: list[str] = []
+    best: pd.DataFrame | None = None
+    while True:
+        new_cells = {int(c) for c in frontier} - seen_cells
+        if not new_cells:
+            break  # BFS covered the sphere
+        seen_cells |= new_cells
+        files = man.files_for_cells(index_dir, new_cells)
+        new_files = [f for f in files if f not in cand_files]
+        cand_files.extend(new_files)
+        if cand_files:
+            t = pq.read_table(cand_files, columns=["image_id", "centroid_lon", "centroid_lat"])
+            d = _haversine_m(lon, lat, t.column("centroid_lon").to_numpy(),
+                             t.column("centroid_lat").to_numpy())
+            df = t.to_pandas()
+            df["dist_m"] = d
+            if len(df) >= k:
+                best = df.sort_values(["dist_m", "image_id"]).head(k)
+                break
+        frontier = np.unique(s2.neighbors(np.array(sorted(seen_cells), dtype=np.uint64), level))
+    if best is None:
+        # sparse region: fall back to scanning everything
+        allf = man.all_files(index_dir)
+        if not allf:
+            return pd.DataFrame(columns=["image_id", "centroid_lon", "centroid_lat", "dist_m"])
+        t = pq.read_table(allf, columns=["image_id", "centroid_lon", "centroid_lat"])
+        df = t.to_pandas()
+        df["dist_m"] = _haversine_m(lon, lat, df["centroid_lon"].to_numpy(),
+                                    df["centroid_lat"].to_numpy())
+        return df.sort_values(["dist_m", "image_id"]).head(k).reset_index(drop=True)
+    # exactness guard: conservative bbox fetch at radius = kth distance
+    dk = float(best["dist_m"].iloc[-1])
+    dlat = dk / 110574.0 * 1.01 + 1e-9
+    dlon = dk / (111320.0 * max(np.cos(np.deg2rad(lat)), 0.01)) * 1.01 + 1e-9
+    verify = man.files_for_bbox(index_dir, lon - dlon, lat - dlat, lon + dlon, lat + dlat)
+    extra = [f for f in verify if f not in cand_files]
+    if extra:
+        t = pq.read_table(cand_files + extra,
+                          columns=["image_id", "centroid_lon", "centroid_lat"])
+        df = t.to_pandas()
+        df["dist_m"] = _haversine_m(lon, lat, df["centroid_lon"].to_numpy(),
+                                    df["centroid_lat"].to_numpy())
+        best = df.sort_values(["dist_m", "image_id"]).head(k)
+    return best.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# J7: zonal raster↔vector join (co-partitioned, salted)
+
+
+def zonal_join(index_dir: str, catchments_path: str,
+               cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Assign every footprint to every intersecting catchment polygon.
+
+    Both sides explode to lattice covering cells at ONE fixed level
+    (cfg.zonal_join_level — the shared-cell guarantee requires it, see
+    s2.cover_bbox), shuffle once on the cell key, and run the exact
+    rect×polygon test per co-group. Extras vs a naive join:
+
+    - hot-cell salting (SURVEY.md §4 skew): a cheap count pre-pass over
+      footprint cells finds cells > salt_hot_factor × mean; footprints
+      in those cells split into salt_buckets sub-keys and the (small)
+      catchment side replicates into each, so no single group dwarfs
+      the rest — the reference has no answer to this (its res-1
+      centroid partitions concentrate whole regions, load.py:164-168).
+    - shared-cell dedup WITHOUT a second shuffle: a pair overlapping
+      many cells is emitted only by the canonical cell — the cell of
+      the deterministic lattice point inside the bbox intersection —
+      which both sides' coverings provably contain.
+
+    Returns Dataset[(image_id, catchment_id)] (+ catchment h3_index).
+    """
+    level = cfg.zonal_join_level
+    delta = 45.0 / (1 << level)
+    man = Manifest(index_dir)
+    files = man.all_files(index_dir)
+    foot = ray.data.read_parquet(files, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+
+    _SCHEMA = pa.schema([
+        ("cell", pa.uint64()), ("salt", pa.int32()), ("side", pa.int8()),
+        ("image_id", pa.string()),
+        ("minx", pa.float64()), ("miny", pa.float64()),
+        ("maxx", pa.float64()), ("maxy", pa.float64()),
+        ("catchment_id", pa.string()), ("geometry", pa.binary()),
+    ])
+
+    def _empty() -> pa.Table:
+        return _SCHEMA.empty_table()
+
+    def _lattice_cells(minx, miny, maxx, maxy):
+        """Vectorized per-row lattice coverings of many small bboxes.
+
+        Returns (row_idx, cell) arrays, deduped per row. Identical
+        construction to s2.cover_bbox, batched over rows.
+        """
+        k0x = np.floor((minx - delta) / delta).astype(np.int64)
+        k1x = np.floor((maxx + delta) / delta).astype(np.int64)
+        k0y = np.floor((np.maximum(miny, -89.99) - delta) / delta).astype(np.int64)
+        k1y = np.floor((np.minimum(maxy, 89.99) + delta) / delta).astype(np.int64)
+        nx = k1x - k0x + 1
+        ny = k1y - k0y + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(minx)), counts)
+        # within-row flat offset → (ix, iy)
+        offs = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        ix = offs % np.repeat(nx, counts)
+        iy = offs // np.repeat(nx, counts)
+        lons = (np.repeat(k0x, counts) + ix) * delta
+        lats = np.clip((np.repeat(k0y, counts) + iy) * delta, -89.999, 89.999)
+        cells = s2.lonlat_to_cell(lons, lats, level)
+        # dedup (row, cell)
+        order = np.lexsort((cells, row_idx))
+        ri, ci = row_idx[order], cells[order]
+        keep = np.concatenate([[True], (ri[1:] != ri[:-1]) | (ci[1:] != ci[:-1])])
+        return ri[keep], ci[keep]
+
+    def explode_foot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        minx = t.column("minx").to_numpy()
+        miny = t.column("miny").to_numpy()
+        maxx = t.column("maxx").to_numpy()
+        maxy = t.column("maxy").to_numpy()
+        idx, cells = _lattice_cells(minx, miny, maxx, maxy)
+        base = t.take(pa.array(idx))
+        n = len(idx)
+        return pa.table({
+            "cell": pa.array(cells, pa.uint64()),
+            "salt": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "image_id": base.column("image_id"),
+            "minx": base.column("minx"), "miny": base.column("miny"),
+            "maxx": base.column("maxx"), "maxy": base.column("maxy"),
+            "catchment_id": pa.array([""] * n, pa.string()),
+            "geometry": pa.array([b""] * n, pa.binary()),
+        }, schema=_SCHEMA)
+
+    foot_exploded = foot.map_batches(explode_foot, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    # ^ materialized: reused by the count pre-pass AND the join (slim
+    #   key rows only — the heavy image bytes never reach this stage)
+
+    # --- skew pre-pass: per-cell footprint counts (small aggregate) -------
+    counts = foot_exploded.groupby("cell").count().to_pandas()
+    mean = max(counts["count()"].mean(), 1.0)
+    hot = set(int(c) for c in counts.loc[counts["count()"] > cfg.salt_hot_factor * mean, "cell"])
+    hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
+    S = cfg.salt_buckets
+
+    def salt_foot(t: pa.Table) -> pa.Table:
+        hots = ray.get(hot_ref)
+        if len(hots) == 0 or t.num_rows == 0:
+            return t
+        cells = t.column("cell").to_numpy()
+        mask = np.isin(cells, hots)
+        if not mask.any():
+            return t
+        # deterministic salt from the image row index (splitmix64)
+        from ..sources.synth import splitmix64
+        idx = pc.cast(pc.utf8_slice_codeunits(t.column("image_id"), 4, 99), pa.int64()).to_numpy()
+        salt = t.column("salt").to_numpy().copy()
+        salt[mask] = (splitmix64(idx[mask].astype(np.uint64)) % np.uint64(S)).astype(np.int32)
+        return t.set_column(t.schema.get_field_index("salt"), "salt",
+                            pa.array(salt, pa.int32()))
+
+    foot_salted = foot_exploded.map_batches(salt_foot, batch_format="pyarrow")
+
+    cat = ray.data.read_parquet(catchments_path,
+                                columns=["catchment_id", "geometry"])
+
+    def explode_cat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        hots = set(int(c) for c in ray.get(hot_ref))
+        blobs = [t.column("geometry")[i].as_py() for i in range(t.num_rows)]
+        cids = t.column("catchment_id").to_pylist()
+        rag = wkb.decode(blobs)
+        b = geom.bounds(rag)
+        # catchment geometry is EPSG:5070 → 4326 bbox via the 4 corners,
+        # padded for projection-arc curvature (conservative at catchment
+        # extents; the exact test in the join removes false positives)
+        xs = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)
+        ys = np.stack([b[:, 1], b[:, 1], b[:, 3], b[:, 3]], axis=1)
+        lons, lats = proj.albers_to_lonlat(xs.ravel(), ys.ravel())
+        lons = lons.reshape(-1, 4)
+        lats = lats.reshape(-1, 4)
+        pad = 0.05
+        bminx = lons.min(axis=1) - pad
+        bminy = lats.min(axis=1) - pad
+        bmaxx = lons.max(axis=1) + pad
+        bmaxy = lats.max(axis=1) + pad
+        idx, cells = _lattice_cells(bminx, bminy, bmaxx, bmaxy)
+        # replicate rows that land on hot cells into all salt buckets
+        is_hot = np.array([int(c) in hots for c in cells]) if hots else np.zeros(len(cells), bool)
+        rep = np.where(is_hot, S, 1)
+        idx = np.repeat(idx, rep)
+        cells = np.repeat(cells, rep)
+        salt_col = np.concatenate([np.arange(r, dtype=np.int32) for r in rep]) if len(rep) else np.array([], dtype=np.int32)
+        n = len(idx)
+        return pa.table({
+            "cell": pa.array(cells, pa.uint64()),
+            "salt": pa.array(salt_col, pa.int32()),
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "image_id": pa.array([""] * n, pa.string()),
+            "minx": pa.array(bminx[idx], pa.float64()),
+            "miny": pa.array(bminy[idx], pa.float64()),
+            "maxx": pa.array(bmaxx[idx], pa.float64()),
+            "maxy": pa.array(bmaxy[idx], pa.float64()),
+            "catchment_id": pa.array([cids[i] for i in idx], pa.string()),
+            "geometry": pa.array([blobs[i] for i in idx], pa.binary()),
+        }, schema=_SCHEMA)
+
+    cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
+
+    both = foot_salted.union(cat_exploded)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        cell = np.uint64(g["cell"].iloc[0])
+        f = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if f.empty or c.empty:
+            return pd.DataFrame({"image_id": [], "catchment_id": []})
+        minx = f["minx"].to_numpy()
+        miny = f["miny"].to_numpy()
+        maxx = f["maxx"].to_numpy()
+        maxy = f["maxy"].to_numpy()
+        out_img = []
+        out_cid = []
+        for _, crow in c.iterrows():
+            rag5070 = wkb.decode([crow["geometry"]])
+            # footprints are 4326 → transform the polygon to 4326 once
+            coords = rag5070.coords
+            lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
+            rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
+                             rag5070.part_ring_off, rag5070.geom_part_off)
+            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
+            hits = np.nonzero(rel["intersects"])[0]
+            if len(hits) == 0:
+                continue
+            # shared-cell dedup: emit only from the canonical cell of the
+            # bbox-intersection lattice point (provably in both coverings)
+            cb = geom.bounds(rag)[0]
+            ix = np.maximum(minx[hits], cb[0])
+            iy = np.maximum(miny[hits], cb[1])
+            px = np.floor(ix / delta) * delta
+            py = np.floor(iy / delta) * delta
+            canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
+            emit = hits[canon == cell]
+            out_img.extend(f["image_id"].iloc[emit].tolist())
+            out_cid.extend([crow["catchment_id"]] * len(emit))
+        return pd.DataFrame({"image_id": out_img, "catchment_id": out_cid})
+
+    return both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")

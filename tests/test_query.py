@@ -1,0 +1,192 @@
+"""Query pipeline tests: bbox scan, ROI queries, attribute join,
+per-group sink, kNN, zonal join — each against a brute-force oracle."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from hand_index_ray.config import EngineConfig
+from hand_index_ray.kernels import geom, proj, wkb
+from hand_index_ray.sources import synth
+from hand_index_ray.state.manifest import Manifest
+
+CFG = EngineConfig(encode_concurrency=2, decode_batch_size=64,
+                   salt_hot_factor=2.0, salt_buckets=4, zonal_join_level=7)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, smoke_dirs, tmp_path_factory):
+    from hand_index_ray.pipelines.build import build_index
+
+    out = str(tmp_path_factory.mktemp("qidx") / "index")
+    build_index(smoke_dirs["images"], out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def all_footprints(index_dir):
+    man = Manifest(index_dir)
+    return pq.read_table(man.all_files(index_dir)).to_pandas()
+
+
+def test_bbox_scan_exact(index_dir, all_footprints):
+    from hand_index_ray.pipelines.query import bbox_scan
+
+    for q in synth.bbox_queries():
+        ds = bbox_scan(index_dir, *q)
+        got = set() if ds is None else set(ds.to_pandas()["image_id"])
+        f = all_footprints
+        truth = set(f.loc[(f.minx <= q[2]) & (q[0] <= f.maxx)
+                          & (f.miny <= q[3]) & (q[1] <= f.maxy), "image_id"])
+        assert got == truth, q
+
+
+def test_roi_query_footprints_matches_bruteforce(index_dir, all_footprints):
+    from hand_index_ray.pipelines.query import roi_query_footprints
+
+    rois = synth.roi_polygons()
+    for name in ("huge", "straddle", "many_vertex"):
+        ring = rois[name]
+        ds = roi_query_footprints(index_dir, ring, threshold_pct=10.0, cfg=CFG)
+        got = set() if ds is None else set(ds.to_pandas()["image_id"])
+        # brute force with the same kernels over ALL rows (no pruning)
+        f = all_footprints
+        rag = wkb.from_parts([[[ring]]])
+        rel = geom.rects_vs_polygon(f.minx.to_numpy(), f.miny.to_numpy(),
+                                    f.maxx.to_numpy(), f.maxy.to_numpy(), rag)
+        areas = (f.maxx - f.minx).to_numpy() * (f.maxy - f.miny).to_numpy()
+        pct = geom.overlap_stats(areas, rel["inter_area"])
+        keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
+                              pct, 10.0) & rel["intersects"]
+        truth = set(f.loc[keep, "image_id"])
+        assert got == truth, name
+
+
+def test_roi_threshold_monotonicity(index_dir):
+    from hand_index_ray.pipelines.query import roi_query_footprints
+
+    ring = synth.roi_polygons()["straddle"]
+    sizes = []
+    kept_prev = None
+    for thr in (0.0, 10.0, 50.0, 100.0):
+        ds = roi_query_footprints(index_dir, ring, threshold_pct=thr, cfg=CFG)
+        kept = set() if ds is None else set(ds.to_pandas()["image_id"])
+        if kept_prev is not None:
+            assert kept <= kept_prev  # raising threshold never adds rows
+        kept_prev = kept
+        sizes.append(len(kept))
+    assert sizes[0] >= sizes[-1]
+
+
+def test_roi_query_catchments_reference_semantics(ray_session, smoke_dirs):
+    from hand_index_ray.pipelines.query import roi_query_catchments
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    ring = synth.roi_polygons()["huge"]
+    df, stats = roi_query_catchments(cpath, ring, threshold_pct=10.0, cfg=CFG,
+                                     with_stats=True)
+    assert stats["initial_geoms"] >= stats["final_geoms"]
+    assert stats["final_geoms"] == len(df)
+    # oracle: scalar loop over every catchment with the same kernels
+    src = pq.read_table(cpath).to_pandas()
+    x, y = proj.lonlat_to_albers(ring[:, 0], ring[:, 1])
+    roi = wkb.from_parts([[[np.stack([x, y], axis=1)]]])
+    rag = wkb.decode(src["geometry"].tolist())
+    keep_ids = []
+    contains_n = within_n = 0
+    for i in range(len(src)):
+        if not geom.geom_intersects(rag, i, roi, 0):
+            continue
+        a = geom.area(rag.geom_slice(i))[0]
+        inter = geom.clip_area(roi, 0, rag, i)
+        pct = geom.overlap_stats(np.array([a]), np.array([inter]))[0]
+        cq = geom.geom_contains(rag, i, roi, 0)
+        wq = geom.geom_contains(roi, 0, rag, i)
+        contains_n += cq
+        within_n += wq
+        if cq or wq or pct >= 10.0:
+            keep_ids.append(src["catchment_id"].iloc[i])
+    assert set(df["catchment_id"]) == set(keep_ids)
+    assert stats["contains_count"] == contains_n
+    assert stats["within_count"] == within_n
+
+
+def test_attribute_join_and_per_group_sink(ray_session, smoke_dirs, tmp_path):
+    import duckdb
+
+    from hand_index_ray.pipelines.query import (attach_attributes,
+                                                load_query_results,
+                                                write_per_group)
+
+    vec = smoke_dirs["vector"]
+    src = pq.read_table(os.path.join(vec, "catchments.parquet")).to_pandas()
+    kept = sorted(src["catchment_id"].head(40).tolist())
+    attrs = attach_attributes(kept, vec)
+    # oracle: DuckDB 3-way left join (reference query_geojson.py:139-153)
+    con = duckdb.connect()
+    truth = con.execute(f"""
+        SELECT k.catchment_id, h.csv_path,
+               r.raster_path AS rem_raster_path,
+               c.raster_path AS catchment_raster_path
+        FROM (SELECT UNNEST(?) AS catchment_id) k
+        LEFT JOIN read_parquet('{vec}/hydrotables.parquet') h USING (catchment_id)
+        LEFT JOIN read_parquet('{vec}/rem_rasters.parquet') r USING (catchment_id)
+        LEFT JOIN read_parquet('{vec}/catchment_rasters.parquet') c USING (catchment_id)
+        ORDER BY catchment_id, csv_path
+    """, [kept]).fetch_df()
+    got = attrs.to_pandas()
+    assert len(got) == len(truth)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).fillna(""),
+        truth.reset_index(drop=True).fillna("")[got.columns],
+        check_dtype=False)
+    # NOTE: reference duplicates hydrotable rows are preserved (no
+    # DISTINCT at query time) — the duplicate path rows appear here too.
+    outdir = str(tmp_path / "per_group")
+    paths = write_per_group(attrs, outdir)
+    assert len(paths) == len(kept)
+    one = pq.read_table(paths[0]).to_pandas()
+    assert "catchment_id" not in one.columns  # id dropped inside file (S8)
+    back = load_query_results(outdir).to_pandas()
+    assert set(back["catchment_id"]) == set(kept)
+    assert len(back) == len(got)
+
+
+def test_knn_exact(index_dir, all_footprints):
+    from hand_index_ray.pipelines.query import _haversine_m, knn_query
+
+    f = all_footprints
+    for (lon, lat) in synth.knn_queries():
+        for k in (1, 10, 100):
+            got = knn_query(index_dir, lon, lat, k, CFG)
+            d = _haversine_m(lon, lat, f["centroid_lon"].to_numpy(),
+                             f["centroid_lat"].to_numpy())
+            truth = f.assign(dist_m=d).sort_values(["dist_m", "image_id"]).head(k)
+            assert list(got["image_id"]) == list(truth["image_id"]), (lon, lat, k)
+
+
+def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs, all_footprints):
+    from hand_index_ray.pipelines.query import zonal_join
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    pairs = zonal_join(index_dir, cpath, CFG).to_pandas()
+    got = set(zip(pairs["image_id"], pairs["catchment_id"]))
+    assert len(got) == len(pairs), "zonal join emitted duplicate pairs"
+    # brute force: all footprints × all catchments with the same kernels
+    src = pq.read_table(cpath).to_pandas()
+    rag5070 = wkb.decode(src["geometry"].tolist())
+    f = all_footprints
+    truth = set()
+    for i in range(len(src)):
+        gg = rag5070.geom_slice(i)
+        lon, lat = proj.albers_to_lonlat(gg.coords[:, 0], gg.coords[:, 1])
+        rag = wkb.Ragged(np.stack([lon, lat], axis=1), gg.ring_coord_off,
+                         gg.part_ring_off, gg.geom_part_off)
+        rel = geom.rects_vs_polygon(f.minx.to_numpy(), f.miny.to_numpy(),
+                                    f.maxx.to_numpy(), f.maxy.to_numpy(), rag)
+        for img in f.loc[rel["intersects"], "image_id"]:
+            truth.add((img, src["catchment_id"].iloc[i]))
+    assert got == truth
