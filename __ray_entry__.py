@@ -1,44 +1,549 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() ↔ oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in hand_index_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Oracle-parity float discipline (see hand_index_ray/relational.py):
+multi-row float SUMS are computed on integer-scaled values (cents /
+basis points) so results are bit-exact regardless of distributed
+summation order; per-row float expressions are written with identical
+operation order in numpy and SQL (IEEE-deterministic); cosine
+similarities are rounded to 6 decimals on both sides.
+
+Query keys map to SURVEY.md §2 operators (comments inline).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CACHE_ROOT = "/tmp/hand_index_ray_cache"
+
+
+def _t(sf_dir: str, name: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tbl(sf_dir: str, name: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# derived tile footprints from lineitem (pure arithmetic — identical in SQL)
+
+_KMUL1, _KMUL2, _M20 = 2654435761, 976369, 1048576
+
+
+def _foot_batch(t: pa.Table) -> pa.Table:
+    k = (t.column("l_orderkey").to_numpy() * 8 + t.column("l_linenumber").to_numpy()).astype(np.int64)
+    lon = -125.0 + ((k * _KMUL1) % _M20) / 1048576.0 * 58.0
+    lat = 24.0 + ((k * _KMUL2) % _M20) / 1048576.0 * 25.0
+    half = ((t.column("l_partkey").to_numpy() % 64) + 1) / 1024.0
+    out = pa.table({
+        "k": pa.array(k),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+        "minx": pa.array(lon - half), "miny": pa.array(lat - half),
+        "maxx": pa.array(lon + half), "maxy": pa.array(lat + half),
+        "l_returnflag": t.column("l_returnflag"),
+        "l_quantity": t.column("l_quantity"),
+    })
+    return out
+
+
+_FOOT_SQL = """
+    SELECT (l_orderkey * 8 + l_linenumber) AS k,
+           -125.0 + (((l_orderkey * 8 + l_linenumber) * 2654435761) % 1048576) / 1048576.0 * 58.0 AS lon,
+           24.0 + (((l_orderkey * 8 + l_linenumber) * 976369) % 1048576) / 1048576.0 * 25.0 AS lat,
+           ((l_partkey % 64) + 1) / 1024.0 AS half,
+           l_returnflag, l_quantity
+    FROM lineitem
+"""
+
+
+def _footprints(sf_dir: str):
+    return _t(sf_dir, "lineitem").map_batches(_foot_batch, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# the spatial-engine cache (images index built once per sf_dir under /tmp)
+
+
+def _image_index(sf_dir: str) -> str:
+    """Build (once) the synthetic images table + footprint index for
+    this scale factor; return the index dir. Deterministic per sf."""
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import build_index
+    from hand_index_ray.sources import synth
+
+    import pyarrow.parquet as pq
+
+    nrows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    n = max(min(nrows // 20, 20000), 400)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    images = os.path.join(CACHE_ROOT, f"{tag}-n{n}", "images")
+    index = os.path.join(CACHE_ROOT, f"{tag}-n{n}", "index")
+    synth.write_images_ray(images, n, fragments=16)
+    cfg = EngineConfig()
+    build_index(images, index, cfg)
+    return index
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001-scaled images table → decode → footprint →
+    cell-encode actor pool (SURVEY.md §7.1 step 2). Returns the
+    footprint Dataset."""
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import footprint_dataset
+    from hand_index_ray.sources import synth
+
+    sf_dir = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    nrows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    n = max(min(nrows // 20, 20000), 400)
+    images = os.path.join(CACHE_ROOT, f"entry-n{n}", "images")
+    synth.write_images_ray(images, n, fragments=8)
+    return footprint_dataset(images, EngineConfig(encode_concurrency=2))
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hand_index_ray import relational as rel
+    from hand_index_ray.pipelines import ann, text as textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q01_groupby_sum(sf):  # A1/A2: grouped aggregate w/ partial pre-agg
+        ds = rel.add_cents(rel.add_cents(_t(sf, "lineitem"), "l_quantity", "qty_cents"),
+                           "l_extendedprice", "price_cents")
+        return rel.grouped_agg(ds.select_columns(
+            ["l_returnflag", "l_linestatus", "qty_cents", "price_cents"]),
+            ["l_returnflag", "l_linestatus"], sum_cols=["qty_cents", "price_cents"])
+
+    def q02_filter_project(sf):  # M2/M10/M-map: filter + computed column
+        ds = _t(sf, "lineitem")
+
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["l_shipdate"], pa.scalar(datetime(1995, 6, 1)))
+            t = t.filter(m)
+            price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+            disc_bp = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0)), pa.int64())
+            rev = pc.multiply(price_c, pc.subtract(pa.scalar(10000, pa.int64()), disc_bp))
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "l_linenumber": t["l_linenumber"],
+                             "revenue_micros": rev})
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q03_broadcast_join_agg(sf):  # J2 broadcast dim join + aggregate
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+        cust = _tbl(sf, "customer").select(["c_custkey", "c_mktsegment"])
+        joined = rel.broadcast_join(orders.select_columns(["o_custkey", "total_cents"]),
+                                    cust.rename_columns(["o_custkey", "c_mktsegment"]),
+                                    keys="o_custkey")
+        return rel.grouped_agg(joined.select_columns(["c_mktsegment", "total_cents"]),
+                               ["c_mktsegment"], sum_cols=["total_cents"])
+
+    def q04_three_way_left_join(sf):  # J2 exact shape: 1:N left joins
+        cust = _t(sf, "customer").select_columns(["c_custkey", "c_nationkey"])
+        orders = _tbl(sf, "orders").select(["o_orderkey", "o_custkey"])
+        nation = _tbl(sf, "nation").select(["n_nationkey", "n_name"])
+        j1 = rel.broadcast_join(cust, orders.rename_columns(["o_orderkey", "c_custkey"]),
+                                keys="c_custkey", join_type="left")
+        j2 = rel.broadcast_join(j1, nation.rename_columns(["c_nationkey", "n_name"]),
+                                keys="c_nationkey", join_type="left")
+        return j2.select_columns(["c_custkey", "o_orderkey", "n_name"])
+
+    def q05_semi_join(sf):  # J4: broadcast id-set semi join
+        orders = _tbl(sf, "orders")
+        big = orders.filter(pc.greater(orders["o_totalprice"], 150000.0))
+        keys = pc.unique(big["o_orderkey"])
+        ds = rel.add_cents(_t(sf, "lineitem"), "l_quantity", "qty_cents")
+        kept = rel.semi_join(ds.select_columns(["l_orderkey", "l_returnflag", "qty_cents"]),
+                             "l_orderkey", keys)
+        return rel.grouped_agg(kept.select_columns(["l_returnflag", "qty_cents"]),
+                               ["l_returnflag"], sum_cols=["qty_cents"])
+
+    def q06_distinct(sf):  # A4b DISTINCT
+        return rel.distinct(_t(sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+    def q07_dedup_first(sf):  # A4 dedup keep-first per key
+        ds = _t(sf, "lineitem").select_columns(["l_orderkey", "l_linenumber"])
+        first = rel.dedup_first(ds, "l_orderkey", "l_linenumber")
+        return first.select_columns(["l_orderkey", "l_linenumber"])
+
+    def q08_topk(sf):  # O1/O3 top-k with deterministic tiebreak
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+        return rel.topk(orders.select_columns(["o_orderkey", "total_cents"]),
+                        "total_cents", 20, descending=True, tiebreak="o_orderkey")
+
+    def q09_window_tumbling(sf):  # streaming-shaped tumbling window
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+        return rel.tumbling_window(ev.select_columns(["ts", "event_type", "value_cents"]),
+                                   "ts", ["event_type"], 3600, sum_cents_col="value_cents")
+
+    def q10_union_counts(sf):  # set op: union-all then aggregate
+        ev = _t(sf, "events").select_columns(["event_type"])
+        a = ev.filter(lambda r: r["event_type"] == "error")
+        b = ev.filter(lambda r: r["event_type"] == "purchase")
+        return rel.grouped_agg(a.union(b), ["event_type"])
+
+    def q11_regex_extract_join(sf):  # M8/J3: regex key extraction + join
+        docs = _t(sf, "documents")
+
+        def f(t: pa.Table) -> pa.Table:
+            digits = pc.replace_substring_regex(t["source"], "[^0-9]", "")
+            srcnum = pc.cast(digits, pa.int64())
+            nkey = pc.cast(pc.subtract(srcnum, pc.multiply(pc.divide(srcnum, 25), 25)),
+                           pa.int32())
+            return pa.table({"doc_id": t["doc_id"], "n_nationkey": nkey})
+
+        keyed = docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        nation = _tbl(sf, "nation").select(["n_nationkey", "n_name"])
+        joined = rel.broadcast_join(keyed, nation, keys="n_nationkey")
+        return rel.grouped_agg(joined.select_columns(["n_name"]), ["n_name"])
+
+    def q12_count_audit(sf):  # A3 global audit counts
+        names = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+        rows = [{"table_name": n, "n": _t(sf, n).count()} for n in names]
+        return pa.Table.from_pylist(rows)
+
+    def q13_bbox_scan(sf):  # J5 bbox scan on derived footprints
+        ds = _footprints(sf)
+
+        def f(t: pa.Table) -> pa.Table:
+            minx, miny, maxx, maxy = (t.column(c).to_numpy() for c in ("minx", "miny", "maxx", "maxy"))
+            m = (minx <= -95.0) & (-105.0 <= maxx) & (miny <= 40.0) & (30.0 <= maxy)
+            return pa.table({"k": t.column("k").filter(pa.array(m)),
+                             "minx": t.column("minx").filter(pa.array(m))})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def q14_pip_convex(sf):  # J1 point-in-polygon (convex half-planes)
+        ds = _footprints(sf)
+        # convex quad (CCW): (-110,30) (-90,30) (-90,45) (-110,45) — with a
+        # slanted edge to exercise the cross-product test
+        quad = [(-110.0, 30.0), (-92.0, 32.0), (-90.0, 45.0), (-110.0, 43.0)]
+
+        def f(t: pa.Table) -> pa.Table:
+            x = t.column("lon").to_numpy()
+            y = t.column("lat").to_numpy()
+            inside = np.ones(len(x), dtype=bool)
+            for i in range(4):
+                x1, y1 = quad[i]
+                x2, y2 = quad[(i + 1) % 4]
+                inside &= ((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) >= 0.0
+            return pa.table({"k": t.column("k").filter(pa.array(inside))})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def q15_overlap_threshold(sf):  # A5 overlap filter w/ NA rule (SQL oracle!)
+        ds = _footprints(sf)
+        qx0, qy0, qx1, qy1 = -100.0, 33.0, -96.0, 37.0
+
+        def f(t: pa.Table) -> pa.Table:
+            minx, miny, maxx, maxy = (t.column(c).to_numpy() for c in ("minx", "miny", "maxx", "maxy"))
+            area = (maxx - minx) * (maxy - miny)
+            inter = (np.maximum(0.0, np.minimum(maxx, qx1) - np.maximum(minx, qx0))
+                     * np.maximum(0.0, np.minimum(maxy, qy1) - np.maximum(miny, qy0)))
+            pct = np.where(area == 0.0, 0.0, inter / np.where(area == 0.0, 1.0, area) * 100.0)
+            contains = (minx <= qx0) & (miny <= qy0) & (maxx >= qx1) & (maxy >= qy1)
+            within = (minx >= qx0) & (miny >= qy0) & (maxx <= qx1) & (maxy <= qy1)
+            keep = contains | within | (pct >= 10.0)
+            return pa.table({"k": t.column("k").filter(pa.array(keep)),
+                             "overlap_pct": pa.array(pct[keep])})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def q16_knn(sf):  # J6/O3 planar kNN top-k
+        ds = _footprints(sf)
+        qx, qy = -98.0, 36.0
+
+        def f(t: pa.Table) -> pa.Table:
+            x = t.column("lon").to_numpy()
+            y = t.column("lat").to_numpy()
+            d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy)
+            return pa.table({"k": t.column("k"), "d2": pa.array(d2)})
+
+        scored = ds.map_batches(f, batch_format="pyarrow")
+        return rel.topk(scored, "d2", 10, descending=False, tiebreak="k")
+
+    def q17_grid_zonal_agg(sf):  # J7-style zonal aggregate on grid cells
+        ds = _footprints(sf)
+
+        def f(t: pa.Table) -> pa.Table:
+            cx = np.floor(t.column("lon").to_numpy()).astype(np.int64)
+            cy = np.floor(t.column("lat").to_numpy()).astype(np.int64)
+            qc = np.round(t.column("l_quantity").to_numpy() * 100.0).astype(np.int64)
+            return pa.table({"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+                             "qty_cents": pa.array(qc)})
+
+        return rel.grouped_agg(ds.map_batches(f, batch_format="pyarrow"),
+                               ["cell_x", "cell_y"], sum_cols=["qty_cents"])
+
+    def q18_token_count(sf):  # text: token counting
+        return textops.token_count(_t(sf, "documents")).select_columns(["doc_id", "n_tokens"])
+
+    def q19_quality(sf):  # text: quality scoring features
+        return textops.quality_score(_t(sf, "documents")).select_columns(
+            ["doc_id", "n_chars_q", "n_tokens", "n_punct", "n_stop"])
+
+    def q20_fingerprint_dedup(sf):  # text: md5 fingerprint + exact dedup
+        return textops.exact_dedup(_t(sf, "documents"))
+
+    def q21_langid(sf):  # text: language-ID heuristic (no SQL oracle)
+        ds = _t(sf, "documents").map_batches(textops.LangId, batch_format="pyarrow",
+                                             concurrency=2)
+        from hand_index_ray import relational as rel2
+
+        return rel2.grouped_agg(ds.select_columns(["lang_pred"]), ["lang_pred"])
+
+    def q22_ann_topk(sf):  # ANN: brute-force cosine top-k
+        emb = _tbl(sf, "embeddings")
+        q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+        return ann.cosine_topk(_t(sf, "embeddings"), q, 10)
+
+    def q23_embedding_dups(sf):  # ANN: exact near-dup pairs (SQL oracle)
+        return ann.dup_pairs_exact(_t(sf, "embeddings"), threshold=0.2, max_ids=300)
+
+    def q24_minhash_pairs(sf):  # dedup: MinHash+LSH (no SQL oracle)
+        return textops.minhash_lsh_pairs(_t(sf, "documents"), jaccard_threshold=0.4)
+
+    def q25_simhash(sf):  # dedup: SimHash signatures (no SQL oracle)
+        ds = textops.simhash(_t(sf, "documents").limit(500))
+        return ds
+
+    def q26_roi_footprints(sf):  # engine: ROI query on the image index
+        from hand_index_ray.pipelines.query import roi_query_footprints
+        from hand_index_ray.sources import synth
+
+        idx = _image_index(sf)
+        ds = roi_query_footprints(idx, synth.roi_polygons()["straddle"], threshold_pct=10.0)
+        if ds is None:
+            return pa.table({"image_id": pa.array([], pa.string())})
+        return ds.select_columns(["image_id", "overlap_pct"])
+
+    def q27_knn_index(sf):  # engine: kNN cell-ring expansion
+        from hand_index_ray.pipelines.query import knn_query
+
+        idx = _image_index(sf)
+        out = knn_query(idx, -98.0, 36.0, 25)
+        return out[["image_id", "dist_m"]]
+
+    def q28_zonal_pairs(sf):  # engine: zonal raster↔vector join
+        from hand_index_ray.config import EngineConfig
+        from hand_index_ray.pipelines.query import zonal_join
+        from hand_index_ray.sources import synth as sy
+
+        idx = _image_index(sf)
+        vec = os.path.join(os.path.dirname(idx), "vector")
+        sy.write_catchment_suite(vec, 300)
+        return zonal_join(idx, os.path.join(vec, "catchments.parquet"),
+                          EngineConfig(salt_hot_factor=4.0))
+
+    return {
+        "q01_groupby_sum": q01_groupby_sum,
+        "q02_filter_project": q02_filter_project,
+        "q03_broadcast_join_agg": q03_broadcast_join_agg,
+        "q04_three_way_left_join": q04_three_way_left_join,
+        "q05_semi_join": q05_semi_join,
+        "q06_distinct": q06_distinct,
+        "q07_dedup_first": q07_dedup_first,
+        "q08_topk": q08_topk,
+        "q09_window_tumbling": q09_window_tumbling,
+        "q10_union_counts": q10_union_counts,
+        "q11_regex_extract_join": q11_regex_extract_join,
+        "q12_count_audit": q12_count_audit,
+        "q13_bbox_scan": q13_bbox_scan,
+        "q14_pip_convex": q14_pip_convex,
+        "q15_overlap_threshold": q15_overlap_threshold,
+        "q16_knn": q16_knn,
+        "q17_grid_zonal_agg": q17_grid_zonal_agg,
+        "q18_token_count": q18_token_count,
+        "q19_quality": q19_quality,
+        "q20_fingerprint_dedup": q20_fingerprint_dedup,
+        "q21_langid": q21_langid,
+        "q22_ann_topk": q22_ann_topk,
+        "q23_embedding_dups": q23_embedding_dups,
+        "q24_minhash_pairs": q24_minhash_pairs,
+        "q25_simhash": q25_simhash,
+        "q26_roi_footprints": q26_roi_footprints,
+        "q27_knn_index": q27_knn_index,
+        "q28_zonal_pairs": q28_zonal_pairs,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    foot = f"({_FOOT_SQL})"
+    return {
+        "q01_groupby_sum": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+                   SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS price_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000.0) AS BIGINT)) AS revenue_micros
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        """,
+        "q03_broadcast_join_agg": """
+            SELECT c.c_mktsegment,
+                   SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents,
+                   COUNT(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "q04_three_way_left_join": """
+            SELECT c.c_custkey, o.o_orderkey, n.n_name
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
+        "q05_semi_join": """
+            SELECT l_returnflag,
+                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+            GROUP BY l_returnflag
+        """,
+        "q06_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "q07_dedup_first": """
+            SELECT l_orderkey, MIN(l_linenumber) AS l_linenumber
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "q08_topk": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents
+            FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 20
+        """,
+        "q09_window_tumbling": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+                   SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS value_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, window_id
+        """,
+        "q10_union_counts": """
+            SELECT event_type, COUNT(*) AS n FROM (
+                SELECT event_type FROM events WHERE event_type = 'error'
+                UNION ALL
+                SELECT event_type FROM events WHERE event_type = 'purchase'
+            ) GROUP BY event_type
+        """,
+        "q11_regex_extract_join": """
+            SELECT n.n_name, COUNT(*) AS n
+            FROM (SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 25
+                      AS n_nationkey
+                  FROM documents) d
+            JOIN nation n ON n.n_nationkey = d.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q12_count_audit": """
+            SELECT 'region' AS table_name, COUNT(*) AS n FROM region
+            UNION ALL SELECT 'nation', COUNT(*) FROM nation
+            UNION ALL SELECT 'customer', COUNT(*) FROM customer
+            UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+            UNION ALL SELECT 'part', COUNT(*) FROM part
+            UNION ALL SELECT 'orders', COUNT(*) FROM orders
+            UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        """,
+        "q13_bbox_scan": f"""
+            SELECT k, lon - half AS minx FROM {foot}
+            WHERE (lon - half) <= -95.0 AND -105.0 <= (lon + half)
+              AND (lat - half) <= 40.0 AND 30.0 <= (lat + half)
+        """,
+        "q14_pip_convex": f"""
+            SELECT k FROM {foot}
+            WHERE ((-92.0 - -110.0) * (lat - 30.0) - (32.0 - 30.0) * (lon - -110.0)) >= 0.0
+              AND ((-90.0 - -92.0) * (lat - 32.0) - (45.0 - 32.0) * (lon - -92.0)) >= 0.0
+              AND ((-110.0 - -90.0) * (lat - 45.0) - (43.0 - 45.0) * (lon - -90.0)) >= 0.0
+              AND ((-110.0 - -110.0) * (lat - 43.0) - (30.0 - 43.0) * (lon - -110.0)) >= 0.0
+        """,
+        "q15_overlap_threshold": f"""
+            WITH m AS (
+              SELECT k,
+                     (lon - half) AS minx, (lat - half) AS miny,
+                     (lon + half) AS maxx, (lat + half) AS maxy,
+                     ((lon + half) - (lon - half)) * ((lat + half) - (lat - half)) AS area,
+                     GREATEST(0.0, LEAST(lon + half, -96.0) - GREATEST(lon - half, -100.0))
+                     * GREATEST(0.0, LEAST(lat + half, 37.0) - GREATEST(lat - half, 33.0)) AS inter
+              FROM {foot})
+            SELECT k,
+                   CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END AS overlap_pct
+            FROM m
+            WHERE (minx <= -100.0 AND miny <= 33.0 AND maxx >= -96.0 AND maxy >= 37.0)
+               OR (minx >= -100.0 AND miny >= 33.0 AND maxx <= -96.0 AND maxy <= 37.0)
+               OR (CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END) >= 10.0
+        """,
+        "q16_knn": f"""
+            SELECT k, (lon - -98.0) * (lon - -98.0) + (lat - 36.0) * (lat - 36.0) AS d2
+            FROM {foot} ORDER BY d2, k LIMIT 10
+        """,
+        "q17_grid_zonal_agg": f"""
+            SELECT CAST(FLOOR(lon) AS BIGINT) AS cell_x,
+                   CAST(FLOOR(lat) AS BIGINT) AS cell_y,
+                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+                   COUNT(*) AS n
+            FROM {foot} GROUP BY cell_x, cell_y
+        """,
+        "q18_token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q19_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(replace(replace(text, '.', ''), ',', ''))
+                        AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                        AS BIGINT) AS n_stop
+            FROM documents
+        """,
+        "q20_fingerprint_dedup": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS min_doc_id, COUNT(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "q22_ann_topk": """
+            SELECT e.vec_id,
+                   CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) * 1000000.0)
+                        AS BIGINT) AS sim_micro
+            FROM embeddings e ORDER BY sim_micro DESC, e.vec_id LIMIT 10
+        """,
+        "q23_embedding_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)
+                        AS BIGINT) AS sim_micro
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)
+                       AS BIGINT) >= 200000
+        """,
+        # q21/q24–q28: heuristic / LSH / engine-index pipelines — not
+        # SQL-expressible; the driver records rows-only checks.
+    }

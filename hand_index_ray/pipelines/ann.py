@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (list<float>).
+
+Training-data ops: brute-force cosine top-k (the exact baseline — a
+numpy matmul per batch against a broadcast query matrix) and an
+LSH-bucketed variant (random-hyperplane signs) as the scale path, plus
+embedding-cosine near-duplicate pair detection.
+
+Float discipline: embeddings are cast to float64 before dot products
+and similarities are rounded to 6 decimals, so the DuckDB
+``list_cosine_similarity`` oracle matches bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.synth import splitmix64
+
+SIM_DECIMALS = 6
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def cosine_topk(ds: ray.data.Dataset, query: np.ndarray, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact top-k by cosine similarity: per-batch matmul against the
+    broadcast query vector, local top-k, driver merge (no global sort)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _stack(t.column(vec_col))
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
+            micro = np.round(sims * 1e6).astype(np.int64)  # integer micro-units: oracle-exact
+            ids = t.column(id_col).to_numpy()
+            order = np.lexsort((ids, -micro))[:k]
+            return pa.table({id_col: pa.array(ids[order]),
+                             "sim_micro": pa.array(micro[order], pa.int64())})
+
+    parts = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 8)).to_pandas()
+    return (parts.sort_values(["sim_micro", id_col], ascending=[False, True], kind="stable")
+            .head(k).reset_index(drop=True))
+
+
+def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_ids: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH hyperplane buckets.
+
+    Sign-sketch buckets (b hyperplanes) group likely-similar vectors;
+    exact cosine verifies within buckets. Near-identical vectors
+    (cos ≥ 0.95) collide in ≥1 of the banded buckets with high
+    probability; multiple independent bands keep the miss rate
+    negligible. For the *exact* small-scale oracle variant use
+    ``dup_pairs_exact``.
+    """
+    planes_per_band, bands = 8, 6
+    rng = np.random.default_rng(12345)
+
+    def f(t: pa.Table) -> pa.Table:
+        if max_ids is not None:
+            mask = t.column(id_col).to_numpy() < max_ids
+            t = t.filter(pa.array(mask))
+        m = _stack(t.column(vec_col))
+        if len(m) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.uint64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
+        dim = m.shape[1]
+        planes = np.random.default_rng(999).standard_normal((bands * planes_per_band, dim))
+        signs = (m @ planes.T) > 0
+        ids = t.column(id_col).to_numpy()
+        out_id, out_band, out_bucket, out_vec = [], [], [], []
+        for b in range(bands):
+            chunk = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
+            bucket = (chunk.astype(np.uint64)
+                      << np.arange(planes_per_band, dtype=np.uint64)).sum(axis=1)
+            with np.errstate(over="ignore"):
+                bucket = splitmix64(bucket ^ np.uint64(b * 7919))
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_bucket.append(bucket)
+            out_vec.extend(list(m))
+        return pa.table({id_col: pa.array(np.concatenate(out_id)),
+                         "band": pa.array(np.concatenate(out_band), pa.int32()),
+                         "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+                         vec_col: pa.array(out_vec, pa.list_(pa.float64()))})
+
+    exploded = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        nm = m / np.where(n == 0, 1.0, n)[:, None]
+        sims = np.round(nm @ nm.T, SIM_DECIMALS)
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold and ids[i] != ids[j]:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    return (pairs.drop_duplicates(subset=["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.95,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    max_ids: int = 500) -> pd.DataFrame:
+    """Exact all-pairs cosine duplicates on a bounded id range —
+    SQL-expressible (DuckDB list_cosine_similarity cross join oracle)."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column(id_col).to_numpy() < max_ids))
+
+    small = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    ids = small[id_col].to_numpy()
+    m = np.stack(small[vec_col].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    nm = m / np.where(n == 0, 1.0, n)[:, None]
+    micro = np.round((nm @ nm.T) * 1e6).astype(np.int64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = micro[iu, ju] >= int(round(threshold * 1e6))
+    a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+    b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+    order = np.lexsort((b, a))
+    return pd.DataFrame({"id_a": a[order].astype(np.int64),
+                         "id_b": b[order].astype(np.int64),
+                         "sim_micro": micro[iu[keep], ju[keep]][order]})
+
+
+def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF-style approximate top-k: k-means-lite centroids from a
+    sample, per-batch assignment, probe the ``nprobe`` nearest lists.
+
+    The scale path: at 10⁹+ vectors the centroid assignment becomes the
+    partition key and only probed partitions are read; here the probe
+    filter runs inside the same pass."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    sample = ds.limit(max(nlist * 32, 512)).to_pandas()
+    m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    # deterministic centroid init + 5 Lloyd iterations
+    cent = m[np.linspace(0, len(m) - 1, nlist).astype(int)].copy()
+    for _ in range(5):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(nlist):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    probes = set(np.argsort(-(cn @ qn))[:nprobe].tolist())
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(qn)
+
+    class ProbeScorer:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _stack(t.column(vec_col))
+            if len(m) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            mask = np.isin(assign, list(probes))
+            m = m[mask]
+            ids = t.column(id_col).to_numpy()[mask]
+            norms = np.linalg.norm(m, axis=1)
+            sims = np.round((m @ self.q) / np.where(norms == 0, 1.0, norms), SIM_DECIMALS)
+            order = np.lexsort((ids, -sims))[:k]
+            return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
+
+    parts = ds.map_batches(ProbeScorer, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 8)).to_pandas()
+    return (parts.sort_values(["sim", id_col], ascending=[False, True], kind="stable")
+            .head(k).reset_index(drop=True))

@@ -167,6 +167,43 @@ def write_images(out_dir: str, n: int, fragments: int = 8, seed: int = SEED) -> 
     return paths
 
 
+def write_images_ray(out_dir: str, n: int, fragments: int = 16, seed: int = SEED) -> list[str]:
+    """Ray-parallel images-table generation (same bytes as
+    ``write_images``: each fragment is a pure function of (seed, range)).
+    Requires an initialized Ray session (caller-owned). Idempotent."""
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = np.linspace(0, n, fragments + 1).astype(int)
+    todo = []
+    paths = []
+    for f in range(fragments):
+        path = os.path.join(out_dir, f"frag-{f:05d}.parquet")
+        paths.append(path)
+        if not os.path.exists(path):
+            todo.append({"fragment_id": f, "lo": int(bounds[f]), "hi": int(bounds[f + 1]),
+                         "path": path, "seed": seed})
+    if todo:
+        def gen(batch: pa.Table) -> pa.Table:
+            import tempfile
+            done = []
+            for row in batch.to_pylist():
+                idx = np.arange(row["lo"], row["hi"])
+                tbl = images_batch(idx, row["fragment_id"], row["seed"])
+                d = os.path.dirname(row["path"])
+                fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+                os.close(fd)
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, row["path"])
+                done.append({"fragment_id": row["fragment_id"], "rows": len(idx)})
+            return pa.Table.from_pylist(done)
+
+        ray.data.from_items(todo).map_batches(
+            gen, batch_format="pyarrow", batch_size=1).materialize()
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # catchments + sidecars (FIXTURES.md F3; mirrors schema/…sql:5-26)
 
