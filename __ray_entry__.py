@@ -28,6 +28,12 @@ import pyarrow.compute as pc
 CACHE_ROOT = "/tmp/hand_index_ray_cache"
 
 
+def _cache_dir(*parts: str) -> str:
+    from hand_index_ray.sources.synth import SYNTH_VERSION
+
+    return os.path.join(CACHE_ROOT, f"g{SYNTH_VERSION}", *parts)
+
+
 def _t(sf_dir: str, name: str):
     import ray.data
 
@@ -93,8 +99,8 @@ def _image_index(sf_dir: str) -> str:
     nrows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
     n = max(min(nrows // 20, 20000), 400)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    images = os.path.join(CACHE_ROOT, f"{tag}-n{n}", "images")
-    index = os.path.join(CACHE_ROOT, f"{tag}-n{n}", "index")
+    images = _cache_dir(f"{tag}-n{n}", "images")
+    index = _cache_dir(f"{tag}-n{n}", "index")
     synth.write_images_ray(images, n, fragments=16)
     cfg = EngineConfig()
     build_index(images, index, cfg)
@@ -117,7 +123,7 @@ def entry() -> Any:
 
     nrows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
     n = max(min(nrows // 20, 20000), 400)
-    images = os.path.join(CACHE_ROOT, f"entry-n{n}", "images")
+    images = _cache_dir(f"entry-n{n}", "images")
     synth.write_images_ray(images, n, fragments=8)
     return footprint_dataset(images, EngineConfig(encode_concurrency=2))
 

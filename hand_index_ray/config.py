@@ -14,6 +14,12 @@ class EngineConfig:
     hex_res_max: int = 9
     s2_level: int = 16          # fine S2 key per row
     part_level: int = 4         # S2 level of the output partition key
+    # physical-layout guard: a fragment coarsens its write partitioning
+    # (cell parent levels) until it emits at most this many files, so
+    # small fragments never explode into thousands of tiny parquet files
+    # (manifest bbox stats keep pruning exact at any level; S2 range
+    # nesting keeps cell lookups correct — see Manifest.files_for_cells)
+    max_files_per_fragment: int = 16
     zonal_join_level: int = 7   # fixed S2 covering level for zonal-join keys
     # reference-parity knobs
     catchment_h3_res: int = 1   # reference default (load.py:314)

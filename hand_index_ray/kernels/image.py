@@ -66,6 +66,8 @@ def _png_unfilter(data: bytes, w: int, h: int) -> np.ndarray:
     stride = w * 3
     arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
+    if not ftypes.any():  # all filter 0 (our encoder's output): no per-row work
+        return np.ascontiguousarray(arr[:, 1:]).reshape(h, w, 3)
     rows = arr[:, 1:].astype(np.int16)
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
@@ -136,7 +138,8 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         assert buf[:4] == b"QJPG"
         pw, ph = struct.unpack_from("<HH", buf, 4)
         q = np.frombuffer(zlib.decompress(buf[8:]), dtype=np.uint8).reshape(ph, pw, 3)
-        return ((q.astype(np.uint16) << 2) | 2).astype(np.uint8)  # mid-rise reconstruction
+        # mid-rise reconstruction, pure uint8 ops (q<=63 → q<<2 <= 252)
+        return np.left_shift(q, 2) | np.uint8(2)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -153,33 +156,80 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def _gray_int(img: np.ndarray) -> np.ndarray:
+    """Integer grayscale (×1000 fixed point): 299R + 587G + 114B.
+
+    Integer arithmetic keeps scalar and batch phash bit-identical and
+    halves memory traffic vs float64 (the phash stage is DRAM-bandwidth
+    bound at full-machine concurrency)."""
+    g = np.multiply(img[..., 0], np.int32(299), dtype=np.int32)
+    g += np.multiply(img[..., 1], np.int32(587), dtype=np.int32)
+    g += np.multiply(img[..., 2], np.int32(114), dtype=np.int32)
+    return g
+
+
+def _block_sums(g: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """8×8 grid of block sums + areas for (..., H, W) int grayscale.
+
+    Fast path: H and W divisible by 8 → reshape-sum, single pass, no
+    integral-image allocation. Fallback: int64 integral image (exact,
+    any size). Both produce identical sums for divisible sizes."""
+    h, w = g.shape[-2], g.shape[-1]
+    if h % 8 == 0 and w % 8 == 0:
+        bh, bw = h // 8, w // 8
+        s = g.reshape(g.shape[:-2] + (8, bh, 8, bw)).sum(axis=(-3, -1), dtype=np.int64)
+        areas = np.full((8, 8), bh * bw, dtype=np.int64)
+        return s, areas
+    I = np.zeros(g.shape[:-2] + (h + 1, w + 1), dtype=np.int64)
+    I[..., 1:, 1:] = g.cumsum(-2, dtype=np.int64).cumsum(-1, dtype=np.int64)
+    ys = np.linspace(0, h, 9).round().astype(int)
+    xs = np.linspace(0, w, 9).round().astype(int)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    s = (I[..., y1[:, None], x1[None, :]] - I[..., y0[:, None], x1[None, :]]
+         - I[..., y1[:, None], x0[None, :]] + I[..., y0[:, None], x0[None, :]])
+    areas = np.maximum((y1 - y0)[:, None] * (x1 - x0)[None, :], 1).astype(np.int64)
+    return s, areas
+
+
 def phash64(img: np.ndarray) -> np.uint64:
     """64-bit block-mean perceptual hash, any H×W.
 
-    Grayscale → 8×8 grid of block means (integral image, exact for any
-    size) → bit = mean > median. Deterministic; near-duplicate images
-    (e.g. re-encodes of the same tile) hash equal or within a small
-    Hamming distance.
+    Integer grayscale → 8×8 block means → bit = mean > median.
+    Deterministic; near-duplicate images (e.g. re-encodes of the same
+    tile) hash equal or within a small Hamming distance.
     """
-    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = g.shape
-    # integral image
-    I = np.zeros((h + 1, w + 1))
-    I[1:, 1:] = g.cumsum(0).cumsum(1)
-    ys = np.linspace(0, h, 9).round().astype(int)
-    xs = np.linspace(0, w, 9).round().astype(int)
-    blocks = np.empty((8, 8))
-    for r in range(8):
-        for c in range(8):
-            y0, y1, x0, x1 = ys[r], ys[r + 1], xs[c], xs[c + 1]
-            area = max((y1 - y0) * (x1 - x0), 1)
-            blocks[r, c] = (I[y1, x1] - I[y0, x1] - I[y1, x0] + I[y0, x0]) / area
+    s, areas = _block_sums(_gray_int(img))
+    blocks = s.astype(np.float64) / areas
     bits = (blocks > np.median(blocks)).ravel()
-    v = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(i)
-    return v
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+
+
+def phash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized ``phash64`` over a stack of same-size images (N,H,W,3).
+
+    Bit-identical to the scalar version (same integer block sums, same
+    median threshold); one pass over the stack.
+    """
+    return phash_and_graymean_batch(imgs)[0]
+
+
+def phash_and_graymean_batch(imgs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """phash + mean gray level per image in ONE pass over the pixels.
+
+    The mean is derived from the same integer block sums the hash uses,
+    so the feature stage reads each decoded image exactly once (this
+    stage is DRAM-bandwidth bound at full-machine concurrency)."""
+    n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    s, areas = _block_sums(_gray_int(imgs))
+    blocks = (s.astype(np.float64) / areas).reshape(n, 64)
+    med = np.median(blocks, axis=1)
+    bits = blocks > med[:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    hashes = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    gray_mean = s.reshape(n, 64).sum(axis=1) / (1000.0 * h * w)
+    return hashes, gray_mean
 
 
 def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -86,7 +86,9 @@ def _process_fragment_table(tbl: pa.Table, fragment_id: int, cfg: EngineConfig) 
 
 
 class FragmentBuilder:
-    """Actor-pool stage over a Dataset of fragment paths.
+    """Per-fragment build callable (used as stateless map_batches tasks —
+    the instance is tiny and pickles with the task, so there is no
+    actor-pool startup cost and parallelism is fully elastic).
 
     For each input fragment: transform → group by partition cell →
     write one deterministic file per (fragment, cell) via tmp+rename →
@@ -99,16 +101,33 @@ class FragmentBuilder:
         self.manifest_dir = os.path.join(out_dir, "_manifest")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # one Arrow thread per task: Ray already runs num_cpus tasks in
+        # parallel, and pyarrow's default per-process pool (one thread
+        # per core, PER worker process) oversubscribes the machine
+        # num_workers-fold — reads were 4× slower at 32 CPUs before this
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         stats_rows = []
         for row in batch.to_pylist():
             path, fid = row["path"], int(row["fragment_id"])
-            tbl = pq.read_table(path)
+            tbl = pq.read_table(path, use_threads=False)
             out = _process_fragment_table(tbl, fid, self.cfg)
             parts: list[PartitionStat] = []
             nrows = 0
             if out is not None and out.num_rows:
                 nrows = out.num_rows
-                cells = out.column("part_cell").to_numpy()
+                cells = out.column("part_cell").to_numpy().astype(np.uint64)
+                # adaptive physical partitioning: coarsen the write key
+                # until this fragment emits ≤ max_files_per_fragment files
+                # (row `part_cell` column keeps the configured level; only
+                # the file layout coarsens — pruning stays exact via the
+                # manifest bbox stats and S2 range nesting)
+                from ..kernels import s2 as s2k
+
+                level = self.cfg.part_level
+                while level > 0 and len(np.unique(cells)) > self.cfg.max_files_per_fragment:
+                    level -= 1
+                    cells = s2k.parent(cells, level)
                 order = np.argsort(cells, kind="stable")
                 sorted_cells = cells[order]
                 bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
@@ -158,11 +177,16 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     todo = [{"path": p, "fragment_id": i} for i, p in enumerate(frags) if i not in done]
     skipped = len(frags) - len(todo)
     if todo:
-        ds = ray.data.from_items(todo)
+        # one block per fragment → one task per fragment: finest-grain
+        # load balancing (a coarser packing quantizes the run into
+        # straggler-bound waves), never capped by Ray's default
+        # input-block packing
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
+        # stateless tasks (no actor-pool startup cost; the tiny builder
+        # instance pickles with each task)
+        builder = FragmentBuilder(out_dir, cfg)
         stats = ds.map_batches(
-            FragmentBuilder, fn_constructor_args=(out_dir, cfg),
-            batch_format="pyarrow", batch_size=1,
-            concurrency=(1, max(2, min(16, len(todo)))),
+            builder, batch_format="pyarrow", batch_size=1,
         )
         built = stats.to_pandas()
         rows_built = int(built["rows"].sum()) if len(built) else 0

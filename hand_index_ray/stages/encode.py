@@ -42,11 +42,20 @@ def decode_images(batch: pa.Table) -> pa.Table:
     hs = batch.column("h").to_numpy()
     phash_dec = np.empty(n, dtype=np.int64)
     pix_mean = np.empty(n, dtype=np.float64)
+    # decode per row (codec work) straight into preallocated per-(h,w)
+    # group buffers, then run the feature kernels (phash + gray mean,
+    # fused single pass) vectorized per group
+    groups: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
-        buf = bts[i].as_buffer()  # zero-copy view into the Arrow block
-        img = imk.decode(buf, fmts[i], w=int(ws[i]), h=int(hs[i]))
-        phash_dec[i] = np.uint64(imk.phash64(img)).astype(np.int64)
-        pix_mean[i] = float(img.mean())
+        groups.setdefault((int(hs[i]), int(ws[i])), []).append(i)
+    for (gh, gw), idxs in groups.items():
+        stack = np.empty((len(idxs), gh, gw, 3), dtype=np.uint8)
+        for j, i in enumerate(idxs):
+            buf = bts[i].as_buffer()  # zero-copy view into the Arrow block
+            stack[j] = imk.decode(buf, fmts[i], w=gw, h=gh)
+        ph, mn = imk.phash_and_graymean_batch(stack)
+        phash_dec[idxs] = ph.astype(np.int64)
+        pix_mean[idxs] = mn
     keep = [c for c in batch.column_names if c != "bytes"]
     out = batch.select(keep)
     out = out.append_column("phash_decoded", pa.array(phash_dec, pa.int64()))

@@ -113,10 +113,23 @@ class Manifest:
         return sorted(set(out))
 
     def files_for_cells(self, index_dir: str, cells: set[int]) -> list[str]:
+        """Files whose partition cell RANGE intersects any query cell's
+        range. S2 id ranges nest (prefix property), so this is correct
+        for any mix of levels — a fragment that coarsened its physical
+        partitioning (build.py adaptive layout) still matches queries
+        issued at the configured partition level."""
+        import numpy as np
+
+        from ..kernels import s2 as s2k
+
+        if not cells:
+            return []
+        qlo, qhi = s2k.cell_range(np.array(sorted(cells), dtype=np.uint64))
         out = []
         for rec in self.records():
             for p in rec.partitions:
-                if p.cell in cells:
+                plo, phi = s2k.cell_range(np.array([p.cell], dtype=np.uint64))
+                if ((qlo <= phi[0]) & (plo[0] <= qhi)).any():
                     out.append(os.path.join(index_dir, p.path))
         return sorted(set(out))
 
