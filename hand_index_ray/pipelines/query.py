@@ -266,6 +266,48 @@ def load_query_results(outdir: str) -> ray.data.Dataset:
     return ds.map_batches(add_id, batch_format="pyarrow")
 
 
+def write_single_file(ds: ray.data.Dataset, path: str) -> str:
+    """Single-file parquet sink for small sidecar tables (reference S7,
+    ``COPY {table} TO '{file}.parquet'`` load.py:289-299). Only for
+    tables known to be small — large tables use the partitioned sink."""
+    tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(tbl, path)
+    return path
+
+
+def sample_per_group(ds: ray.data.Dataset, key: str, k: int,
+                     order_col: str | None = None) -> ray.data.Dataset:
+    """First-k rows per group (reference O2: ``.head(display_count)``
+    per catchment, viz/query_visualization.py:361-365)."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col:
+            g = g.sort_values(order_col, kind="stable")
+        return g.head(k)
+
+    return ds.groupby(key).map_groups(head, batch_format="pandas")
+
+
+def validate_roi(catchments_path: str, roi_ring_lonlat: np.ndarray,
+                 threshold_pct: float | None = None,
+                 cfg: EngineConfig = DEFAULT) -> dict:
+    """Validation pipeline (the engine's analog of the reference's viz
+    QA, SURVEY.md §3.3): re-runs the unfiltered intersect query and
+    diffs the candidate set against the overlap-filtered result set,
+    emitting the counts the reference prints
+    (viz/query_visualization.py:459-472) instead of an HTML map."""
+    df, stats = roi_query_catchments(catchments_path, roi_ring_lonlat,
+                                     threshold_pct, cfg, with_stats=True)
+    kept = set(df["catchment_id"])
+    return {
+        **stats,
+        "kept_ids": sorted(kept),
+        "dropped_by_filter": stats["initial_geoms"] - stats["final_geoms"],
+        "consistent": stats["final_geoms"] == len(kept),
+    }
+
+
 # ---------------------------------------------------------------------------
 # J6 + O3: kNN via cell-ring expansion
 

@@ -1,0 +1,78 @@
+"""GeoJSON reader (S4), single-file sink (S7), per-group sampling (O2),
+validate pipeline (§3.3 analog)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from hand_index_ray.kernels import geom
+from hand_index_ray.sources import synth
+from hand_index_ray.sources.geojson import roi_from_geojson, roi_ring_from_geojson
+
+
+def test_geojson_feature_collection_and_bare():
+    ring = [[-100.0, 35.0], [-99.0, 35.0], [-99.0, 36.0], [-100.0, 36.0], [-100.0, 35.0]]
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [ring]}}]}
+    rag = roi_from_geojson(fc)
+    assert len(rag) == 1
+    assert geom.area(rag)[0] == pytest.approx(1.0)
+    # bare geometry + string input
+    rag2 = roi_from_geojson(json.dumps({"type": "Polygon", "coordinates": [ring]}))
+    np.testing.assert_allclose(rag2.coords, rag.coords)
+    # outer-ring helper
+    r = roi_ring_from_geojson(fc)
+    assert r.shape == (5, 2)
+
+
+def test_geojson_multipolygon_and_file(tmp_path):
+    ring1 = [[-100, 35], [-99, 35], [-99, 36], [-100, 36], [-100, 35]]
+    ring2 = [[-90, 30], [-89, 30], [-89, 31], [-90, 31], [-90, 30]]
+    doc = {"type": "MultiPolygon", "coordinates": [[ring1], [ring2]]}
+    p = tmp_path / "roi.geojson"
+    p.write_text(json.dumps(doc))
+    rag = roi_from_geojson(str(p))
+    assert rag.num_parts() == 2
+    assert geom.area(rag)[0] == pytest.approx(2.0)
+
+
+def test_geojson_crs_policy():
+    ring = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+    ok = {"type": "Polygon", "coordinates": [ring],
+          "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:OGC:1.3:CRS84"}}}
+    roi_from_geojson(ok)
+    bad = {"type": "Polygon", "coordinates": [ring],
+           "crs": {"type": "name", "properties": {"name": "EPSG:5070"}}}
+    with pytest.raises(ValueError):
+        roi_from_geojson(bad)
+
+
+def test_write_single_file_and_sample_per_group(ray_session, tmp_path):
+    import ray.data
+
+    from hand_index_ray.pipelines.query import sample_per_group, write_single_file
+
+    rows = [{"k": i % 3, "v": i} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    p = write_single_file(ds, str(tmp_path / "out" / "side.parquet"))
+    t = pq.read_table(p)
+    assert t.num_rows == 30
+    samp = sample_per_group(ray.data.from_items(rows), "k", 2, order_col="v").to_pandas()
+    assert len(samp) == 6
+    # first-2 by v in group k are exactly {k, k+3}
+    for k, g in samp.groupby("k"):
+        assert sorted(g["v"]) == [k, k + 3]
+
+
+def test_validate_roi(ray_session, smoke_dirs):
+    from hand_index_ray.pipelines.query import validate_roi
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    out = validate_roi(cpath, synth.roi_polygons()["huge"], threshold_pct=10.0)
+    assert out["consistent"]
+    assert out["initial_geoms"] >= out["final_geoms"] == len(out["kept_ids"])
+    assert out["dropped_by_filter"] == out["removed_geoms"]
