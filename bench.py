@@ -61,7 +61,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from hand_index_ray.config import EngineConfig
-    from hand_index_ray.pipelines.build import build_index
+    from hand_index_ray.pipelines.build import build_index, compact_index
     from hand_index_ray.pipelines.query import knn_query, roi_query_footprints, zonal_join
     from hand_index_ray.sources import synth
 
@@ -99,7 +99,11 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
-    # --- queries over the built index ------------------------------------
+    t0 = time.perf_counter()
+    compact_index(index_dir, cfg)
+    queries["compact_index"] = round(time.perf_counter() - t0, 3)
+
+    # --- queries over the built (compacted) index -------------------------
     t0 = time.perf_counter()
     ring = synth.roi_polygons()["straddle"]
     ds = roi_query_footprints(index_dir, ring, threshold_pct=10.0, cfg=cfg)

@@ -20,7 +20,8 @@ class EngineConfig:
     # (manifest bbox stats keep pruning exact at any level; S2 range
     # nesting keeps cell lookups correct — see Manifest.files_for_cells)
     max_files_per_fragment: int = 16
-    zonal_join_level: int = 7   # fixed S2 covering level for zonal-join keys
+    zonal_join_level: int = 6   # fixed S2 covering level for zonal-join keys
+    zonal_buckets: int = 128    # hash buckets for the co-group shuffle
     # reference-parity knobs
     catchment_h3_res: int = 1   # reference default (load.py:314)
     simplify_tol_m: float = 100.0  # ST_Simplify tolerance (load.py:155-156)

@@ -201,6 +201,84 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     }
 
 
+def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
+    """Merge per-(fragment, cell) files into one file per cell.
+
+    The LSM-style compaction step: a build over F fragments leaves up
+    to F × max_files_per_fragment small files; queries then pay a
+    per-file open cost. Compaction rewrites them as one file per cell
+    (rows sorted by s2_cell for locality), records the merged layout +
+    covered fragment ids atomically in the manifest, and leaves the
+    per-fragment lineage records untouched — resume still keys off
+    fragment completeness (state/manifest.py docstring).
+
+    Idempotent and kill-safe: merged files are written tmp+rename and
+    the compaction record is written last; a killed compaction leaves
+    the index serving from the original fragment files.
+    """
+    man = Manifest(index_dir)
+    _, covered = man.compaction()
+    recs = [r for r in man.records() if r.fragment_id not in covered]
+    by_cell: dict[int, list[str]] = {}
+    frag_ids: set[int] = set(covered)
+    for rec in recs:
+        frag_ids.add(rec.fragment_id)
+        for p in rec.partitions:
+            by_cell.setdefault(p.cell, []).append(p.path)
+    prev_parts, _ = man.compaction()
+    for p in prev_parts:
+        by_cell.setdefault(p.cell, []).append(p.path)
+    if not by_cell:
+        return {"cells": 0, "files_merged": 0}
+    # cell ids exceed int64 (uint64 S2 ids) → ship as strings through
+    # the items Dataset, parse back inside the task
+    work = [{"cell": str(int(c)), "paths": sorted(ps)} for c, ps in sorted(by_cell.items())]
+
+    def merge(batch: pa.Table) -> pa.Table:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        out_rows = []
+        for row in batch.to_pylist():
+            cell = int(row["cell"])
+            tbl = pa.concat_tables([
+                pq.read_table(os.path.join(index_dir, rel), use_threads=False)
+                for rel in row["paths"]])
+            tbl = tbl.sort_by("s2_cell")
+            rel = os.path.join(f"cell={cell}", "compacted.parquet")
+            dest = os.path.join(index_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+            os.close(fd)
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, dest)
+            out_rows.append({
+                "cell": cell, "path": rel, "row_count": tbl.num_rows,
+                "bytes": os.path.getsize(dest),
+                "minx": float(pc.min(tbl.column("minx")).as_py()),
+                "miny": float(pc.min(tbl.column("miny")).as_py()),
+                "maxx": float(pc.max(tbl.column("maxx")).as_py()),
+                "maxy": float(pc.max(tbl.column("maxy")).as_py()),
+            })
+        schema = pa.schema([("cell", pa.uint64()), ("path", pa.string()),
+                            ("row_count", pa.int64()), ("bytes", pa.int64()),
+                            ("minx", pa.float64()), ("miny", pa.float64()),
+                            ("maxx", pa.float64()), ("maxy", pa.float64())])
+        return pa.Table.from_pylist(out_rows, schema=schema)
+
+    ds = ray.data.from_items(work, override_num_blocks=len(work))
+    merged = ds.map_batches(merge, batch_format="pyarrow", batch_size=1).to_pandas()
+    parts = [PartitionStat(cell=int(r["cell"]), path=str(r["path"]),
+                           row_count=int(r["row_count"]), bytes=int(r["bytes"]),
+                           minx=float(r["minx"]), miny=float(r["miny"]),
+                           maxx=float(r["maxx"]), maxy=float(r["maxy"]))
+             for r in merged.to_dict("records")]
+    man.write_compaction(parts, frag_ids)
+    # old fragment files stay on disk until a GC pass; queries already
+    # route through the compaction record
+    n_files = sum(len(w["paths"]) for w in work)
+    return {"cells": len(work), "files_merged": n_files}
+
+
 # ---------------------------------------------------------------------------
 # vector side: catchments catalog build (reference load.py:131-196)
 

@@ -555,40 +555,61 @@ def zonal_join(index_dir: str, catchments_path: str,
 
     both = foot_salted.union(cat_exploded)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        cell = np.uint64(g["cell"].iloc[0])
-        f = g[g["side"] == 0]
-        c = g[g["side"] == 1]
-        if f.empty or c.empty:
-            return pd.DataFrame({"image_id": [], "catchment_id": []})
-        minx = f["minx"].to_numpy()
-        miny = f["miny"].to_numpy()
-        maxx = f["maxx"].to_numpy()
-        maxy = f["maxy"].to_numpy()
-        out_img = []
-        out_cid = []
-        for _, crow in c.iterrows():
-            rag5070 = wkb.decode([crow["geometry"]])
-            # footprints are 4326 → transform the polygon to 4326 once
-            coords = rag5070.coords
-            lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
-            rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
-                             rag5070.part_ring_off, rag5070.geom_part_off)
-            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
-            hits = np.nonzero(rel["intersects"])[0]
-            if len(hits) == 0:
+    # co-group via hash buckets: ONE shuffle keyed on
+    # bucket = hash(cell, salt) % NB, and a single map_groups dispatch
+    # per bucket — per-(cell,salt) iteration happens inside the bucket
+    # with pandas C-speed grouping (Ray's per-group UDF dispatch over
+    # thousands of tiny cell groups dominated the join before this)
+    NB = cfg.zonal_buckets
+    from ..sources.synth import splitmix64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int32()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(t.column("cell").to_numpy().astype(np.uint64)
+                           ^ (t.column("salt").to_numpy().astype(np.uint64) * np.uint64(0x9E3779B9)))
+        return t.append_column("bucket", pa.array((h % np.uint64(NB)).astype(np.int32)))
+
+    bucketed = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    def join_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out_img: list = []
+        out_cid: list = []
+        for (cell, _salt), g in bucket_df.groupby(["cell", "salt"], sort=False):
+            cell = np.uint64(cell)
+            f = g[g["side"] == 0]
+            c = g[g["side"] == 1]
+            if f.empty or c.empty:
                 continue
-            # shared-cell dedup: emit only from the canonical cell of the
-            # bbox-intersection lattice point (provably in both coverings)
-            cb = geom.bounds(rag)[0]
-            ix = np.maximum(minx[hits], cb[0])
-            iy = np.maximum(miny[hits], cb[1])
-            px = np.floor(ix / delta) * delta
-            py = np.floor(iy / delta) * delta
-            canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
-            emit = hits[canon == cell]
-            out_img.extend(f["image_id"].iloc[emit].tolist())
-            out_cid.extend([crow["catchment_id"]] * len(emit))
+            minx = f["minx"].to_numpy()
+            miny = f["miny"].to_numpy()
+            maxx = f["maxx"].to_numpy()
+            maxy = f["maxy"].to_numpy()
+            img_ids = f["image_id"].to_numpy()
+            for geom_blob, cid in zip(c["geometry"].to_numpy(), c["catchment_id"].to_numpy()):
+                rag5070 = wkb.decode([geom_blob])
+                # footprints are 4326 → transform the polygon to 4326 once
+                coords = rag5070.coords
+                lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
+                rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
+                                 rag5070.part_ring_off, rag5070.geom_part_off)
+                rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
+                hits = np.nonzero(rel["intersects"])[0]
+                if len(hits) == 0:
+                    continue
+                # shared-cell dedup: emit only from the canonical cell of
+                # the bbox-intersection lattice point (provably in both
+                # coverings)
+                cb = geom.bounds(rag)[0]
+                ix = np.maximum(minx[hits], cb[0])
+                iy = np.maximum(miny[hits], cb[1])
+                px = np.floor(ix / delta) * delta
+                py = np.floor(iy / delta) * delta
+                canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
+                emit = hits[canon == cell]
+                out_img.extend(img_ids[emit].tolist())
+                out_cid.extend([cid] * len(emit))
         return pd.DataFrame({"image_id": out_img, "catchment_id": out_cid})
 
-    return both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(join_bucket, batch_format="pandas")

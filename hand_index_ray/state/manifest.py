@@ -50,7 +50,19 @@ class FragmentRecord:
 
 
 class Manifest:
-    """Directory of one-JSON-file-per-fragment records."""
+    """Directory of one-JSON-file-per-fragment records, plus an
+    optional compaction record.
+
+    Compaction (``pipelines/build.py:compact_index``) merges the many
+    per-(fragment, cell) files into one file per cell — the LSM-style
+    answer to small-file buildup. The per-fragment records are KEPT
+    (they are the resume/lineage source of truth: a fragment id in the
+    manifest means its input is fully encoded); the compaction record
+    lists the merged files and which fragment ids they cover, and the
+    file-listing methods below substitute compacted files for covered
+    fragments' partitions."""
+
+    COMPACTION = "compaction.json"
 
     def __init__(self, index_dir: str):
         self.dir = os.path.join(index_dir, "_manifest")
@@ -97,6 +109,45 @@ class Manifest:
             ))
         return recs
 
+    # ---- compaction ---------------------------------------------------------
+
+    def write_compaction(self, partitions: list[PartitionStat],
+                         covered_fragments: set[int]) -> None:
+        """Atomic: record the merged per-cell files + covered fragments."""
+        payload = {
+            "covered_fragments": sorted(covered_fragments),
+            "partitions": [asdict(p) for p in partitions],
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.dir, self.COMPACTION))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def compaction(self) -> tuple[list[PartitionStat], set[int]]:
+        path = os.path.join(self.dir, self.COMPACTION)
+        if not os.path.exists(path):
+            return [], set()
+        with open(path) as f:
+            d = json.load(f)
+        return ([PartitionStat(**p) for p in d["partitions"]],
+                set(d["covered_fragments"]))
+
+    def _live_partitions(self) -> list[PartitionStat]:
+        """Compacted files + partitions of fragments not yet compacted."""
+        compacted, covered = self.compaction()
+        out = list(compacted)
+        for rec in self.records():
+            if rec.fragment_id in covered:
+                continue
+            out.extend(rec.partitions)
+        return out
+
     # ---- query-side pruning -------------------------------------------------
 
     def files_for_bbox(self, index_dir: str, minx: float, miny: float,
@@ -104,12 +155,11 @@ class Manifest:
         """Files whose partition bbox stats overlap the query bbox —
         exact-conservative pruning (never misses a candidate)."""
         out = []
-        for rec in self.records():
-            for p in rec.partitions:
-                if p.row_count == 0:
-                    continue
-                if p.minx <= maxx and minx <= p.maxx and p.miny <= maxy and miny <= p.maxy:
-                    out.append(os.path.join(index_dir, p.path))
+        for p in self._live_partitions():
+            if p.row_count == 0:
+                continue
+            if p.minx <= maxx and minx <= p.maxx and p.miny <= maxy and miny <= p.maxy:
+                out.append(os.path.join(index_dir, p.path))
         return sorted(set(out))
 
     def files_for_cells(self, index_dir: str, cells: set[int]) -> list[str]:
@@ -126,16 +176,14 @@ class Manifest:
             return []
         qlo, qhi = s2k.cell_range(np.array(sorted(cells), dtype=np.uint64))
         out = []
-        for rec in self.records():
-            for p in rec.partitions:
-                plo, phi = s2k.cell_range(np.array([p.cell], dtype=np.uint64))
-                if ((qlo <= phi[0]) & (plo[0] <= qhi)).any():
-                    out.append(os.path.join(index_dir, p.path))
+        for p in self._live_partitions():
+            plo, phi = s2k.cell_range(np.array([p.cell], dtype=np.uint64))
+            if ((qlo <= phi[0]) & (plo[0] <= qhi)).any():
+                out.append(os.path.join(index_dir, p.path))
         return sorted(set(out))
 
     def all_files(self, index_dir: str) -> list[str]:
-        return sorted({os.path.join(index_dir, p.path)
-                       for rec in self.records() for p in rec.partitions})
+        return sorted({os.path.join(index_dir, p.path) for p in self._live_partitions()})
 
     def total_rows(self) -> int:
         return sum(rec.row_count for rec in self.records())

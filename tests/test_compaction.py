@@ -1,0 +1,95 @@
+"""Compaction: per-cell merge preserves query results, pruning and
+resume semantics."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from hand_index_ray.config import EngineConfig
+from hand_index_ray.sources import synth
+from hand_index_ray.state.manifest import Manifest
+
+CFG = EngineConfig(encode_concurrency=2, decode_batch_size=64)
+
+
+@pytest.fixture(scope="module")
+def compacted(ray_session, smoke_dirs, tmp_path_factory):
+    from hand_index_ray.pipelines.build import build_index, compact_index
+
+    out = str(tmp_path_factory.mktemp("cidx") / "index")
+    build_index(smoke_dirs["images"], out, CFG)
+    man = Manifest(out)
+    before_files = man.all_files(out)
+    before_rows = pq.read_table(before_files).to_pandas()
+    stats = compact_index(out, CFG)
+    return {"dir": out, "before_files": before_files, "before_rows": before_rows,
+            "stats": stats}
+
+
+def test_compaction_reduces_files_same_rows(compacted):
+    man = Manifest(compacted["dir"])
+    after_files = man.all_files(compacted["dir"])
+    assert len(after_files) < len(compacted["before_files"])
+    assert all(f.endswith("compacted.parquet") for f in after_files)
+    after = pq.read_table(after_files).to_pandas()
+    assert len(after) == len(compacted["before_rows"])
+    assert set(after["image_id"]) == set(compacted["before_rows"]["image_id"])
+
+
+def test_queries_identical_after_compaction(compacted, smoke_dirs):
+    from hand_index_ray.pipelines.query import bbox_scan, knn_query
+
+    idx = compacted["dir"]
+    q = synth.bbox_queries()[0]
+    ds = bbox_scan(idx, *q)
+    got = set() if ds is None else set(ds.to_pandas()["image_id"])
+    f = compacted["before_rows"]
+    truth = set(f.loc[(f.minx <= q[2]) & (q[0] <= f.maxx)
+                      & (f.miny <= q[3]) & (q[1] <= f.maxy), "image_id"])
+    assert got == truth
+    out = knn_query(idx, -98.0, 36.0, 10, CFG)
+    from hand_index_ray.pipelines.query import _haversine_m
+
+    d = _haversine_m(-98.0, 36.0, f["centroid_lon"].to_numpy(), f["centroid_lat"].to_numpy())
+    expect = f.assign(dist_m=d).sort_values(["dist_m", "image_id"]).head(10)
+    assert list(out["image_id"]) == list(expect["image_id"])
+
+
+def test_resume_after_compaction(compacted, smoke_dirs):
+    from hand_index_ray.pipelines.build import build_index
+
+    stats = build_index(smoke_dirs["images"], compacted["dir"], CFG)
+    assert stats["fragments_built"] == 0  # all covered by manifest records
+
+
+def test_recompaction_after_new_fragments(ray_session, tmp_path):
+    """New fragments arriving after a compaction: queries see both the
+    compacted files and the new fragment's files; a second compaction
+    folds everything into per-cell files again."""
+    import numpy as np
+    import pyarrow.parquet as pqw
+
+    from hand_index_ray.pipelines.build import build_index, compact_index
+
+    images = str(tmp_path / "images")
+    idx = str(tmp_path / "index")
+    synth.write_images(images, n=100, fragments=2)
+    build_index(images, idx, CFG)
+    compact_index(idx, CFG)
+    # a new input fragment arrives
+    extra = synth.images_batch(np.arange(100, 150), 2)
+    pqw.write_table(extra, os.path.join(images, "frag-00002.parquet"))
+    stats = build_index(images, idx, CFG)
+    assert stats["fragments_built"] == 1
+    man = Manifest(idx)
+    live = man.all_files(idx)
+    assert any("frag-000002" in f for f in live)
+    assert any(f.endswith("compacted.parquet") for f in live)
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in live) == 150
+    stats2 = compact_index(idx, CFG)
+    assert stats2["cells"] >= 1
+    live2 = Manifest(idx).all_files(idx)
+    assert all(f.endswith("compacted.parquet") for f in live2)
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in live2) == 150
