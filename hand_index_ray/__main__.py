@@ -1,0 +1,162 @@
+"""CLI — the migration surface for reference users.
+
+Maps the reference's two entry points onto this engine:
+
+  load.py  (build an index from a HAND directory)        → ``build`` /
+      ``build-catchments`` / ``compact``
+  query_geojson.py (ROI query → per-catchment parquet)   → ``query``
+  viz/query_visualization.py (validation counts)         → ``validate``
+  (new, north rule)                                      → ``bbox`` /
+      ``knn`` / ``zonal``
+
+The CLI owns the Ray session (guarded init; library code never calls
+ray.init — SURVEY.md §7.0). Flags mirror the reference's knobs:
+``--threshold`` (query_geojson.py:269-275), ``--h3-resolution``-family
+(load.py:314), batch sizing (load.py:317-322).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hand_index_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the footprint index from an images table")
+    b.add_argument("--images-dir", required=True)
+    b.add_argument("--output-dir", required=True)
+    b.add_argument("--no-resume", action="store_true",
+                   help="rebuild everything (default resumes from the manifest)")
+    b.add_argument("--compact", action="store_true", help="compact after building")
+
+    bc = sub.add_parser("build-catchments", help="build the vector-side catalog "
+                        "(grouped union per branch, reference load.py:146-173)")
+    bc.add_argument("--input", required=True, help="parquet with (geometry, branch_path)")
+    bc.add_argument("--output", required=True)
+
+    c = sub.add_parser("compact", help="merge per-fragment files into per-cell files")
+    c.add_argument("--index-dir", required=True)
+
+    q = sub.add_parser("query", help="ROI query -> per-catchment parquet files "
+                       "(reference query_geojson.py)")
+    q.add_argument("-g", "--geojson", required=True)
+    q.add_argument("-p", "--catchments", required=True, help="catchments parquet")
+    q.add_argument("--vector-dir", required=True, help="dir with sidecar parquets")
+    q.add_argument("-t", "--threshold", type=float, default=10.0)
+    q.add_argument("-o", "--outdir", required=True)
+
+    v = sub.add_parser("validate", help="candidate-vs-filtered QA counts "
+                       "(reference viz, SURVEY.md §3.3)")
+    v.add_argument("-g", "--geojson", required=True)
+    v.add_argument("-p", "--catchments", required=True)
+    v.add_argument("-t", "--threshold", type=float, default=10.0)
+
+    bb = sub.add_parser("bbox", help="bbox scan over the footprint index")
+    bb.add_argument("--index-dir", required=True)
+    bb.add_argument("--bbox", nargs=4, type=float, required=True,
+                    metavar=("MINLON", "MINLAT", "MAXLON", "MAXLAT"))
+    bb.add_argument("-o", "--out", help="write matching rows to this parquet dir")
+
+    kn = sub.add_parser("knn", help="k nearest tiles to a point")
+    kn.add_argument("--index-dir", required=True)
+    kn.add_argument("--lon", type=float, required=True)
+    kn.add_argument("--lat", type=float, required=True)
+    kn.add_argument("-k", type=int, default=10)
+
+    z = sub.add_parser("zonal", help="zonal footprint×catchment join")
+    z.add_argument("--index-dir", required=True)
+    z.add_argument("--catchments", required=True)
+    z.add_argument("-o", "--out", help="write pairs to this parquet dir")
+
+    args = p.parse_args(argv)
+    _ray()
+
+    from .config import DEFAULT
+
+    if args.cmd == "build":
+        from .pipelines.build import build_index, compact_index
+
+        stats = build_index(args.images_dir, args.output_dir, DEFAULT,
+                            resume=not args.no_resume)
+        if args.compact:
+            stats["compaction"] = compact_index(args.output_dir, DEFAULT)
+        print(json.dumps(stats))
+    elif args.cmd == "build-catchments":
+        import ray.data
+
+        from .pipelines.build import build_catchments
+
+        raw = ray.data.read_parquet(args.input)
+        build_catchments(raw.select_columns(["geometry", "branch_path"]),
+                         DEFAULT).write_parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    elif args.cmd == "compact":
+        from .pipelines.build import compact_index
+
+        print(json.dumps(compact_index(args.index_dir, DEFAULT)))
+    elif args.cmd == "query":
+        from .pipelines.query import (attach_attributes, roi_query_catchments,
+                                      write_per_group)
+        from .sources.geojson import roi_ring_from_geojson
+
+        ring = roi_ring_from_geojson(args.geojson)
+        kept = roi_query_catchments(args.catchments, ring, args.threshold,
+                                    DEFAULT).to_pandas()
+        # apply the keep mask (non-stats path returns kept rows already)
+        ids = sorted(set(kept["catchment_id"]))
+        attrs = attach_attributes(ids, args.vector_dir)
+        paths = write_per_group(attrs, args.outdir)
+        print(json.dumps({"kept_catchments": len(ids), "files": len(paths)}))
+    elif args.cmd == "validate":
+        from .pipelines.query import validate_roi
+        from .sources.geojson import roi_ring_from_geojson
+
+        out = validate_roi(args.catchments, roi_ring_from_geojson(args.geojson),
+                           args.threshold)
+        out.pop("kept_ids")
+        print(json.dumps(out))
+    elif args.cmd == "bbox":
+        from .pipelines.query import bbox_scan
+
+        ds = bbox_scan(args.index_dir, *args.bbox)
+        if ds is None:
+            print(json.dumps({"rows": 0}))
+        elif args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": "written", "out": args.out}))
+        else:
+            print(json.dumps({"rows": ds.count()}))
+    elif args.cmd == "knn":
+        from .pipelines.query import knn_query
+
+        df = knn_query(args.index_dir, args.lon, args.lat, args.k, DEFAULT)
+        print(df.to_json(orient="records"))
+    elif args.cmd == "zonal":
+        from .pipelines.query import zonal_join
+
+        ds = zonal_join(args.index_dir, args.catchments, DEFAULT)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            print(json.dumps({"pairs": ds.count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

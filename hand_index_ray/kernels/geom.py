@@ -26,12 +26,28 @@ from .wkb import Ragged
 # per-ring reductions
 
 
+def _centered(coords: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-ring translation to the ring's first vertex.
+
+    Shoelace terms are translation-invariant but catastrophically
+    cancel at large absolute coordinates (EPSG:5070 meters are ~1e6);
+    centering restores full precision."""
+    lens = np.diff(off)
+    ring_id = np.repeat(np.arange(len(lens)), lens)
+    x0 = coords[off[:-1], 0][ring_id] if len(coords) else np.empty(0)
+    y0 = coords[off[:-1], 1][ring_id] if len(coords) else np.empty(0)
+    return coords[:, 0] - x0, coords[:, 1] - y0, coords[off[:-1], 0], coords[off[:-1], 1]
+
+
 def _ring_signed_area2(coords: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """2× signed shoelace area per ring (vectorized over all rings)."""
-    x, y = coords[:, 0], coords[:, 1]
+    """2× signed shoelace area per ring (vectorized over all rings,
+    per-ring centered for numerical stability)."""
+    x, y, _, _ = _centered(coords, off)
     cross = x[:-1] * y[1:] - x[1:] * y[:-1]
     cum = np.concatenate([[0.0], np.cumsum(cross)])
-    # rings are closed, so the wrap-around edge is already included
+    # rings are closed, so the wrap-around edge is already included;
+    # the bogus cross term between consecutive rings sits at index
+    # ends and is excluded by the [starts, ends) slice
     starts, ends = off[:-1], np.maximum(off[1:] - 1, off[:-1])
     return cum[ends] - cum[starts]
 
@@ -59,37 +75,39 @@ def area(r: Ragged) -> np.ndarray:
 def centroid(r: Ragged) -> tuple[np.ndarray, np.ndarray]:
     """Area-weighted centroid per geometry (holes subtract).
 
-    Replaces ``ST_Centroid`` (reference load.py:165-166). Degenerate
-    zero-area geometries fall back to the vertex mean.
+    Replaces ``ST_Centroid`` (reference load.py:165-166). Per-ring
+    centered arithmetic (see ``_centered``); degenerate zero-area
+    geometries fall back to the vertex mean.
     """
-    x, y = r.coords[:, 0], r.coords[:, 1]
+    off = r.ring_coord_off
+    x, y, x0r, y0r = _centered(r.coords, off)
     cross = x[:-1] * y[1:] - x[1:] * y[:-1]
     cx_e = (x[:-1] + x[1:]) * cross
     cy_e = (y[:-1] + y[1:]) * cross
 
     def ring_sum(v: np.ndarray) -> np.ndarray:
         cum = np.concatenate([[0.0], np.cumsum(v)])
-        starts, ends = r.ring_coord_off[:-1], np.maximum(r.ring_coord_off[1:] - 1, r.ring_coord_off[:-1])
+        starts, ends = off[:-1], np.maximum(off[1:] - 1, off[:-1])
         return cum[ends] - cum[starts]
 
     a2 = ring_sum(cross)
-    cxr = ring_sum(cx_e)
-    cyr = ring_sum(cy_e)
-    # orient every ring positive, then holes subtract
-    sign = np.where(a2 < 0, -1.0, 1.0)
-    a2o, cxo, cyo = a2 * sign, cxr * sign, cyr * sign
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rcx = np.where(a2 != 0, ring_sum(cx_e) / (3.0 * np.where(a2 == 0, 1.0, a2)), 0.0) + x0r
+        rcy = np.where(a2 != 0, ring_sum(cy_e) / (3.0 * np.where(a2 == 0, 1.0, a2)), 0.0) + y0r
+    # signed weights: |area| for shells, −|area| for holes
     nrings = len(a2)
     is_shell = np.zeros(nrings, dtype=bool)
     is_shell[r.part_ring_off[:-1][r.part_ring_off[:-1] < nrings]] = True
-    hole_sign = np.where(is_shell, 1.0, -1.0)
-    a2g = _segment_reduce(_segment_reduce(a2o * hole_sign, r.part_ring_off), r.geom_part_off)
-    cxg = _segment_reduce(_segment_reduce(cxo * hole_sign, r.part_ring_off), r.geom_part_off)
-    cyg = _segment_reduce(_segment_reduce(cyo * hole_sign, r.part_ring_off), r.geom_part_off)
+    w = np.abs(a2) * np.where(is_shell, 1.0, -1.0)
+    wg = _segment_reduce(_segment_reduce(w, r.part_ring_off), r.geom_part_off)
+    cxg = _segment_reduce(_segment_reduce(w * rcx, r.part_ring_off), r.geom_part_off)
+    cyg = _segment_reduce(_segment_reduce(w * rcy, r.part_ring_off), r.geom_part_off)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        cx = cxg / (3.0 * a2g)
-        cy = cyg / (3.0 * a2g)
+        cx = cxg / wg
+        cy = cyg / wg
     bad = ~np.isfinite(cx) | ~np.isfinite(cy)
+    x, y = r.coords[:, 0], r.coords[:, 1]
     if bad.any():
         # vertex mean fallback for zero-area geometries
         sx = np.concatenate([[0.0], np.cumsum(x)])

@@ -1,0 +1,57 @@
+"""CLI smoke tests (in-process: the CLI guards ray.init so the
+session fixture's Ray is reused)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from hand_index_ray.__main__ import main
+from hand_index_ray.sources import synth
+
+
+def test_cli_build_query_knn(ray_session, smoke_dirs, tmp_path, capsys):
+    idx = str(tmp_path / "cli_index")
+    assert main(["build", "--images-dir", smoke_dirs["images"],
+                 "--output-dir", idx, "--compact"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_built"] == 400
+    assert out["compaction"]["cells"] >= 1
+
+    # resume: second build skips everything
+    assert main(["build", "--images-dir", smoke_dirs["images"],
+                 "--output-dir", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fragments_built"] == 0
+
+    assert main(["bbox", "--index-dir", idx,
+                 "--bbox", "-105", "35", "-100", "40"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] >= 0
+
+    assert main(["knn", "--index-dir", idx, "--lon", "-98", "--lat", "36",
+                 "-k", "5"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 5
+
+
+def test_cli_query_and_validate(ray_session, smoke_dirs, tmp_path, capsys):
+    ring = synth.roi_polygons()["huge"]
+    geojson = tmp_path / "roi.geojson"
+    geojson.write_text(json.dumps({
+        "type": "Polygon", "coordinates": [ring.tolist() + [ring[0].tolist()]]}))
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    outdir = str(tmp_path / "per_catchment")
+    assert main(["query", "-g", str(geojson), "-p", cpath,
+                 "--vector-dir", smoke_dirs["vector"],
+                 "-t", "10.0", "-o", outdir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kept_catchments"] > 0
+    assert out["files"] == out["kept_catchments"]
+    one = [f for f in os.listdir(outdir) if f.endswith(".parquet")][0]
+    t = pq.read_table(os.path.join(outdir, one))
+    assert "catchment_id" not in t.column_names
+
+    assert main(["validate", "-g", str(geojson), "-p", cpath, "-t", "10.0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["consistent"]
