@@ -104,6 +104,9 @@ def _image_index(sf_dir: str) -> str:
     synth.write_images_ray(images, n, fragments=16)
     cfg = EngineConfig()
     build_index(images, index, cfg)
+    from hand_index_ray.pipelines.build import compact_index
+
+    compact_index(index, cfg)
     return index
 
 
@@ -364,6 +367,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return zonal_join(idx, os.path.join(vec, "catchments.parquet"),
                           EngineConfig(salt_hot_factor=4.0))
 
+    def q29_hash_join(sf):  # J2 at scale: partitioned hash join, both sides large
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents") \
+            .select_columns(["o_orderkey", "total_cents"])
+        items = _t(sf, "lineitem").select_columns(["l_orderkey", "l_returnflag"])
+
+        def ren(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["o_orderkey", "l_returnflag"])
+
+        items = items.map_batches(ren, batch_format="pyarrow")
+        joined = rel.hash_join(items, orders, "o_orderkey", how="inner")
+        return rel.grouped_agg(joined.select_columns(["l_returnflag", "total_cents"]),
+                               ["l_returnflag"], sum_cols=["total_cents"])
+
+    def q30_sliding_window(sf):  # overlapping windows (stream-shaped)
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+        return rel.sliding_window(ev.select_columns(["ts", "event_type", "value_cents"]),
+                                  "ts", ["event_type"], window_s=7200, slide_s=3600,
+                                  sum_cents_col="value_cents")
+
+    def q31_session_window(sf):  # session windows per user
+        ev = _t(sf, "events").select_columns(["ts", "user_id", "event_id"])
+        return rel.session_window(ev, "ts", "user_id", gap_s=1800,
+                                  order_tiebreak="event_id")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -393,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_roi_footprints": q26_roi_footprints,
         "q27_knn_index": q27_knn_index,
         "q28_zonal_pairs": q28_zonal_pairs,
+        "q29_hash_join": q29_hash_join,
+        "q30_sliding_window": q30_sliding_window,
+        "q31_session_window": q31_session_window,
     }
 
 
@@ -549,6 +579,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 300 AND b.vec_id < 300
               AND CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)
                        AS BIGINT) >= 200000
+        """,
+        "q29_hash_join": """
+            SELECT l.l_returnflag,
+                   SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_returnflag
+        """,
+        "q30_sliding_window": """
+            SELECT e.event_type, w.window_id,
+                   SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS value_cents,
+                   COUNT(*) AS n
+            FROM events e,
+                 LATERAL (SELECT UNNEST(generate_series(
+                              (epoch_us(e.ts) - 7200000000) // 3600000000 + 1,
+                              epoch_us(e.ts) // 3600000000)) AS window_id) w
+            GROUP BY e.event_type, w.window_id
+        """,
+        "q31_session_window": """
+            WITH gaps AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            tagged AS (
+              SELECT user_id, ts_us,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) AS session_id
+              FROM gaps)
+            SELECT user_id, session_id, COUNT(*) AS n,
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+            FROM tagged GROUP BY user_id, session_id
         """,
         # q21/q24–q28: heuristic / LSH / engine-index pipelines — not
         # SQL-expressible; the driver records rows-only checks.

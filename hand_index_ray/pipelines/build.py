@@ -279,6 +279,26 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     return {"cells": len(work), "files_merged": n_files}
 
 
+def gc_index(index_dir: str) -> dict:
+    """Delete data files superseded by a compaction (and stray tmp
+    files from killed runs). Safe: only removes files that are neither
+    live (per the manifest/compaction view) nor manifest records."""
+    man = Manifest(index_dir)
+    live = set(man.all_files(index_dir))
+    removed = 0
+    for root, _dirs, files in os.walk(index_dir):
+        if os.path.basename(root) == "_manifest":
+            continue
+        for f in files:
+            full = os.path.join(root, f)
+            if full in live:
+                continue
+            if f.endswith(".parquet") or f.endswith(".tmp"):
+                os.unlink(full)
+                removed += 1
+    return {"files_removed": removed}
+
+
 # ---------------------------------------------------------------------------
 # vector side: catchments catalog build (reference load.py:131-196)
 

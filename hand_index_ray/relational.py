@@ -113,6 +113,93 @@ def broadcast_join(big: ray.data.Dataset, small: pa.Table, keys: list[str] | str
                            concurrency=(1, 8))
 
 
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              key: str, how: str = "inner", num_buckets: int = 64) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE sides (SURVEY.md §2.4 J2
+    "at scale" path): both sides bucketed on hash(key) % B, one
+    co-group shuffle, per-bucket pyarrow join.
+
+    Skewed hot keys: salt them with the same replicate-small-side
+    pattern the zonal join uses (pipelines/query.py) before calling
+    this. Supported ``how``: inner, left.
+    """
+    import zlib
+
+    from .sources.synth import splitmix64
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key)
+            if pa.types.is_integer(k.type):
+                h = splitmix64(k.to_numpy().astype(np.uint64))
+            else:
+                # crc32 is deterministic across processes (Python hash()
+                # is salted per process and must never be a shuffle key)
+                h = splitmix64(np.array([zlib.crc32(str(v).encode()) for v in k.to_pylist()],
+                                        dtype=np.uint64))
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            out = t.append_column("__bucket", pa.array(b, pa.int32()))
+            return out.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    # schemas differ → keep sides separate through the shuffle by
+    # packing each row group per bucket via map_groups on the union of
+    # bucket keys; simplest robust co-group: groupby bucket on each
+    # side's schema is impossible in one union, so join per bucket by
+    # aligning two grouped datasets is done with a pandas merge inside
+    # the grouped task over a combined long format:
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def to_long(side_cols):
+        def f(t: pa.Table) -> pa.Table:
+            import pickle
+            buckets = t.column("__bucket").to_numpy()
+            order = np.argsort(buckets, kind="stable")
+            tt = t.take(pa.array(order))
+            bs = tt.column("__bucket").to_numpy()
+            cuts = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(bs)]])
+            rows = []
+            for s, e in zip(starts, ends):
+                sub = tt.slice(int(s), int(e - s)).drop_columns(["__bucket", "__side"])
+                rows.append({"__bucket": int(bs[s]),
+                             "__side": int(tt.column("__side")[int(s)].as_py()),
+                             "payload": pickle.dumps(sub)})
+            return pa.Table.from_pylist(rows) if rows else pa.table(
+                {"__bucket": pa.array([], pa.int64()),
+                 "__side": pa.array([], pa.int64()),
+                 "payload": pa.array([], pa.binary())})
+        return f
+
+    packed = lt.map_batches(to_long(lcols), batch_format="pyarrow").union(
+        rt.map_batches(to_long(rcols), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+        ls = [pickle.loads(b) for b in g.loc[g["__side"] == 0, "payload"]]
+        rs = [pickle.loads(b) for b in g.loc[g["__side"] == 1, "payload"]]
+        if not ls:
+            return pd.DataFrame(columns=lcols + [c for c in rcols if c != key])
+        lt_ = pa.concat_tables(ls)
+        if not rs:
+            if how == "left":
+                df = lt_.to_pandas()
+                for c in rcols:
+                    if c != key:
+                        df[c] = None
+                return df
+            return pd.DataFrame(columns=lcols + [c for c in rcols if c != key])
+        rt_ = pa.concat_tables(rs)
+        jt = {"inner": "inner", "left": "left outer"}[how]
+        return lt_.join(rt_, keys=key, join_type=jt).to_pandas()
+
+    return packed.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def semi_join(big: ray.data.Dataset, key: str, values: pa.Array,
               anti: bool = False) -> ray.data.Dataset:
     """Semi/anti join by broadcast key set (reference J4,
@@ -182,6 +269,58 @@ def tumbling_window(ds: ray.data.Dataset, ts_col: str, keys: list[str],
     withw = ds.map_batches(widx, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg(withw, keys + ["window_id"],
                        sum_cols=[sum_cents_col] if sum_cents_col else [])
+
+
+def sliding_window(ds: ray.data.Dataset, ts_col: str, keys: list[str],
+                   window_s: int, slide_s: int,
+                   sum_cents_col: str | None = None) -> ray.data.Dataset:
+    """Sliding-window aggregate: each event explodes to every window
+    [k·slide, k·slide + window) containing it (vectorized per batch),
+    then grouped_agg — windows overlap, so rows fan out by
+    window/slide."""
+    W = window_s * 1_000_000
+    S = slide_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        k_min = (ts - W) // S + 1
+        k_max = ts // S
+        counts = (k_max - k_min + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        wid = np.repeat(k_min, counts) + offs
+        out = t.take(pa.array(idx))
+        return out.append_column("window_id", pa.array(wid, pa.int64()))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(exploded.select_columns(
+        keys + ["window_id"] + ([sum_cents_col] if sum_cents_col else [])),
+        keys + ["window_id"],
+        sum_cols=[sum_cents_col] if sum_cents_col else [])
+
+
+def session_window(ds: ray.data.Dataset, ts_col: str, key: str, gap_s: int,
+                   order_tiebreak: str | None = None) -> ray.data.Dataset:
+    """Session windows: per key, sort by (ts, tiebreak); a gap >
+    ``gap_s`` starts a new session. One shuffle (groupby key), sessions
+    assigned with vectorized pandas inside the group. Emits one row per
+    (key, session_id) with n events and start/end epoch-µs."""
+    gap_us = gap_s * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        by = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+        g = g.sort_values(by, kind="stable")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.concatenate([[0], (np.diff(ts) > gap_us).astype(np.int64)])
+        sid = np.cumsum(new)
+        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "ts_us": ts})
+        agg = out.groupby("session_id").agg(
+            n=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+        agg[key] = g[key].iloc[0]
+        return agg.reset_index()[[key, "session_id", "n", "start_us", "end_us"]]
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
 
 
 def add_cents(ds: ray.data.Dataset, col: str, out: str, scale: int = 100) -> ray.data.Dataset:
