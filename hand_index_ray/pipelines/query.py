@@ -266,6 +266,40 @@ def load_query_results(outdir: str) -> ray.data.Dataset:
     return ds.map_batches(add_id, batch_format="pyarrow")
 
 
+def cell_range_scan(index_dir: str, cell: int,
+                    columns: list[str] | None = None) -> ray.data.Dataset | None:
+    """All footprints inside one S2 cell (any level): prune partitions
+    by cell-range intersection, then the exact test is a pure uint64
+    range filter on the fine ``s2_cell`` key — the 'cell-range scan'
+    of the north rule, no geometry math at all."""
+    man = Manifest(index_dir)
+    files = man.files_for_cells(index_dir, {int(cell)})
+    if not files:
+        return None
+    lo, hi = s2.cell_range(np.array([cell], dtype=np.uint64))
+    lo_i, hi_i = int(lo[0]), int(hi[0])
+    cols = columns if columns is None else sorted(set(columns) | {"s2_cell"})
+    ds = ray.data.read_parquet(files, columns=cols)
+
+    def in_range(t: pa.Table) -> pa.Table:
+        c = t.column("s2_cell").to_numpy()
+        return t.filter(pa.array((c >= lo_i) & (c <= hi_i)))
+
+    return ds.map_batches(in_range, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hex_cell_stats(index_dir: str, res: int,
+                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Tile counts per H3-style cell at ``res`` — the multi-resolution
+    aggregation the h3_r5..h3_r9 columns exist for (north rule)."""
+    from ..relational import grouped_agg
+
+    man = Manifest(index_dir)
+    col = f"h3_r{res}"
+    ds = ray.data.read_parquet(man.all_files(index_dir), columns=[col])
+    return grouped_agg(ds, [col])
+
+
 def write_single_file(ds: ray.data.Dataset, path: str) -> str:
     """Single-file parquet sink for small sidecar tables (reference S7,
     ``COPY {table} TO '{file}.parquet'`` load.py:289-299). Only for

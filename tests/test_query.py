@@ -190,3 +190,29 @@ def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs, all_f
         for img in f.loc[rel["intersects"], "image_id"]:
             truth.add((img, src["catchment_id"].iloc[i]))
     assert got == truth
+
+
+def test_cell_range_scan(index_dir, all_footprints):
+    from hand_index_ray.kernels import s2
+    from hand_index_ray.pipelines.query import cell_range_scan
+
+    f = all_footprints
+    # pick the cell (at a coarser level) of some row's fine key
+    fine = np.uint64(f["s2_cell"].iloc[10])
+    cell = int(s2.parent(np.array([fine]), 8)[0])
+    ds = cell_range_scan(index_dir, cell)
+    got = set(ds.to_pandas()["image_id"])
+    lo, hi = s2.cell_range(np.array([cell], dtype=np.uint64))
+    keys = f["s2_cell"].to_numpy().astype(np.uint64)
+    truth = set(f.loc[(keys >= lo[0]) & (keys <= hi[0]), "image_id"])
+    assert got == truth and len(got) > 0
+
+
+def test_hex_cell_stats(index_dir, all_footprints):
+    from hand_index_ray.pipelines.query import hex_cell_stats
+
+    out = hex_cell_stats(index_dir, 6).to_pandas()
+    assert out["n"].sum() == len(all_footprints)
+    truth = all_footprints.groupby("h3_r6").size()
+    got = out.set_index("h3_r6")["n"]
+    assert got.sort_index().equals(truth.sort_index().rename("n"))
