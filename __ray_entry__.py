@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.session_window(ev, "ts", "user_id", gap_s=1800,
                                   order_tiebreak="event_id")
 
+    def q32_bpe_tokens(sf):  # text: BPE-ish regex token counting
+        return textops.bpe_token_count(_t(sf, "documents"))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -423,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q29_hash_join": q29_hash_join,
         "q30_sliding_window": q30_sliding_window,
         "q31_session_window": q31_session_window,
+        "q32_bpe_tokens": q32_bpe_tokens,
     }
 
 
@@ -612,6 +616,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n,
                    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
             FROM tagged GROUP BY user_id, session_id
+        """,
+        "q32_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         # q21/q24–q28: heuristic / LSH / engine-index pipelines — not
         # SQL-expressible; the driver records rows-only checks.

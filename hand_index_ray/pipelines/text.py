@@ -35,6 +35,27 @@ def token_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# GPT-2-style pre-tokenizer pattern (public; simplified to the ASCII
+# subset DuckDB's RE2 and Arrow's RE2 both support identically)
+BPE_SPLIT_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
+    """BPE-ish token count: occurrences of the GPT-2-style split regex
+    (both Arrow and DuckDB run RE2, so the oracle matches exactly)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.extract_regex_span(t[col], BPE_SPLIT_PATTERN)) \
+            if hasattr(pc, "extract_regex_span") else None
+        if n is None:
+            # count_substring_regex counts non-overlapping matches (RE2)
+            n = pc.count_substring_regex(t[col], BPE_SPLIT_PATTERN)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_score(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """Length / punctuation / stopword-ratio quality features.
 
