@@ -223,9 +223,10 @@ def run_scaling() -> None:
     thr_hi = results[hi]["build_images_per_sec"]
     eff_raw = (thr_hi / thr_lo) / (hi / lo)
     # per-core slowdown at higher occupancy; clamp at 1.0 so the
-    # normalization only ever corrects a genuine hardware slowdown
+    # normalization only ever corrects a genuine hardware slowdown,
+    # and cap the result at 1.0 (super-linear "efficiency" is noise)
     freq_factor = max(1.0, probes[hi] / probes[lo])
-    eff_norm = eff_raw * freq_factor
+    eff_norm = min(1.0, eff_raw * freq_factor)
     print(json.dumps({
         "metric": f"scaling efficiency {lo}→{hi} cpus (N→4N, flagship build), "
                   "frequency-normalized (raw in efficiency_raw)",
