@@ -116,10 +116,20 @@ def roi_query_footprints(index_dir: str, roi_ring_lonlat: np.ndarray,
     thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
     rag = wkb.from_parts([[[np.asarray(roi_ring_lonlat, dtype=np.float64)]]])
     b = geom.bounds(rag)[0]
-    ds = _read_pruned(index_dir, (b[0], b[1], b[2], b[3]))
-    if ds is None:
+    man = Manifest(index_dir)
+    files = man.files_for_bbox(index_dir, b[0], b[1], b[2], b[3])
+    if not files:
         return None
+    ds = ray.data.read_parquet(files)
     roi_ref = ray.put(wkb.encode(rag)[0])
+    if len(files) <= 32:
+        # small candidate set: stateless tasks skip actor-pool spin-up
+        # (the ROI still ships once via the object store; ray.get of a
+        # local object is a cheap shared-memory lookup per task)
+        def match(t: pa.Table) -> pa.Table:
+            return RoiMatcher(roi_ref, thr)(t)
+
+        return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(RoiMatcher, fn_constructor_args=(roi_ref, thr),
                           batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 8))
