@@ -232,6 +232,37 @@ def phash_and_graymean_batch(imgs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hashes, gray_mean
 
 
+def resize_box(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-filter resize (area averaging) to (out_h, out_w, 3), any
+    input size — integer accumulation, deterministic, no PIL/cv2.
+
+    The multimodal 'resize' primitive: partitions source rows/cols into
+    out_h/out_w contiguous bands (same linspace grid as the phash
+    blocks) and averages each band × band cell exactly."""
+    h, w, _ = img.shape
+    ys = np.linspace(0, h, out_h + 1).round().astype(int)
+    xs = np.linspace(0, w, out_w + 1).round().astype(int)
+    # integral image per channel (int64 exact)
+    I = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    I[1:, 1:] = img.astype(np.int64).cumsum(0).cumsum(1)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    area = np.maximum((y1 - y0)[:, None] * (x1 - x0)[None, :], 1)[..., None]
+    s = (I[y1[:, None], x1[None, :]] - I[y0[:, None], x1[None, :]]
+         - I[y1[:, None], x0[None, :]] + I[y0[:, None], x0[None, :]])
+    return np.clip(np.round(s / area), 0, 255).astype(np.uint8)
+
+
+def embed_tile(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Deterministic tile embedding: ``grid×grid×3`` box-resized pixels,
+    L2-normalized float64 — a model-free stand-in for CNN features with
+    the right metric behavior (near-duplicate tiles → cosine ≈ 1)."""
+    small = resize_box(img, grid, grid).astype(np.float64).reshape(-1)
+    small -= small.mean()
+    n = np.linalg.norm(small)
+    return small / n if n > 0 else small
+
+
 def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 phash columns."""
     x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)

@@ -58,10 +58,19 @@ def bbox_scan(index_dir: str, minx: float, miny: float, maxx: float, maxy: float
               columns: list[str] | None = None) -> ray.data.Dataset | None:
     """All footprints whose bbox intersects the query envelope
     (reference viz/query_visualization.py:145-159, ST_MakeEnvelope +
-    ST_Intersects). Exact test vectorized with Arrow kernels."""
-    ds = _read_pruned(index_dir, (minx, miny, maxx, maxy), columns)
-    if ds is None:
+    ST_Intersects). Three pruning tiers: manifest file stats → parquet
+    row-group pushdown (pyarrow filter expression at the read) → exact
+    vectorized test per batch."""
+    man = Manifest(index_dir)
+    files = man.files_for_bbox(index_dir, minx, miny, maxx, maxy)
+    if not files:
         return None
+    expr = ((pc.field("minx") <= maxx) & (pc.field("maxx") >= minx)
+            & (pc.field("miny") <= maxy) & (pc.field("maxy") >= miny))
+    cols = columns
+    if cols is not None:
+        cols = sorted(set(cols) | {"minx", "miny", "maxx", "maxy"})
+    ds = ray.data.read_parquet(files, columns=cols, filter=expr)
 
     def exact(t: pa.Table) -> pa.Table:
         m = pc.and_(
