@@ -394,6 +394,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q32_bpe_tokens(sf):  # text: BPE-ish regex token counting
         return textops.bpe_token_count(_t(sf, "documents"))
 
+    def q33_tile_dups(sf):  # image near-dup pairs by embedding cosine
+        from hand_index_ray.pipelines.image_embed import duplicate_tiles
+
+        idx = _image_index(sf)
+        images = os.path.join(os.path.dirname(idx), "images")
+        return duplicate_tiles(images, threshold=0.9999)
+
+    def q34_zonal_stats(sf):  # per-zone aggregate over the zonal join
+        from hand_index_ray.config import EngineConfig
+        from hand_index_ray.pipelines.query import zonal_stats
+        from hand_index_ray.sources import synth as sy
+
+        idx = _image_index(sf)
+        vec = os.path.join(os.path.dirname(idx), "vector")
+        sy.write_catchment_suite(vec, 300)
+        return zonal_stats(idx, os.path.join(vec, "catchments.parquet"),
+                           EngineConfig(salt_hot_factor=4.0))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -427,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_sliding_window": q30_sliding_window,
         "q31_session_window": q31_session_window,
         "q32_bpe_tokens": q32_bpe_tokens,
+        "q33_tile_dups": q33_tile_dups,
+        "q34_zonal_stats": q34_zonal_stats,
     }
 
 

@@ -52,6 +52,8 @@ def embed_images(source: "str | ray.data.Dataset", grid: int = 4,
     """images table → (image_id, embedding) Dataset."""
     from .build import footprint_dataset, list_fragments  # noqa: F401
 
+    from .build import pool_size
+
     if isinstance(source, ray.data.Dataset):
         ds = source
     else:
@@ -59,10 +61,10 @@ def embed_images(source: "str | ray.data.Dataset", grid: int = 4,
     return ds.map_batches(TileEmbedder, fn_constructor_args=(grid,),
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
-                          concurrency=cfg.encode_concurrency)
+                          concurrency=pool_size(cfg.encode_concurrency))
 
 
-def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.995,
+def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.9999,
                     cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
     """Near-duplicate tile pairs by embedding cosine (LSH buckets +
     exact verify) — the image-payload analog of document dedup.

@@ -666,3 +666,29 @@ def zonal_join(index_dir: str, catchments_path: str,
         return pd.DataFrame({"image_id": out_img, "catchment_id": out_cid})
 
     return bucketed.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def zonal_stats(index_dir: str, catchments_path: str,
+                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-zone aggregate over the zonal join (J7's 'aggregate per
+    zone'): tiles per catchment + integer-scaled mean pixel level.
+
+    pairs (slim) hash-join back to the footprint features on image_id,
+    then a grouped aggregate per catchment — the pixel features came
+    from the index (computed once at build), so no image bytes are
+    touched here."""
+    from ..relational import grouped_agg, hash_join
+
+    pairs = zonal_join(index_dir, catchments_path, cfg)
+    man = Manifest(index_dir)
+    feats = ray.data.read_parquet(man.all_files(index_dir),
+                                  columns=["image_id", "pixel_mean"])
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["pixel_mean"], 1000.0)), pa.int64())
+        return pa.table({"image_id": t["image_id"], "pixel_milli": v})
+
+    feats = feats.map_batches(to_milli, batch_format="pyarrow")
+    joined = hash_join(pairs, feats, "image_id", how="inner")
+    return grouped_agg(joined.select_columns(["catchment_id", "pixel_milli"]),
+                       ["catchment_id"], sum_cols=["pixel_milli"])

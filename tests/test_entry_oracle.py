@@ -95,14 +95,16 @@ def test_rows_only_queries_run(entry_mod):
     for name, fn in qs.items():
         if name in oracles:
             continue
-        if name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs"):
+        if name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs",
+                    "q33_tile_dups", "q34_zonal_stats"):
             continue  # exercised in test_entry_engine.py (need index build)
         df = _to_df(fn(SF_DIR))
         assert df is not None and len(df.columns) >= 1, name
 
 
 def test_engine_index_queries(entry_mod):
-    for name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs"):
+    for name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs",
+                 "q33_tile_dups", "q34_zonal_stats"):
         df = _to_df(entry_mod.queries()[name](SF_DIR))
         assert df is not None
         assert len(df) >= 0

@@ -45,11 +45,11 @@ def test_embed_images_and_duplicate_tiles(ray_session, smoke_dirs):
     emb = embed_images(smoke_dirs["images"], cfg=cfg).to_pandas()
     assert len(emb) == 400
     assert all(len(v) == 48 for v in emb["embedding"])  # 4*4*3
-    pairs = duplicate_tiles(smoke_dirs["images"], threshold=0.995, cfg=cfg)
+    pairs = duplicate_tiles(smoke_dirs["images"], threshold=0.9999, cfg=cfg)
     # the fixture plants ~1% duplicated-pixel rows (synth.DUP_FRAC):
     # each duplicate row i reuses row i-1's pixels → adjacent-id pairs
     assert len(pairs) >= 1
     adj = [(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])
            if int(b[4:]) - int(a[4:]) == 1]
     assert len(adj) >= 1
-    assert (pairs["sim"] >= 0.995).all()
+    assert (pairs["sim"] >= 0.9999).all()

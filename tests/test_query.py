@@ -216,3 +216,19 @@ def test_hex_cell_stats(index_dir, all_footprints):
     truth = all_footprints.groupby("h3_r6").size()
     got = out.set_index("h3_r6")["n"]
     assert got.sort_index().equals(truth.sort_index().rename("n"))
+
+
+def test_zonal_stats(ray_session, index_dir, smoke_dirs, all_footprints):
+    from hand_index_ray.pipelines.query import zonal_join, zonal_stats
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    stats = zonal_stats(index_dir, cpath, CFG).to_pandas()
+    pairs = zonal_join(index_dir, cpath, CFG).to_pandas()
+    truth = pairs.merge(all_footprints[["image_id", "pixel_mean"]], on="image_id")
+    truth["pixel_milli"] = np.round(truth["pixel_mean"] * 1000.0).astype(np.int64)
+    agg = truth.groupby("catchment_id").agg(n=("image_id", "size"),
+                                            pixel_milli=("pixel_milli", "sum"))
+    got = stats.set_index("catchment_id").sort_index()
+    agg = agg.sort_index()
+    assert got["n"].equals(agg["n"])
+    assert got["pixel_milli"].equals(agg["pixel_milli"])
