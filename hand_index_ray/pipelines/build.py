@@ -76,14 +76,30 @@ def footprint_dataset(source: "str | list[str] | ray.data.Dataset",
     else:
         paths = list_fragments(source) if isinstance(source, str) else source
         ds = ray.data.read_parquet(paths)
+    # Ray Data fuses the stateless decode/footprint stages INTO the
+    # following actor-pool stage, so the pool size caps the WHOLE
+    # decode pipeline — autoscale it to the cluster (leaving headroom
+    # for the read) instead of a fixed small pool
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    lo = min(cfg.encode_concurrency if isinstance(cfg.encode_concurrency, int)
+             else cfg.encode_concurrency[0], max(1, cpus - 1))
+    hi = max(lo, cpus - 2) if cpus > 3 else lo
     return (
         ds.map_batches(decode_images, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=cfg.decode_batch_size)
         .map_batches(derive_footprints, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(CellEncoder, fn_constructor_args=(cfg,),
                      batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=cfg.encode_batch_size,
-                     concurrency=pool_size(cfg.encode_concurrency))
+                     # batch_size=None → batches follow upstream blocks;
+                     # a fixed large batch size here would make the FUSED
+                     # decode+encode operator coalesce the whole input
+                     # into a handful of giant batches (observed: 8 tasks
+                     # on 32 CPUs), serializing the decode work
+                     batch_size=None,
+                     concurrency=(lo, hi))
     )
 
 

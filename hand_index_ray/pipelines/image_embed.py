@@ -10,7 +10,6 @@ reusing pipelines/ann.py.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -50,7 +49,7 @@ class TileEmbedder:
 def embed_images(source: "str | ray.data.Dataset", grid: int = 4,
                  cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
     """images table → (image_id, embedding) Dataset."""
-    from .build import footprint_dataset, list_fragments  # noqa: F401
+    from .build import list_fragments
 
     from .build import pool_size
 

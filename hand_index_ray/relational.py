@@ -22,8 +22,6 @@ and needs no rounding.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,7 +29,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def grouped_agg(ds: ray.data.Dataset, keys: list[str],
