@@ -321,6 +321,28 @@ def session_window(ds: ray.data.Dataset, ts_col: str, key: str, gap_s: int,
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
 
 
+def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
+    """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
+    sketches: one ~4 KB sketch per batch, merged on the driver — no
+    shuffle at any scale (kernels/sketch.py; ~1.6% standard error)."""
+    from .kernels import sketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        reg = sketch.empty()
+        sketch.add(reg, t.column(col).to_pylist()
+                   if not pa.types.is_integer(t.column(col).type)
+                   else t.column(col).to_numpy())
+        return pa.table({"sketch": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    reg = sketch.empty()
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for b in t.column("sketch").to_pylist():
+            reg = sketch.merge(reg, np.frombuffer(b, dtype=np.uint8))
+    return sketch.estimate(reg)
+
+
 def add_cents(ds: ray.data.Dataset, col: str, out: str, scale: int = 100) -> ray.data.Dataset:
     """Integer-scale a float column so downstream sums are order-exact
     (see module docstring float discipline)."""
