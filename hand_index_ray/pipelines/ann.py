@@ -34,24 +34,23 @@ def cosine_topk(ds: ray.data.Dataset, query: np.ndarray, k: int,
     broadcast query vector, local top-k, driver merge (no global sort)."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    q_ref = ray.put(qn)
+    q_ref = ray.put(qn)  # broadcast once; ray.get per task is a local
+    # shared-memory lookup (stateless tasks: no actor-pool spin-up,
+    # which dominates short interactive queries)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(q_ref)
+    def scorer(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _stack(t.column(vec_col))
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qv) / np.where(norms == 0, 1.0, norms)
+        micro = np.round(sims * 1e6).astype(np.int64)  # integer micro-units: oracle-exact
+        ids = t.column(id_col).to_numpy()
+        order = np.lexsort((ids, -micro))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "sim_micro": pa.array(micro[order], pa.int64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _stack(t.column(vec_col))
-            norms = np.linalg.norm(m, axis=1)
-            sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
-            micro = np.round(sims * 1e6).astype(np.int64)  # integer micro-units: oracle-exact
-            ids = t.column(id_col).to_numpy()
-            order = np.lexsort((ids, -micro))[:k]
-            return pa.table({id_col: pa.array(ids[order]),
-                             "sim_micro": pa.array(micro[order], pa.int64())})
-
-    parts = ds.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(scorer, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     return (parts.sort_values(["sim_micro", id_col], ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True))
 
@@ -183,27 +182,24 @@ def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
     cent_ref = ray.put(cent)
     q_ref = ray.put(qn)
 
-    class ProbeScorer:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.q = ray.get(q_ref)
+    def probe_scorer(t: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        qv = ray.get(q_ref)
+        m = _stack(t.column(vec_col))
+        if len(m) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        d = ((m[:, None, :] - cent_[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, list(probes))
+        m = m[mask]
+        ids = t.column(id_col).to_numpy()[mask]
+        norms = np.linalg.norm(m, axis=1)
+        sims = np.round((m @ qv) / np.where(norms == 0, 1.0, norms), SIM_DECIMALS)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _stack(t.column(vec_col))
-            if len(m) == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            mask = np.isin(assign, list(probes))
-            m = m[mask]
-            ids = t.column(id_col).to_numpy()[mask]
-            norms = np.linalg.norm(m, axis=1)
-            sims = np.round((m @ self.q) / np.where(norms == 0, 1.0, norms), SIM_DECIMALS)
-            order = np.lexsort((ids, -sims))[:k]
-            return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order])})
-
-    parts = ds.map_batches(ProbeScorer, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(probe_scorer, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     return (parts.sort_values(["sim", id_col], ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True))
