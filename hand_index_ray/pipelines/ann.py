@@ -120,8 +120,10 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                     out_s.append(float(sims[i, j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        verify, batch_format="pandas").to_pandas()
+    from ..relational import grouped_apply_bucketed
+
+    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"],
+                                   verify).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),

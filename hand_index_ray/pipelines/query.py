@@ -629,6 +629,21 @@ def zonal_join(index_dir: str, catchments_path: str,
     def join_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
         out_img: list = []
         out_cid: list = []
+        # a catchment covers several cells in this bucket — decode +
+        # reproject each distinct geometry ONCE per bucket, not per cell
+        geo_cache: dict = {}
+
+        def polygon_4326(cid, blob):
+            rag = geo_cache.get(cid)
+            if rag is None:
+                rag5070 = wkb.decode([blob])
+                coords = rag5070.coords
+                lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
+                rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
+                                 rag5070.part_ring_off, rag5070.geom_part_off)
+                geo_cache[cid] = rag
+            return rag
+
         for (cell, _salt), g in bucket_df.groupby(["cell", "salt"], sort=False):
             cell = np.uint64(cell)
             f = g[g["side"] == 0]
@@ -641,12 +656,7 @@ def zonal_join(index_dir: str, catchments_path: str,
             maxy = f["maxy"].to_numpy()
             img_ids = f["image_id"].to_numpy()
             for geom_blob, cid in zip(c["geometry"].to_numpy(), c["catchment_id"].to_numpy()):
-                rag5070 = wkb.decode([geom_blob])
-                # footprints are 4326 → transform the polygon to 4326 once
-                coords = rag5070.coords
-                lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
-                rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
-                                 rag5070.part_ring_off, rag5070.geom_part_off)
+                rag = polygon_4326(cid, geom_blob)
                 rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
                 hits = np.nonzero(rel["intersects"])[0]
                 if len(hits) == 0:

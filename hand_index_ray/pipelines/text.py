@@ -223,8 +223,10 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
                     out_j.append(est)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_est": out_j})
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas").to_pandas()
+    from ..relational import grouped_apply_bucketed
+
+    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"],
+                                   pairs_in_bucket).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),

@@ -321,6 +321,49 @@ def session_window(ds: ray.data.Dataset, ts_col: str, key: str, gap_s: int,
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
 
 
+def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
+                           fn, num_buckets: int = 128) -> ray.data.Dataset:
+    """Apply ``fn(group_df)`` per distinct key combination, but shuffle
+    on hash(keys) % num_buckets and iterate key-groups inside each
+    bucket with pandas C-speed grouping.
+
+    Ray's ``groupby(keys).map_groups`` dispatches the UDF once per
+    group; with 10⁵ tiny groups (LSH buckets, lattice cells) that
+    dispatch dominates. One dispatch per hash bucket amortizes it
+    ~|groups|/num_buckets-fold. fn must not depend on cross-group state.
+    """
+    import zlib
+
+    from .sources.synth import splitmix64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, k in enumerate(keys):
+                col = t.column(k)
+                if pa.types.is_integer(col.type):
+                    hk = col.to_numpy().astype(np.uint64)
+                else:
+                    hk = np.array([zlib.crc32(str(v).encode()) for v in col.to_pylist()],
+                                  dtype=np.uint64)
+                h ^= splitmix64(hk + np.uint64(0x9E3779B9 * (i + 1)))
+        return t.append_column("__bucket",
+                               pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(sub.drop(columns=["__bucket"]))
+                for _, sub in g.groupby(keys, sort=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return fn(g.iloc[0:0].drop(columns=["__bucket"]))
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
     """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
     sketches: one ~4 KB sketch per batch, merged on the driver — no
