@@ -112,15 +112,32 @@ def broadcast_join(big: ray.data.Dataset, small: pa.Table, keys: list[str] | str
 
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
-              key: str, how: str = "inner", num_buckets: int = 64) -> ray.data.Dataset:
+              key: str, how: str = "inner", num_buckets: int = 64,
+              use_native: bool = False) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides (SURVEY.md §2.4 J2
     "at scale" path): both sides bucketed on hash(key) % B, one
     co-group shuffle, per-bucket pyarrow join.
+
+    ``use_native=True`` routes to Ray Data's built-in hash-partitioned
+    ``Dataset.join`` instead. Measured here the native join's
+    per-partition aggregator actors cost more than they save at these
+    sizes (7.5 s vs 3.8 s on lineitem×orders at 32 CPUs, and the
+    actor count must be clamped below cluster CPUs or it deadlocks);
+    on a real multi-node cluster with long-lived sessions the native
+    path amortizes better — re-evaluate per deployment.
 
     Skewed hot keys: salt them with the same replicate-small-side
     pattern the zonal join uses (pipelines/query.py) before calling
     this. Supported ``how``: inner, left.
     """
+    if use_native and hasattr(ray.data.Dataset, "join"):
+        jt = {"inner": "inner", "left": "left_outer"}[how]
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        nparts = max(2, min(num_buckets, cpus - 1))
+        return left.join(right, join_type=jt, num_partitions=nparts, on=(key,))
     import zlib
 
     from .sources.synth import splitmix64

@@ -76,3 +76,19 @@ def test_validate_roi(ray_session, smoke_dirs):
     assert out["consistent"]
     assert out["initial_geoms"] >= out["final_geoms"] == len(out["kept_ids"])
     assert out["dropped_by_filter"] == out["removed_geoms"]
+
+
+def test_hash_join_native_path_matches(ray_session):
+    """The native Dataset.join path (use_native=True) must agree with
+    the explicit co-group on the same inputs."""
+    import ray.data
+
+    from hand_index_ray.relational import hash_join
+
+    left = ray.data.from_items([{"k": i % 7, "l": i} for i in range(200)])
+    right = ray.data.from_items([{"k": i, "r": i * 10} for i in range(5)])
+    a = hash_join(left, right, "k", how="inner").to_pandas()
+    b = hash_join(left, right, "k", how="inner", use_native=True).to_pandas()
+    ca = a.sort_values(["k", "l"]).reset_index(drop=True)[sorted(a.columns)]
+    cb = b.sort_values(["k", "l"]).reset_index(drop=True)[sorted(b.columns)]
+    assert ca.equals(cb)
