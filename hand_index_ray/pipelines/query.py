@@ -541,21 +541,33 @@ def zonal_join(index_dir: str, catchments_path: str,
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
     S = cfg.salt_buckets
 
+    NB = cfg.zonal_buckets
+    from ..sources.synth import splitmix64
+
+    def _bucket_col(cells: np.ndarray, salt: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            h = splitmix64(cells.astype(np.uint64)
+                           ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B9)))
+        return pa.array((h % np.uint64(NB)).astype(np.int32))
+
     def salt_foot(t: pa.Table) -> pa.Table:
+        """Salt hot cells AND assign the co-group bucket in one fused
+        stage (each extra chained operator costs real wall time)."""
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int32()))
         hots = ray.get(hot_ref)
-        if len(hots) == 0 or t.num_rows == 0:
-            return t
         cells = t.column("cell").to_numpy()
-        mask = np.isin(cells, hots)
-        if not mask.any():
-            return t
-        # deterministic salt from the image row index (splitmix64)
-        from ..sources.synth import splitmix64
-        idx = pc.cast(pc.utf8_slice_codeunits(t.column("image_id"), 4, 99), pa.int64()).to_numpy()
-        salt = t.column("salt").to_numpy().copy()
-        salt[mask] = (splitmix64(idx[mask].astype(np.uint64)) % np.uint64(S)).astype(np.int32)
-        return t.set_column(t.schema.get_field_index("salt"), "salt",
-                            pa.array(salt, pa.int32()))
+        salt = t.column("salt").to_numpy()
+        mask = np.isin(cells, hots) if len(hots) else np.zeros(len(cells), bool)
+        if mask.any():
+            # deterministic salt from the image row index (splitmix64)
+            idx = pc.cast(pc.utf8_slice_codeunits(t.column("image_id"), 4, 99),
+                          pa.int64()).to_numpy()
+            salt = salt.copy()
+            salt[mask] = (splitmix64(idx[mask].astype(np.uint64)) % np.uint64(S)).astype(np.int32)
+            t = t.set_column(t.schema.get_field_index("salt"), "salt",
+                             pa.array(salt, pa.int32()))
+        return t.append_column("bucket", _bucket_col(cells, salt))
 
     foot_salted = foot_exploded.map_batches(salt_foot, batch_format="pyarrow")
 
@@ -564,7 +576,7 @@ def zonal_join(index_dir: str, catchments_path: str,
 
     def explode_cat(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _empty()
+            return _empty().append_column("bucket", pa.array([], pa.int32()))
         hots = set(int(c) for c in ray.get(hot_ref))
         blobs = [t.column("geometry")[i].as_py() for i in range(t.num_rows)]
         cids = t.column("catchment_id").to_pylist()
@@ -591,7 +603,7 @@ def zonal_join(index_dir: str, catchments_path: str,
         cells = np.repeat(cells, rep)
         salt_col = np.concatenate([np.arange(r, dtype=np.int32) for r in rep]) if len(rep) else np.array([], dtype=np.int32)
         n = len(idx)
-        return pa.table({
+        out = pa.table({
             "cell": pa.array(cells, pa.uint64()),
             "salt": pa.array(salt_col, pa.int32()),
             "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
@@ -603,28 +615,17 @@ def zonal_join(index_dir: str, catchments_path: str,
             "catchment_id": pa.array([cids[i] for i in idx], pa.string()),
             "geometry": pa.array([blobs[i] for i in idx], pa.binary()),
         }, schema=_SCHEMA)
+        return out.append_column("bucket", _bucket_col(cells, salt_col))
 
     cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
 
-    both = foot_salted.union(cat_exploded)
-
     # co-group via hash buckets: ONE shuffle keyed on
-    # bucket = hash(cell, salt) % NB, and a single map_groups dispatch
-    # per bucket — per-(cell,salt) iteration happens inside the bucket
-    # with pandas C-speed grouping (Ray's per-group UDF dispatch over
-    # thousands of tiny cell groups dominated the join before this)
-    NB = cfg.zonal_buckets
-    from ..sources.synth import splitmix64
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("bucket", pa.array([], pa.int32()))
-        with np.errstate(over="ignore"):
-            h = splitmix64(t.column("cell").to_numpy().astype(np.uint64)
-                           ^ (t.column("salt").to_numpy().astype(np.uint64) * np.uint64(0x9E3779B9)))
-        return t.append_column("bucket", pa.array((h % np.uint64(NB)).astype(np.int32)))
-
-    bucketed = both.map_batches(add_bucket, batch_format="pyarrow")
+    # bucket = hash(cell, salt) % NB (assigned inside the explode/salt
+    # stages — no extra chained operator), and a single map_groups
+    # dispatch per bucket; per-(cell,salt) iteration happens inside the
+    # bucket with pandas C-speed grouping (Ray's per-group UDF dispatch
+    # over thousands of tiny cell groups dominated the join before)
+    bucketed = foot_salted.union(cat_exploded)
 
     def join_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
         out_img: list = []
