@@ -148,19 +148,39 @@ class Manifest:
             out.extend(rec.partitions)
         return out
 
+    def _stats_arrays(self):
+        """Columnar view of live partition stats, cached per Manifest
+        instance — pruning over 10⁵+ partitions becomes four numpy
+        comparisons instead of a Python loop. (Instances are cheap and
+        short-lived; create a fresh Manifest to observe new records.)"""
+        import numpy as np
+
+        if getattr(self, "_stats_cache", None) is None:
+            parts = [p for p in self._live_partitions() if p.row_count > 0]
+            self._stats_cache = (
+                parts,
+                np.array([p.minx for p in parts]),
+                np.array([p.miny for p in parts]),
+                np.array([p.maxx for p in parts]),
+                np.array([p.maxy for p in parts]),
+                np.array([p.cell for p in parts], dtype=np.uint64),
+            )
+        return self._stats_cache
+
     # ---- query-side pruning -------------------------------------------------
 
     def files_for_bbox(self, index_dir: str, minx: float, miny: float,
                        maxx: float, maxy: float) -> list[str]:
         """Files whose partition bbox stats overlap the query bbox —
         exact-conservative pruning (never misses a candidate)."""
-        out = []
-        for p in self._live_partitions():
-            if p.row_count == 0:
-                continue
-            if p.minx <= maxx and minx <= p.maxx and p.miny <= maxy and miny <= p.maxy:
-                out.append(os.path.join(index_dir, p.path))
-        return sorted(set(out))
+        import numpy as np
+
+        parts, pminx, pminy, pmaxx, pmaxy, _cells = self._stats_arrays()
+        if not parts:
+            return []
+        hit = (pminx <= maxx) & (minx <= pmaxx) & (pminy <= maxy) & (miny <= pmaxy)
+        return sorted({os.path.join(index_dir, parts[i].path)
+                       for i in np.nonzero(hit)[0]})
 
     def files_for_cells(self, index_dir: str, cells: set[int]) -> list[str]:
         """Files whose partition cell RANGE intersects any query cell's
@@ -175,12 +195,14 @@ class Manifest:
         if not cells:
             return []
         qlo, qhi = s2k.cell_range(np.array(sorted(cells), dtype=np.uint64))
-        out = []
-        for p in self._live_partitions():
-            plo, phi = s2k.cell_range(np.array([p.cell], dtype=np.uint64))
-            if ((qlo <= phi[0]) & (plo[0] <= qhi)).any():
-                out.append(os.path.join(index_dir, p.path))
-        return sorted(set(out))
+        parts, _x0, _y0, _x1, _y1, pcells = self._stats_arrays()
+        if not parts:
+            return []
+        plo, phi = s2k.cell_range(pcells)
+        # (P, Q) range-intersection matrix, any() over queries
+        hit = ((qlo[None, :] <= phi[:, None]) & (plo[:, None] <= qhi[None, :])).any(axis=1)
+        return sorted({os.path.join(index_dir, parts[i].path)
+                       for i in np.nonzero(hit)[0]})
 
     def all_files(self, index_dir: str) -> list[str]:
         return sorted({os.path.join(index_dir, p.path) for p in self._live_partitions()})
