@@ -7,6 +7,7 @@ shapely/geopandas calls used by the reference (SURVEY.md §2.8):
   geom    — area / centroid / point-in-polygon / clip / simplify / bbox
   s2      — exact S2 cell ids (quadratic projection + Hilbert curve)
   hexgrid — H3-style icosahedral aperture-7 hex cells (res 0-15)
-  image   — raw/ppm/png/qjpg codecs, PSNR, perceptual hash
-  text    — tokenize / language-id / quality / fingerprint / minhash / simhash
+  image   — raw/ppm/png/qjpg codecs, resize, embed, PSNR, perceptual hash
+  sketch  — mergeable HyperLogLog distinct-count
+(text-analysis kernels live with their pipelines in pipelines/text.py)
 """
