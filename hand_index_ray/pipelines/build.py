@@ -247,23 +247,39 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     the compaction record is written last; a killed compaction leaves
     the index serving from the original fragment files.
     """
+    import numpy as np
+
+    from ..kernels import s2 as s2k
+
     man = Manifest(index_dir)
-    _, covered = man.compaction()
+    prev_parts, covered = man.compaction()
     recs = [r for r in man.records() if r.fragment_id not in covered]
-    by_cell: dict[int, list[str]] = {}
+    live: list[tuple[int, str]] = [(p.cell, p.path) for p in prev_parts]
     frag_ids: set[int] = set(covered)
     for rec in recs:
         frag_ids.add(rec.fragment_id)
-        for p in rec.partitions:
-            by_cell.setdefault(p.cell, []).append(p.path)
-    prev_parts, _ = man.compaction()
-    for p in prev_parts:
-        by_cell.setdefault(p.cell, []).append(p.path)
-    if not by_cell:
+        live.extend((p.cell, p.path) for p in rec.partitions)
+    if not live:
         return {"cells": 0, "files_merged": 0}
-    # cell ids exceed int64 (uint64 S2 ids) → ship as strings through
-    # the items Dataset, parse back inside the task
-    work = [{"cell": str(int(c)), "paths": sorted(ps)} for c, ps in sorted(by_cell.items())]
+
+    # target layout = one file per FINE cell at cfg.part_level: the
+    # per-fragment adaptive coarsening (small fragments write coarser
+    # cells) is undone here using the `part_cell` COLUMN the rows carry,
+    # restoring the configured pruning granularity index-wide
+    files = sorted({p for _c, p in live})
+    cells_ds = ray.data.read_parquet([os.path.join(index_dir, p) for p in files],
+                                     columns=["part_cell"])
+    fine_cells = np.unique(np.concatenate(
+        [ray.get(r).column("part_cell").to_numpy()
+         for r in cells_ds.to_arrow_refs()] or [np.array([], dtype=np.uint64)]))
+    src_cells = np.array([c for c, _p in live], dtype=np.uint64)
+    slo, shi = s2k.cell_range(src_cells)
+    flo, fhi = s2k.cell_range(fine_cells.astype(np.uint64))
+    work = []
+    for j, fc in enumerate(fine_cells):
+        hit = (slo <= fhi[j]) & (flo[j] <= shi)
+        paths = sorted({live[i][1] for i in np.nonzero(hit)[0]})
+        work.append({"cell": str(int(fc)), "paths": paths})
 
     def merge(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)
@@ -271,8 +287,10 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
         out_rows = []
         for row in batch.to_pylist():
             cell = int(row["cell"])
+            expr = pc.field("part_cell") == pa.scalar(cell, pa.uint64())
             tbl = pa.concat_tables([
-                pq.read_table(os.path.join(index_dir, rel), use_threads=False)
+                pq.read_table(os.path.join(index_dir, rel), use_threads=False,
+                              filters=expr)
                 for rel in row["paths"]])
             tbl = tbl.sort_by("s2_cell")
             rel = os.path.join(f"cell={cell}", "compacted.parquet")
@@ -306,8 +324,7 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     man.write_compaction(parts, frag_ids)
     # old fragment files stay on disk until a GC pass; queries already
     # route through the compaction record
-    n_files = sum(len(w["paths"]) for w in work)
-    return {"cells": len(work), "files_merged": n_files}
+    return {"cells": len(work), "files_merged": len(files)}
 
 
 def gc_index(index_dir: str) -> dict:
