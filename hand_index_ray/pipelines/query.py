@@ -144,6 +144,69 @@ def roi_query_footprints(index_dir: str, roi_ring_lonlat: np.ndarray,
                           concurrency=(1, 8))
 
 
+def roi_query_footprints_multi(index_dir: str,
+                               rois: "dict[str, np.ndarray]",
+                               threshold_pct: float | None = None,
+                               cfg: EngineConfig = DEFAULT) -> ray.data.Dataset | None:
+    """Batch form of ``roi_query_footprints``: MANY ROI polygons in one
+    pass — one pruned read over the union of ROI bboxes, every batch
+    tested against every relevant ROI (each prepared once, broadcast
+    once). Result rows carry a ``roi`` name column. At scale this is
+    how a query log amortizes the scan (the reference runs one process
+    per GeoJSON, re-reading the catalog every time)."""
+    thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
+    prepared = {}
+    boxes = {}
+    for name, ring in rois.items():
+        rag = wkb.from_parts([[[np.asarray(ring, dtype=np.float64)]]])
+        prepared[name] = wkb.encode(rag)[0]
+        boxes[name] = geom.bounds(rag)[0]
+    if not prepared:
+        return None
+    union = (min(b[0] for b in boxes.values()), min(b[1] for b in boxes.values()),
+             max(b[2] for b in boxes.values()), max(b[3] for b in boxes.values()))
+    man = Manifest(index_dir)
+    files = man.files_for_bbox(index_dir, *union)
+    if not files:
+        return None
+    roi_ref = ray.put(prepared)
+    box_ref = ray.put(boxes)
+    ds = ray.data.read_parquet(files)
+
+    def match_all(t: pa.Table) -> pa.Table:
+        blobs = ray.get(roi_ref)
+        bxs = ray.get(box_ref)
+        minx = t.column("minx").to_numpy()
+        miny = t.column("miny").to_numpy()
+        maxx = t.column("maxx").to_numpy()
+        maxy = t.column("maxy").to_numpy()
+        outs = []
+        for name, blob in blobs.items():
+            b = bxs[name]
+            # skip ROIs that cannot touch this batch at all
+            if minx.min() > b[2] or maxx.max() < b[0] or miny.min() > b[3] or maxy.max() < b[1]:
+                continue
+            rag = wkb.decode([blob])
+            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
+            areas = (maxx - minx) * (maxy - miny)
+            pct = geom.overlap_stats(areas, rel["inter_area"])
+            keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
+                                  pct, thr) & rel["intersects"]
+            if not keep.any():
+                continue
+            sub = t.filter(pa.array(keep))
+            sub = sub.append_column("overlap_pct", pa.array(pct[keep]))
+            sub = sub.append_column("roi", pa.array([name] * sub.num_rows, pa.string()))
+            outs.append(sub)
+        if not outs:
+            sch = t.schema.append(pa.field("overlap_pct", pa.float64())) \
+                          .append(pa.field("roi", pa.string()))
+            return sch.empty_table()
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(match_all, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # reference-parity catchment ROI query (J1 + A5)
 

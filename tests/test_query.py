@@ -232,3 +232,18 @@ def test_zonal_stats(ray_session, index_dir, smoke_dirs, all_footprints):
     agg = agg.sort_index()
     assert got["n"].equals(agg["n"])
     assert got["pixel_milli"].equals(agg["pixel_milli"])
+
+
+def test_roi_query_multi_matches_single(ray_session, index_dir):
+    from hand_index_ray.pipelines.query import (roi_query_footprints,
+                                                roi_query_footprints_multi)
+
+    rois = {k: v for k, v in synth.roi_polygons().items()
+            if k in ("huge", "straddle", "many_vertex")}
+    multi = roi_query_footprints_multi(index_dir, rois, threshold_pct=10.0, cfg=CFG)
+    mdf = multi.to_pandas()
+    for name, ring in rois.items():
+        ds = roi_query_footprints(index_dir, ring, threshold_pct=10.0, cfg=CFG)
+        single = set() if ds is None else set(ds.to_pandas()["image_id"])
+        got = set(mdf.loc[mdf["roi"] == name, "image_id"])
+        assert got == single, name
