@@ -284,6 +284,10 @@ def cover_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float,
     ``max_cells`` (pruning use only — NOT for join keys): coarsen the
     level until the sample grid fits; the shared-cell guarantee then no
     longer holds across calls with different effective levels.
+
+    Limitation: bboxes are non-wrapping (min_lon ≤ max_lon); an
+    antimeridian-crossing region must be split into two bboxes by the
+    caller (the engine's CONUS-style footprints never wrap).
     """
     while True:
         delta = 45.0 / (1 << level)

@@ -247,3 +247,28 @@ def test_roi_query_multi_matches_single(ray_session, index_dir):
         single = set() if ds is None else set(ds.to_pandas()["image_id"])
         got = set(mdf.loc[mdf["roi"] == name, "image_id"])
         assert got == single, name
+
+
+def test_roi_query_degenerate_fixtures(index_dir, all_footprints):
+    """FIXTURES F4 edge ROIs: 'tiny' (smaller than any tile) and
+    'sliver' (near-zero-area polygon) run through the exact same
+    keep-mask semantics without error and match brute force."""
+    from hand_index_ray.pipelines.query import roi_query_footprints
+
+    f = all_footprints
+    for name in ("tiny", "sliver"):
+        ring = synth.roi_polygons()[name]
+        ds = roi_query_footprints(index_dir, ring, threshold_pct=10.0, cfg=CFG)
+        if ds is None:
+            got = set()
+        else:
+            df = ds.to_pandas()
+            got = set(df["image_id"]) if "image_id" in df.columns else set()
+        rag = wkb.from_parts([[[ring]]])
+        rel = geom.rects_vs_polygon(f.minx.to_numpy(), f.miny.to_numpy(),
+                                    f.maxx.to_numpy(), f.maxy.to_numpy(), rag)
+        areas = (f.maxx - f.minx).to_numpy() * (f.maxy - f.miny).to_numpy()
+        pct = geom.overlap_stats(areas, rel["inter_area"])
+        keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
+                              pct, 10.0) & rel["intersects"]
+        assert got == set(f.loc[keep, "image_id"]), name
