@@ -127,22 +127,34 @@ def centroid(r: Ragged) -> tuple[np.ndarray, np.ndarray]:
 
 
 def bounds(r: Ragged) -> np.ndarray:
-    """Per-geometry (minx, miny, maxx, maxy) as an (G, 4) array."""
+    """Per-geometry (minx, miny, maxx, maxy) as an (G, 4) array —
+    vectorized via per-geometry segment reduction (empty geometries
+    yield NaN rows)."""
     g = len(r)
     out = np.full((g, 4), np.nan)
+    if len(r.coords) == 0 or g == 0:
+        return out
+    # coordinate span of each geometry
+    c0 = r.ring_coord_off[r.part_ring_off[r.geom_part_off[:-1]]]
+    c1 = r.ring_coord_off[r.part_ring_off[r.geom_part_off[1:]]]
+    lens = c1 - c0
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    gid = np.repeat(np.arange(g), lens)  # geometry id per coordinate
     x, y = r.coords[:, 0], r.coords[:, 1]
-    mins_x = np.minimum.accumulate  # noqa: F841  (kept simple below)
-    for i in range(g):
-        p0, p1 = r.geom_part_off[i], r.geom_part_off[i + 1]
-        if p0 == p1:
-            continue
-        c0 = r.ring_coord_off[r.part_ring_off[p0]]
-        c1 = r.ring_coord_off[r.part_ring_off[p1]]
-        if c1 > c0:
-            out[i, 0] = x[c0:c1].min()
-            out[i, 1] = y[c0:c1].min()
-            out[i, 2] = x[c0:c1].max()
-            out[i, 3] = y[c0:c1].max()
+    minx = np.full(g, np.inf)
+    miny = np.full(g, np.inf)
+    maxx = np.full(g, -np.inf)
+    maxy = np.full(g, -np.inf)
+    np.minimum.at(minx, gid, x)
+    np.minimum.at(miny, gid, y)
+    np.maximum.at(maxx, gid, x)
+    np.maximum.at(maxy, gid, y)
+    out[nonempty, 0] = minx[nonempty]
+    out[nonempty, 1] = miny[nonempty]
+    out[nonempty, 2] = maxx[nonempty]
+    out[nonempty, 3] = maxy[nonempty]
     return out
 
 
