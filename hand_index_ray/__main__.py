@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(grouped union per branch, reference load.py:146-173)")
     bc.add_argument("--input", required=True, help="parquet with (geometry, branch_path)")
     bc.add_argument("--output", required=True)
+    bc.add_argument("--partition-by-cell", action="store_true",
+                    help="hive-partition output by h3_index "
+                         "(reference PARTITION_BY, load.py:279-283)")
 
     c = sub.add_parser("compact", help="merge per-fragment files into per-cell files")
     c.add_argument("--index-dir", required=True)
@@ -102,9 +105,13 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.build import build_catchments
 
         raw = ray.data.read_parquet(args.input)
-        build_catchments(raw.select_columns(["geometry", "branch_path"]),
-                         DEFAULT).write_parquet(args.output)
-        print(json.dumps({"output": args.output}))
+        ds = build_catchments(raw.select_columns(["geometry", "branch_path"]), DEFAULT)
+        if args.partition_by_cell:
+            ds.write_parquet(args.output, partition_cols=["h3_index"])
+        else:
+            ds.write_parquet(args.output)
+        print(json.dumps({"output": args.output,
+                          "partitioned": bool(args.partition_by_cell)}))
     elif args.cmd == "compact":
         from .pipelines.build import compact_index
 

@@ -92,3 +92,36 @@ def test_hash_join_native_path_matches(ray_session):
     ca = a.sort_values(["k", "l"]).reset_index(drop=True)[sorted(a.columns)]
     cb = b.sort_values(["k", "l"]).reset_index(drop=True)[sorted(b.columns)]
     assert ca.equals(cb)
+
+
+def test_catchments_hive_partitioned_roundtrip(ray_session, smoke_dirs, tmp_path):
+    """Reference S6 parity for the vector side: the catalog written
+    hive-partitioned by h3_index (load.py:279-283 PARTITION_BY) and
+    read back — including by the ROI query, which accepts the
+    partitioned directory exactly like the reference's
+    hive_partitioning=1 views (query_geojson.py:29-31)."""
+    import pyarrow.parquet as pqm
+    import ray.data
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import build_catchments
+    from hand_index_ray.pipelines.query import roi_query_catchments
+
+    cfg = EngineConfig(encode_concurrency=2)
+    src = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    raw = ray.data.read_parquet(src)
+    catalog = build_catchments(raw.select_columns(["geometry", "branch_path"]), cfg)
+    outdir = str(tmp_path / "catchments_hive")
+    catalog.write_parquet(outdir, partition_cols=["h3_index"])
+    # hive dirs per cell exist
+    subdirs = [d for d in os.listdir(outdir) if d.startswith("h3_index=")]
+    assert len(subdirs) >= 1
+    back = ray.data.read_parquet(outdir).to_pandas()
+    orig = pqm.read_table(src).to_pandas()
+    assert len(back) == orig["branch_path"].nunique()
+    # the ROI query consumes the partitioned directory directly
+    kept_hive = roi_query_catchments(outdir, synth.roi_polygons()["huge"],
+                                     threshold_pct=10.0, cfg=cfg).to_pandas()
+    kept_flat = roi_query_catchments(src, synth.roi_polygons()["huge"],
+                                     threshold_pct=10.0, cfg=cfg).to_pandas()
+    assert set(kept_hive["catchment_id"]) == set(kept_flat["catchment_id"])
