@@ -35,21 +35,6 @@ from ..config import DEFAULT, EngineConfig
 from ..kernels import geom, proj, s2, wkb
 from ..state.manifest import Manifest
 
-FOOTPRINT_COLS = ["image_id", "minx", "miny", "maxx", "maxy",
-                  "centroid_lon", "centroid_lat", "part_cell"]
-
-
-def _read_pruned(index_dir: str, bbox: tuple[float, float, float, float],
-                 columns: list[str] | None = None) -> ray.data.Dataset | None:
-    """Manifest-stat partition pruning (exact-conservative), then a
-    column-pruned parquet read — the engine's 'prune at the read'."""
-    man = Manifest(index_dir)
-    files = man.files_for_bbox(index_dir, *bbox)
-    if not files:
-        return None
-    return ray.data.read_parquet(files, columns=columns)
-
-
 # ---------------------------------------------------------------------------
 # J5: bbox / cell-range scan
 
