@@ -81,7 +81,7 @@ class RoiMatcher:
 
     def __init__(self, roi_ref, threshold_pct: float):
         roi_blob = ray.get(roi_ref)
-        self.roi = wkb.decode([roi_blob])
+        self.roi = geom.PreparedPolygon(wkb.decode([roi_blob]))
         self.threshold = threshold_pct
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -683,15 +683,16 @@ def zonal_join(index_dir: str, catchments_path: str,
         geo_cache: dict = {}
 
         def polygon_4326(cid, blob):
-            rag = geo_cache.get(cid)
-            if rag is None:
+            prep = geo_cache.get(cid)
+            if prep is None:
                 rag5070 = wkb.decode([blob])
                 coords = rag5070.coords
                 lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
                 rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
                                  rag5070.part_ring_off, rag5070.geom_part_off)
-                geo_cache[cid] = rag
-            return rag
+                prep = geom.PreparedPolygon(rag)
+                geo_cache[cid] = prep
+            return prep
 
         for (cell, _salt), g in bucket_df.groupby(["cell", "salt"], sort=False):
             cell = np.uint64(cell)
@@ -705,15 +706,15 @@ def zonal_join(index_dir: str, catchments_path: str,
             maxy = f["maxy"].to_numpy()
             img_ids = f["image_id"].to_numpy()
             for geom_blob, cid in zip(c["geometry"].to_numpy(), c["catchment_id"].to_numpy()):
-                rag = polygon_4326(cid, geom_blob)
-                rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
+                prep = polygon_4326(cid, geom_blob)
+                rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, prep)
                 hits = np.nonzero(rel["intersects"])[0]
                 if len(hits) == 0:
                     continue
                 # shared-cell dedup: emit only from the canonical cell of
                 # the bbox-intersection lattice point (provably in both
                 # coverings)
-                cb = geom.bounds(rag)[0]
+                cb = prep.bounds
                 ix = np.maximum(minx[hits], cb[0])
                 iy = np.maximum(miny[hits], cb[1])
                 px = np.floor(ix / delta) * delta
