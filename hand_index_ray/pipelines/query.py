@@ -733,22 +733,29 @@ def zonal_stats(index_dir: str, catchments_path: str,
     """Per-zone aggregate over the zonal join (J7's 'aggregate per
     zone'): tiles per catchment + integer-scaled mean pixel level.
 
-    pairs (slim) hash-join back to the footprint features on image_id,
-    then a grouped aggregate per catchment — the pixel features came
-    from the index (computed once at build), so no image bytes are
-    touched here."""
-    from ..relational import grouped_agg, hash_join
+    pairs (slim) join back to the footprint features on image_id, then
+    a grouped aggregate per catchment — the pixel features came from
+    the index (computed once at build), so no image bytes are touched
+    here. Adaptive join: when the per-tile feature table is small
+    enough to broadcast (manifest row count below the threshold) the
+    join is a broadcast lookup inside map_batches; otherwise the
+    partitioned hash join."""
+    from ..relational import broadcast_join, grouped_agg, hash_join
 
     pairs = zonal_join(index_dir, catchments_path, cfg)
     man = Manifest(index_dir)
-    feats = ray.data.read_parquet(man.all_files(index_dir),
-                                  columns=["image_id", "pixel_mean"])
+    feat_files = man.all_files(index_dir)
+    feats = ray.data.read_parquet(feat_files, columns=["image_id", "pixel_mean"])
 
     def to_milli(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["pixel_mean"], 1000.0)), pa.int64())
         return pa.table({"image_id": t["image_id"], "pixel_milli": v})
 
     feats = feats.map_batches(to_milli, batch_format="pyarrow")
-    joined = hash_join(pairs, feats, "image_id", how="inner")
+    if man.total_rows() <= 2_000_000:  # slim 2-col table → broadcast fits
+        feat_tbl = pa.concat_tables([ray.get(r) for r in feats.to_arrow_refs()])
+        joined = broadcast_join(pairs, feat_tbl, keys="image_id")
+    else:
+        joined = hash_join(pairs, feats, "image_id", how="inner")
     return grouped_agg(joined.select_columns(["catchment_id", "pixel_milli"]),
                        ["catchment_id"], sum_cols=["pixel_milli"])
