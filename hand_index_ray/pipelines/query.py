@@ -582,10 +582,13 @@ def zonal_join(index_dir: str, catchments_path: str,
     # ^ materialized: reused by the count pre-pass AND the join (slim
     #   key rows only — the heavy image bytes never reach this stage)
 
-    # --- skew pre-pass: per-cell footprint counts (small aggregate) -------
-    counts = foot_exploded.groupby("cell").count().to_pandas()
-    mean = max(counts["count()"].mean(), 1.0)
-    hot = set(int(c) for c in counts.loc[counts["count()"] > cfg.salt_hot_factor * mean, "cell"])
+    # --- skew pre-pass: per-cell footprint counts; partial aggregation
+    # per batch keeps the count shuffle at O(cells), not O(rows) -------
+    from ..relational import grouped_agg
+
+    counts = grouped_agg(foot_exploded.select_columns(["cell"]), ["cell"]).to_pandas()
+    mean = max(counts["n"].mean(), 1.0)
+    hot = set(int(c) for c in counts.loc[counts["n"] > cfg.salt_hot_factor * mean, "cell"])
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
     S = cfg.salt_buckets
 

@@ -159,16 +159,21 @@ def minhash_signatures(ds: ray.data.Dataset, num_hashes: int = 64,
     salts = splitmix64(np.arange(num_hashes, dtype=np.uint64) + np.uint64(0xABCD))
 
     def f(t: pa.Table) -> pa.Table:
-        sigs = np.empty((t.num_rows, num_hashes), dtype=np.uint64)
+        # vectorized across the whole batch: concatenate every doc's
+        # shingle hashes, then segment-min per (doc, salt) — no
+        # per-document Python beyond the shingle scan itself
         texts = t.column(col).to_pylist()
-        for i, s in enumerate(texts):
-            sh = _shingle_hashes(s)
-            with np.errstate(over="ignore"):
-                m = splitmix64(sh[:, None] ^ salts[None, :])
-            sigs[i] = m.min(axis=0)
+        shingle_lists = [_shingle_hashes(s) for s in texts]
+        lens = np.array([len(x) for x in shingle_lists], dtype=np.int64)
+        allsh = np.concatenate(shingle_lists) if shingle_lists else np.empty(0, np.uint64)
+        doc_of = np.repeat(np.arange(t.num_rows), lens)
+        sigs = np.full((t.num_rows, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = splitmix64(allsh[:, None] ^ salts[None, :])
+        np.minimum.at(sigs, doc_of, m)
         return pa.table({
             id_col: t.column(id_col),
-            "sig": pa.array(list(sigs.astype(np.uint64))),
+            "sig": pa.array(list(sigs)),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
