@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true",
                    help="rebuild everything (default resumes from the manifest)")
     b.add_argument("--compact", action="store_true", help="compact after building")
+    b.add_argument("--part-level", type=int, default=None,
+                   help="S2 level of the partition key (the engine's analog of "
+                        "the reference's --h3-resolution, load.py:314)")
 
     bc = sub.add_parser("build-catchments", help="build the vector-side catalog "
                         "(grouped union per branch, reference load.py:146-173)")
@@ -51,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     bc.add_argument("--partition-by-cell", action="store_true",
                     help="hive-partition output by h3_index "
                          "(reference PARTITION_BY, load.py:279-283)")
+    bc.add_argument("--h3-resolution", type=int, default=None,
+                    help="centroid cell resolution (reference default 1, load.py:314)")
+    bc.add_argument("--simplify-tolerance", type=float, default=None,
+                    help="geometry simplify tolerance in meters "
+                         "(reference 100 m, load.py:155-156)")
 
     c = sub.add_parser("compact", help="merge per-fragment files into per-cell files")
     c.add_argument("--index-dir", required=True)
@@ -92,20 +100,30 @@ def main(argv: list[str] | None = None) -> int:
     from .config import DEFAULT
 
     if args.cmd == "build":
+        from dataclasses import replace
+
         from .pipelines.build import build_index, compact_index
 
-        stats = build_index(args.images_dir, args.output_dir, DEFAULT,
+        cfg = DEFAULT if args.part_level is None else replace(DEFAULT, part_level=args.part_level)
+        stats = build_index(args.images_dir, args.output_dir, cfg,
                             resume=not args.no_resume)
         if args.compact:
             stats["compaction"] = compact_index(args.output_dir, DEFAULT)
         print(json.dumps(stats))
     elif args.cmd == "build-catchments":
+        from dataclasses import replace
+
         import ray.data
 
         from .pipelines.build import build_catchments
 
+        cfg = DEFAULT
+        if args.h3_resolution is not None:
+            cfg = replace(cfg, catchment_h3_res=args.h3_resolution)
+        if args.simplify_tolerance is not None:
+            cfg = replace(cfg, simplify_tol_m=args.simplify_tolerance)
         raw = ray.data.read_parquet(args.input)
-        ds = build_catchments(raw.select_columns(["geometry", "branch_path"]), DEFAULT)
+        ds = build_catchments(raw.select_columns(["geometry", "branch_path"]), cfg)
         if args.partition_by_cell:
             ds.write_parquet(args.output, partition_cols=["h3_index"])
         else:
