@@ -90,3 +90,48 @@ def test_image_row_pure_function(n):
     assert r1["bytes"] == r2["bytes"]
     assert r1["phash"] == r2["phash"]
     assert r1["caption"] == r2["caption"]
+
+
+def test_cell_ids_identical_across_processes():
+    """Cell encoders are shuffle/partition keys: their values must be
+    bit-identical in every worker process (tables built at import)."""
+    import json
+    import subprocess
+    import sys
+
+    script = (
+        "import sys, json, numpy as np\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from hand_index_ray.kernels import s2, hexgrid\n"
+        "lon = np.linspace(-120, -70, 50); lat = np.linspace(25, 48, 50)\n"
+        "print(json.dumps({'s2': s2.lonlat_to_cell(lon, lat, 16).tolist(),\n"
+        "                  'hx': hexgrid.lonlat_to_cell(lon, lat, 7).tolist()}))\n"
+    )
+    outs = []
+    for _ in range(2):
+        p = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                           text=True, timeout=120)
+        assert p.returncode == 0, p.stderr[-500:]
+        outs.append(json.loads(p.stdout.strip().splitlines()[-1]))
+    assert outs[0] == outs[1]
+    # and identical to this process
+    import numpy as np
+
+    from hand_index_ray.kernels import hexgrid, s2
+
+    lon = np.linspace(-120, -70, 50)
+    lat = np.linspace(25, 48, 50)
+    assert s2.lonlat_to_cell(lon, lat, 16).tolist() == outs[0]["s2"]
+    assert hexgrid.lonlat_to_cell(lon, lat, 7).tolist() == outs[0]["hx"]
+
+
+def test_wkb_decode_rejects_malformed():
+    import pytest as _pt
+
+    from hand_index_ray.kernels import wkb as _wkb
+
+    import struct
+    # unsupported geometry type (LineString = 2)
+    bad = struct.pack("<BI", 1, 2) + b"\x00" * 16
+    with _pt.raises(ValueError):
+        _wkb.decode([bad])
