@@ -459,8 +459,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_groupby_sum": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
-                   SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS price_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -472,7 +472,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_broadcast_join_agg": """
             SELECT c.c_mktsegment,
-                   SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
                    COUNT(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
@@ -485,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q05_semi_join": """
             SELECT l_returnflag,
-                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
                    COUNT(*) AS n
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
@@ -502,7 +502,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_window_tumbling": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
-                   SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS value_cents,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n
             FROM events GROUP BY event_type, window_id
         """,
@@ -565,7 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_grid_zonal_agg": f"""
             SELECT CAST(FLOOR(lon) AS BIGINT) AS cell_x,
                    CAST(FLOOR(lat) AS BIGINT) AS cell_y,
-                   SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
                    COUNT(*) AS n
             FROM {foot} GROUP BY cell_x, cell_y
         """,
@@ -606,14 +606,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q29_hash_join": """
             SELECT l.l_returnflag,
-                   SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS total_cents,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
                    COUNT(*) AS n
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_returnflag
         """,
         "q30_sliding_window": """
             SELECT e.event_type, w.window_id,
-                   SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS value_cents,
+                   CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents,
                    COUNT(*) AS n
             FROM events e,
                  LATERAL (SELECT UNNEST(generate_series(
@@ -630,8 +630,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             tagged AS (
               SELECT user_id, ts_us,
-                     SUM(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts_us, event_id) AS session_id
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) AS BIGINT) AS session_id
               FROM gaps)
             SELECT user_id, session_id, COUNT(*) AS n,
                    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

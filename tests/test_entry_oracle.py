@@ -80,6 +80,14 @@ def test_query_vs_oracle(entry_mod, con, name):
         f"{name} columns: {list(got.columns)} vs {list(truth.columns)}")
     assert len(got) == len(truth), f"{name} rows: {len(got)} vs {len(truth)}"
     for c in got.columns:
+        # driver-parity: its value hash is dtype-sensitive — an int64
+        # column on one side and float64 on the other (e.g. DuckDB
+        # SUM(BIGINT)→HUGEINT→float64) hash-mismatches even when values
+        # are numerically equal. Require matching kinds.
+        gk = got[c].dtype.kind
+        tk = truth[c].dtype.kind
+        assert (gk == tk) or {gk, tk} <= {"i", "u"}, (
+            f"{name}.{c} dtype kind: ray={got[c].dtype} oracle={truth[c].dtype}")
         if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(truth[c].dtype, np.floating):
             np.testing.assert_allclose(
                 got[c].astype(float).to_numpy(), truth[c].astype(float).to_numpy(),
