@@ -87,27 +87,32 @@ def _footprints(sf_dir: str):
 # the spatial-engine cache (images index built once per sf_dir under /tmp)
 
 
-def _image_index(sf_dir: str) -> str:
-    """Build (once) the synthetic images table + footprint index for
-    this scale factor; return the index dir. Deterministic per sf."""
+def _image_index_tpch(sf_dir: str) -> str:
+    """Build (once per sf_dir) the tpch-keyed images table + footprint
+    index; return the index dir. Keys/footprints derive from the
+    `orders` view by pure arithmetic (sources/synth.py tpch fixtures),
+    so every engine-index query has a plain-SQL DuckDB oracle."""
     from hand_index_ray.config import EngineConfig
-    from hand_index_ray.pipelines.build import build_index
+    from hand_index_ray.pipelines.build import build_index, compact_index
     from hand_index_ray.sources import synth
 
-    import pyarrow.parquet as pq
-
-    nrows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-    n = max(min(nrows // 20, 20000), 400)
+    ks = synth.tpch_keys(sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    images = _cache_dir(f"{tag}-n{n}", "images")
-    index = _cache_dir(f"{tag}-n{n}", "index")
-    synth.write_images_ray(images, n, fragments=16)
-    cfg = EngineConfig()
+    images = _cache_dir(f"tpch-{tag}-n{len(ks)}", "images")
+    index = _cache_dir(f"tpch-{tag}-n{len(ks)}", "index")
+    synth.write_images_tpch(images, sf_dir, fragments=16)
+    cfg = EngineConfig(footprint_formula="tpch")
     build_index(images, index, cfg)
-    from hand_index_ray.pipelines.build import compact_index
-
     compact_index(index, cfg)
     return index
+
+
+def _catchments_tpch(sf_dir: str) -> str:
+    from hand_index_ray.sources import synth
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = _cache_dir(f"tpch-{tag}-vector", "catchments.parquet")
+    return synth.write_catchments_tpch(path, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -317,12 +322,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q20_fingerprint_dedup(sf):  # text: md5 fingerprint + exact dedup
         return textops.exact_dedup(_t(sf, "documents"))
 
-    def q21_langid(sf):  # text: language-ID heuristic (no SQL oracle)
+    def q21_langid(sf):  # text: language-ID (stopword-profile argmax, SQL oracle)
         ds = _t(sf, "documents").map_batches(textops.LangId, batch_format="pyarrow",
                                              concurrency=2)
-        from hand_index_ray import relational as rel2
-
-        return rel2.grouped_agg(ds.select_columns(["lang_pred"]), ["lang_pred"])
+        return ds.select_columns(["doc_id", "lang_pred"])
 
     def q22_ann_topk(sf):  # ANN: brute-force cosine top-k
         emb = _tbl(sf, "embeddings")
@@ -332,40 +335,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q23_embedding_dups(sf):  # ANN: exact near-dup pairs (SQL oracle)
         return ann.dup_pairs_exact(_t(sf, "embeddings"), threshold=0.2, max_ids=300)
 
-    def q24_minhash_pairs(sf):  # dedup: MinHash+LSH (no SQL oracle)
-        return textops.minhash_lsh_pairs(_t(sf, "documents"), jaccard_threshold=0.4)
+    def q24_minhash_pairs(sf):  # dedup: MinHash+LSH, exact-Jaccard verified (SQL oracle)
+        return textops.minhash_lsh_pairs(_t(sf, "documents"), jaccard_threshold=0.5)
 
-    def q25_simhash(sf):  # dedup: SimHash signatures (no SQL oracle)
-        ds = textops.simhash(_t(sf, "documents").limit(500))
-        return ds
+    def q25_simhash(sf):  # dedup: SimHash signatures (md5-lower word hash, SQL oracle)
+        return textops.simhash(_t(sf, "documents")).select_columns(
+            ["doc_id", "simhash_bits"])
 
-    def q26_roi_footprints(sf):  # engine: ROI query on the image index
+    def q26_roi_footprints(sf):  # engine: ROI query on the image index (SQL oracle)
         from hand_index_ray.pipelines.query import roi_query_footprints
-        from hand_index_ray.sources import synth
 
-        idx = _image_index(sf)
-        ds = roi_query_footprints(idx, synth.roi_polygons()["straddle"], threshold_pct=10.0)
+        idx = _image_index_tpch(sf)
+        ring = np.array([[-106.3, 31.4], [-95.7, 31.4], [-95.7, 40.6], [-106.3, 40.6]])
+        ds = roi_query_footprints(idx, ring, threshold_pct=10.0)
         if ds is None:
-            return pa.table({"image_id": pa.array([], pa.string())})
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "overlap_pct": pa.array([], pa.float64())})
         return ds.select_columns(["image_id", "overlap_pct"])
 
-    def q27_knn_index(sf):  # engine: kNN cell-ring expansion
+    def q27_knn_index(sf):  # engine: kNN cell-ring expansion (SQL oracle)
         from hand_index_ray.pipelines.query import knn_query
 
-        idx = _image_index(sf)
+        idx = _image_index_tpch(sf)
         out = knn_query(idx, -98.0, 36.0, 25)
-        return out[["image_id", "dist_m"]]
+        return out[["image_id", "dist_mi"]]
 
-    def q28_zonal_pairs(sf):  # engine: zonal raster↔vector join
+    def q28_zonal_pairs(sf):  # engine: zonal raster↔vector join (SQL oracle)
         from hand_index_ray.config import EngineConfig
         from hand_index_ray.pipelines.query import zonal_join
-        from hand_index_ray.sources import synth as sy
 
-        idx = _image_index(sf)
-        vec = os.path.join(os.path.dirname(idx), "vector")
-        sy.write_catchment_suite(vec, 300)
-        return zonal_join(idx, os.path.join(vec, "catchments.parquet"),
-                          EngineConfig(salt_hot_factor=4.0))
+        idx = _image_index_tpch(sf)
+        cats = _catchments_tpch(sf)
+        return zonal_join(idx, cats,
+                          EngineConfig(footprint_formula="tpch", salt_hot_factor=4.0))
 
     def q29_hash_join(sf):  # J2 at scale: partitioned hash join, both sides large
         orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents") \
@@ -394,23 +396,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q32_bpe_tokens(sf):  # text: BPE-ish regex token counting
         return textops.bpe_token_count(_t(sf, "documents"))
 
-    def q33_tile_dups(sf):  # image near-dup pairs by embedding cosine
-        from hand_index_ray.pipelines.image_embed import duplicate_tiles
+    def q33_tile_dups(sf):  # image exact-dup pairs by decoded-pixel digest (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import exact_tile_dups
 
-        idx = _image_index(sf)
+        idx = _image_index_tpch(sf)
         images = os.path.join(os.path.dirname(idx), "images")
-        return duplicate_tiles(images, threshold=0.9999)
+        return exact_tile_dups(images)
 
-    def q34_zonal_stats(sf):  # per-zone aggregate over the zonal join
+    def q34_zonal_stats(sf):  # per-zone aggregate over the zonal join (SQL oracle)
         from hand_index_ray.config import EngineConfig
-        from hand_index_ray.pipelines.query import zonal_stats
-        from hand_index_ray.sources import synth as sy
+        from hand_index_ray.pipelines.query import zonal_tile_stats
 
-        idx = _image_index(sf)
-        vec = os.path.join(os.path.dirname(idx), "vector")
-        sy.write_catchment_suite(vec, 300)
-        return zonal_stats(idx, os.path.join(vec, "catchments.parquet"),
-                           EngineConfig(salt_hot_factor=4.0))
+        idx = _image_index_tpch(sf)
+        cats = _catchments_tpch(sf)
+        return zonal_tile_stats(idx, cats,
+                                EngineConfig(footprint_formula="tpch", salt_hot_factor=4.0))
 
     return {
         "q01_groupby_sum": q01_groupby_sum,
@@ -452,6 +452,163 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
+
+# engine-index fixtures (q26-q28, q33, q34): image keys + footprints are
+# pure arithmetic over `orders` (sources/synth.py footprint_of_tpch),
+# rect catchments over `supplier` — the CTEs below recompute them
+# exactly; the engine answers the same questions through the BUILT
+# index (pruned reads, cell-ring kNN, salted zonal shuffle).
+_TK_FOOT = """
+      SELECT o_orderkey AS k,
+             -125.0 + ((o_orderkey * 2654435761) % 1048576) / 1048576.0 * 58.0 AS lon,
+             24.0 + ((o_orderkey * 976369) % 1048576) / 1048576.0 * 25.0 AS lat,
+             ((o_orderkey % 64) + 1) / 1024.0 AS half
+      FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+_CAT_RECTS = """
+      SELECT s_suppkey AS s,
+             -123.0 + ((s_suppkey * 2654435761) % 1048576) / 1048576.0 * 54.0 AS lonc,
+             25.5 + ((s_suppkey * 976369) % 1048576) / 1048576.0 * 22.0 AS latc,
+             ((s_suppkey % 16) + 2) * 0.22 AS halfw,
+             ((s_suppkey % 8) + 2) * 0.2 AS halfh
+      FROM supplier
+"""
+
+_Q26_SQL = f"""
+    WITH f AS ({_TK_FOOT}),
+    m AS (
+      SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+             lon - half AS minx, lat - half AS miny,
+             lon + half AS maxx, lat + half AS maxy
+      FROM f),
+    s AS (
+      SELECT image_id, minx, miny, maxx, maxy,
+             (maxx - minx) * (maxy - miny) AS area,
+             GREATEST(0.0, LEAST(maxx, -95.7) - GREATEST(minx, -106.3))
+             * GREATEST(0.0, LEAST(maxy, 40.6) - GREATEST(miny, 31.4)) AS inter
+      FROM m)
+    SELECT image_id,
+           CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END AS overlap_pct
+    FROM s
+    WHERE (minx <= -106.3 AND miny <= 31.4 AND maxx >= -95.7 AND maxy >= 40.6)
+       OR (minx >= -106.3 AND miny >= 31.4 AND maxx <= -95.7 AND maxy <= 40.6)
+       OR (CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END) >= 10.0
+"""
+
+_Q27_SQL = f"""
+    WITH f AS ({_TK_FOOT})
+    SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+           CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(LEAST(GREATEST(
+               POW(SIN(RADIANS(lat - 36.0) / 2), 2)
+               + COS(RADIANS(36.0)) * COS(RADIANS(lat))
+                 * POW(SIN(RADIANS(lon - (-98.0)) / 2), 2), 0.0), 1.0))))
+                AS BIGINT) AS dist_mi
+    FROM f ORDER BY dist_mi, image_id LIMIT 25
+"""
+
+_Q28_SQL = f"""
+    WITH f AS ({_TK_FOOT}),
+    m AS (SELECT k, lon - half AS minx, lat - half AS miny,
+                 lon + half AS maxx, lat + half AS maxy FROM f),
+    c AS ({_CAT_RECTS})
+    SELECT 'img-' || lpad(CAST(m.k AS VARCHAR), 9, '0') AS image_id,
+           'cat-' || lpad(CAST(c.s AS VARCHAR), 5, '0') AS catchment_id
+    FROM m, c
+    WHERE m.minx <= c.lonc + c.halfw AND c.lonc - c.halfw <= m.maxx
+      AND m.miny <= c.latc + c.halfh AND c.latc - c.halfh <= m.maxy
+"""
+
+_Q33_SQL = """
+    SELECT 'img-' || lpad(CAST(o_orderkey - 4 AS VARCHAR), 9, '0') AS id_a,
+           'img-' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS id_b
+    FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey > 0
+"""
+
+_Q34_SQL = f"""
+    WITH f AS ({_TK_FOOT}),
+    m AS (
+      SELECT k, lon - half AS minx, lat - half AS miny,
+             lon + half AS maxx, lat + half AS maxy,
+             CASE WHEN (CASE WHEN k % 100 = 0 AND k > 0 THEN k - 4 ELSE k END) % 3 = 0
+                  THEN 4096 ELSE 12288 END AS npx
+      FROM f),
+    c AS ({_CAT_RECTS}),
+    j AS (
+      SELECT 'cat-' || lpad(CAST(c.s AS VARCHAR), 5, '0') AS catchment_id, m.npx
+      FROM m, c
+      WHERE m.minx <= c.lonc + c.halfw AND c.lonc - c.halfw <= m.maxx
+        AND m.miny <= c.latc + c.halfh AND c.latc - c.halfh <= m.maxy)
+    SELECT catchment_id, CAST(SUM(npx) AS BIGINT) AS npixels, COUNT(*) AS n
+    FROM j GROUP BY catchment_id
+"""
+
+# q21: stopword-profile language-ID — profiles and tie rule mirror
+# hand_index_ray/pipelines/text.py LangId exactly (alphabetical lang
+# order on ties, zero hits → unknown).
+_LANGID_SQL = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), c AS (
+      SELECT doc_id,
+        len(list_filter(ws, w -> w IN ('column','key','row','table','value'))) AS de_c,
+        len(list_filter(ws, w -> w IN ('a','big','fast','slow','the'))) AS en_c,
+        len(list_filter(ws, w -> w IN ('agg','group','join','merge','sort'))) AS es_c,
+        len(list_filter(ws, w -> w IN ('batch','filter','scan','stream','window'))) AS fr_c
+      FROM tok)
+    SELECT doc_id,
+      CASE WHEN GREATEST(de_c, en_c, es_c, fr_c) = 0 THEN 'unknown'
+           WHEN de_c = GREATEST(de_c, en_c, es_c, fr_c) THEN 'de'
+           WHEN en_c = GREATEST(de_c, en_c, es_c, fr_c) THEN 'en'
+           WHEN es_c = GREATEST(de_c, en_c, es_c, fr_c) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM c
+"""
+
+# q24: brute-force exact word-3-gram Jaccard over all doc pairs — the
+# ground truth the LSH pipeline must reproduce exactly (gram definition
+# mirrors text.py _gram_hash_sets: single-space split, 3-token windows,
+# whole-token-list gram for docs shorter than 3 tokens).
+_MINHASH_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS grams
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(a.grams) + len(b.grams) AS s
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(ROUND(1000000.0 * i / (s - i)) AS BIGINT) AS j_micro
+    FROM p
+    WHERE CAST(ROUND(1000000.0 * i / (s - i)) AS BIGINT) >= 500000
+"""
+
+
+def _simhash_sql() -> str:
+    """q25: SimHash in SQL — 64 per-bit vote sums over md5_number_lower
+    word hashes (bit-identical to text.py _md5_u64), emitted as the
+    MSB-first bit string."""
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64))
+    bits = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(63, -1, -1))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, md5_number_lower(word) AS hv FROM w
+    ), v AS (
+      SELECT doc_id,
+        {votes}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash_bits FROM v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -644,6 +801,12 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens
             FROM documents
         """,
-        # q21/q24–q28: heuristic / LSH / engine-index pipelines — not
-        # SQL-expressible; the driver records rows-only checks.
+        "q21_langid": _LANGID_SQL,
+        "q24_minhash_pairs": _MINHASH_SQL,
+        "q25_simhash": _simhash_sql(),
+        "q26_roi_footprints": _Q26_SQL,
+        "q27_knn_index": _Q27_SQL,
+        "q28_zonal_pairs": _Q28_SQL,
+        "q33_tile_dups": _Q33_SQL,
+        "q34_zonal_stats": _Q34_SQL,
     }

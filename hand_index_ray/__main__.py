@@ -63,6 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="merge per-fragment files into per-cell files")
     c.add_argument("--index-dir", required=True)
 
+    sc = sub.add_parser("attach-sidecars", help="build hydrotable/raster pointer "
+                        "tables from a HAND file tree (reference load.py:206-253)")
+    sc.add_argument("--root", required=True, help="HAND tree root to list")
+    sc.add_argument("--catchments", required=True, help="catchments parquet")
+    sc.add_argument("--out-dir", required=True)
+    sc.add_argument("--calb", action="store_true",
+                    help="calibrated-tree layout: hydrotable CSVs one level under "
+                         "the root, widened branch extract (reference load.py:42,208)")
+    sc.add_argument("--schema-version", default="fim100",
+                    help="registry version to validate outputs against "
+                         "(the reference's --schema-path analog, load.py:307-311)")
+
     q = sub.add_parser("query", help="ROI query -> per-catchment parquet files "
                        "(reference query_geojson.py)")
     q.add_argument("-g", "--geojson", required=True)
@@ -134,6 +146,23 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.build import compact_index
 
         print(json.dumps(compact_index(args.index_dir, DEFAULT)))
+    elif args.cmd == "attach-sidecars":
+        import pyarrow.parquet as pq
+
+        from .pipelines.sidecar import attach_sidecars
+        from .state import schemas
+
+        out = attach_sidecars(args.root, args.catchments, out_dir=args.out_dir,
+                              calb=args.calb)
+        counts = {}
+        for name in out:
+            import os as _os
+
+            tbl = pq.read_table(_os.path.join(args.out_dir, f"{name}.parquet"))
+            schemas.validate_table(tbl, args.schema_version, name)
+            counts[name] = tbl.num_rows
+        print(json.dumps({"out_dir": args.out_dir, "calb": bool(args.calb),
+                          "schema_version": args.schema_version, "rows": counts}))
     elif args.cmd == "query":
         from .pipelines.query import (attach_attributes, roi_query_catchments,
                                       write_per_group)

@@ -26,6 +26,11 @@ class EngineConfig:
     catchment_h3_res: int = 1   # reference default (load.py:314)
     simplify_tol_m: float = 100.0  # ST_Simplify tolerance (load.py:155-156)
     overlap_threshold_pct: float = 10.0  # query default (query_geojson.py:269-275)
+    # footprint geo-referencing formula for the images table:
+    # "synth"  — the seeded splitmix64 formula (sources/synth.footprint_of)
+    # "tpch"   — the orders-key formula (sources/synth.footprint_of_tpch),
+    #            recomputable by a plain-SQL oracle over the driver's views
+    footprint_formula: str = "synth"
     # execution
     decode_batch_size: int = 256       # wide binary rows → small batches
     encode_batch_size: int = 8192
@@ -35,6 +40,9 @@ class EngineConfig:
     salt_hot_factor: float = 8.0
     salt_buckets: int = 8
     hand_version: str = "fimtest1"
+    # versioned-schema registry key (state/schemas.py — the reference's
+    # --schema-path DDL indirection, load.py:307-311)
+    schema_version: str = "fim100"
 
 
 DEFAULT = EngineConfig()

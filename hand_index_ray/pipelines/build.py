@@ -47,7 +47,16 @@ FOOTPRINT_META_COLS = [
 ]
 
 
-def list_fragments(images_dir: str) -> list[str]:
+def list_fragments(images_dir: str, filesystem=None) -> list[str]:
+    """Fragment listing; pass a ``pyarrow.fs`` handle for non-local
+    trees (ST4 filesystem passthrough — the reference's s3fs handle,
+    load.py:94; local default stays a plain listdir)."""
+    if filesystem is not None:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(images_dir, recursive=False)
+        return sorted(fi.path for fi in filesystem.get_file_info(sel)
+                      if fi.type == pafs.FileType.File and fi.path.endswith(".parquet"))
     return sorted(
         os.path.join(images_dir, f) for f in os.listdir(images_dir) if f.endswith(".parquet")
     )
@@ -87,10 +96,13 @@ def footprint_dataset(source: "str | list[str] | ray.data.Dataset",
     lo = min(cfg.encode_concurrency if isinstance(cfg.encode_concurrency, int)
              else cfg.encode_concurrency[0], max(1, cpus - 1))
     hi = max(lo, cpus - 2) if cpus > 3 else lo
+    import functools
+
+    foot_fn = functools.partial(derive_footprints, formula=cfg.footprint_formula)
     return (
         ds.map_batches(decode_images, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=cfg.decode_batch_size)
-        .map_batches(derive_footprints, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(foot_fn, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(CellEncoder, fn_constructor_args=(cfg,),
                      batch_format="pyarrow", zero_copy_batch=True,
                      # batch_size=None → batches follow upstream blocks;
@@ -111,7 +123,7 @@ def _process_fragment_table(tbl: pa.Table, fragment_id: int, cfg: EngineConfig) 
     for start in range(0, tbl.num_rows, bs):
         chunk = tbl.slice(start, bs)
         chunk = decode_images(chunk)
-        chunk = derive_footprints(chunk)
+        chunk = derive_footprints(chunk, cfg.footprint_formula)
         outs.append(enc(chunk))
     return pa.concat_tables(outs) if outs else None
 
@@ -205,6 +217,21 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     manifest = Manifest(out_dir)
     frags = list_fragments(images_dir)
     done = manifest.completed_fragments() if resume else set()
+    if resume and done:
+        # resume-lineage guard (ADVICE r1 build.py:208): fragment ids key
+        # off the sorted listing position, so a record must point at the
+        # same input path it was built from. A changed input set would
+        # silently skip never-built inputs and misattribute lineage —
+        # fail loudly instead.
+        for rec in manifest.records():
+            current = frags[rec.fragment_id] if rec.fragment_id < len(frags) else None
+            if current != rec.input_path:
+                raise ValueError(
+                    "resume mismatch: manifest fragment "
+                    f"{rec.fragment_id} was built from {rec.input_path!r} but the "
+                    f"current listing has {current!r} at that position — the input "
+                    "set changed since the last run; rebuild into a fresh out_dir "
+                    "or pass resume=False")
     todo = [{"path": p, "fragment_id": i} for i, p in enumerate(frags) if i not in done]
     skipped = len(frags) - len(todo)
     if todo:
@@ -252,7 +279,13 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     from ..kernels import s2 as s2k
 
     man = Manifest(index_dir)
-    prev_parts, covered = man.compaction()
+    prev_parts, covered, prev_gen = man.compaction_full()
+    gen = prev_gen + 1
+    all_frag_ids = {r.fragment_id for r in man.records()}
+    if prev_parts and all_frag_ids <= covered:
+        # every fragment is already covered by the live compaction —
+        # re-running would only rewrite identical files
+        return {"cells": len(prev_parts), "files_merged": 0, "skipped": True}
     recs = [r for r in man.records() if r.fragment_id not in covered]
     live: list[tuple[int, str]] = [(p.cell, p.path) for p in prev_parts]
     frag_ids: set[int] = set(covered)
@@ -293,7 +326,12 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
                               filters=expr)
                 for rel in row["paths"]])
             tbl = tbl.sort_by("s2_cell")
-            rel = os.path.join(f"cell={cell}", "compacted.parquet")
+            # generation-suffixed file name: a re-compaction NEVER
+            # overwrites files the live compaction record references —
+            # a kill mid-rewrite leaves the old generation fully intact
+            # and serving (ADVICE r1 build.py:296); gc_index collects
+            # superseded generations once the new record commits.
+            rel = os.path.join(f"cell={cell}", f"compacted-g{gen}.parquet")
             dest = os.path.join(index_dir, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
@@ -321,7 +359,7 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
                            minx=float(r["minx"]), miny=float(r["miny"]),
                            maxx=float(r["maxx"]), maxy=float(r["maxy"]))
              for r in merged.to_dict("records")]
-    man.write_compaction(parts, frag_ids)
+    man.write_compaction(parts, frag_ids, generation=gen)
     # old fragment files stay on disk until a GC pass; queries already
     # route through the compaction record
     return {"cells": len(work), "files_merged": len(files)}

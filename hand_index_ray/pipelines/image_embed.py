@@ -63,11 +63,64 @@ def embed_images(source: "str | ray.data.Dataset", grid: int = 4,
                           concurrency=pool_size(cfg.encode_concurrency))
 
 
+def exact_tile_dups(source: "str | ray.data.Dataset",
+                    cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Exact duplicate tile pairs by decoded-pixel digest.
+
+    Decode each tile once (stateless tasks), emit (image_id, md5 of the
+    raw RGB array); the one shuffle moves only those slim rows, keyed
+    on the digest; identical pixels ⇒ identical digest regardless of
+    which lossless codec stored them. Returns
+    Dataset[(id_a, id_b)] with id_a < id_b — all pairs per digest
+    group. The image-payload analog of text exact_dedup (reference A4),
+    and the driver-oracled q33 path (planted dups are SQL-derivable)."""
+    import hashlib
+
+    from .build import list_fragments
+
+    if isinstance(source, ray.data.Dataset):
+        ds = source
+    else:
+        ds = ray.data.read_parquet(list_fragments(source))
+
+    def digest(t: pa.Table) -> pa.Table:
+        bts = t.column("bytes")
+        fmts = t.column("fmt").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        out = []
+        for i in range(t.num_rows):
+            px = imk.decode(bts[i].as_buffer(), fmts[i], w=int(ws[i]), h=int(hs[i]))
+            out.append(hashlib.md5(px.tobytes()).hexdigest())
+        return pa.table({"image_id": t.column("image_id"),
+                         "pxd": pa.array(out, pa.string())})
+
+    slim = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size)
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = sorted(g["image_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    from ..relational import grouped_apply_bucketed
+
+    return grouped_apply_bucketed(slim, ["pxd"], pairs)
+
+
 def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.9999,
                     cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
     """Near-duplicate tile pairs by embedding cosine (LSH buckets +
     exact verify) — the image-payload analog of document dedup.
-    Returns (id_a, id_b, sim) with string tile ids."""
+    Returns Dataset[(id_a, id_b, sim)] with string tile ids (streamed;
+    the pair set never lands on the driver)."""
     from .ann import dup_pairs
 
     emb = embed_images(source, cfg=cfg)
@@ -81,6 +134,11 @@ def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.9999,
 
     with_ids = emb.map_batches(add_int_id, batch_format="pyarrow")
     pairs = dup_pairs(with_ids, threshold=threshold)
-    pairs["id_a"] = pairs["id_a"].map(lambda i: f"img-{i:09d}")
-    pairs["id_b"] = pairs["id_b"].map(lambda i: f"img-{i:09d}")
-    return pairs
+
+    def to_tile_ids(t: pa.Table) -> pa.Table:
+        a = [f"img-{int(i):09d}" for i in t.column("id_a").to_pylist()]
+        b = [f"img-{int(i):09d}" for i in t.column("id_b").to_pylist()]
+        out = t.set_column(t.schema.get_field_index("id_a"), "id_a", pa.array(a, pa.string()))
+        return out.set_column(out.schema.get_field_index("id_b"), "id_b", pa.array(b, pa.string()))
+
+    return pairs.map_batches(to_tile_ids, batch_format="pyarrow")

@@ -82,6 +82,7 @@ class RoiMatcher:
     def __init__(self, roi_ref, threshold_pct: float):
         roi_blob = ray.get(roi_ref)
         self.roi = geom.PreparedPolygon(wkb.decode([roi_blob]))
+        self.rect = geom.axis_rect(self.roi)  # exact fast path for bbox ROIs
         self.threshold = threshold_pct
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -89,7 +90,10 @@ class RoiMatcher:
         miny = t.column("miny").to_numpy()
         maxx = t.column("maxx").to_numpy()
         maxy = t.column("maxy").to_numpy()
-        rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, self.roi)
+        if self.rect is not None:
+            rel = geom.rects_vs_rect(minx, miny, maxx, maxy, *self.rect)
+        else:
+            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, self.roi)
         areas = (maxx - minx) * (maxy - miny)
         pct = geom.overlap_stats(areas, rel["inter_area"])
         keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
@@ -238,8 +242,9 @@ def roi_query_catchments(catchments_path: str, roi_ring_lonlat: np.ndarray,
                     continue
                 hit[i] = True
                 areas[i] = garea[i]
-                # clip side must be convex → catchment parts are convex
-                inter[i] = geom.clip_area(self.roi, 0, rag, int(i))
+                # general polygon intersection: concave/holed catchments
+                # are handled exactly (ear-triangulated clip rings)
+                inter[i] = geom.clip_area_general(self.roi, 0, rag, int(i))
                 contains[i] = geom.geom_contains(rag, int(i), self.roi, 0)
                 within[i] = geom.geom_contains(self.roi, 0, rag, int(i))
             pct = geom.overlap_stats(areas, inter)
@@ -294,7 +299,15 @@ def attach_attributes(kept_ids: list[str], vector_dir: str) -> pa.Table:
         ds = ray.data.read_parquet(os.path.join(vector_dir, f"{name}.parquet"))
         refs = ds.map_batches(semi, batch_format="pyarrow",
                               zero_copy_batch=True).to_arrow_refs()
-        return pa.concat_tables([ray.get(r) for r in refs])
+        tbls = [ray.get(r) for r in refs]
+        nonempty = [t for t in tbls if t.num_rows > 0]
+        if nonempty:
+            return pa.concat_tables(nonempty)
+        with_cols = [t for t in tbls if t.num_columns > 0]
+        if with_cols:
+            return with_cols[0]
+        # degenerate: no blocks carried the schema — read it off disk
+        return pq.read_table(os.path.join(vector_dir, f"{name}.parquet")).slice(0, 0)
 
     base = pa.table({"catchment_id": ids})
     hydro = load("hydrotables")
@@ -367,11 +380,23 @@ def hex_cell_stats(index_dir: str, res: int,
     return grouped_agg(ds, [col])
 
 
-def write_single_file(ds: ray.data.Dataset, path: str) -> str:
+def write_single_file(ds: ray.data.Dataset, path: str,
+                      schema: "pa.Schema | None" = None) -> str:
     """Single-file parquet sink for small sidecar tables (reference S7,
     ``COPY {table} TO '{file}.parquet'`` load.py:289-299). Only for
-    tables known to be small — large tables use the partitioned sink."""
-    tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    tables known to be small — large tables use the partitioned sink.
+    ``schema`` keeps an all-empty result well-typed (groupby stages
+    emit schemaless empty blocks)."""
+    tbls = [ray.get(r) for r in ds.to_arrow_refs()]
+    # groupby/aggregate stages can emit schemaless empty blocks — drop
+    # them (they carry no rows and would fail the concat schema check)
+    nonempty = [t for t in tbls if t.num_rows > 0]
+    if nonempty:
+        tbl = pa.concat_tables(nonempty)
+    else:
+        with_cols = [t for t in tbls if t.num_columns > 0]
+        tbl = (with_cols[0] if with_cols
+               else (schema.empty_table() if schema is not None else pa.table({})))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     pq.write_table(tbl, path)
     return path
@@ -422,67 +447,111 @@ def _haversine_m(lon1, lat1, lon2, lat2):
     return 2 * R * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
 
 
+_KNN_COLS = ["image_id", "centroid_lon", "centroid_lat"]
+
+
+def _knn_score(t: pa.Table, lon: float, lat: float) -> pd.DataFrame:
+    df = t.to_pandas()
+    d = _haversine_m(lon, lat, t.column("centroid_lon").to_numpy(),
+                     t.column("centroid_lat").to_numpy())
+    df["dist_m"] = d
+    df["dist_mi"] = np.round(d).astype(np.int64)  # whole-meter key: dtype-
+    # portable across engines (an SQL oracle's libm may differ by an ulp)
+    return df
+
+
+def _knn_topk(pool: pd.DataFrame, k: int) -> pd.DataFrame:
+    # total order (rounded meters, id) — deterministic and identical to
+    # the oracle's ORDER BY dist_mi, image_id
+    return pool.sort_values(["dist_mi", "image_id"], kind="stable").head(k)
+
+
 def knn_query(index_dir: str, lon: float, lat: float, k: int,
-              cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
+              cfg: EngineConfig = DEFAULT,
+              stats: dict | None = None) -> pd.DataFrame:
     """k nearest footprints (centroid great-circle distance) to a point.
 
     Fast path: BFS ring expansion over S2 partition cells from the
     query cell (north rule "kNN nearest-tile search via cell-ring
-    expansion") — each ring only opens the partition files the manifest
-    lists for those cells. Correctness arbiter: after ≥k candidates are
-    found with k-th distance d, one final exact-conservative bbox fetch
-    with radius d guarantees no nearer tile was missed (manifest stats
-    pruning never drops a candidate). Final ordering via sort + head
-    (O3)."""
+    expansion"). Every partition file is opened AT MOST ONCE: each ring
+    reads only files not yet seen and folds them into a running top-k
+    pool (the prior r1 version re-read all accumulated files per ring —
+    O(r²) amplification). Correctness arbiter: once ≥k candidates
+    exist with k-th rounded distance m_k, one conservative bbox fetch
+    at radius m_k+1 m — dlon uses the MINIMUM cos(lat) over the whole
+    [lat−dlat, lat+dlat] band, so the fetch can't miss poleward
+    candidates at any radius — reads only still-unseen files. Sparse-
+    region fallback is a DISTRIBUTED scan (map_batches local top-k +
+    tiny driver merge), never a driver-side full read.
+
+    ``stats`` (optional) collects {"files_opened": [...], "rings": n}
+    for read-amplification tests."""
     man = Manifest(index_dir)
     level = cfg.part_level
     start = s2.lonlat_to_cell(np.array([lon]), np.array([lat]), level)
     seen_cells: set[int] = set()
+    seen_files: set[str] = set()
+    opened: list[str] = []
+    # typed empty seed — an untyped (object) dist_mi column would make
+    # the running top-k sort LEXICOGRAPHIC after the first concat
+    pool = pd.DataFrame({"image_id": pd.Series([], dtype=object),
+                         "centroid_lon": pd.Series([], dtype=np.float64),
+                         "centroid_lat": pd.Series([], dtype=np.float64),
+                         "dist_m": pd.Series([], dtype=np.float64),
+                         "dist_mi": pd.Series([], dtype=np.int64)})
     frontier = start.astype(np.uint64)
-    cand_files: list[str] = []
-    best: pd.DataFrame | None = None
+    rings = 0
     while True:
         new_cells = {int(c) for c in frontier} - seen_cells
         if not new_cells:
-            break  # BFS covered the sphere
+            pool = pd.DataFrame(columns=pool.columns) if pool.empty else pool
+            break  # BFS covered the sphere without k candidates
+        rings += 1
         seen_cells |= new_cells
-        files = man.files_for_cells(index_dir, new_cells)
-        new_files = [f for f in files if f not in cand_files]
-        cand_files.extend(new_files)
-        if cand_files:
-            t = pq.read_table(cand_files, columns=["image_id", "centroid_lon", "centroid_lat"])
-            d = _haversine_m(lon, lat, t.column("centroid_lon").to_numpy(),
-                             t.column("centroid_lat").to_numpy())
-            df = t.to_pandas()
-            df["dist_m"] = d
-            if len(df) >= k:
-                best = df.sort_values(["dist_m", "image_id"]).head(k)
-                break
+        new_files = [f for f in man.files_for_cells(index_dir, new_cells)
+                     if f not in seen_files]
+        if new_files:
+            seen_files.update(new_files)
+            opened.extend(new_files)
+            t = pq.read_table(new_files, columns=_KNN_COLS)
+            pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
+                                       ignore_index=True), k)
+        if len(pool) >= k:
+            break
         frontier = np.unique(s2.neighbors(np.array(sorted(seen_cells), dtype=np.uint64), level))
-    if best is None:
-        # sparse region: fall back to scanning everything
-        allf = man.all_files(index_dir)
-        if not allf:
-            return pd.DataFrame(columns=["image_id", "centroid_lon", "centroid_lat", "dist_m"])
-        t = pq.read_table(allf, columns=["image_id", "centroid_lon", "centroid_lat"])
-        df = t.to_pandas()
-        df["dist_m"] = _haversine_m(lon, lat, df["centroid_lon"].to_numpy(),
-                                    df["centroid_lat"].to_numpy())
-        return df.sort_values(["dist_m", "image_id"]).head(k).reset_index(drop=True)
-    # exactness guard: conservative bbox fetch at radius = kth distance
-    dk = float(best["dist_m"].iloc[-1])
+    if len(pool) < k:
+        # sparse region: distributed scan over everything not yet read
+        rest = [f for f in man.all_files(index_dir) if f not in seen_files]
+        if rest:
+            opened.extend(rest)
+            ds = ray.data.read_parquet(rest, columns=_KNN_COLS)
+
+            def local_topk(t: pa.Table) -> pa.Table:
+                df = _knn_topk(_knn_score(t, lon, lat), k)
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+            pool = _knn_topk(pd.concat([pool, parts], ignore_index=True), k)
+        if stats is not None:
+            stats.update({"files_opened": opened, "rings": rings})
+        return pool.reset_index(drop=True)
+    # exactness guard: conservative bbox fetch at radius kth-dist + 1 m
+    dk = float(pool["dist_mi"].iloc[-1]) + 1.0
     dlat = dk / 110574.0 * 1.01 + 1e-9
-    dlon = dk / (111320.0 * max(np.cos(np.deg2rad(lat)), 0.01)) * 1.01 + 1e-9
+    band = np.deg2rad(np.array([abs(lat) + dlat, 89.0]))
+    min_cos = max(float(np.cos(band.min())) if abs(lat) + dlat < 89.0 else 0.01, 0.01)
+    dlon = dk / (111320.0 * min_cos) * 1.01 + 1e-9
     verify = man.files_for_bbox(index_dir, lon - dlon, lat - dlat, lon + dlon, lat + dlat)
-    extra = [f for f in verify if f not in cand_files]
+    extra = [f for f in verify if f not in seen_files]
     if extra:
-        t = pq.read_table(cand_files + extra,
-                          columns=["image_id", "centroid_lon", "centroid_lat"])
-        df = t.to_pandas()
-        df["dist_m"] = _haversine_m(lon, lat, df["centroid_lon"].to_numpy(),
-                                    df["centroid_lat"].to_numpy())
-        best = df.sort_values(["dist_m", "image_id"]).head(k)
-    return best.reset_index(drop=True)
+        seen_files.update(extra)
+        opened.extend(extra)
+        t = pq.read_table(extra, columns=_KNN_COLS)
+        pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
+                                   ignore_index=True), k)
+    if stats is not None:
+        stats.update({"files_opened": opened, "rings": rings})
+    return pool.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -762,3 +831,31 @@ def zonal_stats(index_dir: str, catchments_path: str,
         joined = hash_join(pairs, feats, "image_id", how="inner")
     return grouped_agg(joined.select_columns(["catchment_id", "pixel_milli"]),
                        ["catchment_id"], sum_cols=["pixel_milli"])
+
+
+def zonal_tile_stats(index_dir: str, catchments_path: str,
+                     cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-zone tile count + total pixel count (SUM(w·h)) over the
+    zonal join — the SQL-expressible variant of ``zonal_stats`` (w and
+    h are catalog columns, so a DuckDB oracle recomputes the aggregate
+    exactly; pixel_milli needs decoded pixels and gets the weaker
+    rows-only check). Same adaptive broadcast-vs-hash join shape."""
+    from ..relational import broadcast_join, grouped_agg, hash_join
+
+    pairs = zonal_join(index_dir, catchments_path, cfg)
+    man = Manifest(index_dir)
+    feats = ray.data.read_parquet(man.all_files(index_dir),
+                                  columns=["image_id", "w", "h"])
+
+    def to_px(t: pa.Table) -> pa.Table:
+        px = pc.multiply(pc.cast(t["w"], pa.int64()), pc.cast(t["h"], pa.int64()))
+        return pa.table({"image_id": t["image_id"], "npixels": px})
+
+    feats = feats.map_batches(to_px, batch_format="pyarrow")
+    if man.total_rows() <= 2_000_000:
+        feat_tbl = pa.concat_tables([ray.get(r) for r in feats.to_arrow_refs()])
+        joined = broadcast_join(pairs, feat_tbl, keys="image_id")
+    else:
+        joined = hash_join(pairs, feats, "image_id", how="inner")
+    return grouped_agg(joined.select_columns(["catchment_id", "npixels"]),
+                       ["catchment_id"], sum_cols=["npixels"])

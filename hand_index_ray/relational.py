@@ -50,10 +50,12 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
     def partial(t: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sum_cols] + [(c, "min") for c in min_cols] + [(c, "max") for c in max_cols]
         if count:
-            aggs.append((keys[0], "count"))
+            # count_all, not count(key): rows with a null key must report
+            # their true COUNT(*) (ADVICE r1 relational.py:53)
+            aggs.append(([], "count_all"))
         g = t.group_by(keys).aggregate(aggs)
         names = list(g.column_names)
-        # normalize partial names: col_sum → col, key_count → __cnt
+        # normalize partial names: col_sum → col, count_all → __cnt
         ren = {}
         for c in sum_cols:
             ren[f"{c}_sum"] = c
@@ -62,7 +64,7 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
         for c in max_cols:
             ren[f"{c}_max"] = f"__max_{c}"
         if count:
-            ren[f"{keys[0]}_count"] = "__cnt"
+            ren["count_all"] = "__cnt"
         return g.rename_columns([ren.get(n, n) for n in names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

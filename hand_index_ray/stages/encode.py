@@ -63,16 +63,18 @@ def decode_images(batch: pa.Table) -> pa.Table:
     return out
 
 
-def derive_footprints(batch: pa.Table) -> pa.Table:
+def derive_footprints(batch: pa.Table, formula: str = "synth") -> pa.Table:
     """Attach the tile footprint (EPSG:4326 bbox + centroid) from the
-    documented deterministic geo-referencing formula (FIXTURES.md F1).
+    configured deterministic geo-referencing formula (FIXTURES.md F1;
+    ``formula="tpch"`` selects the SQL-oracle-recomputable variant).
 
     Vectorized: image ids are parsed to row indices with Arrow string
     kernels, the footprint math is pure numpy.
     """
     ids = pc.utf8_slice_codeunits(batch.column("image_id"), 4, 99)
     idx = pc.cast(ids, pa.int64()).to_numpy()
-    minx, miny, maxx, maxy, clon, clat = synth.footprint_of(idx)
+    fp_fn = synth.footprint_of_tpch if formula == "tpch" else synth.footprint_of
+    minx, miny, maxx, maxy, clon, clat = fp_fn(idx)
     cols = {
         "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
         "centroid_lon": clon, "centroid_lat": clat,

@@ -112,11 +112,14 @@ class Manifest:
     # ---- compaction ---------------------------------------------------------
 
     def write_compaction(self, partitions: list[PartitionStat],
-                         covered_fragments: set[int]) -> None:
-        """Atomic: record the merged per-cell files + covered fragments."""
+                         covered_fragments: set[int],
+                         generation: int = 1) -> None:
+        """Atomic: record the merged per-cell files + covered fragments
+        + the generation whose suffixed file names this record owns."""
         payload = {
             "covered_fragments": sorted(covered_fragments),
             "partitions": [asdict(p) for p in partitions],
+            "generation": generation,
         }
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
@@ -130,13 +133,18 @@ class Manifest:
                 os.unlink(tmp)
 
     def compaction(self) -> tuple[list[PartitionStat], set[int]]:
+        parts, covered, _gen = self.compaction_full()
+        return parts, covered
+
+    def compaction_full(self) -> tuple[list[PartitionStat], set[int], int]:
         path = os.path.join(self.dir, self.COMPACTION)
         if not os.path.exists(path):
-            return [], set()
+            return [], set(), 0
         with open(path) as f:
             d = json.load(f)
         return ([PartitionStat(**p) for p in d["partitions"]],
-                set(d["covered_fragments"]))
+                set(d["covered_fragments"]),
+                int(d.get("generation", 1)))
 
     def _live_partitions(self) -> list[PartitionStat]:
         """Compacted files + partitions of fragments not yet compacted."""

@@ -32,7 +32,7 @@ def test_compaction_reduces_files_same_rows(compacted):
     man = Manifest(compacted["dir"])
     after_files = man.all_files(compacted["dir"])
     assert len(after_files) < len(compacted["before_files"])
-    assert all(f.endswith("compacted.parquet") for f in after_files)
+    assert all("compacted-g" in os.path.basename(f) for f in after_files)
     after = pq.read_table(after_files).to_pandas()
     assert len(after) == len(compacted["before_rows"])
     assert set(after["image_id"]) == set(compacted["before_rows"]["image_id"])
@@ -53,7 +53,8 @@ def test_queries_identical_after_compaction(compacted, smoke_dirs):
     from hand_index_ray.pipelines.query import _haversine_m
 
     d = _haversine_m(-98.0, 36.0, f["centroid_lon"].to_numpy(), f["centroid_lat"].to_numpy())
-    expect = f.assign(dist_m=d).sort_values(["dist_m", "image_id"]).head(10)
+    expect = f.assign(dist_mi=np.round(d).astype(np.int64)) \
+        .sort_values(["dist_mi", "image_id"]).head(10)
     assert list(out["image_id"]) == list(expect["image_id"])
 
 
@@ -86,10 +87,55 @@ def test_recompaction_after_new_fragments(ray_session, tmp_path):
     man = Manifest(idx)
     live = man.all_files(idx)
     assert any("frag-000002" in f for f in live)
-    assert any(f.endswith("compacted.parquet") for f in live)
+    assert any("compacted-g1" in f for f in live)
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in live) == 150
     stats2 = compact_index(idx, CFG)
     assert stats2["cells"] >= 1
     live2 = Manifest(idx).all_files(idx)
-    assert all(f.endswith("compacted.parquet") for f in live2)
+    # generation bump: the re-compaction wrote NEW g2 files — the g1
+    # files the prior record references were never overwritten, so a
+    # kill mid-rewrite leaves the old generation serving (ADVICE r1)
+    assert all("compacted-g2" in os.path.basename(f) for f in live2)
+    for f in live:
+        if "compacted-g1" in f:
+            assert os.path.exists(f)  # still intact until gc
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in live2) == 150
+    from hand_index_ray.pipelines.build import gc_index
+
+    removed = gc_index(idx)
+    assert removed["files_removed"] >= 1  # g1 generation collected
+    assert all(os.path.exists(f) for f in live2)
+
+
+def test_resume_raises_on_changed_input_listing(ray_session, tmp_path):
+    """ADVICE r1 build.py:208: resume keys on listing position — if the
+    input set changes so positions shift, fail loudly instead of
+    silently skipping never-built inputs."""
+    from hand_index_ray.pipelines.build import build_index
+
+    images = str(tmp_path / "images")
+    idx = str(tmp_path / "index")
+    synth.write_images(images, n=60, fragments=2)
+    build_index(images, idx, CFG)
+    # a file whose name sorts BEFORE the existing fragments shifts ids
+    src = os.path.join(images, "frag-00000.parquet")
+    os.rename(src, os.path.join(images, "aaa-frag.parquet"))
+    with pytest.raises(ValueError, match="resume mismatch"):
+        build_index(images, idx, CFG)
+
+
+def test_grouped_agg_counts_null_keys(ray_session):
+    """ADVICE r1 relational.py:53: COUNT(*) not COUNT(key) — null-key
+    groups must report their true row count."""
+    import pyarrow as pa
+    import ray.data
+
+    from hand_index_ray.relational import grouped_agg
+
+    t = pa.table({"k": pa.array(["a", "a", None, None, None], pa.string()),
+                  "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = grouped_agg(ray.data.from_arrow(t), ["k"], sum_cols=["v"]).to_pandas()
+    out = out.set_index("k")
+    assert out.loc["a", "n"] == 2 and out.loc["a", "v"] == 3
+    null_row = out[out.index.isnull()]
+    assert null_row["n"].iloc[0] == 3 and null_row["v"].iloc[0] == 12

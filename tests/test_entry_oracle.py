@@ -97,22 +97,7 @@ def test_query_vs_oracle(entry_mod, con, name):
                 got[c].astype(str).equals(truth[c].astype(str)), f"{name}.{c}"
 
 
-def test_rows_only_queries_run(entry_mod):
-    qs = entry_mod.queries()
-    oracles = set(entry_mod.oracle_sql())
-    for name, fn in qs.items():
-        if name in oracles:
-            continue
-        if name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs",
-                    "q33_tile_dups", "q34_zonal_stats"):
-            continue  # exercised in test_entry_engine.py (need index build)
-        df = _to_df(fn(SF_DIR))
-        assert df is not None and len(df.columns) >= 1, name
-
-
-def test_engine_index_queries(entry_mod):
-    for name in ("q26_roi_footprints", "q27_knn_index", "q28_zonal_pairs",
-                 "q33_tile_dups", "q34_zonal_stats"):
-        df = _to_df(entry_mod.queries()[name](SF_DIR))
-        assert df is not None
-        assert len(df) >= 0
+def test_every_query_has_an_oracle(entry_mod):
+    """Driver-coverage invariant: zero no_oracle rows — every queries()
+    entry ships a DuckDB oracle (VERDICT r1 item 2)."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())

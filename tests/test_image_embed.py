@@ -45,7 +45,7 @@ def test_embed_images_and_duplicate_tiles(ray_session, smoke_dirs):
     emb = embed_images(smoke_dirs["images"], cfg=cfg).to_pandas()
     assert len(emb) == 400
     assert all(len(v) == 48 for v in emb["embedding"])  # 4*4*3
-    pairs = duplicate_tiles(smoke_dirs["images"], threshold=0.9999, cfg=cfg)
+    pairs = duplicate_tiles(smoke_dirs["images"], threshold=0.9999, cfg=cfg).to_pandas()
     # the fixture plants ~1% duplicated-pixel rows (synth.DUP_FRAC):
     # each duplicate row i reuses row i-1's pixels → adjacent-id pairs
     assert len(pairs) >= 1

@@ -161,11 +161,16 @@ def test_knn_exact(index_dir, all_footprints):
     f = all_footprints
     for (lon, lat) in synth.knn_queries():
         for k in (1, 10, 100):
-            got = knn_query(index_dir, lon, lat, k, CFG)
+            stats = {}
+            got = knn_query(index_dir, lon, lat, k, CFG, stats=stats)
             d = _haversine_m(lon, lat, f["centroid_lon"].to_numpy(),
                              f["centroid_lat"].to_numpy())
-            truth = f.assign(dist_m=d).sort_values(["dist_m", "image_id"]).head(k)
+            truth = f.assign(dist_mi=np.round(d).astype(np.int64)) \
+                .sort_values(["dist_mi", "image_id"]).head(k)
             assert list(got["image_id"]) == list(truth["image_id"]), (lon, lat, k)
+            # read-amplification guard: every index file opened at most once
+            opened = stats["files_opened"]
+            assert len(opened) == len(set(opened)), (lon, lat, k)
 
 
 def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs, all_footprints):

@@ -1,0 +1,57 @@
+"""Versioned schema registry (§2.10 --schema-path analog)."""
+
+import pyarrow as pa
+import pytest
+
+from hand_index_ray.state import schemas
+
+
+def test_fim100_tables_match_reference_ddl():
+    cat = schemas.get_schema("fim100", "catchments")
+    assert [f.name for f in cat] == [
+        "catchment_id", "hand_version_id", "geometry", "h3_index", "branch_path"]
+    assert cat.field("geometry").type == pa.binary()  # BLOB, …sql:8
+    assert [f.name for f in schemas.get_schema("fim100", "hydrotables")] == [
+        "catchment_id", "csv_path"]
+
+
+def test_validate_passes_and_diffs():
+    t = pa.table({"catchment_id": pa.array(["a"], pa.string()),
+                  "csv_path": pa.array(["p"], pa.string()),
+                  "extra": pa.array([1], pa.int64())})
+    schemas.validate_table(t, "fim100", "hydrotables")  # extra tolerated
+    with pytest.raises(ValueError, match="unexpected columns"):
+        schemas.validate_table(t, "fim100", "hydrotables", allow_extra=False)
+    bad = pa.table({"catchment_id": pa.array([1], pa.int64()),
+                    "csv_path": pa.array(["p"], pa.string())})
+    with pytest.raises(ValueError, match="expected string, got int64"):
+        schemas.validate_table(bad, "fim100", "hydrotables")
+    with pytest.raises(ValueError, match="missing column"):
+        schemas.validate_table(t.select(["extra"]), "fim100", "hydrotables")
+
+
+def test_register_new_version_side_by_side():
+    name = "test-v99"
+    if name not in schemas.versions():
+        schemas.register(name, {"catchments": pa.schema([("id", pa.string())])})
+    assert name in schemas.versions()
+    with pytest.raises(ValueError, match="already registered"):
+        schemas.register(name, {})
+    with pytest.raises(KeyError, match="unknown schema version"):
+        schemas.get_schema("nope", "catchments")
+
+
+def test_list_fragments_filesystem_passthrough(tmp_path):
+    import os
+
+    from pyarrow import fs as pafs
+
+    from hand_index_ray.pipelines.build import list_fragments
+
+    d = str(tmp_path / "frags")
+    os.makedirs(d)
+    open(os.path.join(d, "frag-0.parquet"), "w").write("x")
+    open(os.path.join(d, "notes.txt"), "w").write("x")
+    local = list_fragments(d)
+    via_fs = list_fragments(d, filesystem=pafs.LocalFileSystem())
+    assert local == via_fs == [os.path.join(d, "frag-0.parquet")]

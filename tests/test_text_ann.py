@@ -48,7 +48,7 @@ def test_exact_dedup(docs_ds):
 def test_minhash_lsh_finds_near_dups(docs_ds):
     from hand_index_ray.pipelines.text import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5)
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (100, 101) in got          # exact dup: jaccard 1.0
     assert (100, 102) in got or (101, 102) in got  # near dup found
@@ -111,7 +111,7 @@ def test_lsh_dup_pairs_vs_exact(emb_ds):
     from hand_index_ray.pipelines.ann import dup_pairs, dup_pairs_exact
 
     exact = dup_pairs_exact(emb_ds, threshold=0.95, max_ids=300)
-    lsh = dup_pairs(emb_ds, threshold=0.95)
+    lsh = dup_pairs(emb_ds, threshold=0.95).to_pandas()
     e = set(zip(exact["id_a"], exact["id_b"]))
     l = set(zip(lsh["id_a"], lsh["id_b"]))
     assert (10, 250) in e and (10, 251) in e and (250, 251) in e
@@ -133,15 +133,39 @@ def test_ivf_topk_finds_near_neighbors(emb_ds):
 
 
 def test_langid_actor(ray_session):
+    """Stopword-profile LangId: deterministic argmax over the vocab
+    profiles, alphabetical tie-break, zero hits → unknown."""
     import ray.data
 
     from hand_index_ray.pipelines.text import LangId
 
     ds = ray.data.from_items([
-        {"doc_id": 0, "text": "the cat and the dog of the house is big"},
-        {"doc_id": 1, "text": "der hund und die katze ist das tier"},
-        {"doc_id": 2, "text": "le chat et la maison est les animaux"},
+        {"doc_id": 0, "text": "the big fast cat is slow"},          # en words
+        {"doc_id": 1, "text": "table row column key value"},        # de profile
+        {"doc_id": 2, "text": "join merge group agg sort"},         # es profile
+        {"doc_id": 3, "text": "zzz qqq www"},                       # no hits
+        {"doc_id": 4, "text": "the table"},                         # tie → de (alphabetical)
     ])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
     got = dict(zip(out["doc_id"], out["lang_pred"]))
-    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[0] == "en" and got[1] == "de" and got[2] == "es"
+    assert got[3] == "unknown" and got[4] == "de"
+
+
+def test_trigram_langid_real_languages(ray_session):
+    """Character-trigram LangId with real language profiles classifies
+    short real-language samples (none of which appear verbatim in the
+    seed texts)."""
+    import ray.data
+
+    from hand_index_ray.pipelines.text import TrigramLangId
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "the people write many words that they read over there"},
+        {"doc_id": 1, "text": "die hunde springen über den braunen zaun und schreiben wörter"},
+        {"doc_id": 2, "text": "les gens écrivent beaucoup de mots de la langue par dessus"},
+        {"doc_id": 3, "text": "la gente escribe muchas palabras sobre la lengua española"},
+    ])
+    out = ds.map_batches(TrigramLangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    got = dict(zip(out["doc_id"], out["lang_pred"]))
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
