@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("-g", "--geojson", required=True)
     v.add_argument("-p", "--catchments", required=True)
     v.add_argument("-t", "--threshold", type=float, default=10.0)
+    v.add_argument("-o", "--geojson-out", default=None,
+                   help="also write the query/intersecting/kept sets as one "
+                        "GeoJSON FeatureCollection (the reference's folium "
+                        "overlay, viz:178-472, as a portable artifact)")
 
     bb = sub.add_parser("bbox", help="bbox scan over the footprint index")
     bb.add_argument("--index-dir", required=True)
@@ -177,12 +181,15 @@ def main(argv: list[str] | None = None) -> int:
         paths = write_per_group(attrs, args.outdir)
         print(json.dumps({"kept_catchments": len(ids), "files": len(paths)}))
     elif args.cmd == "validate":
-        from .pipelines.query import validate_roi
+        from .pipelines.query import export_validation_geojson, validate_roi
         from .sources.geojson import roi_ring_from_geojson
 
-        out = validate_roi(args.catchments, roi_ring_from_geojson(args.geojson),
-                           args.threshold)
+        ring = roi_ring_from_geojson(args.geojson)
+        out = validate_roi(args.catchments, ring, args.threshold)
         out.pop("kept_ids")
+        if args.geojson_out:
+            out["geojson"] = export_validation_geojson(
+                args.catchments, ring, args.geojson_out, args.threshold)
         print(json.dumps(out))
     elif args.cmd == "bbox":
         from .pipelines.query import bbox_scan

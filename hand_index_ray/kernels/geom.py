@@ -702,6 +702,119 @@ def keep_mask(contains_q: np.ndarray, within_q: np.ndarray, overlap_pct: np.ndar
 
 
 # ---------------------------------------------------------------------------
+# dissolve union (reference ST_Union_Agg, load.py:153)
+
+
+def dissolve_union(r: Ragged, grid: float = 1e-6) -> Ragged:
+    """Dissolve shared boundaries across ALL parts of all geometries —
+    the mesh-union case ``ST_Union_Agg`` (reference load.py:153) is used
+    for: HAND catchments tessellate a branch, so interior boundaries
+    appear as coincident opposite-direction edges. Cancel those edge
+    pairs and stitch the survivors back into rings; shells/holes are
+    re-derived from ring orientation + containment.
+
+    Exact for tessellated inputs (edges coincide vertex-for-vertex
+    after snapping to ``grid``). Parts that overlap WITHOUT sharing
+    boundary edges are left as separate parts (collected, not merged) —
+    the r1 behavior, now only for the inputs where it is already the
+    correct union (disjoint parts). Regions meeting only at a single
+    point may stitch through the shared vertex in an arbitrary order
+    (ring split differs, enclosed area identical). Snapping tolerance
+    ``grid`` is in coordinate units (EPSG:5070 meters → 1e-6 m
+    default)."""
+    from .wkb import from_parts
+
+    def key(p) -> tuple[int, int]:
+        return (int(round(p[0] / grid)), int(round(p[1] / grid)))
+
+    # collect directed edges of every ring (shells CCW, holes CW → a
+    # shared interior boundary shows up in both directions and cancels)
+    edges: dict[tuple, int] = {}
+    pts: dict[tuple[int, int], np.ndarray] = {}
+    nrings = len(r.ring_coord_off) - 1
+    is_shell = np.zeros(nrings, dtype=bool)
+    is_shell[r.part_ring_off[:-1][r.part_ring_off[:-1] < nrings]] = True
+    for ri in range(nrings):
+        c0, c1 = r.ring_coord_off[ri], r.ring_coord_off[ri + 1]
+        ring = _open_ring(r.coords[c0:c1])
+        if len(ring) < 3:
+            continue
+        # normalize: shells CCW, holes CW
+        x, y = ring[:, 0], ring[:, 1]
+        ccw = (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) > 0
+        if ccw != bool(is_shell[ri]):
+            ring = ring[::-1]
+        ks = [key(p) for p in ring]
+        for i, k in enumerate(ks):
+            pts.setdefault(k, ring[i])
+        for i in range(len(ks)):
+            a, b = ks[i], ks[(i + 1) % len(ks)]
+            if a == b:
+                continue
+            if edges.get((b, a), 0) > 0:
+                edges[(b, a)] -= 1  # cancel against the reverse edge
+                if edges[(b, a)] == 0:
+                    del edges[(b, a)]
+            else:
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+
+    # stitch surviving directed edges into rings
+    nxt: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for (a, b), cnt in edges.items():
+        for _ in range(cnt):
+            nxt.setdefault(a, []).append(b)
+    rings_out: list[np.ndarray] = []
+    while nxt:
+        start = next(iter(nxt))
+        path = [start]
+        cur = start
+        closed = False
+        while True:
+            outs = nxt.get(cur)
+            if not outs:
+                break  # dangling chain (degenerate input) — drop the walk
+            step = outs.pop()
+            if not outs:
+                del nxt[cur]
+            cur = step
+            if cur == start:
+                closed = True
+                break
+            path.append(cur)
+        if closed and len(path) >= 3:
+            ring = np.array([pts[k] for k in path])
+            rings_out.append(np.vstack([ring, ring[:1]]))
+
+    if not rings_out:
+        return Ragged(
+            coords=np.empty((0, 2)), ring_coord_off=np.array([0], np.int64),
+            part_ring_off=np.array([0], np.int64), geom_part_off=np.array([0, 0], np.int64))
+
+    # classify: CCW → shell, CW → hole; assign each hole to the shell
+    # containing its first vertex
+    shells, holes = [], []
+    for ring in rings_out:
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        a2 = np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+        (shells if a2 > 0 else holes).append(ring)
+    parts = [[s] for s in shells]
+    for h in holes:
+        placed = False
+        for part in parts:
+            shell = part[0]
+            sr = Ragged(coords=shell, ring_coord_off=np.array([0, len(shell)], np.int64),
+                        part_ring_off=np.array([0, 1], np.int64),
+                        geom_part_off=np.array([0, 1], np.int64))
+            if points_in_geom(h[:1, 0], h[:1, 1], sr)[0]:
+                part.append(h)
+                placed = True
+                break
+        if not placed:  # orphan hole from degenerate input: drop
+            continue
+    return from_parts([parts])
+
+
+# ---------------------------------------------------------------------------
 # simplification
 
 

@@ -138,10 +138,13 @@ class FragmentBuilder:
     write the atomic manifest record LAST (completion marker).
     """
 
-    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT):
+    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT, filesystem=None):
         self.out_dir = out_dir
         self.cfg = cfg
         self.manifest_dir = os.path.join(out_dir, "_manifest")
+        # pyarrow.fs handle for non-local INPUT trees (ST4); pickles
+        # with the task, reconstructed per worker
+        self.filesystem = filesystem
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # one Arrow thread per task: Ray already runs num_cpus tasks in
@@ -153,7 +156,7 @@ class FragmentBuilder:
         stats_rows = []
         for row in batch.to_pylist():
             path, fid = row["path"], int(row["fragment_id"])
-            tbl = pq.read_table(path, use_threads=False)
+            tbl = pq.read_table(path, use_threads=False, filesystem=self.filesystem)
             out = _process_fragment_table(tbl, fid, self.cfg)
             parts: list[PartitionStat] = []
             nrows = 0
@@ -205,7 +208,8 @@ class FragmentBuilder:
 
 
 def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
-                resume: bool = True, concurrency: int | None = None) -> dict:
+                resume: bool = True, concurrency: int | None = None,
+                filesystem=None) -> dict:
     """Resumable materialized footprint index build.
 
     Returns summary stats. Safe to re-run after a kill: completed
@@ -215,7 +219,7 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
-    frags = list_fragments(images_dir)
+    frags = list_fragments(images_dir, filesystem=filesystem)
     done = manifest.completed_fragments() if resume else set()
     if resume and done:
         # resume-lineage guard (ADVICE r1 build.py:208): fragment ids key
@@ -242,7 +246,7 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
         ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         # stateless tasks (no actor-pool startup cost; the tiny builder
         # instance pickles with each task)
-        builder = FragmentBuilder(out_dir, cfg)
+        builder = FragmentBuilder(out_dir, cfg, filesystem=filesystem)
         stats = ds.map_batches(
             builder, batch_format="pyarrow", batch_size=1,
         )
@@ -308,44 +312,55 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     src_cells = np.array([c for c, _p in live], dtype=np.uint64)
     slo, shi = s2k.cell_range(src_cells)
     flo, fhi = s2k.cell_range(fine_cells.astype(np.uint64))
-    work = []
+    # group fine cells by their SOURCE-FILE SET: a coarse source file
+    # covering 16 fine cells was previously opened 16 times (one merge
+    # task per cell) — one task per file-group reads each source once
+    # and slices out every fine cell it owns (6-7x less read work at
+    # 128 fragments; the group count still far exceeds core counts, so
+    # parallelism is preserved)
+    groups: dict[tuple, list[int]] = {}
     for j, fc in enumerate(fine_cells):
         hit = (slo <= fhi[j]) & (flo[j] <= shi)
-        paths = sorted({live[i][1] for i in np.nonzero(hit)[0]})
-        work.append({"cell": str(int(fc)), "paths": paths})
+        paths = tuple(sorted({live[i][1] for i in np.nonzero(hit)[0]}))
+        groups.setdefault(paths, []).append(int(fc))
+    work = [{"cells": [str(c) for c in cells], "paths": list(paths)}
+            for paths, cells in groups.items()]
 
     def merge(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         out_rows = []
         for row in batch.to_pylist():
-            cell = int(row["cell"])
-            expr = pc.field("part_cell") == pa.scalar(cell, pa.uint64())
-            tbl = pa.concat_tables([
-                pq.read_table(os.path.join(index_dir, rel), use_threads=False,
-                              filters=expr)
+            cells = np.array([int(c) for c in row["cells"]], dtype=np.uint64)
+            src = pa.concat_tables([
+                pq.read_table(os.path.join(index_dir, rel), use_threads=False)
                 for rel in row["paths"]])
-            tbl = tbl.sort_by("s2_cell")
-            # generation-suffixed file name: a re-compaction NEVER
-            # overwrites files the live compaction record references —
-            # a kill mid-rewrite leaves the old generation fully intact
-            # and serving (ADVICE r1 build.py:296); gc_index collects
-            # superseded generations once the new record commits.
-            rel = os.path.join(f"cell={cell}", f"compacted-g{gen}.parquet")
-            dest = os.path.join(index_dir, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
-            os.close(fd)
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, dest)
-            out_rows.append({
-                "cell": cell, "path": rel, "row_count": tbl.num_rows,
-                "bytes": os.path.getsize(dest),
-                "minx": float(pc.min(tbl.column("minx")).as_py()),
-                "miny": float(pc.min(tbl.column("miny")).as_py()),
-                "maxx": float(pc.max(tbl.column("maxx")).as_py()),
-                "maxy": float(pc.max(tbl.column("maxy")).as_py()),
-            })
+            part = src.column("part_cell").to_numpy()
+            for cell in cells.tolist():
+                tbl = src.filter(pa.array(part == np.uint64(cell)))
+                if tbl.num_rows == 0:
+                    continue
+                tbl = tbl.sort_by("s2_cell")
+                # generation-suffixed file name: a re-compaction NEVER
+                # overwrites files the live compaction record references
+                # — a kill mid-rewrite leaves the old generation intact
+                # and serving (ADVICE r1 build.py:296); gc_index collects
+                # superseded generations once the new record commits.
+                rel = os.path.join(f"cell={cell}", f"compacted-g{gen}.parquet")
+                dest = os.path.join(index_dir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+                os.close(fd)
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, dest)
+                out_rows.append({
+                    "cell": cell, "path": rel, "row_count": tbl.num_rows,
+                    "bytes": os.path.getsize(dest),
+                    "minx": float(pc.min(tbl.column("minx")).as_py()),
+                    "miny": float(pc.min(tbl.column("miny")).as_py()),
+                    "maxx": float(pc.max(tbl.column("maxx")).as_py()),
+                    "maxy": float(pc.max(tbl.column("maxy")).as_py()),
+                })
         schema = pa.schema([("cell", pa.uint64()), ("path", pa.string()),
                             ("row_count", pa.int64()), ("bytes", pa.int64()),
                             ("minx", pa.float64()), ("miny", pa.float64()),
@@ -394,12 +409,13 @@ def build_catchments(raw: "ray.data.Dataset", cfg: EngineConfig = DEFAULT) -> ra
 
     Reference semantics (load.py:146-173): GROUP BY branch_path,
     ST_Union_Agg(geom) → ST_Simplify(…, 100 m) → uuid + centroid-H3 at
-    res 1. Differences, by design: deterministic uuid5(branch_path)
+    res 1. Difference, by design: deterministic uuid5(branch_path)
     instead of random uuid() (load.py:161) so rebuilds are idempotent
-    (SURVEY.md §4 idempotency); the union of disjoint polygons is the
-    multipolygon of the parts (the reference's union of touching
-    catchment meshes dissolves boundaries — our fixture branches hold
-    disjoint parts, for which multipolygon collection IS the union).
+    (SURVEY.md §4 idempotency). The union DISSOLVES shared boundaries
+    (geom.dissolve_union): catchments of a branch tessellate it, so
+    coincident interior edges cancel exactly — matching ST_Union_Agg on
+    mesh inputs; disjoint parts pass through as a multipolygon (for
+    which collection IS the union).
 
     Input: Dataset with (geometry: WKB binary, branch_path: string).
     The groupby is the build's one shuffle, keyed on branch_path
@@ -413,17 +429,22 @@ def build_catchments(raw: "ray.data.Dataset", cfg: EngineConfig = DEFAULT) -> ra
         if not blobs:
             return pa.Table.from_pylist([])
         rag = wkb.decode(blobs)
-        # collect all parts of all geometries into one multipolygon
-        parts = []
-        for g in range(len(rag)):
-            gg = rag.geom_slice(g)
-            for p in range(len(gg.part_ring_off) - 1):
-                rings = []
-                for ri in range(gg.part_ring_off[p], gg.part_ring_off[p + 1]):
-                    c0, c1 = gg.ring_coord_off[ri], gg.ring_coord_off[ri + 1]
-                    rings.append(gg.coords[c0:c1])
-                parts.append(rings)
-        merged = wkb.from_parts([parts])
+        # dissolve shared boundaries across all parts (ST_Union_Agg,
+        # load.py:153) — exact for tessellated branch meshes; disjoint
+        # parts pass through unchanged
+        merged = geom.dissolve_union(rag)
+        if len(merged.coords) == 0:
+            # all-degenerate branch (zero-area slivers cancel away):
+            # fall back to collecting the raw parts so the row keeps a
+            # geometry, like the reference's union of slivers
+            parts = []
+            for g in range(len(rag)):
+                gg = rag.geom_slice(g)
+                for p in range(len(gg.part_ring_off) - 1):
+                    rings = [gg.coords[gg.ring_coord_off[ri]:gg.ring_coord_off[ri + 1]]
+                             for ri in range(gg.part_ring_off[p], gg.part_ring_off[p + 1])]
+                    parts.append(rings)
+            merged = wkb.from_parts([parts])
         merged = geom.simplify(merged, cfg.simplify_tol_m)
         cx, cy = geom.centroid(merged)
         lon, lat = proj.albers_to_lonlat(cx, cy)

@@ -415,6 +415,72 @@ def sample_per_group(ds: ray.data.Dataset, key: str, k: int,
     return ds.groupby(key).map_groups(head, batch_format="pandas")
 
 
+def _ragged_to_geojson_coords(rag, gi: int) -> list:
+    """One geometry's EPSG:5070 rings → GeoJSON 4326 coordinate arrays
+    (MultiPolygon nesting: parts → rings → [lon, lat] pairs)."""
+    gg = rag.geom_slice(gi)
+    parts = []
+    for p in range(len(gg.part_ring_off) - 1):
+        rings = []
+        for ri in range(gg.part_ring_off[p], gg.part_ring_off[p + 1]):
+            c0, c1 = gg.ring_coord_off[ri], gg.ring_coord_off[ri + 1]
+            lon, lat = proj.albers_to_lonlat(gg.coords[c0:c1, 0], gg.coords[c0:c1, 1])
+            rings.append([[float(a), float(b)] for a, b in zip(lon, lat)])
+        parts.append(rings)
+    return parts
+
+
+def export_validation_geojson(catchments_path: str, roi_ring_lonlat: np.ndarray,
+                              out_path: str,
+                              threshold_pct: float | None = None,
+                              cfg: EngineConfig = DEFAULT) -> dict:
+    """QA artifact: one GeoJSON FeatureCollection with the three sets
+    the reference's folium map overlays (viz/query_visualization.py:
+    178-472) — the ROI polygon, every INTERSECTING catchment, and the
+    KEPT (overlap-filtered) subset — so any external viewer reproduces
+    the visual check without HTML rendering. Like the reference's viz,
+    the unfiltered intersect query is simply re-run (viz:72-102).
+
+    Returns the validate_roi-style count summary."""
+    import json
+
+    thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
+    cands = roi_query_catchments(catchments_path, roi_ring_lonlat, 0.0, cfg).to_pandas()
+    kept = roi_query_catchments(catchments_path, roi_ring_lonlat, thr, cfg).to_pandas()
+    kept_ids = set(kept["catchment_id"])
+    ring = np.asarray(roi_ring_lonlat, dtype=np.float64)
+    closed = np.vstack([ring, ring[:1]]) if not np.array_equal(ring[0], ring[-1]) else ring
+    features = [{
+        "type": "Feature",
+        "properties": {"set": "query", "threshold_pct": thr},
+        "geometry": {"type": "Polygon",
+                     "coordinates": [[[float(a), float(b)] for a, b in closed]]},
+    }]
+    rag = wkb.decode(cands["geometry"].tolist()) if len(cands) else None
+    for i, row in enumerate(cands.itertuples()):
+        features.append({
+            "type": "Feature",
+            "properties": {
+                "set": "kept" if row.catchment_id in kept_ids else "intersecting",
+                "catchment_id": row.catchment_id,
+                "overlap_pct": float(row.overlap_pct),
+                "contains_query": bool(row.contains_query),
+                "within_query": bool(row.within_query),
+            },
+            "geometry": {"type": "MultiPolygon",
+                         "coordinates": _ragged_to_geojson_coords(rag, i)},
+        })
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    return {
+        "initial_geoms": int(len(cands)),
+        "final_geoms": int(len(kept_ids)),
+        "removed_geoms": int(len(cands) - len(kept_ids)),
+        "out_path": out_path,
+    }
+
+
 def validate_roi(catchments_path: str, roi_ring_lonlat: np.ndarray,
                  threshold_pct: float | None = None,
                  cfg: EngineConfig = DEFAULT) -> dict:

@@ -170,9 +170,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
 
+    def _ipc_bytes(sub: pa.Table) -> bytes:
+        # Arrow IPC stream, not pickle: no Python-object re-serialization
+        # through the shuffle, and the receiver reads it zero-copy
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema) as w:
+            w.write_table(sub)
+        return sink.getvalue().to_pybytes()
+
     def to_long(side_cols):
         def f(t: pa.Table) -> pa.Table:
-            import pickle
             buckets = t.column("__bucket").to_numpy()
             order = np.argsort(buckets, kind="stable")
             tt = t.take(pa.array(order))
@@ -185,7 +192,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                 sub = tt.slice(int(s), int(e - s)).drop_columns(["__bucket", "__side"])
                 rows.append({"__bucket": int(bs[s]),
                              "__side": int(tt.column("__side")[int(s)].as_py()),
-                             "payload": pickle.dumps(sub)})
+                             "payload": _ipc_bytes(sub)})
             return pa.Table.from_pylist(rows) if rows else pa.table(
                 {"__bucket": pa.array([], pa.int64()),
                  "__side": pa.array([], pa.int64()),
@@ -195,10 +202,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     packed = lt.map_batches(to_long(lcols), batch_format="pyarrow").union(
         rt.map_batches(to_long(rcols), batch_format="pyarrow"))
 
+    def _ipc_read(b: bytes) -> pa.Table:
+        return pa.ipc.open_stream(pa.py_buffer(b)).read_all()
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        import pickle
-        ls = [pickle.loads(b) for b in g.loc[g["__side"] == 0, "payload"]]
-        rs = [pickle.loads(b) for b in g.loc[g["__side"] == 1, "payload"]]
+        ls = [_ipc_read(b) for b in g.loc[g["__side"] == 0, "payload"]]
+        rs = [_ipc_read(b) for b in g.loc[g["__side"] == 1, "payload"]]
         if not ls:
             return pd.DataFrame(columns=lcols + [c for c in rcols if c != key])
         lt_ = pa.concat_tables(ls)

@@ -62,14 +62,33 @@ class AudioFeatures:
         return (h % np.uint64(65536)).astype(np.float64) / 32768.0 - 1.0
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = np.empty((t.num_rows, self.n_mel))
-        for i in range(t.num_rows):
-            x = self._decode(bytes(t.column("bytes")[i].as_py() or b""),
-                             t.column("codec")[i].as_py(),
-                             int(t.column("n_samples")[i].as_py()))
-            # band-energy features over equal splits (stands in for mel)
-            bands = np.array_split(x, self.n_mel)
-            feats[i] = [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bands]
+        # decode per row (codec work is inherently per payload), then
+        # compute ALL band energies in one vectorized reduceat over the
+        # concatenated sample buffer (no per-band Python loop)
+        n = t.num_rows
+        bts = t.column("bytes")
+        codecs = t.column("codec").to_pylist()
+        nsamp = t.column("n_samples").to_numpy()
+        waves = [self._decode(bytes(bts[i].as_py() or b""), codecs[i], int(nsamp[i]))
+                 for i in range(n)]
+        lens = np.array([len(x) for x in waves], dtype=np.int64)
+        allx = np.concatenate(waves) if waves else np.empty(0)
+        row_off = np.concatenate([[0], np.cumsum(lens)])
+        # band boundaries per row: np.array_split semantics (first
+        # len%n_mel bands get one extra sample)
+        k = self.n_mel
+        base = lens // k
+        extra = lens % k
+        sizes = base[:, None] + (np.arange(k)[None, :] < extra[:, None])
+        bounds = np.concatenate(
+            [row_off[:-1, None], row_off[:-1, None] + np.cumsum(sizes, axis=1)], axis=1)
+        starts = bounds[:, :-1].ravel()
+        ends = bounds[:, 1:].ravel()
+        sq = np.concatenate([[0.0], np.cumsum(allx * allx)])
+        cnt = (ends - starts).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            feats = np.sqrt((sq[ends] - sq[starts]) / np.where(cnt == 0, 1.0, cnt))
+        feats = np.where(cnt == 0, 0.0, feats).reshape(n, k)
         return pa.table({
             "clip_id": t.column("clip_id"),
             "features": pa.array(list(feats), pa.list_(pa.float64())),
@@ -97,18 +116,32 @@ class FrameSampler:
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..kernels import image as imk
 
-        vids, frames, phashes = [], [], []
-        for i in range(t.num_rows):
-            n_frames = int(t.column("n_frames")[i].as_py())
-            w = int(t.column("w")[i].as_py())
-            h = int(t.column("h")[i].as_py())
-            buf = bytes(t.column("bytes")[i].as_py() or b"")
-            picks = np.linspace(0, max(n_frames - 1, 0), self.k).astype(int)
+        n = t.num_rows
+        nf = t.column("n_frames").to_numpy()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        ids = t.column("video_id").to_pylist()
+        bts = t.column("bytes")
+        # decode frames per row (codec work), but batch the phash kernel
+        # per (h, w) group — one vectorized DCT pass per shape, like the
+        # image decode stage (stages/encode.py)
+        vids, frames, shapes, imgs = [], [], [], []
+        for i in range(n):
+            buf = bytes(bts[i].as_py() or b"")
+            picks = np.linspace(0, max(int(nf[i]) - 1, 0), self.k).astype(int)
             for f in picks:
-                img = self._decode_frame(buf, int(f), w, h)
-                vids.append(t.column("video_id")[i].as_py())
+                vids.append(ids[i])
                 frames.append(int(f))
-                phashes.append(np.uint64(imk.phash64(img)).astype(np.int64))
+                shapes.append((int(hs[i]), int(ws[i])))
+                imgs.append(self._decode_frame(buf, int(f), int(ws[i]), int(hs[i])))
+        phashes = np.empty(len(imgs), dtype=np.int64)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for j, shp in enumerate(shapes):
+            groups.setdefault(shp, []).append(j)
+        for (gh, gw), idxs in groups.items():
+            stack = np.stack([imgs[j] for j in idxs])
+            ph, _mean = imk.phash_and_graymean_batch(stack)
+            phashes[idxs] = ph.astype(np.int64)
         return pa.table({
             "video_id": pa.array(vids, pa.string()),
             "frame_idx": pa.array(frames, pa.int32()),

@@ -78,6 +78,32 @@ def test_validate_roi(ray_session, smoke_dirs):
     assert out["dropped_by_filter"] == out["removed_geoms"]
 
 
+def test_export_validation_geojson(ray_session, smoke_dirs, tmp_path):
+    """QA artifact: query/intersecting/kept sets in one FeatureCollection
+    (reference viz overlay as portable GeoJSON)."""
+    import json
+
+    from hand_index_ray.pipelines.query import export_validation_geojson, validate_roi
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    ring = synth.roi_polygons()["huge"]
+    out_path = str(tmp_path / "qa.geojson")
+    rep = export_validation_geojson(cpath, ring, out_path, threshold_pct=10.0)
+    with open(out_path) as f:
+        fc = json.load(f)
+    assert fc["type"] == "FeatureCollection"
+    sets = [f["properties"]["set"] for f in fc["features"]]
+    assert sets.count("query") == 1
+    ref = validate_roi(cpath, ring, threshold_pct=10.0)
+    assert sets.count("kept") == ref["final_geoms"] == rep["final_geoms"]
+    assert sets.count("kept") + sets.count("intersecting") == rep["initial_geoms"]
+    # kept features carry the metric columns; geometry is 4326
+    kept_f = next(f for f in fc["features"] if f["properties"]["set"] == "kept")
+    assert 0.0 <= kept_f["properties"]["overlap_pct"] <= 100.0
+    lon, lat = kept_f["geometry"]["coordinates"][0][0][0]
+    assert -180 <= lon <= 180 and -90 <= lat <= 90
+
+
 def test_hash_join_native_path_matches(ray_session):
     """The native Dataset.join path (use_native=True) must agree with
     the explicit co-group on the same inputs."""

@@ -55,3 +55,21 @@ def test_list_fragments_filesystem_passthrough(tmp_path):
     local = list_fragments(d)
     via_fs = list_fragments(d, filesystem=pafs.LocalFileSystem())
     assert local == via_fs == [os.path.join(d, "frag-0.parquet")]
+
+
+def test_build_index_with_fs_handle(ray_session, smoke_dirs, tmp_path):
+    """ST4 end-to-end: build through an explicit pyarrow.fs handle and
+    get the byte-identical manifest/rows as the local-path build."""
+    from pyarrow import fs as pafs
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import build_index
+    from hand_index_ray.state.manifest import Manifest
+
+    cfg = EngineConfig(encode_concurrency=2, decode_batch_size=64)
+    out = str(tmp_path / "fs_index")
+    stats = build_index(smoke_dirs["images"], out, cfg,
+                        filesystem=pafs.LocalFileSystem())
+    assert stats["fragments_built"] == 8 and stats["rows_built"] == 400
+    man = Manifest(out)
+    assert man.total_rows() == 400
