@@ -163,3 +163,53 @@ def test_douglas_peucker():
     r = wkb.from_parts([[[ring]]])
     rs = geom.simplify(r, 0.01)
     assert geom.area(rs)[0] == pytest.approx(geom.area(r)[0])
+
+
+def test_axis_rect_detection_and_fast_path():
+    import numpy as np
+
+    from hand_index_ray.kernels import geom, wkb
+
+    ring = np.array([[-106.3, 31.4], [-95.7, 31.4], [-95.7, 40.6], [-106.3, 40.6]])
+    prep = geom.PreparedPolygon(wkb.from_parts([[[ring]]]))
+    rect = geom.axis_rect(prep)
+    assert rect == (-106.3, 31.4, -95.7, 40.6)
+    # not axis-aligned → None
+    slanted = np.array([[0, 0], [2, 0.1], [2, 2], [0, 1.9]])
+    assert geom.axis_rect(geom.PreparedPolygon(wkb.from_parts([[[slanted]]]))) is None
+    # pentagon → None
+    ang = np.linspace(0, 2 * np.pi, 5, endpoint=False)
+    penta = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    assert geom.axis_rect(geom.PreparedPolygon(wkb.from_parts([[[penta]]]))) is None
+    # fast path agrees with the general predicate on random rects
+    rng = np.random.default_rng(3)
+    minx = rng.uniform(-110, -95, 200)
+    miny = rng.uniform(30, 40, 200)
+    maxx = minx + rng.uniform(0.01, 3, 200)
+    maxy = miny + rng.uniform(0.01, 3, 200)
+    fast = geom.rects_vs_rect(minx, miny, maxx, maxy, *rect)
+    slow = geom.rects_vs_polygon(minx, miny, maxx, maxy, prep)
+    assert (fast["intersects"] == slow["intersects"]).all()
+    assert (fast["rect_within_poly"] == slow["rect_within_poly"]).all()
+    assert (fast["rect_contains_poly"] == slow["rect_contains_poly"]).all()
+    import numpy.testing as npt
+    npt.assert_allclose(fast["inter_area"], slow["inter_area"], rtol=1e-9)
+
+
+def test_triangulate_degenerate_and_convex():
+    import numpy as np
+
+    from hand_index_ray.kernels import geom
+
+    # convex ring → n-2 triangles, full area
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    tris = geom.triangulate_ring(sq)
+    assert len(tris) == 2
+    # triangle passthrough
+    t = geom.triangulate_ring(np.array([[0, 0], [1, 0], [0, 1]], float))
+    assert len(t) == 1
+    # collinear degenerate: no crash, zero-ish area
+    line = np.array([[0, 0], [1, 0], [2, 0], [3, 0]], float)
+    tris = geom.triangulate_ring(line)
+    total = sum(geom._ring_area_abs(np.vstack([x, x[:1]])) for x in tris)
+    assert total == 0.0

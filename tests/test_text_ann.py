@@ -169,3 +169,32 @@ def test_trigram_langid_real_languages(ray_session):
     out = ds.map_batches(TrigramLangId, batch_format="pyarrow", concurrency=1).to_pandas()
     got = dict(zip(out["doc_id"], out["lang_pred"]))
     assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
+
+
+def test_ivf_partitioned_index(ray_session, tmp_path):
+    """IVF scale path: partitioned build + directory-pruned query.
+    Only nprobe list partitions are read; recall vs brute force is high
+    and reaches 1.0 when probing every list."""
+    import os
+
+    from hand_index_ray.pipelines.ann import cosine_topk, ivf_build, ivf_query
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n, dim, nlist = 2000, 16, 8
+    centers = rng.standard_normal((nlist, dim)) * 3
+    vecs = centers[np.arange(n) % nlist] + rng.standard_normal((n, dim)) * 0.3
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)])
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, nlist=nlist)
+    assert len(os.listdir(os.path.join(idx, "lists"))) == nlist
+    q = vecs[17]
+    truth = cosine_topk(ds, q, 10)
+    stats = {}
+    got = ivf_query(idx, q, 10, nprobe=2, stats=stats)
+    assert len(stats["partitions_read"]) == 2  # directory-level pruning
+    recall = len(set(got["vec_id"]) & set(truth["vec_id"])) / 10
+    assert recall >= 0.8
+    full = ivf_query(idx, q, 10, nprobe=nlist)
+    assert list(full["vec_id"]) == list(truth["vec_id"])  # probe-all == exact
