@@ -227,9 +227,16 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
         # same input path it was built from. A changed input set would
         # silently skip never-built inputs and misattribute lineage —
         # fail loudly instead.
+        def _norm(p):
+            # same directory addressed via a different spelling (relative
+            # vs absolute, './' prefix) is still the same input — compare
+            # canonical local paths; leave URI-style paths untouched
+            return (p if p is None or "://" in p
+                    else os.path.normpath(os.path.abspath(p)))
+
         for rec in manifest.records():
             current = frags[rec.fragment_id] if rec.fragment_id < len(frags) else None
-            if current != rec.input_path:
+            if _norm(current) != _norm(rec.input_path):
                 raise ValueError(
                     "resume mismatch: manifest fragment "
                     f"{rec.fragment_id} was built from {rec.input_path!r} but the "

@@ -282,6 +282,20 @@ def roi_query_catchments(catchments_path: str, roi_ring_lonlat: np.ndarray,
 # J2/J4: attribute attach (3-way left join, broadcast small side)
 
 
+def _concat_nonempty(tbls: list[pa.Table], schema: "pa.Schema | None" = None) -> pa.Table:
+    """Concat Dataset output blocks, dropping the schemaless empty blocks
+    that groupby/aggregate stages emit (they carry no rows and would fail
+    the concat schema check). All-empty: first block that still carries
+    columns, else ``schema.empty_table()``, else a column-less table."""
+    nonempty = [t for t in tbls if t.num_rows > 0]
+    if nonempty:
+        return pa.concat_tables(nonempty)
+    with_cols = [t for t in tbls if t.num_columns > 0]
+    if with_cols:
+        return with_cols[0]
+    return schema.empty_table() if schema is not None else pa.table({})
+
+
 def attach_attributes(kept_ids: list[str], vector_dir: str) -> pa.Table:
     """3-way LEFT join of sidecar tables onto the filtered catchment id
     set (reference query_geojson.py:139-153). The id set is small after
@@ -300,12 +314,9 @@ def attach_attributes(kept_ids: list[str], vector_dir: str) -> pa.Table:
         refs = ds.map_batches(semi, batch_format="pyarrow",
                               zero_copy_batch=True).to_arrow_refs()
         tbls = [ray.get(r) for r in refs]
-        nonempty = [t for t in tbls if t.num_rows > 0]
-        if nonempty:
-            return pa.concat_tables(nonempty)
-        with_cols = [t for t in tbls if t.num_columns > 0]
-        if with_cols:
-            return with_cols[0]
+        out = _concat_nonempty(tbls)
+        if out.num_columns > 0:
+            return out
         # degenerate: no blocks carried the schema — read it off disk
         return pq.read_table(os.path.join(vector_dir, f"{name}.parquet")).slice(0, 0)
 
@@ -388,15 +399,7 @@ def write_single_file(ds: ray.data.Dataset, path: str,
     ``schema`` keeps an all-empty result well-typed (groupby stages
     emit schemaless empty blocks)."""
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
-    # groupby/aggregate stages can emit schemaless empty blocks — drop
-    # them (they carry no rows and would fail the concat schema check)
-    nonempty = [t for t in tbls if t.num_rows > 0]
-    if nonempty:
-        tbl = pa.concat_tables(nonempty)
-    else:
-        with_cols = [t for t in tbls if t.num_columns > 0]
-        tbl = (with_cols[0] if with_cols
-               else (schema.empty_table() if schema is not None else pa.table({})))
+    tbl = _concat_nonempty(tbls, schema=schema)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     pq.write_table(tbl, path)
     return path
@@ -439,15 +442,19 @@ def export_validation_geojson(catchments_path: str, roi_ring_lonlat: np.ndarray,
     178-472) — the ROI polygon, every INTERSECTING catchment, and the
     KEPT (overlap-filtered) subset — so any external viewer reproduces
     the visual check without HTML rendering. Like the reference's viz,
-    the unfiltered intersect query is simply re-run (viz:72-102).
+    the intersect query runs ONCE (viz:72-102) — the kept subset is
+    derived driver-side from the candidate rows' already-computed
+    overlap columns instead of re-scanning the catalog.
 
     Returns the validate_roi-style count summary."""
     import json
 
     thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
     cands = roi_query_catchments(catchments_path, roi_ring_lonlat, 0.0, cfg).to_pandas()
-    kept = roi_query_catchments(catchments_path, roi_ring_lonlat, thr, cfg).to_pandas()
-    kept_ids = set(kept["catchment_id"])
+    kmask = geom.keep_mask(cands["contains_query"].to_numpy(),
+                           cands["within_query"].to_numpy(),
+                           cands["overlap_pct"].to_numpy(), thr)
+    kept_ids = set(cands.loc[kmask, "catchment_id"])
     ring = np.asarray(roi_ring_lonlat, dtype=np.float64)
     closed = np.vstack([ring, ring[:1]]) if not np.array_equal(ring[0], ring[-1]) else ring
     features = [{
@@ -570,7 +577,6 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     while True:
         new_cells = {int(c) for c in frontier} - seen_cells
         if not new_cells:
-            pool = pd.DataFrame(columns=pool.columns) if pool.empty else pool
             break  # BFS covered the sphere without k candidates
         rings += 1
         seen_cells |= new_cells

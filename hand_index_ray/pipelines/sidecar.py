@@ -115,7 +115,16 @@ def attach_sidecars(source: "str | list[str] | ray.data.Dataset",
     ``COPY {table} TO`` at load.py:289-299).
     """
     if isinstance(source, str):
-        root = root or source
+        if root is None:
+            # list_files strips the URI scheme (FileSystem.from_uri returns
+            # scheme-less paths), so the match patterns must anchor at the
+            # stripped root, not the original "s3://..." spelling.
+            if filesystem is None and "://" in source:
+                from pyarrow import fs as pafs
+
+                _, root = pafs.FileSystem.from_uri(source)
+            else:
+                root = source
         paths = list_files(source, filesystem)
         files = ray.data.from_items([{"path": p} for p in paths])
     elif isinstance(source, list):

@@ -367,7 +367,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
             gb = np.asarray(gram_list[j], dtype=np.uint64)
             inter = np.intersect1d(ga, gb, assume_unique=True).size
             union = ga.size + gb.size - inter
-            j_micro = int(np.round(1e6 * inter / union)) if union else 0
+            # floor(x+0.5): round-half-away-from-zero, matching DuckDB ROUND()
+            # (np.round is half-to-even and diverges on exact .5 values).
+            j_micro = int(np.floor(1e6 * inter / union + 0.5)) if union else 0
             if j_micro >= thr_micro:
                 a, b = (int(ids[i]), int(ids[j])) if ids[i] < ids[j] else (int(ids[j]), int(ids[i]))
                 out_a.append(a)

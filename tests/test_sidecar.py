@@ -137,3 +137,16 @@ def test_attach_attributes_consumes_built_sidecars(ray_session, tmp_path):
     assert set(a["csv_path"]) == {f"{root}/huc1200/branches/0/hydroTable_0.csv",
                                   f"{root}/huc1200/branches/0/hydroTable_1.csv"}
     assert a["rem_raster_path"].notna().all()
+
+
+def test_attach_sidecars_uri_root(ray_session, tmp_path):
+    """A URI-addressed root ('file://...') must anchor the match patterns
+    at the scheme-STRIPPED path that pyarrow.fs actually lists — a
+    scheme-prefixed anchor silently matches nothing."""
+    from hand_index_ray.pipelines.sidecar import attach_sidecars
+
+    root, cat = _mk_tree(tmp_path)
+    out = attach_sidecars(f"file://{root}", cat)
+    hydro = out["hydrotables"].to_pandas()
+    assert len(hydro) == 3
+    assert all(p.startswith(root) for p in hydro["csv_path"])

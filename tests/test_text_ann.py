@@ -198,3 +198,16 @@ def test_ivf_partitioned_index(ray_session, tmp_path):
     assert recall >= 0.8
     full = ivf_query(idx, q, 10, nprobe=nlist)
     assert list(full["vec_id"]) == list(truth["vec_id"])  # probe-all == exact
+
+
+def test_jaccard_micro_rounding_matches_duckdb():
+    """Exact-half j_micro values round AWAY from zero like DuckDB ROUND,
+    not half-to-even (1e6*65/128 = 507812.5 -> 507813)."""
+    import numpy as np
+
+    x = 1e6 * 65 / 128
+    assert int(np.floor(x + 0.5)) == 507813
+    import duckdb
+
+    assert duckdb.sql(
+        "SELECT CAST(ROUND(1000000.0*65/128) AS BIGINT) v").fetchone()[0] == 507813
