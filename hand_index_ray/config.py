@@ -20,8 +20,16 @@ class EngineConfig:
     # (manifest bbox stats keep pruning exact at any level; S2 range
     # nesting keeps cell lookups correct — see Manifest.files_for_cells)
     max_files_per_fragment: int = 16
-    zonal_join_level: int = 6   # fixed S2 covering level for zonal-join keys
+    # fixed S2 covering level for zonal-join keys; finer cells (L8 ≈
+    # 0.18°) shrink the per-cell candidate cross product ~5x vs L6 for
+    # small-tile footprints while keeping the catchment-side covering
+    # a few dozen cells per polygon
+    zonal_join_level: int = 8
     zonal_buckets: int = 128    # hash buckets for the co-group shuffle
+    # catchment catalogs at or below this on-disk size broadcast their
+    # geometry blobs once via ray.put instead of replicating WKB through
+    # the cell shuffle (one copy per covering cell × salt otherwise)
+    zonal_broadcast_bytes: int = 256 * 1024 * 1024
     # reference-parity knobs
     catchment_h3_res: int = 1   # reference default (load.py:314)
     simplify_tol_m: float = 100.0  # ST_Simplify tolerance (load.py:155-156)

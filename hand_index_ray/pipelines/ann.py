@@ -118,23 +118,20 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         n = np.linalg.norm(m, axis=1)
         nm = m / np.where(n == 0, 1.0, n)[:, None]
         sims = np.round(nm @ nm.T, SIM_DECIMALS)
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(float(sims[i, j]))
-        if not out_a:
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[iu] != ids[ju]
+        iu, ju = iu[keep], ju[keep]
+        if not len(iu):
             return pd.DataFrame(_EMPTY)
-        return pd.DataFrame({"id_a": np.array(out_a, np.int64),
-                             "id_b": np.array(out_b, np.int64),
-                             "sim": np.array(out_s, np.float64)})
+        ida, idb = ids[iu].astype(np.int64), ids[ju].astype(np.int64)
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sim": sims[iu, ju].astype(np.float64)})
 
     from ..relational import distinct, grouped_apply_bucketed
 
-    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"], verify)
+    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"], verify,
+                                   min_group_size=2)
     # cross-band dedup as a keyed shuffle; sim is identical per pair
     return distinct(pairs, ["id_a", "id_b", "sim"])
 

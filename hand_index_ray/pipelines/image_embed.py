@@ -112,7 +112,7 @@ def exact_tile_dups(source: "str | ray.data.Dataset",
 
     from ..relational import grouped_apply_bucketed
 
-    return grouped_apply_bucketed(slim, ["pxd"], pairs)
+    return grouped_apply_bucketed(slim, ["pxd"], pairs, min_group_size=2)
 
 
 def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.9999,

@@ -672,13 +672,19 @@ def zonal_join(index_dir: str, catchments_path: str,
     def _lattice_cells(minx, miny, maxx, maxy):
         """Vectorized per-row lattice coverings of many small bboxes.
 
-        Returns (row_idx, cell) arrays, deduped per row. Identical
-        construction to s2.cover_bbox, batched over rows.
+        Returns (row_idx, cell) arrays, deduped per row. ZERO pad: the
+        shared-cell guarantee needs only that both coverings contain the
+        cell of the canonical point p = (max(minx_a, minx_b),
+        max(miny_a, miny_b)), and floor(p/δ) lies in
+        [floor(minx/δ), floor(maxx/δ)] for BOTH sides by monotonicity —
+        exactly, because δ = 45/2^level is dyadic, so k·δ and k·δ/δ
+        round-trip without error. (A ±δ pad here multiplied candidate
+        pairs ~12× for nothing.)
         """
-        k0x = np.floor((minx - delta) / delta).astype(np.int64)
-        k1x = np.floor((maxx + delta) / delta).astype(np.int64)
-        k0y = np.floor((np.maximum(miny, -89.99) - delta) / delta).astype(np.int64)
-        k1y = np.floor((np.minimum(maxy, 89.99) + delta) / delta).astype(np.int64)
+        k0x = np.floor(minx / delta).astype(np.int64)
+        k1x = np.floor(maxx / delta).astype(np.int64)
+        k0y = np.floor(np.maximum(miny, -89.99) / delta).astype(np.int64)
+        k1y = np.floor(np.minimum(maxy, 89.99) / delta).astype(np.int64)
         nx = k1x - k0x + 1
         ny = k1y - k0y + 1
         counts = nx * ny
@@ -723,13 +729,25 @@ def zonal_join(index_dir: str, catchments_path: str,
     # ^ materialized: reused by the count pre-pass AND the join (slim
     #   key rows only — the heavy image bytes never reach this stage)
 
-    # --- skew pre-pass: per-cell footprint counts; partial aggregation
-    # per batch keeps the count shuffle at O(cells), not O(rows) -------
-    from ..relational import grouped_agg
+    # --- skew pre-pass: per-cell footprint counts. One lightweight Ray
+    # task per already-materialized block emits its partial (cell, n)
+    # dict; the driver merges O(#cells) partials — same scale shape as a
+    # grouped_agg shuffle, without paying a full Dataset execution's
+    # fixed cost just to find hot cells. --------------------------------
 
-    counts = grouped_agg(foot_exploded.select_columns(["cell"]), ["cell"]).to_pandas()
-    mean = max(counts["n"].mean(), 1.0)
-    hot = set(int(c) for c in counts.loc[counts["n"] > cfg.salt_hot_factor * mean, "cell"])
+    @ray.remote(num_cpus=0.5)
+    def _partial_counts(block: pa.Table) -> dict:
+        c, n = np.unique(block.column("cell").to_numpy(), return_counts=True)
+        return dict(zip(c.tolist(), n.tolist()))
+
+    merged: dict = {}
+    for part in ray.get([_partial_counts.remote(r)
+                         for r in foot_exploded.to_arrow_refs()]):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    cnt = np.array(list(merged.values()), dtype=np.int64)
+    mean = max(cnt.mean(), 1.0) if len(cnt) else 1.0
+    hot = {int(c) for c, v in merged.items() if v > cfg.salt_hot_factor * mean}
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.uint64))
     S = cfg.salt_buckets
 
@@ -763,8 +781,49 @@ def zonal_join(index_dir: str, catchments_path: str,
 
     foot_salted = foot_exploded.map_batches(salt_foot, batch_format="pyarrow")
 
-    cat = ray.data.read_parquet(catchments_path,
-                                columns=["catchment_id", "geometry"])
+    # geometry broadcast: a catchment covering k lattice cells would
+    # replicate its WKB blob k× (×salt for hot cells) through the
+    # shuffle, and each co-group bucket would decode + reproject +
+    # prepare it again. When the catalog is broadcast-sized, instead
+    # PREPARE each polygon exactly once (plain Ray tasks over catalog
+    # chunks — cheaper than a full Dataset execution at this size),
+    # broadcast the prepared map via the object store, and move only
+    # (cell, salt, cid) rows through the shuffle; the carry path
+    # remains for catalogs too big to broadcast.
+    _cat_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in
+                     os.walk(catchments_path) for f in fs) \
+        if os.path.isdir(catchments_path) else os.path.getsize(catchments_path)
+    broadcast_geoms = _cat_bytes <= cfg.zonal_broadcast_bytes
+    if broadcast_geoms:
+        import pickle
+
+        _cat_tbl = pq.read_table(catchments_path,
+                                 columns=["catchment_id", "geometry"])
+        _cids = _cat_tbl.column("catchment_id").to_pylist()
+        _blobs = _cat_tbl.column("geometry").to_pylist()
+
+        @ray.remote(num_cpus=1)
+        def _prep_chunk(cids_c: list, blobs_c: list) -> dict:
+            out = {}
+            for cid, blob in zip(cids_c, blobs_c):
+                rag5070 = wkb.decode([blob])
+                lon, lat = proj.albers_to_lonlat(rag5070.coords[:, 0],
+                                                 rag5070.coords[:, 1])
+                rag = wkb.Ragged(np.stack([lon, lat], axis=1),
+                                 rag5070.ring_coord_off, rag5070.part_ring_off,
+                                 rag5070.geom_part_off)
+                out[cid] = pickle.dumps(geom.PreparedPolygon(rag))
+            return out
+
+        step = max(1, (len(_cids) + 63) // 64)
+        futs = [_prep_chunk.remote(_cids[i:i + step], _blobs[i:i + step])
+                for i in range(0, len(_cids), step)]
+        _prep_map: dict = {}
+        for d in ray.get(futs):
+            _prep_map.update(d)
+        prep_ref = ray.put(_prep_map)
+    else:
+        prep_ref = None
 
     def explode_cat(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -805,11 +864,22 @@ def zonal_join(index_dir: str, catchments_path: str,
             "maxx": pa.array(bmaxx[idx], pa.float64()),
             "maxy": pa.array(bmaxy[idx], pa.float64()),
             "catchment_id": pa.array([cids[i] for i in idx], pa.string()),
-            "geometry": pa.array([blobs[i] for i in idx], pa.binary()),
+            # broadcast path: the prepared-polygon map replaces the
+            # per-cell WKB payload — ship an empty blob
+            "geometry": (pa.array([b""] * n, pa.binary()) if broadcast_geoms
+                         else pa.array([blobs[i] for i in idx], pa.binary())),
         }, schema=_SCHEMA)
         return out.append_column("bucket", _bucket_col(cells, salt_col))
 
-    cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
+    if broadcast_geoms:
+        # catalog already in driver memory (it passed the broadcast size
+        # gate) — explode it here and feed the rows straight into the
+        # union, skipping a read+map Dataset execution
+        cat_exploded = ray.data.from_arrow(explode_cat(_cat_tbl))
+    else:
+        cat = ray.data.read_parquet(catchments_path,
+                                    columns=["catchment_id", "geometry"])
+        cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
 
     # co-group via hash buckets: ONE shuffle keyed on
     # bucket = hash(cell, salt) % NB (assigned inside the explode/salt
@@ -819,54 +889,72 @@ def zonal_join(index_dir: str, catchments_path: str,
     # over thousands of tiny cell groups dominated the join before)
     bucketed = foot_salted.union(cat_exploded)
 
+    _OUT_EMPTY = {"image_id": pd.Series([], dtype=object),
+                  "catchment_id": pd.Series([], dtype=object)}
+
     def join_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
         out_img: list = []
         out_cid: list = []
+        # vectorized candidate generation: pandas merge on (cell, salt)
+        # replaces per-(cell,salt) group iteration — the merge IS the
+        # co-group, and grouping the candidates by catchment afterwards
+        # lets every polygon run ONE rects_vs_polygon call over all its
+        # candidate rects (per-call numpy fixed cost dominated before)
+        f = bucket_df[bucket_df["side"] == 0]
+        c = bucket_df[bucket_df["side"] == 1]
+        if f.empty or c.empty:
+            return pd.DataFrame(_OUT_EMPTY)
+        cand = f[["cell", "salt", "image_id", "minx", "miny", "maxx", "maxy"]] \
+            .merge(c[["cell", "salt", "catchment_id", "geometry"]],
+                   on=["cell", "salt"])
+        if cand.empty:
+            return pd.DataFrame(_OUT_EMPTY)
+        prep_map = ray.get(prep_ref) if prep_ref is not None else None
         # a catchment covers several cells in this bucket — decode +
         # reproject each distinct geometry ONCE per bucket, not per cell
+        # (broadcast path: unpickle the globally-prepared polygon once
+        # per bucket — no decode/reproject/prepare work at all)
         geo_cache: dict = {}
 
         def polygon_4326(cid, blob):
             prep = geo_cache.get(cid)
             if prep is None:
-                rag5070 = wkb.decode([blob])
-                coords = rag5070.coords
-                lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
-                rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
-                                 rag5070.part_ring_off, rag5070.geom_part_off)
-                prep = geom.PreparedPolygon(rag)
+                if prep_map is not None:
+                    import pickle
+
+                    prep = pickle.loads(prep_map[cid])
+                else:
+                    rag5070 = wkb.decode([blob])
+                    coords = rag5070.coords
+                    lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
+                    rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
+                                     rag5070.part_ring_off, rag5070.geom_part_off)
+                    prep = geom.PreparedPolygon(rag)
                 geo_cache[cid] = prep
             return prep
 
-        for (cell, _salt), g in bucket_df.groupby(["cell", "salt"], sort=False):
-            cell = np.uint64(cell)
-            f = g[g["side"] == 0]
-            c = g[g["side"] == 1]
-            if f.empty or c.empty:
+        for cid, g in cand.groupby("catchment_id", sort=False):
+            prep = polygon_4326(cid, g["geometry"].iloc[0])
+            minx = g["minx"].to_numpy()
+            miny = g["miny"].to_numpy()
+            maxx = g["maxx"].to_numpy()
+            maxy = g["maxy"].to_numpy()
+            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, prep)
+            hits = np.nonzero(rel["intersects"])[0]
+            if len(hits) == 0:
                 continue
-            minx = f["minx"].to_numpy()
-            miny = f["miny"].to_numpy()
-            maxx = f["maxx"].to_numpy()
-            maxy = f["maxy"].to_numpy()
-            img_ids = f["image_id"].to_numpy()
-            for geom_blob, cid in zip(c["geometry"].to_numpy(), c["catchment_id"].to_numpy()):
-                prep = polygon_4326(cid, geom_blob)
-                rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, prep)
-                hits = np.nonzero(rel["intersects"])[0]
-                if len(hits) == 0:
-                    continue
-                # shared-cell dedup: emit only from the canonical cell of
-                # the bbox-intersection lattice point (provably in both
-                # coverings)
-                cb = prep.bounds
-                ix = np.maximum(minx[hits], cb[0])
-                iy = np.maximum(miny[hits], cb[1])
-                px = np.floor(ix / delta) * delta
-                py = np.floor(iy / delta) * delta
-                canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
-                emit = hits[canon == cell]
-                out_img.extend(img_ids[emit].tolist())
-                out_cid.extend([cid] * len(emit))
+            # shared-cell dedup: emit only from the canonical cell of
+            # the bbox-intersection lattice point (provably in both
+            # coverings)
+            cb = prep.bounds
+            ix = np.maximum(minx[hits], cb[0])
+            iy = np.maximum(miny[hits], cb[1])
+            px = np.floor(ix / delta) * delta
+            py = np.floor(iy / delta) * delta
+            canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
+            emit = hits[canon == g["cell"].to_numpy().astype(np.uint64)[hits]]
+            out_img.extend(g["image_id"].to_numpy()[emit].tolist())
+            out_cid.extend([cid] * len(emit))
         return pd.DataFrame({"image_id": out_img, "catchment_id": out_cid})
 
     return bucketed.groupby("bucket").map_groups(join_bucket, batch_format="pandas")

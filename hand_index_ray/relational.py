@@ -350,7 +350,8 @@ def session_window(ds: ray.data.Dataset, ts_col: str, key: str, gap_s: int,
 
 
 def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
-                           fn, num_buckets: int = 128) -> ray.data.Dataset:
+                           fn, num_buckets: int = 128,
+                           min_group_size: int = 1) -> ray.data.Dataset:
     """Apply ``fn(group_df)`` per distinct key combination, but shuffle
     on hash(keys) % num_buckets and iterate key-groups inside each
     bucket with pandas C-speed grouping.
@@ -359,6 +360,11 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
     group; with 10⁵ tiny groups (LSH buckets, lattice cells) that
     dispatch dominates. One dispatch per hash bucket amortizes it
     ~|groups|/num_buckets-fold. fn must not depend on cross-group state.
+
+    ``min_group_size``: drop groups smaller than this with ONE
+    vectorized duplicated() pass instead of iterating them — for
+    pair-generation UDFs (LSH verify) where singleton groups can never
+    emit, this skips the dominant per-tiny-group pandas overhead.
     """
     import zlib
 
@@ -381,6 +387,11 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
                                pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if min_group_size > 1 and len(g):
+            sizes = g.groupby(keys, sort=False)[keys[0]].transform("size")
+            g = g[sizes >= min_group_size]
+            if not len(g):
+                return fn(g.drop(columns=["__bucket"]))
         outs = [fn(sub.drop(columns=["__bucket"]))
                 for _, sub in g.groupby(keys, sort=False)]
         outs = [o for o in outs if o is not None and len(o)]
