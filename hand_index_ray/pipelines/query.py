@@ -630,6 +630,54 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
 # J7: zonal raster↔vector join (co-partitioned, salted)
 
 
+def lattice_cover(minx: np.ndarray, miny: np.ndarray,
+                  maxx: np.ndarray, maxy: np.ndarray,
+                  level: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized per-row lattice coverings of many small bboxes.
+
+    Returns (row_idx, cell) arrays, deduped per row. ZERO pad: the
+    shared-cell guarantee needs only that both coverings contain the
+    cell of the canonical point p = (max(minx_a, minx_b),
+    max(miny_a, miny_b)), and floor(p/δ) lies in
+    [floor(minx/δ), floor(maxx/δ)] for BOTH sides by monotonicity —
+    exactly, because δ = 45/2^level is dyadic, so k·δ and k·δ/δ
+    round-trip without error. (A ±δ pad here multiplied candidate
+    pairs ~12× for nothing.) Property-tested against boundary-aligned
+    bboxes in tests/test_query.py."""
+    delta = 45.0 / (1 << level)
+    k0x = np.floor(minx / delta).astype(np.int64)
+    k1x = np.floor(maxx / delta).astype(np.int64)
+    k0y = np.floor(np.maximum(miny, -89.99) / delta).astype(np.int64)
+    k1y = np.floor(np.minimum(maxy, 89.99) / delta).astype(np.int64)
+    nx = k1x - k0x + 1
+    ny = k1y - k0y + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(len(minx)), counts)
+    # within-row flat offset → (ix, iy)
+    offs = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    ix = offs % np.repeat(nx, counts)
+    iy = offs // np.repeat(nx, counts)
+    lons = (np.repeat(k0x, counts) + ix) * delta
+    lats = np.clip((np.repeat(k0y, counts) + iy) * delta, -89.999, 89.999)
+    cells = s2.lonlat_to_cell(lons, lats, level)
+    # dedup (row, cell)
+    order = np.lexsort((cells, row_idx))
+    ri, ci = row_idx[order], cells[order]
+    keep = np.concatenate([[True], (ri[1:] != ri[:-1]) | (ci[1:] != ci[:-1])])
+    return ri[keep], ci[keep]
+
+
+def canonical_cell(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    """Cell of the canonical lattice point at/below the bbox-intersection
+    corner (ix, iy) = (max of minxs, max of minys) — the single cell both
+    zero-pad coverings provably share for an intersecting pair."""
+    delta = 45.0 / (1 << level)
+    px = np.floor(ix / delta) * delta
+    py = np.floor(iy / delta) * delta
+    return s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
+
+
 def zonal_join(index_dir: str, catchments_path: str,
                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
     """Assign every footprint to every intersecting catchment polygon.
@@ -670,38 +718,7 @@ def zonal_join(index_dir: str, catchments_path: str,
         return _SCHEMA.empty_table()
 
     def _lattice_cells(minx, miny, maxx, maxy):
-        """Vectorized per-row lattice coverings of many small bboxes.
-
-        Returns (row_idx, cell) arrays, deduped per row. ZERO pad: the
-        shared-cell guarantee needs only that both coverings contain the
-        cell of the canonical point p = (max(minx_a, minx_b),
-        max(miny_a, miny_b)), and floor(p/δ) lies in
-        [floor(minx/δ), floor(maxx/δ)] for BOTH sides by monotonicity —
-        exactly, because δ = 45/2^level is dyadic, so k·δ and k·δ/δ
-        round-trip without error. (A ±δ pad here multiplied candidate
-        pairs ~12× for nothing.)
-        """
-        k0x = np.floor(minx / delta).astype(np.int64)
-        k1x = np.floor(maxx / delta).astype(np.int64)
-        k0y = np.floor(np.maximum(miny, -89.99) / delta).astype(np.int64)
-        k1y = np.floor(np.minimum(maxy, 89.99) / delta).astype(np.int64)
-        nx = k1x - k0x + 1
-        ny = k1y - k0y + 1
-        counts = nx * ny
-        total = int(counts.sum())
-        row_idx = np.repeat(np.arange(len(minx)), counts)
-        # within-row flat offset → (ix, iy)
-        offs = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-        ix = offs % np.repeat(nx, counts)
-        iy = offs // np.repeat(nx, counts)
-        lons = (np.repeat(k0x, counts) + ix) * delta
-        lats = np.clip((np.repeat(k0y, counts) + iy) * delta, -89.999, 89.999)
-        cells = s2.lonlat_to_cell(lons, lats, level)
-        # dedup (row, cell)
-        order = np.lexsort((cells, row_idx))
-        ri, ci = row_idx[order], cells[order]
-        keep = np.concatenate([[True], (ri[1:] != ri[:-1]) | (ci[1:] != ci[:-1])])
-        return ri[keep], ci[keep]
+        return lattice_cover(minx, miny, maxx, maxy, level)
 
     def explode_foot(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -947,11 +964,8 @@ def zonal_join(index_dir: str, catchments_path: str,
             # the bbox-intersection lattice point (provably in both
             # coverings)
             cb = prep.bounds
-            ix = np.maximum(minx[hits], cb[0])
-            iy = np.maximum(miny[hits], cb[1])
-            px = np.floor(ix / delta) * delta
-            py = np.floor(iy / delta) * delta
-            canon = s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
+            canon = canonical_cell(np.maximum(minx[hits], cb[0]),
+                                   np.maximum(miny[hits], cb[1]), level)
             emit = hits[canon == g["cell"].to_numpy().astype(np.uint64)[hits]]
             out_img.extend(g["image_id"].to_numpy()[emit].tolist())
             out_cid.extend([cid] * len(emit))

@@ -277,3 +277,49 @@ def test_roi_query_degenerate_fixtures(index_dir, all_footprints):
         keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
                               pct, 10.0) & rel["intersects"]
         assert got == set(f.loc[keep, "image_id"]), name
+
+
+def test_lattice_cover_shared_cell_invariant_boundary_aligned():
+    """Zero-pad covering invariant: for ANY two intersecting bboxes the
+    canonical cell lies in BOTH coverings — exercised adversarially with
+    edges exactly ON lattice lines, one ulp below, and one ulp above,
+    across levels (the dyadic-δ exactness argument this relies on)."""
+    import numpy as np
+
+    from hand_index_ray.pipelines.query import canonical_cell, lattice_cover
+
+    rng = np.random.default_rng(7)
+    for level in (5, 6, 7, 8, 9):
+        delta = 45.0 / (1 << level)
+        ks = rng.integers(-800, 800, size=60)
+        # corner styles: exact lattice line, one ulp below, one ulp above
+        base = ks * delta
+        lo = np.nextafter(base, -np.inf)
+        hi = np.nextafter(base, np.inf)
+        xs = np.concatenate([base, lo, hi])
+        xs = xs[(xs > -170 * 1.0) & (xs < 170.0)]
+        # build intersecting pairs: a = [x, x+w], b = [x+eps..]
+        n = len(xs) - 1
+        a_min, a_max = xs[:n], xs[:n] + rng.uniform(0.01, 3.0, n)
+        b_min = a_min + rng.uniform(-1.0, 0.9, n) * (a_max - a_min)
+        b_max = b_min + rng.uniform(0.01, 3.0, n)
+        ay_min = np.clip(xs[1:n + 1], -80, 80)
+        ay_max = ay_min + rng.uniform(0.01, 2.0, n)
+        by_min = ay_min + rng.uniform(-1.0, 0.9, n) * (ay_max - ay_min)
+        by_max = by_min + rng.uniform(0.01, 2.0, n)
+        inter = (b_min <= a_max) & (a_min <= b_max) & \
+                (by_min <= ay_max) & (ay_min <= by_max)
+        idx = np.nonzero(inter)[0]
+        canon = canonical_cell(np.maximum(a_min, b_min)[idx],
+                               np.maximum(ay_min, by_min)[idx], level)
+        ra, ca = lattice_cover(a_min[idx], ay_min[idx], a_max[idx], ay_max[idx], level)
+        rb, cb = lattice_cover(b_min[idx], by_min[idx], b_max[idx], by_max[idx], level)
+        cov_a = {}
+        for r, c in zip(ra, ca):
+            cov_a.setdefault(int(r), set()).add(int(c))
+        cov_b = {}
+        for r, c in zip(rb, cb):
+            cov_b.setdefault(int(r), set()).add(int(c))
+        for j, cc in enumerate(canon):
+            assert int(cc) in cov_a[j], (level, j, "A missing canonical cell")
+            assert int(cc) in cov_b[j], (level, j, "B missing canonical cell")
