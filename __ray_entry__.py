@@ -412,6 +412,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return zonal_tile_stats(idx, cats,
                                 EngineConfig(footprint_formula="tpch", salt_hot_factor=4.0))
 
+    def q35_wav_decode(sf):  # REAL RIFF/PCM16 decode; sample sums SQL-oracle-exact
+        """Audio payloads are synthesized from integer arithmetic over
+        `orders` (PCM16 round-trips v/32768 bit-exactly), decoded with
+        the from-spec WAV codec (kernels/audio.py), and reduced to
+        per-clip sample sums the oracle recomputes in plain SQL."""
+        from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen_decode(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 97 == 0]
+            out_k, out_n, out_s = [], [], []
+            for k in keys:
+                n = 200 + int(k) % 300
+                i = np.arange(n, dtype=np.int64)
+                v = (int(k) * 7919 + i * 104729) % 65536 - 32768
+                blob = encode_wav(v / 32768.0, 16000, bits=16)
+                x, _rate = decode_wav(blob)
+                rec = np.round(x * 32768.0).astype(np.int64)
+                out_k.append(int(k))
+                out_n.append(n)
+                out_s.append(int(rec.sum()))
+            return pa.table({"o_orderkey": pa.array(out_k, pa.int64()),
+                             "n_samples": pa.array(out_n, pa.int64()),
+                             "sum_samples": pa.array(out_s, pa.int64())})
+
+        df = orders.map_batches(gen_decode, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q36_y4m_decode(sf):  # REAL Y4M frame decode; gray pixels SQL-oracle-exact
+        """Video payloads are Y4M C444 streams of GRAY frames (R=G=B —
+        the BT.601 round-trip is exact for gray), frame-decoded by
+        offset arithmetic (kernels/video.py) and reduced to per-frame
+        pixel sums the oracle recomputes in plain SQL."""
+        from hand_index_ray.kernels.video import decode_y4m_frame, encode_y4m
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 101 == 0]
+            ok, of, osum = [], [], []
+            i = np.arange(256, dtype=np.int64)
+            for k in keys:
+                frames = np.empty((3, 16, 16, 3), np.uint8)
+                for f in range(3):
+                    v = ((int(k) * 31 + f * 977 + i * 13) % 256).astype(np.uint8).reshape(16, 16)
+                    frames[f] = np.stack([v, v, v], axis=-1)
+                blob = encode_y4m(frames, colorspace="C444")
+                for f in range(3):
+                    img = decode_y4m_frame(blob, f)
+                    ok.append(int(k))
+                    of.append(f)
+                    osum.append(int(img[:, :, 0].astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "frame_idx": pa.array(of, pa.int64()),
+                             "pixel_sum": pa.array(osum, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "frame_idx"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -447,6 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_bpe_tokens": q32_bpe_tokens,
         "q33_tile_dups": q33_tile_dups,
         "q34_zonal_stats": q34_zonal_stats,
+        "q35_wav_decode": q35_wav_decode,
+        "q36_y4m_decode": q36_y4m_decode,
     }
 
 
@@ -809,4 +873,29 @@ def oracle_sql() -> dict[str, str]:
         "q28_zonal_pairs": _Q28_SQL,
         "q33_tile_dups": _Q33_SQL,
         "q34_zonal_stats": _Q34_SQL,
+        # q35/q36: payloads are integer arithmetic over `orders`; PCM16
+        # (v/32768) and gray-frame BT.601 round-trip bit-exactly, so the
+        # SQL recomputes the decoded sums without touching a codec
+        "q35_wav_decode": """
+            SELECT o.o_orderkey, o.n AS n_samples,
+                   CAST(SUM((o.o_orderkey * 7919 + g.i * 104729) % 65536 - 32768)
+                        AS BIGINT) AS sum_samples
+            FROM (SELECT o_orderkey, 200 + o_orderkey % 300 AS n
+                  FROM orders WHERE o_orderkey % 97 = 0) o
+            CROSS JOIN (SELECT generate_series AS i
+                        FROM generate_series(0, 499)) g
+            WHERE g.i < o.n
+            GROUP BY o.o_orderkey, o.n
+            ORDER BY o.o_orderkey
+        """,
+        "q36_y4m_decode": """
+            SELECT o.o_orderkey, f.f AS frame_idx,
+                   CAST(SUM((o.o_orderkey * 31 + f.f * 977 + g.i * 13) % 256)
+                        AS BIGINT) AS pixel_sum
+            FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0) o
+            CROSS JOIN (SELECT generate_series AS f FROM generate_series(0, 2)) f
+            CROSS JOIN (SELECT generate_series AS i FROM generate_series(0, 255)) g
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
     }

@@ -2,12 +2,15 @@
 
 Images are first-class in this engine (real codecs in kernels/image.py,
 exercised by the flagship build). Audio and video payloads follow the
-same pattern — an opaque ``binary`` column plus typed metadata columns
-— but no audio/video codec library exists in this sandbox, so the
-*decode* steps below are STUBS (clearly marked): the Ray-side plumbing
-(schemas, actor-pool signatures, batch sizing for wide binary rows,
-output layout) is real and tested; the codec body raises
-``NotImplementedError`` unless the deterministic fake is requested.
+same pattern — an opaque ``binary`` column plus typed metadata columns.
+UNCOMPRESSED formats decode for real, from-spec, in pure numpy:
+RIFF/WAVE PCM + IEEE float (kernels/audio.py) and YUV4MPEG2 / Y4M
+(kernels/video.py). Compressed codecs (mp3/aac/h264/...) need a codec
+library this sandbox doesn't have, so those paths are STUBS (clearly
+marked): the body raises ``NotImplementedError`` unless the
+deterministic fake is requested; the Ray-side plumbing (schemas,
+actor-pool signatures, batch sizing for wide binary rows, output
+layout) is shared with the real paths and tested.
 
 Schema conventions:
   audio:  (clip_id: string, bytes: binary, sample_rate: int32,
@@ -53,10 +56,17 @@ class AudioFeatures:
         # once per actor
 
     def _decode(self, buf: bytes, codec: str, n_samples: int) -> np.ndarray:
+        if codec == "wav" or buf[:4] == b"RIFF":
+            # REAL from-spec decode (kernels/audio.py) — uncompressed
+            # RIFF/WAVE needs no external library
+            from ..kernels.audio import decode_wav
+
+            return decode_wav(buf)[0]
         if not self.fake:
             raise NotImplementedError(
-                "no audio codec library in this sandbox; real decode "
-                "(e.g. pyav/soundfile) plugs in here")
+                f"no codec library for compressed audio ({codec!r}) in "
+                "this sandbox; real decode (e.g. pyav/soundfile) plugs "
+                "in here — uncompressed 'wav' decodes natively")
         h = splitmix64(np.frombuffer(buf[:8].ljust(8, b"\0"), dtype=np.uint64)
                        + np.arange(max(n_samples, 1), dtype=np.uint64))
         return (h % np.uint64(65536)).astype(np.float64) / 32768.0 - 1.0
@@ -105,10 +115,17 @@ class FrameSampler:
         self.fake = fake
 
     def _decode_frame(self, buf: bytes, idx: int, w: int, h: int) -> np.ndarray:
+        if buf[:9] == b"YUV4MPEG2":
+            # REAL from-spec decode (kernels/video.py) — frame located
+            # by offset arithmetic, no scan through earlier frames
+            from ..kernels.video import decode_y4m_frame
+
+            return decode_y4m_frame(buf, idx)
         if not self.fake:
             raise NotImplementedError(
-                "no video codec library in this sandbox; real frame "
-                "decode (e.g. pyav) plugs in here")
+                "no codec library for compressed video in this sandbox; "
+                "real frame decode (e.g. pyav) plugs in here — "
+                "uncompressed Y4M decodes natively")
         seed = splitmix64(np.array([len(buf) * 131071 + idx], dtype=np.uint64))[0]
         rng_vals = splitmix64(np.uint64(seed) + np.arange(h * w * 3, dtype=np.uint64))
         return (rng_vals % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)

@@ -78,3 +78,121 @@ def test_real_codec_path_raises():
         AudioFeatures(fake=False)._decode(b"xx", "opus", 100)
     with pytest.raises(NotImplementedError):
         FrameSampler(fake=False)._decode_frame(b"xx", 0, 8, 8)
+
+
+# --- real from-spec codecs: RIFF/WAVE (audio) and Y4M (video) -----------
+
+
+def test_wav_roundtrip_bit_exact_16():
+    from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    x = np.round(rng.uniform(-1, 1, 500) * 32767) / 32768.0
+    out, rate = decode_wav(encode_wav(x, 22050, bits=16))
+    assert rate == 22050
+    np.testing.assert_allclose(out, x, atol=0)
+
+
+@pytest.mark.parametrize("bits", [8, 24, 32])
+def test_wav_bit_depths(bits):
+    from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(bits)
+    x = rng.uniform(-0.99, 0.99, 300)
+    out, rate = decode_wav(encode_wav(x, 8000, bits=bits))
+    tol = {8: 1 / 128, 24: 1 / 8388608, 32: 1e-7}[bits]
+    assert rate == 8000
+    np.testing.assert_allclose(out, x, atol=tol)
+
+
+def test_wav_stereo_downmix_and_malformed():
+    from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+    st = np.stack([np.full(100, 0.5), np.full(100, -0.25)], axis=1)
+    out, _ = decode_wav(encode_wav(st, 16000, bits=16, channels=2))
+    np.testing.assert_allclose(out, 0.125, atol=1 / 32768)
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_audio_features_real_wav_path(ray_session):
+    import ray.data
+
+    from hand_index_ray.kernels.audio import encode_wav
+    from hand_index_ray.stages.multimodal import AudioFeatures
+
+    rng = np.random.default_rng(9)
+    blobs, rms = [], []
+    for i in range(4):
+        amp = 0.1 * (i + 1)
+        x = amp * np.sin(np.linspace(0, 40 * np.pi, 1600))
+        blobs.append(encode_wav(x, 16000, bits=16))
+        rms.append(amp / np.sqrt(2))
+    tbl = pa.table({
+        "clip_id": pa.array([f"c{i}" for i in range(4)], pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sample_rate": pa.array([16000] * 4, pa.int32()),
+        "n_samples": pa.array([1600] * 4, pa.int64()),
+        "codec": pa.array(["wav"] * 4, pa.string()),
+    })
+    # fake=False: the wav path is REAL — no NotImplementedError
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(AudioFeatures, fn_constructor_kwargs={"n_mel": 4, "fake": False},
+                        batch_format="pyarrow", batch_size=2, concurrency=2)
+           .to_pandas().sort_values("clip_id"))
+    feats = np.stack(out["features"].to_numpy())
+    # band energies of a sine ≈ overall RMS per band
+    np.testing.assert_allclose(feats.mean(axis=1), rms, rtol=0.05)
+
+
+def test_y4m_roundtrip_c444_and_c420():
+    from hand_index_ray.kernels.image import psnr
+    from hand_index_ray.kernels.video import (count_y4m_frames,
+                                              decode_y4m_frame, encode_y4m)
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 24, 32, 3), dtype=np.uint8)
+    buf = encode_y4m(frames, fps=25.0, colorspace="C444")
+    assert count_y4m_frames(buf) == 5
+    for i in (0, 2, 4):
+        got = decode_y4m_frame(buf, i)
+        assert psnr(got, frames[i]) > 45.0  # rounding-only loss
+    buf420 = encode_y4m(frames, colorspace="C420jpeg")
+    got = decode_y4m_frame(buf420, 3)
+    assert got.shape == (24, 32, 3)  # chroma-subsampled but decodable
+    with pytest.raises(ValueError):
+        decode_y4m_frame(buf, 99)
+    with pytest.raises(ValueError):
+        decode_y4m_frame(b"nope", 0)
+
+
+def test_frame_sampler_real_y4m_path(ray_session):
+    import ray.data
+
+    from hand_index_ray.kernels.image import phash64
+    from hand_index_ray.kernels.video import decode_y4m_frame, encode_y4m
+
+    from hand_index_ray.stages.multimodal import FrameSampler
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(9, 16, 16, 3), dtype=np.uint8)
+    buf = encode_y4m(frames, colorspace="C444")
+    tbl = pa.table({
+        "video_id": pa.array(["v0"], pa.string()),
+        "bytes": pa.array([buf], pa.binary()),
+        "w": pa.array([16], pa.int32()),
+        "h": pa.array([16], pa.int32()),
+        "fps": pa.array([30.0], pa.float64()),
+        "n_frames": pa.array([9], pa.int32()),
+        "codec": pa.array(["y4m"], pa.string()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(FrameSampler, fn_constructor_kwargs={"k": 3, "fake": False},
+                        batch_format="pyarrow", batch_size=1, concurrency=1)
+           .to_pandas().sort_values("frame_idx"))
+    assert list(out["frame_idx"]) == [0, 4, 8]
+    want = [int(phash64(decode_y4m_frame(buf, i))) for i in (0, 4, 8)]
+    got = [int(np.uint64(v)) for v in out["frame_phash"].to_numpy().astype(np.uint64)]
+    assert got == want
