@@ -110,6 +110,10 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--catchments", required=True)
     z.add_argument("-o", "--out", help="write pairs to this parquet dir")
 
+    pl = sub.add_parser("pipeline", help="run a spec-assembled pipeline "
+                        "(steps.Pipeline.from_spec; JSON spec file)")
+    pl.add_argument("--spec", required=True, help="path to the JSON spec")
+
     args = p.parse_args(argv)
     _ray()
 
@@ -216,6 +220,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.out}))
         else:
             print(json.dumps({"pairs": ds.count()}))
+    elif args.cmd == "pipeline":
+        from .steps import Pipeline
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        result = Pipeline.from_spec(spec).run()
+        if isinstance(result, str):
+            print(json.dumps({"sink": result}))
+        else:
+            print(json.dumps({"rows": result.count()}))
     return 0
 
 

@@ -55,3 +55,25 @@ def test_cli_query_and_validate(ray_session, smoke_dirs, tmp_path, capsys):
     assert main(["validate", "-g", str(geojson), "-p", cpath, "-t", "10.0"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["consistent"]
+
+
+def test_cli_pipeline_spec(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6), pa.int64()),
+        "text": pa.array(["a b c d e"] * 6, pa.string()),
+    }), docs)
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({
+        "source": {"parquet": docs},
+        "steps": [{"fn": "token_count"},
+                  {"kernel": "filter",
+                   "params": {"column": "n_tokens", "op": ">=", "value": 5}}],
+        "sink": {"path": str(tmp_path / "out")},
+    }))
+    assert main(["pipeline", "--spec", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pq.read_table(out["sink"]).num_rows == 6
