@@ -68,11 +68,44 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     ``dup_pairs_exact``.
 
     Returns a Dataset[(id_a, id_b, sim)] — the pair set is itself big
-    data at scale, so it never lands on the driver; the cross-band
-    dedup is a keyed shuffle of the slim pair rows (VERDICT r1 #4).
+    data at scale, so it never lands on the driver. Scale shape:
+
+    - each row carries its 48 SIGN BITS as one uint64 word through the
+      shuffle, so the verify stage recomputes every band's bucket
+      EXACTLY (bit compare — no BLAS re-rounding hazard) and emits each
+      pair only from its minimal colliding band: the global pair set is
+      exactly-once with NO cross-band distinct shuffle;
+    - when the embedding table is broadcast-sized, the vectors ship
+      ONCE via the object store and the shuffle moves slim
+      (id, band, bucket, sign_word) rows — a vector is otherwise
+      replicated ×bands through the exchange (the carry path remains
+      for tables too big to broadcast).
     """
     planes_per_band, bands = 8, 6
-    rng = np.random.default_rng(12345)
+
+    # broadcast gate: parquet-backed inputs report size from metadata;
+    # transformed datasets fall back to the carry path
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    broadcast_vecs = sz is not None and sz <= 256 * 1024 * 1024
+    if broadcast_vecs:
+        src = ds.materialize()
+
+        @ray.remote(num_cpus=0.5)
+        def _vec_chunk(block: pa.Table) -> dict:
+            ids_c = block.column(id_col).to_numpy()
+            m_c = _stack(block.column(vec_col))
+            return {int(i): v for i, v in zip(ids_c, m_c)}
+
+        vec_map: dict = {}
+        for d in ray.get([_vec_chunk.remote(r) for r in src.to_arrow_refs()]):
+            vec_map.update(d)
+        vec_ref = ray.put(vec_map)
+    else:
+        src = ds
+        vec_ref = None
 
     def f(t: pa.Table) -> pa.Table:
         if max_ids is not None:
@@ -83,28 +116,36 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
             return pa.table({id_col: pa.array([], pa.int64()),
                              "band": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.uint64()),
+                             "sign_word": pa.array([], pa.uint64()),
                              vec_col: pa.array([], pa.list_(pa.float64()))})
         dim = m.shape[1]
         planes = np.random.default_rng(999).standard_normal((bands * planes_per_band, dim))
         signs = (m @ planes.T) > 0
+        word = (signs.astype(np.uint64)
+                << np.arange(bands * planes_per_band, dtype=np.uint64)).sum(axis=1)
         ids = t.column(id_col).to_numpy()
-        out_id, out_band, out_bucket, out_vec = [], [], [], []
+        out_id, out_band, out_bucket, out_word, out_vec = [], [], [], [], []
         for b in range(bands):
-            chunk = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
-            bucket = (chunk.astype(np.uint64)
-                      << np.arange(planes_per_band, dtype=np.uint64)).sum(axis=1)
+            byte = (word >> np.uint64(b * planes_per_band)) & np.uint64((1 << planes_per_band) - 1)
             with np.errstate(over="ignore"):
-                bucket = splitmix64(bucket ^ np.uint64(b * 7919))
+                bucket = splitmix64(byte ^ np.uint64(b * 7919))
             out_id.append(ids)
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_bucket.append(bucket)
-            out_vec.extend(list(m))
+            out_word.append(word)
+            if vec_ref is None:
+                out_vec.extend(list(m))
+        if vec_ref is None:
+            vec_arr = pa.array(out_vec, pa.list_(pa.float64()))
+        else:  # vectors broadcast — ship empty lists through the shuffle
+            vec_arr = pa.array([[]] * (len(ids) * bands), pa.list_(pa.float64()))
         return pa.table({id_col: pa.array(np.concatenate(out_id)),
                          "band": pa.array(np.concatenate(out_band), pa.int32()),
                          "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
-                         vec_col: pa.array(out_vec, pa.list_(pa.float64()))})
+                         "sign_word": pa.array(np.concatenate(out_word), pa.uint64()),
+                         vec_col: vec_arr})
 
-    exploded = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = src.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
     _EMPTY = {"id_a": pd.Series([], dtype=np.int64),
               "id_b": pd.Series([], dtype=np.int64),
@@ -113,14 +154,28 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame(_EMPTY)
+        this_band = int(g["band"].iloc[0])
         ids = g[id_col].to_numpy()
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        if vec_ref is not None:
+            vm = ray.get(vec_ref)
+            m = np.stack([vm[int(i)] for i in ids]).astype(np.float64)
+        else:
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1)
         nm = m / np.where(n == 0, 1.0, n)[:, None]
         sims = np.round(nm @ nm.T, SIM_DECIMALS)
         iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
         keep = ids[iu] != ids[ju]
         iu, ju = iu[keep], ju[keep]
+        if len(iu):
+            # exactly-once: emit only from the minimal band whose sign
+            # bytes agree (carried words — exact, no float recompute)
+            w = g["sign_word"].to_numpy().astype(np.uint64)
+            shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(planes_per_band))
+            bytes_ = (w[:, None] >> shifts[None, :]) & np.uint64((1 << planes_per_band) - 1)
+            min_band = np.argmax(bytes_[iu] == bytes_[ju], axis=1)
+            pick = min_band == this_band
+            iu, ju = iu[pick], ju[pick]
         if not len(iu):
             return pd.DataFrame(_EMPTY)
         ida, idb = ids[iu].astype(np.int64), ids[ju].astype(np.int64)
@@ -128,12 +183,10 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "sim": sims[iu, ju].astype(np.float64)})
 
-    from ..relational import distinct, grouped_apply_bucketed
+    from ..relational import grouped_apply_bucketed
 
-    pairs = grouped_apply_bucketed(exploded, ["band", "bucket"], verify,
-                                   min_group_size=2)
-    # cross-band dedup as a keyed shuffle; sim is identical per pair
-    return distinct(pairs, ["id_a", "id_b", "sim"])
+    return grouped_apply_bucketed(exploded, ["band", "bucket"], verify,
+                                  min_group_size=2)
 
 
 def dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.95,
