@@ -474,6 +474,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values(["o_orderkey", "frame_idx"]).reset_index(drop=True)
 
+    def q37_ivf_topk(sf):  # partitioned IVF ANN: probe-all == exact (SQL oracle)
+        """IVF index partitioned by nearest-centroid list (hive layout,
+        directory-level pruning). With nprobe = nlist every partition
+        is probed, so the result equals exact brute-force cosine top-k
+        and the plain-SQL oracle applies; smaller nprobe is the scale
+        path (read amplification tested in tests/test_text_ann.py)."""
+        from hand_index_ray.pipelines.ann import ivf_build, ivf_query
+
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        idx = _cache_dir(f"ivf-{tag}", "index")
+        if not os.path.exists(os.path.join(idx, "centroids.parquet")):
+            ivf_build(_t(sf, "embeddings"), idx, nlist=8)
+        emb = _tbl(sf, "embeddings")
+        q = np.asarray(emb.column("embedding")[1].as_py(), dtype=np.float64)
+        return ivf_query(idx, q, 10, nprobe=8)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -511,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_zonal_stats": q34_zonal_stats,
         "q35_wav_decode": q35_wav_decode,
         "q36_y4m_decode": q36_y4m_decode,
+        "q37_ivf_topk": q37_ivf_topk,
     }
 
 
@@ -897,5 +914,14 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT generate_series AS i FROM generate_series(0, 255)) g
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # q37: with nprobe = nlist the IVF query reads every partition,
+        # so its result is exactly the brute-force cosine top-k
+        "q37_ivf_topk": """
+            SELECT e.vec_id,
+                   CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)) * 1000000.0)
+                        AS BIGINT) AS sim_micro
+            FROM embeddings e ORDER BY sim_micro DESC, e.vec_id LIMIT 10
         """,
     }
