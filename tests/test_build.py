@@ -153,3 +153,25 @@ def test_build_catchments_groupby_union(ray_session, smoke_dirs):
     merged = df.merge(src[["branch_path", "catchment_id"]], on="branch_path",
                       suffixes=("_built", "_src"))
     assert (merged["catchment_id_built"] == merged["catchment_id_src"]).all()
+
+
+def test_resume_accepts_respelled_input_path(ray_session, smoke_dirs, tmp_path):
+    """Resuming with a different SPELLING of the same input directory
+    (relative vs absolute) must not trip the lineage guard; a genuinely
+    different input set still must."""
+    from hand_index_ray.pipelines.build import build_index
+
+    out = str(tmp_path / "index_respell")
+    build_index(smoke_dirs["images"], out, CFG)
+    rel = os.path.relpath(smoke_dirs["images"])
+    s = build_index(rel, out, CFG)
+    assert s["fragments_built"] == 0 and s["fragments_skipped_resume"] == 8
+    # different input set → loud failure
+    other = str(tmp_path / "other_images")
+    os.makedirs(other)
+    for f in sorted(os.listdir(smoke_dirs["images"]))[:3]:
+        os.link(os.path.join(smoke_dirs["images"], f), os.path.join(other, f))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        build_index(other, out, CFG)
