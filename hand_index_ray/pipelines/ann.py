@@ -94,15 +94,18 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         src = ds.materialize()
 
         @ray.remote(num_cpus=0.5)
-        def _vec_chunk(block: pa.Table) -> dict:
-            ids_c = block.column(id_col).to_numpy()
-            m_c = _stack(block.column(vec_col))
-            return {int(i): v for i, v in zip(ids_c, m_c)}
+        def _vec_chunk(block: pa.Table) -> tuple:
+            return (block.column(id_col).to_numpy().astype(np.int64),
+                    _stack(block.column(vec_col)))
 
-        vec_map: dict = {}
-        for d in ray.get([_vec_chunk.remote(r) for r in src.to_arrow_refs()]):
-            vec_map.update(d)
-        vec_ref = ray.put(vec_map)
+        parts = [p for p in ray.get([_vec_chunk.remote(r)
+                                     for r in src.to_arrow_refs()]) if len(p[0])]
+        _ids = np.concatenate([p[0] for p in parts])
+        _mat = np.concatenate([p[1] for p in parts])
+        _order = np.argsort(_ids)
+        # flat (sorted_ids, matrix) — zero-copy from the object store per
+        # task, unlike a dict of one small array per id
+        vec_ref = ray.put((_ids[_order], _mat[_order]))
     else:
         src = ds
         vec_ref = None
@@ -157,8 +160,8 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         this_band = int(g["band"].iloc[0])
         ids = g[id_col].to_numpy()
         if vec_ref is not None:
-            vm = ray.get(vec_ref)
-            m = np.stack([vm[int(i)] for i in ids]).astype(np.float64)
+            sorted_ids, mat = ray.get(vec_ref)
+            m = mat[np.searchsorted(sorted_ids, ids.astype(np.int64))].astype(np.float64)
         else:
             m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1)

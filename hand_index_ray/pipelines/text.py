@@ -338,10 +338,12 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
     prefilters candidates with a vectorized signature-agreement matrix
     before the exact set intersections, so a degenerate bucket costs
     O(n²) bit-ops, not O(n²) Python pairs.
-    At petabyte scale the gram sets should not replicate through the
-    band explode — ship (id, band, bucket, sig) and rejoin grams by id
-    for the verify pass; at this corpus size the replication is cheap
-    and saves a join.
+    When the corpus is broadcast-sized, the signature + gram payloads
+    ship ONCE via the object store and the band explode moves slim
+    (id, band, bucket) rows — a doc's ~1 KB payload is otherwise
+    replicated ×bands through the shuffle (the carry path remains for
+    corpora too big to broadcast; there, ship (id, band, bucket, sig)
+    and rejoin grams by id, as the docstringed scale plan).
 
     Returns Dataset[(id_a, id_b, j_micro)] where
     j_micro = round(1e6 · |A∩B| / |A∪B|) — the SQL-oracle-exact form.
@@ -350,22 +352,57 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
     thr_micro = int(round(jaccard_threshold * 1e6))
     sigs = minhash_signatures(ds, num_hashes, col, id_col, with_grams=True)
 
+    try:
+        _sz = ds.size_bytes()
+    except Exception:
+        _sz = None
+    broadcast_payloads = _sz is not None and _sz <= 256 * 1024 * 1024
+    if broadcast_payloads:
+        sigs = sigs.materialize()
+
+        @ray.remote(num_cpus=0.5)
+        def _payload_chunk(block: pa.Table) -> tuple:
+            ids_c = np.asarray(block.column(id_col).to_numpy(zero_copy_only=False))
+            sig_c = np.stack(block.column("sig").to_numpy(zero_copy_only=False)).astype(np.uint64)
+            gcol = block.column("grams").combine_chunks()
+            flat = np.asarray(gcol.flatten(), dtype=np.uint64)
+            lens = np.asarray(pc.list_value_length(gcol), dtype=np.int64)
+            return ids_c, sig_c, flat, lens
+
+        parts = ray.get([_payload_chunk.remote(r) for r in sigs.to_arrow_refs()])
+        parts = [p for p in parts if len(p[0])]
+        _ids = np.concatenate([p[0] for p in parts])
+        _sigm = np.concatenate([p[1] for p in parts])
+        _flat = np.concatenate([p[2] for p in parts])
+        _lens = np.concatenate([p[3] for p in parts])
+        _order = np.argsort(_ids)
+        _off = np.zeros(len(_ids) + 1, dtype=np.int64)
+        np.cumsum(_lens, out=_off[1:])
+        # FLAT arrays, not a dict of small objects: numpy buffers come
+        # back from the object store zero-copy, so per-task ray.get is
+        # O(1) instead of deserializing 2 small arrays per doc
+        pay_ref = ray.put((_ids[_order], _sigm[_order],
+                           _flat, _off, _order.astype(np.int64)))
+    else:
+        pay_ref = None
+
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()
         sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
-        grams = t.column("grams")
         out = []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
             with np.errstate(over="ignore"):
                 bucket = splitmix64(chunk.astype(np.uint64).sum(axis=1) ^ np.uint64(b * 7919))
-            out.append(pa.table({
+            cols = {
                 id_col: pa.array(ids),
                 "band": pa.array(np.full(len(ids), b, dtype=np.int32), pa.int32()),
                 "bucket": pa.array(bucket, pa.uint64()),
-                "sig": t.column("sig"),
-                "grams": grams,
-            }))
+            }
+            if pay_ref is None:  # carry path: payloads ride the shuffle
+                cols["sig"] = t.column("sig")
+                cols["grams"] = t.column("grams")
+            out.append(pa.table(cols))
         return pa.concat_tables(out)
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
@@ -388,8 +425,16 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        sig = np.stack(g["sig"].to_numpy())[order]
-        gram_list = g["grams"].to_numpy()[order]
+        if pay_ref is not None:
+            sorted_ids, sig_mat, flat, off, orig_idx = ray.get(pay_ref)
+            pos = np.searchsorted(sorted_ids, ids)
+            sig = sig_mat[pos]
+            oi = orig_idx[pos]
+            gram_list = np.array([flat[off[o]:off[o + 1]] for o in oi],
+                                 dtype=object)
+        else:
+            sig = np.stack(g["sig"].to_numpy())[order]
+            gram_list = g["grams"].to_numpy()[order]
         # vectorized signature-agreement prefilter: estimated jaccard
         # from matching minhash positions, computed as an (n, n) count
         # matrix — far below the exact threshold cannot be a true pair
