@@ -678,6 +678,113 @@ def canonical_cell(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
     return s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
 
 
+def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
+                          level: int) -> ray.data.Dataset:
+    """Broadcast spatial join — the NO-SHUFFLE zonal path.
+
+    When the catchment catalog fits the broadcast budget, there is no
+    reason to move the footprints at all: the catalog's covering-cell
+    index (flat sorted arrays) and once-prepared polygons broadcast via
+    the object store, and ONE map_batches over the footprint table
+    looks up candidates locally and runs the exact predicate. Pair
+    dedup is intra-batch (each footprint row lives in exactly one
+    batch), so the canonical-cell machinery of the shuffle path is
+    unnecessary. Index files are cell-partitioned, so batches are
+    spatially local and each task unpickles only the few polygons it
+    actually touches."""
+    import pickle
+
+    _cat_tbl = pq.read_table(catchments_path, columns=["catchment_id", "geometry"])
+    cids = _cat_tbl.column("catchment_id").to_pylist()
+    blobs = _cat_tbl.column("geometry").to_pylist()
+
+    @ray.remote(num_cpus=1)
+    def _prep_chunk(blobs_c: list) -> list:
+        out = []
+        for blob in blobs_c:
+            rag5070 = wkb.decode([blob])
+            lon, lat = proj.albers_to_lonlat(rag5070.coords[:, 0],
+                                             rag5070.coords[:, 1])
+            rag = wkb.Ragged(np.stack([lon, lat], axis=1),
+                             rag5070.ring_coord_off, rag5070.part_ring_off,
+                             rag5070.geom_part_off)
+            out.append(pickle.dumps(geom.PreparedPolygon(rag)))
+        return out
+
+    step = max(1, (len(blobs) + 63) // 64)
+    futs = [_prep_chunk.remote(blobs[i:i + step])
+            for i in range(0, len(blobs), step)]
+    preps: list = []
+    for chunk in ray.get(futs):
+        preps.extend(chunk)
+
+    # covering cells from the projected padded bbox (same construction
+    # as the shuffle path's explode_cat)
+    rag = wkb.decode(blobs)
+    b = geom.bounds(rag)
+    xs = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)
+    ys = np.stack([b[:, 1], b[:, 1], b[:, 3], b[:, 3]], axis=1)
+    lons, lats = proj.albers_to_lonlat(xs.ravel(), ys.ravel())
+    lons = lons.reshape(-1, 4)
+    lats = lats.reshape(-1, 4)
+    pad = 0.05
+    ci, cc = lattice_cover(lons.min(axis=1) - pad, lats.min(axis=1) - pad,
+                           lons.max(axis=1) + pad, lats.max(axis=1) + pad, level)
+    o = np.argsort(cc, kind="stable")
+    cc_s, ci_s = cc[o], ci[o].astype(np.int64)
+    ucell, ustart = np.unique(cc_s, return_index=True)
+    uoff = np.append(ustart, len(cc_s)).astype(np.int64)
+    idx_ref = ray.put((ucell, uoff, ci_s, np.array(cids, dtype=object),
+                       np.array(preps, dtype=object)))
+
+    _OUT = pa.schema([("image_id", pa.string()), ("catchment_id", pa.string())])
+
+    def join_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ucell, uoff, cat_of, cid_arr, prep_arr = ray.get(idx_ref)
+        if len(ucell) == 0:
+            return _OUT.empty_table()
+        minx = t.column("minx").to_numpy()
+        miny = t.column("miny").to_numpy()
+        maxx = t.column("maxx").to_numpy()
+        maxy = t.column("maxy").to_numpy()
+        ri, cells = lattice_cover(minx, miny, maxx, maxy, level)
+        pos = np.minimum(np.searchsorted(ucell, cells), len(ucell) - 1)
+        ok = ucell[pos] == cells
+        ri, pos = ri[ok], pos[ok]
+        cnt = uoff[pos + 1] - uoff[pos]
+        total = int(cnt.sum())
+        if total == 0:
+            return _OUT.empty_table()
+        rows = np.repeat(ri, cnt)
+        offs = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        cat_i = cat_of[np.repeat(uoff[pos], cnt) + offs]
+        # dedup (row, catchment) — a pair can repeat across shared cells
+        key = rows.astype(np.uint64) * np.uint64(len(cid_arr)) + cat_i.astype(np.uint64)
+        _, ku = np.unique(key, return_index=True)
+        rows, cat_i = rows[ku], cat_i[ku]
+        o2 = np.argsort(cat_i, kind="stable")
+        rows, cat_i = rows[o2], cat_i[o2]
+        img = t.column("image_id").to_numpy()
+        out_img: list = []
+        out_cid: list = []
+        bnd = np.flatnonzero(np.diff(cat_i)) + 1
+        for s, e in zip(np.concatenate([[0], bnd]),
+                        np.concatenate([bnd, [len(cat_i)]])):
+            c = int(cat_i[s])
+            prep = pickle.loads(prep_arr[c])
+            rr = rows[s:e]
+            rel = geom.rects_vs_polygon(minx[rr], miny[rr], maxx[rr], maxy[rr], prep)
+            hits = rr[rel["intersects"]]
+            out_img.extend(img[hits].tolist())
+            out_cid.extend([cid_arr[c]] * len(hits))
+        return pa.table({"image_id": pa.array(out_img, pa.string()),
+                         "catchment_id": pa.array(out_cid, pa.string())}, schema=_OUT)
+
+    return foot.map_batches(join_b, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zonal_join(index_dir: str, catchments_path: str,
                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
     """Assign every footprint to every intersecting catchment polygon.
@@ -705,6 +812,14 @@ def zonal_join(index_dir: str, catchments_path: str,
     man = Manifest(index_dir)
     files = man.all_files(index_dir)
     foot = ray.data.read_parquet(files, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+
+    # broadcast-sized catalog → the no-shuffle broadcast spatial join;
+    # the salted co-group shuffle below is the big-catalog path
+    _cat_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in
+                     os.walk(catchments_path) for f in fs) \
+        if os.path.isdir(catchments_path) else os.path.getsize(catchments_path)
+    if _cat_bytes <= cfg.zonal_broadcast_bytes:
+        return _zonal_join_broadcast(foot, catchments_path, level)
 
     _SCHEMA = pa.schema([
         ("cell", pa.uint64()), ("salt", pa.int32()), ("side", pa.int8()),
@@ -798,50 +913,6 @@ def zonal_join(index_dir: str, catchments_path: str,
 
     foot_salted = foot_exploded.map_batches(salt_foot, batch_format="pyarrow")
 
-    # geometry broadcast: a catchment covering k lattice cells would
-    # replicate its WKB blob k× (×salt for hot cells) through the
-    # shuffle, and each co-group bucket would decode + reproject +
-    # prepare it again. When the catalog is broadcast-sized, instead
-    # PREPARE each polygon exactly once (plain Ray tasks over catalog
-    # chunks — cheaper than a full Dataset execution at this size),
-    # broadcast the prepared map via the object store, and move only
-    # (cell, salt, cid) rows through the shuffle; the carry path
-    # remains for catalogs too big to broadcast.
-    _cat_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in
-                     os.walk(catchments_path) for f in fs) \
-        if os.path.isdir(catchments_path) else os.path.getsize(catchments_path)
-    broadcast_geoms = _cat_bytes <= cfg.zonal_broadcast_bytes
-    if broadcast_geoms:
-        import pickle
-
-        _cat_tbl = pq.read_table(catchments_path,
-                                 columns=["catchment_id", "geometry"])
-        _cids = _cat_tbl.column("catchment_id").to_pylist()
-        _blobs = _cat_tbl.column("geometry").to_pylist()
-
-        @ray.remote(num_cpus=1)
-        def _prep_chunk(cids_c: list, blobs_c: list) -> dict:
-            out = {}
-            for cid, blob in zip(cids_c, blobs_c):
-                rag5070 = wkb.decode([blob])
-                lon, lat = proj.albers_to_lonlat(rag5070.coords[:, 0],
-                                                 rag5070.coords[:, 1])
-                rag = wkb.Ragged(np.stack([lon, lat], axis=1),
-                                 rag5070.ring_coord_off, rag5070.part_ring_off,
-                                 rag5070.geom_part_off)
-                out[cid] = pickle.dumps(geom.PreparedPolygon(rag))
-            return out
-
-        step = max(1, (len(_cids) + 63) // 64)
-        futs = [_prep_chunk.remote(_cids[i:i + step], _blobs[i:i + step])
-                for i in range(0, len(_cids), step)]
-        _prep_map: dict = {}
-        for d in ray.get(futs):
-            _prep_map.update(d)
-        prep_ref = ray.put(_prep_map)
-    else:
-        prep_ref = None
-
     def explode_cat(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty().append_column("bucket", pa.array([], pa.int32()))
@@ -881,22 +952,13 @@ def zonal_join(index_dir: str, catchments_path: str,
             "maxx": pa.array(bmaxx[idx], pa.float64()),
             "maxy": pa.array(bmaxy[idx], pa.float64()),
             "catchment_id": pa.array([cids[i] for i in idx], pa.string()),
-            # broadcast path: the prepared-polygon map replaces the
-            # per-cell WKB payload — ship an empty blob
-            "geometry": (pa.array([b""] * n, pa.binary()) if broadcast_geoms
-                         else pa.array([blobs[i] for i in idx], pa.binary())),
+            "geometry": pa.array([blobs[i] for i in idx], pa.binary()),
         }, schema=_SCHEMA)
         return out.append_column("bucket", _bucket_col(cells, salt_col))
 
-    if broadcast_geoms:
-        # catalog already in driver memory (it passed the broadcast size
-        # gate) — explode it here and feed the rows straight into the
-        # union, skipping a read+map Dataset execution
-        cat_exploded = ray.data.from_arrow(explode_cat(_cat_tbl))
-    else:
-        cat = ray.data.read_parquet(catchments_path,
-                                    columns=["catchment_id", "geometry"])
-        cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
+    cat = ray.data.read_parquet(catchments_path,
+                                columns=["catchment_id", "geometry"])
+    cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
 
     # co-group via hash buckets: ONE shuffle keyed on
     # bucket = hash(cell, salt) % NB (assigned inside the explode/salt
@@ -926,27 +988,19 @@ def zonal_join(index_dir: str, catchments_path: str,
                    on=["cell", "salt"])
         if cand.empty:
             return pd.DataFrame(_OUT_EMPTY)
-        prep_map = ray.get(prep_ref) if prep_ref is not None else None
         # a catchment covers several cells in this bucket — decode +
         # reproject each distinct geometry ONCE per bucket, not per cell
-        # (broadcast path: unpickle the globally-prepared polygon once
-        # per bucket — no decode/reproject/prepare work at all)
         geo_cache: dict = {}
 
         def polygon_4326(cid, blob):
             prep = geo_cache.get(cid)
             if prep is None:
-                if prep_map is not None:
-                    import pickle
-
-                    prep = pickle.loads(prep_map[cid])
-                else:
-                    rag5070 = wkb.decode([blob])
-                    coords = rag5070.coords
-                    lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
-                    rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
-                                     rag5070.part_ring_off, rag5070.geom_part_off)
-                    prep = geom.PreparedPolygon(rag)
+                rag5070 = wkb.decode([blob])
+                coords = rag5070.coords
+                lon, lat = proj.albers_to_lonlat(coords[:, 0], coords[:, 1])
+                rag = wkb.Ragged(np.stack([lon, lat], axis=1), rag5070.ring_coord_off,
+                                 rag5070.part_ring_off, rag5070.geom_part_off)
+                prep = geom.PreparedPolygon(rag)
                 geo_cache[cid] = prep
             return prep
 

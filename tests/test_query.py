@@ -173,11 +173,19 @@ def test_knn_exact(index_dir, all_footprints):
             assert len(opened) == len(set(opened)), (lon, lat, k)
 
 
-def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs, all_footprints):
+@pytest.mark.parametrize("path_kind", ["broadcast", "shuffle"])
+def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs,
+                                       all_footprints, path_kind):
+    """Both zonal paths — the no-shuffle broadcast spatial join and the
+    salted co-group shuffle (forced via zonal_broadcast_bytes=0) — must
+    equal the brute-force pair set exactly."""
+    from dataclasses import replace
+
     from hand_index_ray.pipelines.query import zonal_join
 
+    cfg = CFG if path_kind == "broadcast" else replace(CFG, zonal_broadcast_bytes=0)
     cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
-    pairs = zonal_join(index_dir, cpath, CFG).to_pandas()
+    pairs = zonal_join(index_dir, cpath, cfg).to_pandas()
     got = set(zip(pairs["image_id"], pairs["catchment_id"]))
     assert len(got) == len(pairs), "zonal join emitted duplicate pairs"
     # brute force: all footprints × all catchments with the same kernels
