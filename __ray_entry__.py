@@ -482,10 +482,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path (read amplification tested in tests/test_text_ann.py)."""
         from hand_index_ray.pipelines.ann import ivf_build, ivf_query
 
+        import pyarrow.parquet as _pq
+
+        # cache key includes the row count (content fingerprint like the
+        # tpch-{tag}-n{k} caches); build into a tmp dir and rename so a
+        # killed build never leaves a half-written index that the next
+        # run would append into
+        n_emb = _pq.read_metadata(os.path.join(sf, "embeddings.parquet")).num_rows
         tag = os.path.basename(os.path.normpath(sf)) or "sf"
-        idx = _cache_dir(f"ivf-{tag}", "index")
+        idx = _cache_dir(f"ivf-{tag}-n{n_emb}", "index")
         if not os.path.exists(os.path.join(idx, "centroids.parquet")):
-            ivf_build(_t(sf, "embeddings"), idx, nlist=8)
+            import shutil as _sh
+            import tempfile as _tf
+
+            parent = os.path.dirname(idx)
+            os.makedirs(parent, exist_ok=True)
+            tmp = _tf.mkdtemp(dir=parent, prefix="index-tmp-")
+            ivf_build(_t(sf, "embeddings"), tmp, nlist=8)
+            _sh.rmtree(idx, ignore_errors=True)
+            os.replace(tmp, idx)
         emb = _tbl(sf, "embeddings")
         q = np.asarray(emb.column("embedding")[1].as_py(), dtype=np.float64)
         return ivf_query(idx, q, 10, nprobe=8)

@@ -57,7 +57,8 @@ def cosine_topk(ds: ray.data.Dataset, query: np.ndarray, k: int,
 
 def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              max_ids: int | None = None) -> ray.data.Dataset:
+              max_ids: int | None = None,
+              broadcast_bytes: int = 256 * 1024 * 1024) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs via LSH hyperplane buckets.
 
     Sign-sketch buckets (b hyperplanes) group likely-similar vectors;
@@ -89,17 +90,24 @@ def dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         sz = ds.size_bytes()
     except Exception:
         sz = None
-    broadcast_vecs = sz is not None and sz <= 256 * 1024 * 1024
+    broadcast_vecs = sz is not None and sz <= broadcast_bytes
     if broadcast_vecs:
         src = ds.materialize()
 
         @ray.remote(num_cpus=0.5)
         def _vec_chunk(block: pa.Table) -> tuple:
+            if block.num_rows == 0 or id_col not in block.schema.names:
+                return np.empty(0, np.int64), np.empty((0, 0))
             return (block.column(id_col).to_numpy().astype(np.int64),
                     _stack(block.column(vec_col)))
 
         parts = [p for p in ray.get([_vec_chunk.remote(r)
                                      for r in src.to_arrow_refs()]) if len(p[0])]
+        if not parts:  # empty dataset — nothing can pair
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64())}))
         _ids = np.concatenate([p[0] for p in parts])
         _mat = np.concatenate([p[1] for p in parts])
         _order = np.argsort(_ids)

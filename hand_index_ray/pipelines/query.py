@@ -644,6 +644,8 @@ def lattice_cover(minx: np.ndarray, miny: np.ndarray,
     round-trip without error. (A ±δ pad here multiplied candidate
     pairs ~12× for nothing.) Property-tested against boundary-aligned
     bboxes in tests/test_query.py."""
+    if len(minx) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
     delta = 45.0 / (1 << level)
     k0x = np.floor(minx / delta).astype(np.int64)
     k1x = np.floor(maxx / delta).astype(np.int64)
@@ -699,8 +701,21 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     blobs = _cat_tbl.column("geometry").to_pylist()
 
     @ray.remote(num_cpus=1)
-    def _prep_chunk(blobs_c: list) -> list:
+    def _prep_chunk(blobs_c: list) -> tuple:
+        """Prepared polygons + the projected padded covering bbox per
+        blob — ONE decode/reproject pass serves both (the driver used
+        to repeat the decode just for the bounds)."""
         out = []
+        rag5070_all = wkb.decode(blobs_c)
+        b = geom.bounds(rag5070_all)
+        xs = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)
+        ys = np.stack([b[:, 1], b[:, 1], b[:, 3], b[:, 3]], axis=1)
+        lons, lats = proj.albers_to_lonlat(xs.ravel(), ys.ravel())
+        lons = lons.reshape(-1, 4)
+        lats = lats.reshape(-1, 4)
+        pad = 0.05
+        bbox = np.stack([lons.min(axis=1) - pad, lats.min(axis=1) - pad,
+                         lons.max(axis=1) + pad, lats.max(axis=1) + pad], axis=1)
         for blob in blobs_c:
             rag5070 = wkb.decode([blob])
             lon, lat = proj.albers_to_lonlat(rag5070.coords[:, 0],
@@ -709,27 +724,19 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
                              rag5070.ring_coord_off, rag5070.part_ring_off,
                              rag5070.geom_part_off)
             out.append(pickle.dumps(geom.PreparedPolygon(rag)))
-        return out
+        return out, bbox
 
     step = max(1, (len(blobs) + 63) // 64)
     futs = [_prep_chunk.remote(blobs[i:i + step])
             for i in range(0, len(blobs), step)]
     preps: list = []
-    for chunk in ray.get(futs):
+    bboxes: list = []
+    for chunk, bbox in ray.get(futs):
         preps.extend(chunk)
-
-    # covering cells from the projected padded bbox (same construction
-    # as the shuffle path's explode_cat)
-    rag = wkb.decode(blobs)
-    b = geom.bounds(rag)
-    xs = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)
-    ys = np.stack([b[:, 1], b[:, 1], b[:, 3], b[:, 3]], axis=1)
-    lons, lats = proj.albers_to_lonlat(xs.ravel(), ys.ravel())
-    lons = lons.reshape(-1, 4)
-    lats = lats.reshape(-1, 4)
-    pad = 0.05
-    ci, cc = lattice_cover(lons.min(axis=1) - pad, lats.min(axis=1) - pad,
-                           lons.max(axis=1) + pad, lats.max(axis=1) + pad, level)
+        bboxes.append(bbox)
+    bb = (np.concatenate(bboxes) if bboxes
+          else np.empty((0, 4), dtype=np.float64))
+    ci, cc = lattice_cover(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], level)
     o = np.argsort(cc, kind="stable")
     cc_s, ci_s = cc[o], ci[o].astype(np.int64)
     ucell, ustart = np.unique(cc_s, return_index=True)

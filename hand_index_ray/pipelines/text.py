@@ -325,7 +325,8 @@ def minhash_signatures(ds: ray.data.Dataset, num_hashes: int = 64,
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5,
-                      col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+                      col: str = "text", id_col: str = "doc_id",
+                      broadcast_bytes: int = 256 * 1024 * 1024) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs, verified by EXACT word-3-gram
     Jaccard: shingle → minhash → band → bucket groupby → in-bucket
     verify → distributed cross-band dedup.
@@ -356,12 +357,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
         _sz = ds.size_bytes()
     except Exception:
         _sz = None
-    broadcast_payloads = _sz is not None and _sz <= 256 * 1024 * 1024
+    broadcast_payloads = _sz is not None and _sz <= broadcast_bytes
     if broadcast_payloads:
         sigs = sigs.materialize()
 
         @ray.remote(num_cpus=0.5)
         def _payload_chunk(block: pa.Table) -> tuple:
+            if block.num_rows == 0 or id_col not in block.schema.names:
+                z = np.empty(0, np.uint64)
+                return (np.empty(0, np.int64),
+                        np.empty((0, num_hashes), np.uint64), z,
+                        np.empty(0, np.int64))
             ids_c = np.asarray(block.column(id_col).to_numpy(zero_copy_only=False))
             sig_c = np.stack(block.column("sig").to_numpy(zero_copy_only=False)).astype(np.uint64)
             gcol = block.column("grams").combine_chunks()
@@ -371,6 +377,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
 
         parts = ray.get([_payload_chunk.remote(r) for r in sigs.to_arrow_refs()])
         parts = [p for p in parts if len(p[0])]
+        if not parts:  # empty corpus — nothing can pair
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "j_micro": pa.array([], pa.int64())}))
         _ids = np.concatenate([p[0] for p in parts])
         _sigm = np.concatenate([p[1] for p in parts])
         _flat = np.concatenate([p[2] for p in parts])

@@ -56,7 +56,10 @@ class AudioFeatures:
         # once per actor
 
     def _decode(self, buf: bytes, codec: str, n_samples: int) -> np.ndarray:
-        if codec == "wav" or buf[:4] == b"RIFF":
+        # gate on the RIFF magic, not the codec label: fake-mode tables
+        # may label synthetic non-RIFF payloads "wav" and still expect
+        # the deterministic fake samples
+        if buf[:4] == b"RIFF":
             # REAL from-spec decode (kernels/audio.py) — uncompressed
             # RIFF/WAVE needs no external library
             from ..kernels.audio import decode_wav

@@ -64,7 +64,9 @@ def test_cli_pipeline_spec(ray_session, tmp_path, capsys):
     docs = str(tmp_path / "docs.parquet")
     pq.write_table(pa.table({
         "doc_id": pa.array(np.arange(6), pa.int64()),
-        "text": pa.array(["a b c d e"] * 6, pa.string()),
+        # mixed lengths so the filter must actually drop rows
+        "text": pa.array(["a b c d e" if i % 2 == 0 else "a b" for i in range(6)],
+                         pa.string()),
     }), docs)
     spec = tmp_path / "spec.json"
     spec.write_text(json.dumps({
@@ -76,4 +78,4 @@ def test_cli_pipeline_spec(ray_session, tmp_path, capsys):
     }))
     assert main(["pipeline", "--spec", str(spec)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert pq.read_table(out["sink"]).num_rows == 6
+    assert pq.read_table(out["sink"]).num_rows == 3

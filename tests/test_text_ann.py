@@ -45,10 +45,14 @@ def test_exact_dedup(docs_ds):
     assert dup_row["min_doc_id"].iloc[0] == 100
 
 
-def test_minhash_lsh_finds_near_dups(docs_ds):
+@pytest.mark.parametrize("bb", [256 * 1024 * 1024, 0])
+def test_minhash_lsh_finds_near_dups(docs_ds, bb):
+    """bb=0 forces the carry path (payloads ride the shuffle); the
+    default takes the broadcast path — identical results required."""
     from hand_index_ray.pipelines.text import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5).to_pandas()
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5,
+                              broadcast_bytes=bb).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (100, 101) in got          # exact dup: jaccard 1.0
     assert (100, 102) in got or (101, 102) in got  # near dup found
@@ -107,11 +111,12 @@ def test_cosine_topk_exact(emb_ds):
     assert set(got["vec_id"][:3]) == {10, 250, 251}
 
 
-def test_lsh_dup_pairs_vs_exact(emb_ds):
+@pytest.mark.parametrize("bb", [256 * 1024 * 1024, 0])
+def test_lsh_dup_pairs_vs_exact(emb_ds, bb):
     from hand_index_ray.pipelines.ann import dup_pairs, dup_pairs_exact
 
     exact = dup_pairs_exact(emb_ds, threshold=0.95, max_ids=300)
-    lsh = dup_pairs(emb_ds, threshold=0.95).to_pandas()
+    lsh = dup_pairs(emb_ds, threshold=0.95, broadcast_bytes=bb).to_pandas()
     e = set(zip(exact["id_a"], exact["id_b"]))
     l = set(zip(lsh["id_a"], lsh["id_b"]))
     assert (10, 250) in e and (10, 251) in e and (250, 251) in e
@@ -211,3 +216,27 @@ def test_jaccard_micro_rounding_matches_duckdb():
 
     assert duckdb.sql(
         "SELECT CAST(ROUND(1000000.0*65/128) AS BIGINT) v").fetchone()[0] == 507813
+
+
+def test_lsh_pairs_empty_inputs(ray_session, tmp_path):
+    """Empty corpus / empty embedding table → empty pair Datasets, both
+    broadcast and carry paths (regression: np.concatenate([]) crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hand_index_ray.pipelines.ann import dup_pairs
+    from hand_index_ray.pipelines.text import minhash_lsh_pairs
+
+    import ray.data
+
+    d = str(tmp_path / "empty_docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}), d)
+    e = str(tmp_path / "empty_emb.parquet")
+    pq.write_table(pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float64()))}), e)
+    for bb in (256 * 1024 * 1024, 0):
+        assert minhash_lsh_pairs(ray.data.read_parquet(d),
+                                 broadcast_bytes=bb).count() == 0
+        assert dup_pairs(ray.data.read_parquet(e),
+                         broadcast_bytes=bb).count() == 0
