@@ -99,6 +99,31 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    if os.environ.get("GRAFT_BENCH_ZONAL_ONLY"):
+        # spatial-join scaling probe: build+compact are setup (untimed
+        # beyond the build above), the measured quantity is the zonal
+        # join over the compacted index — pairs/sec
+        compact_index(index_dir, cfg)
+        zonal_join(index_dir, os.path.join(vector, "catchments.parquet"),
+                   cfg).count()  # warm
+        t0 = time.perf_counter()
+        n_pairs = zonal_join(index_dir, os.path.join(vector, "catchments.parquet"),
+                             cfg).count()
+        t_zonal = time.perf_counter() - t0
+        out = {
+            "metric": "zonal spatial-join wall time",
+            "value": round(t_zonal, 3), "unit": "sec",
+            "queries": {"build_index": queries["build_index"],
+                        "zonal_join": round(t_zonal, 3)},
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "images": n,
+            "build_images_per_sec": round(n / t_build, 1),
+            "zonal_pairs": int(n_pairs),
+            "zonal_pairs_per_sec": round(n_pairs / t_zonal, 1),
+        }
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ray.shutdown()
+        return out
+
     t0 = time.perf_counter()
     compact_index(index_dir, cfg)
     queries["compact_index"] = round(time.perf_counter() - t0, 3)
@@ -184,7 +209,7 @@ def _probe_work(_: int) -> float:
     return time.perf_counter() - t0
 
 
-def run_scaling() -> None:
+def run_scaling(mode: str = "build") -> None:
     """Fresh-process runs at two parallelism levels on the same input.
 
     The scaling input is 4× the throughput-bench size (still cached and
@@ -200,7 +225,10 @@ def run_scaling() -> None:
     do not share one chip's power/occupancy budget.
     """
     me = os.path.abspath(__file__)
-    n4 = _images_scale(SF_DIR) * 4
+    # zonal measures a sub-second-per-100k-rows map join, so it needs a
+    # larger input than the build for compute to dominate the ~1 s
+    # fixed pipeline cost at the high level
+    n4 = _images_scale(SF_DIR) * (8 if mode == "zonal" else 4)
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     # host-load noise on this shared VM is large (observed 3× drift in
@@ -211,16 +239,21 @@ def run_scaling() -> None:
     for _rep in range(reps):
         for ncpu in (lo, hi):
             probes[ncpu].append(_freq_probe(ncpu))
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_N=str(n4),
-                       GRAFT_BENCH_BUILD_ONLY="1")
+            only_key = ("GRAFT_BENCH_ZONAL_ONLY" if mode == "zonal"
+                        else "GRAFT_BENCH_BUILD_ONLY")
+            timed = "zonal_join" if mode == "zonal" else "build_index"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_N=str(n4))
+            env[only_key] = "1"
             proc = subprocess.run([sys.executable, me], env=env,
                                   capture_output=True, text=True, check=True)
             r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if results[ncpu] is None or r["queries"]["build_index"] < results[ncpu]["queries"]["build_index"]:
+            if results[ncpu] is None or r["queries"][timed] < results[ncpu]["queries"][timed]:
                 results[ncpu] = r
     probes = {k: min(v) for k, v in probes.items()}
-    thr_lo = results[lo]["build_images_per_sec"]
-    thr_hi = results[hi]["build_images_per_sec"]
+    thr_key = "zonal_pairs_per_sec" if mode == "zonal" else "build_images_per_sec"
+    timed = "zonal_join" if mode == "zonal" else "build_index"
+    thr_lo = results[lo][thr_key]
+    thr_hi = results[hi][thr_key]
     eff_raw = (thr_hi / thr_lo) / (hi / lo)
     # per-core slowdown at higher occupancy; clamp at 1.0 so the
     # normalization only ever corrects a genuine hardware slowdown,
@@ -228,8 +261,9 @@ def run_scaling() -> None:
     freq_factor = max(1.0, probes[hi] / probes[lo])
     eff_norm = min(1.0, eff_raw * freq_factor)
     print(json.dumps({
-        "metric": f"scaling efficiency {lo}→{hi} cpus (N→4N, flagship build), "
-                  "frequency-normalized (raw in efficiency_raw)",
+        "metric": (f"scaling efficiency {lo}→{hi} cpus (N→4N, "
+                   f"{'zonal spatial join' if mode == 'zonal' else 'flagship build'}), "
+                   "frequency-normalized (raw in efficiency_raw)"),
         "value": round(eff_norm, 3),
         "unit": "efficiency",
         "efficiency_raw": round(eff_raw, 3),
@@ -238,16 +272,18 @@ def run_scaling() -> None:
         "probe_sec_hi": round(probes[hi], 3),
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": results[lo]["queries"]["build_index"],
-        "sec_hi": results[hi]["queries"]["build_index"],
-        "images_per_sec_lo": thr_lo,
-        "images_per_sec_hi": thr_hi,
+        "sec_lo": results[lo]["queries"][timed],
+        "sec_hi": results[hi]["queries"][timed],
+        "throughput_lo": thr_lo,
+        "throughput_hi": thr_hi,
         "sf": SF_DIR,
     }))
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-zonal" in sys.argv:
+        run_scaling("zonal")
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))

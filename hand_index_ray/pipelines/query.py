@@ -680,6 +680,24 @@ def canonical_cell(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
     return s2.lonlat_to_cell(px, np.clip(py, -89.999, 89.999), level)
 
 
+# prepare-once cache (ST2): the broadcast catalog index is immutable per
+# (catalog file state, level) — repeated zonal queries in one driver
+# session reuse the object-store ref instead of re-preparing
+_ZONAL_BCAST_CACHE: dict = {}
+
+
+def _catalog_state(path: str) -> tuple:
+    """(abspath, mtime, size) fingerprint of a catalog file or dir."""
+    p = os.path.abspath(path)
+    if os.path.isdir(p):
+        parts = tuple(sorted(
+            (os.path.join(r, f), os.path.getmtime(os.path.join(r, f)),
+             os.path.getsize(os.path.join(r, f)))
+            for r, _, fs in os.walk(p) for f in fs))
+        return (p, parts)
+    return (p, os.path.getmtime(p), os.path.getsize(p))
+
+
 def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
                           level: int) -> ray.data.Dataset:
     """Broadcast spatial join — the NO-SHUFFLE zonal path.
@@ -696,6 +714,11 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     actually touches."""
     import pickle
 
+    _cache_key = (_catalog_state(catchments_path), level)
+    _cached = _ZONAL_BCAST_CACHE.get(_cache_key)
+    if _cached is not None:
+        return _zonal_join_broadcast_map(foot, _cached)
+
     _cat_tbl = pq.read_table(catchments_path, columns=["catchment_id", "geometry"])
     cids = _cat_tbl.column("catchment_id").to_pylist()
     blobs = _cat_tbl.column("geometry").to_pylist()
@@ -703,9 +726,8 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     @ray.remote(num_cpus=1)
     def _prep_chunk(blobs_c: list) -> tuple:
         """Prepared polygons + the projected padded covering bbox per
-        blob — ONE decode/reproject pass serves both (the driver used
-        to repeat the decode just for the bounds)."""
-        out = []
+        blob — ONE vectorized decode/reproject pass over the whole
+        chunk serves both (per-blob decode dominated before)."""
         rag5070_all = wkb.decode(blobs_c)
         b = geom.bounds(rag5070_all)
         xs = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)
@@ -716,14 +738,14 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
         pad = 0.05
         bbox = np.stack([lons.min(axis=1) - pad, lats.min(axis=1) - pad,
                          lons.max(axis=1) + pad, lats.max(axis=1) + pad], axis=1)
-        for blob in blobs_c:
-            rag5070 = wkb.decode([blob])
-            lon, lat = proj.albers_to_lonlat(rag5070.coords[:, 0],
-                                             rag5070.coords[:, 1])
-            rag = wkb.Ragged(np.stack([lon, lat], axis=1),
-                             rag5070.ring_coord_off, rag5070.part_ring_off,
-                             rag5070.geom_part_off)
-            out.append(pickle.dumps(geom.PreparedPolygon(rag)))
+        lon, lat = proj.albers_to_lonlat(rag5070_all.coords[:, 0],
+                                         rag5070_all.coords[:, 1])
+        rag_all = wkb.Ragged(np.stack([lon, lat], axis=1),
+                             rag5070_all.ring_coord_off,
+                             rag5070_all.part_ring_off,
+                             rag5070_all.geom_part_off)
+        out = [pickle.dumps(geom.PreparedPolygon(rag_all, i))
+               for i in range(len(blobs_c))]
         return out, bbox
 
     step = max(1, (len(blobs) + 63) // 64)
@@ -743,15 +765,27 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     uoff = np.append(ustart, len(cc_s)).astype(np.int64)
     idx_ref = ray.put((ucell, uoff, ci_s, np.array(cids, dtype=object),
                        np.array(preps, dtype=object)))
+    cached = (idx_ref, level)
+    _ZONAL_BCAST_CACHE[_cache_key] = cached
+    return _zonal_join_broadcast_map(foot, cached)
 
-    _OUT = pa.schema([("image_id", pa.string()), ("catchment_id", pa.string())])
+
+_ZONAL_OUT = pa.schema([("image_id", pa.string()), ("catchment_id", pa.string())])
+
+
+def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple) -> ray.data.Dataset:
+    """The map stage of the broadcast spatial join over a (possibly
+    cached) broadcast catalog index."""
+    idx_ref, level = cached
 
     def join_b(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _OUT.empty_table()
+            return _ZONAL_OUT.empty_table()
         ucell, uoff, cat_of, cid_arr, prep_arr = ray.get(idx_ref)
         if len(ucell) == 0:
-            return _OUT.empty_table()
+            return _ZONAL_OUT.empty_table()
+        import pickle
+
         minx = t.column("minx").to_numpy()
         miny = t.column("miny").to_numpy()
         maxx = t.column("maxx").to_numpy()
@@ -763,7 +797,7 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
         cnt = uoff[pos + 1] - uoff[pos]
         total = int(cnt.sum())
         if total == 0:
-            return _OUT.empty_table()
+            return _ZONAL_OUT.empty_table()
         rows = np.repeat(ri, cnt)
         offs = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
         cat_i = cat_of[np.repeat(uoff[pos], cnt) + offs]
@@ -787,7 +821,8 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
             out_img.extend(img[hits].tolist())
             out_cid.extend([cid_arr[c]] * len(hits))
         return pa.table({"image_id": pa.array(out_img, pa.string()),
-                         "catchment_id": pa.array(out_cid, pa.string())}, schema=_OUT)
+                         "catchment_id": pa.array(out_cid, pa.string())},
+                        schema=_ZONAL_OUT)
 
     return foot.map_batches(join_b, batch_format="pyarrow", zero_copy_batch=True)
 
