@@ -331,3 +331,27 @@ def test_lattice_cover_shared_cell_invariant_boundary_aligned():
         for j, cc in enumerate(canon):
             assert int(cc) in cov_a[j], (level, j, "A missing canonical cell")
             assert int(cc) in cov_b[j], (level, j, "B missing canonical cell")
+
+
+def test_zonal_broadcast_cache_invalidates_on_catalog_change(ray_session, index_dir, smoke_dirs, tmp_path):
+    """The prepare-once broadcast-catalog cache keys on the catalog's
+    file state: rewriting the catalog must produce fresh results, not a
+    stale cached index."""
+    import shutil
+
+    from hand_index_ray.pipelines.query import zonal_join
+
+    src = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    cpath = str(tmp_path / "catchments.parquet")
+    shutil.copyfile(src, cpath)
+    full = zonal_join(index_dir, cpath, CFG).to_pandas()
+    assert len(full) > 0
+    # rewrite the catalog with only its first row
+    t = pq.read_table(cpath)
+    one = t.slice(0, 1)
+    pq.write_table(one, cpath)
+    after = zonal_join(index_dir, cpath, CFG).to_pandas()
+    kept_cid = one.column("catchment_id")[0].as_py()
+    assert len(after) < len(full)
+    if len(after):  # Ray to_pandas drops columns on an all-empty result
+        assert set(after["catchment_id"]) <= {kept_cid}
