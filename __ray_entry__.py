@@ -505,6 +505,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.asarray(emb.column("embedding")[1].as_py(), dtype=np.float64)
         return ivf_query(idx, q, 10, nprobe=8)
 
+    def q38_quantile_sketch(sf):  # mergeable quantile sketch (SQL oracle)
+        """Approximate-quantile sketch driven through its EXACT regime:
+        the filtered column (o_orderkey % 977 == 0; ≤ ~160 rows at
+        sf ≤ 0.1) stays below the sketch's compression threshold, so
+        merged partials reproduce the exact order statistics and the
+        rank-arithmetic SQL oracle applies. Larger columns exercise the
+        compressed path in tests/test_sketch.py (rank-error bound)."""
+        import ray.data
+
+        from hand_index_ray import relational as rel
+
+        ds = _t(sf, "orders")
+
+        def cents(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy()
+            keep = k % 977 == 0
+            c = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                        pa.int64()).to_numpy()[keep]
+            return pa.table({"c": pa.array(c, pa.int64())})
+
+        vals = ds.map_batches(cents, batch_format="pyarrow")
+        qs_micro = [250000, 500000, 900000]
+        got = rel.approx_quantiles(vals, "c", [q / 1e6 for q in qs_micro])
+        return pd.DataFrame({"q_micro": np.array(qs_micro, np.int64),
+                             "value_cents": got.astype(np.int64)})
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -543,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_wav_decode": q35_wav_decode,
         "q36_y4m_decode": q36_y4m_decode,
         "q37_ivf_topk": q37_ivf_topk,
+        "q38_quantile_sketch": q38_quantile_sketch,
     }
 
 
@@ -938,5 +965,19 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)) * 1000000.0)
                         AS BIGINT) AS sim_micro
             FROM embeddings e ORDER BY sim_micro DESC, e.vec_id LIMIT 10
+        """,
+        # q38: sketch quantile = value at 1-based rank ceil(q*n) — the
+        # searchsorted-on-cumulative-weights semantics, in integer
+        # arithmetic so there is no float-rank fuzz
+        "q38_quantile_sketch": """
+            WITH v AS (SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders WHERE o_orderkey % 977 = 0),
+                 nrow AS (SELECT COUNT(*) AS n FROM v),
+                 ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v)
+            SELECT CAST(t.q_micro AS BIGINT) AS q_micro, ranked.c AS value_cents
+            FROM (SELECT UNNEST([250000, 500000, 900000]) AS q_micro) t,
+                 nrow, ranked
+            WHERE ranked.r = (t.q_micro * nrow.n + 999999) // 1000000
+            ORDER BY t.q_micro
         """,
     }

@@ -47,3 +47,46 @@ def test_approx_distinct_vs_exact(ray_session):
         f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{sf}/lineitem.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_quantile_sketch_accuracy_and_merge():
+    import numpy as np
+
+    from hand_index_ray.kernels import sketch
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(3.0, 1.0, 200_000)
+    # build from 37 shuffled partials, merged pairwise
+    states = []
+    for chunk in np.array_split(data, 37):
+        states.append(sketch.q_add(sketch.q_empty(), chunk))
+    st = sketch.q_empty()
+    for s in states:
+        st = sketch.q_merge(st, s)
+    qs = np.array([0.01, 0.25, 0.5, 0.9, 0.99])
+    got = sketch.q_quantile(st, qs)
+    truth = np.quantile(data, qs)
+    # rank error bound: the VALUE at the estimated rank must be within
+    # 1% rank of the true quantile
+    ranks = np.searchsorted(np.sort(data), got) / len(data)
+    assert np.all(np.abs(ranks - qs) < 0.01), (ranks, qs)
+    # serialization round-trip
+    st2 = sketch.q_deserialize(sketch.q_serialize(st))
+    np.testing.assert_array_equal(sketch.q_quantile(st2, qs), got)
+    assert st2[2] == len(data)
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from hand_index_ray.relational import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(100.0, 15.0, 50_000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(16)
+    got = approx_quantiles(ds, "v", [0.5, 0.9])
+    truth = np.quantile(vals, [0.5, 0.9])
+    assert np.all(np.abs(got - truth) < 1.5)  # ~0.1 sigma at these qs
