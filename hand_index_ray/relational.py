@@ -257,12 +257,37 @@ def distinct(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
 def dedup_first(ds: ray.data.Dataset, key: str, order_col: str) -> ray.data.Dataset:
     """Exact dedup keeping the row with min(order_col) per key
     (deterministic analog of the reference's dict-first /
-    ON CONFLICT DO NOTHING, load.py:84-86,192-196)."""
+    ON CONFLICT DO NOTHING, load.py:84-86,192-196).
 
-    def take_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(1)
+    Shape: vectorized LOCAL first-per-key per batch (the shuffle then
+    moves ≤1 row per key per batch), one hash-bucket shuffle, and a
+    whole-bucket vectorized drop_duplicates — never a per-key UDF
+    dispatch (10⁴ tiny groups made the old groupby().map_groups
+    dispatch-bound)."""
+    import zlib
 
-    return ds.groupby(key).map_groups(take_first, batch_format="pandas")
+    from .sources.synth import splitmix64
+
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        out = df.sort_values([key, order_col], kind="stable") \
+                .drop_duplicates(subset=[key], keep="first")
+        k = out[key]
+        if pd.api.types.is_integer_dtype(k):
+            h = splitmix64(k.to_numpy().astype(np.uint64))
+        else:
+            h = splitmix64(np.array([zlib.crc32(str(v).encode()) for v in k],
+                                    dtype=np.uint64))
+        return out.assign(__bucket=(h % np.uint64(64)).astype(np.int32))
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([key, order_col], kind="stable") \
+                .drop_duplicates(subset=[key], keep="first") \
+                .drop(columns=["__bucket"])
+
+    pre = ds.map_batches(local_first, batch_format="pandas")
+    return pre.groupby("__bucket").map_groups(bucket_first, batch_format="pandas")
 
 
 def topk(ds: ray.data.Dataset, col: str, k: int, descending: bool = True,
