@@ -766,6 +766,8 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     idx_ref = ray.put((ucell, uoff, ci_s, np.array(cids, dtype=object),
                        np.array(preps, dtype=object)))
     cached = (idx_ref, level)
+    while len(_ZONAL_BCAST_CACHE) >= 4:  # bound pinned object-store refs
+        _ZONAL_BCAST_CACHE.pop(next(iter(_ZONAL_BCAST_CACHE)))
     _ZONAL_BCAST_CACHE[_cache_key] = cached
     return _zonal_join_broadcast_map(foot, cached)
 
