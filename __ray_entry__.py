@@ -497,10 +497,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
             parent = os.path.dirname(idx)
             os.makedirs(parent, exist_ok=True)
+            # half-built leftovers (no centroids marker) are garbage from
+            # a pre-atomic-build version: move them aside, never delete a
+            # directory a concurrent process may have just installed
+            if os.path.isdir(idx):
+                os.replace(idx, _tf.mkdtemp(dir=parent, prefix="index-stale-"))
             tmp = _tf.mkdtemp(dir=parent, prefix="index-tmp-")
             ivf_build(_t(sf, "embeddings"), tmp, nlist=8)
-            _sh.rmtree(idx, ignore_errors=True)
-            os.replace(tmp, idx)
+            try:
+                os.replace(tmp, idx)
+            except OSError:
+                # lost the install race to a concurrent process — its
+                # index is complete (replace is atomic); discard ours
+                _sh.rmtree(tmp, ignore_errors=True)
         emb = _tbl(sf, "embeddings")
         q = np.asarray(emb.column("embedding")[1].as_py(), dtype=np.float64)
         return ivf_query(idx, q, 10, nprobe=8)
@@ -526,6 +535,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({"c": pa.array(c, pa.int64())})
 
         vals = ds.map_batches(cents, batch_format="pyarrow")
+        n_filtered = vals.count()
+        if n_filtered > 512:  # sketch compression threshold (QK)
+            raise AssertionError(
+                f"q38 exact-regime precondition violated: {n_filtered} filtered "
+                "rows > 512 — at this scale factor the sketch compresses and "
+                "the rank-arithmetic oracle no longer applies; raise the "
+                "filter modulus in BOTH the query and the oracle SQL")
         qs_micro = [250000, 500000, 900000]
         got = rel.approx_quantiles(vals, "c", [q / 1e6 for q in qs_micro])
         return pd.DataFrame({"q_micro": np.array(qs_micro, np.int64),

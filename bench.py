@@ -77,7 +77,6 @@ def run_bench() -> dict:
     ray.data.read_parquet(images).count()
 
     queries: dict[str, float] = {}
-    t_all0 = time.perf_counter()
 
     # --- headline: flagship index build (images/sec) ----------------------
     index_dir = f"/tmp/hand_index_ray_bench_index_{os.getpid()}"

@@ -103,11 +103,11 @@ def _q_compress(vals: np.ndarray, wts: np.ndarray, k: int = QK):
     targets = (np.arange(k) + 0.5) / k * total
     idx = np.searchsorted(cw, targets)
     idx = np.minimum(idx, len(vals) - 1)
-    uniq, first = np.unique(idx, return_index=True)
-    # distribute total weight across kept points by rank span
-    bounds = np.concatenate([cw[uniq], [total]])
+    uniq = np.unique(idx)
+    # weight of kept point j = mass up to and including it since the
+    # previously kept point (the ≤ total/2k tail above the last kept
+    # point is dropped — within the sketch's rank-error budget)
     w = np.diff(np.concatenate([[0.0], cw[uniq]]))
-    # ^ weight of point j = mass up to and including it since prev kept
     return vals[uniq], w
 
 

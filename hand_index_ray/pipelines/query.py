@@ -714,7 +714,10 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     actually touches."""
     import pickle
 
-    _cache_key = (_catalog_state(catchments_path), level)
+    # include the Ray session in the key: an ObjectRef from a previous
+    # ray.init() is dead after shutdown/re-init and must not be served
+    _session = ray.get_runtime_context().get_job_id()
+    _cache_key = (_catalog_state(catchments_path), level, _session)
     _cached = _ZONAL_BCAST_CACHE.get(_cache_key)
     if _cached is not None:
         return _zonal_join_broadcast_map(foot, _cached)

@@ -242,6 +242,21 @@ def semi_join(big: ray.data.Dataset, key: str, values: pa.Array,
     return big.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bucket_hash(values, is_integer: bool) -> np.ndarray:
+    """Deterministic cross-process uint64 hash of a key column
+    (splitmix64 for ints, crc32-then-splitmix64 otherwise — Python
+    hash() is process-salted and must never be a shuffle key)."""
+    import zlib
+
+    from .sources.synth import splitmix64
+
+    with np.errstate(over="ignore"):
+        if is_integer:
+            return splitmix64(np.asarray(values).astype(np.uint64))
+        return splitmix64(np.array([zlib.crc32(str(v).encode()) for v in values],
+                                   dtype=np.uint64))
+
+
 def distinct(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
     """DISTINCT on key columns: per-batch local dedup (Arrow hash
     group_by) then a global groupby — the shuffle moves unique keys
@@ -264,21 +279,13 @@ def dedup_first(ds: ray.data.Dataset, key: str, order_col: str) -> ray.data.Data
     whole-bucket vectorized drop_duplicates — never a per-key UDF
     dispatch (10⁴ tiny groups made the old groupby().map_groups
     dispatch-bound)."""
-    import zlib
-
-    from .sources.synth import splitmix64
-
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df
         out = df.sort_values([key, order_col], kind="stable") \
                 .drop_duplicates(subset=[key], keep="first")
-        k = out[key]
-        if pd.api.types.is_integer_dtype(k):
-            h = splitmix64(k.to_numpy().astype(np.uint64))
-        else:
-            h = splitmix64(np.array([zlib.crc32(str(v).encode()) for v in k],
-                                    dtype=np.uint64))
+        # empty batches must still carry __bucket — mixed block schemas
+        # through a groupby are undefined behavior in Ray
+        h = _bucket_hash(out[key].to_numpy(),
+                         pd.api.types.is_integer_dtype(out[key]))
         return out.assign(__bucket=(h % np.uint64(64)).astype(np.int32))
 
     def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
