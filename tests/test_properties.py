@@ -122,3 +122,43 @@ def test_overlap_threshold_monotone_property(areas, thr):
     k1 = geom.keep_mask(np.zeros(len(areas), bool), np.zeros(len(areas), bool), pct, thr)
     k2 = geom.keep_mask(np.zeros(len(areas), bool), np.zeros(len(areas), bool), pct, thr + 1)
     assert not (k2 & ~k1).any()  # raising threshold never adds rows
+
+
+@given(n=st.integers(1, 2000),
+       rate=st.sampled_from([8000, 16000, 44100]),
+       bits=st.sampled_from([8, 16, 24, 32]),
+       channels=st.integers(1, 4),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, rate, bits, channels, seed):
+    """decode(encode(x)) ≈ x within the bit depth's quantization step,
+    any length / rate / depth / channel count."""
+    from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.999, 0.999, (n, channels))
+    out, got_rate = decode_wav(encode_wav(x, rate, bits=bits, channels=channels))
+    assert got_rate == rate
+    assert len(out) == n
+    tol = {8: 1 / 128, 16: 1 / 32768, 24: 1 / 8388608, 32: 1e-6}[bits]
+    np.testing.assert_allclose(out, x.mean(axis=1), atol=tol)
+
+
+@given(nf=st.integers(1, 6),
+       h=st.integers(1, 24).map(lambda v: v * 2),
+       w=st.integers(1, 24).map(lambda v: v * 2),
+       seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_y4m_c444_roundtrip_property(nf, h, w, seed):
+    """C444 frames round-trip within BT.601 uint8 rounding (PSNR>40dB)
+    at any even geometry; frame seek is exact at every index."""
+    from hand_index_ray.kernels.image import psnr
+    from hand_index_ray.kernels.video import (count_y4m_frames,
+                                              decode_y4m_frame, encode_y4m)
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    buf = encode_y4m(frames, colorspace="C444")
+    assert count_y4m_frames(buf) == nf
+    for i in (0, nf // 2, nf - 1):
+        assert psnr(decode_y4m_frame(buf, i), frames[i]) > 40.0
