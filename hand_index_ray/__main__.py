@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--part-level", type=int, default=None,
                    help="S2 level of the partition key (the engine's analog of "
                         "the reference's --h3-resolution, load.py:314)")
+    b.add_argument("--batch-size", type=int, default=None,
+                   help="decode batch size per task (reference --batch-size, "
+                        "load.py:317-322)")
 
     bc = sub.add_parser("build-catchments", help="build the vector-side catalog "
                         "(grouped union per branch, reference load.py:146-173)")
@@ -124,7 +127,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from .pipelines.build import build_index, compact_index
 
-        cfg = DEFAULT if args.part_level is None else replace(DEFAULT, part_level=args.part_level)
+        cfg = DEFAULT
+        if args.part_level is not None:
+            cfg = replace(cfg, part_level=args.part_level)
+        if args.batch_size is not None:
+            cfg = replace(cfg, decode_batch_size=args.batch_size)
         stats = build_index(args.images_dir, args.output_dir, cfg,
                             resume=not args.no_resume)
         if args.compact:
