@@ -306,12 +306,13 @@ def ivf_query(index_dir: str, query: np.ndarray, k: int, nprobe: int = 4,
 def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:
-    """IVF-style approximate top-k: k-means-lite centroids from a
-    sample, per-batch assignment, probe the ``nprobe`` nearest lists.
-
-    The scale path: at 10⁹+ vectors the centroid assignment becomes the
-    partition key and only probed partitions are read; here the probe
-    filter runs inside the same pass."""
+    """IVF-style approximate top-k WITHOUT a prebuilt index: k-means-lite
+    centroids from a sample, per-batch assignment, probe the ``nprobe``
+    nearest lists — the probe filter runs inside the same scan, so this
+    still reads every row (right for one-off queries). For repeated
+    queries use ``ivf_build``/``ivf_query`` below: the list id becomes
+    the physical partition key and a query READS only nprobe/nlist of
+    the data (driver query q37)."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     sample = ds.limit(max(nlist * 32, 512)).to_pandas()
