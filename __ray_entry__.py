@@ -547,6 +547,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"q_micro": np.array(qs_micro, np.int64),
                              "value_cents": got.astype(np.int64)})
 
+    def q39_multi_roi(sf):  # batched multi-ROI query: one scan, many ROIs (SQL oracle)
+        """roi_query_footprints_multi amortizes ONE pruned index scan
+        across a whole query log (the reference re-reads the catalog
+        per GeoJSON). Axis-rect ROIs keep the overlap math GREATEST/
+        LEAST-exact, so the oracle is two q26-style CTE selects
+        UNION ALLed with roi labels."""
+        from hand_index_ray.pipelines.query import roi_query_footprints_multi
+
+        idx = _image_index_tpch(sf)
+        rois = {
+            "west": np.array([[-106.3, 31.4], [-95.7, 31.4],
+                              [-95.7, 40.6], [-106.3, 40.6]]),
+            "east": np.array([[-88.0, 33.0], [-78.5, 33.0],
+                              [-78.5, 43.0], [-88.0, 43.0]]),
+        }
+        ds = roi_query_footprints_multi(idx, rois, threshold_pct=10.0)
+        if ds is None:
+            return pa.table({"roi": pa.array([], pa.string()),
+                             "image_id": pa.array([], pa.string()),
+                             "overlap_pct": pa.array([], pa.float64())})
+        return ds.select_columns(["roi", "image_id", "overlap_pct"])
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -586,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_y4m_decode": q36_y4m_decode,
         "q37_ivf_topk": q37_ivf_topk,
         "q38_quantile_sketch": q38_quantile_sketch,
+        "q39_multi_roi": q39_multi_roi,
     }
 
 
@@ -634,6 +657,31 @@ _Q26_SQL = f"""
        OR (minx >= -106.3 AND miny >= 31.4 AND maxx <= -95.7 AND maxy <= 40.6)
        OR (CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END) >= 10.0
 """
+
+def _roi_rect_sql(name: str, x0: float, y0: float, x1: float, y1: float) -> str:
+    """One q26-style per-ROI select (axis-rect overlap, GREATEST/LEAST
+    exact) labeled with the roi name — UNION ALLed for q39."""
+    return f"""
+    SELECT '{name}' AS roi, image_id,
+           CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END AS overlap_pct
+    FROM (
+      SELECT image_id, minx, miny, maxx, maxy,
+             (maxx - minx) * (maxy - miny) AS area,
+             GREATEST(0.0, LEAST(maxx, {x1}) - GREATEST(minx, {x0}))
+             * GREATEST(0.0, LEAST(maxy, {y1}) - GREATEST(miny, {y0})) AS inter
+      FROM (
+        SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+               lon - half AS minx, lat - half AS miny,
+               lon + half AS maxx, lat + half AS maxy
+        FROM ({_TK_FOOT})))
+    WHERE (minx <= {x0} AND miny <= {y0} AND maxx >= {x1} AND maxy >= {y1})
+       OR (minx >= {x0} AND miny >= {y0} AND maxx <= {x1} AND maxy <= {y1})
+       OR (CASE WHEN area = 0.0 THEN 0.0 ELSE inter / area * 100.0 END) >= 10.0
+    """
+
+
+_Q39_SQL = (_roi_rect_sql("west", -106.3, 31.4, -95.7, 40.6)
+            + " UNION ALL " + _roi_rect_sql("east", -88.0, 33.0, -78.5, 43.0))
 
 _Q27_SQL = f"""
     WITH f AS ({_TK_FOOT})
@@ -996,4 +1044,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE ranked.r = (t.q_micro * nrow.n + 999999) // 1000000
             ORDER BY t.q_micro
         """,
+        "q39_multi_roi": _Q39_SQL,
     }

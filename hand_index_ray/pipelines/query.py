@@ -175,8 +175,12 @@ def roi_query_footprints_multi(index_dir: str,
             # skip ROIs that cannot touch this batch at all
             if minx.min() > b[2] or maxx.max() < b[0] or miny.min() > b[3] or maxy.max() < b[1]:
                 continue
-            rag = wkb.decode([blob])
-            rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, rag)
+            prep = geom.PreparedPolygon(wkb.decode([blob]))
+            rect = geom.axis_rect(prep)
+            if rect is not None:  # same exact fast path as RoiMatcher
+                rel = geom.rects_vs_rect(minx, miny, maxx, maxy, *rect)
+            else:
+                rel = geom.rects_vs_polygon(minx, miny, maxx, maxy, prep)
             areas = (maxx - minx) * (maxy - miny)
             pct = geom.overlap_stats(areas, rel["inter_area"])
             keep = geom.keep_mask(rel["rect_contains_poly"], rel["rect_within_poly"],
