@@ -569,6 +569,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "overlap_pct": pa.array([], pa.float64())})
         return ds.select_columns(["roi", "image_id", "overlap_pct"])
 
+    def q40_sample_per_group(sf):  # O2: deterministic first-k per group (SQL oracle)
+        """Per-group sampling (the reference's .head(display_count) per
+        catchment, viz:361-365) made deterministic with an order column
+        — SQL parity via ROW_NUMBER() OVER (PARTITION BY ... ORDER BY)."""
+        from hand_index_ray.pipelines.query import sample_per_group
+
+        ds = _t(sf, "lineitem").select_columns(["l_orderkey", "l_linenumber"])
+
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t["l_orderkey"], 63), 0))
+
+        sampled = sample_per_group(ds.map_batches(pick, batch_format="pyarrow"),
+                                   "l_orderkey", 2, order_col="l_linenumber")
+        return sampled.to_pandas().sort_values(
+            ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -609,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_ivf_topk": q37_ivf_topk,
         "q38_quantile_sketch": q38_quantile_sketch,
         "q39_multi_roi": q39_multi_roi,
+        "q40_sample_per_group": q40_sample_per_group,
     }
 
 
@@ -1045,4 +1062,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.q_micro
         """,
         "q39_multi_roi": _Q39_SQL,
+        "q40_sample_per_group": """
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber) AS rn
+              FROM lineitem WHERE l_orderkey % 64 = 0)
+            WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber
+        """,
     }
