@@ -585,6 +585,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sampled.to_pandas().sort_values(
             ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
+    def q41_hll_distinct(sf):  # sparse/dense HLL driven through its EXACT regime
+        """COUNT(DISTINCT) via the mergeable sparse/dense HLL
+        (kernels/sketch.py state_*): below SPARSE_MAX distinct values
+        the sketch holds the bijective-hashed value set itself, so the
+        shuffle-free distributed count is EXACT and the plain SQL
+        oracle applies; past the threshold it degrades to the ~1.6%
+        dense estimate (exercised in tests/test_sketch.py). The same
+        pattern as q38's exact-regime quantile sketch."""
+        from hand_index_ray import relational as rel
+        from hand_index_ray.kernels import sketch
+
+        cols = [("c_mktsegment", "customer"),
+                ("l_suppkey", "lineitem"),
+                ("o_custkey", "orders")]
+        out = []
+        for col, table in cols:
+            est = rel.approx_distinct(_t(sf, table).select_columns([col]), col)
+            if est != int(est) or est >= sketch.SPARSE_MAX:
+                raise AssertionError(
+                    f"q41 exact-regime precondition violated: distinct({col}) "
+                    f"estimate {est} — the sketch promoted to dense at this "
+                    "scale factor and the COUNT(DISTINCT) oracle no longer "
+                    "applies; pick a lower-cardinality column in BOTH sides")
+            out.append((col, int(est)))
+        return pd.DataFrame({"col_name": [c for c, _ in out],
+                             "n_distinct": np.array([n for _, n in out], np.int64)})
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -626,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_quantile_sketch": q38_quantile_sketch,
         "q39_multi_roi": q39_multi_roi,
         "q40_sample_per_group": q40_sample_per_group,
+        "q41_hll_distinct": q41_hll_distinct,
     }
 
 
@@ -1069,5 +1097,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY l_linenumber) AS rn
               FROM lineitem WHERE l_orderkey % 64 = 0)
             WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber
+        """,
+        "q41_hll_distinct": """
+            SELECT 'c_mktsegment' AS col_name,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct
+            FROM customer
+            UNION ALL
+            SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM orders
+            ORDER BY col_name
         """,
     }

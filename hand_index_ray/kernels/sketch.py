@@ -71,6 +71,82 @@ def estimate(reg: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
+# sparse/dense tagged HLL state — exact below SPARSE_MAX distinct values
+#
+# Production HLLs (Redis, BigQuery, DataSketches) keep an exact sparse
+# set of hashes until it outgrows a threshold, then promote to the
+# dense register array: small-cardinality answers are EXACT, large
+# ones degrade gracefully to the ~1.6% dense estimate, and partials
+# stay mergeable in any mix of representations. splitmix64 is a
+# bijection on uint64, so for integer inputs the sparse count is the
+# true distinct count (no collision regime at all); only string inputs
+# carry the hash-collision caveat. Serialized form: 1 tag byte + the
+# representation's bytes.
+
+SPARSE_MAX = 4096  # 32 KB worst-case sparse payload; dense is 4 KB
+
+
+def state_empty() -> tuple:
+    return ("sparse", np.empty(0, dtype=np.uint64))
+
+
+def _promote(hashes: np.ndarray) -> np.ndarray:
+    return add_hashed(empty(), hashes)
+
+
+def state_add_hashed(state: tuple, hashes: np.ndarray) -> tuple:
+    tag, payload = state
+    h = np.asarray(hashes, dtype=np.uint64)
+    if tag == "dense":
+        return ("dense", add_hashed(payload, h))
+    u = np.union1d(payload, h)  # sorted distinct union
+    if len(u) > SPARSE_MAX:
+        return ("dense", _promote(u))
+    return ("sparse", u)
+
+
+def state_add(state: tuple, values) -> tuple:
+    import zlib
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        h = splitmix64(arr.astype(np.uint64))
+    else:
+        h = splitmix64(np.array([zlib.crc32(str(v).encode()) * 2654435761 for v in values],
+                                dtype=np.uint64))
+    return state_add_hashed(state, h)
+
+
+def state_merge(a: tuple, b: tuple) -> tuple:
+    if a[0] == "sparse" and b[0] == "sparse":
+        u = np.union1d(a[1], b[1])
+        if len(u) > SPARSE_MAX:
+            return ("dense", _promote(u))
+        return ("sparse", u)
+    da = a[1] if a[0] == "dense" else _promote(a[1])
+    db = b[1] if b[0] == "dense" else _promote(b[1])
+    return ("dense", merge(da, db))
+
+
+def state_estimate(state: tuple) -> float:
+    tag, payload = state
+    if tag == "sparse":
+        return float(len(payload))  # EXACT (bijective hash for ints)
+    return estimate(payload)
+
+
+def state_serialize(state: tuple) -> bytes:
+    tag, payload = state
+    return (b"s" if tag == "sparse" else b"d") + payload.tobytes()
+
+
+def state_deserialize(buf: bytes) -> tuple:
+    if buf[:1] == b"s":
+        return ("sparse", np.frombuffer(buf[1:], dtype=np.uint64).copy())
+    return ("dense", np.frombuffer(buf[1:], dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
 # mergeable approximate quantiles (GK-lite / compressed sample sketch)
 #
 # A deterministic compressed-quantile sketch in the style of

@@ -436,25 +436,29 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
 
 
 def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
-    """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
-    sketches: one ~4 KB sketch per batch, merged on the driver — no
-    shuffle at any scale (kernels/sketch.py; ~1.6% standard error)."""
+    """COUNT(DISTINCT col) via mergeable sparse/dense HyperLogLog
+    sketches: one small sketch per batch, merged on the driver — no
+    shuffle at any scale (kernels/sketch.py). EXACT below
+    ``sketch.SPARSE_MAX`` distinct values (the sparse regime keeps the
+    bijective-hashed value set itself, like Redis/DataSketches HLLs);
+    ~1.6% standard error once promoted to dense registers."""
     from .kernels import sketch
 
     def partial(t: pa.Table) -> pa.Table:
-        reg = sketch.empty()
-        sketch.add(reg, t.column(col).to_pylist()
-                   if not pa.types.is_integer(t.column(col).type)
-                   else t.column(col).to_numpy())
-        return pa.table({"sketch": pa.array([reg.tobytes()], pa.binary())})
+        st = sketch.state_add(
+            sketch.state_empty(),
+            t.column(col).to_pylist()
+            if not pa.types.is_integer(t.column(col).type)
+            else t.column(col).to_numpy())
+        return pa.table({"sketch": pa.array([sketch.state_serialize(st)], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    reg = sketch.empty()
+    st = sketch.state_empty()
     for ref in parts.to_arrow_refs():
         t = ray.get(ref)
         for b in t.column("sketch").to_pylist():
-            reg = sketch.merge(reg, np.frombuffer(b, dtype=np.uint8))
-    return sketch.estimate(reg)
+            st = sketch.state_merge(st, sketch.state_deserialize(b))
+    return sketch.state_estimate(st)
 
 
 def add_cents(ds: ray.data.Dataset, col: str, out: str, scale: int = 100) -> ray.data.Dataset:

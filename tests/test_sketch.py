@@ -34,6 +34,71 @@ def test_hll_string_values():
     assert abs(est - 20_000) / 20_000 < 0.05
 
 
+def test_sparse_state_exact_below_threshold():
+    """Sparse regime = the true distinct count (splitmix64 is a
+    bijection on uint64, so integer inputs cannot collide)."""
+    st = sketch.state_empty()
+    vals = np.array([7, 7, 3, 3, 3, 99999999999, -5], dtype=np.int64)
+    st = sketch.state_add(st, vals)
+    assert st[0] == "sparse"
+    assert sketch.state_estimate(st) == 4.0
+    # adding the same values again changes nothing
+    st2 = sketch.state_add(st, vals)
+    assert sketch.state_estimate(st2) == 4.0
+    # strings too
+    ss = sketch.state_add(sketch.state_empty(), ["a", "b", "a", "c"])
+    assert sketch.state_estimate(ss) == 3.0
+
+
+def test_sparse_state_promotes_to_dense_consistently():
+    """Promotion at SPARSE_MAX must land on the same dense registers a
+    direct dense build produces, in every add/merge order."""
+    n = sketch.SPARSE_MAX + 500
+    vals = np.arange(n, dtype=np.int64)
+    st = sketch.state_add(sketch.state_empty(), vals)
+    assert st[0] == "dense"
+    direct = sketch.empty()
+    sketch.add(direct, vals)
+    np.testing.assert_array_equal(st[1], direct)
+    # sparse+sparse merge crossing the threshold promotes identically
+    a = sketch.state_add(sketch.state_empty(), vals[: n // 2])
+    b = sketch.state_add(sketch.state_empty(), vals[n // 2:])
+    assert a[0] == "sparse" and b[0] == "sparse"
+    m = sketch.state_merge(a, b)
+    assert m[0] == "dense"
+    np.testing.assert_array_equal(m[1], direct)
+    # mixed sparse+dense merge
+    m2 = sketch.state_merge(b, st)
+    assert m2[0] == "dense"
+    np.testing.assert_array_equal(m2[1], direct)
+
+
+def test_state_serialize_round_trip():
+    sp = sketch.state_add(sketch.state_empty(), np.arange(10, dtype=np.int64))
+    rt = sketch.state_deserialize(sketch.state_serialize(sp))
+    assert rt[0] == "sparse"
+    np.testing.assert_array_equal(rt[1], sp[1])
+    dn = sketch.state_add(sketch.state_empty(),
+                          np.arange(sketch.SPARSE_MAX + 10, dtype=np.int64))
+    rt2 = sketch.state_deserialize(sketch.state_serialize(dn))
+    assert rt2[0] == "dense"
+    np.testing.assert_array_equal(rt2[1], dn[1])
+
+
+def test_approx_distinct_exact_regime(ray_session):
+    """Distributed approx_distinct is EXACT (not just close) when every
+    partial and the merged state stay sparse."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from hand_index_ray.relational import approx_distinct
+
+    vals = np.arange(2000, dtype=np.int64) % 1234
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    assert approx_distinct(ds, "v") == 1234.0
+
+
 def test_approx_distinct_vs_exact(ray_session):
     import duckdb
     import ray.data
