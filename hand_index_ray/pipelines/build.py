@@ -82,9 +82,16 @@ def footprint_dataset(source: "str | list[str] | ray.data.Dataset",
     """images table → footprint+cells Dataset (lazy, streaming)."""
     if isinstance(source, ray.data.Dataset):
         ds = source
+    elif isinstance(source, str):
+        from ..sources.tiles import is_lance_path, read_tiles
+
+        # container seam: a Lance tile table streams through unchanged
+        # (sources/tiles.py); Parquet trees glob to fragment files so
+        # block boundaries align with build lineage
+        ds = (read_tiles(source) if is_lance_path(source)
+              else ray.data.read_parquet(list_fragments(source)))
     else:
-        paths = list_fragments(source) if isinstance(source, str) else source
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(source)
     # Ray Data fuses the stateless decode/footprint stages INTO the
     # following actor-pool stage, so the pool size caps the WHOLE
     # decode pipeline — autoscale it to the cluster (leaving headroom

@@ -73,3 +73,32 @@ def test_build_index_with_fs_handle(ray_session, smoke_dirs, tmp_path):
     assert stats["fragments_built"] == 8 and stats["rows_built"] == 400
     man = Manifest(out)
     assert man.total_rows() == 400
+
+
+def test_read_tiles_container_dispatch(ray_session, smoke_dirs, tmp_path):
+    """The Lance/Parquet container seam (sources/tiles.py): Parquet
+    directories stream with column pruning; Lance paths either route
+    to ray.data.read_lance or fail with an actionable error when the
+    lance wheel is absent (this sandbox)."""
+    import pytest
+
+    from hand_index_ray.sources.tiles import is_lance_path, read_tiles
+
+    ds = read_tiles(smoke_dirs["images"], columns=["image_id"])
+    assert ds.schema().names == ["image_id"]
+    assert ds.count() == 400
+
+    assert not is_lance_path(smoke_dirs["images"])
+    assert is_lance_path("/data/tiles.lance")
+    lance_dir = tmp_path / "tbl"
+    (lance_dir / "_versions").mkdir(parents=True)
+    assert is_lance_path(str(lance_dir))
+
+    has_lance = True
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        has_lance = False
+    if not has_lance:
+        with pytest.raises(RuntimeError, match="Lance table.*not.*installed"):
+            read_tiles(str(lance_dir))
