@@ -198,6 +198,15 @@ class Pipeline:
 
             def source():
                 return ray.data.read_parquet(path, columns=cols)
+        elif "tiles" in src:
+            # container-agnostic tile table (Lance or Parquet;
+            # sources/tiles.py)
+            path, cols = src["tiles"], src.get("columns")
+
+            def source():
+                from .sources.tiles import read_tiles
+
+                return read_tiles(path, columns=cols)
         else:
             raise ValueError(f"unknown source spec {src!r}")
         steps: list[Step] = []

@@ -89,3 +89,16 @@ def test_duplicate_kernel_rejected():
         @kernel("select")
         def dup(t):
             return t
+
+
+def test_pipeline_tiles_source(ray_session, docs_path):
+    """The 'tiles' spec source routes through the Lance/Parquet
+    container seam (sources/tiles.py) with column pruning."""
+    from hand_index_ray.steps import Pipeline
+
+    spec = {
+        "source": {"tiles": docs_path, "columns": ["doc_id"]},
+        "steps": [],
+    }
+    out = Pipeline.from_spec(spec).run().to_pandas()
+    assert list(out.columns) == ["doc_id"] and len(out) == 8
