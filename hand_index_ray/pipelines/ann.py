@@ -317,15 +317,7 @@ def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
     qn = q / np.linalg.norm(q)
     sample = ds.limit(max(nlist * 32, 512)).to_pandas()
     m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    # deterministic centroid init + 5 Lloyd iterations
-    cent = m[np.linspace(0, len(m) - 1, nlist).astype(int)].copy()
-    for _ in range(5):
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(nlist):
-            sel = m[assign == c]
-            if len(sel):
-                cent[c] = sel.mean(axis=0)
+    cent = _kmeans_lite(m, nlist)
     cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     probes = set(np.argsort(-(cn @ qn))[:nprobe].tolist())
     cent_ref = ray.put(cent)
