@@ -205,6 +205,22 @@ def test_zonal_join_matches_bruteforce(ray_session, index_dir, smoke_dirs,
     assert got == truth
 
 
+def test_zonal_broadcast_path_has_no_shuffle(ray_session, index_dir, smoke_dirs):
+    """Scale-design regression guard: the broadcast-regime zonal join
+    must be a pure map pipeline — no all-to-all exchange operator
+    (Sort / Aggregate / shuffle-repartition) in the executed plan. The
+    shuffle would silently reappear if someone reintroduced a groupby
+    on the broadcast path."""
+    from hand_index_ray.pipelines.query import zonal_join
+
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    ds = zonal_join(index_dir, cpath, CFG)
+    assert ds.count() > 0
+    stats = ds.stats()
+    for marker in ("Sort", "Aggregate", "AllToAll", "RandomShuffle", "Repartition"):
+        assert marker not in stats, f"broadcast zonal path gained a {marker} stage:\n{stats[:800]}"
+
+
 def test_cell_range_scan(index_dir, all_footprints):
     from hand_index_ray.kernels import s2
     from hand_index_ray.pipelines.query import cell_range_scan
