@@ -612,6 +612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"col_name": [c for c, _ in out],
                              "n_distinct": np.array([n for _, n in out], np.int64)})
 
+    def q42_winnow_fp(sf):  # dedup: winnowing fingerprints, rolling hash (SQL oracle)
+        return textops.winnow_fingerprints(_t(sf, "documents"))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -654,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_multi_roi": q39_multi_roi,
         "q40_sample_per_group": q40_sample_per_group,
         "q41_hll_distinct": q41_hll_distinct,
+        "q42_winnow_fp": q42_winnow_fp,
     }
 
 
@@ -840,6 +844,41 @@ def _simhash_sql() -> str:
         {votes}
       FROM h GROUP BY doc_id)
     SELECT doc_id, {bits} AS simhash_bits FROM v
+"""
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    """q42: winnowing fingerprints in SQL — the gram hash is the same
+    degree-(k-1) polynomial mod 2^31-1 the engine rolls
+    (text.py winnow_fingerprints), spelled out as k explicit
+    ascii(substr(...)) terms (each term < 2^52, the k-term sum < 2^55:
+    BIGINT-safe); fingerprints are window MINs over w consecutive
+    grams, full windows only, DISTINCT per doc."""
+    from hand_index_ray.pipelines.text import WINNOW_BASE, WINNOW_MOD
+    P = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, t.pos + {j}, 1)) * {P[k - 1 - j]}::BIGINT"
+        for j in range(k))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, t.pos AS pos, ({terms}) % {WINNOW_MOD} AS gh
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, length(text) - {k - 1}))
+                    AS pos) t
+      WHERE length(text) >= {k + w - 1}
+    ), wm AS (
+      SELECT doc_id, pos,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_gram
+      FROM g
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_gram - {w - 1}
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_fp, MIN(fp)::BIGINT AS fp_min,
+           CAST(SUM(fp) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
 """
 
 
@@ -1110,4 +1149,5 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY col_name
         """,
+        "q42_winnow_fp": _winnow_sql(),
     }

@@ -573,3 +573,193 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.8
             out_j.append(jac)
     return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j}) \
         .drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Rabin-Karp rolling hash + MOSS window minima)
+
+WINNOW_MOD = 2_147_483_647   # Mersenne prime 2^31 - 1: products fit uint64
+WINNOW_BASE = 1_000_003      # prime base, invertible mod WINNOW_MOD
+
+
+class _PowTables:
+    """Per-worker grow-once tables of B^i and B^-i mod M (uint64).
+
+    Doubling extension: T2[i] = T[i] * T[-1] * B keeps every product
+    below 2^62, so the whole table is built in log2(n) vectorized ops.
+    """
+
+    def __init__(self, base: int):
+        self.base = np.uint64(base)
+        self.inv = np.uint64(pow(base, WINNOW_MOD - 2, WINNOW_MOD))
+        self.pows = np.array([1], dtype=np.uint64)
+        self.ipows = np.array([1], dtype=np.uint64)
+
+    @staticmethod
+    def _extend(tab: np.ndarray, step: np.uint64, n: int) -> np.ndarray:
+        M = np.uint64(WINNOW_MOD)
+        while len(tab) <= n:
+            nxt = (tab * ((tab[-1] * step) % M)) % M
+            tab = np.concatenate([tab, nxt])
+        return tab
+
+    def ensure(self, n: int) -> None:
+        self.pows = self._extend(self.pows, self.base, n)
+        self.ipows = self._extend(self.ipows, self.inv, n)
+
+
+_POW_TABLES: _PowTables | None = None
+
+
+def _pow_tables(n: int) -> _PowTables:
+    global _POW_TABLES
+    if _POW_TABLES is None:
+        _POW_TABLES = _PowTables(WINNOW_BASE)
+    _POW_TABLES.ensure(n)
+    return _POW_TABLES
+
+
+def _cumsum_mod(a: np.ndarray) -> np.ndarray:
+    """Exclusive modular prefix sum of values < M, safe for any length
+    (chunked so intermediate int64 cumsums never overflow)."""
+    M = np.uint64(WINNOW_MOD)
+    out = np.empty(len(a) + 1, dtype=np.uint64)
+    out[0] = 0
+    CH = 1 << 24  # chunk * (M-1) < 2^55
+    carry = np.uint64(0)
+    for s in range(0, len(a), CH):
+        seg = np.cumsum(a[s:s + CH], dtype=np.uint64)
+        out[s + 1:s + 1 + len(seg)] = (seg + carry) % M
+        carry = out[s + len(seg)]
+    return out
+
+
+def winnow_fingerprints(ds: ray.data.Dataset, col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> ray.data.Dataset:
+    """MOSS-style winnowing fingerprint summary per document.
+
+    Gram hash at char position i is the degree-(k-1) polynomial
+    ``sum_j cp[i+j] * B^(k-1-j) mod M`` over UNICODE CODE POINTS — the
+    classic Rabin-Karp rolling hash, evaluated for every position of
+    the whole batch at once from ONE modular prefix sum (the vectorized
+    closed form of the O(1) rolling update: H_i = B^(i+k) *
+    (S[i+k] - S[i]) with S the B^-j-weighted prefix). The fingerprint
+    set is the DISTINCT minima of each full window of ``w`` consecutive
+    gram hashes, so any shared substring of length >= k + w - 1 yields
+    a shared fingerprint (the winnowing guarantee) while storage is
+    ~2/(w+1) of the gram count. Docs shorter than k + w - 1 code points
+    are dropped (no full window exists).
+
+    Map-only — one output row per doc (n_fp, fp_min, fp_sum), no
+    shuffle; the whole batch is ONE utf-32 decode + flat numpy passes.
+    Code points (not UTF-8 bytes) keep exact parity with the SQL
+    oracle's character-addressed ``ascii(substr(text, pos, 1))``.
+    Beyond-reference training-data op (SURVEY §2 'beyond').
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, udoc, ufp, ndoc = _winnow_sets(t, col, id_col, k, w)
+        if ndoc == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_fp": pa.array([], pa.int64()),
+                             "fp_min": pa.array([], pa.int64()),
+                             "fp_sum": pa.array([], pa.int64())})
+        n_fp = np.bincount(udoc, minlength=ndoc).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_fp)])[:-1]
+        fp_min = ufp[starts]                            # sorted → first is min
+        fp_sum = np.bincount(udoc, weights=ufp,
+                             minlength=ndoc).astype(np.int64)  # < 2^53: exact
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(n_fp),
+                         "fp_min": pa.array(fp_min),
+                         "fp_sum": pa.array(fp_sum)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _winnow_sets(t: pa.Table, col: str, id_col: str, k: int, w: int):
+    """Flat winnowing core for one batch: returns (kept doc ids,
+    per-fingerprint doc index, distinct fingerprints sorted per doc,
+    n kept docs). Every kept doc has >= 1 full window, so every doc
+    index appears at least once."""
+    M = np.uint64(WINNOW_MOD)
+    texts = t.column(col).to_pylist()
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                       count=len(texts))
+    keep_doc = lens >= k + w - 1
+    if not keep_doc.any():
+        return ids[:0], np.empty(0, np.int64), np.empty(0, np.int64), 0
+    texts = [s for s, kp in zip(texts, keep_doc) if kp]
+    ids = ids[keep_doc]
+    lens = lens[keep_doc]
+    ndoc = len(texts)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    loc = np.arange(len(cp), dtype=np.int64) - np.repeat(off[:-1], lens)
+    tabs = _pow_tables(int(lens.max()) + k + 1)
+    # S-prefix: C[g] = sum_{j<g} cp[j] * B^-(loc_j+1) mod M; the
+    # doc-start offset cancels in C[g+k]-C[g], so one flat prefix
+    # serves every doc
+    term = (cp * tabs.ipows[loc + 1]) % M
+    C = _cumsum_mod(term)
+    gdoc = np.repeat(np.arange(ndoc), lens)
+    gram_ok = loc <= np.repeat(lens, lens) - k          # full gram fits
+    gpos = np.nonzero(gram_ok)[0]
+    d = (C[gpos + k] + M - C[gpos]) % M
+    H = (tabs.pows[loc[gpos] + k] * d) % M              # rolling gram hash
+    hdoc = gdoc[gpos]
+    # full windows of w grams: contiguous in H because grams of one
+    # doc are contiguous in gpos
+    wins = np.lib.stride_tricks.sliding_window_view(H, w)
+    win_ok = hdoc[: len(H) - w + 1] == hdoc[w - 1:]
+    fp = wins.min(axis=1)[win_ok]
+    fdoc = hdoc[: len(H) - w + 1][win_ok]
+    # distinct per doc: one composite-key unique (fp < 2^31)
+    combo = np.unique((fdoc.astype(np.uint64) << np.uint64(31)) | fp)
+    udoc = (combo >> np.uint64(31)).astype(np.int64)
+    ufp = (combo & np.uint64(0x7FFFFFFF)).astype(np.int64)
+    return ids, udoc, ufp, ndoc
+
+
+def winnow_dup_candidates(ds: ray.data.Dataset, col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          w: int = 4) -> ray.data.Dataset:
+    """Candidate near-dup pairs = docs sharing >= 1 winnowing
+    fingerprint, with the shared-fingerprint count as evidence.
+
+    The map side emits slim (fp, doc_id) rows (fingerprints only —
+    text never moves); one groupby-on-fp shuffle forms the posting
+    lists; pairs are emitted per fingerprint and combined by a second
+    slim (id_a, id_b) count. Hot fingerprints (boilerplate shared by
+    many docs) are capped at ``max_postings`` docs — a fingerprint
+    shared by thousands of docs identifies boilerplate, not a dup pair
+    (same reasoning as dropping giant LSH buckets)."""
+    max_postings = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, udoc, ufp, ndoc = _winnow_sets(t, col, id_col, k, w)
+        return pa.table({"fp": pa.array(ufp, pa.int64()),
+                         id_col: pa.array(ids[udoc] if ndoc else ids[:0],
+                                          pa.int64())})
+
+    exploded = ds.select_columns([id_col, col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_postings:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+
+    from ..relational import grouped_agg, grouped_apply_bucketed
+    pairs = grouped_apply_bucketed(exploded, ["fp"], pairs_in_group,
+                                   min_group_size=2)
+    return grouped_agg(pairs, ["id_a", "id_b"], count=True)
+

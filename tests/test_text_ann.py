@@ -240,3 +240,109 @@ def test_lsh_pairs_empty_inputs(ray_session, tmp_path):
                                  broadcast_bytes=bb).count() == 0
         assert dup_pairs(ray.data.read_parquet(e),
                          broadcast_bytes=bb).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash) fingerprints
+
+
+def _brute_winnow(s: str, k: int = 8, w: int = 4) -> set[int]:
+    """Independent O(L*k) reference: per-position polynomial gram hash
+    + window minima (the engine computes the same thing from one
+    modular prefix sum)."""
+    from hand_index_ray.pipelines.text import WINNOW_BASE, WINNOW_MOD
+
+    if len(s) < k + w - 1:
+        return set()
+    gh = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * WINNOW_BASE + ord(s[i + j])) % WINNOW_MOD
+        gh.append(h)
+    return {min(gh[i:i + w]) for i in range(len(gh) - w + 1)}
+
+
+def test_winnow_fingerprints_match_bruteforce(ray_session):
+    import random
+
+    import ray.data
+
+    from hand_index_ray.pipelines.text import winnow_fingerprints
+
+    rng = random.Random(11)
+    texts = ["hello world, winnowing test document body " * 3,
+             "abcdefghij",            # len 10 < k+w-1=11 → dropped
+             "abcdefghijk",           # len 11: exactly one window
+             "x" * 40,                # degenerate: all grams identical
+             "".join(rng.choice("abcde fg\né€𝄞") for _ in range(300))]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+    out = winnow_fingerprints(ds).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 2, 3, 4]  # doc 1 too short
+    for i, s in enumerate(texts):
+        fps = _brute_winnow(s)
+        if not fps:
+            assert i not in out.index
+            continue
+        assert out.loc[i, "n_fp"] == len(fps)
+        assert out.loc[i, "fp_min"] == min(fps)
+        assert out.loc[i, "fp_sum"] == sum(fps)
+    assert out.loc[3, "n_fp"] == 1  # "xxxx...": one distinct gram hash
+
+
+def test_winnow_shared_substring_guarantee(ray_session):
+    """The winnowing guarantee: any shared substring of length
+    >= k + w - 1 yields at least one shared fingerprint."""
+    import ray.data
+
+    from hand_index_ray.pipelines.text import winnow_dup_candidates
+
+    shared = "this exact plagiarized sentence is long enough to fingerprint"
+    rows = [
+        {"doc_id": 0, "text": "prefix alpha " + shared + " suffix beta"},
+        {"doc_id": 1, "text": "totally different lead-in. " + shared + "!!"},
+        {"doc_id": 2, "text": "unrelated content about spatial joins and rays"},
+        {"doc_id": 3, "text": "more unrelated filler text with other words"},
+    ]
+    out = winnow_dup_candidates(ray.data.from_items(rows))
+    import ray.data as rd
+    assert isinstance(out, rd.Dataset)  # streams; no driver materialization
+    df = out.to_pandas()
+    pairs = set(zip(df["id_a"], df["id_b"]))
+    assert (0, 1) in pairs
+    assert df.set_index(["id_a", "id_b"]).loc[(0, 1), "n"] >= 1
+    # unrelated docs never pair with >1-fingerprint evidence against 0/1
+    strong = df[df["n"] >= 2]
+    assert set(zip(strong["id_a"], strong["id_b"])) == {(0, 1)}
+
+
+def test_winnow_sql_oracle_parity(ray_session, tmp_path):
+    """Engine vs the generated DuckDB oracle on a synthetic documents
+    table (the q42 driver check, run locally at tiny scale)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from hand_index_ray.pipelines.text import winnow_fingerprints
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(4, 30)))
+             for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    mine = winnow_fingerprints(
+        ray.data.read_parquet(str(tmp_path / "documents.parquet"))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entrymod._winnow_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        mine[["doc_id", "n_fp", "fp_min", "fp_sum"]],
+        ora[["doc_id", "n_fp", "fp_min", "fp_sum"]], check_dtype=True)
