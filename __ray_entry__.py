@@ -615,6 +615,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q42_winnow_fp(sf):  # dedup: winnowing fingerprints, rolling hash (SQL oracle)
         return textops.winnow_fingerprints(_t(sf, "documents"))
 
+    def _events_typed(sf, et):
+        ev = _t(sf, "events")
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], et))
+
+        return ev.select_columns(["event_id", "ts", "user_id",
+                                  "event_type", "value"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True) \
+            .drop_columns(["event_type"])
+
+    def q43_asof_join(sf):  # custom op: as-of join, co-group shuffle (SQL oracle)
+        """DuckDB ASOF JOIN parity: each click picks the latest view of
+        the same user at-or-before its timestamp. Exercises the SCALE
+        path (key-hash co-group + per-bucket merge_asof), not the
+        broadcast fast path."""
+        clicks = _events_typed(sf, "click")
+        views = rel.grouped_agg(
+            _events_typed(sf, "view").select_columns(["user_id", "ts", "value"]),
+            ["user_id", "ts"], max_cols=["value"], count=False) \
+            .rename_columns({"max_value": "v_value"})
+        out = rel.asof_join(clicks, views, on="ts", by="user_id", how="inner")
+
+        def finish(df):
+            df = df.copy()
+            df["ts_us"] = df["ts"].astype("int64")
+            df["asof_ts_us"] = df["ts_r"].astype("int64")
+            return df[["event_id", "user_id", "ts_us", "asof_ts_us", "v_value"]]
+
+        return out.map_batches(finish, batch_format="pandas")
+
+    def q44_range_join(sf):  # custom op: interval join, exactly-once buckets (SQL oracle)
+        """Events within 5 minutes after each error event of the same
+        user. Time-bucketed exactly-once replication (interval copies
+        to overlapped windows; pairs meet only in the left row's
+        bucket), no dedup shuffle."""
+        def to_us(t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index("ts"), "ts",
+                                pc.cast(t["ts"], pa.int64()))
+
+        ev = _t(sf, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]) \
+            .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+
+        def errs(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], "error"))
+            return pa.table({"err_id": t["event_id"], "user_id": t["user_id"],
+                             "t_start": t["ts"],
+                             "t_end": pc.add(t["ts"],
+                                             pa.scalar(300_000_000, pa.int64()))})
+
+        iv = ev.map_batches(errs, batch_format="pyarrow", zero_copy_batch=True)
+        left = ev.drop_columns(["event_type"])
+        out = rel.range_join(left, iv, key="user_id", on="ts",
+                             start="t_start", end="t_end",
+                             bucket_width_us=300_000_001)
+        return out.map_batches(lambda df: df[["err_id", "event_id"]],
+                               batch_format="pandas")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -658,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_sample_per_group": q40_sample_per_group,
         "q41_hll_distinct": q41_hll_distinct,
         "q42_winnow_fp": q42_winnow_fp,
+        "q43_asof_join": q43_asof_join,
+        "q44_range_join": q44_range_join,
     }
 
 
@@ -1150,4 +1211,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY col_name
         """,
         "q42_winnow_fp": _winnow_sql(),
+        "q43_asof_join": """
+            WITH v AS (SELECT user_id, ts, MAX(value) AS v_value FROM events
+                       WHERE event_type = 'view' GROUP BY user_id, ts),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   epoch_us(v.ts) AS asof_ts_us, v.v_value AS v_value
+            FROM c ASOF JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "q44_range_join": """
+            WITH w AS (SELECT event_id AS err_id, user_id,
+                              epoch_us(ts) AS t0, epoch_us(ts) + 300000000 AS t1
+                       FROM events WHERE event_type = 'error')
+            SELECT w.err_id, e.event_id
+            FROM w JOIN events e
+              ON e.user_id = w.user_id
+             AND epoch_us(e.ts) >= w.t0 AND epoch_us(e.ts) <= w.t1
+        """,
     }

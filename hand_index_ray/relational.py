@@ -492,3 +492,271 @@ def approx_quantiles(ds: ray.data.Dataset, col: str, qs) -> "np.ndarray":
         for b in t.column("qsk").to_pylist():
             st = sketch.q_merge(st, sketch.q_deserialize(b))
     return sketch.q_quantile(st, qs)
+
+
+# ---------------------------------------------------------------------------
+# time joins: as-of and range (interval) — custom operators Ray Data
+# lacks, composed from map_batches + one co-group shuffle (SURVEY §2.4
+# "custom operators" clause; the reference has no time joins — these
+# are training-data extensions like the dedup family)
+
+
+def _ipc_bytes(sub: pa.Table) -> bytes:
+    """Arrow IPC stream bytes — shuffle payloads stay Arrow end to end
+    (no pickle re-serialization; the receiver reads zero-copy)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, sub.schema) as w:
+        w.write_table(sub)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_read(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(b)).read_all()
+
+
+def _pack_buckets(side: int):
+    """Batch fn: group rows of a tagged table by its __bucket column
+    into one IPC payload row per (bucket, batch) — the co-group shuffle
+    then moves a few fat Arrow rows instead of many thin ones."""
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table({"__bucket": pa.array([], pa.int64()),
+                          "__side": pa.array([], pa.int64()),
+                          "payload": pa.array([], pa.binary())})
+        if t.num_rows == 0:
+            return empty
+        buckets = t.column("__bucket").to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        tt = t.take(pa.array(order))
+        bs = tt.column("__bucket").to_numpy()
+        cuts = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(bs)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            sub = tt.slice(int(s), int(e - s)).drop_columns(["__bucket"])
+            rows.append({"__bucket": int(bs[s]), "__side": side,
+                         "payload": _ipc_bytes(sub)})
+        return pa.Table.from_pylist(rows)
+
+    return f
+
+
+def cogroup_apply(left: ray.data.Dataset, right: ray.data.Dataset,
+                  pair_fn) -> ray.data.Dataset:
+    """Co-group two Datasets that already carry an int __bucket column
+    and apply ``pair_fn(left_table | None, right_table | None) ->
+    pd.DataFrame`` once per bucket. ONE all-to-all exchange total; the
+    payloads ride as Arrow IPC."""
+    packed = left.map_batches(_pack_buckets(0), batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(_pack_buckets(1), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ls = [_ipc_read(b) for b in g.loc[g["__side"] == 0, "payload"]]
+        rs = [_ipc_read(b) for b in g.loc[g["__side"] == 1, "payload"]]
+        lt = pa.concat_tables(ls) if ls else None
+        rt = pa.concat_tables(rs) if rs else None
+        return pair_fn(lt, rt)
+
+    return packed.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+
+
+def _tag_bucket_on(key: str, num_buckets: int):
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column(key)
+        h = _bucket_hash(k.to_numpy(zero_copy_only=False)
+                         if pa.types.is_integer(k.type) else k.to_pylist(),
+                         pa.types.is_integer(k.type))
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return f
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str = "ts", by: str = "user_id", how: str = "inner",
+              num_buckets: int = 64,
+              broadcast_right: pa.Table | None = None) -> ray.data.Dataset:
+    """As-of join: each left row picks the LATEST right row of the same
+    ``by`` key with ``right.on <= left.on`` (DuckDB ``ASOF JOIN``
+    semantics; ``how='inner'`` drops unmatched left rows, ``'left'``
+    keeps them with nulls).
+
+    Scale shape: both sides co-partition on hash(by) — ONE shuffle of
+    slim tagged rows, then a per-bucket sorted ``pd.merge_asof``
+    (C-speed, by-aware). An as-of join never needs time-range
+    partitioning because each left row matches at most one right row
+    per key; keys are independent, so key-hash buckets parallelize it
+    exactly. Pass ``broadcast_right`` (a small Arrow table) to skip the
+    shuffle entirely: the right side ships once via ``ray.put`` and
+    every left batch joins locally — the quote-table case.
+
+    The right side must be unique per (by, on); pre-aggregate
+    duplicates first (ties would make "the" latest row ambiguous —
+    DuckDB leaves it unspecified too). Right's ``on`` survives as
+    ``{on}_r`` so callers can compute staleness.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, not {how!r}")
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        rdf = rdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        rdf = rdf.assign(**{f"{on}_r": rdf[on]})
+        out = pd.merge_asof(ldf, rdf, on=on, by=by, direction="backward",
+                            suffixes=("", "_r"))
+        if how == "inner":
+            out = out[out[f"{on}_r"].notna()].reset_index(drop=True)
+        return out
+
+    if broadcast_right is not None:
+        ref = ray.put(broadcast_right)
+
+        class AsofBroadcast:
+            def __init__(self):
+                self.rdf = ray.get(ref).to_pandas()
+
+            def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
+                return merge(ldf, self.rdf)
+
+        return left.map_batches(AsofBroadcast, batch_format="pandas",
+                                concurrency=(1, 8))
+
+    lcols = list(left.schema().names)
+    rschema = getattr(right.schema(), "base_schema", right.schema())
+    rcols = list(right.schema().names)
+    # pd.merge_asof suffixes colliding right names with _r; right's own
+    # `on` always survives as {on}_r
+    out_cols = lcols + [(c if c not in lcols else f"{c}_r")
+                        for c in rcols if c not in (by, on)] + [f"{on}_r"]
+    if isinstance(rschema, pa.Schema):
+        empty_rdf = rschema.empty_table().to_pandas()
+    else:  # PandasBlockSchema (from_pandas-backed datasets)
+        empty_rdf = pd.DataFrame({n: pd.Series(dtype=t) for n, t in
+                                  zip(rschema.names, rschema.types)})
+
+    def pair_fn(lt: pa.Table | None, rt: pa.Table | None) -> pd.DataFrame:
+        if lt is None:
+            return pd.DataFrame(columns=out_cols)
+        ldf = lt.to_pandas()
+        if rt is None:
+            if how == "inner":
+                return pd.DataFrame(columns=out_cols)
+            return merge(ldf, empty_rdf)[out_cols]
+        return merge(ldf, rt.to_pandas())[out_cols]
+
+    lt = left.map_batches(_tag_bucket_on(by, num_buckets),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_tag_bucket_on(by, num_buckets),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return cogroup_apply(lt, rt, pair_fn)
+
+
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
+               key: str = "user_id", on: str = "ts",
+               start: str = "t_start", end: str = "t_end",
+               num_buckets: int = 64,
+               bucket_width_us: int | None = None,
+               broadcast_right: pa.Table | None = None) -> ray.data.Dataset:
+    """Range (interval) join: inner-join left rows to right intervals
+    with ``left.key == right.key AND start <= left.on <= end``. ``on``,
+    ``start``, ``end`` are int64 epoch-microsecond columns.
+
+    Scale shape — time-bucketed exactly-once replication: time splits
+    into windows of ``bucket_width_us`` (default: the max interval
+    length, so every interval overlaps <= 2 windows); each interval is
+    replicated to every (key, window) bucket it overlaps, each left row
+    goes ONLY to its own, and the exact predicate evaluates per bucket
+    — a pair can only meet in the left row's bucket, so emission is
+    exactly-once with no dedup shuffle (the same argument as the zonal
+    join's canonical cell and MinHash's minimal colliding band).
+    Buckets are hash(key, window) % num_buckets; duplicate interval
+    copies landing in one bucket via different windows are dropped
+    vectorized before the in-bucket merge.
+
+    ``broadcast_right``: small interval tables skip the shuffle (ships
+    once, every left batch joins locally).
+    """
+    from .sources.synth import splitmix64
+
+    rcols_keep = None  # all right columns survive
+
+    def in_bucket_join(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = ldf.merge(rdf, on=key, how="inner")
+        if not len(out):
+            return out
+        m = (out[on].to_numpy() >= out[start].to_numpy()) & \
+            (out[on].to_numpy() <= out[end].to_numpy())
+        return out[m].reset_index(drop=True)
+
+    if broadcast_right is not None:
+        ref = ray.put(broadcast_right)
+
+        class RangeBroadcast:
+            def __init__(self):
+                self.rdf = ray.get(ref).to_pandas()
+
+            def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
+                return in_bucket_join(ldf, self.rdf)
+
+        return left.map_batches(RangeBroadcast, batch_format="pandas",
+                                concurrency=(1, 8))
+
+    if bucket_width_us is None:
+        bucket_width_us = int(right.map_batches(
+            lambda t: pa.table({"len": pa.array(
+                [int(pc.max(pc.subtract(t[end], t[start])).as_py() or 0)
+                 if t.num_rows else 0], pa.int64())}),
+            batch_format="pyarrow").max("len")) + 1
+    W = np.int64(max(bucket_width_us, 1))
+    NB = np.uint64(num_buckets)
+
+    def bucket_of(kh: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (splitmix64(kh ^ tb.astype(np.uint64)) % NB).astype(np.int32)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        kh = _bucket_hash(t.column(key).to_numpy(zero_copy_only=False),
+                          pa.types.is_integer(t.column(key).type))
+        tb = t.column(on).to_numpy() // W
+        return t.append_column("__bucket",
+                               pa.array(bucket_of(kh, tb), pa.int32()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        """Replicate each interval to every time window it overlaps."""
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        s = t.column(start).to_numpy()
+        e = t.column(end).to_numpy()
+        w0 = s // W
+        w1 = e // W
+        reps = (w1 - w0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        # window of each copy: w0[i] + intra-run offset
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
+        tb = w0[idx] + offs
+        tt = t.take(pa.array(idx))
+        kh = _bucket_hash(tt.column(key).to_numpy(zero_copy_only=False),
+                          pa.types.is_integer(tt.column(key).type))
+        return tt.append_column("__bucket",
+                                pa.array(bucket_of(kh, tb), pa.int32()))
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    out_cols = lcols + [c for c in rcols if c != key]
+
+    def pair_fn(lt: pa.Table | None, rt: pa.Table | None) -> pd.DataFrame:
+        if lt is None or rt is None:
+            return pd.DataFrame(columns=out_cols)
+        rdf = rt.to_pandas().drop_duplicates().reset_index(drop=True)
+        return in_bucket_join(lt.to_pandas(), rdf)[out_cols]
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return cogroup_apply(lt, rt, pair_fn)

@@ -1,0 +1,135 @@
+"""As-of and range (interval) join tests: shuffle path vs broadcast
+path vs an independent driver-side reference, plus the exactly-once
+property under long intervals."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def time_tables(ray_session):
+    rng = np.random.default_rng(42)
+    n_l, n_r, n_keys = 800, 300, 12
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype=np.int64),
+        "k": rng.integers(0, n_keys, n_l).astype(np.int64),
+        "t": rng.integers(0, 100_000, n_l).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys + 3, n_r).astype(np.int64),  # some keys unmatched
+        "t": rng.integers(0, 100_000, n_r).astype(np.int64),
+        "v": rng.normal(size=n_r),
+    }).drop_duplicates(subset=["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+def _ref_asof(left: pd.DataFrame, right: pd.DataFrame, how: str) -> pd.DataFrame:
+    r = right.sort_values("t", kind="mergesort").assign(t_r=lambda d: d["t"])
+    out = pd.merge_asof(left.sort_values("t", kind="mergesort"), r,
+                        on="t", by="k", direction="backward",
+                        suffixes=("", "_r"))
+    if how == "inner":
+        out = out[out["t_r"].notna()]
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_join_matches_reference(time_tables, how):
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    left, right = time_tables
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(4)
+    out = rel.asof_join(lds, rds, on="t", by="k", how=how, num_buckets=16) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    ref = _ref_asof(left, right, how)
+    pd.testing.assert_frame_equal(
+        out[["lid", "k", "t", "v", "t_r"]].reset_index(drop=True),
+        ref[["lid", "k", "t", "v", "t_r"]],
+        check_dtype=(how == "inner"))  # left join: all-null buckets may widen
+
+
+def test_asof_join_broadcast_equals_shuffle(time_tables):
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    left, right = time_tables
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right)
+    shuf = rel.asof_join(lds, rds, on="t", by="k", how="inner") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    bc = rel.asof_join(lds, rds, on="t", by="k", how="inner",
+                       broadcast_right=pa.Table.from_pandas(right)) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(shuf[sorted(shuf.columns)],
+                                  bc[sorted(bc.columns)])
+
+
+def _ref_range(left: pd.DataFrame, iv: pd.DataFrame) -> pd.DataFrame:
+    out = left.merge(iv, on="k")
+    out = out[(out["t"] >= out["s"]) & (out["t"] <= out["e"])]
+    return out[["lid", "iid"]].sort_values(["lid", "iid"]).reset_index(drop=True)
+
+
+def test_range_join_matches_reference_and_exactly_once(ray_session):
+    """Interval lengths straddle the bucket width (some spans cover
+    many windows): result equals the brute-force pair set with no
+    duplicate emission."""
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "lid": np.arange(600, dtype=np.int64),
+        "k": rng.integers(0, 8, 600).astype(np.int64),
+        "t": rng.integers(0, 50_000, 600).astype(np.int64),
+    })
+    iv = pd.DataFrame({
+        "iid": np.arange(120, dtype=np.int64),
+        "k": rng.integers(0, 8, 120).astype(np.int64),
+        "s": rng.integers(0, 50_000, 120).astype(np.int64),
+    })
+    iv["e"] = iv["s"] + rng.integers(10, 20_000, 120)  # many >> bucket width
+    lds = ray.data.from_pandas(left).repartition(6)
+    ids = ray.data.from_pandas(iv).repartition(3)
+    out = rel.range_join(lds, ids, key="k", on="t", start="s", end="e",
+                         num_buckets=16, bucket_width_us=1_000) \
+        .to_pandas()[["lid", "iid"]].sort_values(["lid", "iid"]) \
+        .reset_index(drop=True)
+    assert not out.duplicated().any()  # exactly-once emission
+    pd.testing.assert_frame_equal(out, _ref_range(left, iv))
+
+
+def test_range_join_broadcast_and_auto_width(ray_session):
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "lid": np.arange(200, dtype=np.int64),
+        "k": rng.integers(0, 5, 200).astype(np.int64),
+        "t": rng.integers(0, 10_000, 200).astype(np.int64),
+    })
+    iv = pd.DataFrame({
+        "iid": np.arange(40, dtype=np.int64),
+        "k": rng.integers(0, 5, 40).astype(np.int64),
+        "s": rng.integers(0, 10_000, 40).astype(np.int64),
+    })
+    iv["e"] = iv["s"] + rng.integers(1, 500, 40)
+    lds = ray.data.from_pandas(left).repartition(4)
+    ids = ray.data.from_pandas(iv)
+    ref = _ref_range(left, iv)
+    auto = rel.range_join(lds, ids, key="k", on="t", start="s", end="e") \
+        .to_pandas()[["lid", "iid"]].sort_values(["lid", "iid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(auto, ref)  # default width = max interval
+    bc = rel.range_join(lds, ids, key="k", on="t", start="s", end="e",
+                        broadcast_right=pa.Table.from_pandas(iv)) \
+        .to_pandas()[["lid", "iid"]].sort_values(["lid", "iid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, ref)
