@@ -674,6 +674,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(lambda df: df[["err_id", "event_id"]],
                                batch_format="pandas")
 
+    def q45_hash_split(sf):  # train/val/test assignment, md5-deterministic (SQL oracle)
+        split = rel.hash_split(
+            _t(sf, "documents").select_columns(["doc_id", "lang"]),
+            "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        return rel.grouped_agg(split.select_columns(["split", "lang"]),
+                               ["split", "lang"], count=True)
+
+    def q46_grouped_topk(sf):  # top-2 events by value per user (SQL oracle)
+        ev = _t(sf, "events").select_columns(["event_id", "user_id", "value"])
+        return rel.grouped_topk(ev, ["user_id"], "value", k=2,
+                                descending=True, tiebreak="event_id")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -719,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_winnow_fp": q42_winnow_fp,
         "q43_asof_join": q43_asof_join,
         "q44_range_join": q44_range_join,
+        "q45_hash_split": q45_hash_split,
+        "q46_grouped_topk": q46_grouped_topk,
     }
 
 
@@ -1229,5 +1243,23 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN events e
               ON e.user_id = w.user_id
              AND epoch_us(e.ts) >= w.t0 AND epoch_us(e.ts) <= w.t1
+        """,
+        "q45_hash_split": """
+            WITH s AS (
+              SELECT lang,
+                     CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                               % 10000 < 8000 THEN 'train'
+                          WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                               % 10000 < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT split, lang, COUNT(*) AS n FROM s GROUP BY split, lang
+        """,
+        "q46_grouped_topk": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 2
         """,
     }

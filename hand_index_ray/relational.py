@@ -760,3 +760,69 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
     rt = right.map_batches(tag_right, batch_format="pyarrow",
                            zero_copy_batch=True)
     return cogroup_apply(lt, rt, pair_fn)
+
+
+def hash_split(ds: ray.data.Dataset, id_col: str,
+               fractions: dict[str, float],
+               salt: str = "") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    Each row lands in a split by ``md5(str(id) + salt)`` bucket (0-9999
+    per-mille-of-ten ranges in ``fractions`` insertion order) — stable
+    across runs, machines and engine versions, and reproducible in SQL
+    (``md5_number_lower``), unlike ``random_shuffle``-based splits.
+    Map-only: no shuffle, no state. Changing ``salt`` re-deals the
+    assignment without touching ids.
+    """
+    import hashlib
+
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bounds.append((name, int(round(acc * 10_000))))
+    bounds[-1] = (bounds[-1][0], 10_000)  # absorb fp residue
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.array(
+            [int.from_bytes(hashlib.md5((str(v) + salt).encode()).digest()[8:16],
+                            "little") for v in ids], dtype=np.uint64)
+        bucket = (h % np.uint64(10_000)).astype(np.int64)
+        split = np.empty(len(bucket), dtype=object)
+        lo = 0
+        for name, hi in bounds:
+            split[(bucket >= lo) & (bucket < hi)] = name
+            lo = hi
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_topk(ds: ray.data.Dataset, keys: list[str], value: str,
+                 k: int, descending: bool = True,
+                 tiebreak: str | None = None) -> ray.data.Dataset:
+    """Top-k rows per group by ``value`` (deterministic: ties break on
+    ``tiebreak`` ascending). Partial top-k per batch per group first,
+    so the exchange moves <= k rows per (batch, group) — the same
+    combiner shape as grouped_agg; the final per-group top-k runs in
+    hash buckets (one dispatch per bucket, not per group).
+    """
+    order_cols = [value] + ([tiebreak] if tiebreak else [])
+    asc = [not descending] + ([True] if tiebreak else [])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.sort_values(order_cols, ascending=asc, kind="mergesort") \
+            .groupby(keys, sort=False).head(k)
+
+    partial = ds.map_batches(local, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return local(g)
+
+    return grouped_apply_bucketed(partial, keys, final)

@@ -151,3 +151,70 @@ def test_catchments_hive_partitioned_roundtrip(ray_session, smoke_dirs, tmp_path
     kept_flat = roi_query_catchments(src, synth.roi_polygons()["huge"],
                                      threshold_pct=10.0, cfg=cfg).to_pandas()
     assert set(kept_hive["catchment_id"]) == set(kept_flat["catchment_id"])
+
+
+# ---------------------------------------------------------------------------
+# hash split + grouped top-k
+
+
+def test_hash_split_deterministic_and_salted(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = rel.hash_split(ds, "doc_id", fr).to_pandas().set_index("doc_id")["split"]
+    b = rel.hash_split(ds, "doc_id", fr).to_pandas().set_index("doc_id")["split"]
+    pd.testing.assert_series_equal(a.sort_index(), b.sort_index())  # stable
+    # matches the md5 formula row-by-row
+    for i in (0, 7, 1234):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                           "little") % 10_000
+        want = "train" if h < 8000 else ("val" if h < 9000 else "test")
+        assert a.loc[i] == want
+    # ~fractions hold
+    counts = a.value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.05
+    # salt re-deals
+    c = rel.hash_split(ds, "doc_id", fr, salt="v2").to_pandas() \
+        .set_index("doc_id")["split"]
+    assert (a.sort_index() != c.sort_index()).mean() > 0.1
+    import pytest
+
+    with pytest.raises(ValueError):
+        rel.hash_split(ds, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 20, 1000).astype(np.int64),
+        "id": np.arange(1000, dtype=np.int64),
+        "v": rng.integers(0, 50, 1000).astype(np.int64),  # many value ties
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = rel.grouped_topk(ds, ["g"], "v", k=3, descending=True,
+                           tiebreak="id").to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    ref = df.sort_values(["v", "id"], ascending=[False, True],
+                         kind="mergesort").groupby("g", sort=False).head(3) \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["g", "id", "v"]], ref[["g", "id", "v"]])
+    # ascending variant
+    out2 = rel.grouped_topk(ds, ["g"], "v", k=1, descending=False,
+                            tiebreak="id").to_pandas()
+    ref2 = df.sort_values(["v", "id"], ascending=[True, True],
+                          kind="mergesort").groupby("g", sort=False).head(1)
+    assert set(out2["id"]) == set(ref2["id"])
