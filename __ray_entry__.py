@@ -632,16 +632,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path (key-hash co-group + per-bucket merge_asof), not the
         broadcast fast path."""
         clicks = _events_typed(sf, "click")
-        views = rel.grouped_agg(
-            _events_typed(sf, "view").select_columns(["user_id", "ts", "value"]),
-            ["user_id", "ts"], max_cols=["value"], count=False) \
-            .rename_columns({"max_value": "v_value"})
-        out = rel.asof_join(clicks, views, on="ts", by="user_id", how="inner")
+        views = _events_typed(sf, "view").select_columns(["user_id", "ts", "value"])
+        # resolve_dups folds the (user_id, ts) dedup into the join's own
+        # co-group — no separate aggregation shuffle
+        out = rel.asof_join(clicks, views, on="ts", by="user_id", how="inner",
+                            resolve_dups="max")
 
         def finish(df):
             df = df.copy()
             df["ts_us"] = df["ts"].astype("int64")
             df["asof_ts_us"] = df["ts_r"].astype("int64")
+            df["v_value"] = df["value_r"]
             return df[["event_id", "user_id", "ts_us", "asof_ts_us", "v_value"]]
 
         return out.map_batches(finish, batch_format="pandas")

@@ -133,3 +133,28 @@ def test_range_join_broadcast_and_auto_width(ray_session):
                         broadcast_right=pa.Table.from_pandas(iv)) \
         .to_pandas()[["lid", "iid"]].sort_values(["lid", "iid"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, ref)
+
+
+def test_asof_join_resolve_dups(ray_session):
+    """resolve_dups='max' equals pre-aggregating the right side."""
+    import ray.data
+
+    from hand_index_ray import relational as rel
+
+    rng = np.random.default_rng(1)
+    left = pd.DataFrame({"lid": np.arange(100, dtype=np.int64),
+                         "k": rng.integers(0, 4, 100).astype(np.int64),
+                         "t": rng.integers(0, 1_000, 100).astype(np.int64)})
+    right = pd.DataFrame({"k": rng.integers(0, 4, 200).astype(np.int64),
+                          "t": rng.integers(0, 1_000, 200).astype(np.int64) // 50 * 50,  # force dups
+                          "v": rng.normal(size=200)})
+    assert right.duplicated(subset=["k", "t"]).any()
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = rel.asof_join(lds, rds, on="t", by="k", how="inner",
+                        resolve_dups="max").to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    pre = right.groupby(["k", "t"], as_index=False).max()
+    want = _ref_asof(left, pre, "inner")
+    pd.testing.assert_frame_equal(got[["lid", "k", "t", "v", "t_r"]],
+                                  want[["lid", "k", "t", "v", "t_r"]])
