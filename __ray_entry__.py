@@ -687,6 +687,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.grouped_topk(ev, ["user_id"], "value", k=2,
                                 descending=True, tiebreak="event_id")
 
+    def q47_anti_join(sf):  # customers with no urgent order (SQL oracle)
+        """Broadcast anti join (reference J4's complement): the filtered
+        key set is DISTINCT-reduced distributively first, then ships to
+        the object store once."""
+        urgent = _t(sf, "orders").select_columns(["o_custkey", "o_orderpriority"])
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")) \
+                    .select(["o_custkey"])
+
+        keyset = rel.distinct(
+            urgent.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+            ["o_custkey"]).to_pandas()
+        cust = _t(sf, "customer").select_columns(["c_custkey", "c_nationkey"])
+        return rel.semi_join(cust, "c_custkey",
+                             pa.array(keyset["o_custkey"]), anti=True)
+
+    def q48_bloom_join(sf):  # bloom prefilter + exact hash join (SQL oracle)
+        """The 100 TB big-side-filter pattern: a mergeable Bloom bitmap
+        built shuffle-free over urgent order keys prunes lineitem
+        map-only; only the surviving minority (true matches + ~0.2%
+        false positives at these parameters) pays the exact co-group
+        hash join."""
+        orders = _t(sf, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")) \
+                    .select(["o_orderkey"])
+
+        urgent = orders.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        words = rel.bloom_build(urgent, "o_orderkey", num_bits=1 << 20, k=4)
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_quantity", "l_returnflag"])
+        pre = rel.bloom_prefilter(li, "l_orderkey", words, num_bits=1 << 20, k=4)
+        pre = pre.map_batches(
+            lambda t: t.rename_columns(
+                ["o_orderkey" if c == "l_orderkey" else c for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j = rel.hash_join(pre, urgent, key="o_orderkey", how="inner")
+        qty = rel.add_cents(j, "l_quantity", "qty_cents")
+        return rel.grouped_agg(qty.select_columns(["l_returnflag", "qty_cents"]),
+                               ["l_returnflag"], sum_cols=["qty_cents"], count=True)
+
+    def q49_pivot(sf):  # PIVOT as conditional aggregation (SQL oracle)
+        li = _t(sf, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+        qty = rel.add_cents(li, "l_quantity", "qty_cents")
+        return rel.pivot_sum(qty, "l_returnflag", "l_linestatus", "qty_cents",
+                             ["O", "F"], out_names=["qty_o", "qty_f"])
+
+    def q50_rollup(sf):  # GROUP BY ROLLUP, '*' sentinel levels (SQL oracle)
+        li = _t(sf, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+        qty = rel.add_cents(li, "l_quantity", "qty_cents") \
+                 .select_columns(["l_returnflag", "l_linestatus", "qty_cents"])
+        return rel.rollup_counts(qty, ["l_returnflag", "l_linestatus"],
+                                 sum_cols=["qty_cents"])
+
+    def q51_lag_delta(sf):  # per-user LAG(ts) delta, inner rows (SQL oracle)
+        def to_us(t: pa.Table) -> pa.Table:
+            return t.set_column(t.schema.get_field_index("ts"), "ts",
+                                pc.cast(t["ts"], pa.int64()))
+
+        ev = _t(sf, "events").select_columns(["event_id", "ts", "user_id"]) \
+            .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+        out = rel.lag_delta(ev, "user_id", "ts", "event_id", out="delta_us",
+                            keep=["event_id"])
+        return out.map_batches(lambda df: df[["event_id", "user_id", "delta_us"]],
+                               batch_format="pandas")
+
+    def q52_string_agg(sf):  # ordered distinct string_agg per group (SQL oracle)
+        doc = _t(sf, "documents").select_columns(["lang", "source"])
+        return rel.grouped_concat(doc, ["lang"], "source", out="sources")
+
+    def q53_mode(sf):  # most frequent event_type per user (SQL oracle)
+        ev = _t(sf, "events").select_columns(["user_id", "event_type"])
+        return rel.grouped_mode(ev, ["user_id"], "event_type")
+
+    def q54_normalize(sf):  # canonical text normalize + md5 (SQL oracle)
+        doc = _t(sf, "documents").select_columns(["doc_id", "text"])
+        nm = textops.normalize_text(doc, col="text", out="norm")
+        fp = textops.fingerprint(nm, col="norm")
+        return fp.drop_columns(["text", "norm"])
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -734,6 +818,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_range_join": q44_range_join,
         "q45_hash_split": q45_hash_split,
         "q46_grouped_topk": q46_grouped_topk,
+        "q47_anti_join": q47_anti_join,
+        "q48_bloom_join": q48_bloom_join,
+        "q49_pivot": q49_pivot,
+        "q50_rollup": q50_rollup,
+        "q51_lag_delta": q51_lag_delta,
+        "q52_string_agg": q52_string_agg,
+        "q53_mode": q53_mode,
+        "q54_normalize": q54_normalize,
     }
 
 
@@ -1262,5 +1354,63 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rn
               FROM events) WHERE rn <= 2
+        """,
+        "q47_anti_join": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        "q48_bloom_join": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS qty_cents,
+                   COUNT(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+        """,
+        "q49_pivot": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(round(l_quantity * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS qty_o,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(round(l_quantity * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q50_rollup": """
+            SELECT COALESCE(l_returnflag, '*') AS l_returnflag,
+                   COALESCE(l_linestatus, '*') AS l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS qty_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q51_lag_delta": """
+            SELECT event_id, user_id, delta_us FROM (
+              SELECT event_id, user_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS delta_us
+              FROM events) WHERE delta_us IS NOT NULL
+        """,
+        "q52_string_agg": """
+            SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source)
+                     AS sources
+            FROM documents GROUP BY lang
+        """,
+        "q53_mode": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, COUNT(*) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY COUNT(*) DESC, event_type) AS rk
+              FROM events GROUP BY user_id, event_type) WHERE rk = 1
+        """,
+        "q54_normalize": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                     AS fp
+            FROM documents
         """,
     }

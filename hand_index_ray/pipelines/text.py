@@ -763,3 +763,22 @@ def winnow_dup_candidates(ds: ray.data.Dataset, col: str = "text",
                                    min_group_size=2)
     return grouped_agg(pairs, ["id_a", "id_b"], count=True)
 
+
+
+def normalize_text(ds: ray.data.Dataset, col: str = "text",
+                   out: str = "norm") -> ray.data.Dataset:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, collapse every non-alphanumeric run to one space, trim.
+    Fully vectorized in Arrow (utf8_lower + RE2 replace — the same
+    regex engine DuckDB's regexp_replace uses, so
+    ``trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))`` is an
+    exact oracle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[col])
+        x = pc.replace_substring_regex(x, pattern="[^a-z0-9]+",
+                                       replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        return t.append_column(out, x)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -837,3 +837,214 @@ def grouped_topk(ds: ray.data.Dataset, keys: list[str], value: str,
         return local(g)
 
     return grouped_apply_bucketed(partial, keys, final)
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi join (scale path for big-side filtering when the
+# filter side's key SET is too large to broadcast exactly but a bitmap
+# fits: build is shuffle-free mergeable partials like the HLL sketch,
+# the prefilter is map-only, and the surviving minority flows through
+# an exact join to remove false positives — SURVEY §2.4 J4 "at scale")
+
+
+def _bloom_positions(h1: np.ndarray, num_bits: int, k: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: pos_i = h1 + i*h2 (mod bits).
+    h2 is forced odd so the probe sequence cycles the whole table."""
+    from .sources.synth import splitmix64
+
+    with np.errstate(over="ignore"):
+        h2 = splitmix64(h1 ^ np.uint64(0xA5A5A5A55A5A5A5A)) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(num_bits)).ravel()
+
+
+def bloom_build(ds: ray.data.Dataset, col: str,
+                num_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Build a Bloom filter over ``col`` distributively: each batch
+    sets bits in a LOCAL bitmap and ships one ``num_bits/8``-byte
+    binary row; bitmaps OR-merge on the driver (mergeable and
+    shuffle-free, same shape as ``approx_distinct``). Returns the
+    merged uint64 word array — broadcast it with ``ray.put`` (flat
+    numpy ships zero-copy)."""
+    nwords = (num_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(nwords, dtype=np.uint64)
+        if t.num_rows:
+            is_int = pa.types.is_integer(t.column(col).type)
+            h1 = _bucket_hash(
+                t.column(col).to_numpy() if is_int
+                else t.column(col).to_pylist(), is_int)
+            pos = _bloom_positions(h1, num_bits, k)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(nwords, dtype=np.uint64)
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "bloom" not in t.schema.names:  # schemaless empty block
+            continue
+        for b in t.column("bloom").to_pylist():
+            merged |= np.frombuffer(b, dtype=np.uint64)
+    return merged
+
+
+def bloom_prefilter(big: ray.data.Dataset, key: str, words: np.ndarray,
+                    num_bits: int = 1 << 20, k: int = 4) -> ray.data.Dataset:
+    """Map-only Bloom prefilter: keeps every true match plus a false-
+    positive minority (rate ~(1-e^{-kn/m})^k). Pair with an exact join
+    on the survivors for exactness."""
+    ref = ray.put(words)
+
+    class Filt:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            is_int = pa.types.is_integer(t.column(key).type)
+            h1 = _bucket_hash(
+                t.column(key).to_numpy() if is_int
+                else t.column(key).to_pylist(), is_int)
+            pos = _bloom_positions(h1, num_bits, k).reshape(k, -1)
+            hit = np.ones(t.num_rows, dtype=bool)
+            for i in range(k):
+                p = pos[i]
+                bits = (self.words[(p >> np.uint64(6)).astype(np.int64)]
+                        >> (p & np.uint64(63))) & np.uint64(1)
+                hit &= bits.astype(bool)
+            return t.filter(pa.array(hit))
+
+    return big.map_batches(Filt, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup / lag / grouped concat / mode — relational extensions
+# with the same partial-before-shuffle discipline as grouped_agg
+
+
+def pivot_sum(ds: ray.data.Dataset, key: str, pivot_col: str,
+              value_col: str, categories: list[str],
+              out_names: list[str] | None = None) -> ray.data.Dataset:
+    """PIVOT as conditional aggregation (SUM(CASE WHEN pivot=cat THEN v
+    END) per category): per batch each category becomes a masked value
+    column and ONE Arrow hash-agg emits per-key partials, so the
+    exchange moves |keys|x|cats| partial sums — never rows. Values
+    should be integer-scaled (add_cents) for order-exact sums."""
+    out_names = out_names or [f"{value_col}_{c}" for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        for cat, name in zip(categories, out_names):
+            m = pc.equal(t[pivot_col], cat)
+            cols[name] = pc.if_else(m, t[value_col],
+                                    pa.scalar(0, t[value_col].type))
+        return pa.table(cols)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(pre, [key], sum_cols=out_names, count=False)
+
+
+def rollup_counts(ds: ray.data.Dataset, keys: list[str],
+                  sum_cols: list[str] | None = None,
+                  sentinel: str = "*") -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): counts (and optional exact integer sums)
+    at every prefix level, coarser levels marked with ``sentinel`` in
+    the rolled-up key columns (string keys only — a sentinel, not NULL,
+    so the result hash-partitions and compares deterministically).
+
+    Single pass: each batch computes the FINEST partial with one Arrow
+    hash-agg, then re-aggregates that tiny partial per coarser level
+    driver-side-free inside the same task — the shuffle moves
+    |groups|x|levels| partial rows."""
+    sum_cols = sum_cols or []
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+        fine = t.group_by(keys).aggregate(aggs)
+        ren = {f"{c}_sum": c for c in sum_cols}
+        ren["count_all"] = "__cnt"
+        fine = fine.rename_columns([ren.get(n, n) for n in fine.column_names])
+        levels = [fine]
+        cur = fine
+        for i in range(len(keys) - 1, -1, -1):
+            # roll level i up: re-aggregate the previous (tiny) partial
+            gk = keys[:i]
+            aggs2 = [(c, "sum") for c in sum_cols] + [("__cnt", "sum")]
+            if gk:
+                up = cur.group_by(gk).aggregate(aggs2)
+            else:
+                up = pa.table({f"{c}_sum": [pc.sum(cur[c]).as_py() or 0]
+                               for c in sum_cols}
+                              | {"__cnt_sum": [pc.sum(cur["__cnt"]).as_py() or 0]})
+            ren2 = {f"{c}_sum": c for c in sum_cols}
+            ren2["__cnt_sum"] = "__cnt"
+            up = up.rename_columns([ren2.get(n, n) for n in up.column_names])
+            for j in range(i, len(keys)):
+                up = up.append_column(
+                    keys[j], pa.array([sentinel] * up.num_rows, pa.string())) \
+                    if keys[j] not in up.column_names else up
+            up = up.select([*keys, *sum_cols, "__cnt"])
+            levels.append(up)
+            cur = up
+        fine = fine.select([*keys, *sum_cols, "__cnt"])
+        levels[0] = fine
+        return pa.concat_tables(levels)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum("__cnt", alias_name="n")]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def lag_delta(ds: ray.data.Dataset, key: str, ts: str, tiebreak: str,
+              out: str = "delta", keep: list[str] | None = None) -> ray.data.Dataset:
+    """Per-key LAG difference: for each key's rows ordered by
+    (ts, tiebreak), emit ts - lag(ts) for every row but the first
+    (inner semantics — the NULL first row is dropped so output dtypes
+    stay exact int64). One hash-bucket shuffle on the key; the sort is
+    per key inside the bucket (grouped_apply_bucketed), never global."""
+    keep = keep or []
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.assign(**{out: np.array([], dtype=np.int64)})
+        g = g.sort_values([ts, tiebreak], kind="mergesort")
+        d = g[ts].to_numpy()
+        g = g.assign(**{out: np.concatenate([d[:1] * 0, d[1:] - d[:-1]])})
+        return g.iloc[1:]
+
+    slim = ds.select_columns(list(dict.fromkeys([key, ts, tiebreak, *keep])))
+    return grouped_apply_bucketed(slim, [key], per_key)
+
+
+def grouped_concat(ds: ray.data.Dataset, keys: list[str], col: str,
+                   sep: str = ",", out: str | None = None) -> ray.data.Dataset:
+    """string_agg(DISTINCT col, sep ORDER BY col) per key group:
+    a distinct pre-pass first (the shuffle moves unique (keys, col)
+    rows only), then whole-bucket sorted joins."""
+    out = out or f"{col}_list"
+    uniq = distinct(ds.select_columns([*keys, col]), [*keys, col])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g[col].astype(str))
+        first = g.iloc[:1][keys].copy()
+        first[out] = sep.join(vals)
+        return first
+
+    return grouped_apply_bucketed(uniq, keys, per_key)
+
+
+def grouped_mode(ds: ray.data.Dataset, keys: list[str],
+                 col: str) -> ray.data.Dataset:
+    """Most frequent ``col`` value per key group (ties break on the
+    smallest value — deterministic). Composition: partial-agg counts
+    per (keys, col), then grouped top-1 by count — both stages move
+    partials only."""
+    counts = grouped_agg(ds.select_columns([*keys, col]), [*keys, col],
+                         count=True)
+    return grouped_topk(counts, keys, "n", k=1, descending=True,
+                        tiebreak=col)

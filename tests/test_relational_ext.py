@@ -1,0 +1,129 @@
+"""Relational extensions: bloom-filter semi join, pivot, rollup,
+lag delta, grouped concat/mode, text normalization (SURVEY §2 A/J
+extensions; each also has a driver query + SQL oracle, q47-q54)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import hand_index_ray.relational as rel
+from hand_index_ray.pipelines import text as tx
+
+
+@pytest.fixture(scope="module")
+def li_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    return ray.data.from_arrow(pa.table({
+        "k": rng.integers(0, 900, n),
+        "flag": rng.choice(["A", "N", "R"], n),
+        "status": rng.choice(["O", "F"], n),
+        "v": rng.integers(1, 100, n),
+    })).repartition(8)
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray.data
+
+    member = np.arange(0, 4000, 2, dtype=np.int64)          # evens
+    probe = np.arange(0, 8000, dtype=np.int64)               # half members
+    ds = ray.data.from_arrow(pa.table({"k": member})).repartition(4)
+    words = rel.bloom_build(ds, "k", num_bits=1 << 16, k=4)
+    big = ray.data.from_arrow(pa.table({"k": probe})).repartition(4)
+    kept = rel.bloom_prefilter(big, "k", words, num_bits=1 << 16, k=4) \
+        .to_pandas()["k"].to_numpy()
+    member_set = set(member.tolist())
+    # every true member survives
+    assert member_set <= set(kept.tolist())
+    # false-positive minority: << the non-member half
+    fp = len(kept) - len(member)
+    assert fp / (len(probe) - len(member)) < 0.05
+
+
+def test_bloom_string_keys(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"s": [f"doc-{i}" for i in range(100)]}))
+    words = rel.bloom_build(ds, "s", num_bits=1 << 12, k=3)
+    probe = ray.data.from_arrow(pa.table(
+        {"s": [f"doc-{i}" for i in range(0, 200)]}))
+    kept = set(rel.bloom_prefilter(probe, "s", words, num_bits=1 << 12,
+                                   k=3).to_pandas()["s"])
+    assert {f"doc-{i}" for i in range(100)} <= kept
+
+
+def test_pivot_sum_matches_pandas(li_ds):
+    got = rel.pivot_sum(li_ds, "flag", "status", "v", ["O", "F"],
+                        out_names=["v_o", "v_f"]).to_pandas() \
+        .sort_values("flag").reset_index(drop=True)
+    df = li_ds.to_pandas()
+    exp = df.assign(v_o=df.v.where(df.status == "O", 0),
+                    v_f=df.v.where(df.status == "F", 0)) \
+        .groupby("flag", as_index=False)[["v_o", "v_f"]].sum() \
+        .sort_values("flag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_rollup_counts_levels(li_ds):
+    got = rel.rollup_counts(li_ds.select_columns(["flag", "status", "v"]),
+                            ["flag", "status"], sum_cols=["v"]).to_pandas()
+    df = li_ds.to_pandas()
+    # fine level
+    fine = got[(got.flag != "*") & (got.status != "*")]
+    exp = df.groupby(["flag", "status"]).size()
+    assert len(fine) == len(exp)
+    for (f, s), n in exp.items():
+        row = fine[(fine.flag == f) & (fine.status == s)].iloc[0]
+        assert row.n == n
+        assert row.v == df[(df.flag == f) & (df.status == s)].v.sum()
+    # mid level rolls status
+    mid = got[(got.flag != "*") & (got.status == "*")]
+    assert dict(zip(mid.flag, mid.n)) == df.groupby("flag").size().to_dict()
+    # grand total
+    top = got[(got.flag == "*") & (got.status == "*")]
+    assert len(top) == 1 and top.iloc[0].n == len(df) and top.iloc[0].v == df.v.sum()
+
+
+def test_lag_delta_per_key(ray_session):
+    import ray.data
+
+    t = pa.table({"u": [1, 1, 1, 2, 2, 3],
+                  "ts": [10, 3, 7, 5, 5, 9],
+                  "id": [0, 1, 2, 3, 4, 5]})
+    out = rel.lag_delta(ray.data.from_arrow(t), "u", "ts", "id",
+                        out="d", keep=["id"]).to_pandas() \
+        .sort_values(["u", "ts", "id"]).reset_index(drop=True)
+    # u=1 sorted ts: 3,7,10 → deltas 4,3 ; u=2 ties (5,5) → delta 0 ; u=3 single → none
+    assert out.u.tolist() == [1, 1, 2]
+    assert out.d.tolist() == [4, 3, 0]
+    assert out.d.dtype == np.int64
+
+
+def test_grouped_concat_sorted_distinct(ray_session):
+    import ray.data
+
+    t = pa.table({"g": ["x", "x", "x", "y"], "s": ["b", "a", "b", "c"]})
+    out = rel.grouped_concat(ray.data.from_arrow(t), ["g"], "s",
+                             out="ss").to_pandas().sort_values("g")
+    assert out.ss.tolist() == ["a,b", "c"]
+
+
+def test_grouped_mode_ties_break_small(ray_session):
+    import ray.data
+
+    t = pa.table({"g": [1, 1, 1, 1, 2, 2], "s": ["b", "b", "a", "a", "z", "q"]})
+    out = rel.grouped_mode(ray.data.from_arrow(t), ["g"], "s").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out.s.tolist() == ["a", "q"]  # ties → lexicographically smallest
+    assert out.n.tolist() == [2, 1]
+
+
+def test_normalize_text_re2_semantics(ray_session):
+    import ray.data
+
+    t = pa.table({"text": ["  Hello, WORLD!!  42 ", "a--b", ""]})
+    out = tx.normalize_text(ray.data.from_arrow(t)).to_pandas()["norm"].tolist()
+    assert out == ["hello world 42", "a b", ""]
