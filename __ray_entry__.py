@@ -771,6 +771,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fp = textops.fingerprint(nm, col="norm")
         return fp.drop_columns(["text", "norm"])
 
+    def _arith_images(sf):
+        """Images whose pixels are pure integer arithmetic over orders
+        keys — p(y,x,c) = (k + 7y + 3x + 11c) % 256 at 32x24 — encoded
+        with the raw codec, so decode-dependent results are
+        SQL-oracle-exact (the q35/q36 payload pattern applied to the
+        image axis)."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 16 == 0])
+            yy = 7 * np.arange(24, dtype=np.int64)[:, None, None]
+            xx = 3 * np.arange(32, dtype=np.int64)[None, :, None]
+            cc = 11 * np.arange(3, dtype=np.int64)[None, None, :]
+            ids, bufs = [], []
+            for k in keys.tolist():
+                px = ((k + yy + xx + cc) % 256).astype(np.uint8)
+                ids.append(f"img-{k:09d}")
+                bufs.append(imk.encode(px, "raw"))
+            n = len(ids)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array([32] * n, pa.int32()),
+                "h": pa.array([24] * n, pa.int32()),
+                "fmt": pa.array(["raw"] * n, pa.string()),
+            })
+
+        return orders.map_batches(gen, batch_format="pyarrow")
+
+    def q55_augment(sf):  # crop+flip augmentation, pixel sums SQL-exact
+        """Deterministic augmentation (center crop to 16x12, flip when
+        key % 32 == 0) through the real actor-pool Augmenter; the
+        x-weighted sum is flip-sensitive so a wrong flip fails the
+        oracle hash."""
+        from hand_index_ray.pipelines.image_embed import augment_images
+
+        return augment_images(_arith_images(sf), crop_frac=0.5,
+                              flip_mod=32, emit="stats")
+
+    def q56_channel_stats(sf):  # corpus per-channel sum/sumsq (SQL-exact)
+        from hand_index_ray.pipelines.image_embed import channel_stats
+
+        return channel_stats(_arith_images(sf))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -826,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_string_agg": q52_string_agg,
         "q53_mode": q53_mode,
         "q54_normalize": q54_normalize,
+        "q55_augment": q55_augment,
+        "q56_channel_stats": q56_channel_stats,
     }
 
 
@@ -1412,5 +1462,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
                      AS fp
             FROM documents
+        """,
+        "q55_augment": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            px AS (
+              SELECT k, x.x AS x,
+                     CASE WHEN k % 32 = 0 THEN 8 + (15 - x.x)
+                          ELSE 8 + x.x END AS xg,
+                     6 + y.y AS yg, c.c AS c
+              FROM ks, generate_series(0, 11) y(y),
+                   generate_series(0, 15) x(x), generate_series(0, 2) c(c)),
+            v AS (SELECT k, x, ((k + 7 * yg + 3 * xg + 11 * c) % 256) AS p
+                  FROM px)
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(SUM(p) AS BIGINT) AS aug_sum,
+                   CAST(SUM(p * (x + 1)) AS BIGINT) AS aug_xw
+            FROM v GROUP BY k
+        """,
+        "q56_channel_stats": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            v AS (SELECT c.c AS c,
+                         ((k + 7 * y.y + 3 * x.x + 11 * c.c) % 256) AS p
+                  FROM ks, generate_series(0, 23) y(y),
+                       generate_series(0, 31) x(x), generate_series(0, 2) c(c))
+            SELECT c, CAST(SUM(p) AS BIGINT) AS s,
+                   CAST(SUM(CAST(p AS BIGINT) * p) AS BIGINT) AS ss,
+                   COUNT(*) AS n
+            FROM v GROUP BY c
         """,
     }

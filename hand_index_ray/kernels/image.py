@@ -271,3 +271,19 @@ def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
     x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def augment_crop_flip(img: np.ndarray, crop_h: int, crop_w: int,
+                      flip: bool) -> np.ndarray:
+    """Training-data augmentation primitive: center crop to
+    (crop_h, crop_w) then optional horizontal flip — pure numpy
+    slicing (a view, zero-copy until the caller materializes).
+    Deterministic: callers derive ``flip`` from the image key
+    (never a per-task RNG) so reruns and resumes reproduce bytes."""
+    h, w, _ = img.shape
+    if crop_h > h or crop_w > w:
+        raise ValueError(f"crop {crop_h}x{crop_w} exceeds image {h}x{w}")
+    y0 = (h - crop_h) // 2
+    x0 = (w - crop_w) // 2
+    out = img[y0:y0 + crop_h, x0:x0 + crop_w]
+    return out[:, ::-1] if flip else out

@@ -10,6 +10,7 @@ reusing pipelines/ann.py.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -142,3 +143,123 @@ def duplicate_tiles(source: "str | ray.data.Dataset", threshold: float = 0.9999,
         return out.set_column(out.schema.get_field_index("id_b"), "id_b", pa.array(b, pa.string()))
 
     return pairs.map_batches(to_tile_ids, batch_format="pyarrow")
+
+
+class Augmenter:
+    """Actor-pool stage: decode → center-crop → deterministic flip →
+    re-encode (or stats). The augmentation policy is a pure function of
+    the image key (``flip_mod``), never a per-task RNG — reruns,
+    retries and resumed runs produce identical bytes (the same
+    determinism rule as the id mint, reference load.py's reproducible
+    build).
+
+    ``emit="bytes"`` returns augmented images re-encoded with the raw
+    codec (schema: image_id, bytes, w, h, fmt); ``emit="stats"`` skips
+    the re-encode and emits exact integer pixel sums (aug_sum) and the
+    x-weighted sum (aug_xw — flip-sensitive, so a wrong flip shows up
+    in the oracle hash)."""
+
+    def __init__(self, crop_frac: float = 0.5, flip_mod: int = 2,
+                 emit: str = "bytes"):
+        self.crop_frac = crop_frac
+        self.flip_mod = flip_mod
+        self.emit = emit
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t.column("bytes")
+        fmts = t.column("fmt").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        ids = t.column("image_id").to_pylist()
+        keys = t.column("key").to_numpy() if "key" in t.schema.names else None
+        out_b, out_w, out_h, s_sum, s_xw = [], [], [], [], []
+        for i in range(t.num_rows):
+            img = imk.decode(bts[i].as_buffer(), fmts[i],
+                             w=int(ws[i]), h=int(hs[i]))
+            ch = max(1, int(img.shape[0] * self.crop_frac))
+            cw = max(1, int(img.shape[1] * self.crop_frac))
+            k = int(keys[i]) if keys is not None else i
+            aug = imk.augment_crop_flip(img, ch, cw,
+                                        flip=(k % self.flip_mod == 0))
+            if self.emit == "bytes":
+                out_b.append(imk.encode(np.ascontiguousarray(aug), "raw"))
+                out_w.append(cw)
+                out_h.append(ch)
+            else:
+                p = aug.astype(np.int64)
+                s_sum.append(int(p.sum()))
+                s_xw.append(int((p * (np.arange(cw, dtype=np.int64) + 1)
+                                 [None, :, None]).sum()))
+        if self.emit == "bytes":
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(out_b, pa.binary()),
+                "w": pa.array(out_w, pa.int32()),
+                "h": pa.array(out_h, pa.int32()),
+                "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            })
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "aug_sum": pa.array(s_sum, pa.int64()),
+            "aug_xw": pa.array(s_xw, pa.int64()),
+        })
+
+
+def augment_images(source: "str | ray.data.Dataset", crop_frac: float = 0.5,
+                   flip_mod: int = 2, emit: str = "bytes",
+                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """images table → augmented tiles (or exact per-tile stats)."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+    return ds.map_batches(Augmenter,
+                          fn_constructor_args=(crop_frac, flip_mod, emit),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))
+
+
+def channel_stats(source: "str | ray.data.Dataset",
+                  cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
+    """Global per-channel pixel statistics (the normalization constants
+    a training pipeline computes once over the corpus): exact integer
+    sum / sum-of-squares / count per channel. Per-batch partials are
+    3 rows each — the reduce is driver-side and O(channels), the same
+    shuffle-free mergeable shape as approx_distinct."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.zeros(3, np.int64)
+        ss = np.zeros(3, np.int64)
+        n = np.zeros(3, np.int64)
+        bts = t.column("bytes")
+        fmts = t.column("fmt").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        for i in range(t.num_rows):
+            img = imk.decode(bts[i].as_buffer(), fmts[i],
+                             w=int(ws[i]), h=int(hs[i])).astype(np.int64)
+            s += img.sum(axis=(0, 1))
+            ss += (img * img).sum(axis=(0, 1))
+            n += img.shape[0] * img.shape[1]
+        return pa.table({"c": pa.array([0, 1, 2], pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "ss": pa.array(ss, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=cfg.decode_batch_size,
+                           concurrency=pool_size(cfg.encode_concurrency))
+    df = parts.to_pandas()
+    if not len(df):
+        return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                             "s": pd.Series([], dtype="int64"),
+                             "ss": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    return df.groupby("c", as_index=False)[["s", "ss", "n"]].sum() \
+             .sort_values("c").reset_index(drop=True)

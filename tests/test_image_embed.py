@@ -53,3 +53,82 @@ def test_embed_images_and_duplicate_tiles(ray_session, smoke_dirs):
            if int(b[4:]) - int(a[4:]) == 1]
     assert len(adj) >= 1
     assert (pairs["sim"] >= 0.9999).all()
+
+
+def test_augment_crop_flip_kernel():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = imk.augment_crop_flip(img, 2, 2, flip=False)
+    np.testing.assert_array_equal(out, img[1:3, 2:4])
+    flipped = imk.augment_crop_flip(img, 2, 2, flip=True)
+    np.testing.assert_array_equal(flipped, img[1:3, 2:4][:, ::-1])
+    with pytest.raises(ValueError):
+        imk.augment_crop_flip(img, 5, 2, flip=False)
+
+
+def test_augment_images_matches_numpy(ray_session, smoke_dirs):
+    """Actor-pool augmentation reproduces a direct decode→crop→flip
+    per image (bytes mode), and the stats mode's integer sums match."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import list_fragments
+    from hand_index_ray.pipelines.image_embed import augment_images
+
+    cfg = EngineConfig(encode_concurrency=2, decode_batch_size=64)
+    out = augment_images(smoke_dirs["images"], crop_frac=0.5, flip_mod=2,
+                         emit="bytes", cfg=cfg).to_pandas() \
+        .set_index("image_id")
+    src = pq.read_table(list_fragments(smoke_dirs["images"])).to_pandas()
+    assert len(out) == len(src) == 400
+    for _, r in src.sample(12, random_state=0).iterrows():
+        img = imk.decode(r["bytes"], r["fmt"], w=int(r["w"]), h=int(r["h"]))
+        ch, cw = img.shape[0] // 2, img.shape[1] // 2
+        # augment_images without a key column uses the in-batch index —
+        # recompute through the stage's contract via bytes equality on
+        # the unflipped crop OR its mirror (flip depends on batch pos)
+        o = out.loc[r["image_id"]]
+        assert (int(o["h"]), int(o["w"])) == (ch, cw)
+        got = imk.decode(o["bytes"], "raw", w=cw, h=ch)
+        y0, x0 = (img.shape[0] - ch) // 2, (img.shape[1] - cw) // 2
+        crop = img[y0:y0 + ch, x0:x0 + cw]
+        assert (got == crop).all() or (got == crop[:, ::-1]).all()
+
+
+def test_augment_stats_and_channel_stats_exact(ray_session):
+    """Stats mode + channel_stats vs direct numpy on an in-memory
+    arithmetic images table (keyed flips are deterministic)."""
+    import pyarrow as pa
+    import ray.data
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.image_embed import augment_images, channel_stats
+
+    keys = np.arange(0, 40, 2, dtype=np.int64)
+    yy = 5 * np.arange(8, dtype=np.int64)[:, None, None]
+    xx = 3 * np.arange(10, dtype=np.int64)[None, :, None]
+    cc = 7 * np.arange(3, dtype=np.int64)[None, None, :]
+    imgs = [((k + yy + xx + cc) % 256).astype(np.uint8) for k in keys]
+    t = pa.table({
+        "image_id": pa.array([f"im-{k}" for k in keys], pa.string()),
+        "key": pa.array(keys, pa.int64()),
+        "bytes": pa.array([imk.encode(im, "raw") for im in imgs], pa.binary()),
+        "w": pa.array([10] * len(keys), pa.int32()),
+        "h": pa.array([8] * len(keys), pa.int32()),
+        "fmt": pa.array(["raw"] * len(keys), pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    cfg = EngineConfig(encode_concurrency=2, decode_batch_size=16)
+    st = augment_images(ds, crop_frac=0.5, flip_mod=4, emit="stats",
+                        cfg=cfg).to_pandas().set_index("image_id")
+    for k, im in zip(keys, imgs):
+        aug = imk.augment_crop_flip(im, 4, 5, flip=(k % 4 == 0)).astype(np.int64)
+        assert st.loc[f"im-{k}", "aug_sum"] == aug.sum()
+        assert st.loc[f"im-{k}", "aug_xw"] == \
+            (aug * (np.arange(5, dtype=np.int64) + 1)[None, :, None]).sum()
+    cs = channel_stats(ds, cfg=cfg)
+    allpx = np.stack(imgs).astype(np.int64)
+    np.testing.assert_array_equal(cs["s"].to_numpy(), allpx.sum(axis=(0, 1, 2)))
+    np.testing.assert_array_equal(cs["ss"].to_numpy(),
+                                  (allpx * allpx).sum(axis=(0, 1, 2)))
+    assert (cs["n"] == len(keys) * 8 * 10).all()
