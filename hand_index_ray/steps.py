@@ -144,11 +144,23 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("bpe_token_count", text.bpe_token_count)
     DATASET_FNS.setdefault("simhash", text.simhash)
     DATASET_FNS.setdefault("fingerprint", text.fingerprint)
+    DATASET_FNS.setdefault("normalize_text", text.normalize_text)
+
+    from . import relational as rel
+
+    DATASET_FNS.setdefault("hash_split", rel.hash_split)
+    DATASET_FNS.setdefault("lag_delta", rel.lag_delta)
+    DATASET_FNS.setdefault("grouped_concat", rel.grouped_concat)
+    DATASET_FNS.setdefault("grouped_mode", rel.grouped_mode)
     # stateful actor-pool kernels (classes) register as kernels
+    from .pipelines.image_embed import Augmenter, TileEmbedder
+
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)
     KERNELS.setdefault("audio_features", AudioFeatures)
     KERNELS.setdefault("frame_sampler", FrameSampler)
+    KERNELS.setdefault("augment", Augmenter)
+    KERNELS.setdefault("tile_embed", TileEmbedder)
 
 
 _register_dataset_fns()

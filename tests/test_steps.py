@@ -102,3 +102,14 @@ def test_pipeline_tiles_source(ray_session, docs_path):
     }
     out = Pipeline.from_spec(spec).run().to_pandas()
     assert list(out.columns) == ["doc_id"] and len(out) == 8
+
+
+def test_round2_ops_registered():
+    """Extension surface exposes the round-2 operators by name."""
+    from hand_index_ray.steps import DATASET_FNS, KERNELS
+
+    for name in ("normalize_text", "hash_split", "lag_delta",
+                 "grouped_concat", "grouped_mode"):
+        assert name in DATASET_FNS
+    for name in ("augment", "tile_embed"):
+        assert name in KERNELS and isinstance(KERNELS[name], type)
