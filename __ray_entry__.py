@@ -819,6 +819,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return channel_stats(_arith_images(sf))
 
+    def q57_curate(sf):  # end-to-end corpus curation (SQL oracle)
+        """The flagship training-data composition — token filter →
+        normalize → prefix-fingerprint dedup (keep min doc_id) →
+        md5 split — verified as ONE oracle over the whole chain."""
+        from hand_index_ray.pipelines.curate import curate_corpus
+
+        cur = curate_corpus(
+            _t(sf, "documents").select_columns(["doc_id", "text", "lang"]),
+            min_tokens=30, prefix_tokens=8)
+        agg = rel.grouped_agg(cur.select_columns(["split", "lang", "n_tokens"]),
+                              ["split", "lang"], sum_cols=["n_tokens"],
+                              count=True)
+        return agg.map_batches(
+            lambda t: t.rename_columns(
+                ["tok" if c == "n_tokens" else c for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -876,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_normalize": q54_normalize,
         "q55_augment": q55_augment,
         "q56_channel_stats": q56_channel_stats,
+        "q57_curate": q57_curate,
     }
 
 
@@ -1491,5 +1509,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(p AS BIGINT) * p) AS BIGINT) AS ss,
                    COUNT(*) AS n
             FROM v GROUP BY c
+        """,
+        "q57_curate": """
+            WITH q AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(list_slice(string_split(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), 1, 8), ' ')) AS pfp
+              FROM documents),
+            f AS (SELECT * FROM q WHERE n_tokens >= 30),
+            d AS (SELECT * FROM f
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY pfp
+                                             ORDER BY doc_id) = 1),
+            s AS (SELECT lang, n_tokens,
+                         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   % 10000 < 8000 THEN 'train'
+                              WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   % 10000 < 9000 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM d)
+            SELECT split, lang, COUNT(*) AS n,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok
+            FROM s GROUP BY split, lang
         """,
     }
