@@ -117,6 +117,17 @@ def main(argv: list[str] | None = None) -> int:
                         "(steps.Pipeline.from_spec; JSON spec file)")
     pl.add_argument("--spec", required=True, help="path to the JSON spec")
 
+    cu = sub.add_parser("curate", help="corpus curation: token filter -> "
+                        "normalize -> prefix-fp dedup -> split -> "
+                        "hive-partitioned write")
+    cu.add_argument("--input", required=True,
+                    help="documents parquet file or directory")
+    cu.add_argument("--out-dir", required=True)
+    cu.add_argument("--min-tokens", type=int, default=30)
+    cu.add_argument("--prefix-tokens", type=int, default=8)
+    cu.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash near-duplicates (keep min id)")
+
     args = p.parse_args(argv)
     _ray()
 
@@ -237,6 +248,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"sink": result}))
         else:
             print(json.dumps({"rows": result.count()}))
+    elif args.cmd == "curate":
+        import ray.data
+
+        from .pipelines.curate import curate_corpus, write_splits
+
+        ds = ray.data.read_parquet(args.input)
+        cur = curate_corpus(ds, min_tokens=args.min_tokens,
+                            prefix_tokens=args.prefix_tokens,
+                            near_dup=args.near_dup)
+        counts = write_splits(cur, args.out_dir)
+        print(json.dumps({"splits": counts, "rows": sum(counts.values())}))
     return 0
 
 

@@ -82,3 +82,25 @@ def test_drop_near_dups_removes_larger_id(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     kept = drop_near_dups(ds, threshold=0.5).to_pandas()
     assert set(kept.doc_id) == {1, 3}
+
+
+def test_cli_curate(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "corpus")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "hand_index_ray", "curate",
+         "--input", docs, "--out-dir", out, "--min-tokens", "30"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0 and set(res["splits"]) <= {"train", "val", "test"}
+    got = sum(pq.read_table(os.path.join(out, d)).num_rows
+              for d in os.listdir(out) if d.startswith("split="))
+    assert got == res["rows"]
