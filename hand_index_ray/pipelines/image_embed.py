@@ -171,14 +171,23 @@ class Augmenter:
         ws = t.column("w").to_numpy()
         hs = t.column("h").to_numpy()
         ids = t.column("image_id").to_pylist()
-        keys = t.column("key").to_numpy() if "key" in t.schema.names else None
+        if "key" in t.schema.names:
+            keys = t.column("key").to_numpy()
+        else:
+            # no key column: derive one from the image id — the flip
+            # policy must stay a function of row IDENTITY, never of
+            # batch position (repartitions would change the output)
+            import zlib
+
+            keys = np.array([zlib.crc32(s.encode()) for s in ids],
+                            dtype=np.int64)
         out_b, out_w, out_h, s_sum, s_xw = [], [], [], [], []
         for i in range(t.num_rows):
             img = imk.decode(bts[i].as_buffer(), fmts[i],
                              w=int(ws[i]), h=int(hs[i]))
             ch = max(1, int(img.shape[0] * self.crop_frac))
             cw = max(1, int(img.shape[1] * self.crop_frac))
-            k = int(keys[i]) if keys is not None else i
+            k = int(keys[i])
             aug = imk.augment_crop_flip(img, ch, cw,
                                         flip=(k % self.flip_mod == 0))
             if self.emit == "bytes":

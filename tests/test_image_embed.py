@@ -81,18 +81,19 @@ def test_augment_images_matches_numpy(ray_session, smoke_dirs):
         .set_index("image_id")
     src = pq.read_table(list_fragments(smoke_dirs["images"])).to_pandas()
     assert len(out) == len(src) == 400
+    import zlib
+
     for _, r in src.sample(12, random_state=0).iterrows():
         img = imk.decode(r["bytes"], r["fmt"], w=int(r["w"]), h=int(r["h"]))
         ch, cw = img.shape[0] // 2, img.shape[1] // 2
-        # augment_images without a key column uses the in-batch index —
-        # recompute through the stage's contract via bytes equality on
-        # the unflipped crop OR its mirror (flip depends on batch pos)
         o = out.loc[r["image_id"]]
         assert (int(o["h"]), int(o["w"])) == (ch, cw)
         got = imk.decode(o["bytes"], "raw", w=cw, h=ch)
-        y0, x0 = (img.shape[0] - ch) // 2, (img.shape[1] - cw) // 2
-        crop = img[y0:y0 + ch, x0:x0 + cw]
-        assert (got == crop).all() or (got == crop[:, ::-1]).all()
+        # without a key column the flip derives from crc32(image_id) —
+        # row identity, never batch position (repartition-stable)
+        flip = zlib.crc32(r["image_id"].encode()) % 2 == 0
+        exp = imk.augment_crop_flip(img, ch, cw, flip=flip)
+        assert (got == exp).all()
 
 
 def test_augment_stats_and_channel_stats_exact(ray_session):
