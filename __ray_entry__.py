@@ -836,6 +836,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["tok" if c == "n_tokens" else c for c in t.column_names]),
             batch_format="pyarrow", zero_copy_batch=True)
 
+    def q58_grouped_nunique(sf):  # exact COUNT(DISTINCT) per group (SQL oracle)
+        ev = _t(sf, "events").select_columns(["user_id", "event_type"])
+        return rel.grouped_nunique(ev, ["user_id"], "event_type")
+
+    def q59_grouped_hll(sf):  # per-group HLL distinct, exact regime (SQL oracle)
+        """Per-group COUNT(DISTINCT) through mergeable sketches — the
+        shuffle moves one small sketch per (batch, group), never the
+        value column. Driven through the EXACT sparse regime (≤1500
+        distinct users per event_type at every test sf; q41's
+        precondition pattern), so plain SQL oracles it."""
+        ev = _t(sf, "events").select_columns(["event_type", "user_id"])
+        return rel.grouped_approx_distinct(ev, ["event_type"], "user_id",
+                                           out="n_users")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -894,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_augment": q55_augment,
         "q56_channel_stats": q56_channel_stats,
         "q57_curate": q57_curate,
+        "q58_grouped_nunique": q58_grouped_nunique,
+        "q59_grouped_hll": q59_grouped_hll,
     }
 
 
@@ -1532,5 +1548,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, lang, COUNT(*) AS n,
                    CAST(SUM(n_tokens) AS BIGINT) AS tok
             FROM s GROUP BY split, lang
+        """,
+        "q58_grouped_nunique": """
+            SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        """,
+        "q59_grouped_hll": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

@@ -1048,3 +1048,81 @@ def grouped_mode(ds: ray.data.Dataset, keys: list[str],
                          count=True)
     return grouped_topk(counts, keys, "n", k=1, descending=True,
                         tiebreak=col)
+
+
+def grouped_nunique(ds: ray.data.Dataset, keys: list[str], col: str,
+                    out: str = "n", num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT col) per key group in ONE shuffle: each
+    batch locally dedups (keys, col) with Arrow's hash kernel (the
+    exchange moves unique rows only), buckets on hash(keys), and each
+    bucket counts uniques with one vectorized pandas pass — not a
+    chained distinct + grouped_agg (two sort shuffles, measured 3×
+    slower at sf0.01)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        u = t.select([*keys, col]).group_by([*keys, col]).aggregate([])
+        df = u.to_pandas()
+        hcols = [_bucket_hash(df[k].to_numpy(),
+                              pd.api.types.is_integer_dtype(df[k]))
+                 for k in keys]
+        h = hcols[0].copy()
+        for extra in hcols[1:]:
+            h ^= extra
+        return pa.Table.from_pandas(
+            df.assign(__bucket=(h % np.uint64(num_buckets)).astype(np.int32)),
+            preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates([*keys, col])
+        res = u.groupby(keys, as_index=False, sort=False).size() \
+               .rename(columns={"size": out})
+        res[out] = res[out].astype(np.int64)
+        return res
+
+    pre = ds.select_columns([*keys, col]).map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_approx_distinct(ds: ray.data.Dataset, keys: list[str], col: str,
+                            out: str = "n_distinct") -> ray.data.Dataset:
+    """Per-group COUNT(DISTINCT) via mergeable sparse/dense HLL
+    sketches — the at-scale shape for high-cardinality counts
+    (distinct users per day over 10¹² events): each batch ships ONE
+    serialized sketch per key it saw (bounded by kernels/sketch.py
+    SPARSE_MAX), the key-bucket shuffle moves sketches instead of
+    values, and each group merges its sketches with no global
+    all-to-all of the content column. EXACT below SPARSE_MAX distinct
+    values per group (sparse regime keeps the bijective-hashed value
+    set); ~1.6% past it."""
+    from .kernels import sketch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: [] for k in keys}
+        sks = []
+        if len(df):
+            for kv, sub in df.groupby(keys, sort=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                for k, v in zip(keys, kv):
+                    cols[k].append(v)
+                vals = sub[col].to_numpy()
+                if not np.issubdtype(vals.dtype, np.integer):
+                    vals = sub[col].astype(str).tolist()
+                sks.append(sketch.state_serialize(
+                    sketch.state_add(sketch.state_empty(), vals)))
+        out_df = pd.DataFrame(cols)
+        out_df["__sk"] = pd.Series(sks, dtype=object)
+        return out_df
+
+    pre = ds.select_columns([*keys, col]).map_batches(
+        partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        st = sketch.state_empty()
+        for b in g["__sk"]:
+            st = sketch.state_merge(st, sketch.state_deserialize(b))
+        first = g.iloc[:1][keys].copy()
+        first[out] = np.int64(round(sketch.state_estimate(st)))
+        return first
+
+    return grouped_apply_bucketed(pre, keys, merge)

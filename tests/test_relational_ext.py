@@ -127,3 +127,31 @@ def test_normalize_text_re2_semantics(ray_session):
     t = pa.table({"text": ["  Hello, WORLD!!  42 ", "a--b", ""]})
     out = tx.normalize_text(ray.data.from_arrow(t)).to_pandas()["norm"].tolist()
     assert out == ["hello world 42", "a b", ""]
+
+
+def test_grouped_nunique_exact(li_ds):
+    got = rel.grouped_nunique(li_ds, ["flag"], "k").to_pandas() \
+        .sort_values("flag").reset_index(drop=True)
+    df = li_ds.to_pandas()
+    exp = df.groupby("flag")["k"].nunique()
+    assert dict(zip(got.flag, got.n)) == exp.to_dict()
+    assert got.n.dtype == np.int64
+
+
+def test_grouped_approx_distinct_exact_regime(li_ds):
+    got = rel.grouped_approx_distinct(li_ds, ["flag"], "k",
+                                      out="nd").to_pandas()
+    df = li_ds.to_pandas()
+    exp = df.groupby("flag")["k"].nunique()
+    # < SPARSE_MAX distinct per group → sketch is exact
+    assert dict(zip(got.flag, got.nd)) == exp.to_dict()
+
+
+def test_grouped_approx_distinct_string_values(ray_session):
+    import ray.data
+
+    t = pa.table({"g": ["a"] * 50 + ["b"] * 30,
+                  "v": [f"u{i % 17}" for i in range(50)] + [f"w{i % 9}" for i in range(30)]})
+    got = rel.grouped_approx_distinct(ray.data.from_arrow(t).repartition(4),
+                                      ["g"], "v").to_pandas()
+    assert dict(zip(got.g, got.n_distinct)) == {"a": 17, "b": 9}
