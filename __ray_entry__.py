@@ -840,6 +840,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _t(sf, "events").select_columns(["user_id", "event_type"])
         return rel.grouped_nunique(ev, ["user_id"], "event_type")
 
+    def q60_jsonl_source(sf):  # JSONL ingestion roundtrip (SQL oracle)
+        """Source-format breadth: documents export to JSONL shards
+        once (cached), re-ingest through the distributed JSONL reader,
+        and the token stats must equal the parquet-table oracle —
+        proving the non-parquet ingestion path is lossless."""
+        from hand_index_ray.sources.textfiles import (read_documents_jsonl,
+                                                      write_documents_jsonl)
+
+        tag = os.path.basename(os.path.normpath(sf))
+        jdir = _cache_dir(f"jsonl-{tag}", "docs")
+        if not (os.path.isdir(jdir) and os.listdir(jdir)):
+            os.makedirs(jdir, exist_ok=True)
+            write_documents_jsonl(
+                _t(sf, "documents").select_columns(["doc_id", "text", "lang"]),
+                jdir)
+        docs = read_documents_jsonl(jdir, columns=["doc_id", "text", "lang"])
+        tok = textops.token_count(docs)
+        agg = rel.grouped_agg(tok.select_columns(["lang", "n_tokens"]),
+                              ["lang"], sum_cols=["n_tokens"], count=True)
+        return agg.map_batches(
+            lambda t: t.rename_columns(
+                ["tok" if c == "n_tokens" else c for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     def q59_grouped_hll(sf):  # per-group HLL distinct, exact regime (SQL oracle)
         """Per-group COUNT(DISTINCT) through mergeable sketches — the
         shuffle moves one small sketch per (batch, group), never the
@@ -910,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_curate": q57_curate,
         "q58_grouped_nunique": q58_grouped_nunique,
         "q59_grouped_hll": q59_grouped_hll,
+        "q60_jsonl_source": q60_jsonl_source,
     }
 
 
@@ -1557,5 +1582,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "q60_jsonl_source": """
+            SELECT lang,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS tok,
+                   COUNT(*) AS n
+            FROM documents GROUP BY lang
         """,
     }

@@ -218,3 +218,40 @@ def test_grouped_topk_matches_pandas(ray_session):
     ref2 = df.sort_values(["v", "id"], ascending=[True, True],
                           kind="mergesort").groupby("g", sort=False).head(1)
     assert set(out2["id"]) == set(ref2["id"])
+
+
+def test_jsonl_csv_document_sources(ray_session, tmp_path):
+    """JSONL/CSV ingestion normalizes to the documents schema and
+    roundtrips losslessly (sources/textfiles.py)."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from hand_index_ray.sources.textfiles import (read_documents_csv,
+                                                  read_documents_jsonl,
+                                                  write_documents_jsonl)
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int32),  # int32 → int64
+                       "text": [f"doc number {i} body" for i in range(20)],
+                       "lang": ["en", "fr"] * 10})
+    jdir = str(tmp_path / "j")
+    write_documents_jsonl(ray.data.from_pandas(df).repartition(3), jdir)
+    back = read_documents_jsonl(jdir).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert back.doc_id.dtype == np.int64
+    pd.testing.assert_frame_equal(
+        back[["doc_id", "text", "lang"]],
+        df.assign(doc_id=df.doc_id.astype(np.int64))[["doc_id", "text", "lang"]])
+
+    cpath = str(tmp_path / "c.csv")
+    df.to_csv(cpath, index=False)
+    got = read_documents_csv(cpath, columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text"]
+    assert got.text.tolist() == df.text.tolist()
+
+    # missing required column fails loudly
+    bad = str(tmp_path / "bad.csv")
+    df.drop(columns=["text"]).to_csv(bad, index=False)
+    with _pytest.raises(Exception):
+        read_documents_csv(bad).to_pandas()
