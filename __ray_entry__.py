@@ -864,6 +864,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["tok" if c == "n_tokens" else c for c in t.column_names]),
             batch_format="pyarrow", zero_copy_batch=True)
 
+    def q61_unnest(sf):  # UNNEST list column -> token frequencies (SQL oracle)
+        docs = _t(sf, "documents").select_columns(["text"])
+
+        def split(t: pa.Table) -> pa.Table:
+            return pa.table({"toks": pc.split_pattern(t["text"], " ")})
+
+        toks = docs.map_batches(split, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        freq = rel.grouped_agg(rel.unnest(toks, "toks", keep=[], out="token"),
+                               ["token"], count=True)
+        return freq.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"],
+                                                pa.scalar(5, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def q62_histogram(sf):  # exact integer histogram of order totals (SQL oracle)
+        orders = _t(sf, "orders").select_columns(["o_totalprice"])
+        cents = rel.add_cents(orders, "o_totalprice", "price_cents")
+        return rel.histogram_int(cents, "price_cents", width=1_000_000)
+
     def q59_grouped_hll(sf):  # per-group HLL distinct, exact regime (SQL oracle)
         """Per-group COUNT(DISTINCT) through mergeable sketches — the
         shuffle moves one small sketch per (batch, group), never the
@@ -935,6 +955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_grouped_nunique": q58_grouped_nunique,
         "q59_grouped_hll": q59_grouped_hll,
         "q60_jsonl_source": q60_jsonl_source,
+        "q61_unnest": q61_unnest,
+        "q62_histogram": q62_histogram,
     }
 
 
@@ -1589,5 +1611,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS tok,
                    COUNT(*) AS n
             FROM documents GROUP BY lang
+        """,
+        "q61_unnest": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token HAVING COUNT(*) >= 5
+        """,
+        "q62_histogram": """
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bin,
+                   COUNT(*) AS n
+            FROM orders GROUP BY bin
         """,
     }

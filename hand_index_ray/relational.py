@@ -1126,3 +1126,38 @@ def grouped_approx_distinct(ds: ray.data.Dataset, keys: list[str], col: str,
         return first
 
     return grouped_apply_bucketed(pre, keys, merge)
+
+
+def unnest(ds: ray.data.Dataset, list_col: str, keep: list[str],
+           out: str | None = None) -> ray.data.Dataset:
+    """UNNEST a list column to one row per element, carrying ``keep``
+    columns — vectorized with Arrow's list_flatten + parent_indices
+    (one take per batch, no Python row loop). Map-only: the explode
+    happens inside the batch, so downstream aggregations still see the
+    partial-before-shuffle discipline."""
+    out = out or list_col
+
+    def f(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t[list_col])
+        parents = pc.list_parent_indices(t[list_col])
+        cols = {k: pc.take(t[k], parents) for k in keep}
+        cols[out] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram_int(ds: ray.data.Dataset, col: str, width: int,
+                  out: str = "bin") -> ray.data.Dataset:
+    """Exact integer histogram: bin = floor_div(col, width) computed
+    per batch, counts via grouped_agg partials — one tiny shuffle of
+    (bin, count) partials regardless of data size. ``col`` must be an
+    exact integer column (add_cents floats first)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        b = np.floor_divide(t[col].to_numpy(), np.int64(width))
+        return pa.table({out: pa.array(b, pa.int64())})
+
+    pre = ds.select_columns([col]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(pre, [out], count=True)

@@ -155,3 +155,41 @@ def test_grouped_approx_distinct_string_values(ray_session):
     got = rel.grouped_approx_distinct(ray.data.from_arrow(t).repartition(4),
                                       ["g"], "v").to_pandas()
     assert dict(zip(got.g, got.n_distinct)) == {"a": 17, "b": 9}
+
+
+def test_unnest_with_carried_columns(ray_session):
+    import ray.data
+
+    t = pa.table({"id": [1, 2, 3],
+                  "xs": [[10, 20], [], [30]]})
+    out = rel.unnest(ray.data.from_arrow(t), "xs", keep=["id"],
+                     out="x").to_pandas().sort_values(["id", "x"]) \
+        .reset_index(drop=True)
+    assert out.id.tolist() == [1, 1, 3]
+    assert out.x.tolist() == [10, 20, 30]
+
+
+def test_histogram_int_exact(li_ds):
+    got = rel.histogram_int(li_ds, "v", width=10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    df = li_ds.to_pandas()
+    exp = (df.v // 10).value_counts().sort_index()
+    assert got.bin.tolist() == exp.index.tolist()
+    assert got.n.tolist() == exp.values.tolist()
+
+
+def test_pivot_rollup_nunique_empty_input(ray_session):
+    """Empty datasets flow through without crashing (the Ray
+    empty-block schema gotcha)."""
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "flag": pa.array([], pa.string()),
+        "status": pa.array([], pa.string()), "v": pa.array([], pa.int64())}))
+    assert rel.pivot_sum(empty, "flag", "status", "v", ["O"]).count() == 0
+    assert rel.grouped_nunique(empty, ["flag"], "k").count() == 0
+    ru = rel.rollup_counts(empty, ["flag", "status"], sum_cols=["v"]).to_pandas()
+    # ROLLUP's grand-total row exists even over empty input (SQL parity)
+    assert len(ru) <= 1
+    if len(ru):
+        assert ru.iloc[0].n == 0
