@@ -152,6 +152,16 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("lag_delta", rel.lag_delta)
     DATASET_FNS.setdefault("grouped_concat", rel.grouped_concat)
     DATASET_FNS.setdefault("grouped_mode", rel.grouped_mode)
+    DATASET_FNS.setdefault("grouped_nunique", rel.grouped_nunique)
+    DATASET_FNS.setdefault("grouped_approx_distinct", rel.grouped_approx_distinct)
+    DATASET_FNS.setdefault("unnest", rel.unnest)
+    DATASET_FNS.setdefault("histogram_int", rel.histogram_int)
+    DATASET_FNS.setdefault("pivot_sum", rel.pivot_sum)
+    DATASET_FNS.setdefault("rollup_counts", rel.rollup_counts)
+
+    from .pipelines.curate import curate_corpus
+
+    DATASET_FNS.setdefault("curate_corpus", curate_corpus)
     # stateful actor-pool kernels (classes) register as kernels
     from .pipelines.image_embed import Augmenter, TileEmbedder
 

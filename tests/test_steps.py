@@ -109,7 +109,9 @@ def test_round2_ops_registered():
     from hand_index_ray.steps import DATASET_FNS, KERNELS
 
     for name in ("normalize_text", "hash_split", "lag_delta",
-                 "grouped_concat", "grouped_mode"):
+                 "grouped_concat", "grouped_mode", "grouped_nunique",
+                 "grouped_approx_distinct", "unnest", "histogram_int",
+                 "pivot_sum", "rollup_counts", "curate_corpus"):
         assert name in DATASET_FNS
     for name in ("augment", "tile_embed"):
         assert name in KERNELS and isinstance(KERNELS[name], type)
