@@ -894,6 +894,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.grouped_approx_distinct(ev, ["event_type"], "user_id",
                                            out="n_users")
 
+    def _li_ints(sf):
+        """lineitem with exact-integer measure columns (qty units,
+        discount basis points) for the moment/percentile operators."""
+        def mk(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "disc_bp": pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0)),
+                                   pa.int64())})
+        return _t(sf, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+        ).map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q63_moments(sf):  # grouped variance/covariance/correlation (SQL oracle)
+        """Second moments from mergeable (n, Σx, Σx², Σy, Σy², Σxy)
+        partials — one tiny exchange; derived micro-ints mirror the
+        oracle's float64 op order exactly (IEEE ×/÷/sqrt are correctly
+        rounded, so bit parity holds)."""
+        return rel.grouped_moments(_li_ints(sf),
+                                   ["l_returnflag", "l_linestatus"],
+                                   "qty", y="disc_bp")
+
+    def q64_percentiles(sf):  # exact grouped PERCENTILE_DISC (SQL oracle)
+        return rel.grouped_percentiles(
+            _li_ints(sf).select_columns(["l_returnflag", "qty"]),
+            ["l_returnflag"], "qty")
+
+    def q65_window_rank(sf):  # ROW_NUMBER/RANK/DENSE_RANK top-3 (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+        return rel.window_rank(
+            orders.select_columns(["o_orderpriority", "o_orderkey", "total_cents"]),
+            ["o_orderpriority"], "total_cents", "o_orderkey",
+            descending=True, max_rank=3)
+
+    def q66_running_sum(sf):  # per-user ordered prefix sum (SQL oracle)
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+        return rel.running_sum(
+            ev.select_columns(["user_id", "event_id", "ts", "value_cents"]),
+            "user_id", "ts", "value_cents", "event_id")
+
+    def q67_set_ops(sf):  # INTERSECT ∪-tagged single-shuffle set op (SQL oracle)
+        """Customers with a >100k order INTERSECT customers with an
+        urgent order — both sides tagged and unioned so ONE keyed
+        shuffle resolves membership (no driver sets)."""
+        orders = _t(sf, "orders")
+        a = orders.filter(lambda r: r["o_totalprice"] > 100000.0) \
+                  .select_columns(["o_custkey"])
+        b = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT") \
+                  .select_columns(["o_custkey"])
+        return rel.set_op(a, b, ["o_custkey"], op="intersect")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -957,6 +1009,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_jsonl_source": q60_jsonl_source,
         "q61_unnest": q61_unnest,
         "q62_histogram": q62_histogram,
+        "q63_moments": q63_moments,
+        "q64_percentiles": q64_percentiles,
+        "q65_window_rank": q65_window_rank,
+        "q66_running_sum": q66_running_sum,
+        "q67_set_ops": q67_set_ops,
     }
 
 
@@ -1622,5 +1679,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bin,
                    COUNT(*) AS n
             FROM orders GROUP BY bin
+        """,
+        "q63_moments": """
+            WITH b AS (SELECT l_returnflag, l_linestatus,
+                CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                CAST(ROUND(l_discount*10000.0) AS BIGINT) AS y FROM lineitem),
+            m AS (SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y*y) AS BIGINT) AS syy,
+                CAST(SUM(x*y) AS BIGINT) AS sxy
+              FROM b GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus, n, sx AS sum_x, sy AS sum_y,
+              CAST(ROUND(1000000.0*(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                   / (CAST(n AS DOUBLE)*n)) AS BIGINT) AS var_micro,
+              CAST(ROUND(1000000.0*(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                   / (CAST(n AS DOUBLE)*n)) AS BIGINT) AS cov_micro,
+              CAST(ROUND(CASE WHEN (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                             * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) > 0.0
+                THEN 1000000.0*(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                     / SQRT((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                            * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+                ELSE 0.0 END) AS BIGINT) AS corr_micro
+            FROM m
+        """,
+        "q64_percentiles": """
+            WITH b AS (SELECT l_returnflag,
+                CAST(ROUND(l_quantity) AS BIGINT) AS qty FROM lineitem)
+            SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY qty) AS p25,
+              percentile_disc(0.5)  WITHIN GROUP (ORDER BY qty) AS p50,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY qty) AS p75
+            FROM b GROUP BY 1
+        """,
+        "q65_window_rank": """
+            WITH b AS (SELECT o_orderpriority, o_orderkey,
+              CAST(ROUND(o_totalprice*100.0) AS BIGINT) AS total_cents FROM orders),
+            r AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY total_cents DESC, o_orderkey) AS row_number,
+              RANK() OVER (PARTITION BY o_orderpriority
+                           ORDER BY total_cents DESC) AS rank,
+              DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY total_cents DESC) AS dense_rank FROM b)
+            SELECT o_orderpriority, o_orderkey, total_cents,
+                   row_number, rank, dense_rank
+            FROM r WHERE row_number <= 3
+        """,
+        "q66_running_sum": """
+            WITH b AS (SELECT user_id, event_id, ts,
+              CAST(ROUND(value*100.0) AS BIGINT) AS value_cents FROM events)
+            SELECT user_id, event_id, ts, value_cents,
+              CAST(SUM(value_cents) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+            FROM b
+        """,
+        "q67_set_ops": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
     }

@@ -383,7 +383,8 @@ def session_window(ds: ray.data.Dataset, ts_col: str, key: str, gap_s: int,
 
 def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
                            fn, num_buckets: int = 128,
-                           min_group_size: int = 1) -> ray.data.Dataset:
+                           min_group_size: int = 1,
+                           whole_bucket: bool = False) -> ray.data.Dataset:
     """Apply ``fn(group_df)`` per distinct key combination, but shuffle
     on hash(keys) % num_buckets and iterate key-groups inside each
     bucket with pandas C-speed grouping.
@@ -397,6 +398,12 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
     vectorized duplicated() pass instead of iterating them — for
     pair-generation UDFs (LSH verify) where singleton groups can never
     emit, this skips the dominant per-tiny-group pandas overhead.
+
+    ``whole_bucket``: pass the entire bucket DataFrame to ``fn`` in one
+    call instead of iterating key-groups — for UDFs that are themselves
+    vectorized across groups (pandas groupby transforms: rank, cumsum,
+    percentile picks). Key co-location still holds (all rows of a key
+    land in one bucket); fn must group internally.
     """
     import zlib
 
@@ -419,6 +426,8 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
                                pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if whole_bucket:
+            return fn(g.drop(columns=["__bucket"]))
         if min_group_size > 1 and len(g):
             sizes = g.groupby(keys, sort=False)[keys[0]].transform("size")
             g = g[sizes >= min_group_size]
@@ -1161,3 +1170,210 @@ def histogram_int(ds: ray.data.Dataset, col: str, width: int,
     pre = ds.select_columns([col]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg(pre, [out], count=True)
+
+def round_half_away_micro(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): round-half-away-from-zero on non-negative input,
+    matching DuckDB ROUND() (np.round is half-to-even and diverges on
+    exact .5); for signed input use sign(x)*floor(|x|+0.5)."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def grouped_moments(ds: ray.data.Dataset, keys: list[str], x: str,
+                    y: str | None = None) -> ray.data.Dataset:
+    """Grouped second-moment aggregates (population variance; with
+    ``y``: covariance + Pearson correlation), shuffle-light.
+
+    The reference funnels every aggregate through embedded DuckDB
+    (load.py:141-160 style GROUP BYs); here the partial pass emits one
+    (n, Σx, Σx² [, Σy, Σy², Σxy]) row per key per batch, so the
+    exchange moves O(|keys|) partials — the same discipline as
+    ``grouped_agg``. Inputs must be exact integer columns (``add_cents``
+    floats first): the partials are then exact int64 and the derived
+    moments are reproducible bit-for-bit.
+
+    Derived outputs are micro-scaled int64 with DuckDB-mirroring float64
+    op order, so an oracle can recompute them verbatim:
+
+        var_micro  = ROUND(1e6 * (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                            / (CAST(n AS DOUBLE)*n))
+        cov_micro  = ROUND(1e6 * (n*sxy - sx*sy) / (n*n))          (same casts)
+        corr_micro = ROUND(1e6 * (n*sxy - sx*sy)
+                            / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)))
+
+    (IEEE sqrt/×/÷ are correctly rounded, so numpy and DuckDB agree
+    bit-for-bit when the op order matches.)
+    """
+    pair = y is not None
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        xv = t[x].to_numpy()
+        cols["__x"] = pa.array(xv, pa.int64())
+        cols["__xx"] = pa.array(xv * xv, pa.int64())
+        if pair:
+            yv = t[y].to_numpy()
+            cols["__y"] = pa.array(yv, pa.int64())
+            cols["__yy"] = pa.array(yv * yv, pa.int64())
+            cols["__xy"] = pa.array(xv * yv, pa.int64())
+        g = pa.table(cols).group_by(keys).aggregate(
+            [(c, "sum") for c in cols if c.startswith("__")] + [([], "count_all")])
+        ren = {f"{c}_sum": c for c in cols if c.startswith("__")}
+        ren["count_all"] = "__n"
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    moment_cols = ["__x", "__xx"] + (["__y", "__yy", "__xy"] if pair else []) + ["__n"]
+    agg = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in moment_cols])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy().astype(np.float64)
+        sx = t["__x"].to_numpy().astype(np.float64)
+        sxx = t["__xx"].to_numpy().astype(np.float64)
+        var_num = n * sxx - sx * sx
+        out = {k: t[k] for k in keys}
+        out["n"] = pa.array(t["__n"].to_numpy(), pa.int64())
+        out["sum_x"] = pa.array(t["__x"].to_numpy(), pa.int64())
+        out["var_micro"] = pa.array(round_half_away_micro(1e6 * var_num / (n * n)))
+        if pair:
+            sy = t["__y"].to_numpy().astype(np.float64)
+            syy = t["__yy"].to_numpy().astype(np.float64)
+            sxy = t["__xy"].to_numpy().astype(np.float64)
+            cov_num = n * sxy - sx * sy
+            out["sum_y"] = pa.array(t["__y"].to_numpy(), pa.int64())
+            out["cov_micro"] = pa.array(round_half_away_micro(1e6 * cov_num / (n * n)))
+            denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = np.where(denom > 0.0, 1e6 * cov_num / denom, 0.0)
+            out["corr_micro"] = pa.array(round_half_away_micro(corr))
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+def grouped_percentiles(ds: ray.data.Dataset, keys: list[str], col: str,
+                        ps: tuple = (0.25, 0.5, 0.75),
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact grouped percentiles with PERCENTILE_DISC semantics: the
+    smallest actual element whose cumulative fraction ≥ p (index
+    ceil(p·n)−1 in sorted order) — deterministic, no interpolation.
+
+    One keyed-hash shuffle co-locates each group, then the bucket is
+    processed in ONE vectorized pass: sort by (keys, col), compute group
+    offsets, gather the percentile positions — no per-group Python.
+    Scale: the shuffle moves only (keys, col) slim rows; a single
+    group's rows must fit one task (same assumption as any exact
+    per-group order statistic; use approx_quantiles for sketched)."""
+    ps = tuple(ps)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = keys + ["n"] + [f"p{int(round(p * 100)):02d}" for p in ps]
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype="int64") if c not in keys
+                                 else pd.Series(dtype=g[c].dtype if c in g else "object")
+                                 for c in out_cols})
+        g = g.sort_values(keys + [col], kind="mergesort", ignore_index=True)
+        sizes = g.groupby(keys, sort=False)[col].size().to_numpy()
+        offs = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        vals = g[col].to_numpy()
+        heads = g.iloc[offs][keys].reset_index(drop=True)
+        res = {k: heads[k] for k in keys}
+        res["n"] = sizes.astype(np.int64)
+        for p in ps:
+            idx = offs + np.ceil(p * sizes).astype(np.int64) - 1
+            res[f"p{int(round(p * 100)):02d}"] = vals[np.maximum(idx, offs)]
+        return pd.DataFrame(res)
+
+    slim = ds.select_columns(keys + [col])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets, whole_bucket=True)
+
+
+def window_rank(ds: ray.data.Dataset, keys: list[str], order: str,
+                tiebreak: str, descending: bool = True,
+                max_rank: int | None = None,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """ROW_NUMBER / RANK / DENSE_RANK over (PARTITION BY keys ORDER BY
+    order [DESC], tiebreak) — one keyed shuffle, then vectorized pandas
+    groupby ranks per bucket (C-speed, no per-group dispatch).
+
+    ``max_rank`` filters to row_number ≤ max_rank inside the bucket so
+    the output (and any downstream exchange) stays bounded per group —
+    the windowed analog of ``grouped_topk``, but emitting all three
+    rank flavors so ties are observable."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [order, tiebreak], kind="mergesort",
+                          ascending=[True] * len(keys) + [not descending, True],
+                          ignore_index=True)
+        if len(g):
+            grp = g.groupby(keys, sort=False)
+            g["row_number"] = (grp.cumcount() + 1).astype(np.int64)
+            g["rank"] = grp[order].rank(
+                method="min", ascending=not descending).astype(np.int64)
+            g["dense_rank"] = grp[order].rank(
+                method="dense", ascending=not descending).astype(np.int64)
+            if max_rank is not None:
+                g = g[g["row_number"] <= max_rank].reset_index(drop=True)
+        else:
+            for c in ("row_number", "rank", "dense_rank"):
+                g[c] = pd.Series(dtype="int64")
+        return g
+
+    slim = ds.select_columns(list(dict.fromkeys(keys + [order, tiebreak])))
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets, whole_bucket=True)
+
+
+def running_sum(ds: ray.data.Dataset, key: str, order: str, val: str,
+                tiebreak: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key ordered prefix sum (SUM OVER ROWS UNBOUNDED PRECEDING):
+    one keyed shuffle, then a single vectorized groupby().cumsum() per
+    bucket. ``val`` must be exact integer (cents) so the running total
+    is order-independent-exact and oracle-reproducible."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order, tiebreak], kind="mergesort",
+                          ignore_index=True)
+        g["running"] = (g.groupby(key, sort=False)[val].cumsum()
+                        if len(g) else pd.Series(dtype="int64"))
+        g["running"] = g["running"].astype(np.int64, errors="ignore")
+        return g
+
+    slim = ds.select_columns(list(dict.fromkeys([key, order, val, tiebreak])))
+    return grouped_apply_bucketed(slim, [key], bucket_fn,
+                                  num_buckets=num_buckets, whole_bucket=True)
+
+
+def set_op(left: ray.data.Dataset, right: ray.data.Dataset,
+           keys: list[str], op: str = "intersect",
+           num_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct-tuple INTERSECT / EXCEPT on ``keys`` — the two inputs
+    are tagged with a side bit and unioned, so ONE keyed-hash shuffle
+    co-locates every occurrence of a tuple; per bucket a vectorized
+    drop_duplicates + presence test resolves membership. SQL bag
+    semantics for INTERSECT/EXCEPT (both are set-distinct in ANSI
+    default) are matched exactly; no driver materialization."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(keys)
+            return t.append_column("__side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(keys + ["__side"])
+        piv = d.groupby(keys, sort=False)["__side"].agg(["min", "max"]).reset_index()
+        if op == "intersect":
+            keep = piv[(piv["min"] == 0) & (piv["max"] == 1)]
+        else:
+            keep = piv[(piv["min"] == 0) & (piv["max"] == 0)]
+        return keep[keys].reset_index(drop=True)
+
+    return grouped_apply_bucketed(both, keys, bucket_fn,
+                                  num_buckets=num_buckets, whole_bucket=True)

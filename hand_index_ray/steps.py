@@ -158,6 +158,11 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("histogram_int", rel.histogram_int)
     DATASET_FNS.setdefault("pivot_sum", rel.pivot_sum)
     DATASET_FNS.setdefault("rollup_counts", rel.rollup_counts)
+    DATASET_FNS.setdefault("grouped_moments", rel.grouped_moments)
+    DATASET_FNS.setdefault("grouped_percentiles", rel.grouped_percentiles)
+    DATASET_FNS.setdefault("window_rank", rel.window_rank)
+    DATASET_FNS.setdefault("running_sum", rel.running_sum)
+    DATASET_FNS.setdefault("set_op", rel.set_op)
 
     from .pipelines.curate import curate_corpus
 

@@ -193,3 +193,96 @@ def test_pivot_rollup_nunique_empty_input(ray_session):
     assert len(ru) <= 1
     if len(ru):
         assert ru.iloc[0].n == 0
+
+
+# --- round-2 late additions: moments, percentiles, rank windows,
+#     running sums, set ops (driver queries q63-q67) ---
+
+def test_grouped_moments_matches_numpy(li_ds):
+    got = rel.grouped_moments(li_ds, ["flag"], "v", y="k").to_pandas() \
+        .sort_values("flag").reset_index(drop=True)
+    df = li_ds.to_pandas()
+    for _, row in got.iterrows():
+        sub = df[df.flag == row.flag]
+        x = sub.v.to_numpy(dtype=np.float64)
+        y = sub.k.to_numpy(dtype=np.float64)
+        assert row.n == len(sub)
+        assert row.sum_x == sub.v.sum()
+        assert abs(row.var_micro / 1e6 - x.var()) < 1e-3
+        cov = ((x - x.mean()) * (y - y.mean())).mean()
+        assert abs(row.cov_micro / 1e6 - cov) < 1e-2
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(row.corr_micro / 1e6 - corr) < 1e-4
+
+
+def test_grouped_moments_degenerate_group(ray_session):
+    """A constant group has zero variance and (by the guarded CASE)
+    zero correlation — no NaN/inf leaks into the output."""
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "x": [7] * 5 + [1, 2, 3],
+        "y": [1, 2, 3, 4, 5] + [9] * 3}))
+    got = rel.grouped_moments(ds, ["g"], "x", y="y").to_pandas() \
+        .set_index("g")
+    assert got.loc["a"].var_micro == 0
+    assert got.loc["a"].corr_micro == 0      # denom 0 -> guarded to 0
+    assert got.loc["b"].cov_micro == 0       # y constant
+
+
+def test_grouped_percentiles_disc_semantics(ray_session):
+    """PERCENTILE_DISC picks the element at ceil(p*n)-1 — verified
+    against a brute-force sort."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 101)
+    ds = ray.data.from_arrow(pa.table({"g": ["z"] * 101, "v": vals}))
+    got = rel.grouped_percentiles(ds, ["g"], "v", ps=(0.1, 0.5, 0.9)) \
+        .to_pandas().iloc[0]
+    s = np.sort(vals)
+    for p, col in [(0.1, "p10"), (0.5, "p50"), (0.9, "p90")]:
+        assert got[col] == s[int(np.ceil(p * 101)) - 1]
+
+
+def test_window_rank_ties(ray_session):
+    """RANK leaves gaps after ties, DENSE_RANK doesn't, ROW_NUMBER is
+    tiebreak-deterministic."""
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a"] * 4, "id": [1, 2, 3, 4], "v": [50, 50, 40, 60]}))
+    got = rel.window_rank(ds, ["g"], "v", "id", descending=True) \
+        .to_pandas().sort_values("row_number").reset_index(drop=True)
+    assert got.id.tolist() == [4, 1, 2, 3]
+    assert got["rank"].tolist() == [1, 2, 2, 4]
+    assert got.dense_rank.tolist() == [1, 2, 2, 3]
+    assert got.row_number.tolist() == [1, 2, 3, 4]
+
+
+def test_running_sum_prefix(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "u": [1, 1, 1, 2, 2], "i": [3, 1, 2, 1, 2],
+        "t": [30, 10, 20, 10, 20], "v": [5, 1, 2, 10, 20]})).repartition(3)
+    got = rel.running_sum(ds, "u", "t", "v", "i").to_pandas() \
+        .sort_values(["u", "t"]).reset_index(drop=True)
+    assert got.running.tolist() == [1, 3, 8, 10, 30]
+
+
+def test_set_ops_distinct_semantics(ray_session):
+    """INTERSECT/EXCEPT are set-distinct even when inputs carry dup
+    rows (ANSI default), and survive empty sides."""
+    import ray.data
+
+    a = ray.data.from_arrow(pa.table({"k": [1, 1, 2, 3, 3, 3]}))
+    b = ray.data.from_arrow(pa.table({"k": [2, 2, 3, 4]}))
+    it = sorted(rel.set_op(a, b, ["k"], op="intersect").to_pandas().k)
+    ex = sorted(rel.set_op(a, b, ["k"], op="except").to_pandas().k)
+    assert it == [2, 3]
+    assert ex == [1]
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert rel.set_op(a, empty, ["k"], op="intersect").count() == 0
+    assert sorted(rel.set_op(a, empty, ["k"], op="except").to_pandas().k) == [1, 2, 3]
