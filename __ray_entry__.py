@@ -908,6 +908,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
         ).map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
 
+    def q68_resize(sf):  # NN resize through the actor-pool Resizer (SQL oracle)
+        """Nearest-neighbor thumbnail (24x32 → 10x14): the source-index
+        gather sy=(y·24)//10, sx=(x·32)//14 is pure integer floor, so
+        the oracle recomputes every output pixel; the x-weighted sum
+        catches a wrong index map."""
+        from hand_index_ray.pipelines.image_embed import resize_images
+
+        return resize_images(_arith_images(sf), 10, 14, emit="stats")
+
+    def q69_patch_grid(sf):  # ViT-style patchification, exact sums (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import patch_grid_stats
+
+        return patch_grid_stats(_arith_images(sf), 8, 8)
+
     def q63_moments(sf):  # grouped variance/covariance/correlation (SQL oracle)
         """Second moments from mergeable (n, Σx, Σx², Σy, Σy², Σxy)
         partials — one tiny exchange; derived micro-ints mirror the
@@ -1014,6 +1028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_window_rank": q65_window_rank,
         "q66_running_sum": q66_running_sum,
         "q67_set_ops": q67_set_ops,
+        "q68_resize": q68_resize,
+        "q69_patch_grid": q69_patch_grid,
     }
 
 
@@ -1737,5 +1753,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
             INTERSECT
             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "q68_resize": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            v AS (SELECT k, x.x AS x,
+                         ((k + 7 * ((y.y * 24) // 10)
+                             + 3 * ((x.x * 32) // 14) + 11 * c.c) % 256) AS p
+                  FROM ks, generate_series(0, 9) y(y),
+                       generate_series(0, 13) x(x), generate_series(0, 2) c(c))
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(SUM(p) AS BIGINT) AS rs_sum,
+                   CAST(SUM(p * (x + 1)) AS BIGINT) AS rs_xw
+            FROM v GROUP BY k
+        """,
+        "q69_patch_grid": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            v AS (SELECT k, y.y // 8 AS py, x.x // 8 AS px,
+                         ((k + 7 * y.y + 3 * x.x + 11 * c.c) % 256) AS p
+                  FROM ks, generate_series(0, 23) y(y),
+                       generate_series(0, 31) x(x), generate_series(0, 2) c(c))
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   py, px, CAST(SUM(p) AS BIGINT) AS p_sum
+            FROM v GROUP BY k, py, px
         """,
     }

@@ -287,3 +287,25 @@ def augment_crop_flip(img: np.ndarray, crop_h: int, crop_w: int,
     x0 = (w - crop_w) // 2
     out = img[y0:y0 + crop_h, x0:x0 + crop_w]
     return out[:, ::-1] if flip else out
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize to (out_h, out_w, C): source index
+    sy = (y·h)//out_h (pure integer floor — the cheap GPU-dataloader
+    mapping), one fancy-indexed gather, zero arithmetic on pixels.
+    Exactly SQL-reproducible: an oracle recomputes the gather with
+    integer division. Use ``resize_box`` when averaging is wanted."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
+def patch_sums(img: np.ndarray, patch_h: int, patch_w: int) -> np.ndarray:
+    """Exact int64 pixel sums of the (⌈h/ph⌉ × ⌈w/pw⌉) patch grid
+    (channels summed): two ``add.reduceat`` passes — no Python loop,
+    any image size (edge patches are the remainder)."""
+    g = img.astype(np.int64).sum(axis=2)
+    ys = np.arange(0, g.shape[0], patch_h)
+    xs = np.arange(0, g.shape[1], patch_w)
+    return np.add.reduceat(np.add.reduceat(g, ys, axis=0), xs, axis=1)

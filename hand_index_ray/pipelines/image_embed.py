@@ -272,3 +272,113 @@ def channel_stats(source: "str | ray.data.Dataset",
                              "n": pd.Series([], dtype="int64")})
     return df.groupby("c", as_index=False)[["s", "ss", "n"]].sum() \
              .sort_values("c").reset_index(drop=True)
+
+
+class Resizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-encode
+    (or exact stats). The NN gather (``kernels.image.resize_nearest``)
+    is the dataloader-style thumbnail path; ``emit="stats"`` returns
+    exact integer pixel sums plus the x-weighted sum so a wrong source
+    index mapping is visible in the oracle hash (reference parity rule:
+    decoded-pixel exactness, load.py's reproducible build)."""
+
+    def __init__(self, out_h: int, out_w: int, emit: str = "bytes"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.emit = emit
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t.column("bytes")
+        fmts = t.column("fmt").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        ids = t.column("image_id").to_pylist()
+        out_b, s_sum, s_xw = [], [], []
+        for i in range(t.num_rows):
+            img = imk.decode(bts[i].as_buffer(), fmts[i],
+                             w=int(ws[i]), h=int(hs[i]))
+            small = imk.resize_nearest(img, self.out_h, self.out_w)
+            if self.emit == "bytes":
+                out_b.append(imk.encode(np.ascontiguousarray(small), "raw"))
+            else:
+                p = small.astype(np.int64)
+                s_sum.append(int(p.sum()))
+                s_xw.append(int((p * (np.arange(self.out_w, dtype=np.int64) + 1)
+                                 [None, :, None]).sum()))
+        if self.emit == "bytes":
+            n = len(ids)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(out_b, pa.binary()),
+                "w": pa.array([self.out_w] * n, pa.int32()),
+                "h": pa.array([self.out_h] * n, pa.int32()),
+                "fmt": pa.array(["raw"] * n, pa.string()),
+            })
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "rs_sum": pa.array(s_sum, pa.int64()),
+            "rs_xw": pa.array(s_xw, pa.int64()),
+        })
+
+
+def resize_images(source: "str | ray.data.Dataset", out_h: int, out_w: int,
+                  emit: str = "bytes",
+                  cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """images table → NN-resized thumbnails (or exact per-image stats)."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+    return ds.map_batches(Resizer, fn_constructor_args=(out_h, out_w, emit),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))
+
+
+def patch_grid_stats(source: "str | ray.data.Dataset", patch_h: int,
+                     patch_w: int,
+                     cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Explode each image into its (⌈h/ph⌉ × ⌈w/pw⌉) patch grid — one
+    row per (image, py, px) with the exact int64 patch pixel sum
+    (channels summed). The ViT-style patchification shape: the explode
+    happens inside the batch (map-only, no shuffle), patch sums come
+    from two reduceat passes per image, and downstream per-patch
+    dedup/stats see slim rows, never pixels."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def explode(t: pa.Table) -> pa.Table:
+        bts = t.column("bytes")
+        fmts = t.column("fmt").to_pylist()
+        ws = t.column("w").to_numpy()
+        hs = t.column("h").to_numpy()
+        ids = t.column("image_id").to_pylist()
+        out_id, out_py, out_px, out_s = [], [], [], []
+        for i in range(t.num_rows):
+            img = imk.decode(bts[i].as_buffer(), fmts[i],
+                             w=int(ws[i]), h=int(hs[i]))
+            sums = imk.patch_sums(img, patch_h, patch_w)
+            gy, gx = sums.shape
+            out_id.extend([ids[i]] * (gy * gx))
+            yy, xx = np.meshgrid(np.arange(gy, dtype=np.int64),
+                                 np.arange(gx, dtype=np.int64), indexing="ij")
+            out_py.append(yy.ravel())
+            out_px.append(xx.ravel())
+            out_s.append(sums.ravel())
+        if not out_id:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "py": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.int64()),
+                             "p_sum": pa.array([], pa.int64())})
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "py": pa.array(np.concatenate(out_py), pa.int64()),
+            "px": pa.array(np.concatenate(out_px), pa.int64()),
+            "p_sum": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))

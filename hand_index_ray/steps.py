@@ -168,13 +168,17 @@ def _register_dataset_fns() -> None:
 
     DATASET_FNS.setdefault("curate_corpus", curate_corpus)
     # stateful actor-pool kernels (classes) register as kernels
-    from .pipelines.image_embed import Augmenter, TileEmbedder
+    from .pipelines.image_embed import (Augmenter, Resizer, TileEmbedder,
+                                        patch_grid_stats)
+
+    DATASET_FNS.setdefault("patch_grid_stats", patch_grid_stats)
 
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)
     KERNELS.setdefault("audio_features", AudioFeatures)
     KERNELS.setdefault("frame_sampler", FrameSampler)
     KERNELS.setdefault("augment", Augmenter)
+    KERNELS.setdefault("resize", Resizer)
     KERNELS.setdefault("tile_embed", TileEmbedder)
 
 

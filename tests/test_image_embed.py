@@ -1,6 +1,7 @@
 """Image resize/embedding pipeline tests."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from hand_index_ray.kernels import image as imk
@@ -133,3 +134,61 @@ def test_augment_stats_and_channel_stats_exact(ray_session):
     np.testing.assert_array_equal(cs["ss"].to_numpy(),
                                   (allpx * allpx).sum(axis=(0, 1, 2)))
     assert (cs["n"] == len(keys) * 8 * 10).all()
+
+
+def test_resize_nearest_kernel():
+    """NN gather: output pixel (y,x) is exactly source ((y*h)//oh,
+    (x*w)//ow); identity resize is a no-op; upscale repeats pixels."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    r = imk.resize_nearest(img, 10, 14)
+    for y in range(10):
+        for x in range(14):
+            np.testing.assert_array_equal(r[y, x], img[(y * 24) // 10, (x * 32) // 14])
+    np.testing.assert_array_equal(imk.resize_nearest(img, 24, 32), img)
+    up = imk.resize_nearest(img, 48, 64)
+    np.testing.assert_array_equal(up[::2, ::2], img)
+    np.testing.assert_array_equal(up[1::2, 1::2], img)
+
+
+def test_patch_sums_kernel_ragged():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (21, 30, 3), dtype=np.uint8)
+    p = imk.patch_sums(img, 8, 8)
+    assert p.shape == (3, 4)
+    assert p.sum() == img.astype(np.int64).sum()
+    np.testing.assert_array_equal(
+        p[2, 3], img[16:21, 24:30].astype(np.int64).sum())
+
+
+def test_resize_images_bytes_and_patch_grid(ray_session):
+    """Resizer emit='bytes' round-trips through the raw codec; the
+    patch grid explode emits gy*gx rows per image with exact sums."""
+    import ray.data
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.image_embed import (patch_grid_stats,
+                                                      resize_images)
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(6)]
+    t = pa.table({
+        "image_id": pa.array([f"r-{i}" for i in range(6)], pa.string()),
+        "bytes": pa.array([imk.encode(im, "raw") for im in imgs], pa.binary()),
+        "w": pa.array([32] * 6, pa.int32()),
+        "h": pa.array([24] * 6, pa.int32()),
+        "fmt": pa.array(["raw"] * 6, pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    cfg = EngineConfig(encode_concurrency=2, decode_batch_size=4)
+    out = resize_images(ds, 6, 8, emit="bytes", cfg=cfg).to_pandas() \
+        .set_index("image_id")
+    for i, im in enumerate(imgs):
+        row = out.loc[f"r-{i}"]
+        dec = imk.decode(row["bytes"], row["fmt"], w=int(row["w"]), h=int(row["h"]))
+        np.testing.assert_array_equal(dec, imk.resize_nearest(im, 6, 8))
+    pg = patch_grid_stats(ds, 8, 8, cfg=cfg).to_pandas()
+    assert len(pg) == 6 * 3 * 4
+    got = pg.set_index(["image_id", "py", "px"])["p_sum"]
+    for i, im in enumerate(imgs):
+        assert got[(f"r-{i}", 1, 2)] == im[8:16, 16:24].astype(np.int64).sum()
