@@ -922,6 +922,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return patch_grid_stats(_arith_images(sf), 8, 8)
 
+    def q70_edit1_pairs(sf):  # symmetric-delete fuzzy match (SQL oracle)
+        """Exact edit-distance-≤1 pairs via SymSpell-style deletion
+        neighborhoods over a deterministic string domain derived from
+        orders keys ('itm<n>' plus planted 'x'-suffix variants) — the
+        oracle recomputes the domain and brute-forces levenshtein over
+        the (length-prefiltered) cross join; the engine never goes
+        quadratic."""
+        from hand_index_ray.pipelines.text import edit1_pairs
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            n = (k * 2654435761) % 1000
+            s = np.array([f"itm{v}" for v in n], dtype=object)
+            tail = np.where(n % 3 == 0, "x", "")
+            return pa.table({"s": pa.array(
+                [a + b for a, b in zip(s, tail)], pa.string())})
+
+        dom = rel.distinct(
+            _t(sf, "orders").select_columns(["o_orderkey"])
+            .map_batches(mk, batch_format="pyarrow"), ["s"])
+        return edit1_pairs(dom, "s")
+
+    def q71_tpch_q3(sf):  # multi-stage composition: TPC-H Q3 shape (SQL oracle)
+        """Segment semi-join → date-filtered orders broadcast join →
+        revenue aggregate → deterministic top-10: the classic
+        warehouse pipeline as one chain of the engine's own operators
+        (semi_join, broadcast_join, grouped_agg, topk)."""
+        cust = _tbl(sf, "customer")
+        bldg = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+        ckeys = pc.unique(bldg["c_custkey"])
+
+        orders = _t(sf, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"])
+        orders = rel.semi_join(orders, "o_custkey", ckeys)
+
+        def ofilt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["o_orderdate"],
+                                    pa.scalar(datetime(1995, 3, 15))))
+
+        # the filtered-orders side is broadcast-sized (segment × date
+        # selectivity); collect it once for the ray.put broadcast join
+        osmall = pa.concat_tables(
+            orders.map_batches(ofilt, batch_format="pyarrow")
+            .select_columns(["o_orderkey", "o_orderdate"])
+            .iter_batches(batch_format="pyarrow"))
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+        def lrev(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"],
+                                    pa.scalar(datetime(1995, 3, 15))))
+            price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                              pa.int64())
+            disc_bp = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0)),
+                              pa.int64())
+            rev = pc.multiply(price_c,
+                              pc.subtract(pa.scalar(10000, pa.int64()), disc_bp))
+            return pa.table({"l_orderkey": t["l_orderkey"], "rev_micros": rev})
+
+        li = li.map_batches(lrev, batch_format="pyarrow", zero_copy_batch=True)
+        joined = rel.broadcast_join(
+            li, osmall.rename_columns(["l_orderkey", "o_orderdate"]),
+            keys="l_orderkey")
+        agg = rel.grouped_agg(joined, ["l_orderkey", "o_orderdate"],
+                              sum_cols=["rev_micros"], count=False)
+        out = rel.topk(agg, "rev_micros", 10, descending=True,
+                       tiebreak="l_orderkey")
+        # numpy datetime roundtrips at 's' precision; the driver hash is
+        # dtype-sensitive, so restore the parquet column's us precision
+        out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+        return out
+
     def q63_moments(sf):  # grouped variance/covariance/correlation (SQL oracle)
         """Second moments from mergeable (n, Σx, Σx², Σy, Σy², Σxy)
         partials — one tiny exchange; derived micro-ints mirror the
@@ -1030,6 +1103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_set_ops": q67_set_ops,
         "q68_resize": q68_resize,
         "q69_patch_grid": q69_patch_grid,
+        "q70_edit1_pairs": q70_edit1_pairs,
+        "q71_tpch_q3": q71_tpch_q3,
     }
 
 
@@ -1777,5 +1852,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
                    py, px, CAST(SUM(p) AS BIGINT) AS p_sum
             FROM v GROUP BY k, py, px
+        """,
+        "q70_edit1_pairs": """
+            WITH d AS (
+              SELECT DISTINCT 'itm' || CAST((o_orderkey * 2654435761) % 1000
+                                            AS VARCHAR)
+                     || CASE WHEN ((o_orderkey * 2654435761) % 1000) % 3 = 0
+                             THEN 'x' ELSE '' END AS s
+              FROM orders)
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+            WHERE levenshtein(a.s, b.s) <= 1
+        """,
+        "q71_tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                        * (10000 - CAST(ROUND(l_discount * 10000.0) AS BIGINT)))
+                        AS BIGINT) AS rev_micros
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY rev_micros DESC, l_orderkey
+            LIMIT 10
         """,
     }

@@ -782,3 +782,82 @@ def normalize_text(ds: ray.data.Dataset, col: str = "text",
         return t.append_column(out, x)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lev_le1(a: str, b: str) -> int:
+    """Exact Levenshtein distance when known ≤ 1, else 2. O(L) single
+    scan (no DP): equal lengths → count substitutions; lengths off by
+    one → single-gap alignment."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        d = sum(1 for x, y in zip(a, b) if x != y)
+        return d if d <= 1 else 2
+    if abs(la - lb) != 1:
+        return 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def edit1_pairs(ds: ray.data.Dataset, col: str = "s",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact edit-distance-≤1 pairs over a DISTINCT string column via
+    symmetric-delete neighborhoods (the SymSpell/FAROO candidate map):
+    each string emits itself plus its |s| single-deletion variants;
+    two strings within one edit ALWAYS share a variant, so candidate
+    generation is a hash join on variants — never an all-pairs scan.
+    Candidates sharing a variant can be up to distance 2, so each pair
+    is verified with an O(L) ≤1-distance check.
+
+    Scale shape: the exchange moves (variant-hash, s) slim rows — the
+    neighborhood blowup is |s|+1 per DISTINCT value (vocabulary-sized,
+    not corpus-sized; run ``relational.distinct`` first). Pairs found
+    through several shared variants are deduped by one distinct
+    shuffle of the (tiny) candidate set. Python per-string variant
+    loop is over the distinct domain — bounded, not a hot corpus path.
+
+    Output: (s_a, s_b, dist:int64), s_a < s_b.
+    """
+    from .. import relational as rel
+
+    def variants(t: pa.Table) -> pa.Table:
+        out_v, out_s = [], []
+        for s in t.column(col).to_pylist():
+            out_v.append(s)
+            out_s.append(s)
+            for i in range(len(s)):
+                out_v.append(s[:i] + s[i + 1:])
+                out_s.append(s)
+        return pa.table({"__v": pa.array(out_v, pa.string()),
+                         col: pa.array(out_s, pa.string())})
+
+    cand = ds.select_columns([col]).map_batches(
+        variants, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        strs = g[col].to_numpy()
+        if len(strs) < 2:
+            return pd.DataFrame({"s_a": pd.Series(dtype="object"),
+                                 "s_b": pd.Series(dtype="object")})
+        strs = np.unique(strs)
+        iu, ju = np.triu_indices(len(strs), k=1)
+        return pd.DataFrame({"s_a": strs[iu], "s_b": strs[ju]})
+
+    cand_pairs = rel.grouped_apply_bucketed(cand, ["__v"], pairs,
+                                            num_buckets=num_buckets,
+                                            min_group_size=2)
+    uniq = rel.distinct(cand_pairs, ["s_a", "s_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t.column("s_a").to_pylist()
+        sb = t.column("s_b").to_pylist()
+        d = np.array([_lev_le1(a, b) for a, b in zip(sa, sb)], dtype=np.int64)
+        keep = d <= 1
+        return pa.table({"s_a": pa.array([s for s, k in zip(sa, keep) if k], pa.string()),
+                         "s_b": pa.array([s for s, k in zip(sb, keep) if k], pa.string()),
+                         "dist": pa.array(d[keep], pa.int64())})
+
+    return uniq.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -145,6 +145,7 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("simhash", text.simhash)
     DATASET_FNS.setdefault("fingerprint", text.fingerprint)
     DATASET_FNS.setdefault("normalize_text", text.normalize_text)
+    DATASET_FNS.setdefault("edit1_pairs", text.edit1_pairs)
 
     from . import relational as rel
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -346,3 +347,39 @@ def test_winnow_sql_oracle_parity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         mine[["doc_id", "n_fp", "fp_min", "fp_sum"]],
         ora[["doc_id", "n_fp", "fp_min", "fp_sum"]], check_dtype=True)
+
+
+def test_edit1_pairs_symmetric_delete(ray_session):
+    """Every ≤1-edit pair (sub/ins/del) is found, distance-2 pairs are
+    rejected by the verify pass, and pairs reachable through several
+    shared deletion variants appear exactly once."""
+    import ray.data
+
+    from hand_index_ray.pipelines.text import edit1_pairs
+
+    vocab = ["cat", "cut", "cats", "at", "dog", "dig", "dg", "hello",
+             "hxllo", "hell", "xy", "yx"]
+    ds = ray.data.from_arrow(pa.table({"s": pa.array(vocab, pa.string())}))
+    got = edit1_pairs(ds, "s").to_pandas()
+    pairs = set(map(tuple, got[["s_a", "s_b"]].itertuples(index=False)))
+    import itertools
+
+    def lev(a, b):
+        d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        d[:, 0] = np.arange(len(a) + 1)
+        d[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                              d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return d[-1, -1]
+
+    expected = {tuple(sorted((a, b))) for a, b in
+                itertools.combinations(vocab, 2) if lev(a, b) <= 1}
+    assert pairs == expected
+    assert len(got) == len(expected)          # exactly once each
+    for _, r in got.iterrows():
+        assert r["dist"] == lev(r["s_a"], r["s_b"])
+    # 'xy'/'yx' is distance 2 but shares deletion variants both ways:
+    # the verify pass must have rejected it
+    assert ("xy", "yx") not in pairs
