@@ -995,6 +995,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
         return out
 
+    def q72_band_join(sf):  # broadcast [low,high) tier lookup (SQL oracle)
+        """Price-tier banding: the band table broadcasts once as flat
+        sorted arrays; each batch resolves its tier with ONE
+        searchsorted — no shuffle, no per-row predicate."""
+        bins = pa.table({
+            "lo": pa.array([0, 5_000_000, 15_000_000, 30_000_000], pa.int64()),
+            "hi": pa.array([5_000_000, 15_000_000, 30_000_000, 60_000_000],
+                           pa.int64()),
+            "tier": pa.array(["low", "mid", "high", "lux"], pa.string())})
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+        banded = rel.band_join(
+            orders.select_columns(["o_orderkey", "total_cents"]),
+            bins, "total_cents", "lo", "hi", ["tier"])
+        return rel.grouped_agg(banded.select_columns(["tier", "total_cents"]),
+                               ["tier"], sum_cols=["total_cents"])
+
+    def q73_arg_max(sf):  # FIRST_VALUE/arg_max as a mergeable aggregate (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+        return rel.grouped_arg_extreme(
+            orders.select_columns(["o_orderpriority", "total_cents",
+                                   "o_orderkey"]),
+            ["o_orderpriority"], "total_cents", "o_orderkey", mode="max")
+
+    def q74_heavy_hitters(sf):  # Misra-Gries top-k, exact regime (SQL oracle)
+        """Top-20 part keys by lineitem count through mergeable MG
+        summaries (shuffle-free; one small counter table per batch).
+        Driven in the exact regime — distinct l_partkey ≤ capacity at
+        every test sf — so plain COUNT GROUP BY oracles it (the q41/q59
+        precondition pattern)."""
+        li = _t(sf, "lineitem").select_columns(["l_partkey"])
+        return rel.approx_top_k(li, "l_partkey", 20)
+
+    def q75_zscore(sf):  # per-row group standardization, no row shuffle (SQL oracle)
+        """Feature standardization: exact int (n, Σx, Σx²) per group
+        broadcast back map-only — the two-phase pattern that replaces a
+        windowed AVG/STDDEV shuffle at scale."""
+        return rel.grouped_zscore(
+            _li_ints(sf).select_columns(["l_returnflag", "l_linestatus", "qty"]),
+            ["l_returnflag", "l_linestatus"], "qty", id_cols=[])
+
+    def q76_month_rollup(sf):  # calendar bucketing (SQL oracle)
+        """Month-bucket revenue: Arrow year/month kernels per batch,
+        then the standard partial-agg shuffle of (month, sums)."""
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+
+        def mk(t: pa.Table) -> pa.Table:
+            ym = pc.add(pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                                    pa.scalar(100, pa.int64())),
+                        pc.cast(pc.month(t["o_orderdate"]), pa.int64()))
+            return pa.table({"ym": ym, "total_cents": t["total_cents"]})
+
+        pre = orders.select_columns(["o_orderdate", "total_cents"]) \
+            .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        return rel.grouped_agg(pre, ["ym"], sum_cols=["total_cents"])
+
     def q63_moments(sf):  # grouped variance/covariance/correlation (SQL oracle)
         """Second moments from mergeable (n, Σx, Σx², Σy, Σy², Σxy)
         partials — one tiny exchange; derived micro-ints mirror the
@@ -1105,6 +1160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_patch_grid": q69_patch_grid,
         "q70_edit1_pairs": q70_edit1_pairs,
         "q71_tpch_q3": q71_tpch_q3,
+        "q72_band_join": q72_band_join,
+        "q73_arg_max": q73_arg_max,
+        "q74_heavy_hitters": q74_heavy_hitters,
+        "q75_zscore": q75_zscore,
+        "q76_month_rollup": q76_month_rollup,
     }
 
 
@@ -1879,5 +1939,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY rev_micros DESC, l_orderkey
             LIMIT 10
+        """,
+        "q72_band_join": """
+            WITH bins(lo, hi, tier) AS (VALUES
+              (0::BIGINT, 5000000::BIGINT, 'low'),
+              (5000000::BIGINT, 15000000::BIGINT, 'mid'),
+              (15000000::BIGINT, 30000000::BIGINT, 'high'),
+              (30000000::BIGINT, 60000000::BIGINT, 'lux')),
+            o AS (SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                         AS total_cents FROM orders)
+            SELECT tier, CAST(SUM(total_cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n
+            FROM o JOIN bins ON o.total_cents >= lo AND o.total_cents < hi
+            GROUP BY tier
+        """,
+        "q73_arg_max": """
+            WITH b AS (SELECT o_orderpriority,
+              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+              o_orderkey FROM orders)
+            SELECT o_orderpriority, total_cents, o_orderkey
+            FROM b QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY total_cents DESC, o_orderkey DESC) = 1
+        """,
+        "q74_heavy_hitters": """
+            SELECT l_partkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_partkey
+            ORDER BY n DESC, l_partkey LIMIT 20
+        """,
+        "q75_zscore": """
+            WITH b AS (SELECT l_returnflag, l_linestatus,
+                CAST(ROUND(l_quantity) AS BIGINT) AS qty FROM lineitem),
+            m AS (SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+                CAST(SUM(qty) AS BIGINT) AS sx,
+                CAST(SUM(qty*qty) AS BIGINT) AS sxx
+              FROM b GROUP BY 1, 2)
+            SELECT b.l_returnflag, b.l_linestatus, b.qty,
+              CAST(ROUND(CASE WHEN CAST(n AS DOUBLE)*sxx
+                                   - CAST(sx AS DOUBLE)*sx > 0.0
+                THEN 1000000.0*(CAST(n AS DOUBLE)*qty - CAST(sx AS DOUBLE))
+                     / SQRT(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                ELSE 0.0 END) AS BIGINT) AS z_micro
+            FROM b JOIN m USING (l_returnflag, l_linestatus)
+        """,
+        "q76_month_rollup": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                        + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n
+            FROM orders GROUP BY ym
         """,
     }

@@ -236,3 +236,77 @@ def q_deserialize(buf: bytes):
     vals = np.frombuffer(buf[16:16 + 8 * m], dtype=np.float64).copy()
     wts = np.frombuffer(buf[16 + 8 * m:16 + 16 * m], dtype=np.float64).copy()
     return vals, wts, int(n)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: mergeable (items, counts) summaries.
+#
+# Invariant: for every item, true_count − err ≤ count ≤ true_count with
+# err ≤ N/(capacity+1) (Misra–Gries 1982; merge per Agarwal et al. 2013,
+# "Mergeable Summaries"). When the stream's DISTINCT count never
+# exceeds `capacity`, no decrement ever fires and every count is EXACT
+# — the regime the driver oracle checks (same pattern as the HLL's
+# sparse-exact regime).
+
+MG_CAPACITY = 4096
+
+
+def mg_empty() -> "tuple[np.ndarray, np.ndarray]":
+    return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+
+
+def mg_from_counts(items: np.ndarray, counts: np.ndarray,
+                   capacity: int = MG_CAPACITY):
+    """Reduce an exact (items, counts) table to ≤capacity MG counters:
+    keep the top-capacity by count, subtract the (capacity+1)-th count
+    from the survivors (the batched form of the MG decrement)."""
+    if len(items) <= capacity:
+        return np.asarray(items, dtype=object), counts.astype(np.int64)
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = counts[order[capacity]]
+    keep = order[:capacity]
+    kept = counts[keep] - thresh
+    pos = kept > 0
+    return np.asarray(items[keep][pos], dtype=object), kept[pos].astype(np.int64)
+
+
+def mg_add(state, values, capacity: int = MG_CAPACITY):
+    """Fold a batch of raw values into the summary (exact per-batch
+    count, then one merge)."""
+    items, counts = np.unique(np.asarray(values, dtype=object),
+                              return_counts=True)
+    return mg_merge(state, (items, counts.astype(np.int64)), capacity)
+
+
+def mg_merge(a, b, capacity: int = MG_CAPACITY):
+    """Merge two summaries: sum counts item-wise, then re-reduce."""
+    items = np.concatenate([a[0], b[0]])
+    counts = np.concatenate([a[1], b[1]])
+    if len(items) == 0:
+        return mg_empty()
+    uniq, inv = np.unique(items, return_inverse=True)
+    summed = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return mg_from_counts(uniq, summed, capacity)
+
+
+def mg_topk(state, k: int):
+    """Top-k (count desc, item asc tiebreak) from the summary."""
+    items, counts = state
+    if len(items) == 0:
+        return items, counts
+    order = np.lexsort((items, -counts))[:k]
+    return items[order], counts[order]
+
+
+def mg_serialize(state) -> bytes:
+    import pickle
+
+    return pickle.dumps((list(state[0]), state[1].tolist()))
+
+
+def mg_deserialize(buf: bytes):
+    import pickle
+
+    items, counts = pickle.loads(buf)
+    return np.asarray(items, dtype=object), np.asarray(counts, dtype=np.int64)

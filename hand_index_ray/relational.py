@@ -1377,3 +1377,155 @@ def set_op(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return grouped_apply_bucketed(both, keys, bucket_fn,
                                   num_buckets=num_buckets, whole_bucket=True)
+
+
+def band_join(big: ray.data.Dataset, bins: pa.Table, value_col: str,
+              low_col: str, high_col: str,
+              label_cols: list[str]) -> ray.data.Dataset:
+    """Inner join each row to the [low, high) band containing its
+    value — the warehouse tier/banding lookup. The band table is
+    broadcast once (``ray.put``) as FLAT sorted numpy arrays and every
+    batch resolves membership with ONE ``searchsorted`` — no shuffle,
+    no per-row predicate, O(log #bands) per row. Bands must be
+    non-overlapping (validated once at build)."""
+    order = pc.sort_indices(bins, sort_keys=[(low_col, "ascending")])
+    bins = bins.take(order)
+    lows = bins[low_col].to_numpy()
+    highs = bins[high_col].to_numpy()
+    if (highs < lows).any() or (lows[1:] < highs[:-1]).any():
+        raise ValueError("bands must be sorted and non-overlapping")
+    payload = {c: bins[c].to_numpy(zero_copy_only=False) for c in label_cols}
+    ref = ray.put((lows, highs, payload))
+
+    class Bander:
+        def __init__(self):
+            self.lows, self.highs, self.payload = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy()
+            idx = np.searchsorted(self.lows, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.highs[np.clip(idx, 0, None)])
+            idx = idx[ok]
+            t = t.filter(pa.array(ok))
+            cols = {c: t[c] for c in t.column_names}
+            for c, arr in self.payload.items():
+                cols[c] = pa.array(arr[idx])
+            return pa.table(cols)
+
+    return big.map_batches(Bander, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 8))
+
+
+def grouped_arg_extreme(ds: ray.data.Dataset, keys: list[str], order: str,
+                        payload: str, mode: str = "max") -> ray.data.Dataset:
+    """Per group, the payload at the extreme of ``order`` —
+    FIRST_VALUE/arg_max as a MERGEABLE aggregate: each batch reduces to
+    one (keys, order, payload) row per group (vectorized sort +
+    drop_duplicates), the exchange moves only those partials, and the
+    final pass re-reduces per bucket. Ties on ``order`` break toward
+    the extreme ``payload`` (lexicographic (order, payload)), so the
+    result is deterministic and SQL-expressible."""
+    asc = mode == "min"
+    if mode not in ("min", "max"):
+        raise ValueError(mode)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.sort_values(keys + [order, payload], kind="mergesort",
+                          ascending=[True] * len(keys) + [asc, asc])
+        return b.drop_duplicates(keys, keep="first")
+
+    slim = ds.select_columns(list(dict.fromkeys(keys + [order, payload])))
+    partials = slim.map_batches(partial, batch_format="pandas")
+    return grouped_apply_bucketed(partials, keys, partial, num_buckets=32,
+                                  whole_bucket=True)
+
+
+def grouped_zscore(ds: ray.data.Dataset, keys: list[str], x: str,
+                   id_cols: list[str]) -> ray.data.Dataset:
+    """Per-row population z-score against the row's group — the
+    training-pipeline feature standardization — WITHOUT a row shuffle:
+    phase 1 computes exact int64 (n, Σx, Σx²) per group (tiny result),
+    phase 2 broadcasts them (``ray.put``) and standardizes map-only.
+
+    Emitted as z_micro = ROUND(1e6·(n·x − Σx)/√(n·Σx² − Σx²-term)) —
+    integer-exact inputs, one float64 expression, oracle-reproducible.
+    Constant groups (zero variance) emit z_micro = 0."""
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy()
+        cols = {k: t[k] for k in keys}
+        cols["__x"] = pa.array(xv, pa.int64())
+        cols["__xx"] = pa.array(xv * xv, pa.int64())
+        g = pa.table(cols).group_by(keys).aggregate(
+            [("__x", "sum"), ("__xx", "sum"), ([], "count_all")])
+        return g.rename_columns(keys + ["__x", "__xx", "__n"])
+
+    slim = ds.select_columns(list(dict.fromkeys(keys + [x] + id_cols)))
+    stats = slim.select_columns(keys + [x]).map_batches(
+        stat_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(keys).aggregate(Sum("__x", alias_name="sx"),
+                                 Sum("__xx", alias_name="sxx"),
+                                 Sum("__n", alias_name="n")).to_pandas()
+    key_index = {tuple(r[k] for k in keys): (float(r["n"]), float(r["sx"]),
+                                             float(r["sxx"]))
+                 for _, r in stats.iterrows()}
+    ref = ray.put(key_index)
+
+    class Standardize:
+        def __init__(self):
+            self.idx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                b["z_micro"] = pd.Series(dtype="int64")
+                return b[id_cols + keys + [x, "z_micro"]]
+            trip = np.array([self.idx[t] for t in
+                             zip(*(b[k] for k in keys))], dtype=np.float64)
+            n, sx, sxx = trip[:, 0], trip[:, 1], trip[:, 2]
+            xv = b[x].to_numpy().astype(np.float64)
+            denom = np.sqrt(n * sxx - sx * sx)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.where(denom > 0.0, 1e6 * (n * xv - sx) / denom, 0.0)
+            b = b[id_cols + keys + [x]].copy()
+            b["z_micro"] = round_half_away_micro(z)
+            return b
+
+    return slim.map_batches(Standardize, batch_format="pandas",
+                            concurrency=(1, 8))
+
+
+def approx_top_k(ds: ray.data.Dataset, col: str, k: int,
+                 capacity: int | None = None) -> pd.DataFrame:
+    """Heavy hitters via mergeable Misra–Gries summaries: one ≤capacity
+    counter table per batch, merged on the driver — shuffle-free like
+    ``approx_distinct``/``approx_quantiles``, the 100 TB top-k shape
+    when an exact groupby would shuffle the whole column. Counts are
+    within N/(capacity+1) of truth always, and EXACT whenever the
+    column's distinct count stays ≤ capacity (the oracle-checked
+    regime). Output: (value, n) top-k by count desc, value asc."""
+    from .kernels import sketch
+
+    cap = capacity or sketch.MG_CAPACITY
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = sketch.mg_add(sketch.mg_empty(),
+                           t.column(col).to_numpy(zero_copy_only=False), cap)
+        return pa.table({"mg": pa.array([sketch.mg_serialize(st)], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    st = sketch.mg_empty()
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "mg" not in t.schema.names:
+            continue
+        for b in t.column("mg").to_pylist():
+            st = sketch.mg_merge(st, sketch.mg_deserialize(b), cap)
+    items, counts = sketch.mg_topk(st, k)
+    # MG summaries hold items as object dtype; restore the column's
+    # Arrow type so the driver's dtype-sensitive hash matches
+    typ = ds.schema().base_schema.field(col).type
+    return pa.table({col: pa.array(items.tolist(), typ),
+                     "n": pa.array(counts, pa.int64())}).to_pandas()

@@ -164,6 +164,8 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("window_rank", rel.window_rank)
     DATASET_FNS.setdefault("running_sum", rel.running_sum)
     DATASET_FNS.setdefault("set_op", rel.set_op)
+    DATASET_FNS.setdefault("grouped_arg_extreme", rel.grouped_arg_extreme)
+    DATASET_FNS.setdefault("grouped_zscore", rel.grouped_zscore)
 
     from .pipelines.curate import curate_corpus
 

@@ -286,3 +286,94 @@ def test_set_ops_distinct_semantics(ray_session):
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert rel.set_op(a, empty, ["k"], op="intersect").count() == 0
     assert sorted(rel.set_op(a, empty, ["k"], op="except").to_pandas().k) == [1, 2, 3]
+
+
+def test_band_join_searchsorted(ray_session):
+    """[low, high) membership: boundary values land in the right band,
+    out-of-band rows drop (inner semantics), bands validate."""
+    import ray.data
+
+    bins = pa.table({"lo": pa.array([0, 10, 50], pa.int64()),
+                     "hi": pa.array([10, 20, 60], pa.int64()),
+                     "tier": ["a", "b", "c"]})
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array([0, 9, 10, 19, 20, 49, 50, 59, 60, -1], pa.int64())}))
+    got = rel.band_join(ds, bins, "v", "lo", "hi", ["tier"]).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert got.v.tolist() == [0, 9, 10, 19, 50, 59]
+    assert got.tier.tolist() == ["a", "a", "b", "b", "c", "c"]
+    with pytest.raises(ValueError):
+        overlapping = pa.table({"lo": pa.array([0, 5], pa.int64()),
+                                "hi": pa.array([10, 15], pa.int64()),
+                                "tier": ["a", "b"]})
+        rel.band_join(ds, overlapping, "v", "lo", "hi", ["tier"])
+
+
+def test_grouped_arg_extreme(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "v": pa.array([5, 9, 9, 1, 1], pa.int64()),
+        "p": pa.array([100, 7, 42, 3, 8], pa.int64())})).repartition(3)
+    mx = rel.grouped_arg_extreme(ds, ["g"], "v", "p", mode="max") \
+        .to_pandas().set_index("g")
+    assert mx.loc["a"].v == 9 and mx.loc["a"].p == 42  # tie -> max payload
+    assert mx.loc["b"].v == 1 and mx.loc["b"].p == 8
+    mn = rel.grouped_arg_extreme(ds, ["g"], "v", "p", mode="min") \
+        .to_pandas().set_index("g")
+    assert mn.loc["a"].v == 5 and mn.loc["a"].p == 100
+    assert mn.loc["b"].v == 1 and mn.loc["b"].p == 3  # tie -> min payload
+
+
+def test_grouped_zscore_matches_numpy(li_ds):
+    got = rel.grouped_zscore(li_ds, ["flag"], "v", id_cols=["k"]).to_pandas()
+    df = li_ds.to_pandas()
+    assert len(got) == len(df)
+    for flag, sub in df.groupby("flag"):
+        x = sub.v.to_numpy(dtype=np.float64)
+        mu, sd = x.mean(), x.std()
+        gs = got[got.flag == flag].sort_values(["k", "v"]).reset_index(drop=True)
+        ss = sub.sort_values(["k", "v"]).reset_index(drop=True)
+        np.testing.assert_allclose(gs.z_micro.to_numpy() / 1e6,
+                                   (ss.v.to_numpy() - mu) / sd, atol=2e-3)
+
+
+def test_misra_gries_sketch():
+    from hand_index_ray.kernels import sketch
+
+    rng = np.random.default_rng(5)
+    # zipf-ish stream with 50 distinct, capacity 16: counts within N/17
+    vals = rng.zipf(1.5, 20000) % 50
+    st = sketch.mg_empty()
+    for chunk in np.array_split(vals, 7):
+        st = sketch.mg_add(st, chunk, capacity=16)
+    items, counts = st
+    true = pd.Series(vals).value_counts()
+    n = len(vals)
+    for it, c in zip(items, counts):
+        t = true.get(it, 0)
+        assert t - n / 17 <= c <= t, (it, c, t)
+    # exact regime: distinct <= capacity -> exact counts, merge-stable
+    a = sketch.mg_add(sketch.mg_empty(), vals[:10000] % 10, capacity=64)
+    b = sketch.mg_add(sketch.mg_empty(), vals[10000:] % 10, capacity=64)
+    m = sketch.mg_merge(a, b, capacity=64)
+    items, counts = sketch.mg_topk(m, 10)
+    true = pd.Series(vals % 10).value_counts()
+    for it, c in zip(items, counts):
+        assert c == true[it]
+    # serialization roundtrip
+    rt = sketch.mg_deserialize(sketch.mg_serialize(m))
+    assert list(rt[0]) == list(m[0]) and (rt[1] == m[1]).all()
+
+
+def test_approx_top_k_exact_regime(li_ds):
+    got = rel.approx_top_k(li_ds, "k", 15)
+    df = li_ds.to_pandas()
+    true = df.k.value_counts().reset_index()
+    true.columns = ["k", "n"]
+    true = true.sort_values(["n", "k"], ascending=[False, True]) \
+        .head(15).reset_index(drop=True)
+    assert got.k.tolist() == true.k.tolist()
+    assert got.n.tolist() == true.n.tolist()
+    assert str(got.k.dtype) == str(df.k.dtype)
