@@ -1088,6 +1088,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   .select_columns(["o_custkey"])
         return rel.set_op(a, b, ["o_custkey"], op="intersect")
 
+    def q77_sobel(sf):  # 3x3 Sobel gradient energy per image (SQL oracle)
+        """Edge-energy scoring (the sharpness/quality filter a vision
+        corpus applies before training): exact |gx|+|gy| over the valid
+        interior, channel 0; the oracle recomputes every kernel
+        response from the pixel formula."""
+        from hand_index_ray.pipelines.image_embed import sobel_stats
+
+        return sobel_stats(_arith_images(sf), channel=0)
+
+    def q78_box_blur(sf):  # integral-image 3x3 box blur checksum (SQL oracle)
+        """floor(window_sum/9) blur via ONE integral image per image
+        (O(1)/pixel at any kernel size); x-weighted checksum catches a
+        shifted window."""
+        from hand_index_ray.pipelines.image_embed import box_blur_stats
+
+        return box_blur_stats(_arith_images(sf), channel=0)
+
+    def q79_luma_hist(sf):  # corpus-wide 256-bin luma histogram (SQL oracle)
+        """Fixed-point BT.601 luma ((77R+150G+29B)>>8) binned per batch
+        (bincount partials, ≤256 slim rows each) then one tiny grouped
+        sum — shuffle-free at any corpus size."""
+        from hand_index_ray.pipelines.image_embed import luma_histogram
+
+        return luma_histogram(_arith_images(sf))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1165,6 +1190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_heavy_hitters": q74_heavy_hitters,
         "q75_zscore": q75_zscore,
         "q76_month_rollup": q76_month_rollup,
+        "q77_sobel": q77_sobel,
+        "q78_box_blur": q78_box_blur,
+        "q79_luma_hist": q79_luma_hist,
     }
 
 
@@ -1988,5 +2016,58 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents,
                    COUNT(*) AS n
             FROM orders GROUP BY ym
+        """,
+        "q77_sobel": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            g AS (SELECT k,
+                    abs( ((k + 7*(y.y-1) + 3*(x.x+1)) % 256)
+                       + 2*((k + 7*y.y     + 3*(x.x+1)) % 256)
+                       + ((k + 7*(y.y+1) + 3*(x.x+1)) % 256)
+                       - ((k + 7*(y.y-1) + 3*(x.x-1)) % 256)
+                       - 2*((k + 7*y.y     + 3*(x.x-1)) % 256)
+                       - ((k + 7*(y.y+1) + 3*(x.x-1)) % 256) )
+                  + abs( ((k + 7*(y.y+1) + 3*(x.x-1)) % 256)
+                       + 2*((k + 7*(y.y+1) + 3*x.x    ) % 256)
+                       + ((k + 7*(y.y+1) + 3*(x.x+1)) % 256)
+                       - ((k + 7*(y.y-1) + 3*(x.x-1)) % 256)
+                       - 2*((k + 7*(y.y-1) + 3*x.x    ) % 256)
+                       - ((k + 7*(y.y-1) + 3*(x.x+1)) % 256) ) AS g
+                  FROM ks, generate_series(1, 22) y(y),
+                       generate_series(1, 30) x(x))
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(SUM(g) AS BIGINT) AS g_sum,
+                   CAST(MAX(g) AS BIGINT) AS g_max
+            FROM g GROUP BY k
+        """,
+        "q78_box_blur": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            b AS (SELECT k, x.x AS x,
+                    ( ((k + 7*(y.y-1) + 3*(x.x-1)) % 256)
+                    + ((k + 7*(y.y-1) + 3*x.x    ) % 256)
+                    + ((k + 7*(y.y-1) + 3*(x.x+1)) % 256)
+                    + ((k + 7*y.y     + 3*(x.x-1)) % 256)
+                    + ((k + 7*y.y     + 3*x.x    ) % 256)
+                    + ((k + 7*y.y     + 3*(x.x+1)) % 256)
+                    + ((k + 7*(y.y+1) + 3*(x.x-1)) % 256)
+                    + ((k + 7*(y.y+1) + 3*x.x    ) % 256)
+                    + ((k + 7*(y.y+1) + 3*(x.x+1)) % 256) ) // 9 AS b
+                  FROM ks, generate_series(1, 22) y(y),
+                       generate_series(1, 30) x(x))
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(SUM(b) AS BIGINT) AS bb_sum,
+                   CAST(SUM(b * x) AS BIGINT) AS bb_xw
+            FROM b GROUP BY k
+        """,
+        "q79_luma_hist": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            v AS (SELECT (  77 * ((k + 7*y.y + 3*x.x     ) % 256)
+                         + 150 * ((k + 7*y.y + 3*x.x + 11) % 256)
+                         +  29 * ((k + 7*y.y + 3*x.x + 22) % 256)) // 256 AS lum
+                  FROM ks, generate_series(0, 23) y(y),
+                       generate_series(0, 31) x(x))
+            SELECT lum, COUNT(*) AS n_px FROM v GROUP BY lum
         """,
     }

@@ -382,3 +382,124 @@ def patch_grid_stats(source: "str | ray.data.Dataset", patch_h: int,
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
                           concurrency=pool_size(cfg.encode_concurrency))
+
+
+def _decode_rows(t: pa.Table):
+    """Yield (row_index, decoded uint8 HxWxC array) for an images batch."""
+    bts = t.column("bytes")
+    fmts = t.column("fmt").to_pylist()
+    ws = t.column("w").to_numpy()
+    hs = t.column("h").to_numpy()
+    for i in range(t.num_rows):
+        yield i, imk.decode(bts[i].as_buffer(), fmts[i],
+                            w=int(ws[i]), h=int(hs[i]))
+
+
+def sobel_stats(source: "str | ray.data.Dataset", channel: int = 0,
+                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image Sobel gradient energy over the valid interior of one
+    channel: g = |gx| + |gy| with the standard 3x3 kernels, summed and
+    maxed per image in exact int64 (no float, no border padding — the
+    oracle recomputes every response from the pixel formula).
+
+    The convolution is pure shifted-slice arithmetic on the decoded
+    array (map-only, one row out per image); at 100 TB the stage
+    streams with the decode actor pool and never shuffles.
+    """
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        g_sum = np.zeros(t.num_rows, np.int64)
+        g_max = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64)
+            right = p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+            left = p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]
+            bot = p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+            top = p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]
+            g = np.abs(right - left) + np.abs(bot - top)
+            g_sum[i] = g.sum()
+            g_max[i] = g.max() if g.size else 0
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "g_sum": pa.array(g_sum, pa.int64()),
+                         "g_max": pa.array(g_max, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))
+
+
+def box_blur_stats(source: "str | ray.data.Dataset", channel: int = 0,
+                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image 3x3 integer box blur (floor(window_sum / 9)) over the
+    valid interior of one channel, reduced to an exact checksum pair
+    (sum + x-weighted sum). The window sums come from ONE 2-D integral
+    image per image (two cumsums + four gathers), not nine shifted
+    adds — the O(1)-per-pixel box-filter shape that stays cheap at any
+    kernel size."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        b_sum = np.zeros(t.num_rows, np.int64)
+        b_xw = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64)
+            h, w = p.shape
+            if h < 3 or w < 3:
+                continue
+            ii = np.zeros((h + 1, w + 1), np.int64)
+            np.cumsum(np.cumsum(p, axis=0), axis=1, out=ii[1:, 1:])
+            win = (ii[3:, 3:] - ii[:-3, 3:] - ii[3:, :-3] + ii[:-3, :-3])
+            b = win // 9
+            b_sum[i] = b.sum()
+            # weight by the blurred pixel's x coordinate (1-based interior)
+            xw = np.arange(1, w - 1, dtype=np.int64)[None, :]
+            b_xw[i] = (b * xw).sum()
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "bb_sum": pa.array(b_sum, pa.int64()),
+                         "bb_xw": pa.array(b_xw, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))
+
+
+def luma_histogram(source: "str | ray.data.Dataset",
+                   cfg: EngineConfig = DEFAULT) -> pd.DataFrame:
+    """Corpus-wide 256-bin histogram of integer luma
+    ((77R + 150G + 29B) >> 8, the BT.601 fixed-point weights): each
+    batch emits one bincount partial (≤256 slim rows), the reduce is a
+    tiny grouped sum — the same shuffle-free mergeable-partial shape as
+    channel_stats, so the histogram costs one streaming pass at any
+    corpus size."""
+    from .build import list_fragments, pool_size
+    from .. import relational as rel
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = np.zeros(256, np.int64)
+        for _, img in _decode_rows(t):
+            p = img.astype(np.int64)
+            lum = (77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]) >> 8
+            counts += np.bincount(lum.ravel(), minlength=256)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"lum": pa.array(nz.astype(np.int64), pa.int64()),
+                         "n_px": pa.array(counts[nz], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=cfg.decode_batch_size,
+                           concurrency=pool_size(cfg.encode_concurrency))
+    out = rel.grouped_agg(parts, ["lum"], sum_cols=["n_px"], count=False) \
+        .to_pandas()
+    return out.sort_values("lum").reset_index(drop=True)

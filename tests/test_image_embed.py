@@ -192,3 +192,71 @@ def test_resize_images_bytes_and_patch_grid(ray_session):
     got = pg.set_index(["image_id", "py", "px"])["p_sum"]
     for i, im in enumerate(imgs):
         assert got[(f"r-{i}", 1, 2)] == im[8:16, 16:24].astype(np.int64).sum()
+
+
+def _img_table(arrs):
+    ids, bufs, ws, hs = [], [], [], []
+    for i, a in enumerate(arrs):
+        ids.append(f"t{i}")
+        bufs.append(imk.encode(np.ascontiguousarray(a), "raw"))
+        hs.append(a.shape[0])
+        ws.append(a.shape[1])
+    n = len(ids)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(["raw"] * n, pa.string()),
+    })
+
+
+def test_sobel_stats_known_values(ray_session):
+    import ray
+    from hand_index_ray.pipelines.image_embed import sobel_stats
+
+    # vertical step edge: gx = 4*step on the two columns straddling it
+    img = np.zeros((5, 6, 3), np.uint8)
+    img[:, 3:] = 10  # step of 10 between x=2 and x=3
+    ds = ray.data.from_arrow(_img_table([img]))
+    out = sobel_stats(ds).to_pandas()
+    # interior is y in 1..3, x in 1..4; gx=|±40| at x=2,3 rows 1..3; gy=0
+    assert int(out.g_max[0]) == 40
+    assert int(out.g_sum[0]) == 40 * 2 * 3
+
+    # flat image → zero energy
+    flat = np.full((4, 4, 3), 7, np.uint8)
+    out2 = sobel_stats(ray.data.from_arrow(_img_table([flat]))).to_pandas()
+    assert int(out2.g_sum[0]) == 0 and int(out2.g_max[0]) == 0
+
+
+def test_box_blur_matches_naive(ray_session):
+    import ray
+    from hand_index_ray.pipelines.image_embed import box_blur_stats
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    p = img[:, :, 0].astype(np.int64)
+    naive = np.zeros((7, 9), np.int64)
+    for y in range(1, 8):
+        for x in range(1, 10):
+            naive[y - 1, x - 1] = p[y - 1:y + 2, x - 1:x + 2].sum() // 9
+    out = box_blur_stats(ray.data.from_arrow(_img_table([img]))).to_pandas()
+    assert int(out.bb_sum[0]) == int(naive.sum())
+    xw = np.arange(1, 10, dtype=np.int64)[None, :]
+    assert int(out.bb_xw[0]) == int((naive * xw).sum())
+
+
+def test_luma_histogram_counts(ray_session):
+    import ray
+    from hand_index_ray.pipelines.image_embed import luma_histogram
+
+    # constant-color image → single luma bin holding every pixel
+    img = np.zeros((6, 8, 3), np.uint8)
+    img[:, :, 0] = 100
+    img[:, :, 1] = 50
+    img[:, :, 2] = 200
+    lum = (77 * 100 + 150 * 50 + 29 * 200) >> 8
+    out = luma_histogram(ray.data.from_arrow(_img_table([img])))
+    assert len(out) == 1
+    assert int(out.lum[0]) == lum and int(out.n_px[0]) == 48
