@@ -1113,6 +1113,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return luma_histogram(_arith_images(sf))
 
+    def q80_components(sf):  # connected components of the edit-1 graph (SQL oracle)
+        """Pairs → duplicate clusters: min-label propagation over the
+        q70 edit-distance-1 edges (slim (node,label) shuffles per
+        round, distributed fixpoint test); the oracle is a recursive
+        reachability CTE taking MIN over each node's closure."""
+        from hand_index_ray.pipelines.graph import connected_components
+        from hand_index_ray.pipelines.text import edit1_pairs
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            n = (k * 2654435761) % 1000
+            s = np.array([f"itm{v}" for v in n], dtype=object)
+            tail = np.where(n % 3 == 0, "x", "")
+            return pa.table({"s": pa.array(
+                [a + b for a, b in zip(s, tail)], pa.string())})
+
+        dom = rel.distinct(
+            _t(sf, "orders").select_columns(["o_orderkey"])
+            .map_batches(mk, batch_format="pyarrow"), ["s"])
+        edges = edit1_pairs(dom, "s")
+        return connected_components(edges, a="s_a", b="s_b")
+
+    def q81_skyline(sf):  # 2-D Pareto frontier, local-prune + merge (SQL oracle)
+        """Non-dominated (price, hash-dim) points: per-block skyline
+        prune (sort + cummax scan) then a candidate-only merge — the
+        oracle is the NOT EXISTS dominance anti-join."""
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice", "total_cents")
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            keep = k % 8 == 0
+            return pa.table({
+                "x": pa.array(t["total_cents"].to_numpy()[keep], pa.int64()),
+                "y": pa.array((k[keep] * 2654435761) % 100000, pa.int64())})
+
+        pts = orders.select_columns(["o_orderkey", "total_cents"]) \
+            .map_batches(mk, batch_format="pyarrow")
+        return rel.skyline(pts, "x", "y")
+
+    def q82_funnel(sf):  # ordered signup→click→purchase funnel (SQL oracle)
+        """Stage-i users = distinct users with a stage-i event strictly
+        after their stage-(i-1) first time; one keyed shuffle, bucket
+        partial counts, tiny driver sum."""
+        return rel.funnel_counts(_t(sf, "events"), "user_id", "ts",
+                                 "event_type",
+                                 ["signup", "click", "purchase"])
+
+    def q83_tfidf(sf):  # integer TF-IDF top-3 terms per doc (SQL oracle)
+        from hand_index_ray.pipelines.text import tfidf_topk
+
+        return tfidf_topk(_t(sf, "documents"), k=3).select_columns(
+            ["doc_id", "term", "tf", "score"])
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1193,6 +1246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q77_sobel": q77_sobel,
         "q78_box_blur": q78_box_blur,
         "q79_luma_hist": q79_luma_hist,
+        "q80_components": q80_components,
+        "q81_skyline": q81_skyline,
+        "q82_funnel": q82_funnel,
+        "q83_tfidf": q83_tfidf,
     }
 
 
@@ -2069,5 +2126,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM ks, generate_series(0, 23) y(y),
                        generate_series(0, 31) x(x))
             SELECT lum, COUNT(*) AS n_px FROM v GROUP BY lum
+        """,
+        "q80_components": """
+            WITH RECURSIVE d AS (
+              SELECT DISTINCT 'itm' || CAST((o_orderkey * 2654435761) % 1000
+                                            AS VARCHAR)
+                     || CASE WHEN ((o_orderkey * 2654435761) % 1000) % 3 = 0
+                             THEN 'x' ELSE '' END AS s
+              FROM orders),
+            e0 AS (SELECT a.s AS sa, b.s AS sb FROM d a JOIN d b
+                   ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+                   WHERE levenshtein(a.s, b.s) <= 1),
+            e AS (SELECT sa AS u, sb AS v FROM e0
+                  UNION ALL SELECT sb, sa FROM e0),
+            n AS (SELECT DISTINCT u AS node FROM e),
+            reach(node, r) AS (
+              SELECT node, node FROM n
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u)
+            SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        """,
+        "q81_skyline": """
+            WITH p AS (SELECT DISTINCT
+                         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS x,
+                         (o_orderkey * 2654435761) % 100000 AS y
+                       FROM orders WHERE o_orderkey % 8 = 0)
+            SELECT x, y FROM p a
+            WHERE NOT EXISTS (SELECT 1 FROM p b
+                              WHERE b.x >= a.x AND b.y >= a.y
+                                AND (b.x > a.x OR b.y > a.y))
+        """,
+        "q82_funnel": """
+            WITH f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1::BIGINT AS stage, COUNT(*)::BIGINT AS n_users FROM f1
+            UNION ALL
+            SELECT 2::BIGINT, COUNT(*)::BIGINT FROM f2
+            UNION ALL
+            SELECT 3::BIGINT, COUNT(*)::BIGINT FROM f3
+        """,
+        "q83_tfidf": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM tf GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                         CAST((tf.tf * 1000000) // df.d AS BIGINT) AS score
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rn FROM s)
+            SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
         """,
     }

@@ -1,0 +1,158 @@
+"""Distributed graph operators: connected components over an edge list.
+
+The near-dup pipelines (minhash_lsh_pairs, ann.dup_pairs, edit1_pairs)
+emit PAIRS; collapsing pairs into canonical duplicate CLUSTERS — pick
+one representative per group — is a connected-components problem. The
+reference has no graph step (its dedup is DuckDB DISTINCT,
+load.py:212); this is part of the beyond-reference training-data
+surface (SURVEY.md §2.9 extension family).
+
+Algorithm: min-label propagation (the textbook Pregel/MapReduce CC):
+every node starts labeled with itself; each round every node takes the
+minimum label among itself and its neighbors; fixpoint after
+``eccentricity(component)`` rounds.
+
+Execution shape: this is THE case where raw Ray tasks beat the Dataset
+API — an iterative fixpoint whose per-round work is tiny relative to a
+Dataset execution's fixed cost (plan, actor wave, bucketed exchange).
+Edges are hash-partitioned by source ONCE into ``num_buckets`` Arrow
+tables pinned in the object store; labels live partitioned the same
+way. A round is then exactly two task waves of ``num_buckets`` tiny
+tasks each — join+scatter, then min-reduce — with the per-destination
+pieces flowing task-to-task through the object store (a hand-rolled
+shuffle that moves only slim (node, label) rows). Convergence is a
+by-product of the min-reduce (count of labels that strictly
+decreased), so no extra pass. The driver holds only object refs and a
+per-round changed-counter; label tables never land on the driver — the
+result is assembled with ``ray.data.from_arrow_refs``.
+
+Dedup-cluster graphs have tiny diameter (pairs share a bucket key), so
+rounds stay single-digit; for high-diameter graphs swap in
+pointer-jumping (label ← label(label)) to get O(log n) rounds — same
+two-wave primitives.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, B: int) -> np.ndarray:
+    """Deterministic bucket id per value (int: splitmix64; str: crc32)."""
+    from ..sources.synth import splitmix64
+
+    if pa.types.is_integer(col.type):
+        with np.errstate(over="ignore"):
+            h = splitmix64(col.to_numpy().astype(np.uint64))
+    else:
+        h = np.array([zlib.crc32(str(v).encode()) for v in col.to_pylist()],
+                     dtype=np.uint64)
+    return (h % np.uint64(B)).astype(np.int64)
+
+
+@ray.remote
+def _split_edges(tbl: pa.Table, B: int) -> tuple:
+    """Partition a symmetrized edge block by hash(u) % B."""
+    bk = _bucket_of(tbl["u"], B)
+    return tuple(tbl.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _build_bucket(*pieces: pa.Table) -> pa.Table:
+    return pa.concat_tables([p for p in pieces if p.num_rows] or
+                            [pieces[0]])
+
+
+@ray.remote
+def _init_labels(eb: pa.Table) -> pa.Table:
+    u = pc_unique(eb["u"])
+    return pa.table({"node": u, "lbl": u})
+
+
+def pc_unique(col):
+    import pyarrow.compute as pc
+
+    return pc.unique(pa.chunked_array([col]) if isinstance(col, pa.Array)
+                     else col)
+
+
+@ray.remote
+def _propagate(eb: pa.Table, lb: pa.Table, B: int) -> tuple:
+    """Join edges (u,v) with labels on u; scatter (node=v, lbl) by
+    hash(v) % B as one piece per destination bucket."""
+    e = eb.select(["u", "v"]).to_pandas()
+    l = lb.to_pandas()
+    cand = e.merge(l, left_on="u", right_on="node")[["v", "lbl"]]
+    out = pa.table({"node": pa.array(cand["v"].to_numpy(), eb.schema.field("v").type),
+                    "lbl": pa.array(cand["lbl"].to_numpy(), lb.schema.field("lbl").type)})
+    bk = _bucket_of(out["node"], B)
+    return tuple(out.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _min_reduce(old: pa.Table, *pieces: pa.Table) -> tuple:
+    """New label per node = min(old label, incoming candidates);
+    returns (labels table, number of labels that strictly decreased)."""
+    cand = [p.to_pandas() for p in pieces if p.num_rows]
+    o = old.to_pandas()
+    if not cand:
+        return old, 0
+    cm = pd.concat(cand, ignore_index=True).groupby("node", sort=False)["lbl"].min()
+    m = o.merge(cm.rename("__c"), left_on="node", right_index=True, how="left")
+    take = m["__c"].notna() & (m["__c"] < m["lbl"])
+    new_lbl = m["lbl"].where(~take, m["__c"])
+    out = pa.table({"node": old["node"],
+                    "lbl": pa.array(new_lbl.to_numpy(), old.schema.field("lbl").type)})
+    return out, int(take.sum())
+
+
+@ray.remote
+def _finalize(lb: pa.Table) -> pa.Table:
+    return lb.rename_columns(["node", "comp"])
+
+
+def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
+                         max_rounds: int = 64,
+                         num_buckets: int | None = None) -> ray.data.Dataset:
+    """Connected components of the undirected graph given by edge
+    columns (a, b). Returns a Dataset (node, comp) where ``comp`` is
+    the minimum node id in the node's component (string or integer
+    node ids — min is the column type's natural ordering, matching SQL
+    MIN). Nodes appear iff they occur in at least one edge.
+    """
+
+    def sym(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": t[a], "v": t[b]})
+        rev = pa.table({"u": t[b], "v": t[a]})
+        return pa.concat_tables([fwd, rev])
+
+    blocks = edges.map_batches(sym, batch_format="pyarrow").to_arrow_refs()
+    if not blocks:
+        empty = pa.table({"node": pa.array([], pa.string()),
+                          "comp": pa.array([], pa.string())})
+        return ray.data.from_arrow(empty)
+    B = max(2, num_buckets or min(32, max(4, len(blocks))))
+
+    splits = [_split_edges.options(num_returns=B).remote(blk, B)
+              for blk in blocks]
+    Eb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
+    Lb = [_init_labels.remote(e) for e in Eb]
+
+    for _ in range(max_rounds):
+        cands = [_propagate.options(num_returns=B).remote(Eb[i], Lb[i], B)
+                 for i in range(B)]
+        outs = [_min_reduce.options(num_returns=2).remote(
+                    Lb[i], *(c[i] for c in cands)) for i in range(B)]
+        Lb = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in "
+                           f"{max_rounds} rounds (diameter too large — "
+                           f"use pointer-jumping)")
+
+    return ray.data.from_arrow_refs([_finalize.remote(l) for l in Lb])

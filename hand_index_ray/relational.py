@@ -1529,3 +1529,81 @@ def approx_top_k(ds: ray.data.Dataset, col: str, k: int,
     typ = ds.schema().base_schema.field(col).type
     return pa.table({col: pa.array(items.tolist(), typ),
                      "n": pa.array(counts, pa.int64())}).to_pandas()
+
+
+def skyline(ds: ray.data.Dataset, x: str, y: str) -> pd.DataFrame:
+    """2-D Pareto frontier over distinct (x, y) points, maximizing
+    both: a point survives iff no other point is ≥ in both dims and
+    > in one. Local skylines are a superset of the global one, so each
+    block prunes independently (one sort + cummax scan, vectorized) and
+    only candidates — O(expected sqrt/log of block size) for
+    non-degenerate data — reach the driver merge, which reruns the
+    same scan. No global sort, no pairwise O(n²) anywhere."""
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([x, y]) \
+               .sort_values([x, y], ascending=False, kind="stable") \
+               .reset_index(drop=True)
+        if not len(df):
+            return df
+        v = df[y].to_numpy()
+        best = np.maximum.accumulate(v)
+        keep = np.empty(len(v), bool)
+        keep[0] = True
+        keep[1:] = v[1:] > best[:-1]
+        return df[keep]
+
+    def local(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(scan(t.select([x, y]).to_pandas()),
+                                    preserve_index=False)
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    return scan(cand).reset_index(drop=True)
+
+
+def funnel_counts(events: ray.data.Dataset, key: str, ts_col: str,
+                  type_col: str, stages: list[str],
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Ordered-funnel analysis: how many distinct ``key``s reached
+    stage i, where stage 0 is the key's earliest ``stages[0]`` event
+    and stage i requires a ``stages[i]`` event STRICTLY after the
+    key's stage-(i-1) time. One keyed-hash shuffle of the prefiltered
+    (key, ts, type) rows co-locates each key; inside a bucket the
+    whole cascade is pandas groupby-min merges (no per-key loop); each
+    bucket emits ≤ len(stages) partial count rows, so the reduce is a
+    driver-side O(stages × buckets) sum."""
+    stage_set = set(stages)
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, type_col])
+        return t.filter(pc.is_in(t[type_col],
+                                 value_set=pa.array(sorted(stage_set))))
+
+    slim = events.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        reached = g[g[type_col] == stages[0]].groupby(key)[ts_col].min()
+        counts = [len(reached)]
+        for s in stages[1:]:
+            ev = g[g[type_col] == s][[key, ts_col]]
+            ev = ev.merge(reached.rename("__prev"), left_on=key,
+                          right_index=True)
+            ev = ev[ev[ts_col] > ev["__prev"]]
+            reached = ev.groupby(key)[ts_col].min()
+            counts.append(len(reached))
+        return pd.DataFrame({
+            "stage": pd.Series(range(1, len(stages) + 1), dtype="int64"),
+            "n_users": pd.Series(counts, dtype="int64")})
+
+    parts = grouped_apply_bucketed(slim, [key], bucket_fn,
+                                   num_buckets=num_buckets,
+                                   whole_bucket=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"stage": pd.Series(range(1, len(stages) + 1),
+                                                dtype="int64"),
+                             "n_users": pd.Series([0] * len(stages),
+                                                  dtype="int64")})
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    return out.sort_values("stage").reset_index(drop=True)

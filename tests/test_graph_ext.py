@@ -1,0 +1,172 @@
+"""Unit tests for the round-2 extension operators: connected
+components (Pregel min-label over raw task waves), skyline, funnel,
+and TF-IDF top-k — each against a small brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _ds(tbl: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+# ---------------------------------------------------------------- CC
+
+def _brute_cc(edges):
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("nodes", ["int", "str"])
+def test_connected_components_vs_union_find(ray_session, nodes):
+    from hand_index_ray.pipelines.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    # three chains + isolated pairs + a cycle
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21),
+             (30, 31), (31, 32), (32, 30), (40, 41)]
+    edges += [(int(a), int(b)) for a, b in rng.integers(100, 140, (30, 2))
+              if a != b]
+    if nodes == "str":
+        edges = [(f"n{a:03d}", f"n{b:03d}") for a, b in edges]
+    truth = _brute_cc(edges)
+    typ = pa.int64() if nodes == "int" else pa.string()
+    tbl = pa.table({"a": pa.array([e[0] for e in edges], typ),
+                    "b": pa.array([e[1] for e in edges], typ)})
+    got = connected_components(_ds(tbl), num_buckets=4).to_pandas()
+    got_map = dict(zip(got["node"], got["comp"]))
+    assert got_map == truth
+
+
+def test_connected_components_single_component_diameter(ray_session):
+    """A pure chain exercises multi-round propagation to fixpoint."""
+    from hand_index_ray.pipelines.graph import connected_components
+
+    n = 12
+    tbl = pa.table({"a": pa.array(range(n - 1), pa.int64()),
+                    "b": pa.array(range(1, n), pa.int64())})
+    got = connected_components(_ds(tbl), num_buckets=3).to_pandas()
+    assert len(got) == n
+    assert set(got["comp"]) == {0}
+
+
+# ----------------------------------------------------------- skyline
+
+def test_skyline_vs_bruteforce(ray_session):
+    from hand_index_ray.relational import skyline
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, 400)
+    y = rng.integers(0, 50, 400)
+    pts = set(zip(x.tolist(), y.tolist()))
+    truth = sorted(p for p in pts
+                   if not any(q[0] >= p[0] and q[1] >= p[1] and q != p
+                              for q in pts))
+    tbl = pa.table({"x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64())})
+    got = skyline(_ds(tbl).repartition(8), "x", "y")
+    assert sorted(zip(got["x"], got["y"])) == truth
+
+
+def test_skyline_duplicates_and_ties(ray_session):
+    from hand_index_ray.relational import skyline
+
+    tbl = pa.table({"x": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "y": pa.array([5, 5, 9, 9, 1], pa.int64())})
+    got = skyline(_ds(tbl), "x", "y")
+    assert sorted(zip(got["x"], got["y"])) == [(2, 9)]
+
+
+# ------------------------------------------------------------ funnel
+
+def test_funnel_strict_ordering(ray_session):
+    from hand_index_ray.relational import funnel_counts
+
+    rows = [
+        # u1 completes all three in order
+        ("u1", 10, "signup"), ("u1", 20, "click"), ("u1", 30, "purchase"),
+        # u2: click BEFORE signup (same-ts purchase not strictly after)
+        ("u2", 50, "click"), ("u2", 60, "signup"), ("u2", 60, "purchase"),
+        # u3 signup only
+        ("u3", 5, "signup"),
+        # u4 never signs up
+        ("u4", 1, "click"), ("u4", 2, "purchase"),
+        # u5: signup, click, purchase before click -> stops at 2
+        ("u5", 1, "signup"), ("u5", 9, "purchase"), ("u5", 10, "click"),
+    ]
+    tbl = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows])})
+    got = funnel_counts(_ds(tbl).repartition(3), "user_id", "ts",
+                        "event_type", ["signup", "click", "purchase"],
+                        num_buckets=4)
+    assert got["n_users"].tolist() == [4, 2, 1]
+
+
+def test_funnel_empty_input(ray_session):
+    from hand_index_ray.relational import funnel_counts
+
+    tbl = pa.table({"user_id": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string())})
+    got = funnel_counts(_ds(tbl), "user_id", "ts", "event_type",
+                        ["signup", "click"])
+    assert got["n_users"].tolist() == [0, 0]
+
+
+# ------------------------------------------------------------ tf-idf
+
+def test_tfidf_topk_bruteforce(ray_session):
+    from hand_index_ray.pipelines.text import tfidf_topk
+
+    docs = {1: "a a b c", 2: "a b b d", 3: "c c c e a"}
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    got = tfidf_topk(_ds(tbl), k=2).to_pandas()
+    # brute force
+    tf = {}
+    df = {}
+    for d, s in docs.items():
+        toks = s.split(" ")
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+        for t in toks:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    scores = {(d, t): (n * 1_000_000) // df[t] for (d, t), n in tf.items()}
+    for d in docs:
+        mine = sorted(((row.term, row.score) for row in
+                       got[got.doc_id == d].itertuples()))
+        want = sorted((t, s) for (dd, t), s in sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0][1]))
+            if dd == d)[:2]
+        want = sorted((t, s) for (dd, t), s in sorted(
+            ((k, v) for k, v in scores.items() if k[0] == d),
+            key=lambda kv: (-kv[1], kv[0][1]))[:2])
+        assert mine == want, (d, mine, want)
