@@ -1166,6 +1166,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_topk(_t(sf, "documents"), k=3).select_columns(
             ["doc_id", "term", "tf", "score"])
 
+    def q84_dedup_reps(sf):  # near-dup clusters → canonical rep per doc (SQL oracle)
+        """The flagship dedup composition: MinHash+LSH pairs →
+        connected components → every doc labeled with its cluster
+        representative (min doc_id; itself if unpaired) — the keep-mask
+        a 100 TB curation run filters on."""
+        from hand_index_ray.pipelines.graph import canonical_reps
+
+        docs = _t(sf, "documents")
+        pairs = textops.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        return canonical_reps(docs, pairs)
+
+    def q85_cohort(sf):  # weekly cohort-retention matrix (SQL oracle)
+        return rel.cohort_retention(_t(sf, "events"), "user_id", "ts")
+
+    def q86_cube(sf):  # GROUP BY CUBE counts + exact cent sums (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.cube_counts(orders,
+                               ["o_orderstatus", "o_orderpriority"],
+                               sum_cols=["total_cents"])
+
+    def q87_extent(sf):  # per-zone ST_Extent over the image index (SQL oracle)
+        from hand_index_ray.pipelines.query import zone_extent
+
+        return zone_extent(_image_index_tpch(sf), modulus=16)
+
+    def q88_morphology(sf):  # 3x3 dilate/erode interior sums (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import morph_stats
+
+        return morph_stats(_arith_images(sf))
+
+    def q89_zero_crossings(sf):  # WAV decode → zero-crossing counts (SQL oracle)
+        """q35's real-PCM16 payloads reduced to the classic audio
+        feature: count of strict sign changes between adjacent
+        samples (the decode round-trip is bit-exact, so the oracle
+        recomputes crossings from the sample formula)."""
+        from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 97 == 0]
+            ok, oz = [], []
+            for k in keys:
+                n = 200 + int(k) % 300
+                i = np.arange(n, dtype=np.int64)
+                v = (int(k) * 7919 + i * 104729) % 65536 - 32768
+                blob = encode_wav(v / 32768.0, 16000, bits=16)
+                x, _rate = decode_wav(blob)
+                rec = np.round(x * 32768.0).astype(np.int64)
+                ok.append(int(k))
+                oz.append(int(np.sum(rec[:-1] * rec[1:] < 0)))
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "n_zc": pa.array(oz, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1250,6 +1309,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_skyline": q81_skyline,
         "q82_funnel": q82_funnel,
         "q83_tfidf": q83_tfidf,
+        "q84_dedup_reps": q84_dedup_reps,
+        "q85_cohort": q85_cohort,
+        "q86_cube": q86_cube,
+        "q87_extent": q87_extent,
+        "q88_morphology": q88_morphology,
+        "q89_zero_crossings": q89_zero_crossings,
     }
 
 
@@ -1414,6 +1479,25 @@ _MINHASH_SQL = """
            CAST(ROUND(1000000.0 * i / (s - i)) AS BIGINT) AS j_micro
     FROM p
     WHERE CAST(ROUND(1000000.0 * i / (s - i)) AS BIGINT) >= 500000
+"""
+
+
+def _morph_sql() -> str:
+    """q88: 3x3 dilate/erode over the arith-image interior — GREATEST /
+    LEAST of the 9 neighborhood pixel formulas, summed per image."""
+    terms = ", ".join(
+        f"((k + 7*(y.y+{dy}) + 3*(x.x+{dx})) % 256)"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+    WITH ks AS (SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 16 = 0),
+    m AS (SELECT k, GREATEST({terms}) AS d, LEAST({terms}) AS e
+          FROM ks, generate_series(1, 22) y(y),
+               generate_series(1, 30) x(x))
+    SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+           CAST(SUM(d) AS BIGINT) AS d_sum,
+           CAST(SUM(e) AS BIGINT) AS e_sum
+    FROM m GROUP BY k
 """
 
 
@@ -2170,6 +2254,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::BIGINT, COUNT(*)::BIGINT FROM f2
             UNION ALL
             SELECT 3::BIGINT, COUNT(*)::BIGINT FROM f3
+        """,
+        "q84_dedup_reps": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            nn AS (SELECT DISTINCT u AS node FROM e),
+            reach(node, r) AS (
+              SELECT node, node FROM nn
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+            comp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+            SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "q85_cohort": """
+            WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id,
+                         f.t0 // 604800000000 AS cohort,
+                         epoch_us(e.ts) // 604800000000
+                           - f.t0 // 604800000000 AS offs
+                  FROM events e JOIN f USING (user_id))
+            SELECT cohort, offs, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, offs
+        """,
+        "q86_cube": """
+            WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders)
+            SELECT COALESCE(st, '*') AS o_orderstatus,
+                   COALESCE(pri, '*') AS o_orderpriority,
+                   CAST(SUM(c) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o GROUP BY CUBE(st, pri)
+        """,
+        "q87_extent": f"""
+            WITH f AS ({_TK_FOOT}),
+            m AS (SELECT k % 16 AS zone,
+                         lon - half AS minx, lat - half AS miny,
+                         lon + half AS maxx, lat + half AS maxy FROM f)
+            SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_images,
+                   MIN(minx) AS ext_minx, MIN(miny) AS ext_miny,
+                   MAX(maxx) AS ext_maxx, MAX(maxy) AS ext_maxy
+            FROM m GROUP BY zone
+        """,
+        "q88_morphology": _morph_sql(),
+        "q89_zero_crossings": """
+            WITH o AS (SELECT o_orderkey AS k, 200 + o_orderkey % 300 AS n
+                       FROM orders WHERE o_orderkey % 97 = 0),
+            v AS (SELECT k, n, g.i AS i,
+                         (k * 7919 + g.i * 104729) % 65536 - 32768 AS v
+                  FROM o CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 499)) g
+                  WHERE g.i < n),
+            p AS (SELECT a.k, a.v AS va, b.v AS vb
+                  FROM v a JOIN v b ON a.k = b.k AND b.i = a.i + 1)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN va * vb < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zc
+            FROM p GROUP BY k
         """,
         "q83_tfidf": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -55,8 +55,21 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, B: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_edges(tbl: pa.Table, B: int) -> tuple:
-    """Partition a symmetrized edge block by hash(u) % B."""
+def _peek_schema(tbl):
+    return tbl.schema if isinstance(tbl, pa.Table) and tbl.num_rows else None
+
+
+@ray.remote
+def _split_edges(tbl, B: int, empty: pa.Table) -> tuple:
+    """Partition a symmetrized edge block by hash(u) % B. Zero-row
+    blocks reach here schema-less (Ray Data skips the map UDF for
+    empty blocks and passes them through, sometimes still in pandas
+    format) — normalize them to the canonical empty (u, v) table."""
+    if not isinstance(tbl, pa.Table):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False) \
+            if len(tbl) else empty
+    if tbl.num_rows == 0 or "u" not in tbl.column_names:
+        return tuple(empty for _ in range(B))
     bk = _bucket_of(tbl["u"], B)
     return tuple(tbl.filter(pa.array(bk == i)) for i in range(B))
 
@@ -136,8 +149,19 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                           "comp": pa.array([], pa.string())})
         return ray.data.from_arrow(empty)
     B = max(2, num_buckets or min(32, max(4, len(blocks))))
+    # node type from the first non-empty computed block (schema-only
+    # fetch — avoids re-executing the edge pipeline via ds.schema())
+    schemas = ray.get([_peek_schema.remote(blk) for blk in blocks])
+    node_type = next((s.field("u").type for s in schemas if s is not None),
+                     None)
+    if node_type is None:  # every block empty → no nodes
+        e = pa.table({"node": pa.array([], pa.string()),
+                      "comp": pa.array([], pa.string())})
+        return ray.data.from_arrow(e)
+    empty = pa.table({"u": pa.array([], node_type),
+                      "v": pa.array([], node_type)})
 
-    splits = [_split_edges.options(num_returns=B).remote(blk, B)
+    splits = [_split_edges.options(num_returns=B).remote(blk, B, empty)
               for blk in blocks]
     Eb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
     Lb = [_init_labels.remote(e) for e in Eb]
@@ -156,3 +180,45 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
                            f"use pointer-jumping)")
 
     return ray.data.from_arrow_refs([_finalize.remote(l) for l in Lb])
+
+
+def canonical_reps(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+                   id_col: str = "doc_id", a: str = "id_a",
+                   b: str = "id_b") -> ray.data.Dataset:
+    """Near-dup canonicalization: collapse a pair list (from
+    minhash_lsh_pairs / ann.dup_pairs / edit1_pairs) into clusters and
+    assign every document its cluster representative — the minimum id
+    in its connected component, itself if it appears in no pair. The
+    output (id, rep_id) is the standard keep-mask for corpus dedup
+    (keep iff id == rep_id).
+
+    Scale shape: the component table is DUPLICATE-domain-sized (nodes
+    that occur in at least one pair), which is a small fraction of the
+    corpus in real dedup runs — it broadcasts once via ``ray.put`` and
+    the corpus pass is map-only. If the dup domain ever rivals the
+    corpus, swap the broadcast for ``relational.hash_join`` on id
+    (same output contract)."""
+    comp = connected_components(pairs, a=a, b=b)
+    id_type = docs.schema().base_schema.field(id_col).type
+    parts = list(comp.iter_batches(batch_format="pyarrow"))
+    comp_tbl = pa.concat_tables(parts) if parts else \
+        pa.table({"node": pa.array([], id_type),
+                  "comp": pa.array([], id_type)})
+    if comp_tbl.num_rows == 0:
+        comp_tbl = pa.table({"node": pa.array([], id_type),
+                             "comp": pa.array([], id_type)})
+    ref = ray.put(comp_tbl)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref).to_pandas()
+        ids = t.column(id_col).to_pandas().rename(id_col)
+        m = ids.to_frame().merge(c, left_on=id_col, right_on="node",
+                                 how="left")
+        rep = m["comp"].where(m["comp"].notna(), m[id_col])
+        return pa.table({id_col: t[id_col],
+                         "rep_id": pa.array(
+                             rep.to_numpy(),
+                             t.schema.field(id_col).type)})
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -503,3 +503,40 @@ def luma_histogram(source: "str | ray.data.Dataset",
     out = rel.grouped_agg(parts, ["lum"], sum_cols=["n_px"], count=False) \
         .to_pandas()
     return out.sort_values("lum").reset_index(drop=True)
+
+
+def morph_stats(source: "str | ray.data.Dataset", channel: int = 0,
+                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image 3x3 grayscale morphology over the valid interior of
+    one channel: dilation (neighborhood max) and erosion (neighborhood
+    min), reduced to exact int64 sums per image — the classic
+    despeckle/boundary-extract primitives (morphological gradient =
+    d_sum - e_sum).
+
+    Same execution shape as sobel_stats: the min/max over the 9
+    shifted slices is pure vectorized numpy on the decoded array,
+    map-only, one row out per image; at 100 TB the stage streams with
+    the decode actor pool and never shuffles."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        d_sum = np.zeros(t.num_rows, np.int64)
+        e_sum = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64)
+            shifts = [p[dy:dy + p.shape[0] - 2, dx:dx + p.shape[1] - 2]
+                      for dy in (0, 1, 2) for dx in (0, 1, 2)]
+            st = np.stack(shifts)
+            d_sum[i] = st.max(axis=0).sum()
+            e_sum[i] = st.min(axis=0).sum()
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "d_sum": pa.array(d_sum, pa.int64()),
+                         "e_sum": pa.array(e_sum, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))

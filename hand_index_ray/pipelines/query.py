@@ -1138,3 +1138,42 @@ def zonal_tile_stats(index_dir: str, catchments_path: str,
         joined = hash_join(pairs, feats, "image_id", how="inner")
     return grouped_agg(joined.select_columns(["catchment_id", "npixels"]),
                        ["catchment_id"], sum_cols=["npixels"])
+
+
+def zone_extent(index_dir: str, modulus: int = 16) -> ray.data.Dataset:
+    """Per-zone bounding-box aggregate over the footprint index —
+    ST_Extent_Agg parity (the reference's viz layer draws per-set
+    extents, viz/query_visualization.py:178-240; here the zone is a
+    deterministic key partition so the result is SQL-checkable).
+
+    Scale shape: manifest-pruned slim-column read (5 columns leave
+    storage), per-batch partial min/max via relational.grouped_agg —
+    the exchange moves |zones| partial rows per batch, never
+    footprints. min/max of float64 is exact selection (no accumulation
+    drift), so the result hashes identically to the oracle."""
+    from .. import relational as rel
+
+    man = Manifest(index_dir)
+    files = man.all_files(index_dir)
+    foot = ray.data.read_parquet(
+        files, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+
+    def zone(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99), pa.int64())
+        z = pc.cast(pc.subtract(k, pc.multiply(
+            pc.divide(k, pa.scalar(modulus, pa.int64())),
+            pa.scalar(modulus, pa.int64()))), pa.int64())
+        return pa.table({"zone": z, "minx": t["minx"], "miny": t["miny"],
+                         "maxx": t["maxx"], "maxy": t["maxy"]})
+
+    z = foot.map_batches(zone, batch_format="pyarrow", zero_copy_batch=True)
+    out = rel.grouped_agg(z, ["zone"], count=True,
+                          min_cols=["minx", "miny"], max_cols=["maxx", "maxy"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ren = {"min_minx": "ext_minx", "min_miny": "ext_miny",
+               "max_maxx": "ext_maxx", "max_maxy": "ext_maxy",
+               "n": "n_images"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -1607,3 +1607,102 @@ def funnel_counts(events: ray.data.Dataset, key: str, ts_col: str,
                                                   dtype="int64")})
     out = parts.groupby("stage", as_index=False)["n_users"].sum()
     return out.sort_values("stage").reset_index(drop=True)
+
+
+def cohort_retention(events: ray.data.Dataset, key: str, ts_col: str,
+                     bucket_us: int = 7 * 86400 * 1_000_000,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Cohort-retention matrix: cohort(u) = floor(first event time /
+    bucket), and for each (cohort, offset) count the distinct keys
+    active ``offset`` buckets after their cohort bucket.
+
+    Shape at scale: the per-key first-event table is key-domain-sized,
+    so it is NOT broadcast — events join it with the partitioned
+    ``hash_join`` (one keyed exchange moves slim (key, ts) rows); the
+    distinct-activity pass rides the standard distinct shuffle of
+    (key, cohort, offset) triples; the final count is a tiny
+    grouped_agg over |cohorts|x|offsets| partials."""
+    slim = events.select_columns([key, ts_col]).map_batches(
+        lambda t: pa.table({key: t[key],
+                            "__ts": t.column(ts_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    first = grouped_agg(slim, [key], min_cols=["__ts"], count=False)
+    first = first.map_batches(
+        lambda t: t.rename_columns(
+            ["__t0" if c == "min___ts" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j = hash_join(slim, first, key=key, num_buckets=num_buckets)
+
+    def offs(t: pa.Table) -> pa.Table:
+        ts = t.column("__ts").to_numpy()
+        t0 = t.column("__t0").to_numpy()
+        cohort = t0 // bucket_us
+        off = ts // bucket_us - cohort
+        return pa.table({key: t[key],
+                         "cohort": pa.array(cohort, pa.int64()),
+                         "offs": pa.array(off, pa.int64())})
+
+    act = distinct(j.map_batches(offs, batch_format="pyarrow"),
+                   [key, "cohort", "offs"])
+    out = grouped_agg(act.select_columns(["cohort", "offs"]),
+                      ["cohort", "offs"], count=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["n_users" if c == "n" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def cube_counts(ds: ray.data.Dataset, keys: list[str],
+                sum_cols: list[str] | None = None,
+                sentinel: str = "*") -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): counts (and optional exact integer sums)
+    for EVERY subset of the key columns, rolled-up columns marked with
+    ``sentinel`` (string keys only — same convention as rollup_counts).
+
+    Same single-pass shape as rollup_counts: one fine Arrow hash-agg
+    per batch, then the 2^|keys|-1 coarser levels re-aggregate that
+    tiny partial inside the task, so the exchange moves
+    |groups|x2^|keys| partial rows — no extra pass per level."""
+    sum_cols = sum_cols or []
+    masks = list(range((1 << len(keys)) - 1, -1, -1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+        fine = t.group_by(keys).aggregate(aggs)
+        ren = {f"{c}_sum": c for c in sum_cols}
+        ren["count_all"] = "__cnt"
+        fine = fine.rename_columns([ren.get(n, n) for n in fine.column_names])
+        levels = []
+        for m in masks:
+            gk = [k for i, k in enumerate(keys) if m & (1 << i)]
+            if len(gk) == len(keys):
+                lvl = fine
+            else:
+                aggs2 = [(c, "sum") for c in sum_cols] + [("__cnt", "sum")]
+                if gk:
+                    lvl = fine.group_by(gk).aggregate(aggs2)
+                else:
+                    lvl = pa.table(
+                        {f"{c}_sum": [pc.sum(fine[c]).as_py() or 0]
+                         for c in sum_cols}
+                        | {"__cnt_sum": [pc.sum(fine["__cnt"]).as_py() or 0]})
+                ren2 = {f"{c}_sum": c for c in sum_cols}
+                ren2["__cnt_sum"] = "__cnt"
+                lvl = lvl.rename_columns(
+                    [ren2.get(n, n) for n in lvl.column_names])
+                for k in keys:
+                    if k not in lvl.column_names:
+                        lvl = lvl.append_column(
+                            k, pa.array([sentinel] * lvl.num_rows, pa.string()))
+            levels.append(lvl.select([*keys, *sum_cols, "__cnt"]))
+        return pa.concat_tables(levels)
+
+    partials = ds.select_columns(keys + sum_cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    aggs.append(Sum("__cnt", alias_name="__cnt"))
+    out = partials.groupby(keys).aggregate(*aggs)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["n" if c == "__cnt" else c for c in t.column_names]),
+        batch_format="pyarrow")

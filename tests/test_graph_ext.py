@@ -170,3 +170,77 @@ def test_tfidf_topk_bruteforce(ray_session):
             ((k, v) for k, v in scores.items() if k[0] == d),
             key=lambda kv: (-kv[1], kv[0][1]))[:2])
         assert mine == want, (d, mine, want)
+
+
+# ----------------------------------------------------- canonical_reps
+
+def test_canonical_reps_assigns_min_and_self(ray_session):
+    from hand_index_ray.pipelines.graph import canonical_reps
+
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5, 9], pa.int64())})
+    pairs = pa.table({"id_a": pa.array([2, 3], pa.int64()),
+                      "id_b": pa.array([3, 5], pa.int64())})
+    got = canonical_reps(_ds(docs), _ds(pairs)).to_pandas()
+    rep = dict(zip(got["doc_id"], got["rep_id"]))
+    assert rep == {1: 1, 2: 2, 3: 2, 4: 4, 5: 2, 9: 9}
+    assert got["rep_id"].dtype.kind == "i"
+
+
+def test_canonical_reps_no_pairs(ray_session):
+    from hand_index_ray.pipelines.graph import canonical_reps
+
+    docs = pa.table({"doc_id": pa.array([7, 8], pa.int64())})
+    pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    got = canonical_reps(_ds(docs), _ds(pairs)).to_pandas()
+    assert dict(zip(got["doc_id"], got["rep_id"])) == {7: 7, 8: 8}
+
+
+# -------------------------------------------------------------- cube
+
+def test_cube_counts_vs_pandas(ray_session):
+    from hand_index_ray.relational import cube_counts
+
+    rng = np.random.default_rng(11)
+    a = rng.choice(["x", "y", "z"], 300).tolist()
+    b = rng.choice(["p", "q"], 300).tolist()
+    v = rng.integers(0, 100, 300)
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b),
+                    "v": pa.array(v, pa.int64())})
+    got = cube_counts(_ds(tbl).repartition(4), ["a", "b"],
+                      sum_cols=["v"]).to_pandas()
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    want = {}
+    for keys in [["a", "b"], ["a"], ["b"], []]:
+        if keys:
+            g = df.groupby(keys)["v"].agg(["sum", "size"]).reset_index()
+            for _, r in g.iterrows():
+                k = (r["a"] if "a" in keys else "*",
+                     r["b"] if "b" in keys else "*")
+                want[k] = (r["sum"], r["size"])
+        else:
+            want[("*", "*")] = (df["v"].sum(), len(df))
+    gotm = {(r.a, r.b): (r.v, r.n) for r in got.itertuples()}
+    assert gotm == want
+
+
+# ------------------------------------------------------------ cohort
+
+def test_cohort_retention_vs_pandas(ray_session):
+    from hand_index_ray.relational import cohort_retention
+
+    B = 1000
+    rows = [("u1", 100), ("u1", 1100), ("u1", 3100),
+            ("u2", 1500), ("u2", 1600), ("u2", 2500),
+            ("u3", 50)]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us"))})
+    got = cohort_retention(_ds(tbl).repartition(2), "user_id", "ts",
+                           bucket_us=B, num_buckets=4).to_pandas()
+    gotm = {(r.cohort, r.offs): r.n_users for r in got.itertuples()}
+    # u1: cohort 0, active buckets {0,1,3} -> offs {0,1,3}
+    # u2: cohort 1, active buckets {1,2}  -> offs {0,1}
+    # u3: cohort 0, active {0}            -> offs {0}
+    assert gotm == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
