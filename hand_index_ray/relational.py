@@ -1611,45 +1611,42 @@ def funnel_counts(events: ray.data.Dataset, key: str, ts_col: str,
 
 def cohort_retention(events: ray.data.Dataset, key: str, ts_col: str,
                      bucket_us: int = 7 * 86400 * 1_000_000,
-                     num_buckets: int = 64) -> ray.data.Dataset:
+                     num_buckets: int = 64) -> pd.DataFrame:
     """Cohort-retention matrix: cohort(u) = floor(first event time /
     bucket), and for each (cohort, offset) count the distinct keys
     active ``offset`` buckets after their cohort bucket.
 
-    Shape at scale: the per-key first-event table is key-domain-sized,
-    so it is NOT broadcast — events join it with the partitioned
-    ``hash_join`` (one keyed exchange moves slim (key, ts) rows); the
-    distinct-activity pass rides the standard distinct shuffle of
-    (key, cohort, offset) triples; the final count is a tiny
-    grouped_agg over |cohorts|x|offsets| partials."""
+    Shape at scale: ONE keyed-hash shuffle of slim (key, ts) rows
+    co-locates each key; inside a bucket the first-event time, bucket
+    offsets, and per-key distinct activity are all vectorized pandas;
+    each bucket emits only its |cohorts|x|offsets| partial counts, so
+    the reduce is a driver-side sum over a tiny matrix (the same
+    partial-count shape as funnel_counts)."""
     slim = events.select_columns([key, ts_col]).map_batches(
         lambda t: pa.table({key: t[key],
                             "__ts": t.column(ts_col).cast(pa.int64())}),
         batch_format="pyarrow")
-    first = grouped_agg(slim, [key], min_cols=["__ts"], count=False)
-    first = first.map_batches(
-        lambda t: t.rename_columns(
-            ["__t0" if c == "min___ts" else c for c in t.column_names]),
-        batch_format="pyarrow")
-    j = hash_join(slim, first, key=key, num_buckets=num_buckets)
 
-    def offs(t: pa.Table) -> pa.Table:
-        ts = t.column("__ts").to_numpy()
-        t0 = t.column("__t0").to_numpy()
-        cohort = t0 // bucket_us
-        off = ts // bucket_us - cohort
-        return pa.table({key: t[key],
-                         "cohort": pa.array(cohort, pa.int64()),
-                         "offs": pa.array(off, pa.int64())})
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = g.groupby(key)["__ts"].transform("min")
+        cohort = t0.to_numpy() // bucket_us
+        off = g["__ts"].to_numpy() // bucket_us - cohort
+        d = pd.DataFrame({key: g[key].to_numpy(), "cohort": cohort,
+                          "offs": off}).drop_duplicates()
+        out = d.groupby(["cohort", "offs"], as_index=False).size()
+        return pd.DataFrame({"cohort": out["cohort"].astype("int64"),
+                             "offs": out["offs"].astype("int64"),
+                             "n_users": out["size"].astype("int64")})
 
-    act = distinct(j.map_batches(offs, batch_format="pyarrow"),
-                   [key, "cohort", "offs"])
-    out = grouped_agg(act.select_columns(["cohort", "offs"]),
-                      ["cohort", "offs"], count=True)
-    return out.map_batches(
-        lambda t: t.rename_columns(
-            ["n_users" if c == "n" else c for c in t.column_names]),
-        batch_format="pyarrow")
+    parts = grouped_apply_bucketed(slim, [key], bucket_fn,
+                                   num_buckets=num_buckets,
+                                   whole_bucket=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"cohort": pd.Series([], dtype="int64"),
+                             "offs": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
+    out = parts.groupby(["cohort", "offs"], as_index=False)["n_users"].sum()
+    return out.sort_values(["cohort", "offs"]).reset_index(drop=True)
 
 
 def cube_counts(ds: ray.data.Dataset, keys: list[str],

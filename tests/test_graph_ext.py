@@ -238,7 +238,7 @@ def test_cohort_retention_vs_pandas(ray_session):
         "ts": pa.array([r[1] for r in rows],
                        pa.timestamp("us"))})
     got = cohort_retention(_ds(tbl).repartition(2), "user_id", "ts",
-                           bucket_us=B, num_buckets=4).to_pandas()
+                           bucket_us=B, num_buckets=4)
     gotm = {(r.cohort, r.offs): r.n_users for r in got.itertuples()}
     # u1: cohort 0, active buckets {0,1,3} -> offs {0,1,3}
     # u2: cohort 1, active buckets {1,2}  -> offs {0,1}
