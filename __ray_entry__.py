@@ -1225,6 +1225,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q90_scene_cuts(sf):  # Y4M frame-diff scene-change detection (SQL oracle)
+        """q36's real Y4M payloads reduced to shot detection: per-video
+        count of adjacent-frame |diff| sums above threshold, plus the
+        total motion energy — decode round-trips bit-exactly, so the
+        oracle recomputes both from the pixel formula."""
+        from hand_index_ray.kernels.video import decode_y4m_frame, encode_y4m
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 101 == 0]
+            ok, oc, od = [], [], []
+            i = np.arange(256, dtype=np.int64)
+            for k in keys:
+                frames = np.empty((3, 16, 16, 3), np.uint8)
+                for f in range(3):
+                    v = ((int(k) * 31 + f * 977 + i * 13) % 256) \
+                        .astype(np.uint8).reshape(16, 16)
+                    frames[f] = np.stack([v, v, v], axis=-1)
+                blob = encode_y4m(frames, colorspace="C444")
+                prev = None
+                cuts, total = 0, 0
+                for f in range(3):
+                    img = decode_y4m_frame(blob, f)[:, :, 0].astype(np.int64)
+                    if prev is not None:
+                        dsum = int(np.abs(img - prev).sum())
+                        total += dsum
+                        cuts += int(dsum > 20000)
+                    prev = img
+                ok.append(int(k))
+                oc.append(cuts)
+                od.append(total)
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "n_cuts": pa.array(oc, pa.int64()),
+                             "total_diff": pa.array(od, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q91_bigrams(sf):  # corpus top-20 bigrams, exact counts (SQL oracle)
+        from hand_index_ray.pipelines.text import bigram_topk
+
+        return bigram_topk(_t(sf, "documents"), k=20)
+
+    def q92_percentile_cont(sf):  # PERCENTILE_CONT per group (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.grouped_percentiles_cont(
+            orders, ["o_orderpriority"], "total_cents")
+
+    def q93_full_outer(sf):  # full outer join, both sides large (SQL oracle)
+        """Partitioned full-outer hash join over disjoint-and-
+        overlapping key ranges; unmatched sides surface sentinel
+        values so the hash compare is dtype-stable."""
+        def csub(t: pa.Table) -> pa.Table:
+            k = t["c_custkey"].to_numpy()
+            return t.filter(pa.array(k % 3 != 0))
+
+        cust = _t(sf, "customer").select_columns(["c_custkey", "c_name"]) \
+            .map_batches(csub, batch_format="pyarrow", zero_copy_batch=True)
+        ords = rel.grouped_agg(
+            _t(sf, "orders").select_columns(["o_custkey"]),
+            ["o_custkey"], count=True)
+        ords = ords.map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"],
+                                "n_orders": t["n"]}),
+            batch_format="pyarrow")
+        j = rel.hash_join(cust, ords, key="c_custkey", how="full")
+
+        def finish(df):
+            import pandas as pd
+
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "c_name": df["c_name"].fillna("-").astype(str),
+                "n_orders": df["n_orders"].fillna(0).astype("int64")})
+
+        return j.map_batches(finish, batch_format="pandas")
+
+    def q94_centroids(sf):  # per-label embedding centroid sums (SQL oracle)
+        return rel.grouped_vector_sums(
+            _t(sf, "embeddings").select_columns(["label", "embedding"]),
+            "label", "embedding")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1315,6 +1400,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_extent": q87_extent,
         "q88_morphology": q88_morphology,
         "q89_zero_crossings": q89_zero_crossings,
+        "q90_scene_cuts": q90_scene_cuts,
+        "q91_bigrams": q91_bigrams,
+        "q92_percentile_cont": q92_percentile_cont,
+        "q93_full_outer": q93_full_outer,
+        "q94_centroids": q94_centroids,
     }
 
 
@@ -2300,6 +2390,63 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY zone
         """,
         "q88_morphology": _morph_sql(),
+        "q90_scene_cuts": """
+            WITH o AS (SELECT o_orderkey AS k FROM orders
+                       WHERE o_orderkey % 101 = 0),
+            d AS (SELECT k, f.f AS f,
+                     CAST(SUM(ABS( ((k*31 + f.f*977 + g.i*13) % 256)
+                                 - ((k*31 + (f.f-1)*977 + g.i*13) % 256) ))
+                          AS BIGINT) AS dsum
+                  FROM o, generate_series(1, 2) f(f),
+                       generate_series(0, 255) g(i)
+                  GROUP BY k, f.f)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN dsum > 20000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cuts,
+                   CAST(SUM(dsum) AS BIGINT) AS total_diff
+            FROM d GROUP BY k
+        """,
+        "q91_bigrams": """
+            WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+            b AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS bg
+                  FROM tok CROSS JOIN (SELECT generate_series AS i
+                                       FROM generate_series(1, 511)) g
+                  WHERE g.i < len(t))
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+        """,
+        "q92_percentile_cont": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders)
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_cont(c, 0.25) AS p25,
+                   quantile_cont(c, 0.50) AS p50,
+                   quantile_cont(c, 0.75) AS p75
+            FROM o GROUP BY o_orderpriority
+        """,
+        "q93_full_outer": """
+            WITH c AS (SELECT c_custkey, c_name FROM customer
+                       WHERE c_custkey % 3 != 0),
+            oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(c.c_custkey, oc.k) AS c_custkey,
+                   COALESCE(c.c_name, '-') AS c_name,
+                   COALESCE(oc.n_orders, 0) AS n_orders
+            FROM c FULL OUTER JOIN oc ON c.c_custkey = oc.k
+        """,
+        "q94_centroids": """
+            WITH x AS (SELECT CAST(label AS BIGINT) AS label, g.i AS dim,
+                              CAST(ROUND(CAST(embedding[g.i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT) AS v
+                       FROM embeddings
+                       CROSS JOIN (SELECT generate_series AS i
+                                   FROM generate_series(1, 512)) g
+                       WHERE g.i <= len(embedding))
+            SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM x GROUP BY label, dim
+        """,
         "q89_zero_crossings": """
             WITH o AS (SELECT o_orderkey AS k, 200 + o_orderkey % 300 AS n
                        FROM orders WHERE o_orderkey % 97 = 0),

@@ -911,3 +911,34 @@ def tfidf_topk(ds: ray.data.Dataset, k: int = 3, col: str = "text",
                                 zero_copy_batch=True)
     return rel.grouped_topk(scored, ["doc_id"], "score", k,
                             descending=True, tiebreak="term")
+
+
+def bigram_topk(ds: ray.data.Dataset, k: int = 20,
+                col: str = "text") -> "pd.DataFrame":
+    """Corpus-wide top-k bigrams by exact count: tokens explode inside
+    the batch (Arrow split), adjacent-pair strings are built vectorized
+    from the flat token array (a pair is valid iff both tokens share a
+    parent document), per-batch partial counts ride the standard
+    grouped_agg shuffle, and the final top-k is the local-top-k +
+    driver-merge pattern (candidates ≤ k·|batches| rows, no global
+    sort). Deterministic tie order: count desc, bigram asc."""
+    import pandas as pd
+
+    from .. import relational as rel
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[col], " ")
+        parents = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        if len(parents) < 2:
+            return pa.table({"bg": pa.array([], pa.string())})
+        same = parents[:-1] == parents[1:]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1),
+            pa.scalar(" ", pa.string()))
+        return pa.table({"bg": joined.filter(pa.array(same))})
+
+    bg = ds.select_columns([col]).map_batches(
+        bigrams, batch_format="pyarrow", zero_copy_batch=True)
+    counts = rel.grouped_agg(bg, ["bg"], count=True)
+    return rel.topk(counts, "n", k, descending=True, tiebreak="bg")

@@ -130,10 +130,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     Skewed hot keys: salt them with the same replicate-small-side
     pattern the zonal join uses (pipelines/query.py) before calling
-    this. Supported ``how``: inner, left.
+    this. Supported ``how``: inner, left, full.
     """
     if use_native and hasattr(ray.data.Dataset, "join"):
-        jt = {"inner": "inner", "left": "left_outer"}[how]
+        jt = {"inner": "inner", "left": "left_outer",
+              "full": "full_outer"}[how]
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
@@ -205,23 +206,33 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     def _ipc_read(b: bytes) -> pa.Table:
         return pa.ipc.open_stream(pa.py_buffer(b)).read_all()
 
+    cols_out = lcols + [c for c in rcols if c != key]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ls = [_ipc_read(b) for b in g.loc[g["__side"] == 0, "payload"]]
         rs = [_ipc_read(b) for b in g.loc[g["__side"] == 1, "payload"]]
         if not ls:
-            return pd.DataFrame(columns=lcols + [c for c in rcols if c != key])
+            if how == "full" and rs:
+                df = pa.concat_tables(rs).to_pandas()
+                for c in lcols:
+                    if c != key:
+                        df[c] = None
+                return df.reindex(columns=cols_out)
+            return pd.DataFrame(columns=cols_out)
         lt_ = pa.concat_tables(ls)
         if not rs:
-            if how == "left":
+            if how in ("left", "full"):
                 df = lt_.to_pandas()
                 for c in rcols:
                     if c != key:
                         df[c] = None
-                return df
-            return pd.DataFrame(columns=lcols + [c for c in rcols if c != key])
+                return df.reindex(columns=cols_out)
+            return pd.DataFrame(columns=cols_out)
         rt_ = pa.concat_tables(rs)
-        jt = {"inner": "inner", "left": "left outer"}[how]
-        return lt_.join(rt_, keys=key, join_type=jt).to_pandas()
+        jt = {"inner": "inner", "left": "left outer",
+              "full": "full outer"}[how]
+        return lt_.join(rt_, keys=key, join_type=jt).to_pandas() \
+            .reindex(columns=cols_out)
 
     return packed.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -1703,3 +1714,103 @@ def cube_counts(ds: ray.data.Dataset, keys: list[str],
         lambda t: t.rename_columns(
             ["n" if c == "__cnt" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def grouped_percentiles_cont(ds: ray.data.Dataset, keys: list[str], col: str,
+                             ps: tuple = (0.25, 0.5, 0.75),
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact grouped percentiles with PERCENTILE_CONT (linear
+    interpolation) semantics: h = p·(n−1); v = v[⌊h⌋] + (v[⌈h⌉] −
+    v[⌊h⌋])·frac(h) — the formula DuckDB's quantile_cont and numpy's
+    'linear' method share, so integer inputs hash float-identically.
+
+    Same single-shuffle vectorized shape as grouped_percentiles (the
+    DISC variant): sort bucket once, gather both bracketing order
+    statistics per group, interpolate vectorized."""
+    ps = tuple(ps)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        pcols = [f"p{int(round(p * 100)):02d}" for p in ps]
+        if not len(g):
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=g[k].dtype if k in g else "object")
+                    for k in keys},
+                 "n": pd.Series(dtype="int64"),
+                 **{c: pd.Series(dtype="float64") for c in pcols}})
+        g = g.sort_values(keys + [col], kind="mergesort", ignore_index=True)
+        sizes = g.groupby(keys, sort=False)[col].size().to_numpy()
+        offs = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        vals = g[col].to_numpy().astype(np.float64)
+        heads = g.iloc[offs][keys].reset_index(drop=True)
+        res = {k: heads[k] for k in keys}
+        res["n"] = sizes.astype(np.int64)
+        for p, c in zip(ps, pcols):
+            h = p * (sizes - 1)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.ceil(h).astype(np.int64)
+            vlo = vals[offs + lo]
+            vhi = vals[offs + hi]
+            res[c] = vlo + (vhi - vlo) * (h - lo)
+        return pd.DataFrame(res)
+
+    slim = ds.select_columns(keys + [col])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets, whole_bucket=True)
+
+
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """DuckDB-parity ROUND: half away from zero, either sign."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def grouped_vector_sums(ds: ray.data.Dataset, key: str, vec_col: str,
+                        scale: int = 1_000_000) -> pd.DataFrame:
+    """Per-group embedding centroid numerators: each float32 vector is
+    scaled to exact integer micro-units (ROUND(v·scale), half-away —
+    float32→float64 products are exact, so engine and SQL agree
+    bit-for-bit) and summed per (group, dimension) with int64
+    arithmetic. Output (key, dim 1-based, s_micro, n); the centroid is
+    s_micro / (n·scale) downstream — kept as exact integers here so
+    the result is oracle-hashable and mergeable.
+
+    Scale shape: per-batch partial sums collapse each batch to
+    |groups|×|dims| rows before the exchange (the classic per-class
+    centroid / LDA / k-means-update step); vectors never shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t[vec_col]).to_numpy()
+        if t.num_rows == 0 or lens.max(initial=0) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s_micro": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = int(lens.max())
+        flat = pc.list_flatten(t[vec_col]).to_numpy().astype(np.float64)
+        mat = flat.reshape(-1, d)  # ragged inputs would need masking
+        mi = round_half_away(mat * float(scale)).astype(np.int64)
+        ks = pc.cast(t[key], pa.int64()).to_numpy()
+        df = pd.DataFrame(mi)
+        df["__k"] = ks
+        g = df.groupby("__k", sort=False)
+        s = g.sum()
+        n = g.size()
+        out_k = np.repeat(s.index.to_numpy(), d)
+        out_dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(s))
+        return pa.table({key: pa.array(out_k, pa.int64()),
+                         "dim": pa.array(out_dim, pa.int64()),
+                         "s_micro": pa.array(s.to_numpy().ravel(), pa.int64()),
+                         "n": pa.array(np.repeat(n.to_numpy(), d), pa.int64())})
+
+    parts = ds.select_columns([key, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # each block already collapsed to |labels|x|dims| partial rows, so
+    # the driver merge sums |blocks|x|labels|x|dims| ints — label
+    # domains are class-sized; route through grouped_agg instead if a
+    # caller ever has corpus-sized keys
+    if not len(parts):
+        return pd.DataFrame({key: pd.Series(dtype="int64"),
+                             "dim": pd.Series(dtype="int64"),
+                             "s_micro": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    out = parts.groupby([key, "dim"], as_index=False)[["s_micro", "n"]].sum()
+    return out.sort_values([key, "dim"]).reset_index(drop=True)

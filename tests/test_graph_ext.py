@@ -244,3 +244,75 @@ def test_cohort_retention_vs_pandas(ray_session):
     # u2: cohort 1, active buckets {1,2}  -> offs {0,1}
     # u3: cohort 0, active {0}            -> offs {0}
     assert gotm == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+# --------------------------------------------------- full outer join
+
+def test_full_outer_join_vs_pandas(ray_session):
+    from hand_index_ray.relational import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "lv": pa.array(["a", "b", "c", "d"])})
+    right = pa.table({"k": pa.array([3, 4, 5, 6], pa.int64()),
+                      "rv": pa.array([30, 40, 50, 60], pa.int64())})
+    got = hash_join(_ds(left).repartition(2), _ds(right).repartition(2),
+                    key="k", how="full", num_buckets=4).to_pandas()
+    got = got.fillna({"lv": "-", "rv": -1})
+    m = {int(r.k): (r.lv, int(r.rv)) for r in got.itertuples()}
+    assert m == {1: ("a", -1), 2: ("b", -1), 3: ("c", 30), 4: ("d", 40),
+                 5: ("-", 50), 6: ("-", 60)}
+
+
+# ----------------------------------------------------- cont quantiles
+
+def test_percentile_cont_matches_numpy(ray_session):
+    from hand_index_ray.relational import grouped_percentiles_cont
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["a", "b"], 200).tolist()
+    v = rng.integers(0, 1000, 200)
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    got = grouped_percentiles_cont(_ds(tbl).repartition(4), ["g"], "v",
+                                   num_buckets=4).to_pandas()
+    df = pd.DataFrame({"g": g, "v": v})
+    for _, r in got.iterrows():
+        vals = df[df.g == r["g"]]["v"].to_numpy()
+        assert r["n"] == len(vals)
+        for p, c in [(25, "p25"), (50, "p50"), (75, "p75")]:
+            assert r[c] == np.percentile(vals, p, method="linear"), (r["g"], c)
+
+
+# ------------------------------------------------------------ bigrams
+
+def test_bigram_topk_bruteforce(ray_session):
+    from hand_index_ray.pipelines.text import bigram_topk
+
+    texts = ["the cat sat", "the cat ran", "a cat sat still", "the", ""]
+    tbl = pa.table({"text": pa.array(texts)})
+    got = bigram_topk(_ds(tbl).repartition(3), k=3)
+    from collections import Counter
+    cnt = Counter()
+    for s in texts:
+        t = s.split(" ")
+        cnt.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["bg"], got["n"])) == want
+
+
+# ------------------------------------------------------ vector sums
+
+def test_grouped_vector_sums_exact(ray_session):
+    from hand_index_ray.relational import grouped_vector_sums
+
+    rng = np.random.default_rng(9)
+    lab = rng.integers(0, 3, 50).astype(np.int32)
+    vecs = rng.normal(size=(50, 4)).astype(np.float32)
+    tbl = pa.table({"label": pa.array(lab, pa.int32()),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+    got = grouped_vector_sums(_ds(tbl).repartition(4), "label", "embedding")
+    v64 = vecs.astype(np.float64) * 1e6
+    mi = (np.sign(v64) * np.floor(np.abs(v64) + 0.5)).astype(np.int64)
+    for r in got.itertuples():
+        sel = mi[lab == r.label, r.dim - 1]
+        assert r.s_micro == sel.sum() and r.n == len(sel)
