@@ -167,6 +167,21 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("grouped_arg_extreme", rel.grouped_arg_extreme)
     DATASET_FNS.setdefault("grouped_zscore", rel.grouped_zscore)
 
+    DATASET_FNS.setdefault("skyline", rel.skyline)
+    DATASET_FNS.setdefault("funnel_counts", rel.funnel_counts)
+    DATASET_FNS.setdefault("cohort_retention", rel.cohort_retention)
+    DATASET_FNS.setdefault("cube_counts", rel.cube_counts)
+    DATASET_FNS.setdefault("grouped_percentiles_cont",
+                           rel.grouped_percentiles_cont)
+    DATASET_FNS.setdefault("grouped_vector_sums", rel.grouped_vector_sums)
+    DATASET_FNS.setdefault("tfidf_topk", text.tfidf_topk)
+    DATASET_FNS.setdefault("bigram_topk", text.bigram_topk)
+
+    from .pipelines.graph import canonical_reps, connected_components
+
+    DATASET_FNS.setdefault("connected_components", connected_components)
+    DATASET_FNS.setdefault("canonical_reps", canonical_reps)
+
     from .pipelines.curate import curate_corpus
 
     DATASET_FNS.setdefault("curate_corpus", curate_corpus)
@@ -175,6 +190,11 @@ def _register_dataset_fns() -> None:
                                         patch_grid_stats)
 
     DATASET_FNS.setdefault("patch_grid_stats", patch_grid_stats)
+
+    from .pipelines.image_embed import morph_stats, sobel_stats
+
+    DATASET_FNS.setdefault("morph_stats", morph_stats)
+    DATASET_FNS.setdefault("sobel_stats", sobel_stats)
 
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)
