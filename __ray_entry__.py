@@ -1310,6 +1310,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _t(sf, "embeddings").select_columns(["label", "embedding"]),
             "label", "embedding")
 
+    def q95_nn_join(sf):  # spatial nearest-neighbor join over the index (SQL oracle)
+        from hand_index_ray.pipelines.query import nn_join_centers
+
+        return nn_join_centers(_image_index_tpch(sf), target_mod=8)
+
+    def q96_transitions(sf):  # Markov transition counts LEAD-style (SQL oracle)
+        return rel.event_transitions(_t(sf, "events"), "user_id", "ts",
+                                     "event_type", tiebreak="event_id")
+
+    def q97_otsu(sf):  # per-image Otsu threshold (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import otsu_threshold
+
+        return otsu_threshold(_arith_images(sf))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1405,6 +1419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_percentile_cont": q92_percentile_cont,
         "q93_full_outer": q93_full_outer,
         "q94_centroids": q94_centroids,
+        "q95_nn_join": q95_nn_join,
+        "q96_transitions": q96_transitions,
+        "q97_otsu": q97_otsu,
     }
 
 
@@ -2434,6 +2451,60 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.c_name, '-') AS c_name,
                    COALESCE(oc.n_orders, 0) AS n_orders
             FROM c FULL OUTER JOIN oc ON c.c_custkey = oc.k
+        """,
+        "q95_nn_join": f"""
+            WITH f AS ({_TK_FOOT}),
+            pts AS (SELECT k,
+                       'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                       ((lon - half) + (lon + half)) / 2.0 AS cx,
+                       ((lat - half) + (lat + half)) / 2.0 AS cy
+                    FROM f),
+            t AS (SELECT * FROM pts WHERE k % 8 = 0),
+            s AS (SELECT * FROM pts WHERE k % 8 != 0),
+            d AS (SELECT s.image_id, t.image_id AS nn_id,
+                     (s.cx - t.cx)*(s.cx - t.cx)
+                       + (s.cy - t.cy)*(s.cy - t.cy) AS d2,
+                     ROW_NUMBER() OVER (PARTITION BY s.image_id
+                       ORDER BY (s.cx - t.cx)*(s.cx - t.cx)
+                              + (s.cy - t.cy)*(s.cy - t.cy),
+                                t.image_id) AS rn
+                  FROM s, t)
+            SELECT image_id, nn_id, d2 FROM d WHERE rn = 1
+        """,
+        "q96_transitions": """
+            WITH o AS (SELECT user_id, event_type,
+                              LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+        """,
+        "q97_otsu": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            px AS (SELECT k, (k + 7*y.y + 3*x.x) % 256 AS p
+                   FROM ks, generate_series(0, 23) y(y),
+                        generate_series(0, 31) x(x)),
+            h AS (SELECT k, p, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM px GROUP BY k, p),
+            c AS (SELECT k, p,
+                    SUM(n) OVER (PARTITION BY k ORDER BY p) AS w1,
+                    SUM(p * n) OVER (PARTITION BY k ORDER BY p) AS s1,
+                    SUM(n) OVER (PARTITION BY k) AS wt,
+                    SUM(p * n) OVER (PARTITION BY k) AS st
+                  FROM h),
+            sc AS (SELECT k, p,
+                     (CAST(s1 AS DOUBLE)/w1 - CAST(st - s1 AS DOUBLE)/(wt - w1))
+                     * (CAST(s1 AS DOUBLE)/w1 - CAST(st - s1 AS DOUBLE)/(wt - w1))
+                     * CAST(w1 AS DOUBLE)
+                     * (CAST(wt AS DOUBLE) - CAST(w1 AS DOUBLE)) AS score
+                   FROM c WHERE w1 < wt),
+            r AS (SELECT k, p, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY score DESC, p) AS rn FROM sc)
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(p AS BIGINT) AS otsu_t
+            FROM r WHERE rn = 1
         """,
         "q94_centroids": """
             WITH x AS (SELECT CAST(label AS BIGINT) AS label, g.i AS dim,

@@ -540,3 +540,45 @@ def morph_stats(source: "str | ray.data.Dataset", channel: int = 0,
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
                           concurrency=pool_size(cfg.encode_concurrency))
+
+
+def otsu_threshold(source: "str | ray.data.Dataset", channel: int = 0,
+                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image Otsu binarization threshold over one channel,
+    restricted to observed gray levels (the between-class variance is
+    constant between observed values, so evaluating only at them is
+    lossless): t* = argmax over observed p of
+    w1·(N−w1)·(μ1−μ2)² with w1/s1 the cumulative count/value sums at
+    p — float64 expression written in the exact op order the SQL
+    oracle uses, ties → smallest p.
+
+    Map-only decode-pool stage; one (image_id, otsu_t) row per image.
+    """
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        th = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64).ravel()
+            n_tot = np.int64(p.size)
+            vals, cnts = np.unique(p, return_counts=True)
+            w1 = np.cumsum(cnts)
+            s1 = np.cumsum(vals * cnts)
+            s_tot = s1[-1]
+            m = w1 < n_tot  # class 2 must be non-empty
+            w1f = w1[m].astype(np.float64)
+            mu1 = s1[m].astype(np.float64) / w1f
+            mu2 = (s_tot - s1[m]).astype(np.float64) / (n_tot - w1[m])
+            df = mu1 - mu2
+            score = df * df * w1f * (np.float64(n_tot) - w1f)
+            th[i] = vals[m][int(np.argmax(score))] if m.any() else int(vals[0])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "otsu_t": pa.array(th, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))

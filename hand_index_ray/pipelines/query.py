@@ -1177,3 +1177,69 @@ def zone_extent(index_dir: str, modulus: int = 16) -> ray.data.Dataset:
         return t.rename_columns([ren.get(c, c) for c in t.column_names])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def nn_join_centers(index_dir: str, target_mod: int = 8) -> ray.data.Dataset:
+    """Spatial nearest-neighbor JOIN over the footprint index: every
+    source footprint (key % target_mod != 0) is matched to the nearest
+    target footprint center (key % target_mod == 0) in the exact
+    planar degree metric d² = (Δcx)² + (Δcy)² — centers derive from
+    the stored bbox as ((minx)+(maxx))/2.0, so the arithmetic is
+    bit-identical to the SQL oracle and the argmin is exact (ties →
+    smallest target id, which numpy argmin yields for free over
+    id-sorted targets).
+
+    Scale shape: the target side broadcasts once via ``ray.put`` as
+    flat float64 arrays (the per-query site list is typically ≪
+    corpus); sources stream map-only over the manifest-pruned
+    5-column read with one vectorized (batch × targets) distance
+    block per batch. A corpus-sized target side would swap the
+    broadcast for the zonal join's cell co-partition + ring fallback
+    (same pattern as knn_query) — documented, not needed for site
+    lookup workloads."""
+    man = Manifest(index_dir)
+    files = man.all_files(index_dir)
+    cols = ["image_id", "minx", "miny", "maxx", "maxy"]
+    foot = ray.data.read_parquet(files, columns=cols)
+
+    def keys_of(t: pa.Table) -> np.ndarray:
+        return pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99),
+                       pa.int64()).to_numpy()
+
+    def tgt_part(t: pa.Table) -> pa.Table:
+        k = keys_of(t)
+        return t.filter(pa.array(k % target_mod == 0))
+
+    tgt = pa.concat_tables(
+        foot.map_batches(tgt_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    order = pc.sort_indices(tgt["image_id"])
+    tgt = tgt.take(order)
+    tcx = (tgt["minx"].to_numpy() + tgt["maxx"].to_numpy()) / 2.0
+    tcy = (tgt["miny"].to_numpy() + tgt["maxy"].to_numpy()) / 2.0
+    tids = np.asarray(tgt["image_id"].to_pylist(), dtype=object)
+    ref = ray.put((tcx, tcy, tids))
+
+    def nearest(t: pa.Table) -> pa.Table:
+        cx_t, cy_t, ids_t = ray.get(ref)
+        k = keys_of(t)
+        keep = k % target_mod != 0
+        sub = t.filter(pa.array(keep))
+        if sub.num_rows == 0 or len(ids_t) == 0:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "nn_id": pa.array([], pa.string()),
+                             "d2": pa.array([], pa.float64())})
+        scx = (sub["minx"].to_numpy() + sub["maxx"].to_numpy()) / 2.0
+        scy = (sub["miny"].to_numpy() + sub["maxy"].to_numpy()) / 2.0
+        dx = scx[:, None] - cx_t[None, :]
+        dy = scy[:, None] - cy_t[None, :]
+        d2 = dx * dx + dy * dy
+        j = np.argmin(d2, axis=1)  # first min = smallest id (sorted)
+        return pa.table({
+            "image_id": sub["image_id"],
+            "nn_id": pa.array(ids_t[j].tolist(), pa.string()),
+            "d2": pa.array(d2[np.arange(len(j)), j], pa.float64())})
+
+    return foot.map_batches(nearest, batch_format="pyarrow",
+                            zero_copy_batch=True)

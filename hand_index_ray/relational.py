@@ -1814,3 +1814,43 @@ def grouped_vector_sums(ds: ray.data.Dataset, key: str, vec_col: str,
                              "n": pd.Series(dtype="int64")})
     out = parts.groupby([key, "dim"], as_index=False)[["s_micro", "n"]].sum()
     return out.sort_values([key, "dim"]).reset_index(drop=True)
+
+
+def event_transitions(events: ray.data.Dataset, key: str, ts_col: str,
+                      type_col: str, tiebreak: str,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """First-order Markov transition counts: for each key's event
+    stream ordered by (ts, tiebreak), count (from_type → to_type)
+    pairs of consecutive events. ONE keyed-hash shuffle co-locates
+    each key; inside a bucket the successor is a vectorized shift
+    (rows are sorted by (key, ts, tiebreak) once, a transition is
+    valid iff adjacent rows share the key); each bucket emits ≤
+    |types|² partial counts, so the reduce is a driver-side sum over
+    a tiny matrix."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                                 "to_type": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort",
+                          ignore_index=True)
+        same = g[key].to_numpy()[:-1] == g[key].to_numpy()[1:]
+        frm = g[type_col].to_numpy()[:-1][same]
+        to = g[type_col].to_numpy()[1:][same]
+        out = pd.DataFrame({"from_type": frm, "to_type": to}) \
+            .groupby(["from_type", "to_type"], as_index=False).size()
+        return pd.DataFrame({"from_type": out["from_type"],
+                             "to_type": out["to_type"],
+                             "n": out["size"].astype("int64")})
+
+    slim = events.select_columns([key, ts_col, type_col, tiebreak])
+    parts = grouped_apply_bucketed(slim, [key], bucket_fn,
+                                   num_buckets=num_buckets,
+                                   whole_bucket=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                             "to_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -196,6 +196,16 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("morph_stats", morph_stats)
     DATASET_FNS.setdefault("sobel_stats", sobel_stats)
 
+    from .pipelines.image_embed import otsu_threshold
+
+    DATASET_FNS.setdefault("otsu_threshold", otsu_threshold)
+    DATASET_FNS.setdefault("event_transitions", rel.event_transitions)
+
+    from .pipelines.query import nn_join_centers, zone_extent
+
+    DATASET_FNS.setdefault("nn_join_centers", nn_join_centers)
+    DATASET_FNS.setdefault("zone_extent", zone_extent)
+
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)
     KERNELS.setdefault("audio_features", AudioFeatures)

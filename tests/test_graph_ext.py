@@ -316,3 +316,107 @@ def test_grouped_vector_sums_exact(ray_session):
     for r in got.itertuples():
         sel = mi[lab == r.label, r.dim - 1]
         assert r.s_micro == sel.sum() and r.n == len(sel)
+
+
+# -------------------------------------------------------- transitions
+
+def test_event_transitions_vs_brute(ray_session):
+    from hand_index_ray.relational import event_transitions
+
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "a"),
+            ("u2", 1, 4, "b"), ("u2", 1, 5, "a"),  # same ts -> id order
+            ("u3", 9, 6, "c")]
+    tbl = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows])})
+    got = event_transitions(_ds(tbl).repartition(2), "user_id", "ts",
+                            "event_type", tiebreak="event_id",
+                            num_buckets=4)
+    m = {(r.from_type, r.to_type): r.n for r in got.itertuples()}
+    assert m == {("a", "b"): 1, ("b", "a"): 2}
+
+
+# --------------------------------------------------------------- otsu
+
+def test_otsu_matches_bruteforce(ray_session):
+    """Otsu restricted to observed levels == full 0..255 scan (the
+    score is constant between observed values)."""
+    from hand_index_ray.kernels import image as imk
+    from hand_index_ray.pipelines.image_embed import otsu_threshold
+
+    rng = np.random.default_rng(21)
+    ids, bufs, briefs = [], [], []
+    for i in range(6):
+        px = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+        if i == 0:
+            px[:] = 7  # constant image: class-2 always empty
+        ids.append(f"img-{i:09d}")
+        bufs.append(imk.encode(px, "raw"))
+        briefs.append(px)
+    tbl = pa.table({"image_id": pa.array(ids),
+                    "bytes": pa.array(bufs, pa.binary()),
+                    "fmt": pa.array(["raw"] * len(ids)),
+                    "w": pa.array([12] * len(ids), pa.int32()),
+                    "h": pa.array([10] * len(ids), pa.int32())})
+    got = otsu_threshold(_ds(tbl)).to_pandas().set_index("image_id")
+    for i, px in enumerate(briefs):
+        p = px[:, :, 0].astype(np.int64).ravel()
+        n = p.size
+        best, best_t = -1.0, None
+        for t in range(256):
+            w1 = int((p <= t).sum())
+            if w1 == 0 or w1 == n:
+                continue
+            mu1 = p[p <= t].sum() / w1
+            mu2 = p[p > t].sum() / (n - w1)
+            sc = (mu1 - mu2) ** 2 * w1 * (n - w1)
+            if sc > best + 1e-9:
+                best, best_t = sc, t
+        if best_t is None:
+            assert got.loc[f"img-{i:09d}", "otsu_t"] == p[0]
+        else:
+            # engine picks an observed level on the same plateau
+            eng = got.loc[f"img-{i:09d}", "otsu_t"]
+            w1 = int((p <= eng).sum())
+            mu1 = p[p <= eng].sum() / w1
+            mu2 = p[p > eng].sum() / (n - w1)
+            sc = (mu1 - mu2) ** 2 * w1 * (n - w1)
+            assert abs(sc - best) < 1e-6 * max(best, 1.0)
+
+
+# ------------------------------------------------------------ nn join
+
+def test_nn_join_centers_bruteforce(ray_session, tmp_path):
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.build import build_index, compact_index
+    from hand_index_ray.pipelines.query import nn_join_centers
+    from hand_index_ray.sources import synth
+
+    images = str(tmp_path / "imgs")
+    index = str(tmp_path / "idx")
+    synth.write_images_tpch(images, "/root/testdata/sf0.001", fragments=4)
+    cfg = EngineConfig(footprint_formula="tpch")
+    build_index(images, index, cfg)
+    compact_index(index, cfg)
+    got = nn_join_centers(index, target_mod=8).to_pandas()
+
+    import pyarrow.parquet as pqt
+    import glob as _g
+    foot = pa.concat_tables([
+        pqt.read_table(f, columns=["image_id", "minx", "miny",
+                                   "maxx", "maxy"])
+        for f in _g.glob(index + "/**/*.parquet", recursive=True)
+        if "manifest" not in f])
+    df = foot.to_pandas().drop_duplicates("image_id")
+    k = df["image_id"].str.slice(4).astype(np.int64)
+    df["cx"] = (df["minx"] + df["maxx"]) / 2.0
+    df["cy"] = (df["miny"] + df["maxy"]) / 2.0
+    tgt = df[k % 8 == 0].sort_values("image_id")
+    src = df[k % 8 != 0]
+    assert len(got) == len(src)
+    gm = got.set_index("image_id")
+    for r in src.itertuples():
+        d2 = ((tgt["cx"] - r.cx) ** 2 + (tgt["cy"] - r.cy) ** 2).to_numpy()
+        j = int(np.argmin(d2))
+        assert gm.loc[r.image_id, "nn_id"] == tgt["image_id"].iloc[j]
