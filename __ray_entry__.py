@@ -1324,6 +1324,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return otsu_threshold(_arith_images(sf))
 
+    def q98_grid_heatmap(sf):  # spatial density grid over the index (SQL oracle)
+        from hand_index_ray.pipelines.query import grid_heatmap
+
+        return grid_heatmap(_image_index_tpch(sf), cell_deg=1.0)
+
+    def q99_peak_concurrency(sf):  # sweep-line interval concurrency (SQL oracle)
+        return rel.peak_concurrency(_t(sf, "events"), "ts", "value")
+
+    def q100_dominant(sf):  # per-image dominant luma levels (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import dominant_levels
+
+        return dominant_levels(_arith_images(sf), k=3)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1422,6 +1435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_nn_join": q95_nn_join,
         "q96_transitions": q96_transitions,
         "q97_otsu": q97_otsu,
+        "q98_grid_heatmap": q98_grid_heatmap,
+        "q99_peak_concurrency": q99_peak_concurrency,
+        "q100_dominant": q100_dominant,
     }
 
 
@@ -2470,6 +2486,49 @@ def oracle_sql() -> dict[str, str]:
                                 t.image_id) AS rn
                   FROM s, t)
             SELECT image_id, nn_id, d2 FROM d WHERE rn = 1
+        """,
+        "q98_grid_heatmap": f"""
+            WITH f AS ({_TK_FOOT}),
+            c AS (SELECT CAST(FLOOR(((lon - half) + (lon + half)) / 2.0
+                                    / 1.0) AS BIGINT) AS gx,
+                         CAST(FLOOR(((lat - half) + (lat + half)) / 2.0
+                                    / 1.0) AS BIGINT) AS gy
+                  FROM f)
+            SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY gx, gy
+        """,
+        "q99_peak_concurrency": """
+            WITH iv AS (SELECT epoch_us(ts) AS s,
+                               epoch_us(ts) // 86400000000 AS d,
+                               LEAST(epoch_us(ts)
+                                       + CAST(ROUND(value * 1000000) AS BIGINT),
+                                     (epoch_us(ts) // 86400000000 + 1)
+                                       * 86400000000) AS e
+                        FROM events),
+            c AS (SELECT a.d AS day, a.s AS t,
+                    CAST(SUM(CASE WHEN b.s <= a.s AND a.s < b.e
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS conc
+                  FROM iv a JOIN iv b ON a.d = b.d GROUP BY a.d, a.s)
+            SELECT day, CAST(MAX(conc) AS BIGINT) AS peak
+            FROM c GROUP BY day
+        """,
+        "q100_dominant": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            v AS (SELECT k, (  77 * ((k + 7*y.y + 3*x.x     ) % 256)
+                            + 150 * ((k + 7*y.y + 3*x.x + 11) % 256)
+                            +  29 * ((k + 7*y.y + 3*x.x + 22) % 256)) // 256
+                         AS lum
+                  FROM ks, generate_series(0, 23) y(y),
+                       generate_series(0, 31) x(x)),
+            h AS (SELECT k, lum, CAST(COUNT(*) AS BIGINT) AS n_px
+                  FROM v GROUP BY k, lum),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                    ORDER BY n_px DESC, lum) AS rnk FROM h)
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(lum AS BIGINT) AS lum, n_px,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 3
         """,
         "q96_transitions": """
             WITH o AS (SELECT user_id, event_type,

@@ -582,3 +582,40 @@ def otsu_threshold(source: "str | ray.data.Dataset", channel: int = 0,
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
                           concurrency=pool_size(cfg.encode_concurrency))
+
+
+def dominant_levels(source: "str | ray.data.Dataset", k: int = 3,
+                    cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image top-k dominant luma levels by pixel count (the
+    palette / dominant-color primitive on the luma axis): luma =
+    (77R + 150G + 29B) >> 8 per pixel (the luma_histogram kernel),
+    then a vectorized bincount and a (count desc, level asc) top-k —
+    map-only decode-pool stage, k rows out per image."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        out_id, out_l, out_n, out_r = [], [], [], []
+        for i, img in _decode_rows(t):
+            p = img.astype(np.int64)
+            lum = (77 * p[:, :, 0] + 150 * p[:, :, 1]
+                   + 29 * p[:, :, 2]) // 256
+            cnt = np.bincount(lum.ravel(), minlength=256)
+            order = np.lexsort((np.arange(256), -cnt))[:k]
+            order = order[cnt[order] > 0]
+            for r, lv in enumerate(order, 1):
+                out_id.append(ids[i])
+                out_l.append(int(lv))
+                out_n.append(int(cnt[lv]))
+                out_r.append(r)
+        return pa.table({"image_id": pa.array(out_id, pa.string()),
+                         "lum": pa.array(out_l, pa.int64()),
+                         "n_px": pa.array(out_n, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))

@@ -1243,3 +1243,29 @@ def nn_join_centers(index_dir: str, target_mod: int = 8) -> ray.data.Dataset:
 
     return foot.map_batches(nearest, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def grid_heatmap(index_dir: str, cell_deg: float = 1.0) -> ray.data.Dataset:
+    """Spatial density grid over the footprint index: footprint
+    centers binned to a regular lon/lat grid (floor(c / cell)), counts
+    per cell — the coverage-heatmap / density-raster primitive.
+
+    Manifest-pruned slim read, per-batch floor-div binning, partial
+    counts through the standard grouped_agg exchange (≤ |cells| rows
+    per batch)."""
+    from .. import relational as rel
+
+    man = Manifest(index_dir)
+    files = man.all_files(index_dir)
+    foot = ray.data.read_parquet(
+        files, columns=["minx", "miny", "maxx", "maxy"])
+
+    def bins(t: pa.Table) -> pa.Table:
+        cx = (t["minx"].to_numpy() + t["maxx"].to_numpy()) / 2.0
+        cy = (t["miny"].to_numpy() + t["maxy"].to_numpy()) / 2.0
+        return pa.table({
+            "gx": pa.array(np.floor(cx / cell_deg).astype(np.int64)),
+            "gy": pa.array(np.floor(cy / cell_deg).astype(np.int64))})
+
+    g = foot.map_batches(bins, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.grouped_agg(g, ["gx", "gy"], count=True)

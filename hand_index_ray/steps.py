@@ -206,6 +206,13 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("nn_join_centers", nn_join_centers)
     DATASET_FNS.setdefault("zone_extent", zone_extent)
 
+    from .pipelines.image_embed import dominant_levels
+    from .pipelines.query import grid_heatmap
+
+    DATASET_FNS.setdefault("grid_heatmap", grid_heatmap)
+    DATASET_FNS.setdefault("peak_concurrency", rel.peak_concurrency)
+    DATASET_FNS.setdefault("dominant_levels", dominant_levels)
+
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)
     KERNELS.setdefault("audio_features", AudioFeatures)

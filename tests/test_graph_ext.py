@@ -420,3 +420,70 @@ def test_nn_join_centers_bruteforce(ray_session, tmp_path):
         d2 = ((tgt["cx"] - r.cx) ** 2 + (tgt["cy"] - r.cy) ** 2).to_numpy()
         j = int(np.argmin(d2))
         assert gm.loc[r.image_id, "nn_id"] == tgt["image_id"].iloc[j]
+
+
+# ------------------------------------------------------- concurrency
+
+def test_peak_concurrency_sweepline(ray_session):
+    from hand_index_ray.relational import peak_concurrency
+
+    B = 1000  # µs bucket
+    # bucket 0: intervals [0,500) [100,400) [300,600) -> peak 3 at t=300
+    # one event at 900 with dur crossing the bucket -> clipped at 1000
+    # bucket 1: single interval
+    rows = [(0, 0.0005), (100, 0.0003), (300, 0.0003), (900, 0.5),
+            (1500, 0.0001)]
+    tbl = pa.table({"ts": pa.array([r[0] for r in rows],
+                                   pa.timestamp("us")),
+                    "value": pa.array([r[1] for r in rows], pa.float64())})
+    got = peak_concurrency(_ds(tbl).repartition(2), "ts", "value",
+                           bucket_us=B, num_buckets=4)
+    m = dict(zip(got["day"], got["peak"]))
+    assert m == {0: 3, 1: 1}
+
+
+def test_peak_concurrency_brute(ray_session):
+    from hand_index_ray.relational import peak_concurrency
+
+    rng = np.random.default_rng(13)
+    n = 300
+    ts = np.sort(rng.integers(0, 5_000_000, n))
+    dur = rng.uniform(0.001, 0.8, n)
+    B = 1_000_000
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                    "value": pa.array(dur, pa.float64())})
+    got = peak_concurrency(_ds(tbl).repartition(3), "ts", "value",
+                           bucket_us=B, num_buckets=4)
+    # brute force
+    e = np.minimum(ts + (np.sign(dur * 1e6) * np.floor(np.abs(dur * 1e6)
+                                                       + 0.5)).astype(np.int64),
+                   (ts // B + 1) * B)
+    want = {}
+    for d in np.unique(ts // B):
+        sel = ts // B == d
+        s_, e_ = ts[sel], e[sel]
+        peak = max(int(((s_ <= t) & (t < e_)).sum()) for t in s_)
+        want[int(d)] = peak
+    assert dict(zip(got["day"], got["peak"])) == want
+
+
+# ---------------------------------------------------- dominant levels
+
+def test_dominant_levels_bincount(ray_session):
+    from hand_index_ray.kernels import image as imk
+    from hand_index_ray.pipelines.image_embed import dominant_levels
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    tbl = pa.table({"image_id": pa.array(["img-x"]),
+                    "bytes": pa.array([imk.encode(px, "raw")], pa.binary()),
+                    "fmt": pa.array(["raw"]),
+                    "w": pa.array([8], pa.int32()),
+                    "h": pa.array([8], pa.int32())})
+    got = dominant_levels(_ds(tbl), k=2).to_pandas()
+    p = px.astype(np.int64)
+    lum = (77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]) // 256
+    cnt = np.bincount(lum.ravel(), minlength=256)
+    order = sorted(range(256), key=lambda v: (-cnt[v], v))[:2]
+    want = [(v, int(cnt[v]), r + 1) for r, v in enumerate(order) if cnt[v]]
+    assert list(zip(got["lum"], got["n_px"], got["rank"])) == want
