@@ -27,9 +27,10 @@ per-round changed-counter; label tables never land on the driver — the
 result is assembled with ``ray.data.from_arrow_refs``.
 
 Dedup-cluster graphs have tiny diameter (pairs share a bucket key), so
-rounds stay single-digit; for high-diameter graphs swap in
-pointer-jumping (label ← label(label)) to get O(log n) rounds — same
-two-wave primitives.
+rounds stay single-digit; from round 3 on, pointer-jumping shortcut
+waves (label ← label(label), same scatter/min primitives keyed by the
+label instead of the node) double the propagation distance per round,
+so even high-diameter graphs (chains) converge in O(log n) rounds.
 """
 from __future__ import annotations
 
@@ -124,6 +125,34 @@ def _min_reduce(old: pa.Table, *pieces: pa.Table) -> tuple:
 
 
 @ray.remote
+def _ptr_request(lb: pa.Table, B: int) -> tuple:
+    """Pointer-jumping wave A: ask each label's owner bucket for
+    label(label) — scatter (q=lbl, node) by hash(lbl) % B."""
+    bk = _bucket_of(lb["lbl"], B)
+    t = pa.table({"q": lb["lbl"], "node": lb["node"]})
+    return tuple(t.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _ptr_answer(lb: pa.Table, B: int, *pieces: pa.Table) -> tuple:
+    """Pointer-jumping wave B: answer label(q) from this bucket's
+    labels; scatter (node, lbl(label)) back by hash(node) % B."""
+    reqs = [p.to_pandas() for p in pieces if p.num_rows]
+    node_t = lb.schema.field("node").type
+    if not reqs:
+        e = pa.table({"node": pa.array([], node_t),
+                      "lbl": pa.array([], node_t)})
+        return tuple(e for _ in range(B))
+    r = pd.concat(reqs, ignore_index=True).merge(
+        lb.to_pandas(), left_on="q", right_on="node",
+        suffixes=("", "_owner"))
+    out = pa.table({"node": pa.array(r["node"].to_numpy(), node_t),
+                    "lbl": pa.array(r["lbl"].to_numpy(), node_t)})
+    bk = _bucket_of(out["node"], B)
+    return tuple(out.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
 def _finalize(lb: pa.Table) -> pa.Table:
     return lb.rename_columns(["node", "comp"])
 
@@ -166,18 +195,33 @@ def connected_components(edges: ray.data.Dataset, a: str = "a", b: str = "b",
     Eb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
     Lb = [_init_labels.remote(e) for e in Eb]
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         cands = [_propagate.options(num_returns=B).remote(Eb[i], Lb[i], B)
                  for i in range(B)]
         outs = [_min_reduce.options(num_returns=2).remote(
                     Lb[i], *(c[i] for c in cands)) for i in range(B)]
         Lb = [o[0] for o in outs]
         if sum(ray.get([o[1] for o in outs])) == 0:
+            # edge fixpoint == neighbor-min fixpoint == component minima
+            # (shortcutting cannot change a neighbor-min fixpoint)
             break
+        if rnd >= 2:
+            # pointer jumping (label ← label(label)): doubles the
+            # effective propagation distance per round, so chains
+            # converge in O(log n) rounds instead of O(diameter) —
+            # skipped for the first rounds where dedup-cluster graphs
+            # (tiny diameter) already finish
+            reqs = [_ptr_request.options(num_returns=B).remote(Lb[i], B)
+                    for i in range(B)]
+            answ = [_ptr_answer.options(num_returns=B).remote(
+                        Lb[j], B, *(r[j] for r in reqs)) for j in range(B)]
+            outs = [_min_reduce.options(num_returns=2).remote(
+                        Lb[i], *(a[i] for a in answ)) for i in range(B)]
+            Lb = [o[0] for o in outs]
+            ray.get([o[1] for o in outs])  # drain; convergence is edge-side
     else:
         raise RuntimeError(f"connected_components: no fixpoint in "
-                           f"{max_rounds} rounds (diameter too large — "
-                           f"use pointer-jumping)")
+                           f"{max_rounds} rounds")
 
     return ray.data.from_arrow_refs([_finalize.remote(l) for l in Lb])
 

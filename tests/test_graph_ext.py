@@ -487,3 +487,17 @@ def test_dominant_levels_bincount(ray_session):
     order = sorted(range(256), key=lambda v: (-cnt[v], v))[:2]
     want = [(v, int(cnt[v]), r + 1) for r, v in enumerate(order) if cnt[v]]
     assert list(zip(got["lum"], got["n_px"], got["rank"])) == want
+
+
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 1500-node chain converges via pointer jumping in far fewer
+    than max_rounds=40 (pure propagation would need ~1500)."""
+    from hand_index_ray.pipelines.graph import connected_components
+
+    n = 1500
+    tbl = pa.table({"a": pa.array(range(n - 1), pa.int64()),
+                    "b": pa.array(range(1, n), pa.int64())})
+    got = connected_components(_ds(tbl), num_buckets=4,
+                               max_rounds=40).to_pandas()
+    assert len(got) == n
+    assert set(got["comp"]) == {0}
