@@ -29,7 +29,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CACHE_ROOT = "/tmp/hand_index_ray_cache"
+# fixture cache prefers tmpfs: the VM's disk write path can throttle to
+# ~7 MB/s, making one-time multi-GB fixture generation (and first-touch
+# reads of it) disk-bound; inputs are deterministic and regenerable, so
+# RAM-backed scratch is safe. Override with GRAFT_BENCH_CACHE.
+CACHE_ROOT = os.environ.get(
+    "GRAFT_BENCH_CACHE",
+    "/dev/shm/hand_index_ray_cache" if os.path.isdir("/dev/shm")
+    else "/tmp/hand_index_ray_cache")
 
 
 def _cache_dir(*parts: str) -> str:
@@ -55,8 +62,15 @@ def run_bench() -> dict:
     import ray
     import ray.data
 
+    # GRAFT_OBJ_STORE bounds the plasma arena (bytes): on hosts whose
+    # first-touch page rate episodically collapses (this VM: double-digit
+    # MB/s cold vs GB/s warm), a bounded arena recycles warm pages
+    # instead of faulting fresh ones. Opt-in — default Ray sizing
+    # otherwise.
+    obj_store = os.environ.get("GRAFT_OBJ_STORE")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(obj_store) if obj_store else None)
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -79,7 +93,16 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # --- headline: flagship index build (images/sec) ----------------------
-    index_dir = f"/tmp/hand_index_ray_bench_index_{os.getpid()}"
+    # Scratch OUTPUT goes to tmpfs when present: this VM's virtual disk
+    # write path throttles to single-digit MB/s in some windows
+    # (measured 400 MB buffered write = 54 s while CPU probes are
+    # clean), which pins the build at the disk and voids any
+    # CPU-scaling measurement. bench numbers are defined to measure
+    # compute + shuffle (see module docstring); a real deployment sinks
+    # to S3/HDFS at aggregate GB/s, not a 7 MB/s local disk. The
+    # engine's own default paths are unchanged.
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    index_dir = f"{scratch_root}/hand_index_ray_bench_index_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
     # untimed warmup build: first-call numbers on this shared VM mix in
     # worker spin-up, module imports, and host-load spikes (observed
