@@ -1337,6 +1337,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dominant_levels(_arith_images(sf), k=3)
 
+    def q101_uncovered(sf):  # spatial ANTI join: footprints in no catchment (SQL oracle)
+        """Complement of the zonal join — coverage-gap analysis. The
+        covered id set comes from the engine's real zonal join; the
+        subtraction is the keyed EXCEPT shuffle (scale-safe — no
+        driver-side id set)."""
+        import ray.data
+
+        from hand_index_ray.config import EngineConfig
+        from hand_index_ray.pipelines.query import zonal_join
+        from hand_index_ray.state.manifest import Manifest
+
+        idx = _image_index_tpch(sf)
+        pairs = zonal_join(idx, _catchments_tpch(sf),
+                           EngineConfig(footprint_formula="tpch"))
+        covered = rel.distinct(pairs.select_columns(["image_id"]),
+                               ["image_id"])
+        man = Manifest(idx)
+        allids = ray.data.read_parquet(man.all_files(idx),
+                                       columns=["image_id"])
+        unc = rel.set_op(allids, covered, ["image_id"], op="except")
+
+        def zone(t: pa.Table) -> pa.Table:
+            k = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99),
+                        pa.int64()).to_numpy()
+            return pa.table({"zone": pa.array(k % 16, pa.int64())})
+
+        z = unc.map_batches(zone, batch_format="pyarrow")
+        out = rel.grouped_agg(z, ["zone"], count=True)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["n_uncovered" if c == "n" else c for c in t.column_names]),
+            batch_format="pyarrow")
+
+    def q102_moving_sum(sf):  # moving-frame window SUM (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.windowed_sum(orders, ["o_custkey"], "o_orderkey",
+                                "total_cents", frame_rows=3)
+
+    def q103_ntile(sf):  # NTILE(4) per customer (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.window_ntile(orders, ["o_custkey"], "total_cents",
+                                "o_orderkey", n_tiles=4)
+
+    def q104_streaks(sf):  # gaps-and-islands: longest active-day streak (SQL oracle)
+        return rel.max_streak(_t(sf, "events"), "user_id", "ts")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1438,6 +1486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_grid_heatmap": q98_grid_heatmap,
         "q99_peak_concurrency": q99_peak_concurrency,
         "q100_dominant": q100_dominant,
+        "q101_uncovered": q101_uncovered,
+        "q102_moving_sum": q102_moving_sum,
+        "q103_ntile": q103_ntile,
+        "q104_streaks": q104_streaks,
     }
 
 
@@ -2511,6 +2563,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM iv a JOIN iv b ON a.d = b.d GROUP BY a.d, a.s)
             SELECT day, CAST(MAX(conc) AS BIGINT) AS peak
             FROM c GROUP BY day
+        """,
+        "q101_uncovered": f"""
+            WITH f AS ({_TK_FOOT}),
+            m AS (SELECT k, lon - half AS minx, lat - half AS miny,
+                         lon + half AS maxx, lat + half AS maxy FROM f),
+            c AS ({_CAT_RECTS}),
+            u AS (SELECT m.k FROM m WHERE NOT EXISTS (
+                    SELECT 1 FROM c
+                    WHERE m.minx <= c.lonc + c.halfw
+                      AND c.lonc - c.halfw <= m.maxx
+                      AND m.miny <= c.latc + c.halfh
+                      AND c.latc - c.halfh <= m.maxy))
+            SELECT k % 16 AS zone, CAST(COUNT(*) AS BIGINT) AS n_uncovered
+            FROM u GROUP BY zone
+        """,
+        "q102_moving_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS mv_sum
+            FROM orders
+        """,
+        "q103_ntile": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+                   CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
+                                 o_orderkey) AS BIGINT) AS tile
+            FROM orders
+        """,
+        "q104_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, MAX(len) AS max_streak FROM r GROUP BY user_id
         """,
         "q100_dominant": """
             WITH ks AS (SELECT o_orderkey AS k FROM orders

@@ -1907,3 +1907,100 @@ def peak_concurrency(events: ray.data.Dataset, ts_col: str, dur_col: str,
                              "peak": pd.Series(dtype="int64")})
     out = parts.groupby("day", as_index=False)["peak"].max()
     return out.sort_values("day").reset_index(drop=True)
+
+
+def windowed_sum(ds: ray.data.Dataset, keys: list[str], order: str,
+                 value: str, frame_rows: int,
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Moving-frame window aggregate: SUM(value) OVER (PARTITION BY
+    keys ORDER BY order ROWS BETWEEN frame_rows-1 PRECEDING AND
+    CURRENT ROW). One keyed shuffle; inside a bucket the frame sums
+    are one pandas C-speed grouped rolling pass over the sorted
+    bucket. ``order`` must be unique per key (ties would make the
+    frame ill-defined)."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            g["mv_sum"] = pd.Series(dtype="int64")
+            return g
+        g = g.sort_values(keys + [order], kind="mergesort",
+                          ignore_index=True)
+        g["mv_sum"] = g.groupby(keys, sort=False)[value] \
+            .rolling(frame_rows, min_periods=1).sum() \
+            .reset_index(drop=True).astype("int64")
+        return g
+
+    slim = ds.select_columns(keys + [order, value])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def window_ntile(ds: ray.data.Dataset, keys: list[str], order: str,
+                 tiebreak: str, n_tiles: int,
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """NTILE(n) OVER (PARTITION BY keys ORDER BY order, tiebreak):
+    ANSI semantics — the first (m mod n) tiles hold ceil(m/n) rows.
+    One keyed shuffle, vectorized rank arithmetic per bucket."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            g["tile"] = pd.Series(dtype="int64")
+            return g
+        g = g.sort_values(keys + [order, tiebreak], kind="mergesort",
+                          ignore_index=True)
+        sizes = g.groupby(keys, sort=False)[order].transform("size") \
+            .to_numpy().astype(np.int64)
+        r = g.groupby(keys, sort=False).cumcount().to_numpy() + 1
+        q, rem = sizes // n_tiles, sizes % n_tiles
+        big_span = rem * (q + 1)
+        in_big = r <= big_span
+        tile = np.where(
+            in_big,
+            (r - 1) // np.maximum(q + 1, 1) + 1,
+            rem + np.where(q > 0, (r - big_span - 1) // np.maximum(q, 1), 0) + 1)
+        g["tile"] = tile.astype(np.int64)
+        return g
+
+    slim = ds.select_columns(keys + [order, tiebreak])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def max_streak(events: ray.data.Dataset, key: str, ts_col: str,
+               bucket_us: int = 86400 * 1_000_000,
+               num_buckets: int = 64) -> ray.data.Dataset:
+    """Gaps-and-islands: longest run of CONSECUTIVE active time
+    buckets (days) per key. One keyed shuffle of distinct (key, day)
+    rows; per bucket the streaks fall out of one sorted diff pass
+    (run boundaries where day - prev_day != 1 or the key changes)."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        return pa.table({key: t[key],
+                         "day": pa.array(ts // bucket_us, pa.int64())})
+
+    slim = distinct(events.select_columns([key, ts_col]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True), [key, "day"])
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype
+                                                if key in g else "object"),
+                                 "max_streak": pd.Series(dtype="int64")})
+        g = g.sort_values([key, "day"], kind="mergesort", ignore_index=True)
+        k = g[key].to_numpy()
+        d = g["day"].to_numpy()
+        new_run = np.ones(len(g), bool)
+        new_run[1:] = (k[1:] != k[:-1]) | (d[1:] - d[:-1] != 1)
+        run_id = np.cumsum(new_run)
+        df = pd.DataFrame({key: k, "__r": run_id})
+        runs = df.groupby([key, "__r"], sort=False).size().reset_index(name="len")
+        out = runs.groupby(key, as_index=False)["len"].max()
+        return pd.DataFrame({key: out[key],
+                             "max_streak": out["len"].astype("int64")})
+
+    return grouped_apply_bucketed(slim, [key], bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -212,6 +212,9 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("grid_heatmap", grid_heatmap)
     DATASET_FNS.setdefault("peak_concurrency", rel.peak_concurrency)
     DATASET_FNS.setdefault("dominant_levels", dominant_levels)
+    DATASET_FNS.setdefault("windowed_sum", rel.windowed_sum)
+    DATASET_FNS.setdefault("window_ntile", rel.window_ntile)
+    DATASET_FNS.setdefault("max_streak", rel.max_streak)
 
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)

@@ -501,3 +501,48 @@ def test_connected_components_long_chain_pointer_jumping(ray_session):
                                max_rounds=40).to_pandas()
     assert len(got) == n
     assert set(got["comp"]) == {0}
+
+
+# ------------------------------------------------------- window frame
+
+def test_windowed_sum_rolling(ray_session):
+    from hand_index_ray.relational import windowed_sum
+
+    tbl = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 3),
+                    "o": pa.array([1, 2, 3, 4, 5, 1, 2, 3], pa.int64()),
+                    "v": pa.array([10, 20, 30, 40, 50, 1, 2, 3], pa.int64())})
+    got = windowed_sum(_ds(tbl).repartition(3), ["k"], "o", "v",
+                       frame_rows=3, num_buckets=4).to_pandas()
+    got = got.sort_values(["k", "o"]).reset_index(drop=True)
+    assert got["mv_sum"].tolist() == [10, 30, 60, 90, 120, 1, 3, 6]
+
+
+def test_window_ntile_ansi_sizes(ray_session):
+    from hand_index_ray.relational import window_ntile
+
+    # m=7, n=4 -> tile sizes 2,2,2,1 ; m=3, n=4 -> 1,1,1
+    tbl = pa.table({"k": pa.array(["a"] * 7 + ["b"] * 3),
+                    "o": pa.array(list(range(7)) + list(range(3)), pa.int64()),
+                    "t": pa.array(list(range(10)), pa.int64())})
+    got = window_ntile(_ds(tbl).repartition(2), ["k"], "o", "t",
+                       n_tiles=4, num_buckets=4).to_pandas()
+    a = got[got.k == "a"].sort_values("o")["tile"].tolist()
+    b = got[got.k == "b"].sort_values("o")["tile"].tolist()
+    assert a == [1, 1, 2, 2, 3, 3, 4]
+    assert b == [1, 2, 3]
+
+
+def test_max_streak_islands(ray_session):
+    from hand_index_ray.relational import max_streak
+
+    B = 10
+    rows = [("u1", 5), ("u1", 15), ("u1", 25), ("u1", 45),  # days 0,1,2,4
+            ("u2", 5), ("u2", 95),                           # days 0, 9
+            ("u3", 5), ("u3", 7)]                            # day 0 twice
+    tbl = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows],
+                                   pa.timestamp("us"))})
+    got = max_streak(_ds(tbl).repartition(2), "user_id", "ts",
+                     bucket_us=B, num_buckets=4).to_pandas()
+    m = dict(zip(got["user_id"], got["max_streak"]))
+    assert m == {"u1": 3, "u2": 1, "u3": 1}
