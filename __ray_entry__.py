@@ -1385,6 +1385,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q104_streaks(sf):  # gaps-and-islands: longest active-day streak (SQL oracle)
         return rel.max_streak(_t(sf, "events"), "user_id", "ts")
 
+    def q105_json_extract(sf):  # vectorized JSON field extraction (SQL oracle)
+        ev = rel.extract_json_int(
+            _t(sf, "events").select_columns(["event_type", "props"]),
+            "props", "k", "k_val")
+        out = rel.grouped_agg(ev.select_columns(["event_type", "k_val"]),
+                              ["event_type"], sum_cols=["k_val"],
+                              count=True)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["k_sum" if c == "k_val" else c for c in t.column_names]),
+            batch_format="pyarrow")
+
+    def q106_unpivot(sf):  # melt/UNPIVOT lineitem measures (SQL oracle)
+        def cents(t: pa.Table) -> pa.Table:
+            out = {"l_orderkey": t["l_orderkey"],
+                   "l_linenumber": t["l_linenumber"]}
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+                v = np.round(t[c].to_numpy() * 100.0)
+                out[c] = pa.array(v.astype(np.int64), pa.int64())
+            return pa.table(out)
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax"]) \
+            .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        long = rel.unpivot(li, ["l_orderkey", "l_linenumber"],
+                           ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+        out = rel.grouped_agg(long.select_columns(["measure", "value"]),
+                              ["measure"], sum_cols=["value"], count=True)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["v_sum" if c == "value" else c for c in t.column_names]),
+            batch_format="pyarrow")
+
+    def q107_iqr_outliers(sf):  # IQR-rule outlier counts per group (SQL oracle)
+        """Composition: exact grouped percentiles → tiny bounds table
+        broadcast back → map-only filter → grouped count. The 1.5×IQR
+        rule (0.5×IQR fences — the synth price distribution has
+        thin tails) is kept in integers (2c vs 2·q ± IQR)."""
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        pr = rel.grouped_percentiles(
+            orders, ["o_orderpriority"], "total_cents",
+            ps=(0.25, 0.75)).to_pandas()
+        bounds = pa.Table.from_pandas(
+            pr[["o_orderpriority", "p25", "p75"]], preserve_index=False)
+        j = rel.broadcast_join(
+            orders.select_columns(["o_orderpriority", "total_cents"]),
+            bounds, keys="o_orderpriority")
+
+        def flag(t: pa.Table) -> pa.Table:
+            c = t["total_cents"].to_numpy()
+            p25 = t["p25"].to_numpy()
+            p75 = t["p75"].to_numpy()
+            iqr = p75 - p25
+            m = (2 * c > 2 * p75 + iqr) | (2 * c < 2 * p25 - iqr)
+            return t.filter(pa.array(m)).select(["o_orderpriority"])
+
+        f = j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        out = rel.grouped_agg(f, ["o_orderpriority"], count=True)
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["n_outliers" if c == "n" else c for c in t.column_names]),
+            batch_format="pyarrow")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1490,6 +1556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_moving_sum": q102_moving_sum,
         "q103_ntile": q103_ntile,
         "q104_streaks": q104_streaks,
+        "q105_json_extract": q105_json_extract,
+        "q106_unpivot": q106_unpivot,
+        "q107_iqr_outliers": q107_iqr_outliers,
     }
 
 
@@ -2594,6 +2663,49 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q105_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(regexp_extract(props,
+                        '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
+                     AS k_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q106_unpivot": """
+            WITH li AS (SELECT
+                  CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS l_quantity,
+                  CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS l_extendedprice,
+                  CAST(ROUND(l_discount * 100.0) AS BIGINT) AS l_discount,
+                  CAST(ROUND(l_tax * 100.0) AS BIGINT) AS l_tax
+                FROM lineitem),
+            long AS (
+              SELECT 'l_quantity' AS measure, l_quantity AS value FROM li
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM li
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM li
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM li)
+            SELECT measure, CAST(SUM(value) AS BIGINT) AS v_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM long GROUP BY measure
+        """,
+        "q107_iqr_outliers": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders),
+            b AS (SELECT o_orderpriority,
+                         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c)
+                              AS BIGINT) AS p25,
+                         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c)
+                              AS BIGINT) AS p75
+                  FROM o GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_outliers
+            FROM o JOIN b USING (o_orderpriority)
+            WHERE 2*o.c > 2*b.p75 + (b.p75 - b.p25)
+               OR 2*o.c < 2*b.p25 - (b.p75 - b.p25)
+            GROUP BY o.o_orderpriority
         """,
         "q104_streaks": """
             WITH d AS (SELECT DISTINCT user_id,

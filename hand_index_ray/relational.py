@@ -2004,3 +2004,42 @@ def max_streak(events: ray.data.Dataset, key: str, ts_col: str,
     return grouped_apply_bucketed(slim, [key], bucket_fn,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def extract_json_int(ds: ray.data.Dataset, col: str, field: str,
+                     out: str) -> ray.data.Dataset:
+    """Extract an integer field from a flat JSON-string column with
+    ONE vectorized RE2 pass (`pc.extract_regex`) — the
+    structured-log-ingestion primitive. Missing/non-numeric fields
+    become null. Map-only; for nested JSON swap the regex for a real
+    parser inside the same batch fn."""
+    pat = rf'"{field}"\s*:\s*(?P<v>-?\d+)'
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pattern=pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return t.append_column(out, v)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unpivot(ds: ray.data.Dataset, id_cols: list[str],
+            value_cols: list[str], var_name: str = "measure",
+            value_name: str = "value") -> ray.data.Dataset:
+    """Melt/UNPIVOT: wide value columns become (measure, value) long
+    rows — one in-batch concat of |value_cols| column-slices, map-only
+    (the inverse of pivot_sum). Value columns must share one castable
+    type (cast to the first column's type)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        typ = t.schema.field(value_cols[0]).type
+        parts = []
+        for c in value_cols:
+            parts.append(pa.table(
+                {**{i: t[i] for i in id_cols},
+                 var_name: pa.array([c] * t.num_rows, pa.string()),
+                 value_name: pc.cast(t[c], typ)}))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)

@@ -215,6 +215,8 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("windowed_sum", rel.windowed_sum)
     DATASET_FNS.setdefault("window_ntile", rel.window_ntile)
     DATASET_FNS.setdefault("max_streak", rel.max_streak)
+    DATASET_FNS.setdefault("extract_json_int", rel.extract_json_int)
+    DATASET_FNS.setdefault("unpivot", rel.unpivot)
 
     KERNELS.setdefault("langid", text.LangId)
     KERNELS.setdefault("trigram_langid", text.TrigramLangId)

@@ -546,3 +546,26 @@ def test_max_streak_islands(ray_session):
                      bucket_us=B, num_buckets=4).to_pandas()
     m = dict(zip(got["user_id"], got["max_streak"]))
     assert m == {"u1": 3, "u2": 1, "u3": 1}
+
+
+# --------------------------------------------------- json / unpivot
+
+def test_extract_json_int(ray_session):
+    from hand_index_ray.relational import extract_json_int
+
+    tbl = pa.table({"props": pa.array(
+        ['{"k": 87}', '{"k": -3}', '{"other": 1}', '{"k": 0, "x": 9}'])})
+    got = extract_json_int(_ds(tbl), "props", "k", "kv").to_pandas()
+    assert got["kv"].fillna(-999).tolist() == [87, -3, -999, 0]
+
+
+def test_unpivot_roundtrip(ray_session):
+    from hand_index_ray.relational import unpivot
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "a": pa.array([10, 20], pa.int64()),
+                    "b": pa.array([30, 40], pa.int64())})
+    got = unpivot(_ds(tbl), ["id"], ["a", "b"]).to_pandas()
+    got = got.sort_values(["id", "measure"]).reset_index(drop=True)
+    assert list(zip(got["id"], got["measure"], got["value"])) == [
+        (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)]
