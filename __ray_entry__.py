@@ -1451,6 +1451,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["n_outliers" if c == "n" else c for c in t.column_names]),
             batch_format="pyarrow")
 
+    def q108_densify(sf):  # date-spine gap filling (SQL oracle)
+        return rel.densify_days(_t(sf, "events"), "ts")
+
+    def q109_weighted(sf):  # weighted-mean numerators per flag (SQL oracle)
+        def cents(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "price_cents": pa.array(np.round(
+                    t["l_extendedprice"].to_numpy() * 100.0)
+                    .astype(np.int64), pa.int64()),
+                "qty": pa.array(t["l_quantity"].to_numpy()
+                                .astype(np.int64), pa.int64())})
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice", "l_quantity"]) \
+            .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        return rel.grouped_weighted_sum(li, ["l_returnflag"],
+                                        "price_cents", "qty")
+
+    def q110_above_avg(sf):  # rows above their group average (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.above_group_avg(orders, ["o_orderpriority"],
+                                   "total_cents")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1559,6 +1584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_json_extract": q105_json_extract,
         "q106_unpivot": q106_unpivot,
         "q107_iqr_outliers": q107_iqr_outliers,
+        "q108_densify": q108_densify,
+        "q109_weighted": q109_weighted,
+        "q110_above_avg": q110_above_avg,
     }
 
 
@@ -2663,6 +2691,37 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q108_densify": """
+            WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY day),
+            b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+            s AS (SELECT lo + g.i AS day
+                  FROM b CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 100000)) g
+                  WHERE lo + g.i <= hi)
+            SELECT s.day, COALESCE(c.n, 0) AS n
+            FROM s LEFT JOIN c USING (day)
+        """,
+        "q109_weighted": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_sum,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q110_above_avg": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders),
+            a AS (SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM o GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+            FROM o JOIN a USING (o_orderpriority)
+            WHERE o.c * a.n > a.s GROUP BY o.o_orderpriority
         """,
         "q105_json_extract": """
             SELECT event_type,

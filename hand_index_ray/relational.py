@@ -2043,3 +2043,75 @@ def unpivot(ds: ray.data.Dataset, id_cols: list[str],
 
     return ds.select_columns(id_cols + value_cols).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def densify_days(events: ray.data.Dataset, ts_col: str,
+                 bucket_us: int = 86400 * 1_000_000) -> pd.DataFrame:
+    """Date-spine densification: per-bucket (day) event counts INCLUDING
+    empty buckets between the global min and max — the gap-filling ETL
+    primitive dashboards need. Counts ride the standard partial-agg
+    shuffle; the spine is range arithmetic over the (tiny) day-count
+    table on the driver (|days| rows, not |events|)."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        return pa.table({"day": pa.array(ts // bucket_us, pa.int64())})
+
+    counts = grouped_agg(events.select_columns([ts_col]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], count=True).to_pandas()
+    if not len(counts):
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    lo, hi = int(counts["day"].min()), int(counts["day"].max())
+    spine = pd.DataFrame({"day": pd.Series(range(lo, hi + 1),
+                                           dtype="int64")})
+    out = spine.merge(counts, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out
+
+
+def grouped_weighted_sum(ds: ray.data.Dataset, keys: list[str],
+                         value: str, weight: str) -> ray.data.Dataset:
+    """Weighted-aggregate numerators: per group Σ(w·v), Σw, n as exact
+    int64 (the weighted mean is w_sum/w downstream — kept integral so
+    the result is mergeable and oracle-hashable). Per-batch partials:
+    one product column + one Arrow hash-agg; the exchange moves
+    |groups| rows per batch."""
+
+    def prod(t: pa.Table) -> pa.Table:
+        wv = pc.multiply(pc.cast(t[value], pa.int64()),
+                         pc.cast(t[weight], pa.int64()))
+        return pa.table({**{k: t[k] for k in keys},
+                         "w_sum": wv,
+                         "w": pc.cast(t[weight], pa.int64())})
+
+    p = ds.select_columns(keys + [value, weight]).map_batches(
+        prod, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(p, keys, sum_cols=["w_sum", "w"], count=True)
+
+
+def above_group_avg(ds: ray.data.Dataset, keys: list[str], value: str,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Correlated-subquery pattern: rows whose value exceeds their
+    group's average, counted per group — decorrelated as (tiny
+    per-group (Σv, n) table) broadcast back + a map-only integer
+    cross-multiply filter (v·n > Σv: no float division anywhere)."""
+    sums = grouped_agg(ds.select_columns(keys + [value]), keys,
+                       sum_cols=[value], count=True).to_pandas()
+    sums = sums.rename(columns={value: "__sum", "n": "__n"})
+    small = pa.Table.from_pandas(sums, preserve_index=False)
+
+    j = broadcast_join(ds.select_columns(keys + [value]), small, keys=keys)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t[value].to_numpy().astype(np.int64)
+        m = v * t["__n"].to_numpy() > t["__sum"].to_numpy()
+        return t.filter(pa.array(m)).select(keys)
+
+    f = j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(f, keys, count=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["n_above" if c == "n" else c for c in t.column_names]),
+        batch_format="pyarrow")
