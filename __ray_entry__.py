@@ -1476,6 +1476,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.above_group_avg(orders, ["o_orderpriority"],
                                    "total_cents")
 
+    def q111_kmeans(sf):  # distributed exact-integer k-means, 2 rounds (SQL oracle)
+        """Iterative ML on Ray Data with a bit-exact oracle: centroids
+        re-quantize to integer micro-units every update, so each Lloyd
+        round is a deterministic integer function DuckDB replays."""
+        from hand_index_ray.pipelines.kmeans import kmeans_micro
+
+        return kmeans_micro(_t(sf, "embeddings"), k=8, rounds=2)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1587,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_densify": q108_densify,
         "q109_weighted": q109_weighted,
         "q110_above_avg": q110_above_avg,
+        "q111_kmeans": q111_kmeans,
     }
 
 
@@ -2691,6 +2700,56 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q111_kmeans": """
+            WITH v AS (SELECT vec_id, g.i AS dim,
+                         CAST(ROUND(CAST(embedding[g.i] AS DOUBLE)
+                                    * 1000000.0) AS BIGINT) AS x
+                       FROM embeddings
+                       CROSS JOIN (SELECT generate_series AS i
+                                   FROM generate_series(1, 512)) g
+                       WHERE g.i <= len(embedding)),
+            init AS (SELECT vec_id,
+                            DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cluster
+                     FROM (SELECT DISTINCT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT 8)),
+            c0 AS (SELECT init.cluster, v.dim, v.x AS c
+                   FROM v JOIN init USING (vec_id)),
+            d1 AS (SELECT v.vec_id, c0.cluster,
+                          SUM((v.x - c0.c) * (v.x - c0.c)) AS d2
+                   FROM v JOIN c0 USING (dim) GROUP BY v.vec_id, c0.cluster),
+            a1 AS (SELECT vec_id, cluster FROM
+                     (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cluster) AS rn FROM d1)
+                   WHERE rn = 1),
+            u1 AS (SELECT a1.cluster, v.dim,
+                          CAST(ROUND(CAST(SUM(v.x) AS DOUBLE) / COUNT(*))
+                               AS BIGINT) AS c
+                   FROM v JOIN a1 USING (vec_id)
+                   GROUP BY a1.cluster, v.dim),
+            c1 AS (SELECT c0.cluster, c0.dim, COALESCE(u1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN u1
+                     ON c0.cluster = u1.cluster AND c0.dim = u1.dim),
+            dd2 AS (SELECT v.vec_id, c1.cluster,
+                           SUM((v.x - c1.c) * (v.x - c1.c)) AS d2
+                    FROM v JOIN c1 USING (dim) GROUP BY v.vec_id, c1.cluster),
+            a2 AS (SELECT vec_id, cluster FROM
+                     (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cluster) AS rn FROM dd2)
+                   WHERE rn = 1),
+            u2 AS (SELECT a2.cluster, v.dim,
+                          CAST(ROUND(CAST(SUM(v.x) AS DOUBLE) / COUNT(*))
+                               AS BIGINT) AS c
+                   FROM v JOIN a2 USING (vec_id)
+                   GROUP BY a2.cluster, v.dim),
+            c2 AS (SELECT c1.cluster, c1.dim, COALESCE(u2.c, c1.c) AS c
+                   FROM c1 LEFT JOIN u2
+                     ON c1.cluster = u2.cluster AND c1.dim = u2.dim),
+            n2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM a2 GROUP BY cluster)
+            SELECT c2.cluster, c2.dim, c2.c AS c_micro,
+                   COALESCE(n2.n, 0) AS n
+            FROM c2 LEFT JOIN n2 USING (cluster)
         """,
         "q108_densify": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -217,6 +217,9 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("max_streak", rel.max_streak)
     DATASET_FNS.setdefault("extract_json_int", rel.extract_json_int)
     DATASET_FNS.setdefault("unpivot", rel.unpivot)
+    from .pipelines.kmeans import kmeans_micro
+
+    DATASET_FNS.setdefault("kmeans_micro", kmeans_micro)
     DATASET_FNS.setdefault("densify_days", rel.densify_days)
     DATASET_FNS.setdefault("grouped_weighted_sum", rel.grouped_weighted_sum)
     DATASET_FNS.setdefault("above_group_avg", rel.above_group_avg)

@@ -569,3 +569,37 @@ def test_unpivot_roundtrip(ray_session):
     got = got.sort_values(["id", "measure"]).reset_index(drop=True)
     assert list(zip(got["id"], got["measure"], got["value"])) == [
         (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)]
+
+
+# ------------------------------------------------------------ k-means
+
+def test_kmeans_micro_vs_numpy(ray_session):
+    from hand_index_ray.pipelines.kmeans import kmeans_micro
+
+    rng = np.random.default_rng(17)
+    n, d, k = 120, 6, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+    got = kmeans_micro(_ds(tbl).repartition(4), k=k, rounds=2)
+
+    def rha(x):
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    v = rha(vecs.astype(np.float64) * 1e6)
+    c = v[:k].copy()
+    for _ in range(2):
+        diff = v[:, None, :] - c[None, :, :]
+        d2 = np.einsum("bkd,bkd->bk", diff, diff)
+        a = np.argmin(d2, axis=1)
+        for cl in range(k):
+            sel = v[a == cl]
+            if len(sel):
+                c[cl] = rha(sel.sum(axis=0).astype(np.float64) / len(sel))
+    sizes = np.bincount(a, minlength=k)
+    want = {(cl, dim + 1): (int(c[cl, dim]), int(sizes[cl]))
+            for cl in range(k) for dim in range(d)}
+    gotm = {(r.cluster, r.dim): (r.c_micro, r.n) for r in got.itertuples()}
+    assert gotm == want
