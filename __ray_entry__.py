@@ -1484,6 +1484,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kmeans_micro(_t(sf, "embeddings"), k=8, rounds=2)
 
+    def q112_pagerank(sf):  # integer PageRank, 3 iterations (SQL oracle)
+        """Iterative graph analytics with a bit-exact oracle: floor
+        division everywhere, so the recurrence replays in SQL."""
+        from hand_index_ray.pipelines.graph import pagerank_int
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            u = k % 1000
+            v = (k * 2654435761) % 1000
+            keep = u != v
+            return pa.table({"u": pa.array(u[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        edges = _t(sf, "orders").select_columns(["o_orderkey"]) \
+            .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        return pagerank_int(edges, iters=3)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1596,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_weighted": q109_weighted,
         "q110_above_avg": q110_above_avg,
         "q111_kmeans": q111_kmeans,
+        "q112_pagerank": q112_pagerank,
     }
 
 
@@ -2700,6 +2718,42 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q112_pagerank": """
+            WITH e AS (SELECT DISTINCT o_orderkey % 1000 AS u,
+                              (o_orderkey * 2654435761) % 1000 AS v
+                       FROM orders
+                       WHERE o_orderkey % 1000
+                             != (o_orderkey * 2654435761) % 1000),
+            n AS (SELECT DISTINCT node FROM
+                    (SELECT u AS node FROM e UNION SELECT v FROM e)),
+            cnt AS (SELECT COUNT(*) AS N FROM n),
+            deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM e GROUP BY u),
+            r0 AS (SELECT node, 1000000000 // (SELECT N FROM cnt) AS r
+                   FROM n),
+            s1 AS (SELECT e.v AS node, CAST(SUM(r0.r // deg.d) AS BIGINT) AS s
+                   FROM e JOIN r0 ON e.u = r0.node
+                        JOIN deg ON e.u = deg.u GROUP BY e.v),
+            r1 AS (SELECT n.node,
+                          150000000 // (SELECT N FROM cnt)
+                            + (85 * COALESCE(s1.s, 0)) // 100 AS r
+                   FROM n LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.v AS node, CAST(SUM(r1.r // deg.d) AS BIGINT) AS s
+                   FROM e JOIN r1 ON e.u = r1.node
+                        JOIN deg ON e.u = deg.u GROUP BY e.v),
+            r2 AS (SELECT n.node,
+                          150000000 // (SELECT N FROM cnt)
+                            + (85 * COALESCE(s2.s, 0)) // 100 AS r
+                   FROM n LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.v AS node, CAST(SUM(r2.r // deg.d) AS BIGINT) AS s
+                   FROM e JOIN r2 ON e.u = r2.node
+                        JOIN deg ON e.u = deg.u GROUP BY e.v),
+            r3 AS (SELECT n.node,
+                          150000000 // (SELECT N FROM cnt)
+                            + (85 * COALESCE(s3.s, 0)) // 100 AS r
+                   FROM n LEFT JOIN s3 USING (node))
+            SELECT node, CAST(r AS BIGINT) AS rank FROM r3
         """,
         "q111_kmeans": """
             WITH v AS (SELECT vec_id, g.i AS dim,

@@ -266,3 +266,62 @@ def canonical_reps(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_int(edges: ray.data.Dataset, a: str = "u", b: str = "v",
+                 iters: int = 3, total: int = 10 ** 9,
+                 damping_pct: int = 85) -> pd.DataFrame:
+    """Integer PageRank — the iterative graph benchmark made
+    oracle-exact: ranks are integers out of ``total``; one iteration is
+    r'(v) = ((100-dp)·total//100) // N + (dp · Σ_{u→v} r(u)//deg(u)) // 100
+    with floor division everywhere, so engine and SQL replay the same
+    integer recurrence (floats never appear; the usual PageRank is
+    un-oracle-able float fixpoint drift).
+
+    Shape: distinct edges + out-degrees computed once distributively;
+    each iteration is ONE map-only pass over the edge Dataset with the
+    node-domain rank table broadcast via ``ray.put`` (per-batch
+    contribution partial sums, driver reduce). Web-scale graphs swap
+    the broadcast for the connected-components bucket waves — same
+    recurrence, noted here; the broadcast path assumes a node table
+    that fits one machine (true for the dedup/e-commerce graphs this
+    engine targets)."""
+    from .. import relational as rel
+
+    E = rel.distinct(edges.select_columns([a, b]), [a, b]).materialize()
+    # degrees + node domain from ONE pull of the already-distinct edge
+    # table — it is graph-domain-sized (not corpus-sized); at web scale
+    # compute both with grouped_agg/distinct passes instead
+    et = pa.concat_tables(E.iter_batches(batch_format="pyarrow")).to_pandas()
+    deg = et.groupby(a).size().to_dict()
+    nodes = np.sort(pd.concat([et[a], et[b]]).unique())
+    N = len(nodes)
+    if N == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    rank = {int(n): total // N for n in nodes}
+    base = ((100 - damping_pct) * total // 100) // N
+
+    for _ in range(iters):
+        contrib = {int(u): rank[int(u)] // int(d) for u, d in deg.items()}
+        ref = ray.put(contrib)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            us = t[a].to_numpy()
+            vs = t[b].to_numpy()
+            w = np.array([c[int(u)] for u in us], dtype=np.int64)
+            df = pd.DataFrame({"v": vs, "w": w}).groupby("v")["w"].sum()
+            return pa.table({"node": pa.array(df.index.to_numpy(), pa.int64()),
+                             "s": pa.array(df.to_numpy(), pa.int64())})
+
+        parts = E.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        s = parts.groupby("node")["s"].sum() if len(parts) else pd.Series(dtype="int64")
+        rank = {int(n): base + (damping_pct * int(s.get(n, 0))) // 100
+                for n in nodes}
+
+    out = pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
+                        "rank": pd.Series([rank[int(n)] for n in nodes],
+                                          dtype="int64")})
+    return out

@@ -177,10 +177,12 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("tfidf_topk", text.tfidf_topk)
     DATASET_FNS.setdefault("bigram_topk", text.bigram_topk)
 
-    from .pipelines.graph import canonical_reps, connected_components
+    from .pipelines.graph import (canonical_reps, connected_components,
+                                  pagerank_int)
 
     DATASET_FNS.setdefault("connected_components", connected_components)
     DATASET_FNS.setdefault("canonical_reps", canonical_reps)
+    DATASET_FNS.setdefault("pagerank_int", pagerank_int)
 
     from .pipelines.curate import curate_corpus
 

@@ -603,3 +603,27 @@ def test_kmeans_micro_vs_numpy(ray_session):
             for cl in range(k) for dim in range(d)}
     gotm = {(r.cluster, r.dim): (r.c_micro, r.n) for r in got.itertuples()}
     assert gotm == want
+
+
+# ----------------------------------------------------------- pagerank
+
+def test_pagerank_int_vs_brute(ray_session):
+    from hand_index_ray.pipelines.graph import pagerank_int
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 1)]  # dup edge
+    tbl = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64())})
+    got = pagerank_int(_ds(tbl).repartition(2), iters=3)
+    E = sorted(set(edges))
+    nodes = sorted({u for u, _ in E} | {v for _, v in E})
+    N = len(nodes)
+    deg = {}
+    for u, _ in E:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: 10 ** 9 // N for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // deg[u]
+        r = {n: 150000000 // N + (85 * s[n]) // 100 for n in nodes}
+    assert dict(zip(got["node"], got["rank"])) == r
