@@ -1501,6 +1501,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
         return pagerank_int(edges, iters=3)
 
+    def q113_triangles(sf):  # per-node triangle counts (SQL oracle)
+        from hand_index_ray.pipelines.graph import triangle_counts
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            u = k % 100
+            v = (k // 100) % 100
+            keep = u != v
+            return pa.table({"u": pa.array(u[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        edges = _t(sf, "orders").select_columns(["o_orderkey"]) \
+            .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        return triangle_counts(edges)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1614,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_above_avg": q110_above_avg,
         "q111_kmeans": q111_kmeans,
         "q112_pagerank": q112_pagerank,
+        "q113_triangles": q113_triangles,
     }
 
 
@@ -2718,6 +2734,23 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q113_triangles": """
+            WITH e0 AS (SELECT DISTINCT o_orderkey % 100 AS u,
+                               (o_orderkey // 100) % 100 AS v
+                        FROM orders
+                        WHERE o_orderkey % 100
+                              != (o_orderkey // 100) % 100),
+            e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+                  FROM e0),
+            t AS (SELECT a.u AS x, a.v AS y, c.v AS z
+                  FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                       JOIN e c ON c.u = a.v AND c.v = b.v),
+            n AS (SELECT x AS node FROM t
+                  UNION ALL SELECT y FROM t
+                  UNION ALL SELECT z FROM t)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM n GROUP BY node
         """,
         "q112_pagerank": """
             WITH e AS (SELECT DISTINCT o_orderkey % 1000 AS u,

@@ -325,3 +325,66 @@ def pagerank_int(edges: ray.data.Dataset, a: str = "u", b: str = "v",
                         "rank": pd.Series([rank[int(n)] for n in nodes],
                                           dtype="int64")})
     return out
+
+
+def triangle_counts(edges: ray.data.Dataset, a: str = "u", b: str = "v"
+                    ) -> pd.DataFrame:
+    """Per-node triangle counts (the clustering-coefficient numerator).
+    Edges are canonicalized u<v and deduped distributively; the
+    adjacency (sorted neighbor array per node, CSR layout) broadcasts
+    once via ``ray.put``; one map-only pass over the edge Dataset
+    counts, for each edge (u,v), the common neighbors w>v
+    (``np.intersect1d`` on the two sorted adjacency slices) and emits
+    per-node increments — each triangle found exactly once at its
+    smallest edge, charged to all three corners. Per-edge loop runs
+    over graph-domain edges (not corpus rows); a corpus-sized graph
+    would co-group by min-degree endpoint instead of broadcasting."""
+    from .. import relational as rel
+
+    def canon(t: pa.Table) -> pa.Table:
+        uu = t[a].to_numpy()
+        vv = t[b].to_numpy()
+        lo = np.minimum(uu, vv)
+        hi = np.maximum(uu, vv)
+        keep = lo != hi
+        return pa.table({"u": pa.array(lo[keep], pa.int64()),
+                         "v": pa.array(hi[keep], pa.int64())})
+
+    E = rel.distinct(edges.select_columns([a, b]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v"]).materialize()
+    et = pa.concat_tables(E.iter_batches(batch_format="pyarrow")).to_pandas()
+    if not len(et):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    # undirected adjacency, neighbors sorted (CSR)
+    sym = pd.concat([et, et.rename(columns={"u": "v", "v": "u"})])
+    adj = {int(n): np.sort(g["v"].to_numpy())
+           for n, g in sym.groupby("u", sort=False)}
+    ref = ray.put(adj)
+
+    def count(t: pa.Table) -> pa.Table:
+        A = ray.get(ref)
+        inc: dict[int, int] = {}
+        for u, v in zip(t["u"].to_numpy(), t["v"].to_numpy()):
+            w = np.intersect1d(A[int(u)], A[int(v)], assume_unique=True)
+            w = w[w > v]  # u < v < w: count each triangle once
+            if len(w):
+                inc[int(u)] = inc.get(int(u), 0) + len(w)
+                inc[int(v)] = inc.get(int(v), 0) + len(w)
+                for x in w.tolist():
+                    inc[int(x)] = inc.get(int(x), 0) + 1
+        if not inc:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+        return pa.table({"node": pa.array(list(inc), pa.int64()),
+                         "n_tri": pa.array(list(inc.values()), pa.int64())})
+
+    parts = E.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    out = parts.groupby("node", as_index=False)["n_tri"].sum()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "n_tri": "int64"})

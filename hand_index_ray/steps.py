@@ -184,6 +184,10 @@ def _register_dataset_fns() -> None:
     DATASET_FNS.setdefault("canonical_reps", canonical_reps)
     DATASET_FNS.setdefault("pagerank_int", pagerank_int)
 
+    from .pipelines.graph import triangle_counts
+
+    DATASET_FNS.setdefault("triangle_counts", triangle_counts)
+
     from .pipelines.curate import curate_corpus
 
     DATASET_FNS.setdefault("curate_corpus", curate_corpus)

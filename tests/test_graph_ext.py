@@ -627,3 +627,25 @@ def test_pagerank_int_vs_brute(ray_session):
             s[v] += r[u] // deg[u]
         r = {n: 150000000 // N + (85 * s[n]) // 100 for n in nodes}
     assert dict(zip(got["node"], got["rank"])) == r
+
+
+# ---------------------------------------------------------- triangles
+
+def test_triangle_counts_vs_brute(ray_session):
+    from hand_index_ray.pipelines.graph import triangle_counts
+    from itertools import combinations
+
+    rng = np.random.default_rng(23)
+    pairs = set()
+    for a, b in rng.integers(0, 15, (60, 2)):
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    tbl = pa.table({"u": pa.array([p[0] for p in pairs], pa.int64()),
+                    "v": pa.array([p[1] for p in pairs], pa.int64())})
+    got = triangle_counts(_ds(tbl).repartition(3))
+    want = {}
+    for x, y, z in combinations(range(15), 3):
+        if (x, y) in pairs and (y, z) in pairs and (x, z) in pairs:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert dict(zip(got["node"], got["n_tri"])) == want
