@@ -1516,6 +1516,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
         return triangle_counts(edges)
 
+    def q114_mad(sf):  # robust stats: grouped median absolute deviation (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.grouped_mad(orders, ["o_orderpriority"], "total_cents")
+
+    def q115_equalize(sf):  # histogram-equalization checksums (SQL oracle)
+        from hand_index_ray.pipelines.image_embed import equalize_stats
+
+        return equalize_stats(_arith_images(sf))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1630,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_kmeans": q111_kmeans,
         "q112_pagerank": q112_pagerank,
         "q113_triangles": q113_triangles,
+        "q114_mad": q114_mad,
+        "q115_equalize": q115_equalize,
     }
 
 
@@ -2734,6 +2746,44 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q114_mad": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders),
+            m AS (SELECT o_orderpriority,
+                         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                              AS BIGINT) AS med,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM o GROUP BY o_orderpriority),
+            d AS (SELECT o.o_orderpriority, ABS(o.c - m.med) AS dev
+                  FROM o JOIN m USING (o_orderpriority))
+            SELECT m.o_orderpriority, m.n, m.med,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d.dev)
+                        AS BIGINT) AS mad
+            FROM d JOIN m USING (o_orderpriority)
+            GROUP BY m.o_orderpriority, m.n, m.med
+        """,
+        "q115_equalize": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            px AS (SELECT k, (k + 7*y.y + 3*x.x) % 256 AS p
+                   FROM ks, generate_series(0, 23) y(y),
+                        generate_series(0, 31) x(x)),
+            h AS (SELECT k, p, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM px GROUP BY k, p),
+            cd AS (SELECT k, p, c,
+                     SUM(c) OVER (PARTITION BY k ORDER BY p) AS cdf,
+                     SUM(c) OVER (PARTITION BY k) AS n,
+                     MIN(c) OVER (PARTITION BY k) AS _dummy
+                   FROM h),
+            cm AS (SELECT k, MIN(cdf) AS cdf_min FROM cd GROUP BY k),
+            eq AS (SELECT cd.k, ((cd.cdf - cm.cdf_min) * 255)
+                                // (cd.n - cm.cdf_min) AS e, cd.c
+                   FROM cd JOIN cm USING (k))
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0') AS image_id,
+                   CAST(SUM(e * c) AS BIGINT) AS eq_sum
+            FROM eq GROUP BY k
         """,
         "q113_triangles": """
             WITH e0 AS (SELECT DISTINCT o_orderkey % 100 AS u,

@@ -619,3 +619,37 @@ def dominant_levels(source: "str | ray.data.Dataset", k: int = 3,
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
                           concurrency=pool_size(cfg.encode_concurrency))
+
+
+def equalize_stats(source: "str | ray.data.Dataset", channel: int = 0,
+                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image histogram equalization checksum: eq(p) =
+    ((cdf(p) − cdf_min) · 255) // (N − cdf_min) over one channel —
+    the classic contrast-normalization LUT, all-integer so the oracle
+    recomputes it from cumulative counts. Emits the equalized pixel
+    sum per image (the LUT gather itself is np take — map-only)."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        out = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64).ravel()
+            n = p.size
+            cnt = np.bincount(p, minlength=256)
+            cdf = np.cumsum(cnt)
+            cdf_min = int(cdf[np.flatnonzero(cnt)[0]]) if n else 0
+            if n == cdf_min:  # constant image → eq is all zeros
+                out[i] = 0
+                continue
+            lut = ((cdf - cdf_min) * 255) // (n - cdf_min)
+            out[i] = int(lut[p].sum())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "eq_sum": pa.array(out, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))

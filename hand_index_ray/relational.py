@@ -2115,3 +2115,40 @@ def above_group_avg(ds: ray.data.Dataset, keys: list[str], value: str,
         lambda t: t.rename_columns(
             ["n_above" if c == "n" else c for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def grouped_mad(ds: ray.data.Dataset, keys: list[str], col: str,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Robust spread: per-group median absolute deviation with
+    PERCENTILE_DISC semantics at both levels (med = disc-median of x;
+    mad = disc-median of |x − med|) — exact integers end to end. One
+    keyed shuffle; the bucket pass sorts once for the medians and once
+    for the deviations, all vectorized."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=g[k].dtype if k in g else "object")
+                    for k in keys},
+                 "n": pd.Series(dtype="int64"),
+                 "med": pd.Series(dtype="int64"),
+                 "mad": pd.Series(dtype="int64")})
+
+        def disc_median(sub: np.ndarray) -> int:
+            sub = np.sort(sub)
+            return int(sub[int(np.ceil(0.5 * len(sub))) - 1])
+
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            v = sub[col].to_numpy().astype(np.int64)
+            med = disc_median(v)
+            mad = disc_median(np.abs(v - med))
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, len(v), med, mad))
+        return pd.DataFrame(rows, columns=keys + ["n", "med", "mad"]) \
+            .astype({"n": "int64", "med": "int64", "mad": "int64"})
+
+    slim = ds.select_columns(keys + [col])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -188,6 +188,11 @@ def _register_dataset_fns() -> None:
 
     DATASET_FNS.setdefault("triangle_counts", triangle_counts)
 
+    from .pipelines.image_embed import equalize_stats
+
+    DATASET_FNS.setdefault("grouped_mad", rel.grouped_mad)
+    DATASET_FNS.setdefault("equalize_stats", equalize_stats)
+
     from .pipelines.curate import curate_corpus
 
     DATASET_FNS.setdefault("curate_corpus", curate_corpus)

@@ -649,3 +649,48 @@ def test_triangle_counts_vs_brute(ray_session):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert dict(zip(got["node"], got["n_tri"])) == want
+
+
+# ------------------------------------------------------------ mad / eq
+
+def test_grouped_mad_brute(ray_session):
+    from hand_index_ray.relational import grouped_mad
+
+    rng = np.random.default_rng(29)
+    g = rng.choice(["a", "b"], 101).tolist()
+    v = rng.integers(-50, 50, 101)
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    got = grouped_mad(_ds(tbl).repartition(3), ["g"], "v",
+                      num_buckets=4).to_pandas()
+
+    def disc_med(arr):
+        arr = np.sort(arr)
+        return int(arr[int(np.ceil(0.5 * len(arr))) - 1])
+
+    df = pd.DataFrame({"g": g, "v": v})
+    for r in got.itertuples():
+        vals = df[df.g == r.g]["v"].to_numpy()
+        med = disc_med(vals)
+        assert (r.n, r.med, r.mad) == (len(vals), med,
+                                       disc_med(np.abs(vals - med)))
+
+
+def test_equalize_stats_lut(ray_session):
+    from hand_index_ray.kernels import image as imk
+    from hand_index_ray.pipelines.image_embed import equalize_stats
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 64, (9, 11, 3)).astype(np.uint8)  # narrow range
+    tbl = pa.table({"image_id": pa.array(["i0"]),
+                    "bytes": pa.array([imk.encode(px, "raw")], pa.binary()),
+                    "fmt": pa.array(["raw"]),
+                    "w": pa.array([11], pa.int32()),
+                    "h": pa.array([9], pa.int32())})
+    got = equalize_stats(_ds(tbl)).to_pandas()
+    p = px[:, :, 0].astype(np.int64).ravel()
+    n = p.size
+    cnt = np.bincount(p, minlength=256)
+    cdf = np.cumsum(cnt)
+    cdf_min = int(cdf[np.flatnonzero(cnt)[0]])
+    lut = ((cdf - cdf_min) * 255) // (n - cdf_min)
+    assert got["eq_sum"].iloc[0] == int(lut[p].sum())
