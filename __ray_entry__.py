@@ -1526,6 +1526,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return equalize_stats(_arith_images(sf))
 
+    def q116_pagination(sf):  # global ORDER BY + LIMIT/OFFSET page (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.sorted_slice(orders, ["total_cents", "o_orderkey"],
+                                offset=50, k=20, descending=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1642,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q113_triangles": q113_triangles,
         "q114_mad": q114_mad,
         "q115_equalize": q115_equalize,
+        "q116_pagination": q116_pagination,
     }
 
 
@@ -2746,6 +2753,13 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q116_pagination": """
+            SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents,
+                   o_orderkey
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey DESC
+            LIMIT 20 OFFSET 50
         """,
         "q114_mad": """
             WITH o AS (SELECT o_orderpriority,

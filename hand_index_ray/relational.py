@@ -2152,3 +2152,27 @@ def grouped_mad(ds: ray.data.Dataset, keys: list[str], col: str,
     return grouped_apply_bucketed(slim, keys, bucket_fn,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def sorted_slice(ds: ray.data.Dataset, by: list[str], offset: int,
+                 k: int, descending: bool = False) -> pd.DataFrame:
+    """Global ORDER BY ... LIMIT k OFFSET offset — result pagination
+    without a global sort: each block keeps its local top-(offset+k)
+    (only candidates travel), the driver merges and slices. Scale note:
+    cost grows with offset+k, the right trade for page-sized offsets;
+    deep pagination should keyset-paginate on ``by`` instead (ANSI
+    OFFSET semantics require counting past rows regardless of engine).
+    ``by`` must be a total order (include a tiebreak column)."""
+    n = offset + k
+    asc = [not descending] * len(by)
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.select(by).to_pandas().sort_values(
+            by, ascending=asc, kind="stable").head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    out = cand.sort_values(by, ascending=asc, kind="stable") \
+        .iloc[offset:offset + k]
+    return out.reset_index(drop=True)

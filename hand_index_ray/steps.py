@@ -191,6 +191,7 @@ def _register_dataset_fns() -> None:
     from .pipelines.image_embed import equalize_stats
 
     DATASET_FNS.setdefault("grouped_mad", rel.grouped_mad)
+    DATASET_FNS.setdefault("sorted_slice", rel.sorted_slice)
     DATASET_FNS.setdefault("equalize_stats", equalize_stats)
 
     from .pipelines.curate import curate_corpus

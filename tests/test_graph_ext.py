@@ -694,3 +694,20 @@ def test_equalize_stats_lut(ray_session):
     cdf_min = int(cdf[np.flatnonzero(cnt)[0]])
     lut = ((cdf - cdf_min) * 255) // (n - cdf_min)
     assert got["eq_sum"].iloc[0] == int(lut[p].sum())
+
+
+# ----------------------------------------------------------- pagination
+
+def test_sorted_slice_vs_sort(ray_session):
+    from hand_index_ray.relational import sorted_slice
+
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 1000, 500)
+    i = np.arange(500)
+    tbl = pa.table({"v": pa.array(v, pa.int64()),
+                    "i": pa.array(i, pa.int64())})
+    got = sorted_slice(_ds(tbl).repartition(8), ["v", "i"],
+                       offset=37, k=10, descending=True)
+    df = pd.DataFrame({"v": v, "i": i}).sort_values(
+        ["v", "i"], ascending=False).iloc[37:47].reset_index(drop=True)
+    assert got.equals(df)
