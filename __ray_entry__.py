@@ -1532,6 +1532,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.sorted_slice(orders, ["total_cents", "o_orderkey"],
                                 offset=50, k=20, descending=True)
 
+    def q117_time_to_convert(sf):  # conversion-latency median (SQL oracle)
+        return rel.time_to_convert(_t(sf, "events"), "user_id", "ts",
+                                   "event_type", "signup", "purchase")
+
+    def q118_drawdown(sf):  # per-customer max drawdown (SQL oracle)
+        orders = rel.add_cents(_t(sf, "orders"), "o_totalprice",
+                               "total_cents")
+        return rel.max_drawdown(orders, ["o_custkey"], "o_orderkey",
+                                "total_cents")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1649,6 +1659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q114_mad": q114_mad,
         "q115_equalize": q115_equalize,
         "q116_pagination": q116_pagination,
+        "q117_time_to_convert": q117_time_to_convert,
+        "q118_drawdown": q118_drawdown,
     }
 
 
@@ -2753,6 +2765,29 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                                  o_orderkey) AS BIGINT) AS tile
             FROM orders
+        """,
+        "q117_time_to_convert": """
+            WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                       WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+            d AS (SELECT p.t - f.t AS delta FROM f JOIN p USING (user_id)
+                  WHERE p.t - f.t > 0)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta)
+                        AS BIGINT) AS p50_us
+            FROM d
+        """,
+        "q118_drawdown": """
+            WITH o AS (SELECT o_custkey, o_orderkey,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c
+                       FROM orders),
+            w AS (SELECT o_custkey,
+                         MAX(c) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) - c AS dd
+                  FROM o)
+            SELECT o_custkey, CAST(MAX(dd) AS BIGINT) AS max_dd
+            FROM w GROUP BY o_custkey
         """,
         "q116_pagination": """
             SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_cents,

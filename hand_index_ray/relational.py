@@ -2176,3 +2176,75 @@ def sorted_slice(ds: ray.data.Dataset, by: list[str], offset: int,
     out = cand.sort_values(by, ascending=asc, kind="stable") \
         .iloc[offset:offset + k]
     return out.reset_index(drop=True)
+
+
+def time_to_convert(events: ray.data.Dataset, key: str, ts_col: str,
+                    type_col: str, from_type: str, to_type: str,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Conversion-latency summary: per key, delta = first ``to_type``
+    minus first ``from_type`` event time (µs, only keys where the
+    conversion happened strictly after); output one row —
+    (n_converted, p50_us) with the PERCENTILE_DISC median over keys.
+    One keyed shuffle; buckets emit one delta per converted key, so the
+    median runs over a key-domain-sized driver table."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, type_col])
+        return t.filter(pc.is_in(t[type_col],
+                                 value_set=pa.array([from_type, to_type])))
+
+    slim = events.map_batches(pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"delta": pd.Series(dtype="int64")})
+        ts = g[ts_col].astype("int64")
+        f = g[g[type_col] == from_type].groupby(key)[ts_col].min() \
+            .astype("int64")
+        t2 = g[g[type_col] == to_type].groupby(key)[ts_col].min() \
+            .astype("int64")
+        m = pd.concat([f.rename("f"), t2.rename("t")], axis=1).dropna()
+        d = (m["t"].astype("int64") - m["f"].astype("int64"))
+        d = d[d > 0]
+        return pd.DataFrame({"delta": d.astype("int64").to_numpy()})
+
+    deltas = grouped_apply_bucketed(slim, [key], bucket_fn,
+                                    num_buckets=num_buckets,
+                                    whole_bucket=True).to_pandas()
+    if not len(deltas):
+        return pd.DataFrame({"n_converted": pd.Series([0], dtype="int64"),
+                             "p50_us": pd.Series([0], dtype="int64")})
+    v = np.sort(deltas["delta"].to_numpy())
+    med = int(v[int(np.ceil(0.5 * len(v))) - 1])
+    return pd.DataFrame({"n_converted": pd.Series([len(v)], dtype="int64"),
+                         "p50_us": pd.Series([med], dtype="int64")})
+
+
+def max_drawdown(ds: ray.data.Dataset, keys: list[str], order: str,
+                 value: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key maximum drawdown: max over the ``order``-sorted series
+    of (running peak − current value) — exact integers, the
+    risk-analytics window that needs a full prefix scan. One keyed
+    shuffle; per bucket it is one sort + grouped cummax + subtract +
+    grouped max, all vectorized."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=g[k].dtype if k in g else "object")
+                    for k in keys},
+                 "max_dd": pd.Series(dtype="int64")})
+        g = g.sort_values(keys + [order], kind="mergesort",
+                          ignore_index=True)
+        peak = g.groupby(keys, sort=False)[value].cummax()
+        dd = (peak - g[value]).astype("int64")
+        g["__dd"] = dd
+        out = g.groupby(keys, as_index=False)["__dd"].max()
+        return out.rename(columns={"__dd": "max_dd"}) \
+            .astype({"max_dd": "int64"})
+
+    slim = ds.select_columns(keys + [order, value])
+    return grouped_apply_bucketed(slim, keys, bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

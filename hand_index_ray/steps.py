@@ -192,6 +192,8 @@ def _register_dataset_fns() -> None:
 
     DATASET_FNS.setdefault("grouped_mad", rel.grouped_mad)
     DATASET_FNS.setdefault("sorted_slice", rel.sorted_slice)
+    DATASET_FNS.setdefault("time_to_convert", rel.time_to_convert)
+    DATASET_FNS.setdefault("max_drawdown", rel.max_drawdown)
     DATASET_FNS.setdefault("equalize_stats", equalize_stats)
 
     from .pipelines.curate import curate_corpus

@@ -711,3 +711,36 @@ def test_sorted_slice_vs_sort(ray_session):
     df = pd.DataFrame({"v": v, "i": i}).sort_values(
         ["v", "i"], ascending=False).iloc[37:47].reset_index(drop=True)
     assert got.equals(df)
+
+
+# ----------------------------------------------- convert / drawdown
+
+def test_time_to_convert_brute(ray_session):
+    from hand_index_ray.relational import time_to_convert
+
+    rows = [("u1", 100, "signup"), ("u1", 400, "purchase"),
+            ("u2", 50, "signup"), ("u2", 60, "purchase"),
+            ("u3", 10, "purchase"), ("u3", 20, "signup"),  # converted before signup
+            ("u4", 5, "signup")]
+    tbl = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows],
+                                   pa.timestamp("us")),
+                    "event_type": pa.array([r[2] for r in rows])})
+    got = time_to_convert(_ds(tbl).repartition(2), "user_id", "ts",
+                          "event_type", "signup", "purchase",
+                          num_buckets=4)
+    # deltas: u1=300, u2=10 -> disc median of [10, 300] = 10
+    assert got["n_converted"].iloc[0] == 2
+    assert got["p50_us"].iloc[0] == 10
+
+
+def test_max_drawdown_brute(ray_session):
+    from hand_index_ray.relational import max_drawdown
+
+    tbl = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 3),
+                    "o": pa.array([1, 2, 3, 4, 5, 1, 2, 3], pa.int64()),
+                    "v": pa.array([10, 7, 12, 3, 8, 5, 5, 9], pa.int64())})
+    got = max_drawdown(_ds(tbl).repartition(3), ["k"], "o", "v",
+                       num_buckets=4).to_pandas()
+    m = dict(zip(got["k"], got["max_dd"]))
+    assert m == {"a": 9, "b": 0}  # a: peak 12 -> 3 ; b: never below peak
