@@ -2970,8 +2970,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q105_json_extract": """
             SELECT event_type,
-                   CAST(SUM(CAST(regexp_extract(props,
-                        '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
+                   CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props,
+                        '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)) AS BIGINT)
                      AS k_sum,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type

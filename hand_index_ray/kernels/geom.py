@@ -680,6 +680,92 @@ def rects_vs_polygon(minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy:
     }
 
 
+def _all_edges_gid(r: Ragged, gid_of_coord: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Edge start/end arrays for EVERY geometry of a Ragged in one pass
+    plus each edge's geometry id — the batch analogue of _geom_edges
+    (ring-closure aware: the last coordinate of each ring starts no
+    edge)."""
+    c, off = r.coords, r.ring_coord_off
+    if len(c) == 0:
+        z = np.empty((0, 2))
+        return z, z, np.empty(0, dtype=np.int64)
+    ring_len = np.diff(off)
+    keep = np.ones(len(c), dtype=bool)
+    nonempty_last = off[1:][ring_len > 0] - 1
+    keep[nonempty_last] = False  # ring-final coords start no edge
+    ei = np.nonzero(keep)[0]
+    return c[ei], c[ei + 1], gid_of_coord[ei]
+
+
+def polygons_intersect_one(r: Ragged, mask: np.ndarray,
+                           prep: "PreparedPolygon",
+                           edge_chunk: int = 8192) -> np.ndarray:
+    """Vectorized ST_Intersects of MANY polygons against ONE prepared
+    polygon — the same decision as per-candidate ``geom_intersects``
+    (vertex-in-other both ways, then proper edge crossing) but computed
+    for the whole batch at once: one PIP pass over all candidate
+    vertices, one parity pass of the query vertices against all
+    candidate edges, one (candidate-edges × query-edges) crossing
+    sweep, each reduced per geometry id. ``mask`` restricts the work to
+    bbox-passing candidates. Returns a bool (G,) array (False outside
+    mask)."""
+    n = len(r)
+    out = np.zeros(n, dtype=bool)
+    if not mask.any() or len(r.coords) == 0:
+        return out
+    c0 = r.ring_coord_off[r.part_ring_off[r.geom_part_off[:-1]]]
+    c1 = r.ring_coord_off[r.part_ring_off[r.geom_part_off[1:]]]
+    gid_of_coord = np.repeat(np.arange(n), c1 - c0)
+    sel = mask[gid_of_coord]
+    # (1) any candidate vertex strictly inside the query polygon
+    ins = _points_in_edges(r.coords[sel, 0], r.coords[sel, 1],
+                           prep.e1, prep.e2)
+    out |= np.bincount(gid_of_coord[sel], ins, minlength=n) > 0
+    # candidate edge arrays (masked)
+    e1, e2, egid = _all_edges_gid(r, gid_of_coord)
+    em = mask[egid]
+    e1, e2, egid = e1[em], e2[em], egid[em]
+    if len(e1) == 0:
+        return out
+    x1, y1 = e1[:, 0], e1[:, 1]
+    x2, y2 = e2[:, 0], e2[:, 1]
+    # (2) any query vertex inside a candidate: crossing-number parity
+    # per (query vertex, geometry) — vectorized over candidate edges,
+    # looping only the handful of query vertices
+    for px, py in np.unique(prep.geom.coords, axis=0):
+        cond = (y1 > py) != (y2 > py)
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[cond] + (py - y1[cond]) * (x2[cond] - x1[cond]) \
+                / (y2[cond] - y1[cond])
+        crosses = px < xint
+        cnt = np.bincount(egid[cond][crosses], minlength=n)
+        out |= (cnt & 1).astype(bool)
+    # (3) proper edge crossings, chunked over candidate edges
+    b1 = prep.e1[None, :, :]
+    b2 = prep.e2[None, :, :]
+
+    def orient(p, q, rr):
+        return (q[..., 0] - p[..., 0]) * (rr[..., 1] - p[..., 1]) - (
+            q[..., 1] - p[..., 1]) * (rr[..., 0] - p[..., 0])
+
+    for s in range(0, len(e1), edge_chunk):
+        sl = slice(s, s + edge_chunk)
+        A1 = e1[sl][:, None, :]
+        A2 = e2[sl][:, None, :]
+        d1 = orient(b1, b2, A1)
+        d2 = orient(b1, b2, A2)
+        d3 = orient(A1, A2, b1)
+        d4 = orient(A1, A2, b2)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        hits = proper.any(axis=1)
+        if hits.any():
+            out[egid[sl][hits]] = True
+    return out
+
+
 # ---------------------------------------------------------------------------
 # overlap-filter semantics (reference parity)
 

@@ -251,10 +251,12 @@ def canonical_reps(docs: ray.data.Dataset, pairs: ray.data.Dataset,
     if comp_tbl.num_rows == 0:
         comp_tbl = pa.table({"node": pa.array([], id_type),
                              "comp": pa.array([], id_type)})
-    ref = ray.put(comp_tbl)
+    # broadcast the node->comp table as a pandas frame ONCE — workers
+    # deserialize it zero-conversion per batch (ADVICE r2)
+    ref = ray.put(comp_tbl.to_pandas())
 
     def assign(t: pa.Table) -> pa.Table:
-        c = ray.get(ref).to_pandas()
+        c = ray.get(ref)
         ids = t.column(id_col).to_pandas().rename(id_col)
         m = ids.to_frame().merge(c, left_on=id_col, right_on="node",
                                  how="left")

@@ -47,6 +47,8 @@ def kmeans_micro(ds: ray.data.Dataset, id_col: str = "vec_id",
     """Run ``rounds`` exact Lloyd iterations; returns the long-form
     result (cluster, dim, c_micro, n) — final quantized centroids and
     cluster sizes (n repeated per dim, q94 layout)."""
+    if rounds < 1:
+        raise ValueError(f"kmeans_micro needs rounds >= 1, got {rounds}")
     slim = ds.select_columns([id_col, vec_col])
 
     # deterministic init: vectors of the k smallest ids (tiny driver
@@ -59,6 +61,11 @@ def kmeans_micro(ds: ray.data.Dataset, id_col: str = "vec_id",
         slim.map_batches(low, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow"))
     cand = cand.take(pc.sort_indices(cand[id_col])[:k])
+    if cand.num_rows < k:
+        # fewer rows than clusters: clamp so init/emit stay consistent
+        k = cand.num_rows
+    if k == 0:
+        raise ValueError("kmeans_micro: dataset is empty")
     d = len(cand[vec_col][0])
     cents = _micro(cand, vec_col, d)  # (k, d) int64
 

@@ -161,31 +161,85 @@ class TrigramLangId:
             out[g] = out.get(g, 0) + 1
         return out
 
+    @staticmethod
+    def _gram_codes(cp: np.ndarray) -> np.ndarray:
+        """Trigram windows of a uint64 codepoint array packed into one
+        uint64 each (21 bits per char covers all of Unicode)."""
+        return (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) \
+            | cp[2:]
+
     def __init__(self, top: int = 200):
         self.langs = sorted(self.SEEDS)
-        self.profiles = {}
+        profs = {}
         for lg in self.langs:
             cnt = self._trigram_counts(self.SEEDS[lg])
             keep = sorted(cnt, key=lambda g: (-cnt[g], g))[:top]
             v = np.array([cnt[g] for g in keep], dtype=np.float64)
-            self.profiles[lg] = ({g: i for i, g in enumerate(keep)},
-                                 v / np.linalg.norm(v))
+            profs[lg] = ({g: i for i, g in enumerate(keep)},
+                         v / np.linalg.norm(v))
+        # union of profile trigrams → one sorted code array plus a
+        # (codes × langs) weight matrix, built ONCE per actor, so each
+        # batch scores with searchsorted + one scatter-add (no per-row
+        # Python, no per-lang dict probes)
+        def code_of(g3: str) -> int:
+            a, b, c = (ord(ch) for ch in g3)
+            return (a << 42) | (b << 21) | c
+
+        allcodes = sorted({code_of(g) for _, (idx, _) in profs.items()
+                           for g in idx})
+        self.pcodes = np.array(allcodes, dtype=np.uint64)
+        self.W = np.zeros((len(allcodes), len(self.langs)))
+        pos = {c: i for i, c in enumerate(allcodes)}
+        for j, lg in enumerate(self.langs):
+            idx, pv = profs[lg]
+            for g, i in idx.items():
+                self.W[pos[code_of(g)], j] = pv[i]
+        self.lang_arr = np.array(self.langs + ["unknown"], dtype=object)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        langs = []
-        for s in texts:
-            cnt = self._trigram_counts(s)
-            norm = np.sqrt(sum(c * c for c in cnt.values())) or 1.0
-            best, best_sim = "unknown", 0.0
-            for lg in self.langs:
-                index, pv = self.profiles[lg]
-                dot = sum(c * pv[index[g]] for g, c in cnt.items() if g in index)
-                sim = dot / norm
-                if sim > best_sim:
-                    best, best_sim = lg, sim
-            langs.append(best)
-        return t.append_column("lang_pred", pa.array(langs, pa.string()))
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("lang_pred", pa.array([], pa.string()))
+        texts = pc.utf8_lower(t.column("text")).to_pylist()
+        # one codepoint array for the whole batch: docs padded with the
+        # same two-space margins as _trigram_counts and separated by a
+        # NUL so no trigram window crosses a document boundary
+        joined = "\x00".join(f"  {s}  " for s in texts) + "\x00"
+        cp = np.frombuffer(joined.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        codes = self._gram_codes(cp)
+        valid = (cp[:-2] != 0) & (cp[1:-1] != 0) & (cp[2:] != 0)
+        doc_of = np.cumsum(cp == 0)[:-2]  # doc id of each window start
+        codes, docs = codes[valid], doc_of[valid]
+        # distinct (doc, gram) counts via one lexsort + run-length pass
+        order = np.lexsort((codes, docs))
+        dc, cc = docs[order], codes[order]
+        if len(dc):
+            new = np.empty(len(dc), bool)
+            new[0] = True
+            new[1:] = (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(dc))).astype(np.float64)
+            udoc, ucode = dc[starts], cc[starts]
+        else:
+            counts = np.zeros(0)
+            udoc = ucode = np.zeros(0, dtype=np.int64)
+        norm = np.sqrt(np.bincount(udoc.astype(np.int64),
+                                   counts * counts, minlength=n))
+        norm[norm == 0] = 1.0
+        pos = np.searchsorted(self.pcodes, ucode)
+        pos_c = np.minimum(pos, len(self.pcodes) - 1)
+        hit = self.pcodes[pos_c] == ucode if len(self.pcodes) else \
+            np.zeros(len(ucode), bool)
+        dots = np.zeros((n, self.W.shape[1]))
+        if hit.any():
+            contrib = counts[hit, None] * self.W[pos_c[hit]]
+            np.add.at(dots, udoc[hit].astype(np.int64), contrib)
+        sims = dots / norm[:, None]
+        best = sims.argmax(axis=1)  # first max → alphabetical tie-break
+        best[sims.max(axis=1) <= 0.0] = len(self.langs)  # → 'unknown'
+        return t.append_column(
+            "lang_pred", pa.array(self.lang_arr[best].tolist(), pa.string()))
 
 
 def fingerprint(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:

@@ -141,20 +141,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             cpus = 8
         nparts = max(2, min(num_buckets, cpus - 1))
         return left.join(right, join_type=jt, num_partitions=nparts, on=(key,))
-    import zlib
-
-    from .sources.synth import splitmix64
-
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
             k = t.column(key)
-            if pa.types.is_integer(k.type):
-                h = splitmix64(k.to_numpy().astype(np.uint64))
-            else:
-                # crc32 is deterministic across processes (Python hash()
-                # is salted per process and must never be a shuffle key)
-                h = splitmix64(np.array([zlib.crc32(str(v).encode()) for v in k.to_pylist()],
-                                        dtype=np.uint64))
+            # _bucket_hash is deterministic across processes (Python
+            # hash() is salted per process and must never be a shuffle
+            # key) and vectorized for both int and string keys
+            h = _bucket_hash(k.to_numpy(zero_copy_only=False),
+                             pa.types.is_integer(k.type))
             b = (h % np.uint64(num_buckets)).astype(np.int32)
             out = t.append_column("__bucket", pa.array(b, pa.int32()))
             return out.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
@@ -255,17 +249,18 @@ def semi_join(big: ray.data.Dataset, key: str, values: pa.Array,
 
 def _bucket_hash(values, is_integer: bool) -> np.ndarray:
     """Deterministic cross-process uint64 hash of a key column
-    (splitmix64 for ints, crc32-then-splitmix64 otherwise — Python
-    hash() is process-salted and must never be a shuffle key)."""
-    import zlib
-
+    (splitmix64 for ints, vectorized siphash via
+    ``pandas.util.hash_array`` otherwise — pandas uses a FIXED hash key
+    so the value is stable across processes/nodes, unlike Python's
+    process-salted hash(), and the string path runs in C instead of a
+    per-row Python loop)."""
     from .sources.synth import splitmix64
 
     with np.errstate(over="ignore"):
         if is_integer:
             return splitmix64(np.asarray(values).astype(np.uint64))
-        return splitmix64(np.array([zlib.crc32(str(v).encode()) for v in values],
-                                   dtype=np.uint64))
+        arr = np.asarray(values, dtype=object)
+        return splitmix64(pd.util.hash_array(arr, categorize=False))
 
 
 def distinct(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
@@ -416,8 +411,6 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
     percentile picks). Key co-location still holds (all rows of a key
     land in one bucket); fn must group internally.
     """
-    import zlib
-
     from .sources.synth import splitmix64
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -427,11 +420,8 @@ def grouped_apply_bucketed(ds: ray.data.Dataset, keys: list[str],
         with np.errstate(over="ignore"):
             for i, k in enumerate(keys):
                 col = t.column(k)
-                if pa.types.is_integer(col.type):
-                    hk = col.to_numpy().astype(np.uint64)
-                else:
-                    hk = np.array([zlib.crc32(str(v).encode()) for v in col.to_pylist()],
-                                  dtype=np.uint64)
+                hk = _bucket_hash(col.to_numpy(zero_copy_only=False),
+                                  pa.types.is_integer(col.type))
                 h ^= splitmix64(hk + np.uint64(0x9E3779B9 * (i + 1)))
         return t.append_column("__bucket",
                                pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
@@ -817,11 +807,25 @@ def hash_split(ds: ray.data.Dataset, id_col: str,
         bounds.append((name, int(round(acc * 10_000))))
     bounds[-1] = (bounds[-1][0], 10_000)  # absorb fp residue
 
+    salt_b = salt.encode()
+
     def f(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        h = np.array(
-            [int.from_bytes(hashlib.md5((str(v) + salt).encode()).digest()[8:16],
-                            "little") for v in ids], dtype=np.uint64)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("split", pa.array([], pa.string()))
+        # md5 itself is per-value by SQL-parity necessity
+        # (md5_number_lower in the oracle), but the string encode runs
+        # once through Arrow and the loop slices a packed byte buffer —
+        # no per-row Python string objects.
+        sa = pc.cast(t.column(id_col), pa.large_string()).combine_chunks()
+        offs = np.frombuffer(sa.buffers()[1], dtype=np.int64,
+                             count=n + 1, offset=8 * sa.offset)
+        mv = memoryview(sa.buffers()[2])
+        md5, fb = hashlib.md5, int.from_bytes
+        h = np.fromiter(
+            (fb(md5(mv[offs[i]:offs[i + 1]].tobytes() + salt_b)
+                 .digest()[8:16], "little") for i in range(n)),
+            dtype=np.uint64, count=n)
         bucket = (h % np.uint64(10_000)).astype(np.int64)
         split = np.empty(len(bucket), dtype=object)
         lo = 0
@@ -2134,19 +2138,26 @@ def grouped_mad(ds: ray.data.Dataset, keys: list[str], col: str,
                  "med": pd.Series(dtype="int64"),
                  "mad": pd.Series(dtype="int64")})
 
-        def disc_median(sub: np.ndarray) -> int:
-            sub = np.sort(sub)
-            return int(sub[int(np.ceil(0.5 * len(sub))) - 1])
-
-        rows = []
-        for kv, sub in g.groupby(keys, sort=False):
-            v = sub[col].to_numpy().astype(np.int64)
-            med = disc_median(v)
-            mad = disc_median(np.abs(v - med))
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            rows.append((*kv, len(v), med, mad))
-        return pd.DataFrame(rows, columns=keys + ["n", "med", "mad"]) \
-            .astype({"n": "int64", "med": "int64", "mad": "int64"})
+        # ONE vectorized pass per order statistic (the
+        # grouped_percentiles pattern): sort by (keys, col) → gather
+        # medians at ceil(n/2)−1 per group; then sort the absolute
+        # deviations within groups (lexsort on a dense group id) and
+        # gather again for the MAD. No per-group Python dispatch.
+        g = g.sort_values(keys + [col], kind="mergesort",
+                          ignore_index=True)
+        sizes = g.groupby(keys, sort=False)[col].size().to_numpy()
+        offs = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        vals = g[col].to_numpy().astype(np.int64)
+        mid = offs + np.ceil(0.5 * sizes).astype(np.int64) - 1
+        med = vals[np.maximum(mid, offs)]
+        gid = np.repeat(np.arange(len(sizes)), sizes)
+        dev = np.abs(vals - med[gid])
+        dev_sorted = dev[np.lexsort((dev, gid))]
+        mad = dev_sorted[np.maximum(mid, offs)]
+        heads = g.iloc[offs][keys].reset_index(drop=True)
+        return pd.DataFrame(
+            {**{k: heads[k] for k in keys},
+             "n": sizes.astype(np.int64), "med": med, "mad": mad})
 
     slim = ds.select_columns(keys + [col])
     return grouped_apply_bucketed(slim, keys, bucket_fn,
@@ -2199,13 +2210,15 @@ def time_to_convert(events: ray.data.Dataset, key: str, ts_col: str,
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame({"delta": pd.Series(dtype="int64")})
-        ts = g[ts_col].astype("int64")
         f = g[g[type_col] == from_type].groupby(key)[ts_col].min() \
             .astype("int64")
         t2 = g[g[type_col] == to_type].groupby(key)[ts_col].min() \
             .astype("int64")
-        m = pd.concat([f.rename("f"), t2.rename("t")], axis=1).dropna()
-        d = (m["t"].astype("int64") - m["f"].astype("int64"))
+        # inner merge on the key keeps the arithmetic in int64 end to
+        # end (an outer-aligned concat would promote to float64)
+        m = f.rename("f").reset_index().merge(
+            t2.rename("t").reset_index(), on=key, how="inner")
+        d = m["t"] - m["f"]
         d = d[d > 0]
         return pd.DataFrame({"delta": d.astype("int64").to_numpy()})
 

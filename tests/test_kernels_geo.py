@@ -213,3 +213,97 @@ def test_triangulate_degenerate_and_convex():
     tris = geom.triangulate_ring(line)
     total = sum(geom._ring_area_abs(np.vstack([x, x[:1]])) for x in tris)
     assert total == 0.0
+
+
+def test_polygons_intersect_one_matches_pairwise():
+    """The batch ST_Intersects kernel must reproduce per-candidate
+    geom_intersects exactly on a varied polygon set: disjoint,
+    vertex-inside, containing-the-query, edge-cross-only, concave and
+    holed cases."""
+    import numpy as np
+
+    from hand_index_ray.kernels import geom, wkb
+
+    rng = np.random.default_rng(7)
+    # query polygon: a concave "L" shape
+    roi = wkb.from_parts([[[np.array(
+        [[0, 0], [4, 0], [4, 1.5], [1.5, 1.5], [1.5, 4], [0, 4], [0, 0]],
+        float)]]])
+    prep = geom.PreparedPolygon(roi, 0)
+
+    geoms = []
+    # random small squares scattered around (mixed in/out)
+    for _ in range(60):
+        cx, cy = rng.uniform(-2, 6, 2)
+        s = rng.uniform(0.2, 1.2)
+        geoms.append([[np.array([[cx, cy], [cx + s, cy], [cx + s, cy + s],
+                                 [cx, cy + s], [cx, cy]], float)]])
+    # a huge square containing the ROI entirely (no ROI vertex strictly
+    # inside test passes via query-vertex-in-candidate)
+    geoms.append([[np.array([[-10, -10], [10, -10], [10, 10], [-10, 10],
+                             [-10, -10]], float)]])
+    # an edge-cross-only sliver through the L's notch
+    geoms.append([[np.array([[2, -1], [2.2, -1], [2.2, 5], [2, 5], [2, -1]],
+                            float)]])
+    # a holed polygon whose hole swallows part of the ROI corner
+    geoms.append([[np.array([[-1, -1], [2, -1], [2, 2], [-1, 2], [-1, -1]],
+                            float),
+                   np.array([[-0.5, -0.5], [1, -0.5], [1, 1], [-0.5, 1],
+                             [-0.5, -0.5]], float)]])
+    rag = wkb.from_parts(geoms)
+    n = len(rag)
+
+    gb = geom.bounds(rag)
+    rb = prep.bounds
+    cand = (gb[:, 0] <= rb[2]) & (rb[0] <= gb[:, 2]) & \
+           (gb[:, 1] <= rb[3]) & (rb[1] <= gb[:, 3])
+    got = geom.polygons_intersect_one(rag, cand, prep)
+    want = np.array([bool(cand[i]) and
+                     geom.geom_intersects(rag, i, roi, 0)
+                     for i in range(n)])
+    assert (got == want).all(), np.nonzero(got != want)
+
+
+def test_zonal_broadcast_joiner_unpickles_once_per_catchment():
+    """Per-actor PreparedPolygon cache: repeated batches touching the
+    same catchments must not re-unpickle (one load per catchment per
+    actor)."""
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from hand_index_ray.kernels import geom, wkb
+    from hand_index_ray.pipelines.query import ZonalBroadcastJoiner
+    from hand_index_ray.pipelines.query import lattice_cover
+
+    level = 7
+    # two catchment squares
+    polys = []
+    for x0 in (0.0, 2.0):
+        polys.append(wkb.from_parts([[[np.array(
+            [[x0, 0], [x0 + 1.5, 0], [x0 + 1.5, 1.5], [x0, 1.5], [x0, 0]],
+            float)]]]))
+    preps = np.array([pickle.dumps(geom.PreparedPolygon(p, 0))
+                      for p in polys], dtype=object)
+    bb = np.stack([geom.bounds(p)[0] for p in polys])
+    ci, cc = lattice_cover(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], level)
+    o = np.argsort(cc, kind="stable")
+    cc_s, ci_s = cc[o], ci[o].astype(np.int64)
+    ucell, ustart = np.unique(cc_s, return_index=True)
+    uoff = np.append(ustart, len(cc_s)).astype(np.int64)
+    idx_ref = ray.put((ucell, uoff, ci_s,
+                       np.array(["c0", "c1"], dtype=object), preps))
+
+    j = ZonalBroadcastJoiner(idx_ref, level)
+    batch = pa.table({"image_id": pa.array(["a", "b"], pa.string()),
+                      "minx": pa.array([0.1, 2.1]),
+                      "miny": pa.array([0.1, 0.1]),
+                      "maxx": pa.array([0.4, 2.4]),
+                      "maxy": pa.array([0.4, 0.4])})
+    out1 = j(batch)
+    out2 = j(batch)  # same catchments again — must hit the cache
+    out3 = j(batch)
+    assert out1.num_rows == 2 and out2.num_rows == 2 and out3.num_rows == 2
+    assert j.n_unpickles == 2  # one per catchment, not per batch
