@@ -262,6 +262,20 @@ def _face_ijk_res0_to_geo(face: int, ijk: np.ndarray) -> tuple[float, float]:
     return float(lat), float(lng)
 
 
+def _geo_from_face_hex2d_res0(face: int, x: float, y: float
+                              ) -> tuple[float, float]:
+    """Inverse: res-0 hex2d coords on ``face`` → geo (lat, lng)."""
+    r = float(np.hypot(x, y))
+    if r < EPSILON:
+        return float(FACE_CENTER_GEO[face, 0]), float(FACE_CENTER_GEO[face, 1])
+    theta = float(np.arctan2(y, x))
+    r = np.arctan(r * RES0_U_GNOMONIC)
+    az = _pos_angle(FACE_AXES_AZ[face, 0] - theta)
+    lat, lng = _geo_az_distance(FACE_CENTER_GEO[face, 0],
+                                FACE_CENTER_GEO[face, 1], az, r)
+    return float(lat), float(lng)
+
+
 def _geo_to_face_hex2d_res0(lat: float, lng: float, face: int
                             ) -> tuple[float, float]:
     """Gnomonic hex2d coords of a geo point on a GIVEN face at res 0."""
@@ -326,6 +340,12 @@ def _hex2d_to_ijk(x, y) -> np.ndarray:
     return _ijk_normalize(np.stack([i, j, k], axis=-1))
 
 
+def _hex2d_to_ijk_t(x, y):
+    """Tuple-form _hex2dToCoordIJK (encode hot path)."""
+    v = _hex2d_to_ijk(x, y)
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
 # --- derived base-cell lookup (replaces vendored faceIjkBaseCells) ----------
 
 _DERIVED: dict = {}
@@ -348,42 +368,300 @@ def _derive_tables():
 
     bc_tbl = np.full((20, 3, 3, 3), -1, dtype=np.int64)
     rot_tbl = np.zeros((20, 3, 3, 3), dtype=np.int64)
-    # rotating direction I ccw: I(0 rots) IJ(1) J(2) JK(3) K(4) IK(5)
-    ccw_from_i = {4: 0, 6: 1, 2: 2, 3: 3, 1: 4, 5: 5}
+
+    def match_cell(f: int, pos: np.ndarray) -> int:
+        """Base cell whose home center coincides with lattice position
+        ``pos`` on face ``f`` (−1 if none: an overage position)."""
+        lat, lng = _face_ijk_res0_to_geo(f, pos)
+        p = np.array([np.cos(lat) * np.cos(lng),
+                      np.cos(lat) * np.sin(lng), np.sin(lat)])
+        d = ((home_xyz - p) ** 2).sum(axis=1)
+        b = int(np.argmin(d))
+        return b if d[b] <= 1e-12 else -1
+
+    # pass 1: base cell per IN-TRIANGLE (face, coarse position) by
+    # exact home-center coincidence; collect touching-face sets.
+    # Positions outside the face triangle (planar lattice continuation
+    # past an icosahedron edge — the 'overage' rows of the published
+    # table) are resolved in pass 1b by folding across the edge.
+    faces_of: dict[int, set[int]] = {}
+    overage: list[tuple[int, int, int, int]] = []
     for f in range(20):
         for i in range(3):
             for j in range(3):
                 for k in range(3):
                     pos = _ijk_normalize(np.array([i, j, k]))
-                    lat, lng = _face_ijk_res0_to_geo(f, pos)
-                    p = np.array([np.cos(lat) * np.cos(lng),
-                                  np.cos(lat) * np.sin(lng), np.sin(lat)])
-                    d = ((home_xyz - p) ** 2).sum(axis=1)
-                    b = int(np.argmin(d))
-                    if d[b] > 1e-12:
-                        raise AssertionError(
-                            f"face {f} ijk {i},{j},{k}: no base cell home "
-                            f"coincides (min dist² {d[b]:.3e}) — "
-                            "BASE_CELL_DATA transcription error")
+                    b = match_cell(f, pos)
+                    if b < 0:
+                        overage.append((f, i, j, k))
+                        continue
                     bc_tbl[f, i, j, k] = b
-                    # rotation: where does face-f's +I step land in the
-                    # home frame?
-                    q = pos + np.array([1, 0, 0])
-                    qlat, qlng = _face_ijk_res0_to_geo(f, q)
-                    hf = int(BASE_CELL_DATA[b, 0])
-                    hx, hy = _geo_to_face_hex2d_res0(qlat, qlng, hf)
-                    hijk = _hex2d_to_ijk(hx, hy)
-                    dd = _unit_to_digit(hijk - _ijk_normalize(
-                        BASE_CELL_DATA[b, 1:4]))
-                    if int(dd) not in ccw_from_i:
-                        raise AssertionError(
-                            f"face {f} ijk {i},{j},{k} bc {b}: +I maps to "
-                            f"non-unit digit {int(dd)}")
-                    rot_tbl[f, i, j, k] = ccw_from_i[int(dd)]
+                    faces_of.setdefault(b, set()).add(f)
+
+    # --- integer 2D lattice coords for exact fold math -----------------
+    # (a, b) with x = a/2, y = b·(√3/2); both integers, same parity
+    def ab_of(pos: np.ndarray) -> tuple[int, int]:
+        ip, jp = int(pos[0] - pos[2]), int(pos[1] - pos[2])
+        return 2 * ip - jp, jp
+
+    def pos_of_ab(a: int, b: int) -> np.ndarray:
+        return _ijk_normalize(np.array([(a + b) // 2, b, 0]))
+
+    def rot_ab(a: int, b: int, times: int) -> tuple[int, int]:
+        for _ in range(times % 6):
+            a, b = (a - 3 * b) // 2, (a + b) // 2
+        return a, b
+
+    # face-triangle corners in (a, b): +I, +J, +K vertices
+    TRI = [(4, 0), (-2, 2), (-2, -2)]
+
+    def tri_side(p: tuple[int, int]) -> int:
+        """-1 if inside/on the face triangle, else the index of the
+        violated edge (0: I→J, 1: J→K, 2: K→I)."""
+        worst, edge = 0, -1
+        for e in range(3):
+            x1, y1 = TRI[e]
+            x2, y2 = TRI[(e + 1) % 3]
+            cross = (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)
+            if cross < worst:
+                worst, edge = cross, e
+        return edge
+
+    # vertex sphere points per face (for anchor matching across folds)
+    vert_pos = [np.array(v) for v in
+                ([2, 0, 0], [0, 2, 0], [0, 0, 2])]
+    verts_xyz = np.empty((20, 3, 3))
+    for f in range(20):
+        for vi, vp in enumerate(vert_pos):
+            lat, lng = _face_ijk_res0_to_geo(f, vp)
+            verts_xyz[f, vi] = (np.cos(lat) * np.cos(lng),
+                                np.cos(lat) * np.sin(lng), np.sin(lat))
+
+    def fold(f: int, edge: int):
+        """The lattice isometry folding face-f's planar continuation
+        beyond ``edge`` onto the neighboring face's frame: returns
+        (nf, k60ccw, translate) with T(p) = rot_ab(p, k) + t."""
+        v1i, v2i = edge, (edge + 1) % 3
+        a1 = ab_of(vert_pos[v1i])
+        a2 = ab_of(vert_pos[v2i])
+        # neighbor face: shares both vertex sphere points
+        nf = nv1 = nv2 = -1
+        for g in range(20):
+            if g == f:
+                continue
+            d1 = ((verts_xyz[g] - verts_xyz[f, v1i]) ** 2).sum(axis=1)
+            d2 = ((verts_xyz[g] - verts_xyz[f, v2i]) ** 2).sum(axis=1)
+            if d1.min() < 1e-12 and d2.min() < 1e-12:
+                nf, nv1, nv2 = g, int(np.argmin(d1)), int(np.argmin(d2))
+                break
+        if nf < 0:
+            raise AssertionError(f"face {f} edge {edge}: no neighbor found")
+        b1 = ab_of(vert_pos[nv1])
+        b2 = ab_of(vert_pos[nv2])
+        da = (a2[0] - a1[0], a2[1] - a1[1])
+        db = (b2[0] - b1[0], b2[1] - b1[1])
+        for k in range(6):
+            if rot_ab(*da, k) == db:
+                t = (b1[0] - rot_ab(*a1, k)[0], b1[1] - rot_ab(*a1, k)[1])
+                return nf, k, t
+        raise AssertionError(f"face {f} edge {edge}: no 60° rotation maps "
+                             "the shared edge")
+
+    def resolve_overage(f: int, pos: np.ndarray, depth: int = 0
+                        ) -> tuple[int, np.ndarray, list]:
+        """Fold an overage lattice position across edges until it lands
+        in a face triangle; returns (face, position, folds-applied)."""
+        if depth > 3:
+            raise AssertionError("overage fold did not terminate")
+        p = ab_of(pos)
+        e = tri_side(p)
+        if e < 0:
+            return f, pos, []
+        nf, k, t = fold(f, e)
+        q = rot_ab(*p, k)
+        q = (q[0] + t[0], q[1] + t[1])
+        g, gpos, chain = resolve_overage(nf, pos_of_ab(*q), depth + 1)
+        return g, gpos, [(f, e, nf, k)] + chain
+
+    def hexagon_rot(f: int, pos: np.ndarray, b: int) -> int:
+        """Frame rotation for an in-triangle hexagon position.
+
+        A hexagon cell center strictly inside the triangle has home
+        face f itself (rot 0); an edge-midpoint cell's other face is
+        exactly one fold away, and the fold's rotation part IS the ccw
+        digit relabeling _faceIjkToH3 applies (coordinates transform
+        v_home = R_k · v_face, so face-frame direction labels shift by
+        +k ccw steps)."""
+        hf = int(BASE_CELL_DATA[b, 0])
+        hpos = _ijk_normalize(BASE_CELL_DATA[b, 1:4])
+        if hf == f:
+            if not (pos == hpos).all():
+                raise AssertionError(
+                    f"face {f} pos {pos.tolist()} bc {b}: home-face "
+                    "position mismatch")
+            return 0
+        for e in range(3):
+            nf, k, t = fold(f, e)
+            if nf != hf:
+                continue
+            q = rot_ab(*ab_of(pos), k)
+            q = pos_of_ab(q[0] + t[0], q[1] + t[1])
+            if (q == hpos).all():
+                return k % 6
+        raise AssertionError(
+            f"face {f} pos {pos.tolist()} bc {b}: home face {hf} not "
+            "reachable by one fold")
+
+    def pentagon_rot(f: int, b: int) -> int:
+        """ccw sector distance around the pentagon vertex from the
+        home face to face f (each face step around a vertex is one
+        ccw 60° lattice rotation — the polar-pentagon pattern of the
+        published table). Best-effort: no in-sandbox golden vector
+        reaches a pentagon-based cell."""
+        hf = int(BASE_CELL_DATA[b, 0])
+        if f == hf:
+            return 0
+        lat, lng = _face_ijk_res0_to_geo(hf, BASE_CELL_DATA[b, 1:4])
+        ring = sorted(faces_of[b])
+        # bearing of each touching face's center from the vertex;
+        # bearings are clockwise-positive, so ccw order = decreasing
+        bear = {ff: float(_pos_angle(_geo_azimuth(
+            lat, lng, FACE_CENTER_GEO[ff, 0], FACE_CENTER_GEO[ff, 1])))
+            for ff in ring}
+        order = sorted(ring, key=lambda ff: -bear[ff])
+        ih = order.index(hf)
+        return (order.index(f) - ih) % len(order)
+
+    def in_tri_rot(f: int, pos: np.ndarray, b: int) -> int:
+        return pentagon_rot(f, b) if IS_PENTAGON[b] \
+            else hexagon_rot(f, pos, b)
+
+    # pass 2: rotations for in-triangle entries
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    b = int(bc_tbl[f, i, j, k])
+                    if b < 0:
+                        continue
+                    pos = _ijk_normalize(np.array([i, j, k]))
+                    rot_tbl[f, i, j, k] = in_tri_rot(f, pos, b)
+
+    # pass 1b/2b: overage entries — fold across the violated edge into
+    # the neighbor frame until in-triangle; each fold contributes its
+    # rotation part k to the digit relabeling.
+    for f, i, j, k in overage:
+        pos = _ijk_normalize(np.array([i, j, k]))
+        g, gpos, chain = resolve_overage(f, pos)
+        b = match_cell(g, gpos)
+        if b < 0:
+            raise AssertionError(
+                f"face {f} ijk {i},{j},{k}: fold chain {chain} landed "
+                f"outside every face triangle")
+        bc_tbl[f, i, j, k] = b
+        r = in_tri_rot(g, gpos, b)
+        for (_ff, _ee, _nn, kk) in chain:
+            r = (r + kk) % 6
+        rot_tbl[f, i, j, k] = r
+
+    # per-(face, edge) fold lookup arrays for vectorized overage
+    # adjustment in cell_to_latlng
+    fold_nf = np.empty((20, 3), dtype=np.int64)
+    fold_k = np.empty((20, 3), dtype=np.int64)
+    fold_t = np.empty((20, 3, 2), dtype=np.int64)
+    for f in range(20):
+        for e in range(3):
+            nf, k, tt = fold(f, e)
+            fold_nf[f, e] = nf
+            fold_k[f, e] = k
+            fold_t[f, e] = tt
+
     _DERIVED["bc"] = bc_tbl
     _DERIVED["rot"] = rot_tbl
     _DERIVED["home_xyz"] = home_xyz
+    _DERIVED["faces_of"] = faces_of
+    _DERIVED["fold_nf"] = fold_nf
+    _DERIVED["fold_k"] = fold_k
+    _DERIVED["fold_t"] = fold_t
+
+    # --- pentagon rotation refinement -------------------------------
+    # The sector model above is a first guess; the authoritative pin is
+    # encode/decode consistency: cell_to_latlng never reads rot_tbl
+    # (it walks home-face digits + published overage folds, and is
+    # validated by golden centers, every hexagon cell, and the polar
+    # pentagons), so for each pentagon table entry the correct rotation
+    # is the unique value whose decode(encode(p)) stays within the cell
+    # of p — every other value lands degrees away.
+    REFINE_RES = 4
+    # max center error accepted: ~half a res-4 hex edge (~0.002 rad);
+    # wrong rotations land ~0.05-0.5 rad away
+    GOOD = 0.004
+    for b in np.nonzero(IS_PENTAGON)[0]:
+        vlat, vlng = _face_ijk_res0_to_geo(int(BASE_CELL_DATA[b, 0]),
+                                           BASE_CELL_DATA[b, 1:4])
+        # ring of sample points around the pentagon center
+        azs = np.linspace(0.0, 2 * np.pi, 40, endpoint=False)
+        for rad in (0.05, 0.12):
+            slat, slng = _geo_az_distance(vlat, vlng, azs,
+                                          np.full_like(azs, rad))
+            slat_d, slng_d = np.degrees(slat), np.degrees(slng)
+            # group samples by the (face, coarse pos) entry they hit
+            entry = _encode_entry_of(slat_d, slng_d, REFINE_RES)
+            for f in np.unique(entry[0]):
+                m = entry[0] == f
+                i0, j0, k0 = (int(entry[1][m][0]), int(entry[2][m][0]),
+                              int(entry[3][m][0]))
+                if bc_tbl[f, i0, j0, k0] != b:
+                    continue
+                best, best_err = None, np.inf
+                for cand in range(6):
+                    rot_tbl[f, i0, j0, k0] = cand
+                    c = latlng_to_cell(slat_d[m], slng_d[m], REFINE_RES)
+                    glat, glng = cell_to_latlng(c)
+                    err = np.max(_angdist(slat_d[m], slng_d[m],
+                                          glat, glng))
+                    if err < best_err:
+                        best, best_err = cand, err
+                if best_err > GOOD:
+                    raise AssertionError(
+                        f"pentagon bc {b} face {f}: no rotation gives a "
+                        f"consistent encode/decode (best err {best_err})")
+                rot_tbl[f, i0, j0, k0] = best
     return _DERIVED
+
+
+def _angdist(lat1_d, lng1_d, lat2_d, lng2_d):
+    """Angular distance (radians) between degree points, vectorized."""
+    la1, lo1 = np.radians(lat1_d), np.radians(lng1_d)
+    la2, lo2 = np.radians(lat2_d), np.radians(lng2_d)
+    d = (np.sin(la1) * np.sin(la2)
+         + np.cos(la1) * np.cos(la2) * np.cos(lo2 - lo1))
+    return np.arccos(np.clip(d, -1.0, 1.0))
+
+
+def _encode_entry_of(lat_deg, lng_deg, res: int):
+    """(face, coarse i, j, k) table entry each point's encode hits."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    n = lat.shape[0]
+    p = np.stack([np.cos(lat) * np.cos(lng),
+                  np.cos(lat) * np.sin(lng), np.sin(lat)], axis=1)
+    dots = p @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=1)
+    r = np.arccos(np.clip(dots[np.arange(n), face], -1.0, 1.0))
+    az = _geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1],
+                      lat, lng)
+    theta = _pos_angle(FACE_AXES_AZ[face, 0] - az)
+    if res % 2 == 1:
+        theta = _pos_angle(theta - M_AP7_ROT_RADS)
+    rr = np.tan(r) / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    small = r < EPSILON
+    x = np.where(small, 0.0, rr * np.cos(theta))
+    y = np.where(small, 0.0, rr * np.sin(theta))
+    cur = _hex2d_to_ijk(x, y)
+    for rlev in range(res, 0, -1):
+        cur = _up_ap7(cur, (rlev % 2) == 0)
+    return face, cur[:, 0], cur[:, 1], cur[:, 2]
 
 
 # --- H3 index bit helpers (vectorized over uint64 arrays) -------------------
@@ -439,6 +717,60 @@ def _rotate_pent60ccw(h: np.ndarray, res: int, mask: np.ndarray) -> np.ndarray:
     return _rotate_digits(out, res, ROT60CCW, again)
 
 
+# --- tuple-form lattice ops (encode hot path: no (...,3) stacking) ----------
+
+def _norm_t(i, j, k):
+    m = i < 0
+    if m.any():
+        j = j - np.where(m, i, 0); k = k - np.where(m, i, 0)
+        i = np.where(m, 0, i)
+    m = j < 0
+    if m.any():
+        i = i - np.where(m, j, 0); k = k - np.where(m, j, 0)
+        j = np.where(m, 0, j)
+    m = k < 0
+    if m.any():
+        i = i - np.where(m, k, 0); j = j - np.where(m, k, 0)
+        k = np.where(m, 0, k)
+    mn = np.minimum(np.minimum(i, j), k)
+    if mn.any():
+        i = i - mn; j = j - mn; k = k - mn
+    return i, j, k
+
+
+def _up_ap7_t(i, j, k, rotg: bool):
+    ii = i - k
+    jj = j - k
+    if not rotg:
+        ni = np.rint((3 * ii - jj) / 7.0).astype(np.int64)
+        nj = np.rint((ii + 2 * jj) / 7.0).astype(np.int64)
+    else:
+        ni = np.rint((2 * ii + jj) / 7.0).astype(np.int64)
+        nj = np.rint((3 * jj - ii) / 7.0).astype(np.int64)
+    return _norm_t(ni, nj, np.zeros_like(ni))
+
+
+def _down_ap7_t(i, j, k, rotg: bool):
+    if not rotg:
+        (ai, aj, ak), (bi, bj, bk), (ci, cj, ck) = (3, 0, 1), (1, 3, 0), (0, 1, 3)
+    else:
+        (ai, aj, ak), (bi, bj, bk), (ci, cj, ck) = (3, 1, 0), (0, 3, 1), (1, 0, 3)
+    return _norm_t(i * ai + j * bi + k * ci,
+                   i * aj + j * bj + k * cj,
+                   i * ak + j * bk + k * ck)
+
+
+# digit = 4i + 2j + k over normalized unit vectors (CENTER..IJ map);
+# UNIT_VECS is exactly the 3-bit encoding (K=1, J=2, JK=3, I=4, ...)
+def _digit_t(i, j, k):
+    i, j, k = _norm_t(i, j, k)
+    d = 4 * i + 2 * j + k
+    bad = (i > 1) | (j > 1) | (k > 1)
+    if bad.any():
+        d = np.where(bad, 7, d)
+    return d
+
+
 # --- public API --------------------------------------------------------------
 
 def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
@@ -472,20 +804,19 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     small = r < EPSILON
     x = np.where(small, 0.0, rr * np.cos(theta))
     y = np.where(small, 0.0, rr * np.sin(theta))
-    ijk = _hex2d_to_ijk(x, y)
+    ci, cj, ck = _hex2d_to_ijk_t(x, y)
 
     # _faceIjkToH3: walk up to res 0 computing digits fine→coarse
     digits = np.zeros((n, max(res, 1)), dtype=np.int64)
-    cur = ijk
     for rlev in range(res, 0, -1):
         rotg = (rlev % 2) == 0  # class II level → _upAp7r
-        up = _up_ap7(cur, rotg)
-        center = _down_ap7(up, rotg)
-        digits[:, rlev - 1] = _unit_to_digit(cur - center)
-        cur = up
+        ui, uj, uk = _up_ap7_t(ci, cj, ck, rotg)
+        di, dj, dk = _down_ap7_t(ui, uj, uk, rotg)
+        digits[:, rlev - 1] = _digit_t(ci - di, cj - dj, ck - dk)
+        ci, cj, ck = ui, uj, uk
 
-    bc = t["bc"][face, cur[:, 0], cur[:, 1], cur[:, 2]]
-    rots = t["rot"][face, cur[:, 0], cur[:, 1], cur[:, 2]]
+    bc = t["bc"][face, ci, cj, ck]
+    rots = t["rot"][face, ci, cj, ck]
     if (bc < 0).any():
         raise AssertionError("res-0 coordinates escaped the coarse grid")
 
@@ -516,13 +847,39 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     return h
 
 
+_TRI_AB = np.array([[4, 0], [-2, 2], [-2, -2]], dtype=np.int64)
+
+
+def _rot_ab_vec(a: np.ndarray, b: np.ndarray, k: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Rotate integer (a, b) lattice coords ccw by k·60° (vectorized,
+    exact: one 60° step is a' = (a−3b)/2, b' = (a+b)/2)."""
+    a, b = a.copy(), b.copy()
+    kk = k.copy()
+    for _ in range(5):
+        m = kk > 0
+        if not m.any():
+            break
+        na = (a - 3 * b) // 2
+        nb = (a + b) // 2
+        a = np.where(m, na, a)
+        b = np.where(m, nb, b)
+        kk = kk - m.astype(np.int64)
+    return a, b
+
+
 def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
-    """Cell center (lat°, lng°) — home-face reconstruction (exact
-    gnomonic inverse; H3's overage-face renormalization only improves
-    conditioning, not the value). Used for round-trip validation."""
+    """Cell center (lat°, lng°) — the _h3ToFaceIjk reconstruction:
+    digit walk on the home face, class-II substrate for class-III
+    resolutions, and fold-based overage adjustment onto the true
+    projection face (planar lattice continuation past an icosahedron
+    edge is NOT the sphere position — the same fold isometries that
+    resolve the coarse table resolve it here, at res scale)."""
     h = np.asarray(h, dtype=np.uint64)
     n = len(h)
-    res = int((h[0] >> np.uint64(52)) & np.uint64(0xF)) if n else 0
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    res = int((h[0] >> np.uint64(52)) & np.uint64(0xF))
     bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
     pent = IS_PENTAGON[bc]
     if pent.any() and res > 0:
@@ -534,18 +891,72 @@ def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
         ijk = _down_ap7(ijk, rotg)
         d = _get_digit(h, r).astype(np.int64)
         ijk = _ijk_normalize(ijk + UNIT_VECS[d])
-    x, y = _ijk_to_hex2d(ijk)
-    rr = np.hypot(x, y)
-    theta = np.arctan2(y, x)
-    rr = rr / (M_SQRT7 ** res)
-    rr = np.arctan(rr * RES0_U_GNOMONIC)
+    face = BASE_CELL_DATA[bc, 0].copy()
+
+    # class-II substrate (folds are lattice isometries only in class II)
+    rr = res
     if res % 2 == 1:
-        theta = _pos_angle(theta + M_AP7_ROT_RADS)
-    face = BASE_CELL_DATA[bc, 0]
+        ijk = _down_ap7(ijk, True)  # _downAp7r
+        rr = res + 1
+    scale = 7 ** (rr // 2)
+
+    # overage adjustment (_adjustOverageClassII): fold past-the-edge
+    # positions into the neighboring face frame until in-triangle.
+    # Edge selection follows the published quadrant rule (k>0 & j>0 →
+    # JK; k>0 → KI; else IJ), and a pentagon cell with leading digit 4
+    # gets the deleted-k-subsequence rotation about the +I vertex
+    # BEFORE its first KI fold.
+    t = _derive_tables()
+    pent_lead4 = np.zeros(n, dtype=bool)
+    if res > 0:
+        pent_lead4 = pent & (_leading_nonzero_digit(h, res) == np.uint64(4))
+    maxdim = 2 * scale
+    ijk_c = ijk
+    for it in range(8):
+        # normalized cube coords from (face-local) ijk
+        i0, j0, k0 = ijk_c[:, 0], ijk_c[:, 1], ijk_c[:, 2]
+        out = (i0 + j0 + k0) > maxdim
+        if not out.any():
+            break
+        edge = np.where(k0 > 0, np.where(j0 > 0, 1, 2), 0)
+        ip, jp = i0 - k0, j0 - k0
+        a, b = 2 * ip - jp, jp
+        # pentagon leading-4: rotate 60° cw about the +I vertex before
+        # the first KI-quadrant fold
+        padj = out & pent_lead4 & (edge == 2) & (it == 0)
+        if padj.any():
+            oa = 2 * maxdim  # ab coords of (maxDim, 0, 0)
+            sa, sb = a - oa, b
+            ra = (sa + 3 * sb) // 2
+            rb = (sb - sa) // 2
+            a = np.where(padj, ra + oa, a)
+            b = np.where(padj, rb, b)
+        k = t["fold_k"][face, edge]
+        ta = t["fold_t"][face, edge, 0] * scale
+        tb = t["fold_t"][face, edge, 1] * scale
+        ra, rb = _rot_ab_vec(a, b, np.where(out, k, 0))
+        a = np.where(out, ra + ta, a)
+        b = np.where(out, rb + tb, b)
+        face = np.where(out, t["fold_nf"][face, edge], face)
+        # back to cube coords for the next overage test
+        jp2 = b
+        ip2 = (a + b) // 2
+        ijk_c = _ijk_normalize(np.stack(
+            [ip2, jp2, np.zeros_like(ip2)], axis=-1))
+    ip, jp = ijk_c[:, 0] - ijk_c[:, 2], ijk_c[:, 1] - ijk_c[:, 2]
+    a, b = 2 * ip - jp, jp
+
+    x = a / 2.0
+    y = b * M_SIN60
+    dist = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    dist = dist / (M_SQRT7 ** rr)
+    dist = np.arctan(dist * RES0_U_GNOMONIC)
+    # rr is class II — no aperture-7 rotation adjustment
     az = _pos_angle(FACE_AXES_AZ[face, 0] - theta)
     lat, lng = _geo_az_distance(FACE_CENTER_GEO[face, 0],
-                                FACE_CENTER_GEO[face, 1], az, rr)
-    ctr = rr < EPSILON
+                                FACE_CENTER_GEO[face, 1], az, dist)
+    ctr = dist < EPSILON
     lat = np.where(ctr, FACE_CENTER_GEO[face, 0], lat)
     lng = np.where(ctr, FACE_CENTER_GEO[face, 1], lng)
     return np.degrees(lat), np.degrees(np.arctan2(np.sin(lng), np.cos(lng)))

@@ -1,5 +1,10 @@
 """H3-style icosahedral aperture-7 hexagonal cells, vectorized numpy.
 
+SUPERSEDED for cell ids by ``kernels/h3exact.py`` (round 3): the engine
+now emits bit-exact Uber H3 indexes (golden-vector validated) for
+``h3_r5..r9``, ``h3_index`` and fixtures. This module remains for its
+lattice/ring utilities and as the documented first-generation design.
+
 The reference assigns one H3 cell per catchment from its centroid via
 DuckDB's h3 extension (``h3_latlng_to_cell(lat, lon, res)``,
 reference load.py:164-168), and uses that cell as both a column and

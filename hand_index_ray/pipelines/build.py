@@ -40,6 +40,7 @@ import ray.data
 from ..config import DEFAULT, EngineConfig
 from ..kernels import geom, hexgrid as hx, proj, wkb
 from ..stages.encode import CellEncoder, decode_images, derive_footprints
+from ..state.fsio import FS
 from ..state.manifest import FragmentRecord, Manifest, PartitionStat
 
 FOOTPRINT_META_COLS = [
@@ -145,13 +146,16 @@ class FragmentBuilder:
     write the atomic manifest record LAST (completion marker).
     """
 
-    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT, filesystem=None):
+    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT, filesystem=None,
+                 out_filesystem=None):
         self.out_dir = out_dir
         self.cfg = cfg
-        self.manifest_dir = os.path.join(out_dir, "_manifest")
-        # pyarrow.fs handle for non-local INPUT trees (ST4); pickles
-        # with the task, reconstructed per worker
+        self.manifest_dir = FS.join(out_dir, "_manifest")
+        # pyarrow.fs handles (ST4): ``filesystem`` reads the input
+        # tree, ``out_filesystem`` owns the index root (both pickle
+        # with the task, reconstructed per worker)
         self.filesystem = filesystem
+        self.out_filesystem = out_filesystem
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # one Arrow thread per task: Ray already runs num_cpus tasks in
@@ -187,26 +191,24 @@ class FragmentBuilder:
                 starts = np.concatenate([[0], bounds])
                 ends = np.concatenate([bounds, [len(cells)]])
                 taken = out.take(pa.array(order))
+                io = FS(self.out_filesystem)
                 for s, e in zip(starts, ends):
                     cell = int(sorted_cells[s])
                     sub = taken.slice(int(s), int(e - s))
-                    rel = os.path.join(f"cell={cell}", f"frag-{fid:06d}.parquet")
-                    dest = os.path.join(self.out_dir, rel)
-                    os.makedirs(os.path.dirname(dest), exist_ok=True)
-                    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
-                    os.close(fd)
-                    pq.write_table(sub, tmp)
-                    os.replace(tmp, dest)
+                    rel = FS.join(f"cell={cell}", f"frag-{fid:06d}.parquet")
+                    dest = FS.join(self.out_dir, rel)
+                    io.write_parquet_atomic(dest, sub)
                     parts.append(PartitionStat(
                         cell=cell, path=rel, row_count=sub.num_rows,
-                        bytes=os.path.getsize(dest),
+                        bytes=io.size(dest),
                         minx=float(pc.min(sub.column("minx")).as_py()),
                         miny=float(pc.min(sub.column("miny")).as_py()),
                         maxx=float(pc.max(sub.column("maxx")).as_py()),
                         maxy=float(pc.max(sub.column("maxy")).as_py()),
                     ))
             Manifest.write_record(self.manifest_dir, FragmentRecord(
-                fragment_id=fid, input_path=path, row_count=nrows, partitions=parts))
+                fragment_id=fid, input_path=path, row_count=nrows,
+                partitions=parts), filesystem=self.out_filesystem)
             stats_rows.append({"fragment_id": fid, "rows": nrows, "cells": len(parts)})
         return pa.Table.from_pylist(stats_rows) if stats_rows else pa.table(
             {"fragment_id": pa.array([], pa.int64()),
@@ -216,7 +218,7 @@ class FragmentBuilder:
 
 def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
                 resume: bool = True, concurrency: int | None = None,
-                filesystem=None) -> dict:
+                filesystem=None, out_filesystem=None) -> dict:
     """Resumable materialized footprint index build.
 
     Returns summary stats. Safe to re-run after a kill: completed
@@ -224,8 +226,8 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     before any work is scheduled — the north rule's "resumes without
     re-encoding completed partitions".
     """
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = Manifest(out_dir)
+    FS(out_filesystem).mkdirs(out_dir)
+    manifest = Manifest(out_dir, filesystem=out_filesystem)
     frags = list_fragments(images_dir, filesystem=filesystem)
     done = manifest.completed_fragments() if resume else set()
     if resume and done:
@@ -260,7 +262,8 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
         ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         # stateless tasks (no actor-pool startup cost; the tiny builder
         # instance pickles with each task)
-        builder = FragmentBuilder(out_dir, cfg, filesystem=filesystem)
+        builder = FragmentBuilder(out_dir, cfg, filesystem=filesystem,
+                                  out_filesystem=out_filesystem)
         stats = ds.map_batches(
             builder, batch_format="pyarrow", batch_size=1,
         )
@@ -277,7 +280,8 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     }
 
 
-def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
+def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT,
+                  filesystem=None) -> dict:
     """Merge per-(fragment, cell) files into one file per cell.
 
     The LSM-style compaction step: a build over F fragments leaves up
@@ -296,7 +300,7 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
 
     from ..kernels import s2 as s2k
 
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     prev_parts, covered, prev_gen = man.compaction_full()
     gen = prev_gen + 1
     all_frag_ids = {r.fragment_id for r in man.records()}
@@ -318,8 +322,9 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     # cells) is undone here using the `part_cell` COLUMN the rows carry,
     # restoring the configured pruning granularity index-wide
     files = sorted({p for _c, p in live})
-    cells_ds = ray.data.read_parquet([os.path.join(index_dir, p) for p in files],
-                                     columns=["part_cell"])
+    cells_ds = ray.data.read_parquet([FS.join(index_dir, p) for p in files],
+                                     columns=["part_cell"],
+                                     filesystem=filesystem)
     fine_cells = np.unique(np.concatenate(
         [ray.get(r).column("part_cell").to_numpy()
          for r in cells_ds.to_arrow_refs()] or [np.array([], dtype=np.uint64)]))
@@ -343,11 +348,12 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     def merge(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
+        io = FS(filesystem)
         out_rows = []
         for row in batch.to_pylist():
             cells = np.array([int(c) for c in row["cells"]], dtype=np.uint64)
             src = pa.concat_tables([
-                pq.read_table(os.path.join(index_dir, rel), use_threads=False)
+                io.read_parquet(FS.join(index_dir, rel), use_threads=False)
                 for rel in row["paths"]])
             part = src.column("part_cell").to_numpy()
             for cell in cells.tolist():
@@ -360,16 +366,12 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
                 # — a kill mid-rewrite leaves the old generation intact
                 # and serving (ADVICE r1 build.py:296); gc_index collects
                 # superseded generations once the new record commits.
-                rel = os.path.join(f"cell={cell}", f"compacted-g{gen}.parquet")
-                dest = os.path.join(index_dir, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
-                os.close(fd)
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, dest)
+                rel = FS.join(f"cell={cell}", f"compacted-g{gen}.parquet")
+                dest = FS.join(index_dir, rel)
+                io.write_parquet_atomic(dest, tbl)
                 out_rows.append({
                     "cell": cell, "path": rel, "row_count": tbl.num_rows,
-                    "bytes": os.path.getsize(dest),
+                    "bytes": io.size(dest),
                     "minx": float(pc.min(tbl.column("minx")).as_py()),
                     "miny": float(pc.min(tbl.column("miny")).as_py()),
                     "maxx": float(pc.max(tbl.column("maxx")).as_py()),
@@ -394,23 +396,22 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT) -> dict:
     return {"cells": len(work), "files_merged": len(files)}
 
 
-def gc_index(index_dir: str) -> dict:
+def gc_index(index_dir: str, filesystem=None) -> dict:
     """Delete data files superseded by a compaction (and stray tmp
     files from killed runs). Safe: only removes files that are neither
     live (per the manifest/compaction view) nor manifest records."""
-    man = Manifest(index_dir)
+    io = FS(filesystem)
+    man = Manifest(index_dir, filesystem=filesystem)
     live = set(man.all_files(index_dir))
     removed = 0
-    for root, _dirs, files in os.walk(index_dir):
-        if os.path.basename(root) == "_manifest":
+    for full in io.walk_files(index_dir):
+        if "_manifest" in full.split("/"):
             continue
-        for f in files:
-            full = os.path.join(root, f)
-            if full in live:
-                continue
-            if f.endswith(".parquet") or f.endswith(".tmp"):
-                os.unlink(full)
-                removed += 1
+        if full in live:
+            continue
+        if full.endswith(".parquet") or full.endswith(".tmp"):
+            io.remove(full)
+            removed += 1
     return {"files_removed": removed}
 
 
@@ -462,7 +463,10 @@ def build_catchments(raw: "ray.data.Dataset", cfg: EngineConfig = DEFAULT) -> ra
         merged = geom.simplify(merged, cfg.simplify_tol_m)
         cx, cy = geom.centroid(merged)
         lon, lat = proj.albers_to_lonlat(cx, cy)
-        cell = hx.lonlat_to_cell(lon, lat, cfg.catchment_h3_res)
+        # bit-exact Uber H3 partition key (reference load.py:164-168,
+        # --h3-resolution default 1)
+        from ..kernels import h3exact
+        cell = h3exact.latlng_to_cell(lat, lon, cfg.catchment_h3_res)
         return pa.table({
             "catchment_id": pa.array([str(uuidlib.uuid5(uuidlib.NAMESPACE_URL, branch))]),
             "hand_version_id": pa.array([cfg.hand_version]),

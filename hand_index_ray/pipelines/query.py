@@ -40,13 +40,14 @@ from ..state.manifest import Manifest
 
 
 def bbox_scan(index_dir: str, minx: float, miny: float, maxx: float, maxy: float,
-              columns: list[str] | None = None) -> ray.data.Dataset | None:
+              columns: list[str] | None = None,
+              filesystem=None) -> ray.data.Dataset | None:
     """All footprints whose bbox intersects the query envelope
     (reference viz/query_visualization.py:145-159, ST_MakeEnvelope +
     ST_Intersects). Three pruning tiers: manifest file stats → parquet
     row-group pushdown (pyarrow filter expression at the read) → exact
     vectorized test per batch."""
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.files_for_bbox(index_dir, minx, miny, maxx, maxy)
     if not files:
         return None
@@ -55,7 +56,8 @@ def bbox_scan(index_dir: str, minx: float, miny: float, maxx: float, maxy: float
     cols = columns
     if cols is not None:
         cols = sorted(set(cols) | {"minx", "miny", "maxx", "maxy"})
-    ds = ray.data.read_parquet(files, columns=cols, filter=expr)
+    ds = ray.data.read_parquet(files, columns=cols, filter=expr,
+                               filesystem=filesystem)
 
     def exact(t: pa.Table) -> pa.Table:
         m = pc.and_(
@@ -399,7 +401,8 @@ def hex_cell_stats(index_dir: str, res: int,
 
 
 def write_single_file(ds: ray.data.Dataset, path: str,
-                      schema: "pa.Schema | None" = None) -> str:
+                      schema: "pa.Schema | None" = None,
+                      filesystem=None) -> str:
     """Single-file parquet sink for small sidecar tables (reference S7,
     ``COPY {table} TO '{file}.parquet'`` load.py:289-299). Only for
     tables known to be small — large tables use the partitioned sink.
@@ -407,8 +410,10 @@ def write_single_file(ds: ray.data.Dataset, path: str,
     emit schemaless empty blocks)."""
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
     tbl = _concat_nonempty(tbls, schema=schema)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(tbl, path)
+    from ..state.fsio import FS
+    io = FS(filesystem)
+    io.mkdirs(FS.join(*(path.split("/")[:-1])) if "/" in path else ".")
+    io.write_parquet_atomic(path, tbl)
     return path
 
 

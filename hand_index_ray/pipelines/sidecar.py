@@ -104,6 +104,7 @@ def attach_sidecars(source: "str | list[str] | ray.data.Dataset",
                     calb: bool = False,
                     root: str | None = None,
                     filesystem=None,
+                    out_filesystem=None,
                     cfg: EngineConfig = DEFAULT) -> dict[str, ray.data.Dataset]:
     """Build the three sidecar pointer tables from a file tree.
 
@@ -140,7 +141,8 @@ def attach_sidecars(source: "str | list[str] | ray.data.Dataset",
     if isinstance(catchments, str):
         import pyarrow.parquet as pq
 
-        cat = pq.read_table(catchments, columns=["catchment_id", "branch_path"])
+        cat = pq.read_table(catchments, columns=["catchment_id", "branch_path"],
+                            filesystem=out_filesystem)
     else:
         cat = catchments.select(["catchment_id", "branch_path"])
 
@@ -160,16 +162,20 @@ def attach_sidecars(source: "str | list[str] | ray.data.Dataset",
         "catchment_rasters": build(pats.catch_file, pats.branch_extract, "raster_path", False),
     }
     if out_dir:
+        from ..state.fsio import FS
         from .query import write_single_file
 
-        os.makedirs(out_dir, exist_ok=True)
+        FS(out_filesystem).mkdirs(out_dir)
         path_col = {"hydrotables": "csv_path", "rem_rasters": "raster_path",
                     "catchment_rasters": "raster_path"}
         written = {}
         for name, ds in out.items():
             sch = pa.schema([("catchment_id", pa.string()),
                              (path_col[name], pa.string())])
-            write_single_file(ds, os.path.join(out_dir, f"{name}.parquet"), schema=sch)
-            written[name] = ray.data.read_parquet(os.path.join(out_dir, f"{name}.parquet"))
+            write_single_file(ds, FS.join(out_dir, f"{name}.parquet"),
+                              schema=sch, filesystem=out_filesystem)
+            written[name] = ray.data.read_parquet(
+                FS.join(out_dir, f"{name}.parquet"),
+                filesystem=out_filesystem)
         return written
     return out

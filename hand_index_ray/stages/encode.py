@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT, EngineConfig
-from ..kernels import hexgrid as hx
+from ..kernels import h3exact
 from ..kernels import image as imk
 from ..kernels import s2
 from ..sources import synth
@@ -37,7 +37,14 @@ def decode_images(batch: pa.Table) -> pa.Table:
     """
     n = batch.num_rows
     bts = batch.column("bytes")
-    fmts = batch.column("fmt").to_pylist()
+    if "fmt" in batch.column_names:
+        fmts = batch.column("fmt").to_pylist()
+        # untrusted/absent fmt entries fall back to magic-byte sniffing
+        # (real-world corpora carry baseline JPEG/PNG without typing)
+        fmts = [f if f else imk.sniff_format(bts[i].as_buffer())
+                for i, f in enumerate(fmts)]
+    else:
+        fmts = [imk.sniff_format(bts[i].as_buffer()) for i in range(n)]
     ws = batch.column("w").to_numpy()
     hs = batch.column("h").to_numpy()
     phash_dec = np.empty(n, dtype=np.int64)
@@ -101,8 +108,10 @@ class CellEncoder:
     def __init__(self, cfg: EngineConfig = DEFAULT):
         self.cfg = cfg
         # touch the module-level tables so their lazy construction cost
-        # lands here (once per actor), not in the first batch
-        hx.lonlat_to_cell(np.array([0.0]), np.array([0.0]), cfg.hex_res_min)
+        # (h3 base-cell derivation, Hilbert LUTs) lands here — once per
+        # actor, not per batch
+        h3exact.latlng_to_cell(np.array([0.0]), np.array([0.0]),
+                               cfg.hex_res_min)
         s2.lonlat_to_cell(np.array([0.0]), np.array([0.0]), cfg.s2_level)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -110,8 +119,10 @@ class CellEncoder:
         lat = batch.column("centroid_lat").to_numpy()
         out = batch
         for res in range(self.cfg.hex_res_min, self.cfg.hex_res_max + 1):
-            out = out.append_column(f"h3_r{res}",
-                                    pa.array(hx.lonlat_to_cell(lon, lat, res), pa.uint64()))
+            # bit-exact Uber H3 ids (reference load.py:164-168 parity)
+            out = out.append_column(
+                f"h3_r{res}",
+                pa.array(h3exact.latlng_to_cell(lat, lon, res), pa.uint64()))
         s2c = s2.lonlat_to_cell(lon, lat, self.cfg.s2_level)
         out = out.append_column("s2_cell", pa.array(s2c, pa.uint64()))
         out = out.append_column("part_cell",

@@ -27,6 +27,8 @@ import os
 import tempfile
 from dataclasses import asdict, dataclass, field
 
+from .fsio import FS
+
 
 @dataclass
 class PartitionStat:
@@ -64,44 +66,39 @@ class Manifest:
 
     COMPACTION = "compaction.json"
 
-    def __init__(self, index_dir: str):
-        self.dir = os.path.join(index_dir, "_manifest")
-        os.makedirs(self.dir, exist_ok=True)
+    def __init__(self, index_dir: str, filesystem=None):
+        self.io = FS(filesystem)
+        self.dir = self.io.join(index_dir, "_manifest")
+        self.io.mkdirs(self.dir)
 
     @staticmethod
     def record_path(manifest_dir: str, fragment_id: int) -> str:
-        return os.path.join(manifest_dir, f"frag-{fragment_id:06d}.json")
+        return FS.join(manifest_dir, f"frag-{fragment_id:06d}.json")
 
     @staticmethod
-    def write_record(manifest_dir: str, rec: FragmentRecord) -> None:
-        """Atomic: write tmp in the same dir, fsync, rename."""
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = Manifest.record_path(manifest_dir, rec.fragment_id)
-        fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(asdict(rec), f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, final)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+    def write_record(manifest_dir: str, rec: FragmentRecord,
+                     filesystem=None) -> None:
+        """Atomic: write tmp in the same dir, fsync, rename (FS adapter
+        handles the remote-store equivalent)."""
+        io = FS(filesystem)
+        io.mkdirs(manifest_dir)
+        io.write_json_atomic(Manifest.record_path(manifest_dir,
+                                                  rec.fragment_id),
+                             asdict(rec))
 
     def completed_fragments(self) -> set[int]:
         out = set()
-        for name in os.listdir(self.dir):
+        for name in self.io.listdir(self.dir):
             if name.startswith("frag-") and name.endswith(".json"):
                 out.add(int(name[5:-5]))
         return out
 
     def records(self) -> list[FragmentRecord]:
         recs = []
-        for name in sorted(os.listdir(self.dir)):
+        for name in self.io.listdir(self.dir):
             if not (name.startswith("frag-") and name.endswith(".json")):
                 continue
-            with open(os.path.join(self.dir, name)) as f:
-                d = json.load(f)
+            d = self.io.read_json(self.io.join(self.dir, name))
             recs.append(FragmentRecord(
                 fragment_id=d["fragment_id"], input_path=d["input_path"],
                 row_count=d["row_count"], status=d.get("status", "done"),
@@ -121,27 +118,18 @@ class Manifest:
             "partitions": [asdict(p) for p in partitions],
             "generation": generation,
         }
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(payload, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(self.dir, self.COMPACTION))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self.io.write_json_atomic(self.io.join(self.dir, self.COMPACTION),
+                                  payload)
 
     def compaction(self) -> tuple[list[PartitionStat], set[int]]:
         parts, covered, _gen = self.compaction_full()
         return parts, covered
 
     def compaction_full(self) -> tuple[list[PartitionStat], set[int], int]:
-        path = os.path.join(self.dir, self.COMPACTION)
-        if not os.path.exists(path):
+        path = self.io.join(self.dir, self.COMPACTION)
+        if not self.io.exists(path):
             return [], set(), 0
-        with open(path) as f:
-            d = json.load(f)
+        d = self.io.read_json(path)
         return ([PartitionStat(**p) for p in d["partitions"]],
                 set(d["covered_fragments"]),
                 int(d.get("generation", 1)))
@@ -187,7 +175,7 @@ class Manifest:
         if not parts:
             return []
         hit = (pminx <= maxx) & (minx <= pmaxx) & (pminy <= maxy) & (miny <= pmaxy)
-        return sorted({os.path.join(index_dir, parts[i].path)
+        return sorted({FS.join(index_dir, parts[i].path)
                        for i in np.nonzero(hit)[0]})
 
     def files_for_cells(self, index_dir: str, cells: set[int]) -> list[str]:
@@ -209,11 +197,12 @@ class Manifest:
         plo, phi = s2k.cell_range(pcells)
         # (P, Q) range-intersection matrix, any() over queries
         hit = ((qlo[None, :] <= phi[:, None]) & (plo[:, None] <= qhi[None, :])).any(axis=1)
-        return sorted({os.path.join(index_dir, parts[i].path)
+        return sorted({FS.join(index_dir, parts[i].path)
                        for i in np.nonzero(hit)[0]})
 
     def all_files(self, index_dir: str) -> list[str]:
-        return sorted({os.path.join(index_dir, p.path) for p in self._live_partitions()})
+        return sorted({FS.join(index_dir, p.path)
+                       for p in self._live_partitions()})
 
     def total_rows(self) -> int:
         return sum(rec.row_count for rec in self.records())

@@ -44,11 +44,12 @@ def test_per_row_invariants_vs_oracle(footprints):
     minx, miny, maxx, maxy, clon, clat = synth.footprint_of(idx)
     np.testing.assert_allclose(df["minx"].to_numpy(), minx)
     np.testing.assert_allclose(df["maxy"].to_numpy(), maxy)
-    # cell assignment matches direct oracle encode
+    # cell assignment matches direct oracle encode (real Uber-H3 ids)
+    from hand_index_ray.kernels import h3exact
     from hand_index_ray.kernels import hexgrid as hx
 
     np.testing.assert_array_equal(df["h3_r7"].to_numpy().astype(np.uint64),
-                                  hx.lonlat_to_cell(clon, clat, 7))
+                                  h3exact.latlng_to_cell(clat, clon, 7))
     np.testing.assert_array_equal(df["s2_cell"].to_numpy().astype(np.uint64),
                                   s2.lonlat_to_cell(clon, clat, CFG.s2_level))
     np.testing.assert_array_equal(
