@@ -1542,6 +1542,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.max_drawdown(orders, ["o_custkey"], "o_orderkey",
                                 "total_cents")
 
+    def q119_h3_cell_stats(sf):  # engine: multi-res BIT-EXACT H3 aggregation
+        """Tile counts per real Uber-H3 res-7 cell over the image index
+        (kernels/h3exact.py — golden-vector-validated ids; reference
+        h3_latlng_to_cell + GROUP BY parity, load.py:164-168/279-283).
+        No SQL oracle: H3 is not SQL-expressible in this sandbox's
+        DuckDB; parity is pinned by tests/test_h3_exact.py instead."""
+        from hand_index_ray.pipelines.query import hex_cell_stats
+
+        idx = _image_index_tpch(sf)
+        return hex_cell_stats(idx, 7)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1661,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q116_pagination": q116_pagination,
         "q117_time_to_convert": q117_time_to_convert,
         "q118_drawdown": q118_drawdown,
+        "q119_h3_cell_stats": q119_h3_cell_stats,
     }
 
 

@@ -773,35 +773,34 @@ def _digit_t(i, j, k):
 
 # --- public API --------------------------------------------------------------
 
-def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
-    """Uber-H3 ``latLngToCell`` for arrays of degrees → uint64 ids.
-
-    Vectorized translation of the published algorithm: closest-face
-    gnomonic projection + class-adjusted hex2d → IJK at ``res``
-    (_geoToFaceIjk), then base-cell lookup and digit construction with
-    pentagon rotations (_faceIjkToH3)."""
-    if not 0 <= res <= MAX_H3_RES:
-        raise ValueError(f"resolution {res} out of range")
-    t = _derive_tables()
+def _project_points(lat_deg, lng_deg):
+    """Shared spherical stage of latLngToCell: closest face, gnomonic
+    radius (res-0 units, pre-scale) and base azimuthal angle."""
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
     n = lat.shape[0]
-
     # _geoToClosestFace
     p = np.stack([np.cos(lat) * np.cos(lng),
                   np.cos(lat) * np.sin(lng), np.sin(lat)], axis=1)
     dots = p @ _FACE_XYZ.T
     face = np.argmax(dots, axis=1)
     r = np.arccos(np.clip(dots[np.arange(n), face], -1.0, 1.0))
-
     az = _geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1],
                       lat, lng)
-    theta = _pos_angle(FACE_AXES_AZ[face, 0] - az)
-    if res % 2 == 1:  # class III
-        theta = _pos_angle(theta - M_AP7_ROT_RADS)
-    rr = np.tan(r) / RES0_U_GNOMONIC
-    rr = rr * (M_SQRT7 ** res)
+    theta0 = _pos_angle(FACE_AXES_AZ[face, 0] - az)
+    rr0 = np.tan(r) / RES0_U_GNOMONIC
     small = r < EPSILON
+    return face, rr0, theta0, small
+
+
+def _cell_from_projection(face, rr0, theta0, small, res: int,
+                          t) -> np.ndarray:
+    """Per-resolution tail of latLngToCell over a shared projection."""
+    n = len(face)
+    theta = theta0
+    if res % 2 == 1:  # class III
+        theta = _pos_angle(theta0 - M_AP7_ROT_RADS)
+    rr = rr0 * (M_SQRT7 ** res)
     x = np.where(small, 0.0, rr * np.cos(theta))
     y = np.where(small, 0.0, rr * np.sin(theta))
     ci, cj, ck = _hex2d_to_ijk_t(x, y)
@@ -847,6 +846,33 @@ def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     return h
 
 
+def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """Uber-H3 ``latLngToCell`` for arrays of degrees → uint64 ids.
+
+    Vectorized translation of the published algorithm: closest-face
+    gnomonic projection + class-adjusted hex2d → IJK at ``res``
+    (_geoToFaceIjk), then base-cell lookup and digit construction with
+    pentagon rotations (_faceIjkToH3)."""
+    if not 0 <= res <= MAX_H3_RES:
+        raise ValueError(f"resolution {res} out of range")
+    t = _derive_tables()
+    face, rr0, theta0, small = _project_points(lat_deg, lng_deg)
+    return _cell_from_projection(face, rr0, theta0, small, res, t)
+
+
+def latlng_to_cells_multi(lat_deg, lng_deg,
+                          resolutions) -> dict[int, np.ndarray]:
+    """latLngToCell at SEVERAL resolutions sharing one spherical
+    projection (face selection, azimuth, gnomonic radius) — the
+    multi-res encode stage (h3_r5..r9) pays the trig once instead of
+    once per resolution. Bit-identical to per-res latlng_to_cell."""
+    t = _derive_tables()
+    face, rr0, theta0, small = _project_points(lat_deg, lng_deg)
+    return {int(r): _cell_from_projection(face, rr0, theta0, small,
+                                          int(r), t)
+            for r in resolutions}
+
+
 _TRI_AB = np.array([[4, 0], [-2, 2], [-2, -2]], dtype=np.int64)
 
 
@@ -879,7 +905,17 @@ def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
     n = len(h)
     if n == 0:
         return np.empty(0), np.empty(0)
-    res = int((h[0] >> np.uint64(52)) & np.uint64(0xF))
+    all_res = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    if (all_res != all_res[0]).any():
+        # mixed resolutions: decode per uniform-res group (the digit
+        # walk depth and class-II substrate are res-wide below)
+        lat = np.empty(n)
+        lng = np.empty(n)
+        for r in np.unique(all_res):
+            m = all_res == r
+            lat[m], lng[m] = cell_to_latlng(h[m])
+        return lat, lng
+    res = int(all_res[0])
     bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
     pent = IS_PENTAGON[bc]
     if pent.any() and res > 0:
@@ -970,3 +1006,45 @@ def string_to_h3(s: "str | list[str]") -> np.ndarray:
     if isinstance(s, str):
         s = [s]
     return np.array([int(v, 16) for v in s], dtype=np.uint64)
+
+
+def get_resolution(h) -> np.ndarray:
+    h = np.asarray(h, dtype=np.uint64)
+    return ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+
+
+def cell_to_parent(h, parent_res: int) -> np.ndarray:
+    """cellToParent: truncate digits below ``parent_res`` (set to 7)
+    and rewrite the resolution field. Vectorized."""
+    h = np.asarray(h, dtype=np.uint64)
+    res = get_resolution(h)
+    if (res < parent_res).any():
+        raise ValueError("parent_res coarser than cell res required")
+    out = h & ~(np.uint64(0xF) << np.uint64(52))
+    out |= np.uint64(parent_res) << np.uint64(52)
+    for r in range(parent_res + 1, MAX_H3_RES + 1):
+        out |= np.uint64(7) << np.uint64((MAX_H3_RES - r) * 3)
+    return out
+
+
+def cell_to_children(h: int, child_res: int) -> np.ndarray:
+    """cellToChildren for ONE cell: enumerate digit expansions
+    (pentagon cells skip the deleted K subdigit at every level)."""
+    h = np.uint64(h)
+    res = int(get_resolution(np.array([h]))[0])
+    if child_res < res:
+        raise ValueError("child_res finer than cell res required")
+    bc = int((h >> np.uint64(45)) & np.uint64(0x7F))
+    out = np.array([h & ~(np.uint64(0xF) << np.uint64(52))
+                    | (np.uint64(child_res) << np.uint64(52))],
+                   dtype=np.uint64)
+    for r in range(res + 1, child_res + 1):
+        off = np.uint64((MAX_H3_RES - r) * 3)
+        base = out & ~(np.uint64(7) << off)
+        new = [base | (np.uint64(d) << off) for d in range(7)]
+        out = np.concatenate(new)
+        if IS_PENTAGON[bc]:
+            # children whose leading nonzero digit is K do not exist
+            lead = _leading_nonzero_digit(out, child_res)
+            out = out[lead != np.uint64(1)]
+    return np.sort(out)

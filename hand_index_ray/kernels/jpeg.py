@@ -218,52 +218,6 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_component(bw: _BitWriter, coefs: np.ndarray, dc_codes, ac_codes):
-    """coefs: (nblocks, 64) zigzag-ordered quantized ints."""
-    prev_dc = 0
-    for blk in coefs:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        size, bits = _magnitude(diff)
-        c, ln = dc_codes[size]
-        bw.put(c, ln)
-        if size:
-            bw.put(bits, size)
-        nz = np.nonzero(blk[1:])[0]
-        pos = 0
-        for z in nz:
-            run = int(z) - pos
-            while run >= 16:
-                c, ln = ac_codes[0xF0]
-                bw.put(c, ln)
-                run -= 16
-            size, bits = _magnitude(int(blk[1 + z]))
-            c, ln = ac_codes[(run << 4) | size]
-            bw.put(c, ln)
-            bw.put(bits, size)
-            pos = int(z) + 1
-        if pos < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.put(c, ln)
-
-
-def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad a 2-D plane to 8×8 multiples (edge replicate) and return
-    (nblocks, 8, 8) blocks row-major plus block grid dims."""
-    h, w = plane.shape
-    H = (h + 7) // 8 * 8
-    W = (w + 7) // 8 * 8
-    p = np.empty((H, W), dtype=np.float64)
-    p[:h, :w] = plane
-    if H > h:
-        p[h:, :w] = plane[-1:, :]
-    if W > w:
-        p[:, w:] = p[:, w - 1 : w]
-    bh, bw_ = H // 8, W // 8
-    blocks = p.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks, bh, bw_
-
-
 def _emit_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int,
                 dc_codes, ac_codes) -> int:
     """Huffman-emit one zigzag block; returns its DC for the chain."""
@@ -455,10 +409,15 @@ def decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(arr):
         if arr[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(arr) and arr[pos + 1] == 0xFF:
+            pos += 1
         m = int(arr[pos + 1])
         pos += 2
         if m == 0xD9:  # EOI
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone TEM/RSTn markers carry no segment
         ln = (int(arr[pos]) << 8) | int(arr[pos + 1])
         seg = bytes(arr[pos + 2 : pos + ln])
         if m == 0xDB:  # DQT

@@ -26,7 +26,6 @@ expressed as ``groupby(branch).map_groups``.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid as uuidlib
 
 import numpy as np

@@ -109,18 +109,19 @@ class RoiMatcher:
 
 def roi_query_footprints(index_dir: str, roi_ring_lonlat: np.ndarray,
                          threshold_pct: float | None = None,
-                         cfg: EngineConfig = DEFAULT) -> ray.data.Dataset | None:
+                         cfg: EngineConfig = DEFAULT,
+                         filesystem=None) -> ray.data.Dataset | None:
     """Footprints selected by the reference's overlap-filter semantics
     (contains OR within OR overlap_pct ≥ threshold,
     query_geojson.py:213-219) against a lon/lat ROI polygon."""
     thr = cfg.overlap_threshold_pct if threshold_pct is None else threshold_pct
     rag = wkb.from_parts([[[np.asarray(roi_ring_lonlat, dtype=np.float64)]]])
     b = geom.bounds(rag)[0]
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.files_for_bbox(index_dir, b[0], b[1], b[2], b[3])
     if not files:
         return None
-    ds = ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(files, filesystem=filesystem)
     roi_ref = ray.put(wkb.encode(rag)[0])
     if len(files) <= 32:
         # small candidate set: stateless tasks skip actor-pool spin-up
@@ -138,7 +139,8 @@ def roi_query_footprints(index_dir: str, roi_ring_lonlat: np.ndarray,
 def roi_query_footprints_multi(index_dir: str,
                                rois: "dict[str, np.ndarray]",
                                threshold_pct: float | None = None,
-                               cfg: EngineConfig = DEFAULT) -> ray.data.Dataset | None:
+                               cfg: EngineConfig = DEFAULT,
+                               filesystem=None) -> ray.data.Dataset | None:
     """Batch form of ``roi_query_footprints``: MANY ROI polygons in one
     pass — one pruned read over the union of ROI bboxes, every batch
     tested against every relevant ROI (each prepared once, broadcast
@@ -156,13 +158,13 @@ def roi_query_footprints_multi(index_dir: str,
         return None
     union = (min(b[0] for b in boxes.values()), min(b[1] for b in boxes.values()),
              max(b[2] for b in boxes.values()), max(b[3] for b in boxes.values()))
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.files_for_bbox(index_dir, *union)
     if not files:
         return None
     roi_ref = ray.put(prepared)
     box_ref = ray.put(boxes)
-    ds = ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(files, filesystem=filesystem)
 
     def match_all(t: pa.Table) -> pa.Table:
         blobs = ray.get(roi_ref)
@@ -367,19 +369,20 @@ def load_query_results(outdir: str) -> ray.data.Dataset:
 
 
 def cell_range_scan(index_dir: str, cell: int,
-                    columns: list[str] | None = None) -> ray.data.Dataset | None:
+                    columns: list[str] | None = None,
+                    filesystem=None) -> ray.data.Dataset | None:
     """All footprints inside one S2 cell (any level): prune partitions
     by cell-range intersection, then the exact test is a pure uint64
     range filter on the fine ``s2_cell`` key — the 'cell-range scan'
     of the north rule, no geometry math at all."""
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.files_for_cells(index_dir, {int(cell)})
     if not files:
         return None
     lo, hi = s2.cell_range(np.array([cell], dtype=np.uint64))
     lo_i, hi_i = int(lo[0]), int(hi[0])
     cols = columns if columns is None else sorted(set(columns) | {"s2_cell"})
-    ds = ray.data.read_parquet(files, columns=cols)
+    ds = ray.data.read_parquet(files, columns=cols, filesystem=filesystem)
 
     def in_range(t: pa.Table) -> pa.Table:
         c = t.column("s2_cell").to_numpy()
@@ -389,14 +392,16 @@ def cell_range_scan(index_dir: str, cell: int,
 
 
 def hex_cell_stats(index_dir: str, res: int,
-                   cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+                   cfg: EngineConfig = DEFAULT,
+                   filesystem=None) -> ray.data.Dataset:
     """Tile counts per H3-style cell at ``res`` — the multi-resolution
     aggregation the h3_r5..h3_r9 columns exist for (north rule)."""
     from ..relational import grouped_agg
 
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     col = f"h3_r{res}"
-    ds = ray.data.read_parquet(man.all_files(index_dir), columns=[col])
+    ds = ray.data.read_parquet(man.all_files(index_dir), columns=[col],
+                               filesystem=filesystem)
     return grouped_agg(ds, [col])
 
 
@@ -410,9 +415,13 @@ def write_single_file(ds: ray.data.Dataset, path: str,
     emit schemaless empty blocks)."""
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
     tbl = _concat_nonempty(tbls, schema=schema)
+    import posixpath
+
     from ..state.fsio import FS
     io = FS(filesystem)
-    io.mkdirs(FS.join(*(path.split("/")[:-1])) if "/" in path else ".")
+    d = posixpath.dirname(path)
+    if d:
+        io.mkdirs(d)
     io.write_parquet_atomic(path, tbl)
     return path
 
@@ -553,7 +562,8 @@ def _knn_topk(pool: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def knn_query(index_dir: str, lon: float, lat: float, k: int,
               cfg: EngineConfig = DEFAULT,
-              stats: dict | None = None) -> pd.DataFrame:
+              stats: dict | None = None,
+              filesystem=None) -> pd.DataFrame:
     """k nearest footprints (centroid great-circle distance) to a point.
 
     Fast path: BFS ring expansion over S2 partition cells from the
@@ -571,7 +581,7 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
 
     ``stats`` (optional) collects {"files_opened": [...], "rings": n}
     for read-amplification tests."""
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     level = cfg.part_level
     start = s2.lonlat_to_cell(np.array([lon]), np.array([lat]), level)
     seen_cells: set[int] = set()
@@ -597,7 +607,8 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
         if new_files:
             seen_files.update(new_files)
             opened.extend(new_files)
-            t = pq.read_table(new_files, columns=_KNN_COLS)
+            t = pq.read_table(new_files, columns=_KNN_COLS,
+                              filesystem=filesystem)
             pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
                                        ignore_index=True), k)
         if len(pool) >= k:
@@ -608,7 +619,8 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
         rest = [f for f in man.all_files(index_dir) if f not in seen_files]
         if rest:
             opened.extend(rest)
-            ds = ray.data.read_parquet(rest, columns=_KNN_COLS)
+            ds = ray.data.read_parquet(rest, columns=_KNN_COLS,
+                                       filesystem=filesystem)
 
             def local_topk(t: pa.Table) -> pa.Table:
                 df = _knn_topk(_knn_score(t, lon, lat), k)
@@ -630,7 +642,7 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     if extra:
         seen_files.update(extra)
         opened.extend(extra)
-        t = pq.read_table(extra, columns=_KNN_COLS)
+        t = pq.read_table(extra, columns=_KNN_COLS, filesystem=filesystem)
         pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
                                    ignore_index=True), k)
     if stats is not None:
@@ -698,8 +710,19 @@ def canonical_cell(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
 _ZONAL_BCAST_CACHE: dict = {}
 
 
-def _catalog_state(path: str) -> tuple:
-    """(abspath, mtime, size) fingerprint of a catalog file or dir."""
+def _catalog_state(path: str, filesystem=None) -> tuple:
+    """(path, mtime, size) fingerprint of a catalog file or dir."""
+    if filesystem is not None:
+        from pyarrow import fs as pafs
+        info = filesystem.get_file_info(path)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(path, recursive=True)
+            parts = tuple(sorted(
+                (fi.path, fi.mtime_ns, fi.size)
+                for fi in filesystem.get_file_info(sel)
+                if fi.type == pafs.FileType.File))
+            return (path, parts)
+        return (path, info.mtime_ns, info.size)
     p = os.path.abspath(path)
     if os.path.isdir(p):
         parts = tuple(sorted(
@@ -711,7 +734,7 @@ def _catalog_state(path: str) -> tuple:
 
 
 def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
-                          level: int) -> ray.data.Dataset:
+                          level: int, filesystem=None) -> ray.data.Dataset:
     """Broadcast spatial join — the NO-SHUFFLE zonal path.
 
     When the catchment catalog fits the broadcast budget, there is no
@@ -729,12 +752,15 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     # include the Ray session in the key: an ObjectRef from a previous
     # ray.init() is dead after shutdown/re-init and must not be served
     _session = ray.get_runtime_context().get_job_id()
-    _cache_key = (_catalog_state(catchments_path), level, _session)
+    _cache_key = (_catalog_state(catchments_path, filesystem), level,
+                  _session)
     _cached = _ZONAL_BCAST_CACHE.get(_cache_key)
     if _cached is not None:
         return _zonal_join_broadcast_map(foot, _cached)
 
-    _cat_tbl = pq.read_table(catchments_path, columns=["catchment_id", "geometry"])
+    _cat_tbl = pq.read_table(catchments_path,
+                             columns=["catchment_id", "geometry"],
+                             filesystem=filesystem)
     cids = _cat_tbl.column("catchment_id").to_pylist()
     blobs = _cat_tbl.column("geometry").to_pylist()
 
@@ -872,7 +898,8 @@ def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple) -> ray.data
 
 
 def zonal_join(index_dir: str, catchments_path: str,
-               cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+               cfg: EngineConfig = DEFAULT,
+               filesystem=None) -> ray.data.Dataset:
     """Assign every footprint to every intersecting catchment polygon.
 
     Both sides explode to lattice covering cells at ONE fixed level
@@ -893,19 +920,33 @@ def zonal_join(index_dir: str, catchments_path: str,
 
     Returns Dataset[(image_id, catchment_id)] (+ catchment h3_index).
     """
+    from ..state.fsio import FS
+
     level = cfg.zonal_join_level
     delta = 45.0 / (1 << level)
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.all_files(index_dir)
-    foot = ray.data.read_parquet(files, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+    foot = ray.data.read_parquet(files,
+                                 columns=["image_id", "minx", "miny",
+                                          "maxx", "maxy"],
+                                 filesystem=filesystem)
 
     # broadcast-sized catalog → the no-shuffle broadcast spatial join;
     # the salted co-group shuffle below is the big-catalog path
-    _cat_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in
-                     os.walk(catchments_path) for f in fs) \
-        if os.path.isdir(catchments_path) else os.path.getsize(catchments_path)
+    io = FS(filesystem)
+    if filesystem is not None:
+        _walk = io.walk_files(catchments_path)
+        _cat_bytes = (sum(io.size(f) for f in _walk) if _walk
+                      else io.size(catchments_path))
+    else:
+        _cat_bytes = sum(
+            os.path.getsize(os.path.join(r, f)) for r, _, fs in
+            os.walk(catchments_path) for f in fs) \
+            if os.path.isdir(catchments_path) \
+            else os.path.getsize(catchments_path)
     if _cat_bytes <= cfg.zonal_broadcast_bytes:
-        return _zonal_join_broadcast(foot, catchments_path, level)
+        return _zonal_join_broadcast(foot, catchments_path, level,
+                                     filesystem=filesystem)
 
     _SCHEMA = pa.schema([
         ("cell", pa.uint64()), ("salt", pa.int32()), ("side", pa.int8()),
@@ -1043,7 +1084,8 @@ def zonal_join(index_dir: str, catchments_path: str,
         return out.append_column("bucket", _bucket_col(cells, salt_col))
 
     cat = ray.data.read_parquet(catchments_path,
-                                columns=["catchment_id", "geometry"])
+                                columns=["catchment_id", "geometry"],
+                                filesystem=filesystem)
     cat_exploded = cat.map_batches(explode_cat, batch_format="pyarrow")
 
     # co-group via hash buckets: ONE shuffle keyed on
@@ -1115,7 +1157,8 @@ def zonal_join(index_dir: str, catchments_path: str,
 
 
 def zonal_stats(index_dir: str, catchments_path: str,
-                cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+                cfg: EngineConfig = DEFAULT,
+                filesystem=None) -> ray.data.Dataset:
     """Per-zone aggregate over the zonal join (J7's 'aggregate per
     zone'): tiles per catchment + integer-scaled mean pixel level.
 
@@ -1128,10 +1171,13 @@ def zonal_stats(index_dir: str, catchments_path: str,
     partitioned hash join."""
     from ..relational import broadcast_join, grouped_agg, hash_join
 
-    pairs = zonal_join(index_dir, catchments_path, cfg)
-    man = Manifest(index_dir)
+    pairs = zonal_join(index_dir, catchments_path, cfg,
+                       filesystem=filesystem)
+    man = Manifest(index_dir, filesystem=filesystem)
     feat_files = man.all_files(index_dir)
-    feats = ray.data.read_parquet(feat_files, columns=["image_id", "pixel_mean"])
+    feats = ray.data.read_parquet(feat_files,
+                                  columns=["image_id", "pixel_mean"],
+                                  filesystem=filesystem)
 
     def to_milli(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["pixel_mean"], 1000.0)), pa.int64())
@@ -1148,7 +1194,8 @@ def zonal_stats(index_dir: str, catchments_path: str,
 
 
 def zonal_tile_stats(index_dir: str, catchments_path: str,
-                     cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+                     cfg: EngineConfig = DEFAULT,
+                     filesystem=None) -> ray.data.Dataset:
     """Per-zone tile count + total pixel count (SUM(w·h)) over the
     zonal join — the SQL-expressible variant of ``zonal_stats`` (w and
     h are catalog columns, so a DuckDB oracle recomputes the aggregate
@@ -1156,10 +1203,12 @@ def zonal_tile_stats(index_dir: str, catchments_path: str,
     rows-only check). Same adaptive broadcast-vs-hash join shape."""
     from ..relational import broadcast_join, grouped_agg, hash_join
 
-    pairs = zonal_join(index_dir, catchments_path, cfg)
-    man = Manifest(index_dir)
+    pairs = zonal_join(index_dir, catchments_path, cfg,
+                       filesystem=filesystem)
+    man = Manifest(index_dir, filesystem=filesystem)
     feats = ray.data.read_parquet(man.all_files(index_dir),
-                                  columns=["image_id", "w", "h"])
+                                  columns=["image_id", "w", "h"],
+                                  filesystem=filesystem)
 
     def to_px(t: pa.Table) -> pa.Table:
         px = pc.multiply(pc.cast(t["w"], pa.int64()), pc.cast(t["h"], pa.int64()))
@@ -1175,7 +1224,8 @@ def zonal_tile_stats(index_dir: str, catchments_path: str,
                        ["catchment_id"], sum_cols=["npixels"])
 
 
-def zone_extent(index_dir: str, modulus: int = 16) -> ray.data.Dataset:
+def zone_extent(index_dir: str, modulus: int = 16,
+                filesystem=None) -> ray.data.Dataset:
     """Per-zone bounding-box aggregate over the footprint index —
     ST_Extent_Agg parity (the reference's viz layer draws per-set
     extents, viz/query_visualization.py:178-240; here the zone is a
@@ -1188,10 +1238,11 @@ def zone_extent(index_dir: str, modulus: int = 16) -> ray.data.Dataset:
     drift), so the result hashes identically to the oracle."""
     from .. import relational as rel
 
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.all_files(index_dir)
     foot = ray.data.read_parquet(
-        files, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+        files, columns=["image_id", "minx", "miny", "maxx", "maxy"],
+        filesystem=filesystem)
 
     def zone(t: pa.Table) -> pa.Table:
         k = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99), pa.int64())
@@ -1214,7 +1265,8 @@ def zone_extent(index_dir: str, modulus: int = 16) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def nn_join_centers(index_dir: str, target_mod: int = 8) -> ray.data.Dataset:
+def nn_join_centers(index_dir: str, target_mod: int = 8,
+                    filesystem=None) -> ray.data.Dataset:
     """Spatial nearest-neighbor JOIN over the footprint index: every
     source footprint (key % target_mod != 0) is matched to the nearest
     target footprint center (key % target_mod == 0) in the exact
@@ -1232,10 +1284,11 @@ def nn_join_centers(index_dir: str, target_mod: int = 8) -> ray.data.Dataset:
     broadcast for the zonal join's cell co-partition + ring fallback
     (same pattern as knn_query) — documented, not needed for site
     lookup workloads."""
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.all_files(index_dir)
     cols = ["image_id", "minx", "miny", "maxx", "maxy"]
-    foot = ray.data.read_parquet(files, columns=cols)
+    foot = ray.data.read_parquet(files, columns=cols,
+                                 filesystem=filesystem)
 
     def keys_of(t: pa.Table) -> np.ndarray:
         return pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99),
@@ -1280,7 +1333,8 @@ def nn_join_centers(index_dir: str, target_mod: int = 8) -> ray.data.Dataset:
                             zero_copy_batch=True)
 
 
-def grid_heatmap(index_dir: str, cell_deg: float = 1.0) -> ray.data.Dataset:
+def grid_heatmap(index_dir: str, cell_deg: float = 1.0,
+                 filesystem=None) -> ray.data.Dataset:
     """Spatial density grid over the footprint index: footprint
     centers binned to a regular lon/lat grid (floor(c / cell)), counts
     per cell — the coverage-heatmap / density-raster primitive.
@@ -1290,10 +1344,11 @@ def grid_heatmap(index_dir: str, cell_deg: float = 1.0) -> ray.data.Dataset:
     per batch)."""
     from .. import relational as rel
 
-    man = Manifest(index_dir)
+    man = Manifest(index_dir, filesystem=filesystem)
     files = man.all_files(index_dir)
     foot = ray.data.read_parquet(
-        files, columns=["minx", "miny", "maxx", "maxy"])
+        files, columns=["minx", "miny", "maxx", "maxy"],
+        filesystem=filesystem)
 
     def bins(t: pa.Table) -> pa.Table:
         cx = (t["minx"].to_numpy() + t["maxx"].to_numpy()) / 2.0

@@ -200,7 +200,11 @@ class TrigramLangId:
         n = t.num_rows
         if n == 0:
             return t.append_column("lang_pred", pa.array([], pa.string()))
-        texts = pc.utf8_lower(t.column("text")).to_pylist()
+        # NUL is the document separator below, so strip any in-document
+        # NULs first (vectorized; they carry no trigram signal)
+        low = pc.replace_substring(pc.utf8_lower(t.column("text")),
+                                   "\x00", "")
+        texts = low.to_pylist()
         # one codepoint array for the whole batch: docs padded with the
         # same two-space margins as _trigram_counts and separated by a
         # NUL so no trigram window crosses a document boundary

@@ -46,27 +46,50 @@ def decode_images(batch: pa.Table) -> pa.Table:
     else:
         fmts = [imk.sniff_format(bts[i].as_buffer()) for i in range(n)]
     ws = batch.column("w").to_numpy()
+    hs0 = batch.column("h").to_numpy()
+    # no magic matched: a payload of exactly w*h*3 bytes is headerless
+    # raw; anything else is quarantined per row (decode_ok=False below)
+    # rather than killing the whole task on one corrupt blob
+    fmts = [f if f is not None
+            else ("raw" if len(bts[i].as_buffer()) == int(ws[i]) * int(hs0[i]) * 3
+                  else None)
+            for i, f in enumerate(fmts)]
     hs = batch.column("h").to_numpy()
-    phash_dec = np.empty(n, dtype=np.int64)
-    pix_mean = np.empty(n, dtype=np.float64)
+    phash_dec = np.zeros(n, dtype=np.int64)
+    pix_mean = np.zeros(n, dtype=np.float64)
+    ok = np.ones(n, dtype=bool)
     # decode per row (codec work) straight into preallocated per-(h,w)
     # group buffers, then run the feature kernels (phash + gray mean,
     # fused single pass) vectorized per group
     groups: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
+        if fmts[i] is None:
+            ok[i] = False  # quarantined: unknown format, wrong size
+            continue
         groups.setdefault((int(hs[i]), int(ws[i])), []).append(i)
     for (gh, gw), idxs in groups.items():
         stack = np.empty((len(idxs), gh, gw, 3), dtype=np.uint8)
+        good = []
         for j, i in enumerate(idxs):
             buf = bts[i].as_buffer()  # zero-copy view into the Arrow block
-            stack[j] = imk.decode(buf, fmts[i], w=gw, h=gh)
-        ph, mn = imk.phash_and_graymean_batch(stack)
-        phash_dec[idxs] = ph.astype(np.int64)
-        pix_mean[idxs] = mn
+            try:
+                stack[j] = imk.decode(buf, fmts[i], w=gw, h=gh)
+                good.append(j)
+            except (ValueError, AssertionError, IndexError):
+                ok[i] = False  # corrupt payload: quarantine the row
+        if good:
+            gi = np.array(good)
+            ph, mn = imk.phash_and_graymean_batch(stack[gi])
+            ii = np.array(idxs)[gi]
+            phash_dec[ii] = ph.astype(np.int64)
+            pix_mean[ii] = mn
     keep = [c for c in batch.column_names if c != "bytes"]
     out = batch.select(keep)
     out = out.append_column("phash_decoded", pa.array(phash_dec, pa.int64()))
     out = out.append_column("pixel_mean", pa.array(pix_mean, pa.float64()))
+    # always present so every block shares one schema; False rows are
+    # quarantined (zeroed features), never a dead task on one bad blob
+    out = out.append_column("decode_ok", pa.array(ok))
     return out
 
 
@@ -118,11 +141,12 @@ class CellEncoder:
         lon = batch.column("centroid_lon").to_numpy()
         lat = batch.column("centroid_lat").to_numpy()
         out = batch
-        for res in range(self.cfg.hex_res_min, self.cfg.hex_res_max + 1):
-            # bit-exact Uber H3 ids (reference load.py:164-168 parity)
-            out = out.append_column(
-                f"h3_r{res}",
-                pa.array(h3exact.latlng_to_cell(lat, lon, res), pa.uint64()))
+        # bit-exact Uber H3 ids (reference load.py:164-168 parity);
+        # one shared spherical projection serves all resolutions
+        cells = h3exact.latlng_to_cells_multi(
+            lat, lon, range(self.cfg.hex_res_min, self.cfg.hex_res_max + 1))
+        for res, arr in cells.items():
+            out = out.append_column(f"h3_r{res}", pa.array(arr, pa.uint64()))
         s2c = s2.lonlat_to_cell(lon, lat, self.cfg.s2_level)
         out = out.append_column("s2_cell", pa.array(s2c, pa.uint64()))
         out = out.append_column("part_cell",

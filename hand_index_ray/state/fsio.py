@@ -131,7 +131,12 @@ class FS:
             self.fs.move(tmp, path)
         except NotImplementedError:
             # no rename on this store: direct final write (see module
-            # docstring for why the resume contract still holds)
+            # docstring for why the resume contract still holds) — and
+            # collect the tmp object we may have already written
+            try:
+                self.fs.delete_file(tmp)
+            except Exception:
+                pass
             with self.fs.open_output_stream(path) as f:
                 f.write(data)
 

@@ -22,9 +22,6 @@ the rewrite is byte-identical — FIXTURES.md F6 invariant 5).
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
 from dataclasses import asdict, dataclass, field
 
 from .fsio import FS

@@ -76,7 +76,7 @@ def test_per_row_invariants_vs_oracle(footprints):
             assert imk.psnr(px, dec) >= 40.0
         else:
             np.testing.assert_array_equal(px, dec)
-        assert row["caption"] == f"tile {i} over cell {int(hx.lonlat_to_cell(clon[df.index.get_loc(row.name)][None], clat[df.index.get_loc(row.name)][None], 5)[0])}" or row["caption"].startswith(f"tile {i} ")
+        assert row["caption"] == f"tile {i} over cell {int(h3exact.latlng_to_cell(clat[df.index.get_loc(row.name)][None], clon[df.index.get_loc(row.name)][None], 5)[0])}" or row["caption"].startswith(f"tile {i} ")
 
 
 def test_build_index_and_resume(ray_session, smoke_dirs, tmp_path):

@@ -150,3 +150,39 @@ def test_pentagon_cells_have_no_leading_k():
         assert m.any()
         lead = h3._leading_nonzero_digit(c[m], 6)
         assert (lead != np.uint64(1)).all()
+
+
+def test_parent_child_hierarchy():
+    c = h3.string_to_h3("8928308280fffff")
+    p = h3.cell_to_parent(c, 5)
+    assert h3.h3_to_string(p)[0] == "85283083fffffff"
+    assert h3.get_resolution(p)[0] == 5
+    kids = h3.cell_to_children(int(p[0]), 6)
+    assert len(kids) == 7
+    assert (h3.cell_to_parent(kids, 5) == p[0]).all()
+    # every res-9 point cell truncates into its res-5 ancestor's children
+    kids9 = h3.cell_to_children(int(p[0]), 7)
+    assert len(kids9) == 49
+
+    # pentagon: 6 children at +1, 1 + 5*(7^k - 1)/6 at depth k
+    pent0 = np.uint64((1 << 59) | (0 << 52) | (4 << 45) | 0x1FFFFFFFFFFF)
+    assert len(h3.cell_to_children(int(pent0), 1)) == 6
+    assert len(h3.cell_to_children(int(pent0), 2)) == 41
+    # children of a pentagon never lead with the deleted K axis
+    kids = h3.cell_to_children(int(pent0), 2)
+    lead = h3._leading_nonzero_digit(kids, 2)
+    assert (lead != np.uint64(1)).all()
+
+
+def test_cell_to_latlng_mixed_resolutions():
+    rng = np.random.default_rng(2)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 50)))
+    lng = rng.uniform(-180, 180, 50)
+    c5 = h3.latlng_to_cell(lat, lng, 5)
+    c9 = h3.latlng_to_cell(lat, lng, 9)
+    mixed = np.concatenate([c5, c9])
+    mlat, mlng = h3.cell_to_latlng(mixed)
+    lat5, lng5 = h3.cell_to_latlng(c5)
+    lat9, lng9 = h3.cell_to_latlng(c9)
+    assert np.allclose(mlat, np.concatenate([lat5, lat9]))
+    assert np.allclose(mlng, np.concatenate([lng5, lng9]))

@@ -107,3 +107,39 @@ def test_decode_images_magic_sniffing(ray_session):
         out.column("phash").to_numpy().astype(np.uint64),
         out.column("phash_decoded").to_numpy().astype(np.uint64))
     assert (ham <= 4).all(), ham
+
+
+def test_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad any marker, and TEM
+    markers are standalone — both occur in real camera streams."""
+    px = synth.make_pixels(2, 24, 24)
+    buf = jpeg.encode(px, quality=95)
+    want = jpeg.decode(buf)
+    # inject a fill byte + TEM marker after the APP0 segment
+    app0_end = 4 + 16  # SOI + APP0(16)
+    padded = buf[:app0_end] + b"\xFF" + b"\xFF\x01" + buf[app0_end:]
+    got = jpeg.decode(padded)
+    assert (got == want).all()
+
+
+def test_decode_images_quarantines_corrupt_rows(ray_session):
+    """One corrupt blob must not kill the batch: the row is flagged
+    decode_ok=False with zeroed features, the rest decode normally."""
+    from hand_index_ray.stages.encode import decode_images
+
+    rows = []
+    for i in range(3):
+        px = synth.make_pixels(i, 16, 16)
+        rows.append({
+            "image_id": f"img-{i:09d}",
+            "bytes": jpeg.encode(px, quality=95),
+            "w": np.int32(16), "h": np.int32(16), "fmt": "jpg",
+            "caption": "x", "phash": np.int64(0),
+        })
+    rows[1]["bytes"] = b"\xFF\xD8\xFF\xDB garbage"  # sniffs as jpg, corrupt
+    rows[1]["fmt"] = ""
+    t = pa.Table.from_pylist(rows)
+    out = decode_images(t)
+    ok = out.column("decode_ok").to_pylist()
+    assert ok == [True, False, True]
+    assert out.num_rows == 3

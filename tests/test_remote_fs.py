@@ -85,11 +85,21 @@ def test_remote_fs_end_to_end(ray_session, bucket):
     assert files and all(f.startswith("index/") for f in files)
     assert all("compacted-g" in f for f in files)
 
-    # 5. query through the fs handle (manifest pruning + parquet read)
+    # 5. queries through the fs handle (manifest pruning + parquet read)
     ds = bbox_scan("index", -104.0, 33.0, -96.0, 39.0, filesystem=fs)
     assert ds is not None
     got = ds.to_pandas()
     assert len(got) > 0
+    # every other index entry point takes the same handle
+    from hand_index_ray.pipelines.query import (grid_heatmap,
+                                                hex_cell_stats, knn_query,
+                                                zone_extent)
+    kn = knn_query("index", -98.0, 36.0, 5, CFG, filesystem=fs)
+    assert len(kn) == 5
+    hs = hex_cell_stats("index", 6, filesystem=fs).to_pandas()
+    assert int(hs["n"].sum()) == total
+    assert len(zone_extent("index", filesystem=fs).to_pandas()) > 0
+    assert len(grid_heatmap("index", filesystem=fs).to_pandas()) > 0
     # oracle: same predicate over the raw footprints, locally
     from hand_index_ray.pipelines.build import footprint_dataset
     raw = footprint_dataset(
