@@ -123,6 +123,7 @@ def run_bench() -> dict:
             "value": round(total, 3), "unit": "sec", "queries": queries,
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "images": n,
             "build_images_per_sec": round(n / t_build, 1),
+            "synth_version": synth.SYNTH_VERSION,
         }
         shutil.rmtree(index_dir, ignore_errors=True)
         ray.shutdown()
@@ -148,6 +149,7 @@ def run_bench() -> dict:
             "build_images_per_sec": round(n / t_build, 1),
             "zonal_pairs": int(n_pairs),
             "zonal_pairs_per_sec": round(n_pairs / t_zonal, 1),
+            "synth_version": synth.SYNTH_VERSION,
         }
         shutil.rmtree(index_dir, ignore_errors=True)
         ray.shutdown()
@@ -200,6 +202,10 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "images": n,
         "build_images_per_sec": round(n / t_build, 1),
+        # corpus generation: g4 swapped the lossy slot to REAL baseline
+        # JPEG (entropy decode is paid in build_index) — build numbers
+        # are not comparable across generations (see BASELINE.md)
+        "synth_version": synth.SYNTH_VERSION,
     }
     shutil.rmtree(index_dir, ignore_errors=True)
     ray.shutdown()

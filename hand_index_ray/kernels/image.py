@@ -57,9 +57,12 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         q = (img >> 2).astype(np.uint8)  # 6-bit quantization
         return b"QJPG" + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), 6)
     if fmt == "jpg":
-        # real baseline JFIF (kernels/jpeg.py, from-spec pure numpy)
+        # real baseline JFIF (kernels/jpeg.py, from-spec pure numpy).
+        # restart_rows=1 (an RSTn every MCU row) makes every row an
+        # independent lane for the lockstep batch decoder AND bounds
+        # corruption blast radius — the layout real camera firmware uses
         from . import jpeg as jpglib
-        return jpglib.encode(img, quality=_JPG_QUALITY)
+        return jpglib.encode(img, quality=_JPG_QUALITY, restart_rows=1)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -152,6 +155,19 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
             out = np.repeat(out[:, :, None], 3, axis=2)
         return out
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def decode_jpeg_batch(bufs, strict: bool = False) -> list:
+    """Decode MANY JPEG payloads through the lockstep batch decoder
+    (kernels/jpeg.py decode_batch): one vectorized Huffman machine for
+    the whole batch instead of a Python symbol loop per image. Returns
+    one (h, w, 3) uint8 array per input, or None for rows that failed
+    to decode (strict=False — the decode_images quarantine contract)."""
+    from . import jpeg as jpglib
+    outs = jpglib.decode_batch(bufs, strict=strict)
+    return [np.repeat(o[:, :, None], 3, axis=2)
+            if o is not None and o.ndim == 2 else o
+            for o in outs]
 
 
 def sniff_format(buf: bytes) -> "str | None":

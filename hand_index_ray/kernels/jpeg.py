@@ -247,10 +247,13 @@ def _emit_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int,
 
 
 def encode(px: np.ndarray, quality: int = 90,
-           subsample: bool = False) -> bytes:
+           subsample: bool = False, restart_rows: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF
     bytes (Annex-K tables scaled by ``quality``; 4:4:4, or 4:2:0 with
-    ``subsample=True``)."""
+    ``subsample=True``). ``restart_rows`` > 0 writes a DRI segment and
+    an RSTn marker every that-many MCU rows — each restart interval is
+    then independently decodable, which is what ``decode_batch``'s
+    lockstep lanes parallelize over."""
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -336,6 +339,10 @@ def encode(px: np.ndarray, quality: int = 90,
         for tid, (bits, vals) in enumerate(specs[: 1 if gray else 2]):
             out += b"\xFF\xC4" + (3 + 16 + len(vals)).to_bytes(2, "big")
             out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    # DRI (only when restart markers are requested)
+    ri = restart_rows * mcux if restart_rows > 0 else 0
+    if ri:
+        out += b"\xFF\xDD" + (4).to_bytes(2, "big") + ri.to_bytes(2, "big")
     # SOS
     out += b"\xFF\xDA" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
@@ -346,8 +353,17 @@ def encode(px: np.ndarray, quality: int = 90,
     # interleaved MCU scan
     bw_ = _BitWriter()
     prev = [0] * nc
+    mcu_n = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_n and mcu_n % ri == 0:
+                # close the interval: pad to byte, emit RSTn, reset DC
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+                rst_n += 1
+                prev = [0] * nc
+            mcu_n += 1
             for ci in range(nc):
                 hs, vs = comp_grid[ci]
                 t = 0 if ci == 0 else 1
@@ -394,9 +410,13 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (h, w) uint8 or (h, w, 3) uint8."""
-    arr = np.frombuffer(data, dtype=np.uint8)
+def _parse_headers(arr: np.ndarray):
+    """Marker walk up to (and including) SOS. Returns
+    (qts_zigzag, huff_specs, comps, h, w, restart_interval, scan, pos)
+    where pos is the first entropy-coded byte, qts_zigzag maps table id
+    → int64[64] in ZIGZAG order, huff_specs maps (class, id) →
+    (bits, vals) raw DHT spec, comps is [(id, hsamp, vsamp, qt)] and
+    scan is [(comp_id, dc_table, ac_table)]."""
     if len(arr) < 4 or arr[0] != 0xFF or arr[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -427,7 +447,7 @@ def decode(data: bytes) -> np.ndarray:
                 if pq:
                     raise ValueError("16-bit quant tables unsupported")
                 tbl = np.frombuffer(seg[o + 1 : o + 65], dtype=np.uint8)
-                qts[tq] = tbl.astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                qts[tq] = tbl.astype(np.int64)  # zigzag order as stored
                 o += 65
         elif m == 0xC0:  # SOF0 baseline
             h = (seg[1] << 8) | seg[2]
@@ -448,7 +468,7 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[o + 1 : o + 17])
                 nv = sum(bits)
                 vals = list(seg[o + 17 : o + 17 + nv])
-                huff[(tc, th)] = _build_decode_lut(bits, vals)
+                huff[(tc, th)] = (bits, vals)
                 o += 17 + nv
         elif m == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
@@ -464,6 +484,16 @@ def decode(data: bytes) -> np.ndarray:
         pos += ln
     if scan is None or not comps:
         raise ValueError("no scan found")
+    return qts, huff, comps, h, w, restart_interval, scan, pos
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF bytes → (h, w) uint8 or (h, w, 3) uint8."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    qts_z, huff_specs, comps, h, w, restart_interval, scan, pos = \
+        _parse_headers(arr)
+    qts = {tq: z[UNZIGZAG].reshape(8, 8) for tq, z in qts_z.items()}
+    huff = {k: _build_decode_lut(*spec) for k, spec in huff_specs.items()}
 
     bits = _unstuff(bytes(arr[pos:]))
     br = _BitReader(bits)
@@ -558,3 +588,355 @@ def decode(data: bytes) -> np.ndarray:
 def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[0] == 0xFF and data[1] == 0xD8 \
         and data[2] == 0xFF
+
+
+# --- batched lockstep decoder -------------------------------------------------
+#
+# The entropy scan is the one inherently sequential part of JPEG: symbol
+# N's bit position depends on symbols 0..N-1. But restart intervals (and
+# independent images) are sequential only WITHIN themselves — so decode
+# a whole batch by running every restart segment of every image as one
+# LANE of a lockstep machine: each iteration decodes exactly one Huffman
+# symbol for every still-active lane with ~30 vectorized numpy ops
+# (gather a 32-bit window per lane, one 16-bit-LUT lookup, vectorized
+# EXTEND, scatter the coefficient). Iteration count = max symbols per
+# segment, independent of batch size — so the per-image cost collapses
+# as the batch widens. This is the decode shape a 100 TB image corpus
+# needs inside map_batches: the scalar decoder pays Python per SYMBOL
+# PER IMAGE; this pays Python per symbol per BATCH.
+
+_OFF5 = np.arange(5, dtype=np.int64)
+
+
+def _build_lut16(bits, vals):
+    """(val16, len16): a 16-bit-window Huffman decode table (len 0 =
+    invalid prefix). 16 is the spec's maximum code length, so one
+    lookup always resolves a full code. int64 entries keep the hot
+    lockstep loop cast-free."""
+    val16 = np.zeros(1 << 16, dtype=np.int64)
+    len16 = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            val16[lo:hi] = vals[k]
+            len16[lo:hi] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return val16, len16
+
+
+def _split_segments(tail: np.ndarray) -> list[np.ndarray]:
+    """Entropy-coded bytes → destuffed payload per restart segment.
+
+    Walks only the 0xFF positions (sparse): 0xFF00 drops the stuffed
+    zero, RSTn closes a segment (markers dropped — each segment starts
+    byte-aligned by spec), a second 0xFF is a fill byte, anything else
+    terminates the scan."""
+    ffs = np.nonzero(tail == 0xFF)[0]
+    drop = np.zeros(len(tail), dtype=bool)
+    bounds = [0]
+    end = len(tail)
+    skip_next = -1
+    for p in ffs.tolist():
+        if p < skip_next or p >= end:
+            continue
+        if p + 1 >= len(tail):
+            end = p
+            break
+        nxt = int(tail[p + 1])
+        if nxt == 0x00:
+            drop[p + 1] = True
+            skip_next = p + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            drop[p] = True
+            drop[p + 1] = True
+            bounds.append(p + 2)
+            skip_next = p + 2
+        elif nxt == 0xFF:
+            drop[p] = True  # fill byte before a marker
+        else:
+            end = p
+            break
+    segs = []
+    for i, b0 in enumerate(bounds):
+        b1 = bounds[i + 1] - 2 if i + 1 < len(bounds) else end
+        b1 = max(b0, min(b1, end))
+        seg = tail[b0:b1]
+        segs.append(seg[~drop[b0:b1]])
+    # a trailing empty segment (RST right before EOI) carries no MCUs
+    while len(segs) > 1 and segs[-1].size == 0:
+        segs.pop()
+    return segs
+
+
+def _extend_vec(v: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Vectorized spec F.2.2.1 EXTEND (s == 0 → 0)."""
+    half = np.left_shift(np.int64(1), np.maximum(s, 1) - 1)
+    full = np.left_shift(np.int64(1), s)
+    return np.where(s == 0, 0, np.where(v < half, v - full + 1, v))
+
+
+class _BatchPlan:
+    """Per-image decode plan: geometry + per-block table schedule."""
+    __slots__ = ("h", "w", "comps", "mcux", "mcuy", "hmax", "vmax",
+                 "bpm", "nblocks", "t_comp", "t_dclut", "t_aclut",
+                 "t_qt", "restart_interval", "gray")
+
+
+def decode_batch(datas, strict: bool = True):
+    """Decode MANY baseline JFIF byte strings at once → list of arrays
+    ((h, w) or (h, w, 3) uint8, same results as ``decode`` bit-exactly).
+
+    ``strict=False`` returns None for images that fail to parse or
+    entropy-decode instead of raising — the quarantine contract of
+    stages/encode.decode_images (one corrupt blob must not kill the
+    batch)."""
+    n = len(datas)
+    plans: list[_BatchPlan | None] = [None] * n
+    img_segs: list[list[np.ndarray]] = [[] for _ in range(n)]
+    errors: list[Exception | None] = [None] * n
+
+    # LUT / QT registries shared across the batch (dedup by content —
+    # a homogeneous corpus hits the same Annex-K tables in every image)
+    lut_reg: dict[tuple, int] = {}
+    lut_val: list[np.ndarray] = []
+    lut_len: list[np.ndarray] = []
+    qt_reg: dict[bytes, int] = {}
+    qt_tabs: list[np.ndarray] = []
+
+    def _lut_id(spec) -> int:
+        key = (tuple(spec[0]), tuple(spec[1]))
+        i = lut_reg.get(key)
+        if i is None:
+            v, l = _build_lut16(*spec)
+            i = len(lut_val)
+            lut_reg[key] = i
+            lut_val.append(v)
+            lut_len.append(l)
+        return i
+
+    def _qt_id(z: np.ndarray) -> int:
+        key = z.tobytes()
+        i = qt_reg.get(key)
+        if i is None:
+            i = len(qt_tabs)
+            qt_reg[key] = i
+            qt_tabs.append(z.astype(np.int32))
+        return i
+
+    for ii, data in enumerate(datas):
+        try:
+            arr = np.frombuffer(bytes(data), dtype=np.uint8)
+            qts_z, huff_specs, comps, h, w, ri, scan, pos = \
+                _parse_headers(arr)
+            pl = _BatchPlan()
+            pl.h, pl.w, pl.comps = h, w, comps
+            pl.gray = len(comps) == 1
+            pl.hmax = max(c[1] for c in comps)
+            pl.vmax = max(c[2] for c in comps)
+            pl.mcux = (w + 8 * pl.hmax - 1) // (8 * pl.hmax)
+            pl.mcuy = (h + 8 * pl.vmax - 1) // (8 * pl.vmax)
+            pl.restart_interval = ri
+            # per-MCU block template in scan order
+            t_comp, t_dc, t_ac, t_qt = [], [], [], []
+            by_id = {c[0]: ci for ci, c in enumerate(comps)}
+            for cs, td, ta in scan:
+                ci = by_id[cs]
+                _, hs, vs, tq = comps[ci]
+                d = _lut_id(huff_specs[(0, td)])
+                a = _lut_id(huff_specs[(1, ta)])
+                q = _qt_id(qts_z[tq])
+                for _ in range(hs * vs):
+                    t_comp.append(ci)
+                    t_dc.append(d)
+                    t_ac.append(a)
+                    t_qt.append(q)
+            pl.bpm = len(t_comp)
+            pl.nblocks = pl.mcux * pl.mcuy * pl.bpm
+            pl.t_comp = np.array(t_comp, dtype=np.int8)
+            pl.t_dclut = np.array(t_dc, dtype=np.int16)
+            pl.t_aclut = np.array(t_ac, dtype=np.int16)
+            pl.t_qt = np.array(t_qt, dtype=np.int16)
+            segs = _split_segments(arr[pos:])
+            total_mcu = pl.mcux * pl.mcuy
+            r = ri if ri else total_mcu
+            expect = (total_mcu + r - 1) // r
+            if len(segs) != expect:
+                raise ValueError(
+                    f"expected {expect} restart segments, found {len(segs)}")
+            plans[ii] = pl
+            img_segs[ii] = segs
+        except Exception as e:  # noqa: BLE001 — per-image quarantine
+            if strict:
+                raise
+            errors[ii] = e
+
+    live = [i for i in range(n) if plans[i] is not None]
+    if not live:
+        return [None] * n
+
+    LUTVAL = np.stack(lut_val) if lut_val else np.zeros((1, 1 << 16), np.int64)
+    LUTLEN = np.stack(lut_len) if lut_len else np.zeros((1, 1 << 16), np.int64)
+    # QT registry in ZIGZAG order — dequantize before dezigzag
+    QTZ = np.stack(qt_tabs)
+
+    # global block tables + per-lane (segment) state (int64 throughout:
+    # every per-iteration cast in the lockstep loop costs a fresh array)
+    nb_tot = sum(plans[i].nblocks for i in live)
+    b_comp = np.empty(nb_tot, dtype=np.int64)
+    b_dclut = np.empty(nb_tot, dtype=np.int64)
+    b_aclut = np.empty(nb_tot, dtype=np.int64)
+    b_qt = np.empty(nb_tot, dtype=np.int64)
+    img_block_off = {}
+    off = 0
+    buf_parts = []
+    byte_off = 0
+    l_bitpos, l_bitend, l_blk, l_blkend, l_img = [], [], [], [], []
+    for i in live:
+        pl = plans[i]
+        img_block_off[i] = off
+        reps = pl.mcux * pl.mcuy
+        b_comp[off:off + pl.nblocks] = np.tile(pl.t_comp, reps)
+        b_dclut[off:off + pl.nblocks] = np.tile(pl.t_dclut, reps)
+        b_aclut[off:off + pl.nblocks] = np.tile(pl.t_aclut, reps)
+        b_qt[off:off + pl.nblocks] = np.tile(pl.t_qt, reps)
+        r = pl.restart_interval if pl.restart_interval else reps
+        for si, seg in enumerate(img_segs[i]):
+            mcu_lo = si * r
+            mcu_hi = min((si + 1) * r, reps)
+            l_bitpos.append(byte_off * 8)
+            l_bitend.append((byte_off + seg.size) * 8)
+            l_blk.append(off + mcu_lo * pl.bpm)
+            l_blkend.append(off + mcu_hi * pl.bpm)
+            l_img.append(i)
+            buf_parts.append(seg)
+            byte_off += seg.size
+        off += pl.nblocks
+    BUF = np.concatenate(buf_parts + [np.zeros(8, dtype=np.uint8)])
+    S = len(l_bitpos)
+    l_bitpos = np.array(l_bitpos, dtype=np.int64)
+    l_bitend = np.array(l_bitend, dtype=np.int64)
+    l_blk = np.array(l_blk, dtype=np.int64)
+    l_blkend = np.array(l_blkend, dtype=np.int64)
+    l_img = np.array(l_img, dtype=np.int64)
+    l_k = np.full(S, -1, dtype=np.int64)  # -1 = DC expected
+    ncomp_max = max(len(plans[i].comps) for i in live)
+    pred = np.zeros((S, ncomp_max), dtype=np.int64)
+    failed = np.zeros(S, dtype=bool)
+
+    coef = np.zeros((nb_tot, 64), dtype=np.int64)
+    _W5 = np.array([1 << 32, 1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
+
+    # --- the lockstep loop: one Huffman symbol per active lane per spin
+    while True:
+        act = np.nonzero((~failed) & (l_blk < l_blkend))[0]
+        if act.size == 0:
+            break
+        bp = l_bitpos[act]
+        byte = (bp >> 3)
+        # 40-bit window via one small matmul (values < 2^40: int64-safe)
+        w40 = BUF[byte[:, None] + _OFF5] @ _W5
+        win32 = (w40 >> (8 - (bp & 7))) & 0xFFFFFFFF
+        blkg = l_blk[act]
+        isdc = l_k[act] < 0
+        lut = np.where(isdc, b_dclut[blkg], b_aclut[blkg])
+        w16 = win32 >> 16
+        sym = LUTVAL[lut, w16]
+        ln = LUTLEN[lut, w16]
+        bad = ln == 0
+        s = np.where(isdc, sym, sym & 0xF)
+        s = np.where(bad, 0, s)
+        lnz = np.where(bad, 0, ln)
+        val = (win32 >> (32 - lnz - s)) & (np.left_shift(np.int64(1), s) - 1)
+        ext = _extend_vec(val, s)
+        newpos = bp + lnz + s
+        bad |= newpos > l_bitend[act]
+        l_bitpos[act] = newpos
+        if bad.any():
+            failed[act[bad]] = True
+        ok = ~bad
+        # DC lanes: accumulate the predictor, write coefficient 0
+        m = isdc & ok
+        if m.any():
+            la = act[m]
+            bb = blkg[m]
+            ci = b_comp[bb]
+            nd = pred[la, ci] + ext[m]
+            pred[la, ci] = nd
+            coef[bb, 0] = nd
+            l_k[la] = 1
+        # AC lanes: run-length advance, write, EOB/ZRL handling
+        m2 = (~isdc) & ok
+        if m2.any():
+            la2 = act[m2]
+            bb2 = blkg[m2]
+            s2 = s[m2]
+            r2 = (sym[m2] >> 4) & 0xF
+            e2 = ext[m2]
+            kk = l_k[la2]
+            zrl = (s2 == 0) & (r2 == 15)
+            eob = (s2 == 0) & (r2 != 15)
+            nrm = s2 > 0
+            kk2 = np.where(zrl, kk + 16, kk)
+            kt = kk2 + np.where(nrm, r2, 0)
+            ovp = nrm & (kt > 63)
+            if ovp.any():
+                failed[la2[ovp]] = True
+            wr = nrm & ~ovp
+            if wr.any():
+                coef[bb2[wr], kt[wr]] = e2[wr]
+            kk3 = np.where(nrm, kt + 1, kk2)
+            done = eob | (kk3 >= 64)
+            l_k[la2] = np.where(done, -1, kk3)
+            l_blk[la2] = bb2 + done
+
+    img_failed = np.zeros(n, dtype=bool)
+    if failed.any():
+        img_failed[np.unique(l_img[failed])] = True
+    if strict and img_failed.any():
+        raise ValueError(
+            f"entropy decode failed for {int(img_failed.sum())} image(s)")
+
+    # --- dequantize + dezigzag + IDCT, ALL blocks of ALL images at once
+    deq = (coef * QTZ[b_qt]).astype(np.float64)
+    spatial = _idct(deq[:, UNZIGZAG].reshape(-1, 8, 8)) + 128.0
+
+    out: list = [None] * n
+    for i in live:
+        if img_failed[i]:
+            if not strict:
+                continue
+        pl = plans[i]
+        off = img_block_off[i]
+        planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(pl.comps):
+            nby, nbx = pl.mcuy * vs, pl.mcux * hs
+            byg = np.arange(nby)[:, None]
+            bxg = np.arange(nbx)[None, :]
+            # offset of this component's first block inside an MCU
+            comp_off = sum(c[1] * c[2] for c in pl.comps[:ci])
+            rows = (off
+                    + ((byg // vs) * pl.mcux + (bxg // hs)) * pl.bpm
+                    + comp_off + (byg % vs) * hs + (bxg % hs))
+            plane = spatial[rows].transpose(0, 2, 1, 3) \
+                .reshape(nby * 8, nbx * 8)
+            ry, rx = pl.vmax // vs, pl.hmax // hs
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[: pl.mcuy * pl.vmax * 8,
+                                : pl.mcux * pl.hmax * 8])
+        if len(planes) == 1:
+            out[i] = np.clip(np.round(planes[0][: pl.h, : pl.w]),
+                             0, 255).astype(np.uint8)
+        else:
+            yy, cb, cr = (p[: pl.h, : pl.w] for p in planes)
+            r_ = yy + 1.402 * (cr - 128.0)
+            g_ = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b_ = yy + 1.772 * (cb - 128.0)
+            out[i] = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)),
+                             0, 255).astype(np.uint8)
+    return out

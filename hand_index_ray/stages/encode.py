@@ -67,10 +67,27 @@ def decode_images(batch: pa.Table) -> pa.Table:
             ok[i] = False  # quarantined: unknown format, wrong size
             continue
         groups.setdefault((int(hs[i]), int(ws[i])), []).append(i)
+    # all JPEG rows of the batch decode in ONE lockstep pass (the
+    # entropy scans run as parallel lanes of a single vectorized
+    # Huffman machine — kernels/jpeg.py decode_batch); failures → None
+    jpg_rows = [i for i in range(n) if fmts[i] == "jpg"]
+    jpg_dec: dict[int, np.ndarray | None] = {}
+    if jpg_rows:
+        outs = imk.decode_jpeg_batch(
+            [bts[i].as_buffer() for i in jpg_rows], strict=False)
+        jpg_dec = dict(zip(jpg_rows, outs))
     for (gh, gw), idxs in groups.items():
         stack = np.empty((len(idxs), gh, gw, 3), dtype=np.uint8)
         good = []
         for j, i in enumerate(idxs):
+            if i in jpg_dec:
+                d = jpg_dec[i]
+                if d is None or d.shape != (gh, gw, 3):
+                    ok[i] = False  # corrupt payload or lying metadata
+                else:
+                    stack[j] = d
+                    good.append(j)
+                continue
             buf = bts[i].as_buffer()  # zero-copy view into the Arrow block
             try:
                 stack[j] = imk.decode(buf, fmts[i], w=gw, h=gh)

@@ -72,7 +72,7 @@ def test_per_row_invariants_vs_oracle(footprints):
         px = synth.make_pixels(src, int(row["w"]), int(row["h"]))
         buf = imk.encode(px, row["fmt"])
         dec = imk.decode(buf, row["fmt"], w=int(row["w"]), h=int(row["h"]))
-        if row["fmt"] == "qjpg":
+        if row["fmt"] in ("qjpg", "jpg"):  # lossy slots
             assert imk.psnr(px, dec) >= 40.0
         else:
             np.testing.assert_array_equal(px, dec)

@@ -143,3 +143,60 @@ def test_decode_images_quarantines_corrupt_rows(ray_session):
     ok = out.column("decode_ok").to_pylist()
     assert ok == [True, False, True]
     assert out.num_rows == 3
+
+
+def test_decode_batch_parity_battery():
+    """The lockstep batch decoder is bit-exact vs the scalar decoder
+    across chroma modes, grayscale, odd dims, qualities and restart
+    intervals — all decoded in ONE mixed batch."""
+    cases = []
+    for i, (h, w, sub, gray, rr, q) in enumerate([
+            (64, 64, False, False, 0, 98), (48, 56, True, False, 0, 90),
+            (33, 41, False, False, 0, 75), (64, 64, False, True, 0, 98),
+            (96, 128, True, False, 1, 92), (40, 40, False, False, 2, 98),
+            (8, 8, False, False, 0, 50), (17, 9, True, True, 1, 85)]):
+        px = synth.make_pixels(i, max(h, 8), max(w, 8))[:h, :w]
+        if gray:
+            px = px[..., 0]
+        cases.append(jpeg.encode(px, quality=q, subsample=sub,
+                                 restart_rows=rr))
+    want = [jpeg.decode(b) for b in cases]
+    got = jpeg.decode_batch(cases)
+    for i, (g, wv) in enumerate(zip(got, want)):
+        assert g.shape == wv.shape, i
+        np.testing.assert_array_equal(g, wv, err_msg=str(i))
+
+
+def test_decode_batch_restart_lanes_match_plain():
+    """restart_rows only changes the container layout (more independent
+    lanes), never the pixels."""
+    px = synth.make_pixels(3, 64, 64)
+    plain = jpeg.decode_batch([jpeg.encode(px, quality=98)])[0]
+    rst = jpeg.decode_batch([jpeg.encode(px, quality=98, restart_rows=1)])[0]
+    np.testing.assert_array_equal(plain, rst)
+
+
+def test_decode_batch_quarantine():
+    """strict=False maps per-image failures (truncated scan, not a
+    JPEG) to None without touching healthy lanes."""
+    px = [synth.make_pixels(i, 24, 24) for i in range(3)]
+    bufs = [jpeg.encode(p, quality=95) for p in px]
+    bad = [bufs[0], bufs[1][: len(bufs[1]) // 2], b"nonsense", bufs[2]]
+    got = jpeg.decode_batch(bad, strict=False)
+    assert got[1] is None and got[2] is None
+    np.testing.assert_array_equal(got[0], jpeg.decode(bufs[0]))
+    np.testing.assert_array_equal(got[3], jpeg.decode(bufs[2]))
+    import pytest
+    with pytest.raises(ValueError):
+        jpeg.decode_batch(bad, strict=True)
+
+
+def test_encoder_restart_markers_decodable_by_scalar():
+    """The scalar decoder (independent implementation of RST handling)
+    agrees with the segment-splitting batch path."""
+    px = synth.make_pixels(5, 48, 80)
+    buf = jpeg.encode(px, quality=90, restart_rows=1)
+    sos = buf.index(b"\xFF\xDA")
+    assert b"\xFF\xDD" in buf[:sos]  # DRI present in the header
+    np.testing.assert_array_equal(jpeg.decode(buf),
+                                  jpeg.decode_batch([buf])[0])
