@@ -343,6 +343,7 @@ if __name__ == "__main__":
         p = first_touch_probe()
         p["gate_mb_s"] = QUIET_GATE_MB_S
         p["quiet"] = p["first_touch_mb_s"] >= QUIET_GATE_MB_S
+        p["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
         print(json.dumps(p))
         sys.exit(0 if p["quiet"] else 1)
     probe = first_touch_probe()

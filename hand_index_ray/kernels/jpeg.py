@@ -247,13 +247,17 @@ def _emit_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int,
 
 
 def encode(px: np.ndarray, quality: int = 90,
-           subsample: bool = False, restart_rows: int = 0) -> bytes:
+           subsample: bool = False, restart_rows: int = 0,
+           restart_mcus: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF
     bytes (Annex-K tables scaled by ``quality``; 4:4:4, or 4:2:0 with
     ``subsample=True``). ``restart_rows`` > 0 writes a DRI segment and
     an RSTn marker every that-many MCU rows — each restart interval is
     then independently decodable, which is what ``decode_batch``'s
-    lockstep lanes parallelize over."""
+    lockstep lanes parallelize over. ``restart_mcus`` sets the interval
+    in MCUs directly (overrides ``restart_rows``): DRI=1 maximizes lane
+    count / minimizes the sequential symbol chain per lane, at a few %
+    size overhead (2-byte marker + DC-predictor reset per MCU)."""
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -340,7 +344,8 @@ def encode(px: np.ndarray, quality: int = 90,
             out += b"\xFF\xC4" + (3 + 16 + len(vals)).to_bytes(2, "big")
             out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
     # DRI (only when restart markers are requested)
-    ri = restart_rows * mcux if restart_rows > 0 else 0
+    ri = restart_mcus if restart_mcus > 0 else (
+        restart_rows * mcux if restart_rows > 0 else 0)
     if ri:
         out += b"\xFF\xDD" + (4).to_bytes(2, "big") + ri.to_bytes(2, "big")
     # SOS
@@ -607,6 +612,37 @@ def is_jpeg(data: bytes) -> bool:
 
 _OFF5 = np.arange(5, dtype=np.int64)
 
+# Grow-only per-process scratch arena for decode_batch's large transient
+# arrays (coefficients, dequant, IDCT temporaries). Without it every call
+# mallocs tens of MB that glibc mmap-returns to the OS on free, so the
+# NEXT call faults fresh pages — on hosts whose first-touch page rate
+# collapses (BASELINE.md pathology) that dominates decode wall time by
+# >10×, and even on healthy hosts it wastes a page-zeroing pass per call.
+# Long-lived Ray workers call decode_batch repeatedly with similar batch
+# shapes, so buffers converge and stay warm. Peak size is bounded by the
+# caller's batch size (EngineConfig.decode_batch_size). Not thread-safe —
+# Ray workers run one task at a time; call from one thread per process.
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, shape, dtype) -> np.ndarray:
+    n = 1
+    for d in shape:
+        n *= int(d)
+    key = (name, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        grow = 0 if buf is None else buf.size * 2
+        buf = np.empty(max(n, 1024, grow), dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:n].reshape(shape)
+
+
+def decode_scratch_clear() -> None:
+    """Release the decode scratch arena (e.g. between corpora of very
+    different image sizes)."""
+    _SCRATCH.clear()
+
 
 def _build_lut16(bits, vals):
     """(val16, len16): a 16-bit-window Huffman decode table (len 0 =
@@ -730,7 +766,10 @@ def decode_batch(datas, strict: bool = True):
 
     for ii, data in enumerate(datas):
         try:
-            arr = np.frombuffer(bytes(data), dtype=np.uint8)
+            try:  # zero-copy view (bytes / pyarrow.Buffer / memoryview)
+                arr = np.frombuffer(data, dtype=np.uint8)
+            except (TypeError, ValueError, BufferError):
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
             qts_z, huff_specs, comps, h, w, ri, scan, pos = \
                 _parse_headers(arr)
             pl = _BatchPlan()
@@ -787,10 +826,10 @@ def decode_batch(datas, strict: bool = True):
     # global block tables + per-lane (segment) state (int64 throughout:
     # every per-iteration cast in the lockstep loop costs a fresh array)
     nb_tot = sum(plans[i].nblocks for i in live)
-    b_comp = np.empty(nb_tot, dtype=np.int64)
-    b_dclut = np.empty(nb_tot, dtype=np.int64)
-    b_aclut = np.empty(nb_tot, dtype=np.int64)
-    b_qt = np.empty(nb_tot, dtype=np.int64)
+    b_comp = _scratch("b_comp", (nb_tot,), np.int64)
+    b_dclut = _scratch("b_dclut", (nb_tot,), np.int64)
+    b_aclut = _scratch("b_aclut", (nb_tot,), np.int64)
+    b_qt = _scratch("b_qt", (nb_tot,), np.int64)
     img_block_off = {}
     off = 0
     buf_parts = []
@@ -816,7 +855,12 @@ def decode_batch(datas, strict: bool = True):
             buf_parts.append(seg)
             byte_off += seg.size
         off += pl.nblocks
-    BUF = np.concatenate(buf_parts + [np.zeros(8, dtype=np.uint8)])
+    BUF = _scratch("BUF", (byte_off + 8,), np.uint8)
+    BUF[byte_off:] = 0
+    pos = 0
+    for part in buf_parts:
+        BUF[pos:pos + part.size] = part
+        pos += part.size
     S = len(l_bitpos)
     l_bitpos = np.array(l_bitpos, dtype=np.int64)
     l_bitend = np.array(l_bitend, dtype=np.int64)
@@ -828,7 +872,8 @@ def decode_batch(datas, strict: bool = True):
     pred = np.zeros((S, ncomp_max), dtype=np.int64)
     failed = np.zeros(S, dtype=bool)
 
-    coef = np.zeros((nb_tot, 64), dtype=np.int64)
+    coef = _scratch("coef", (nb_tot, 64), np.int64)
+    coef[:] = 0  # warm-page fill, not a fresh np.zeros mmap
     _W5 = np.array([1 << 32, 1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
 
     # --- the lockstep loop: one Huffman symbol per active lane per spin
@@ -902,16 +947,37 @@ def decode_batch(datas, strict: bool = True):
             f"entropy decode failed for {int(img_failed.sum())} image(s)")
 
     # --- dequantize + dezigzag + IDCT, ALL blocks of ALL images at once
-    deq = (coef * QTZ[b_qt]).astype(np.float64)
-    spatial = _idct(deq[:, UNZIGZAG].reshape(-1, 8, 8)) + 128.0
+    # (every large temporary lives in the scratch arena: out= everywhere)
+    qv = _scratch("qv", (nb_tot, 64), np.float64)
+    np.take(QTZ.astype(np.float64), b_qt, axis=0, out=qv)
+    np.multiply(coef, qv, out=qv)
+    zz = _scratch("zz", (nb_tot, 64), np.float64)
+    np.take(qv, UNZIGZAG, axis=1, out=zz)
+    blocks = zz.reshape(-1, 8, 8)
+    t1 = _scratch("t1", (nb_tot, 8, 8), np.float64)
+    np.matmul(_B.T, blocks, out=t1)
+    spatial = _scratch("spatial", (nb_tot, 8, 8), np.float64)
+    np.matmul(t1, _B, out=spatial)
+    spatial += 128.0
 
+    # --- pixel assembly, vectorized across SAME-GEOMETRY images: a
+    # homogeneous corpus collapses to a handful of grouped passes
+    # (gather / upsample / YCbCr→RGB / quantize once per group, not per
+    # image) instead of a Python loop per image
     out: list = [None] * n
+    geo_groups: dict[tuple, list[int]] = {}
     for i in live:
         if img_failed[i]:
-            if not strict:
-                continue
+            continue
         pl = plans[i]
-        off = img_block_off[i]
+        key = (pl.h, pl.w, pl.gray, pl.bpm, pl.mcux, pl.mcuy,
+               pl.hmax, pl.vmax,
+               tuple((c[1], c[2]) for c in pl.comps))
+        geo_groups.setdefault(key, []).append(i)
+    for idxs in geo_groups.values():
+        pl = plans[idxs[0]]
+        offs = np.array([img_block_off[i] for i in idxs], dtype=np.int64)
+        g = len(idxs)
         planes = []
         for ci, (cid, hs, vs, tq) in enumerate(pl.comps):
             nby, nbx = pl.mcuy * vs, pl.mcux * hs
@@ -919,24 +985,26 @@ def decode_batch(datas, strict: bool = True):
             bxg = np.arange(nbx)[None, :]
             # offset of this component's first block inside an MCU
             comp_off = sum(c[1] * c[2] for c in pl.comps[:ci])
-            rows = (off
-                    + ((byg // vs) * pl.mcux + (bxg // hs)) * pl.bpm
+            rows = (((byg // vs) * pl.mcux + (bxg // hs)) * pl.bpm
                     + comp_off + (byg % vs) * hs + (bxg % hs))
-            plane = spatial[rows].transpose(0, 2, 1, 3) \
-                .reshape(nby * 8, nbx * 8)
+            rows_g = offs[:, None, None] + rows[None, :, :]
+            plane = spatial[rows_g].transpose(0, 1, 3, 2, 4) \
+                .reshape(g, nby * 8, nbx * 8)
             ry, rx = pl.vmax // vs, pl.hmax // hs
             if ry > 1 or rx > 1:
-                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-            planes.append(plane[: pl.mcuy * pl.vmax * 8,
+                plane = np.repeat(np.repeat(plane, ry, axis=1), rx, axis=2)
+            planes.append(plane[:, : pl.mcuy * pl.vmax * 8,
                                 : pl.mcux * pl.hmax * 8])
         if len(planes) == 1:
-            out[i] = np.clip(np.round(planes[0][: pl.h, : pl.w]),
-                             0, 255).astype(np.uint8)
+            pix = np.clip(np.round(planes[0][:, : pl.h, : pl.w]),
+                          0, 255).astype(np.uint8)
         else:
-            yy, cb, cr = (p[: pl.h, : pl.w] for p in planes)
+            yy, cb, cr = (p[:, : pl.h, : pl.w] for p in planes)
             r_ = yy + 1.402 * (cr - 128.0)
             g_ = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
             b_ = yy + 1.772 * (cb - 128.0)
-            out[i] = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)),
-                             0, 255).astype(np.uint8)
+            pix = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)),
+                          0, 255).astype(np.uint8)
+        for j, i in enumerate(idxs):
+            out[i] = pix[j]
     return out

@@ -86,7 +86,10 @@ def test_cli_subprocess_smoke(smoke_dirs, tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "hand_index_ray", "build",
          "--images-dir", smoke_dirs["images"], "--output-dir", out, "--compact"],
-        capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo")
+        # generous: a fresh ray.init alone can take tens of seconds in
+        # this VM's documented slow windows (BASELINE.md pathology), and
+        # this test may run while the session-scoped suite holds 4 CPUs
+        capture_output=True, text=True, timeout=540, env=env, cwd="/root/repo")
     assert proc.returncode == 0, proc.stderr[-2000:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["rows_built"] == 400

