@@ -1553,6 +1553,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _image_index_tpch(sf)
         return hex_cell_stats(idx, 7)
 
+    def q120_flac_decode(sf):  # REAL FLAC encode→decode; sums SQL-oracle-exact
+        """Compressed-audio parity (q35's pattern, FLAC instead of raw
+        PCM): payloads synthesized from integer arithmetic over
+        `orders`, compressed with the from-spec FLAC encoder and
+        decoded by the vectorized Rice-orbit decoder (kernels/flac.py,
+        CRC-verified). FLAC is lossless, so per-clip sample sums are
+        bit-exact and the oracle recomputes them in plain SQL."""
+        from hand_index_ray.kernels.flac import decode_flac, encode_flac
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen_decode(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 103 == 0]
+            out_k, out_n, out_s = [], [], []
+            for k in keys:
+                n = 300 + int(k) % 200
+                i = np.arange(n, dtype=np.int64)
+                v = (int(k) * 6007 + i * 31627) % 65536 - 32768
+                blob = encode_flac(v, 16000, bits=16)
+                rec, _rate, _bits = decode_flac(blob, verify_md5=True)
+                out_k.append(int(k))
+                out_n.append(n)
+                out_s.append(int(rec[:, 0].astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(out_k, pa.int64()),
+                             "n_samples": pa.array(out_n, pa.int64()),
+                             "sum_samples": pa.array(out_s, pa.int64())})
+
+        df = orders.map_batches(gen_decode, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1673,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q117_time_to_convert": q117_time_to_convert,
         "q118_drawdown": q118_drawdown,
         "q119_h3_cell_stats": q119_h3_cell_stats,
+        "q120_flac_decode": q120_flac_decode,
     }
 
 
@@ -2123,6 +2155,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_samples
             FROM (SELECT o_orderkey, 200 + o_orderkey % 300 AS n
                   FROM orders WHERE o_orderkey % 97 = 0) o
+            CROSS JOIN (SELECT generate_series AS i
+                        FROM generate_series(0, 499)) g
+            WHERE g.i < o.n
+            GROUP BY o.o_orderkey, o.n
+            ORDER BY o.o_orderkey
+        """,
+        # q120: FLAC is lossless, so the decoded sums equal the
+        # synthesized-PCM sums — same oracle shape as q35
+        "q120_flac_decode": """
+            SELECT o.o_orderkey, o.n AS n_samples,
+                   CAST(SUM((o.o_orderkey * 6007 + g.i * 31627) % 65536 - 32768)
+                        AS BIGINT) AS sum_samples
+            FROM (SELECT o_orderkey, 300 + o_orderkey % 200 AS n
+                  FROM orders WHERE o_orderkey % 103 = 0) o
             CROSS JOIN (SELECT generate_series AS i
                         FROM generate_series(0, 499)) g
             WHERE g.i < o.n

@@ -113,25 +113,40 @@ def broadcast_join(big: ray.data.Dataset, small: pa.Table, keys: list[str] | str
                            concurrency=(1, 8))
 
 
+NATIVE_JOIN_CROSSOVER_ROWS = 2_000_000
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, how: str = "inner", num_buckets: int = 64,
-              use_native: bool = False) -> ray.data.Dataset:
+              use_native: bool = False,
+              size_hint_rows: "int | None" = None) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides (SURVEY.md §2.4 J2
     "at scale" path): both sides bucketed on hash(key) % B, one
     co-group shuffle, per-bucket pyarrow join.
 
     ``use_native=True`` routes to Ray Data's built-in hash-partitioned
-    ``Dataset.join`` instead. Measured here the native join's
-    per-partition aggregator actors cost more than they save at these
-    sizes (7.5 s vs 3.8 s on lineitem×orders at 32 CPUs, and the
-    actor count must be clamped below cluster CPUs or it deadlocks);
-    on a real multi-node cluster with long-lived sessions the native
-    path amortizes better — re-evaluate per deployment.
+    ``Dataset.join`` instead. Measured (tools/join_compare.py, r3,
+    lineitem×orders inner at 32 CPUs, within one process):
+
+        input rows   custom IPC   native Dataset.join   winner
+        600 k        2.7 s        4.7 s                 custom 1.7×
+        6 M          56.3 s       18.8 s                native 3.0×
+
+    The crossover is real: the custom path's per-bucket IPC payloads
+    grow with input while the native join's fixed aggregator-actor
+    overhead amortizes. Default stays custom (the sub-million-row
+    regime every driver/bench query runs in); callers that KNOW their
+    scale pass ``size_hint_rows`` (combined input rows — reads know it
+    from parquet metadata for free) and the join auto-routes native
+    above ``NATIVE_JOIN_CROSSOVER_ROWS``. On a real multi-node cluster
+    re-measure: long-lived sessions amortize the native actors further.
 
     Skewed hot keys: salt them with the same replicate-small-side
     pattern the zonal join uses (pipelines/query.py) before calling
     this. Supported ``how``: inner, left, full.
     """
+    if size_hint_rows is not None and size_hint_rows > NATIVE_JOIN_CROSSOVER_ROWS:
+        use_native = True
     if use_native and hasattr(ray.data.Dataset, "join"):
         jt = {"inner": "inner", "left": "left_outer",
               "full": "full_outer"}[how]

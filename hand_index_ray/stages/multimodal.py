@@ -3,11 +3,13 @@
 Images are first-class in this engine (real codecs in kernels/image.py,
 exercised by the flagship build). Audio and video payloads follow the
 same pattern — an opaque ``binary`` column plus typed metadata columns.
-UNCOMPRESSED formats decode for real, from-spec, in pure numpy:
-RIFF/WAVE PCM + IEEE float (kernels/audio.py) and YUV4MPEG2 / Y4M
-(kernels/video.py). Compressed codecs (mp3/aac/h264/...) need a codec
-library this sandbox doesn't have, so those paths are STUBS (clearly
-marked): the body raises ``NotImplementedError`` unless the
+These decode for real, from-spec, in pure numpy: RIFF/WAVE PCM + IEEE
+float (kernels/audio.py), FLAC compressed audio (kernels/flac.py —
+Rice-partitioned FIXED/LPC subframes, stereo decorrelation, CRC
+verification), and YUV4MPEG2 / Y4M video (kernels/video.py). LOSSY
+codecs (mp3/aac/h264/...) need a codec library this sandbox doesn't
+have, so those paths are STUBS (clearly marked): the body raises
+``NotImplementedError`` unless the
 deterministic fake is requested; the Ray-side plumbing (schemas,
 actor-pool signatures, batch sizing for wide binary rows, output
 layout) is shared with the real paths and tested.
@@ -65,11 +67,17 @@ class AudioFeatures:
             from ..kernels.audio import decode_wav
 
             return decode_wav(buf)[0]
+        if buf[:4] == b"fLaC":
+            # REAL from-spec COMPRESSED decode (kernels/flac.py):
+            # Rice-partitioned FIXED/LPC subframes, CRC-verified
+            from ..kernels.flac import decode_flac_to_float
+
+            return decode_flac_to_float(buf)[0]
         if not self.fake:
             raise NotImplementedError(
-                f"no codec library for compressed audio ({codec!r}) in "
-                "this sandbox; real decode (e.g. pyav/soundfile) plugs "
-                "in here — uncompressed 'wav' decodes natively")
+                f"no codec library for lossy compressed audio ({codec!r}) "
+                "in this sandbox; real decode (e.g. pyav/soundfile) plugs "
+                "in here — 'wav' and 'flac' decode natively")
         h = splitmix64(np.frombuffer(buf[:8].ljust(8, b"\0"), dtype=np.uint64)
                        + np.arange(max(n_samples, 1), dtype=np.uint64))
         return (h % np.uint64(65536)).astype(np.float64) / 32768.0 - 1.0
