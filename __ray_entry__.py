@@ -1584,6 +1584,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen_decode, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q121_mjpeg_decode(sf):  # REAL MJPEG AVI decode; sums SQL-oracle-exact
+        """Compressed-VIDEO parity: per key, a 2-frame MJPEG AVI whose
+        16×16 gray frames are four constant 8×8 blocks — at quality 100
+        the Annex-K tables scale to all-ones, constant blocks are
+        DC-only, and baseline JPEG decode is BIT-EXACT (verified in
+        tests/test_avi.py), so per-frame pixel sums survive a real
+        lossy-format entropy round-trip and the oracle recomputes them
+        as 64·Σ block values in plain SQL (kernels/avi.py + jpeg.py)."""
+        from hand_index_ray.kernels.avi import decode_avi_frames, encode_avi_mjpeg
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 107 == 0]
+            ok, of, osum = [], [], []
+            for k in keys:
+                blocks = np.array(
+                    [[(int(k) * 37 + f * 911 + b * 53) % 256
+                      for b in range(4)] for f in range(2)], np.uint8)
+                frames = np.repeat(np.repeat(
+                    blocks.reshape(2, 2, 2), 8, axis=1), 8, axis=2)
+                blob = encode_avi_mjpeg(frames, fps=24.0, quality=100)
+                for f, img in enumerate(decode_avi_frames(blob)):
+                    ok.append(int(k))
+                    of.append(f)
+                    osum.append(int(img.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "frame_idx": pa.array(of, pa.int64()),
+                             "pixel_sum": pa.array(osum, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "frame_idx"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1705,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_drawdown": q118_drawdown,
         "q119_h3_cell_stats": q119_h3_cell_stats,
         "q120_flac_decode": q120_flac_decode,
+        "q121_mjpeg_decode": q121_mjpeg_decode,
     }
 
 
@@ -2174,6 +2209,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE g.i < o.n
             GROUP BY o.o_orderkey, o.n
             ORDER BY o.o_orderkey
+        """,
+        # q121: constant 8×8 blocks at JPEG quality 100 decode
+        # bit-exactly (all-ones tables, DC-only), so the MJPEG AVI
+        # round-trip reduces to 64·Σ block values per frame
+        "q121_mjpeg_decode": """
+            SELECT o.o_orderkey, f.f AS frame_idx,
+                   CAST(SUM(64 * ((o.o_orderkey * 37 + f.f * 911 + b.b * 53) % 256))
+                        AS BIGINT) AS pixel_sum
+            FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 107 = 0) o
+            CROSS JOIN (SELECT generate_series AS f FROM generate_series(0, 1)) f
+            CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 3)) b
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "q36_y4m_decode": """
             SELECT o.o_orderkey, f.f AS frame_idx,

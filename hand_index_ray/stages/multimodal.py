@@ -134,15 +134,17 @@ class FrameSampler:
             return decode_y4m_frame(buf, idx)
         if not self.fake:
             raise NotImplementedError(
-                "no codec library for compressed video in this sandbox; "
-                "real frame decode (e.g. pyav) plugs in here — "
-                "uncompressed Y4M decodes natively")
+                "no codec library for inter-coded compressed video in "
+                "this sandbox; real frame decode (e.g. pyav) plugs in "
+                "here — uncompressed Y4M and MJPEG AVI decode natively")
         seed = splitmix64(np.array([len(buf) * 131071 + idx], dtype=np.uint64))[0]
         rng_vals = splitmix64(np.uint64(seed) + np.arange(h * w * 3, dtype=np.uint64))
         return (rng_vals % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..kernels import avi as avk
         from ..kernels import image as imk
+        from ..kernels import jpeg as jpk
 
         n = t.num_rows
         nf = t.column("n_frames").to_numpy()
@@ -152,16 +154,35 @@ class FrameSampler:
         bts = t.column("bytes")
         # decode frames per row (codec work), but batch the phash kernel
         # per (h, w) group — one vectorized DCT pass per shape, like the
-        # image decode stage (stages/encode.py)
+        # image decode stage (stages/encode.py). MJPEG AVI payloads pool
+        # their sampled frames across the WHOLE batch into one
+        # jpeg.decode_batch call (one lockstep Huffman machine).
         vids, frames, shapes, imgs = [], [], [], []
+        mjpeg_slots: list[int] = []
+        mjpeg_blobs: list[bytes] = []
         for i in range(n):
             buf = bytes(bts[i].as_py() or b"")
             picks = np.linspace(0, max(int(nf[i]) - 1, 0), self.k).astype(int)
+            if avk.is_avi(buf):
+                # REAL compressed video (kernels/avi.py): chunk-scan
+                # seek, decode deferred to the pooled batch below
+                for f, jb in zip(picks,
+                                 avk.extract_frame_blobs(buf, picks.tolist())):
+                    vids.append(ids[i])
+                    frames.append(int(f))
+                    shapes.append((int(hs[i]), int(ws[i])))
+                    mjpeg_slots.append(len(imgs))
+                    mjpeg_blobs.append(jb)
+                    imgs.append(None)
+                continue
             for f in picks:
                 vids.append(ids[i])
                 frames.append(int(f))
                 shapes.append((int(hs[i]), int(ws[i])))
                 imgs.append(self._decode_frame(buf, int(f), int(ws[i]), int(hs[i])))
+        if mjpeg_slots:
+            for pos, im in zip(mjpeg_slots, jpk.decode_batch(mjpeg_blobs)):
+                imgs[pos] = np.stack([im] * 3, axis=-1) if im.ndim == 2 else im
         phashes = np.empty(len(imgs), dtype=np.int64)
         groups: dict[tuple[int, int], list[int]] = {}
         for j, shp in enumerate(shapes):
