@@ -1618,6 +1618,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values(["o_orderkey", "frame_idx"]).reset_index(drop=True)
 
+    def q122_progressive_jpeg(sf):  # REAL SOF2 ingest; sums SQL-oracle-exact
+        """Progressive-JPEG ingest parity (the q121 constant-block
+        construction through the Annex-G path): per key one 16×16 gray
+        progressive JPEG (DC first+refine, AC first+refine scans with
+        optimized Huffman tables), ingested through the SAME
+        decode_batch entry the image stages use — baseline members ride
+        the lockstep machine, SOF2 members route to the Annex-G
+        decoder. Quality 100 makes the round-trip bit-exact, so the
+        oracle recomputes pixel sums in plain SQL."""
+        from hand_index_ray.kernels.jpeg import decode_batch
+        from hand_index_ray.kernels.jpeg_progressive import encode_progressive
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 109 == 0]
+            blobs, ks = [], []
+            for k in keys:
+                blocks = np.array([(int(k) * 41 + b * 59) % 256
+                                   for b in range(4)], np.uint8)
+                img = np.repeat(np.repeat(
+                    blocks.reshape(2, 2), 8, axis=0), 8, axis=1)
+                blobs.append(encode_progressive(img, quality=100))
+                ks.append(int(k))
+            sums = [int(im.astype(np.int64).sum())
+                    for im in decode_batch(blobs)]
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "pixel_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1740,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_h3_cell_stats": q119_h3_cell_stats,
         "q120_flac_decode": q120_flac_decode,
         "q121_mjpeg_decode": q121_mjpeg_decode,
+        "q122_progressive_jpeg": q122_progressive_jpeg,
     }
 
 
@@ -2222,6 +2256,17 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 3)) b
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # q122: same constant-block q100 bit-exactness through the
+        # progressive (SOF2) Annex-G decode path
+        "q122_progressive_jpeg": """
+            SELECT o.o_orderkey,
+                   CAST(SUM(64 * ((o.o_orderkey * 41 + b.b * 59) % 256))
+                        AS BIGINT) AS pixel_sum
+            FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 109 = 0) o
+            CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 3)) b
+            GROUP BY 1
+            ORDER BY 1
         """,
         "q36_y4m_decode": """
             SELECT o.o_orderkey, f.f AS frame_idx,

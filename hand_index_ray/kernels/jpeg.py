@@ -493,10 +493,19 @@ def _parse_headers(arr: np.ndarray):
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (h, w) uint8 or (h, w, 3) uint8."""
+    """Decode JFIF bytes → (h, w) uint8 or (h, w, 3) uint8. Baseline
+    (SOF0) decodes here; progressive (SOF2) routes to the Annex-G
+    decoder in kernels/jpeg_progressive.py."""
     arr = np.frombuffer(data, dtype=np.uint8)
-    qts_z, huff_specs, comps, h, w, restart_interval, scan, pos = \
-        _parse_headers(arr)
+    try:
+        qts_z, huff_specs, comps, h, w, restart_interval, scan, pos = \
+            _parse_headers(arr)
+    except ValueError as e:
+        if "0xC2" in str(e):
+            from .jpeg_progressive import decode_progressive
+
+            return decode_progressive(data)
+        raise
     qts = {tq: z[UNZIGZAG].reshape(8, 8) for tq, z in qts_z.items()}
     huff = {k: _build_decode_lut(*spec) for k, spec in huff_specs.items()}
 
@@ -735,6 +744,7 @@ def decode_batch(datas, strict: bool = True):
     plans: list[_BatchPlan | None] = [None] * n
     img_segs: list[list[np.ndarray]] = [[] for _ in range(n)]
     errors: list[Exception | None] = [None] * n
+    prog_out: dict[int, np.ndarray] = {}
 
     # LUT / QT registries shared across the batch (dedup by content —
     # a homogeneous corpus hits the same Annex-K tables in every image)
@@ -810,13 +820,27 @@ def decode_batch(datas, strict: bool = True):
             plans[ii] = pl
             img_segs[ii] = segs
         except Exception as e:  # noqa: BLE001 — per-image quarantine
+            if isinstance(e, ValueError) and "0xC2" in str(e):
+                # progressive (SOF2): scalar Annex-G path — a real
+                # corpus mixes baseline and progressive; the baseline
+                # majority still rides the lockstep machine below
+                from .jpeg_progressive import decode_progressive
+
+                try:
+                    prog_out[ii] = decode_progressive(bytes(data))
+                    continue
+                except Exception as e2:  # noqa: BLE001
+                    e = e2
             if strict:
                 raise
             errors[ii] = e
 
     live = [i for i in range(n) if plans[i] is not None]
     if not live:
-        return [None] * n
+        out0: list = [None] * n
+        for ii, im in prog_out.items():
+            out0[ii] = im
+        return out0
 
     LUTVAL = np.stack(lut_val) if lut_val else np.zeros((1, 1 << 16), np.int64)
     LUTLEN = np.stack(lut_len) if lut_len else np.zeros((1, 1 << 16), np.int64)
@@ -1007,4 +1031,6 @@ def decode_batch(datas, strict: bool = True):
                           0, 255).astype(np.uint8)
         for j, i in enumerate(idxs):
             out[i] = pix[j]
+    for ii, im in prog_out.items():
+        out[ii] = im
     return out
