@@ -1651,6 +1651,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q123_exif_orientation(sf):  # REAL EXIF parse + orientation (SQL oracle)
+        """EXIF ingest parity: per key a real JPEG with a spec-correct
+        APP1 segment (kernels/exif.py — TIFF IFDs, GPS sub-IFD with
+        exact DMS rationals, orientation tag). The engine parses the
+        segment back and applies the orientation transform to a
+        deterministic asymmetric image; the oracle recomputes the
+        oriented dims + probe pixels + integer GPS units by the spec's
+        orientation corner mapping in plain SQL."""
+        from hand_index_ray.kernels import jpeg
+        from hand_index_ray.kernels.exif import (apply_orientation,
+                                                 build_exif_app1, insert_app1)
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        base_jpg = jpeg.encode(np.full((8, 8), 99, np.uint8), 95)
+        H, W = 8, 6
+
+        def gen(t: pa.Table) -> pa.Table:
+            from hand_index_ray.kernels.exif import parse_exif
+
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 111 == 0]
+            rows = {c: [] for c in ("o_orderkey", "orientation", "ori_h",
+                                    "ori_w", "p00", "p01", "lat_units")}
+            r_, c_ = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            for k in keys:
+                k = int(k)
+                o = k % 8 + 1
+                d, m, s4 = k % 90, k % 60, (k * 13) % 600000
+                app1 = build_exif_app1(
+                    orientation=o, make="synthcam", datetime_str="2026:01:01 00:00:00",
+                    lat=(-1.0 if k % 2 else 1.0), lon=1.0,
+                    lat_dms=[(d, 1), (m, 1), (s4, 10000)],
+                    lon_dms=[(1, 1), (2, 1), (3, 10000)])
+                meta = parse_exif(insert_app1(base_jpg, app1))
+                img = (k * 7 + r_ * 13 + c_ * 17) % 251
+                out = apply_orientation(img, meta["orientation"])
+                dms = meta["gps_lat"]
+                units = dms[0][0] * 36000000 + dms[1][0] * 600000 + dms[2][0]
+                if meta["gps_lat_ref"] == "S":
+                    units = -units
+                rows["o_orderkey"].append(k)
+                rows["orientation"].append(meta["orientation"])
+                rows["ori_h"].append(out.shape[0])
+                rows["ori_w"].append(out.shape[1])
+                rows["p00"].append(int(out[0, 0]))
+                rows["p01"].append(int(out[0, 1]))
+                rows["lat_units"].append(units)
+            return pa.table({c: pa.array(v, pa.int64())
+                             for c, v in rows.items()})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1774,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q120_flac_decode": q120_flac_decode,
         "q121_mjpeg_decode": q121_mjpeg_decode,
         "q122_progressive_jpeg": q122_progressive_jpeg,
+        "q123_exif_orientation": q123_exif_orientation,
     }
 
 
@@ -2267,6 +2321,44 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 3)) b
             GROUP BY 1
             ORDER BY 1
+        """,
+        # q123: EXIF orientation is one of 8 dihedral transforms; the
+        # oracle maps each to its output dims + the input cells that
+        # land at (0,0)/(0,1), over img[r,c] = (k*7 + r*13 + c*17) % 251
+        # with H=8, W=6; GPS DMS rationals are exact integers
+        "q123_exif_orientation": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 8 + 1 AS BIGINT) AS orientation,
+                   CAST(CASE WHEN o_orderkey % 8 + 1 >= 5 THEN 6 ELSE 8 END
+                        AS BIGINT) AS ori_h,
+                   CAST(CASE WHEN o_orderkey % 8 + 1 >= 5 THEN 8 ELSE 6 END
+                        AS BIGINT) AS ori_w,
+                   CAST(CASE o_orderkey % 8 + 1
+                     WHEN 1 THEN (o_orderkey * 7) % 251
+                     WHEN 2 THEN (o_orderkey * 7 + 5 * 17) % 251
+                     WHEN 3 THEN (o_orderkey * 7 + 7 * 13 + 5 * 17) % 251
+                     WHEN 4 THEN (o_orderkey * 7 + 7 * 13) % 251
+                     WHEN 5 THEN (o_orderkey * 7) % 251
+                     WHEN 6 THEN (o_orderkey * 7 + 7 * 13) % 251
+                     WHEN 7 THEN (o_orderkey * 7 + 7 * 13 + 5 * 17) % 251
+                     WHEN 8 THEN (o_orderkey * 7 + 5 * 17) % 251
+                   END AS BIGINT) AS p00,
+                   CAST(CASE o_orderkey % 8 + 1
+                     WHEN 1 THEN (o_orderkey * 7 + 17) % 251
+                     WHEN 2 THEN (o_orderkey * 7 + 4 * 17) % 251
+                     WHEN 3 THEN (o_orderkey * 7 + 7 * 13 + 4 * 17) % 251
+                     WHEN 4 THEN (o_orderkey * 7 + 7 * 13 + 17) % 251
+                     WHEN 5 THEN (o_orderkey * 7 + 13) % 251
+                     WHEN 6 THEN (o_orderkey * 7 + 6 * 13) % 251
+                     WHEN 7 THEN (o_orderkey * 7 + 6 * 13 + 5 * 17) % 251
+                     WHEN 8 THEN (o_orderkey * 7 + 13 + 5 * 17) % 251
+                   END AS BIGINT) AS p01,
+                   CAST((CASE WHEN o_orderkey % 2 = 1 THEN -1 ELSE 1 END) *
+                        ((o_orderkey % 90) * 36000000
+                         + (o_orderkey % 60) * 600000
+                         + (o_orderkey * 13) % 600000) AS BIGINT) AS lat_units
+            FROM orders WHERE o_orderkey % 111 = 0
+            ORDER BY o_orderkey
         """,
         "q36_y4m_decode": """
             SELECT o.o_orderkey, f.f AS frame_idx,
