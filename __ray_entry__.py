@@ -1704,6 +1704,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q124_geotiff_stats(sf):  # REAL GeoTIFF decode; stats SQL-oracle-exact
+        """Raster parity (the reference's ``*.tif`` HAND rasters,
+        load.py:44-45, decoded for real): per key a 48×37 int32
+        GeoTIFF with formula pixels, written by the from-spec encoder
+        (kernels/geotiff.py) alternating LZW / Deflate compression and
+        tiled / strip layout across keys, all with horizontal
+        predictor 2 — then decoded + nodata-masked by the raster-stats
+        pipeline (pipelines/raster.py). Lossless, so the oracle
+        recomputes the masked aggregates from the pixel formula in
+        plain SQL."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines.raster import raster_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        W, H = 48, 37
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen_blobs(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 127 == 0]
+            blobs = []
+            for k in keys:
+                k = int(k)
+                v = ((k * 13 + xx * 7 + yy * 3) % 256).astype(np.int32)
+                blobs.append(encode_geotiff(
+                    v, compression="lzw" if k % 2 else "deflate",
+                    predictor=2,
+                    tile=(16, 16) if k % 3 == 0 else None,
+                    rows_per_strip=7, pixel_scale=(1.0, 1.0),
+                    tiepoint=(0, 0, float(k), 1000.0), epsg=5070,
+                    nodata=17))
+            return pa.table({"o_orderkey": pa.array([int(k) for k in keys],
+                                                    pa.int64()),
+                             "bytes": pa.array(blobs, pa.binary())})
+
+        blobs = orders.map_batches(gen_blobs, batch_format="pyarrow")
+        df = raster_stats(blobs, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q125_cog_window(sf):  # COG window read; sums SQL-oracle-exact
+        """Cloud-optimized-GeoTIFF shape: per key a 96×96 int32 raster
+        tiled 16×16; the engine decodes ONLY the tiles intersecting a
+        key-dependent 23×17 pixel window (kernels/geotiff.py
+        decode_window — ranged reads, read amplification pinned in
+        tests/test_geotiff.py). The window sum is recomputed from the
+        pixel formula by the oracle in plain SQL."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines.raster import window_sum_one
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(96, dtype=np.int64),
+                             np.arange(96, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 131 == 0]
+            ks, sums, npx = [], [], []
+            for k in keys:
+                k = int(k)
+                v = ((k * 19 + xx * 5 + yy * 23) % 509).astype(np.int32)
+                blob = encode_geotiff(v, compression="deflate", predictor=2,
+                                      tile=(16, 16), epsg=5070)
+                res = window_sum_one(blob, k % 41, k % 29, 23, 17)
+                assert res["bytes_read"] < len(blob)  # partial read held
+                ks.append(k)
+                npx.append(res["n_px"])
+                sums.append(res["win_sum"])
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "n_px": pa.array(npx, pa.int64()),
+                             "win_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1828,6 +1903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_mjpeg_decode": q121_mjpeg_decode,
         "q122_progressive_jpeg": q122_progressive_jpeg,
         "q123_exif_orientation": q123_exif_orientation,
+        "q124_geotiff_stats": q124_geotiff_stats,
+        "q125_cog_window": q125_cog_window,
     }
 
 
@@ -2359,6 +2436,43 @@ def oracle_sql() -> dict[str, str]:
                          + (o_orderkey * 13) % 600000) AS BIGINT) AS lat_units
             FROM orders WHERE o_orderkey % 111 = 0
             ORDER BY o_orderkey
+        """,
+        # q124: GeoTIFF (LZW/Deflate + predictor 2) is lossless, so the
+        # nodata-masked stats equal the pixel-formula aggregates
+        "q124_geotiff_stats": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 127 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 47)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 36)) y)
+            SELECT k AS o_orderkey,
+                   CAST(48 AS BIGINT) AS width, CAST(37 AS BIGINT) AS height,
+                   CAST(COUNT(*) FILTER (WHERE v <> 17) AS BIGINT) AS n_valid,
+                   CAST(SUM(v) FILTER (WHERE v <> 17) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) FILTER (WHERE v <> 17) AS BIGINT) AS px_min,
+                   CAST(MAX(v) FILTER (WHERE v <> 17) AS BIGINT) AS px_max
+            FROM px GROUP BY k ORDER BY k
+        """,
+        # q125: the COG window read is exact, so the window sum equals
+        # the pixel formula summed over the key's 23×17 window
+        "q125_cog_window": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 19 + (o.o_orderkey % 41 + x.x) * 5
+                        + (o.o_orderkey % 29 + y.y) * 23) % 509 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 131 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 22)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 16)) y)
+            SELECT k AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS win_sum
+            FROM px GROUP BY k ORDER BY k
         """,
         "q36_y4m_decode": """
             SELECT o.o_orderkey, f.f AS frame_idx,

@@ -158,6 +158,16 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         if out.ndim == 2:  # grayscale JPEG → replicate to RGB contract
             out = np.repeat(out[:, :, None], 3, axis=2)
         return out
+    if fmt == "tif":
+        # real GeoTIFF (kernels/geotiff.py); single band scaled to u8
+        # and replicated to the RGB tile contract
+        from . import geotiff as gtlib
+        band, _info = gtlib.decode_geotiff(buf)
+        if band.dtype != np.uint8:
+            lo = band.min()
+            span = max(float(band.max() - lo), 1.0)
+            band = ((band - lo) * (255.0 / span)).astype(np.uint8)
+        return np.repeat(band[:, :, None], 3, axis=2)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -187,6 +197,8 @@ def sniff_format(buf: bytes) -> "str | None":
         return "ppm"
     if head[:4] == b"QJPG":
         return "qjpg"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tif"
     return None
 
 

@@ -103,6 +103,13 @@ class FS:
         with self.fs.open_input_stream(path) as f:
             return f.read()
 
+    def open_input(self, path: str):
+        """Seekable random-access handle (COG window reads: header +
+        per-tile ranges instead of whole-file GETs). Caller closes."""
+        if self.fs is None:
+            return open(path, "rb")
+        return self.fs.open_input_file(path)
+
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_bytes(path).decode("utf-8"))
 

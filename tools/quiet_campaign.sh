@@ -35,6 +35,11 @@ for i in $(seq 1 2000); do
         echo "$(date -Is) QUIET window detected — starting campaign" >> "$LOG"
         # 1. sf1-scale throughput row (600k images)
         BENCH_ARGS="" step sf1_bench GRAFT_BENCH_N=600000 RAY_GRAFT_CPUS=32 || continue
+        # 1b. r2-comparable scaling (240k input, ~3 min) — fits the
+        # SHORT flapping quiet windows this host shows late-r3; gives a
+        # quiet r3 scaling datapoint even if the 600k runs never land
+        BENCH_ARGS="--scaling" step r2size_scaling_a GRAFT_BENCH_N=60000 GRAFT_SCALING_REPS=2 || continue
+        BENCH_ARGS="--scaling" step r2size_scaling_b GRAFT_BENCH_N=60000 GRAFT_SCALING_REPS=2 || continue
         # 2. build scaling at sf1 scale (run_scaling multiplies by 4 -> 600k)
         BENCH_ARGS="--scaling" step sf1_scaling_a GRAFT_BENCH_N=150000 GRAFT_SCALING_REPS=2 || continue
         BENCH_ARGS="--scaling" step sf1_scaling_b GRAFT_BENCH_N=150000 GRAFT_SCALING_REPS=2 || continue
