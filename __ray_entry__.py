@@ -1779,6 +1779,185 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    # --- terrain / hydrology raster family (pipelines/terrain.py) ---
+    # The reference's rasters are hydrology terrain products (HAND +
+    # catchment reaches, load.py:44-45); these queries run the
+    # downstream terrain math the reference leaves to GDAL/WBT, over
+    # formula-pixel GeoTIFFs so every op has a plain-SQL oracle.
+    def _terrain_blobs(sf, mod: int, W: int, H: int, a: int, b: int,
+                       c: int, m: int, **enc):
+        """Dataset of (o_orderkey, bytes) GeoTIFF blobs with pixels
+        v = (k*a + x*b + y*c) % m over keys k ≡ 0 (mod ``mod``)."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % mod == 0]
+            blobs = [encode_geotiff(
+                ((int(k) * a + xx * b + yy * c) % m).astype(np.int32), **enc)
+                for k in keys]
+            return pa.table({"o_orderkey": pa.array([int(k) for k in keys],
+                                                    pa.int64()),
+                             "bytes": pa.array(blobs, pa.binary())})
+
+        return orders.map_batches(gen, batch_format="pyarrow")
+
+    def q126_zonal_raster(sf):  # raster zonal stats; triangle zones
+        """Raster zonal statistics (the raster-side sibling of the
+        vector zonal join J7): two triangle zones, pixel-center PIP via
+        the crossing-number kernel, nodata-masked per-(raster, zone)
+        aggregates. Zone triangles have scaled-by-10 integer vertices
+        chosen so NO pixel center lies on an edge (pinned by
+        tests/test_terrain.py::test_zone_edges_clear), so the oracle's
+        strict half-plane integer sign tests agree exactly."""
+        from hand_index_ray.kernels import wkb as kwkb
+        from hand_index_ray.pipelines.terrain import zonal_stats
+        tris = [[(3.2, 1.7), (44.1, 5.3), (20.6, 34.8)],
+                [(25.3, 2.1), (46.2, 30.7), (5.4, 28.9)]]
+        wkbs = [kwkb.encode(kwkb.from_parts([[[np.array(t + t[:1])]]]))[0]
+                for t in tris]
+        ds = _terrain_blobs(sf, 137, 48, 37, 13, 7, 3, 256,
+                            compression="lzw", predictor=2, nodata=17)
+        df = zonal_stats(ds, wkbs, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "zone"]).reset_index(drop=True)
+
+    def q127_slope_stats(sf):  # terrain gradient; interior |dx|+|dy|
+        """Slope-map core: integer central-difference gradient
+        magnitude over interior pixels, map-only partial aggregates
+        (pipelines/terrain.py:slope_stats)."""
+        from hand_index_ray.pipelines.terrain import slope_stats
+        ds = _terrain_blobs(sf, 139, 48, 37, 13, 7, 3, 256,
+                            compression="deflate", predictor=2)
+        df = slope_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q128_flow_direction(sf):  # D8 steepest descent histogram
+        """D8 flow direction (the first pass of HAND / flow
+        accumulation): per interior pixel the steepest-descent
+        neighbor code (ties → lowest code, pits → -1), histogrammed
+        per raster. Vectorized as 8 shifted slices + one argmax
+        (pipelines/terrain.py:_d8_one)."""
+        from hand_index_ray.pipelines.terrain import flow_direction_counts
+        ds = _terrain_blobs(sf, 149, 32, 24, 11, 5, 7, 97,
+                            compression="deflate", predictor=2)
+        df = flow_direction_counts(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "direction"]).reset_index(drop=True)
+
+    def q129_overviews(sf):  # COG overview pyramid checksums
+        """COG overview levels (gdaladdo 'average'): 2x2 floor-mean
+        downsample, two levels, one checksum row per (raster, level)
+        (pipelines/terrain.py:overview_checksums)."""
+        from hand_index_ray.pipelines.terrain import overview_checksums
+        ds = _terrain_blobs(sf, 151, 48, 36, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = overview_checksums(ds, levels=2, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "level"]).reset_index(drop=True)
+
+    def q130_contours(sf):  # marching-squares cell classification
+        """Contour-extraction cell pass: marching-squares case code
+        (4 corner bits vs threshold 127) per 2x2 cell, counted per
+        raster (pipelines/terrain.py:contour_case_counts)."""
+        from hand_index_ray.pipelines.terrain import contour_case_counts
+        ds = _terrain_blobs(sf, 157, 48, 37, 13, 7, 3, 256,
+                            compression="none", predictor=1, tile=(16, 16))
+        df = contour_case_counts(ds, threshold=127,
+                                 id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "ms_case"]).reset_index(drop=True)
+
+    def q131_resample(sf):  # nearest-neighbor regrid
+        """Regridding core: nearest-neighbor resample 48x37 → 17x13
+        by integer source-index mapping (GDAL NN), aggregates over the
+        resampled grid (pipelines/terrain.py:resample_nn)."""
+        from hand_index_ray.pipelines.terrain import resample_nn
+        ds = _terrain_blobs(sf, 163, 48, 37, 17, 11, 29, 251,
+                            compression="deflate", predictor=2)
+        df = resample_nn(ds, 17, 13, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q134_mosaic(sf):  # grouped raster mosaic (MAX composite)
+        """Raster mosaic — the one genuinely WIDE op in the terrain
+        family: rasters shuffle to their mosaic group (keyed groupby),
+        each group composites pixel-wise MAX locally
+        (pipelines/terrain.py:mosaic_max). Group = (k // 179) % 5."""
+        from hand_index_ray.pipelines.terrain import mosaic_max
+        ds = _terrain_blobs(sf, 179, 24, 18, 13, 7, 3, 256,
+                            compression="deflate", predictor=2)
+
+        def add_grp(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy()
+            return t.append_column("grp", pa.array((k // 179) % 5, pa.int64()))
+
+        df = mosaic_max(ds.map_batches(add_grp, batch_format="pyarrow"),
+                        "grp").to_pandas()
+        return df.sort_values("grp").reset_index(drop=True)
+
+    def q135_bilinear(sf):  # integer-exact bilinear resample
+        """Bilinear resample 48x37 → 16x11 in EXACT scaled-integer
+        arithmetic (numerators over denominator (out-1), floored once
+        — no float rounding anywhere), so the oracle reproduces every
+        interpolated pixel with the same integer formula
+        (pipelines/terrain.py:_bilinear_one)."""
+        from hand_index_ray.pipelines.terrain import resample_bilinear
+        ds = _terrain_blobs(sf, 181, 48, 37, 23, 13, 19, 241,
+                            compression="deflate", predictor=2)
+        df = resample_bilinear(ds, 16, 11, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q136_morphology(sf):  # 3x3 dilate/erode + morphological gradient
+        """Morphological dilate (3x3 max), erode (3x3 min) and the
+        morphological gradient (dilate - erode) over interior pixels
+        (pipelines/terrain.py:morphology_stats) — 9 shifted slices,
+        two reductions, map-only."""
+        from hand_index_ray.pipelines.terrain import morphology_stats
+        ds = _terrain_blobs(sf, 191, 48, 37, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = morphology_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q137_flow_accum(sf):  # flow accumulation + stream delineation
+        """D8 flow accumulation (upstream-cell count per cell) by
+        level-ordered accumulation — one np.add.at per distinct
+        elevation (flow is strictly downhill, so every contributor is
+        final before it contributes) — and stream delineation
+        (cells with acc >= 5). The oracle counts path visits from
+        q132's recursive walk (pipelines/terrain.py:flow_accumulation)."""
+        from hand_index_ray.pipelines.terrain import flow_accumulation
+        ds = _terrain_blobs(sf, 193, 16, 12, 7, 3, 5, 53,
+                            compression="deflate", predictor=2)
+        df = flow_accumulation(ds, channel_thresh=5,
+                               id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q132_flow_paths(sf):  # D8 routing via pointer doubling
+        """Full D8 flow routing (the step after q128's direction
+        grid): every interior cell's path is resolved by pointer
+        doubling over the flow graph — O(log max_path) rounds of two
+        numpy gathers (pipelines/terrain.py:_flow_terminals). Paths
+        end at an interior pit/flat or leave through the boundary.
+        The oracle walks the same paths with a recursive CTE over a
+        precomputed per-cell direction table (q128's CASE ladder)."""
+        from hand_index_ray.pipelines.terrain import flow_path_stats
+        ds = _terrain_blobs(sf, 167, 16, 12, 7, 3, 5, 53,
+                            compression="deflate", predictor=2)
+        df = flow_path_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q133_hand(sf):  # height above nearest drainage (the namesake)
+        """HAND — the reference's namesake raster product
+        (load.py:44-45 catalogs *rem_zeroed*.tif HAND outputs): each
+        interior cell flows along D8 until it reaches a drainage cell
+        (v < 8), a pit, or the boundary; HAND = start elevation minus
+        the reached drainage elevation. Same pointer-doubling kernel
+        with drainage cells pinned as terminals."""
+        from hand_index_ray.pipelines.terrain import hand_stats
+        ds = _terrain_blobs(sf, 173, 16, 12, 7, 3, 5, 53,
+                            compression="lzw", predictor=2)
+        df = hand_stats(ds, drain_thresh=8, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -1905,6 +2084,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_exif_orientation": q123_exif_orientation,
         "q124_geotiff_stats": q124_geotiff_stats,
         "q125_cog_window": q125_cog_window,
+        "q132_flow_paths": q132_flow_paths,
+        "q133_hand": q133_hand,
+        "q134_mosaic": q134_mosaic,
+        "q135_bilinear": q135_bilinear,
+        "q136_morphology": q136_morphology,
+        "q137_flow_accum": q137_flow_accum,
+        "q126_zonal_raster": q126_zonal_raster,
+        "q127_slope_stats": q127_slope_stats,
+        "q128_flow_direction": q128_flow_direction,
+        "q129_overviews": q129_overviews,
+        "q130_contours": q130_contours,
+        "q131_resample": q131_resample,
     }
 
 
@@ -2473,6 +2664,471 @@ def oracle_sql() -> dict[str, str]:
             SELECT k AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_px,
                    CAST(SUM(v) AS BIGINT) AS win_sum
             FROM px GROUP BY k ORDER BY k
+        """,
+        # q126: zone triangles have scaled-by-10 integer vertices with
+        # NO pixel center on any edge (tests/test_terrain.py), so the
+        # engine's crossing-number PIP equals these strict half-plane
+        # integer sign tests; the GeoTIFF round-trip is lossless.
+        "q126_zonal_raster": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v,
+                       x.x * 10 + 5 AS px, y.y * 10 + 5 AS py
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 137 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 47)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 36)) y
+                WHERE (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 <> 17),
+            sgn AS (
+                SELECT k, v, CAST(0 AS BIGINT) AS zone,
+                       409*(py-17) - 36*(px-32) AS c1,
+                       -235*(py-53) - 295*(px-441) AS c2,
+                       -174*(py-348) + 331*(px-206) AS c3
+                FROM px
+                UNION ALL
+                SELECT k, v, CAST(1 AS BIGINT) AS zone,
+                       209*(py-21) - 286*(px-253) AS c1,
+                       -408*(py-307) + 18*(px-462) AS c2,
+                       199*(py-289) + 268*(px-54) AS c3
+                FROM px)
+            SELECT k AS o_orderkey, zone,
+                   CAST(SUM(v) AS BIGINT) AS zone_sum,
+                   CAST(COUNT(*) AS BIGINT) AS zone_count
+            FROM sgn
+            WHERE (c1 > 0 AND c2 > 0 AND c3 > 0)
+               OR (c1 < 0 AND c2 < 0 AND c3 < 0)
+            GROUP BY k, zone ORDER BY k, zone
+        """,
+        # q127: lossless codec ⇒ interior central-difference gradient
+        # recomputed from the pixel formula
+        "q127_slope_stats": """
+            WITH g AS (
+                SELECT o.o_orderkey AS k,
+                       ABS((o.o_orderkey * 13 + (x.x+1) * 7 + y.y * 3) % 256
+                           - (o.o_orderkey * 13 + (x.x-1) * 7 + y.y * 3) % 256)
+                       + ABS((o.o_orderkey * 13 + x.x * 7 + (y.y+1) * 3) % 256
+                             - (o.o_orderkey * 13 + x.x * 7 + (y.y-1) * 3) % 256)
+                       AS grad
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 139 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(1, 46)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(1, 35)) y)
+            SELECT k AS o_orderkey, CAST(SUM(grad) AS BIGINT) AS grad_sum,
+                   CAST(MAX(grad) AS BIGINT) AS grad_max,
+                   CAST(COUNT(*) AS BIGINT) AS n_interior
+            FROM g GROUP BY k ORDER BY k
+        """,
+        # q128: D8 codes 0..7 = E,SE,S,SW,W,NW,N,NE; steepest strict
+        # descent, ties to the LOWEST code, -1 = pit/flat — mirrored by
+        # the CASE ladder evaluating codes in order
+        "q128_flow_direction": """
+            WITH d AS (
+                SELECT o.o_orderkey AS k,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x+1)*5 + y.y*7) % 97 AS d0,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x+1)*5 + (y.y+1)*7) % 97 AS d1,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + x.x*5 + (y.y+1)*7) % 97 AS d2,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x-1)*5 + (y.y+1)*7) % 97 AS d3,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x-1)*5 + y.y*7) % 97 AS d4,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x-1)*5 + (y.y-1)*7) % 97 AS d5,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + x.x*5 + (y.y-1)*7) % 97 AS d6,
+                  (o.o_orderkey*11 + x.x*5 + y.y*7) % 97
+                    - (o.o_orderkey*11 + (x.x+1)*5 + (y.y-1)*7) % 97 AS d7
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 149 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(1, 30)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(1, 22)) y),
+            dd AS (
+                SELECT k, GREATEST(d0,d1,d2,d3,d4,d5,d6,d7) AS g,
+                       d0,d1,d2,d3,d4,d5,d6,d7 FROM d)
+            SELECT k AS o_orderkey,
+                   CAST(CASE WHEN g <= 0 THEN -1
+                             WHEN d0 = g THEN 0 WHEN d1 = g THEN 1
+                             WHEN d2 = g THEN 2 WHEN d3 = g THEN 3
+                             WHEN d4 = g THEN 4 WHEN d5 = g THEN 5
+                             WHEN d6 = g THEN 6 ELSE 7 END AS BIGINT)
+                       AS direction,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM dd GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q129: gdaladdo-'average' on integers = floor(sum/4) per 2x2
+        # block, level 2 built FROM level-1 values (not from source)
+        "q129_overviews": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 151 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 47)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 35)) y),
+            l1 AS (
+                SELECT k, x // 2 AS bx, y // 2 AS by,
+                       CAST(SUM(v) AS BIGINT) // 4 AS v1
+                FROM px GROUP BY k, bx, by),
+            l2 AS (
+                SELECT k, bx // 2 AS cx, by // 2 AS cy,
+                       CAST(SUM(v1) AS BIGINT) // 4 AS v2
+                FROM l1 GROUP BY k, cx, cy)
+            SELECT k AS o_orderkey, CAST(1 AS BIGINT) AS level,
+                   CAST(SUM(v1) AS BIGINT) AS px_sum,
+                   CAST(24 AS BIGINT) AS w, CAST(18 AS BIGINT) AS h
+            FROM l1 GROUP BY k
+            UNION ALL
+            SELECT k, CAST(2 AS BIGINT), CAST(SUM(v2) AS BIGINT),
+                   CAST(12 AS BIGINT), CAST(9 AS BIGINT)
+            FROM l2 GROUP BY k
+            ORDER BY 1, 2
+        """,
+        # q130: marching-squares case bits (strict >): 1=top-left,
+        # 2=top-right, 4=bottom-left, 8=bottom-right
+        "q130_contours": """
+            WITH c AS (
+                SELECT o.o_orderkey AS k,
+                  CASE WHEN (o.o_orderkey*13 + x.x*7 + y.y*3) % 256 > 127
+                       THEN 1 ELSE 0 END
+                  + 2 * CASE WHEN (o.o_orderkey*13 + (x.x+1)*7 + y.y*3) % 256 > 127
+                             THEN 1 ELSE 0 END
+                  + 4 * CASE WHEN (o.o_orderkey*13 + x.x*7 + (y.y+1)*3) % 256 > 127
+                             THEN 1 ELSE 0 END
+                  + 8 * CASE WHEN (o.o_orderkey*13 + (x.x+1)*7 + (y.y+1)*3) % 256 > 127
+                             THEN 1 ELSE 0 END AS code
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 157 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 46)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 35)) y)
+            SELECT k AS o_orderkey, CAST(code AS BIGINT) AS ms_case,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q132: the engine resolves D8 paths by pointer doubling; the
+        # oracle walks them stepwise — a recursive CTE over a
+        # precomputed direction table (q128's CASE ladder). Paths stop
+        # at interior pits/flats (dir=-1) or on the boundary ring
+        # (cells absent from mv). Strictly-descending elevations bound
+        # recursion depth.
+        "q132_flow_paths": """
+            WITH RECURSIVE dirs AS (
+                SELECT k, x, y,
+                       CASE WHEN g <= 0 THEN -1
+                            WHEN d0 = g THEN 0 WHEN d1 = g THEN 1
+                            WHEN d2 = g THEN 2 WHEN d3 = g THEN 3
+                            WHEN d4 = g THEN 4 WHEN d5 = g THEN 5
+                            WHEN d6 = g THEN 6 ELSE 7 END AS dir
+                FROM (
+                    SELECT k, x, y, d0,d1,d2,d3,d4,d5,d6,d7,
+                           GREATEST(d0,d1,d2,d3,d4,d5,d6,d7) AS g
+                    FROM (
+                        SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + y.y*5) % 53 AS d0,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y+1)*5) % 53 AS d1,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y+1)*5) % 53 AS d2,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y+1)*5) % 53 AS d3,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + y.y*5) % 53 AS d4,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y-1)*5) % 53 AS d5,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y-1)*5) % 53 AS d6,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y-1)*5) % 53 AS d7
+                        FROM (SELECT o_orderkey FROM orders
+                              WHERE o_orderkey % 167 = 0) o
+                        CROSS JOIN (SELECT generate_series AS x
+                                    FROM generate_series(1, 14)) x
+                        CROSS JOIN (SELECT generate_series AS y
+                                    FROM generate_series(1, 10)) y))),
+            mv AS (
+                SELECT k, x, y,
+                       CASE dir WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+                                WHEN 3 THEN -1 WHEN 4 THEN -1 WHEN 5 THEN -1
+                                WHEN 6 THEN 0 ELSE 1 END AS dx,
+                       CASE dir WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+                                WHEN 3 THEN 1 WHEN 4 THEN 0 WHEN 5 THEN -1
+                                WHEN 6 THEN -1 ELSE -1 END AS dy
+                FROM dirs WHERE dir >= 0),
+            walk AS (
+                SELECT k, x AS sx, y AS sy, x, y, 0 AS n FROM dirs
+                UNION ALL
+                SELECT w.k, w.sx, w.sy, w.x + s.dx, w.y + s.dy, w.n + 1
+                FROM walk w JOIN mv s
+                  ON s.k = w.k AND s.x = w.x AND s.y = w.y),
+            fin AS (
+                SELECT w.k, w.sx, w.sy, w.x, w.y, w.n
+                FROM walk w LEFT JOIN mv s
+                  ON s.k = w.k AND s.x = w.x AND s.y = w.y
+                WHERE s.k IS NULL)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(n) AS BIGINT) AS path_sum,
+                   CAST(MAX(n) AS BIGINT) AS path_max,
+                   CAST(SUM(CASE WHEN x BETWEEN 1 AND 14
+                                  AND y BETWEEN 1 AND 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pit,
+                   CAST(SUM(CASE WHEN x BETWEEN 1 AND 14
+                                  AND y BETWEEN 1 AND 10
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_edge
+            FROM fin GROUP BY k ORDER BY k
+        """,
+        # q133: same walk, but drainage cells (v < 8) are also
+        # terminals; HAND = start elevation - reached drainage
+        # elevation, defined only for cells whose path hits drainage
+        "q133_hand": """
+            WITH RECURSIVE dirs AS (
+                SELECT k, x, y,
+                       CASE WHEN g <= 0 THEN -1
+                            WHEN d0 = g THEN 0 WHEN d1 = g THEN 1
+                            WHEN d2 = g THEN 2 WHEN d3 = g THEN 3
+                            WHEN d4 = g THEN 4 WHEN d5 = g THEN 5
+                            WHEN d6 = g THEN 6 ELSE 7 END AS dir
+                FROM (
+                    SELECT k, x, y, d0,d1,d2,d3,d4,d5,d6,d7,
+                           GREATEST(d0,d1,d2,d3,d4,d5,d6,d7) AS g
+                    FROM (
+                        SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + y.y*5) % 53 AS d0,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y+1)*5) % 53 AS d1,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y+1)*5) % 53 AS d2,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y+1)*5) % 53 AS d3,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + y.y*5) % 53 AS d4,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y-1)*5) % 53 AS d5,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y-1)*5) % 53 AS d6,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y-1)*5) % 53 AS d7
+                        FROM (SELECT o_orderkey FROM orders
+                              WHERE o_orderkey % 173 = 0) o
+                        CROSS JOIN (SELECT generate_series AS x
+                                    FROM generate_series(1, 14)) x
+                        CROSS JOIN (SELECT generate_series AS y
+                                    FROM generate_series(1, 10)) y))),
+            mv AS (
+                SELECT k, x, y,
+                       CASE dir WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+                                WHEN 3 THEN -1 WHEN 4 THEN -1 WHEN 5 THEN -1
+                                WHEN 6 THEN 0 ELSE 1 END AS dx,
+                       CASE dir WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+                                WHEN 3 THEN 1 WHEN 4 THEN 0 WHEN 5 THEN -1
+                                WHEN 6 THEN -1 ELSE -1 END AS dy
+                FROM dirs
+                WHERE dir >= 0
+                  AND (k*7 + x*3 + y*5) % 53 >= 8),
+            walk AS (
+                SELECT k, x AS sx, y AS sy, x, y, 0 AS n FROM dirs
+                UNION ALL
+                SELECT w.k, w.sx, w.sy, w.x + s.dx, w.y + s.dy, w.n + 1
+                FROM walk w JOIN mv s
+                  ON s.k = w.k AND s.x = w.x AND s.y = w.y),
+            fin AS (
+                SELECT w.k,
+                       (w.k*7 + w.sx*3 + w.sy*5) % 53 AS v0,
+                       (w.k*7 + w.x*3 + w.y*5) % 53 AS vt
+                FROM walk w LEFT JOIN mv s
+                  ON s.k = w.k AND s.x = w.x AND s.y = w.y
+                WHERE s.k IS NULL)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN vt < 8 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_drained,
+                   CAST(COALESCE(SUM(CASE WHEN vt < 8 THEN v0 - vt END), 0)
+                        AS BIGINT) AS hand_sum,
+                   CAST(COALESCE(MAX(CASE WHEN vt < 8 THEN v0 - vt END), 0)
+                        AS BIGINT) AS hand_max,
+                   CAST(SUM(CASE WHEN vt < 8 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_undrained
+            FROM fin GROUP BY k ORDER BY k
+        """,
+        # q134: mosaic = per-pixel MAX across the group's rasters, then
+        # group-level aggregates; membership counted from the key set
+        "q134_mosaic": """
+            WITH px AS (
+                SELECT (o.o_orderkey // 179) % 5 AS grp, o.o_orderkey AS k,
+                       x.x AS x, y.y AS y,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 179 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 23)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 17)) y),
+            mos AS (
+                SELECT grp, x, y, MAX(v) AS mv
+                FROM px GROUP BY grp, x, y),
+            mem AS (
+                SELECT (o_orderkey // 179) % 5 AS grp,
+                       CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM orders WHERE o_orderkey % 179 = 0 GROUP BY 1)
+            SELECT m.grp, mem.n_members,
+                   CAST(SUM(m.mv) AS BIGINT) AS mosaic_sum,
+                   CAST(MAX(m.mv) AS BIGINT) AS mosaic_max
+            FROM mos m JOIN mem ON mem.grp = m.grp
+            GROUP BY m.grp, mem.n_members ORDER BY m.grp
+        """,
+        # q135: exact rational bilinear — numerators over denominator
+        # (out_dim-1), one floor at the end; mirrors _bilinear_one
+        "q135_bilinear": """
+            WITH g AS (
+                SELECT o.o_orderkey AS k,
+                       (ox.i * 47) // 15 AS x0, (ox.i * 47) % 15 AS fx,
+                       LEAST((ox.i * 47) // 15 + 1, 47) AS x1,
+                       (oy.i * 36) // 10 AS y0, (oy.i * 36) % 10 AS fy,
+                       LEAST((oy.i * 36) // 10 + 1, 36) AS y1
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 181 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) ox
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 10)) oy),
+            bl AS (
+                SELECT k,
+                       ((15 - fx) * (10 - fy) * ((k*23 + x0*13 + y0*19) % 241)
+                        + fx * (10 - fy) * ((k*23 + x1*13 + y0*19) % 241)
+                        + (15 - fx) * fy * ((k*23 + x0*13 + y1*19) % 241)
+                        + fx * fy * ((k*23 + x1*13 + y1*19) % 241)) // 150
+                       AS v
+                FROM g)
+            SELECT k AS o_orderkey, CAST(SUM(v) AS BIGINT) AS bl_sum,
+                   CAST(MIN(v) AS BIGINT) AS bl_min,
+                   CAST(MAX(v) AS BIGINT) AS bl_max
+            FROM bl GROUP BY k ORDER BY k
+        """,
+        # q136: 3x3 dilate/erode = GREATEST/LEAST of the 9 formula
+        # neighbors; morphological gradient = dilate - erode
+        "q136_morphology": """
+            WITH m AS (
+                SELECT o.o_orderkey AS k,
+                  GREATEST(
+                    (o.o_orderkey*13 + (x.x-1)*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x-1)*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + (x.x-1)*7 + (y.y+1)*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + (y.y+1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + (y.y+1)*3) % 256) AS di,
+                  LEAST(
+                    (o.o_orderkey*13 + (x.x-1)*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + (y.y-1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x-1)*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + y.y*3) % 256,
+                    (o.o_orderkey*13 + (x.x-1)*7 + (y.y+1)*3) % 256,
+                    (o.o_orderkey*13 + x.x*7 + (y.y+1)*3) % 256,
+                    (o.o_orderkey*13 + (x.x+1)*7 + (y.y+1)*3) % 256) AS er
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 191 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(1, 46)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(1, 35)) y)
+            SELECT k AS o_orderkey, CAST(SUM(di) AS BIGINT) AS dilate_sum,
+                   CAST(SUM(er) AS BIGINT) AS erode_sum,
+                   CAST(SUM(di - er) AS BIGINT) AS mgrad_sum
+            FROM m GROUP BY k ORDER BY k
+        """,
+        # q137: flow accumulation = number of walk rows arriving at a
+        # cell after >=1 step (paths are simple, so each start counts
+        # each visited cell once); channel cells have acc >= 5
+        "q137_flow_accum": """
+            WITH RECURSIVE dirs AS (
+                SELECT k, x, y,
+                       CASE WHEN g <= 0 THEN -1
+                            WHEN d0 = g THEN 0 WHEN d1 = g THEN 1
+                            WHEN d2 = g THEN 2 WHEN d3 = g THEN 3
+                            WHEN d4 = g THEN 4 WHEN d5 = g THEN 5
+                            WHEN d6 = g THEN 6 ELSE 7 END AS dir
+                FROM (
+                    SELECT k, x, y, d0,d1,d2,d3,d4,d5,d6,d7,
+                           GREATEST(d0,d1,d2,d3,d4,d5,d6,d7) AS g
+                    FROM (
+                        SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + y.y*5) % 53 AS d0,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y+1)*5) % 53 AS d1,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y+1)*5) % 53 AS d2,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y+1)*5) % 53 AS d3,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + y.y*5) % 53 AS d4,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x-1)*3 + (y.y-1)*5) % 53 AS d5,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + x.x*3 + (y.y-1)*5) % 53 AS d6,
+                          (o.o_orderkey*7 + x.x*3 + y.y*5) % 53
+                            - (o.o_orderkey*7 + (x.x+1)*3 + (y.y-1)*5) % 53 AS d7
+                        FROM (SELECT o_orderkey FROM orders
+                              WHERE o_orderkey % 193 = 0) o
+                        CROSS JOIN (SELECT generate_series AS x
+                                    FROM generate_series(1, 14)) x
+                        CROSS JOIN (SELECT generate_series AS y
+                                    FROM generate_series(1, 10)) y))),
+            mv AS (
+                SELECT k, x, y,
+                       CASE dir WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+                                WHEN 3 THEN -1 WHEN 4 THEN -1 WHEN 5 THEN -1
+                                WHEN 6 THEN 0 ELSE 1 END AS dx,
+                       CASE dir WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+                                WHEN 3 THEN 1 WHEN 4 THEN 0 WHEN 5 THEN -1
+                                WHEN 6 THEN -1 ELSE -1 END AS dy
+                FROM dirs WHERE dir >= 0),
+            walk AS (
+                SELECT k, x AS sx, y AS sy, x, y, 0 AS n FROM dirs
+                UNION ALL
+                SELECT w.k, w.sx, w.sy, w.x + s.dx, w.y + s.dy, w.n + 1
+                FROM walk w JOIN mv s
+                  ON s.k = w.k AND s.x = w.x AND s.y = w.y),
+            acc AS (
+                SELECT k, x, y, COUNT(*) AS a
+                FROM walk WHERE n >= 1 GROUP BY k, x, y)
+            SELECT k AS o_orderkey, CAST(MAX(a) AS BIGINT) AS acc_max,
+                   CAST(SUM(CASE WHEN a >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_channel
+            FROM acc GROUP BY k ORDER BY k
+        """,
+        # q131: GDAL nearest-neighbor grid: src = out_idx*src_dim //
+        # out_dim; the sampled values re-derive from the pixel formula
+        "q131_resample": """
+            WITH s AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 17 + ((ox.i * 48) // 17) * 11
+                        + ((oy.i * 37) // 13) * 29) % 251 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 163 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 16)) ox
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 12)) oy)
+            SELECT k AS o_orderkey, CAST(SUM(v) AS BIGINT) AS rs_sum,
+                   CAST(MIN(v) AS BIGINT) AS rs_min,
+                   CAST(MAX(v) AS BIGINT) AS rs_max
+            FROM s GROUP BY k ORDER BY k
         """,
         "q36_y4m_decode": """
             SELECT o.o_orderkey, f.f AS frame_idx,

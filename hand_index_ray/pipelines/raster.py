@@ -68,7 +68,7 @@ class CatalogFromFS:
         return pa.Table.from_pylist(rows, schema=_CATALOG_SCHEMA)
 
 
-def catalog_paths(paths, filesystem=None, concurrency: int = 4):
+def catalog_paths(paths, filesystem=None, concurrency=(1, 4)):
     """Dataset of GeoTIFF metadata for ``paths`` — header-only reads."""
     import ray.data
     ds = ray.data.from_items([{"path": p} for p in paths])

@@ -1,0 +1,513 @@
+"""Terrain / hydrology raster operators over GeoTIFF blob tables.
+
+The reference's rasters ARE terrain hydrology products — HAND
+("height above nearest drainage") and catchment-reach grids
+(``load.py:44-45`` globs ``*rem_zeroed*.tif`` /
+``*gw_catchments_reaches*.tif``); the reference stores paths and
+leaves the raster math to downstream GDAL/WBT. This module is the
+engine-side version of that downstream math, each op a map-only
+``map_batches`` stage over in-table GeoTIFF payloads (decoded by
+``kernels/geotiff.py``):
+
+- ``zonal_stats``: polygon-masked per-raster aggregates (the
+  raster-side sibling of the vector zonal join, ``query.py`` J7) —
+  pixel-center point-in-polygon via the crossing-number kernel
+  (``kernels/geom.py:points_in_geom``), mask cached per (dims, zone).
+- ``slope_stats``: interior central-difference gradient magnitude
+  (|dx| + |dy|), the integer-exact core of slope/aspect maps.
+- ``flow_direction_counts``: D8 steepest-descent direction histogram
+  (codes 0..7 = E, SE, S, SW, W, NW, N, NE; -1 = pit/flat), the first
+  step of every HAND/flow-accumulation computation.
+- ``overview_checksums``: COG overview pyramid levels by 2x2
+  floor-mean downsampling (what ``gdaladdo`` builds), one checksum
+  row per level.
+- ``contour_case_counts``: marching-squares 2x2 corner case codes
+  (0..15) vs a threshold — the cell-classification pass of contour
+  extraction.
+- ``resample_nn``: nearest-neighbor resample to a target grid (the
+  integer-exact core of regridding/reprojection), returning the
+  resampled sum.
+
+Scale shape: every op is per-raster-independent — no shuffle, no
+driver materialization; partial aggregates stream out as small Arrow
+tables. Stateful pieces (zone masks) live in per-actor caches keyed
+by raster dims, built once per (actor, dims) not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import geotiff
+from ..kernels.geom import points_in_geom
+from ..kernels.wkb import decode as wkb_decode
+
+# D8 direction codes, clockwise from east. (dx, dy) per code; dy grows
+# DOWN the row axis (raster convention).
+D8_OFFSETS = ((1, 0), (1, 1), (0, 1), (-1, 1),
+              (-1, 0), (-1, -1), (0, -1), (1, -1))
+
+
+def _decode_batch(t: pa.Table, bytes_col: str, id_col: str):
+    """(id, 2-D array) pairs for one Arrow batch of GeoTIFF blobs."""
+    ids = t.column(id_col).to_pylist()
+    blobs = t.column(bytes_col)
+    for i, blob in zip(ids, blobs):
+        arr, info = geotiff.decode_geotiff(blob.as_py())
+        yield i, arr, info
+
+
+def _id_array(t: pa.Table, id_col: str, vals) -> pa.Array:
+    return pa.array(vals, type=t.schema.field(id_col).type)
+
+
+class ZonalStats:
+    """Actor-pool stage: per (raster, zone) nodata-aware masked
+    aggregates. Zones are WKB polygons evaluated at PIXEL CENTERS
+    ((col + 0.5, row + 0.5) in pixel space) with the even-odd
+    crossing-number kernel. The boolean mask per (dims, zone) is
+    computed once per actor and cached — zones and grid shapes repeat
+    across a corpus, blobs don't."""
+
+    def __init__(self, zone_wkbs: list[bytes], bytes_col: str = "bytes",
+                 id_col: str = "path"):
+        self.zones = [wkb_decode([w]) for w in zone_wkbs]
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self._masks: dict[tuple[int, int], list[np.ndarray]] = {}
+
+    def _masks_for(self, h: int, w: int) -> list[np.ndarray]:
+        key = (h, w)
+        got = self._masks.get(key)
+        if got is None:
+            yy, xx = np.meshgrid(np.arange(h, dtype=np.float64) + 0.5,
+                                 np.arange(w, dtype=np.float64) + 0.5,
+                                 indexing="ij")
+            px, py = xx.ravel(), yy.ravel()
+            got = [points_in_geom(px, py, z).reshape(h, w)
+                   for z in self.zones]
+            self._masks[key] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, zids, sums, cnts = [], [], [], []
+        for rid, arr, info in _decode_batch(t, self.bytes_col, self.id_col):
+            masks = self._masks_for(*arr.shape)
+            nd = info.get("nodata")
+            valid = (np.ones(arr.shape, bool) if nd is None
+                     else arr != np.asarray(nd, arr.dtype))
+            for zi, m in enumerate(masks):
+                sel = arr[m & valid]
+                ids.append(rid)
+                zids.append(zi)
+                cnts.append(int(sel.size))
+                sums.append(int(sel.astype(np.int64).sum())
+                            if arr.dtype.kind != "f" else float(sel.sum()))
+        return pa.table({self.id_col: _id_array(t, self.id_col, ids),
+                         "zone": pa.array(zids, pa.int64()),
+                         "zone_sum": pa.array(sums, pa.int64()),
+                         "zone_count": pa.array(cnts, pa.int64())})
+
+
+def zonal_stats(ds, zone_wkbs, bytes_col: str = "bytes",
+                id_col: str = "path", concurrency=(1, 4)):
+    """Raster zonal statistics: one row per (raster, zone).
+
+    ``concurrency`` defaults to an AUTOSCALING pool (min 1): a fixed
+    pool sized at the cluster's CPU count reserves every CPU for the
+    actors and starves the upstream read tasks — on a small test
+    cluster that deadlocks the pipeline (observed live: 4 actors on a
+    4-CPU session left ReadParquet permanently backpressured)."""
+    return ds.map_batches(ZonalStats, batch_format="pyarrow",
+                          fn_constructor_kwargs={
+                              "zone_wkbs": zone_wkbs,
+                              "bytes_col": bytes_col, "id_col": id_col},
+                          concurrency=concurrency)
+
+
+def _slope_one(arr: np.ndarray):
+    """Interior central-difference |dx|+|dy| (integer-exact)."""
+    a = arr.astype(np.int64)
+    dx = np.abs(a[1:-1, 2:] - a[1:-1, :-2])
+    dy = np.abs(a[2:, 1:-1] - a[:-2, 1:-1])
+    g = dx + dy
+    return int(g.sum()), int(g.max()) if g.size else 0, int(g.size)
+
+
+def slope_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster gradient-magnitude stats over interior pixels:
+    (grad_sum, grad_max, n_interior)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ss, mx, ns = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            s, m, n = _slope_one(arr)
+            ids.append(rid); ss.append(s); mx.append(m); ns.append(n)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "grad_sum": pa.array(ss, pa.int64()),
+                         "grad_max": pa.array(mx, pa.int64()),
+                         "n_interior": pa.array(ns, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _d8_one(arr: np.ndarray) -> np.ndarray:
+    """D8 direction grid over interior pixels: per pixel the code
+    (0..7, D8_OFFSETS order) of the steepest-descent neighbor, first
+    code winning ties; -1 where no neighbor is strictly lower
+    (pit/flat). Vectorized: 8 shifted slices stacked, one argmax."""
+    a = arr.astype(np.int64)
+    c = a[1:-1, 1:-1]
+    drops = np.stack([c - a[1 + dy:a.shape[0] - 1 + dy,
+                             1 + dx:a.shape[1] - 1 + dx]
+                      for dx, dy in D8_OFFSETS])
+    best = drops.argmax(axis=0)          # first max = lowest code
+    out = best.astype(np.int64)
+    out[np.take_along_axis(drops, best[None], 0)[0] <= 0] = -1
+    return out
+
+
+def flow_direction_counts(ds, bytes_col: str = "bytes",
+                          id_col: str = "path"):
+    """Per-raster D8 direction histogram: rows (id, direction, n_px),
+    direction in -1..7, only nonzero counts emitted."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, dirs, cnts = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            d8 = _d8_one(arr)
+            cnt = np.bincount((d8 + 1).ravel(), minlength=9)
+            for code in np.nonzero(cnt)[0]:
+                ids.append(rid)
+                dirs.append(int(code) - 1)
+                cnts.append(int(cnt[code]))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "direction": pa.array(dirs, pa.int64()),
+                         "n_px": pa.array(cnts, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _overview_levels(arr: np.ndarray, levels: int):
+    """COG-style overview pyramid: each level halves both dims by
+    2x2 block FLOOR-mean (gdaladdo 'average' on integers, rounded
+    down). Dims must stay even at every level built."""
+    a = arr.astype(np.int64)
+    out = []
+    for lvl in range(1, levels + 1):
+        h, w = a.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"overview level {lvl} needs even dims, got {a.shape}")
+        a = (a[0::2, 0::2] + a[0::2, 1::2]
+             + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+        out.append(a)
+    return out
+
+
+def overview_checksums(ds, levels: int = 2, bytes_col: str = "bytes",
+                       id_col: str = "path"):
+    """Per-raster overview-pyramid checksums: rows
+    (id, level, px_sum, w, h) for levels 1..``levels``."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, lvls, sums, ws, hs = [], [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            for li, ov in enumerate(_overview_levels(arr, levels), 1):
+                ids.append(rid); lvls.append(li)
+                sums.append(int(ov.sum()))
+                hs.append(ov.shape[0]); ws.append(ov.shape[1])
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "level": pa.array(lvls, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64()),
+                         "w": pa.array(ws, pa.int64()),
+                         "h": pa.array(hs, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ms_cases(arr: np.ndarray, threshold: int) -> np.ndarray:
+    """Marching-squares case code per 2x2 cell: bit 0 = top-left
+    corner above threshold, bit 1 = top-right, bit 2 = bottom-left,
+    bit 3 = bottom-right (strict >)."""
+    b = (arr > threshold)
+    return (b[:-1, :-1].astype(np.int64)
+            + 2 * b[:-1, 1:] + 4 * b[1:, :-1] + 8 * b[1:, 1:])
+
+
+def contour_case_counts(ds, threshold: int, bytes_col: str = "bytes",
+                        id_col: str = "path"):
+    """Marching-squares cell classification vs ``threshold``: rows
+    (id, ms_case, n_cells), case in 0..15, nonzero counts only."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, cases, cnts = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            cnt = np.bincount(_ms_cases(arr, threshold).ravel(),
+                              minlength=16)
+            for code in np.nonzero(cnt)[0]:
+                ids.append(rid)
+                cases.append(int(code))
+                cnts.append(int(cnt[code]))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "ms_case": pa.array(cases, pa.int64()),
+                         "n_cells": pa.array(cnts, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _flow_terminals(arr: np.ndarray, drain_thresh=None):
+    """Per-cell D8 flow routing by pointer doubling.
+
+    Builds the functional graph next[cell] = steepest strictly-lower
+    D8 neighbor (interior cells; boundary cells, pits/flats and —
+    when ``drain_thresh`` is given — drainage cells ``v <
+    drain_thresh`` are terminals pointing at themselves), then
+    resolves every cell's full path with pointer doubling: O(log
+    max_path) rounds of two gathers, no per-cell Python. Strictly
+    descending values guarantee acyclicity. Returns (path_len,
+    terminal) flat int64 arrays.
+
+    This is the engine-side first half of the reference's namesake
+    HAND product (height above nearest drainage): the reference
+    catalogs ``*rem_zeroed*.tif`` HAND rasters (load.py:44-45)
+    computed upstream by exactly this routing."""
+    h, w = arr.shape
+    idx = np.arange(h * w, dtype=np.int64)
+    d8 = _d8_one(arr)
+    off = np.array([dy * w + dx for dx, dy in D8_OFFSETS], np.int64)
+    nxt = idx.copy().reshape(h, w)
+    inner = nxt[1:-1, 1:-1]
+    nxt[1:-1, 1:-1] = inner + np.where(d8 >= 0, off[np.clip(d8, 0, None)], 0)
+    nxt = nxt.ravel()
+    if drain_thresh is not None:
+        drain = arr.ravel() < np.asarray(drain_thresh, arr.dtype)
+        nxt[drain] = idx[drain]
+    d = (nxt != idx).astype(np.int64)
+    while True:
+        nn = nxt[nxt]
+        if np.array_equal(nn, nxt):
+            break
+        d = d + d[nxt]
+        nxt = nn
+    return d, nxt
+
+
+def _interior_flat(h: int, w: int) -> np.ndarray:
+    g = np.zeros((h, w), bool)
+    g[1:-1, 1:-1] = True
+    return g.ravel()
+
+
+def flow_path_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster D8 flow-path stats over interior start cells: rows
+    (id, path_sum, path_max, n_pit, n_edge) — every path ends either
+    at an interior pit/flat (n_pit) or leaves through the boundary
+    ring (n_edge)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ps, pm, npit, nedge = [], [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            d, term = _flow_terminals(arr)
+            interior = _interior_flat(*arr.shape)
+            di, ti = d[interior], term[interior]
+            term_interior = interior[ti]
+            ids.append(rid)
+            ps.append(int(di.sum()))
+            pm.append(int(di.max()) if di.size else 0)
+            npit.append(int(term_interior.sum()))
+            nedge.append(int((~term_interior).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "path_sum": pa.array(ps, pa.int64()),
+                         "path_max": pa.array(pm, pa.int64()),
+                         "n_pit": pa.array(npit, pa.int64()),
+                         "n_edge": pa.array(nedge, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hand_stats(ds, drain_thresh: int, bytes_col: str = "bytes",
+               id_col: str = "path"):
+    """HAND — height above nearest drainage — per raster: every
+    interior cell flows along D8 until it reaches a drainage cell
+    (``v < drain_thresh``), a pit, or the boundary; HAND = start
+    elevation minus the drainage cell's elevation for cells that
+    reach drainage. Rows (id, n_drained, hand_sum, hand_max,
+    n_undrained)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nd, hs, hm, nu = [], [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            _, term = _flow_terminals(arr, drain_thresh=drain_thresh)
+            v = arr.ravel().astype(np.int64)
+            interior = _interior_flat(*arr.shape)
+            vi, ti = v[interior], term[interior]
+            drained = v[ti] < drain_thresh
+            hand = vi[drained] - v[ti[drained]]
+            ids.append(rid)
+            nd.append(int(drained.sum()))
+            hs.append(int(hand.sum()))
+            hm.append(int(hand.max()) if hand.size else 0)
+            nu.append(int((~drained).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_drained": pa.array(nd, pa.int64()),
+                         "hand_sum": pa.array(hs, pa.int64()),
+                         "hand_max": pa.array(hm, pa.int64()),
+                         "n_undrained": pa.array(nu, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def flow_accumulation(ds, channel_thresh: int, bytes_col: str = "bytes",
+                      id_col: str = "path"):
+    """D8 flow accumulation + stream delineation per raster: acc(c) =
+    number of interior cells whose flow path passes through c (c
+    itself excluded). Computed by level-ordered in-place accumulation:
+    cells processed in strictly descending elevation order (flow only
+    goes downhill, so every contributor is final before it
+    contributes), one vectorized ``np.add.at`` per distinct elevation
+    level — O(#levels) passes, no per-cell Python. Rows
+    (id, acc_max, n_channel) where n_channel counts cells with acc >=
+    ``channel_thresh`` (the classic stream-network threshold)."""
+    def acc_of(arr: np.ndarray) -> np.ndarray:
+        idx = np.arange(arr.size, dtype=np.int64)
+        # one-step next pointers (terminals point at themselves)
+        d8 = _d8_one(arr)
+        off = np.array([dy * arr.shape[1] + dx for dx, dy in D8_OFFSETS],
+                       np.int64)
+        nxt = idx.copy().reshape(arr.shape)
+        inner = nxt[1:-1, 1:-1]
+        nxt[1:-1, 1:-1] = inner + np.where(d8 >= 0,
+                                           off[np.clip(d8, 0, None)], 0)
+        nxt = nxt.ravel()
+        interior = _interior_flat(*arr.shape)
+        a = interior.astype(np.int64)  # each interior cell carries itself
+        v = arr.ravel()
+        movers = nxt != idx
+        order = np.argsort(v, kind="stable")[::-1]
+        lv = v[order]
+        starts = np.flatnonzero(np.r_[True, lv[1:] != lv[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], lv.size]):
+            cells = order[s:e]
+            cells = cells[movers[cells]]
+            if cells.size:
+                np.add.at(a, nxt[cells], a[cells])
+        return a - interior  # exclude the cell itself
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, mx, nch = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            acc = acc_of(arr)
+            ids.append(rid)
+            mx.append(int(acc.max()))
+            nch.append(int((acc >= channel_thresh).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "acc_max": pa.array(mx, pa.int64()),
+                         "n_channel": pa.array(nch, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _morph_one(arr: np.ndarray):
+    """3x3 dilate (max) / erode (min) over interior pixels."""
+    a = arr.astype(np.int64)
+    sl = [a[1 + dy:a.shape[0] - 1 + dy, 1 + dx:a.shape[1] - 1 + dx]
+          for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    st = np.stack(sl)
+    return st.max(axis=0), st.min(axis=0)
+
+
+def morphology_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster 3x3 morphological dilate/erode sums over interior
+    pixels plus the gradient (dilate - erode) sum — the morphological
+    edge detector."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, dsum, esum, gsum = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            di, er = _morph_one(arr)
+            ids.append(rid)
+            dsum.append(int(di.sum()))
+            esum.append(int(er.sum()))
+            gsum.append(int((di - er).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "dilate_sum": pa.array(dsum, pa.int64()),
+                         "erode_sum": pa.array(esum, pa.int64()),
+                         "mgrad_sum": pa.array(gsum, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _bilinear_one(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Integer-exact bilinear resample: source coordinate u =
+    out_idx * (src_dim - 1), a rational with denominator (out_dim -
+    1); the interpolated value is computed in scaled-integer
+    numerators and floored ONCE at the end — bit-reproducible across
+    platforms (no float rounding anywhere)."""
+    h, w = arr.shape
+    a = arr.astype(np.int64)
+    qx, qy = out_w - 1, out_h - 1
+    ux = np.arange(out_w, dtype=np.int64) * (w - 1)   # numerator, den qx
+    uy = np.arange(out_h, dtype=np.int64) * (h - 1)
+    x0 = ux // qx
+    y0 = uy // qy
+    fx = ux - x0 * qx                                  # 0..qx-1
+    fy = uy - y0 * qy
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    v00 = a[np.ix_(y0, x0)]
+    v10 = a[np.ix_(y0, x1)]
+    v01 = a[np.ix_(y1, x0)]
+    v11 = a[np.ix_(y1, x1)]
+    FX, FY = fx[None, :], fy[:, None]
+    num = ((qx - FX) * (qy - FY) * v00 + FX * (qy - FY) * v10
+           + (qx - FX) * FY * v01 + FX * FY * v11)
+    return num // (qx * qy)
+
+
+def resample_bilinear(ds, out_w: int, out_h: int, bytes_col: str = "bytes",
+                      id_col: str = "path"):
+    """Integer-exact bilinear resample to (out_w, out_h): rows
+    (id, bl_sum, bl_min, bl_max)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ss, mn, mx = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            r = _bilinear_one(arr, out_w, out_h)
+            ids.append(rid)
+            ss.append(int(r.sum())); mn.append(int(r.min())); mx.append(int(r.max()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "bl_sum": pa.array(ss, pa.int64()),
+                         "bl_min": pa.array(mn, pa.int64()),
+                         "bl_max": pa.array(mx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mosaic_max(ds, group_col: str, bytes_col: str = "bytes"):
+    """Grouped raster mosaic: pixel-wise MAX composite of every raster
+    in a group (same dims required — tile stacks share a grid). The
+    one genuinely wide op in this family: a keyed groupby shuffle
+    moves blobs to their group, then each group composites locally.
+    Rows (group, n_members, mosaic_sum, mosaic_max)."""
+    import pandas as pd
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        arrs = [geotiff.decode_geotiff(b)[0] for b in g[bytes_col]]
+        st = np.stack([a.astype(np.int64) for a in arrs])
+        mo = st.max(axis=0)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "n_members": [len(arrs)],
+                             "mosaic_sum": [int(mo.sum())],
+                             "mosaic_max": [int(mo.max())]})
+
+    return ds.groupby(group_col).map_groups(combine, batch_format="pandas")
+
+
+def _resample_nn_one(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample by integer source-index mapping:
+    src = floor(out_idx * src_dim / out_dim) — GDAL's NN grid."""
+    h, w = arr.shape
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[np.ix_(sy, sx)]
+
+
+def resample_nn(ds, out_w: int, out_h: int, bytes_col: str = "bytes",
+                id_col: str = "path"):
+    """Per-raster nearest-neighbor resample to (out_w, out_h):
+    rows (id, rs_sum, rs_min, rs_max) over the resampled grid."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ss, mn, mx = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            r = _resample_nn_one(arr, out_w, out_h).astype(np.int64)
+            ids.append(rid)
+            ss.append(int(r.sum())); mn.append(int(r.min())); mx.append(int(r.max()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "rs_sum": pa.array(ss, pa.int64()),
+                         "rs_min": pa.array(mn, pa.int64()),
+                         "rs_max": pa.array(mx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,409 @@
+"""Terrain/hydrology raster ops (pipelines/terrain.py) vs brute-force
+pure-Python references, plus the no-edge-pixel guarantee the zonal
+oracle SQL relies on."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from hand_index_ray.kernels import geotiff
+from hand_index_ray.kernels import wkb as kwkb
+from hand_index_ray.pipelines import terrain
+
+# Triangles used by q126's zones (pixel space). Scaled-by-10 integer
+# vertices so exact sign tests are possible in SQL and in this test.
+TRI_A = [(3.2, 1.7), (44.1, 5.3), (20.6, 34.8)]
+TRI_B = [(25.3, 2.1), (46.2, 30.7), (5.4, 28.9)]
+W, H = 48, 37
+
+
+def tri_wkb(tri):
+    return kwkb.encode(kwkb.from_parts([[[np.array(tri + [tri[0]])]]]))[0]
+
+
+def tri_mask_exact(tri, w, h):
+    """Strict-sign half-plane containment at pixel centers with
+    scaled-by-10 EXACT integer arithmetic (the oracle's formulation)."""
+    v = [(round(a * 10), round(b * 10)) for a, b in tri]
+    xs = np.arange(w) * 10 + 5
+    ys = np.arange(h) * 10 + 5
+    X, Y = np.meshgrid(xs, ys)  # both (h, w), row-major like the raster
+    c = []
+    for i in range(3):
+        (x0, y0), (x1, y1) = v[i], v[(i + 1) % 3]
+        c.append((x1 - x0) * (Y - y0) - (y1 - y0) * (X - x0))
+    c = np.stack(c)
+    assert (c != 0).all(), "a pixel center lies exactly on a zone edge"
+    return (c > 0).all(axis=0) | (c < 0).all(axis=0)
+
+
+def blob_of(arr, **kw):
+    kw.setdefault("compression", "deflate")
+    kw.setdefault("predictor", 2)
+    return geotiff.encode_geotiff(arr, **kw)
+
+
+def rng_raster(seed, h=H, w=W, lo=0, hi=256, dtype=np.int32):
+    r = np.random.RandomState(seed)
+    return r.randint(lo, hi, size=(h, w)).astype(dtype)
+
+
+def ds_of(arrs, **kw):
+    t = pa.table({"path": pa.array([f"r{i}" for i in range(len(arrs))]),
+                  "bytes": pa.array([blob_of(a, **kw) for a in arrs],
+                                    pa.binary())})
+    return ray.data.from_arrow(t)
+
+
+def test_zone_edges_clear():
+    # the property every zonal oracle depends on: no pixel center of
+    # the q126 grid sits exactly on an edge of either zone triangle
+    tri_mask_exact(TRI_A, W, H)
+    tri_mask_exact(TRI_B, W, H)
+
+
+def test_zonal_stats_vs_exact_mask(ray_session):
+    arrs = [rng_raster(s) for s in (1, 2, 3)]
+    nd = 17
+    ds = ds_of(arrs, nodata=nd)
+    out = terrain.zonal_stats(
+        ds, [tri_wkb(TRI_A), tri_wkb(TRI_B)]).to_pandas()
+    out = out.sort_values(["path", "zone"]).reset_index(drop=True)
+    masks = [tri_mask_exact(TRI_A, W, H), tri_mask_exact(TRI_B, W, H)]
+    exp = []
+    for i, a in enumerate(arrs):
+        for zi, m in enumerate(masks):
+            sel = a[m & (a != nd)]
+            exp.append((f"r{i}", zi, int(sel.astype(np.int64).sum()),
+                        int(sel.size)))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp
+
+
+def test_zonal_mask_cached_per_dims(ray_session):
+    st = terrain.ZonalStats([tri_wkb(TRI_A)])
+    t = pa.table({"path": ["a", "b"],
+                  "bytes": pa.array([blob_of(rng_raster(7)),
+                                     blob_of(rng_raster(8))], pa.binary())})
+    st(t)
+    assert list(st._masks) == [(H, W)]
+    first = st._masks[(H, W)][0]
+    st(t)
+    assert st._masks[(H, W)][0] is first  # not recomputed
+
+
+def brute_slope(a):
+    a = a.astype(np.int64)
+    s = mx = n = 0
+    for y in range(1, a.shape[0] - 1):
+        for x in range(1, a.shape[1] - 1):
+            g = abs(a[y, x + 1] - a[y, x - 1]) + abs(a[y + 1, x] - a[y - 1, x])
+            s += g
+            mx = max(mx, g)
+            n += 1
+    return s, mx, n
+
+
+def test_slope_stats(ray_session):
+    arrs = [rng_raster(s, h=9, w=11) for s in (4, 5)]
+    out = terrain.slope_stats(ds_of(arrs)).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        s, mx, n = brute_slope(a)
+        row = out.iloc[i]
+        assert (row.grad_sum, row.grad_max, row.n_interior) == (s, mx, n)
+
+
+def brute_d8(a):
+    a = a.astype(np.int64)
+    out = {}
+    for y in range(1, a.shape[0] - 1):
+        for x in range(1, a.shape[1] - 1):
+            best, bd = -1, 0
+            for code, (dx, dy) in enumerate(terrain.D8_OFFSETS):
+                drop = a[y, x] - a[y + dy, x + dx]
+                if drop > bd:  # strict: first max wins ties
+                    best, bd = code, drop
+            out[best] = out.get(best, 0) + 1
+    return out
+
+
+def test_flow_direction_counts(ray_session):
+    arrs = [rng_raster(s, h=8, w=10, hi=12) for s in (6, 7)]  # small range → ties+pits
+    out = terrain.flow_direction_counts(ds_of(arrs)).to_pandas()
+    for i, a in enumerate(arrs):
+        sub = out[out.path == f"r{i}"]
+        got = dict(zip(sub.direction, sub.n_px))
+        assert got == brute_d8(a)
+    # pits exist in at least one raster with such a tiny value range
+    assert (out.direction == -1).any()
+
+
+def test_flow_direction_tiebreak_first_code(ray_session):
+    # plateau sloping equally E and S: code 0 (E) must win over 2 (S)
+    a = np.zeros((3, 3), np.int32)
+    a[1, 1] = 5
+    a[1, 2] = a[2, 1] = 1  # equal drops E and S
+    a[0, :] = a[:, 0] = a[2, 2] = a[0, 2] = a[2, 0] = 9
+    d8 = terrain._d8_one(a)
+    assert d8.shape == (1, 1) and d8[0, 0] == 0
+
+
+def brute_overviews(a, levels):
+    a = a.astype(np.int64)
+    out = []
+    for _ in range(levels):
+        h, w = a.shape
+        nxt = np.zeros((h // 2, w // 2), np.int64)
+        for y in range(h // 2):
+            for x in range(w // 2):
+                nxt[y, x] = a[2 * y:2 * y + 2, 2 * x:2 * x + 2].sum() // 4
+        out.append(nxt)
+        a = nxt
+    return out
+
+
+def test_overview_checksums(ray_session):
+    arrs = [rng_raster(s, h=12, w=8) for s in (9, 10)]
+    out = terrain.overview_checksums(ds_of(arrs), levels=2).to_pandas()
+    for i, a in enumerate(arrs):
+        sub = out[out.path == f"r{i}"].sort_values("level")
+        exp = brute_overviews(a, 2)
+        assert list(sub.px_sum) == [int(e.sum()) for e in exp]
+        assert list(zip(sub.h, sub.w)) == [e.shape for e in exp]
+
+
+def test_overview_odd_dims_raises():
+    with pytest.raises(ValueError, match="even dims"):
+        terrain._overview_levels(np.zeros((6, 6), np.int32), levels=2)
+
+
+def test_contour_case_counts(ray_session):
+    arrs = [rng_raster(s, h=7, w=9, hi=4) for s in (11, 12)]
+    thr = 1
+    out = terrain.contour_case_counts(ds_of(arrs), threshold=thr).to_pandas()
+    for i, a in enumerate(arrs):
+        sub = out[out.path == f"r{i}"]
+        got = dict(zip(sub.ms_case, sub.n_cells))
+        exp = {}
+        for y in range(a.shape[0] - 1):
+            for x in range(a.shape[1] - 1):
+                code = (int(a[y, x] > thr) + 2 * int(a[y, x + 1] > thr)
+                        + 4 * int(a[y + 1, x] > thr)
+                        + 8 * int(a[y + 1, x + 1] > thr))
+                exp[code] = exp.get(code, 0) + 1
+        assert got == exp
+
+
+def test_resample_nn(ray_session):
+    arrs = [rng_raster(s, h=13, w=17) for s in (13, 14)]
+    ow, oh = 5, 4
+    out = terrain.resample_nn(ds_of(arrs), ow, oh).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        r = np.array([[a[(y * 13) // oh, (x * 17) // ow]
+                       for x in range(ow)] for y in range(oh)], np.int64)
+        row = out.iloc[i]
+        assert (row.rs_sum, row.rs_min, row.rs_max) == (
+            int(r.sum()), int(r.min()), int(r.max()))
+
+
+def brute_walk(a, drain_thresh=None):
+    """Step-by-step D8 walk from one start cell: returns (path_len,
+    terminal_flat_idx)."""
+    a = a.astype(np.int64)
+    h, w = a.shape
+
+    def walk(y, x):
+        n = 0
+        while True:
+            if drain_thresh is not None and a[y, x] < drain_thresh:
+                return n, y * w + x
+            if y in (0, h - 1) or x in (0, w - 1):
+                return n, y * w + x
+            best, bd = -1, 0
+            for code, (dx, dy) in enumerate(terrain.D8_OFFSETS):
+                drop = a[y, x] - a[y + dy, x + dx]
+                if drop > bd:
+                    best, bd = code, drop
+            if best == -1:
+                return n, y * w + x
+            dx, dy = terrain.D8_OFFSETS[best]
+            x, y, n = x + dx, y + dy, n + 1
+
+    return walk
+
+
+def test_flow_terminals_vs_brute(ray_session):
+    for seed in (30, 31):
+        a = rng_raster(seed, h=9, w=11, hi=40)
+        d, term = terrain._flow_terminals(a)
+        wk = brute_walk(a)
+        for y in range(1, 8):
+            for x in range(1, 10):
+                n, t = wk(y, x)
+                i = y * 11 + x
+                assert (d[i], term[i]) == (n, t), (seed, y, x)
+
+
+def test_flow_terminals_drainage_vs_brute(ray_session):
+    thr = 6
+    for seed in (32, 33):
+        a = rng_raster(seed, h=9, w=11, hi=30)
+        d, term = terrain._flow_terminals(a, drain_thresh=thr)
+        wk = brute_walk(a, drain_thresh=thr)
+        for y in range(1, 8):
+            for x in range(1, 10):
+                n, t = wk(y, x)
+                i = y * 11 + x
+                assert (d[i], term[i]) == (n, t), (seed, y, x)
+
+
+def test_flow_path_stats(ray_session):
+    arrs = [rng_raster(s, h=10, w=12, hi=25) for s in (34, 35)]
+    out = terrain.flow_path_stats(ds_of(arrs)).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        wk = brute_walk(a)
+        lens, pits, edges = [], 0, 0
+        for y in range(1, 9):
+            for x in range(1, 11):
+                n, t = wk(y, x)
+                lens.append(n)
+                ty, tx = divmod(t, 12)
+                if ty in (0, 9) or tx in (0, 11):
+                    edges += 1
+                else:
+                    pits += 1
+        row = out.iloc[i]
+        assert (row.path_sum, row.path_max, row.n_pit, row.n_edge) == (
+            sum(lens), max(lens), pits, edges)
+        assert row.n_pit + row.n_edge == 8 * 10
+
+
+def test_hand_stats(ray_session):
+    thr = 5
+    arrs = [rng_raster(s, h=10, w=12, hi=28) for s in (36, 37)]
+    out = terrain.hand_stats(ds_of(arrs), drain_thresh=thr).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        wk = brute_walk(a, drain_thresh=thr)
+        hands, und = [], 0
+        av = a.astype(np.int64).ravel()
+        for y in range(1, 9):
+            for x in range(1, 11):
+                _, t = wk(y, x)
+                if av[t] < thr:
+                    hands.append(av[y * 12 + x] - av[t])
+                else:
+                    und += 1
+        row = out.iloc[i]
+        assert (row.n_drained, row.hand_sum, row.hand_max,
+                row.n_undrained) == (len(hands), sum(hands),
+                                     max(hands) if hands else 0, und)
+        assert (out.iloc[i].n_drained + und) == 8 * 10
+    # HAND is nonneg by construction (values strictly decrease downhill)
+    assert (out.hand_max >= 0).all()
+
+
+def test_flow_accumulation_vs_walk(ray_session):
+    thr = 4
+    arrs = [rng_raster(s, h=9, w=11, hi=30) for s in (40, 41)]
+    out = terrain.flow_accumulation(ds_of(arrs), channel_thresh=thr).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        wk = brute_walk(a)
+        acc = np.zeros(9 * 11, np.int64)
+        for y in range(1, 8):
+            for x in range(1, 10):
+                # walk the path, incrementing every cell AFTER the start
+                cy, cx = y, x
+                while True:
+                    n0, t = wk(cy, cx)
+                    if n0 == 0:
+                        break
+                    best, bd = -1, 0
+                    for code, (dx, dy) in enumerate(terrain.D8_OFFSETS):
+                        drop = int(a[cy, cx]) - int(a[cy + dy, cx + dx])
+                        if drop > bd:
+                            best, bd = code, drop
+                    dx, dy = terrain.D8_OFFSETS[best]
+                    cx, cy = cx + dx, cy + dy
+                    acc[cy * 11 + cx] += 1
+        row = out.iloc[i]
+        assert row.acc_max == acc.max()
+        assert row.n_channel == int((acc >= thr).sum())
+
+
+def test_morphology_stats(ray_session):
+    arrs = [rng_raster(s, h=8, w=9) for s in (42, 43)]
+    out = terrain.morphology_stats(ds_of(arrs)).to_pandas()
+    out = out.sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        a64 = a.astype(np.int64)
+        di = np.zeros((6, 7), np.int64)
+        er = np.zeros((6, 7), np.int64)
+        for y in range(1, 7):
+            for x in range(1, 8):
+                nb = a64[y - 1:y + 2, x - 1:x + 2]
+                di[y - 1, x - 1] = nb.max()
+                er[y - 1, x - 1] = nb.min()
+        row = out.iloc[i]
+        assert (row.dilate_sum, row.erode_sum, row.mgrad_sum) == (
+            int(di.sum()), int(er.sum()), int((di - er).sum()))
+
+
+def test_bilinear_exact_rational(ray_session):
+    from fractions import Fraction
+    a = rng_raster(44, h=7, w=9)
+    out = terrain._bilinear_one(a, 5, 4)
+    for oy in range(4):
+        for ox in range(5):
+            u = Fraction(ox * 8, 4)   # x coord, den 4 = out_w-1
+            v = Fraction(oy * 6, 3)   # y coord, den 3 = out_h-1
+            x0, y0 = int(u), int(v)
+            fx, fy = u - x0, v - y0
+            x1, y1 = min(x0 + 1, 8), min(y0 + 1, 6)
+            val = ((1 - fx) * (1 - fy) * int(a[y0, x0])
+                   + fx * (1 - fy) * int(a[y0, x1])
+                   + (1 - fx) * fy * int(a[y1, x0])
+                   + fx * fy * int(a[y1, x1]))
+            assert out[oy, ox] == val.numerator // val.denominator
+
+
+def test_bilinear_corners_exact(ray_session):
+    a = rng_raster(45, h=6, w=8)
+    out = terrain._bilinear_one(a, 3, 3)
+    assert out[0, 0] == a[0, 0] and out[2, 2] == a[5, 7]
+    assert out[0, 2] == a[0, 7] and out[2, 0] == a[5, 0]
+
+
+def test_mosaic_max(ray_session):
+    arrs = [rng_raster(s, h=6, w=7) for s in (46, 47, 48, 49)]
+    grp = [0, 0, 1, 1]
+    t = pa.table({"grp": pa.array(grp, pa.int64()),
+                  "bytes": pa.array([blob_of(a) for a in arrs], pa.binary())})
+    out = terrain.mosaic_max(ray.data.from_arrow(t), "grp").to_pandas()
+    out = out.sort_values("grp").reset_index(drop=True)
+    for g in (0, 1):
+        mo = np.maximum(*[a.astype(np.int64)
+                          for a, gg in zip(arrs, grp) if gg == g])
+        row = out.iloc[g]
+        assert (row.n_members, row.mosaic_sum, row.mosaic_max) == (
+            2, int(mo.sum()), int(mo.max()))
+
+
+def test_ops_survive_mixed_codecs(ray_session):
+    # same raster through 4 codec paths must agree op-for-op
+    a = rng_raster(20, h=12, w=16)
+    variants = [blob_of(a), blob_of(a, compression="lzw"),
+                blob_of(a, compression="packbits", predictor=1),
+                blob_of(a, compression="none", predictor=1, tile=(16, 16))]
+    t = pa.table({"path": [f"v{i}" for i in range(4)],
+                  "bytes": pa.array(variants, pa.binary())})
+    ds = ray.data.from_arrow(t)
+    sl = terrain.slope_stats(ds).to_pandas()
+    assert sl.grad_sum.nunique() == 1 and sl.grad_max.nunique() == 1
+    ov = terrain.overview_checksums(ds, levels=2).to_pandas()
+    assert ov.groupby("level").px_sum.nunique().eq(1).all()
