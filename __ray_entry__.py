@@ -1785,9 +1785,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # downstream terrain math the reference leaves to GDAL/WBT, over
     # formula-pixel GeoTIFFs so every op has a plain-SQL oracle.
     def _terrain_blobs(sf, mod: int, W: int, H: int, a: int, b: int,
-                       c: int, m: int, **enc):
+                       c: int, m: int, div: int = 1, **enc):
         """Dataset of (o_orderkey, bytes) GeoTIFF blobs with pixels
-        v = (k*a + x*b + y*c) % m over keys k ≡ 0 (mod ``mod``)."""
+        v = ((k*a + x*b + y*c) % m) // div over keys k ≡ 0 (mod
+        ``mod``); ``div > 1`` makes plateaus (runs) for RLE-style
+        ops."""
         from hand_index_ray.kernels.geotiff import encode_geotiff
         orders = _t(sf, "orders").select_columns(["o_orderkey"])
         yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
@@ -1797,7 +1799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keys = t.column("o_orderkey").to_numpy()
             keys = keys[keys % mod == 0]
             blobs = [encode_geotiff(
-                ((int(k) * a + xx * b + yy * c) % m).astype(np.int32), **enc)
+                (((int(k) * a + xx * b + yy * c) % m) // div)
+                .astype(np.int32), **enc)
                 for k in keys]
             return pa.table({"o_orderkey": pa.array([int(k) for k in keys],
                                                     pa.int64()),
@@ -1930,6 +1933,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = flow_accumulation(ds, channel_thresh=5,
                                id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q138_zonal_windowed(sf):  # zonal stats via COG window reads
+        """The 100 TB zonal path: the zone's pixel bbox is decoded via
+        COG ranged reads (header + intersecting tiles only,
+        pipelines/terrain.py:ZonalStatsWindowed) instead of full-blob
+        decode; results equal full zonal exactly. Zone triangle has
+        scaled-by-10 integer vertices clear of every pixel center
+        (tests/test_terrain.py::test_zone_c_edges_clear)."""
+        from hand_index_ray.kernels import wkb as kwkb
+        from hand_index_ray.pipelines.terrain import zonal_stats_windowed
+        tri = [(12.7, 8.3), (52.7, 14.6), (30.7, 40.5)]
+        wkbb = kwkb.encode(kwkb.from_parts([[[np.array(tri + tri[:1])]]]))[0]
+        ds = _terrain_blobs(sf, 197, 96, 80, 13, 7, 3, 256,
+                            compression="deflate", predictor=2,
+                            tile=(16, 16), nodata=17)
+        df = zonal_stats_windowed(ds, [wkbb], id_col="o_orderkey").to_pandas()
+        df = df.drop(columns=["bytes_read"])  # oracle-comparable columns
+        return df.sort_values(["o_orderkey", "zone"]).reset_index(drop=True)
+
+    def q139_polygonize(sf):  # raster -> regions (connected components)
+        """Raster polygonize summary: 4-connected region counts of the
+        thresholded raster per class, labels resolved by vectorized
+        min-label propagation + pointer jumping
+        (pipelines/terrain.py:_cc_labels). The oracle reaches the same
+        regions by transitive closure (recursive UNION) and counts
+        distinct min-index labels."""
+        from hand_index_ray.pipelines.terrain import polygonize_counts
+        ds = _terrain_blobs(sf, 199, 16, 10, 3, 5, 11, 23,
+                            compression="deflate", predictor=2)
+        df = polygonize_counts(ds, threshold=11,
+                               id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "above"]).reset_index(drop=True)
+
+    def q140_voronoi(sf):  # nearest-site (Voronoi) rasterization
+        """Vector→raster nearest-site labeling: each pixel center
+        joins its closest of 6 broadcast sites (exact doubled-integer
+        distances, ties → lowest site index), then per-site pixel
+        counts and value sums (pipelines/terrain.py:
+        nearest_site_counts) — the raster half of an IDW/Voronoi
+        interpolation."""
+        from hand_index_ray.pipelines.terrain import nearest_site_counts
+        sites = [(3.5, 2.5), (20.5, 30.5), (40.5, 10.5),
+                 (10.5, 18.5), (33.5, 28.5), (45.5, 33.5)]
+        ds = _terrain_blobs(sf, 211, 48, 37, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = nearest_site_counts(ds, sites, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "site"]).reset_index(drop=True)
+
+    def q141_rle(sf):  # run-length stats (compression planning)
+        """Row-wise RLE statistics over plateau rasters (values
+        quantized //32 so runs exist): run count + longest run per
+        raster (pipelines/terrain.py:rle_stats — one diff pass)."""
+        from hand_index_ray.pipelines.terrain import rle_stats
+        ds = _terrain_blobs(sf, 223, 48, 37, 13, 7, 3, 256, div=32,
+                            compression="packbits", predictor=1)
+        df = rle_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q142_value_histogram(sf):  # exact per-raster histogram
+        """Per-raster exact value histogram over the 8-level quantized
+        rasters — one bincount per raster, map-only
+        (pipelines/terrain.py:value_histogram)."""
+        from hand_index_ray.pipelines.terrain import value_histogram
+        ds = _terrain_blobs(sf, 227, 48, 37, 13, 7, 3, 256, div=32,
+                            compression="deflate", predictor=2)
+        df = value_histogram(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "value"]).reset_index(drop=True)
 
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
@@ -2090,6 +2160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_bilinear": q135_bilinear,
         "q136_morphology": q136_morphology,
         "q137_flow_accum": q137_flow_accum,
+        "q138_zonal_windowed": q138_zonal_windowed,
+        "q139_polygonize": q139_polygonize,
+        "q140_voronoi": q140_voronoi,
+        "q141_rle": q141_rle,
+        "q142_value_histogram": q142_value_histogram,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3111,6 +3186,136 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN a >= 5 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_channel
             FROM acc GROUP BY k ORDER BY k
+        """,
+        # q138: windowed zonal ≡ full zonal — strict half-plane sign
+        # tests at pixel centers (scaled-by-10 ints), nodata masked
+        "q138_zonal_windowed": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v,
+                       x.x * 10 + 5 AS px, y.y * 10 + 5 AS py
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 197 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 95)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 79)) y
+                WHERE (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 <> 17)
+            SELECT k AS o_orderkey, CAST(0 AS BIGINT) AS zone,
+                   CAST(SUM(v) AS BIGINT) AS zone_sum,
+                   CAST(COUNT(*) AS BIGINT) AS zone_count
+            FROM px
+            WHERE ((400*(py-83) - 63*(px-127) > 0
+                    AND -220*(py-146) - 259*(px-527) > 0
+                    AND -180*(py-405) + 322*(px-307) > 0)
+                OR (400*(py-83) - 63*(px-127) < 0
+                    AND -220*(py-146) - 259*(px-527) < 0
+                    AND -180*(py-405) + 322*(px-307) < 0))
+            GROUP BY k ORDER BY k
+        """,
+        # q139: regions by transitive closure — recursive UNION
+        # (dedup) reaches every same-class 4-neighbor; a region's
+        # label is its minimum flat index, regions counted DISTINCT
+        "q139_polygonize": """
+            WITH RECURSIVE cells AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       CASE WHEN (o.o_orderkey*3 + x.x*5 + y.y*11) % 23 > 11
+                            THEN 1 ELSE 0 END AS above
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 199 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 15)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 9)) y),
+            reach AS (
+                SELECT k, x, y, above, x AS rx, y AS ry FROM cells
+                UNION
+                SELECT r.k, r.x, r.y, r.above, c.x, c.y
+                FROM reach r JOIN cells c
+                  ON c.k = r.k AND c.above = r.above
+                 AND ((ABS(c.x - r.rx) = 1 AND c.y = r.ry)
+                      OR (c.x = r.rx AND ABS(c.y - r.ry) = 1))),
+            lab AS (
+                SELECT k, x, y, above, MIN(ry * 16 + rx) AS lbl
+                FROM reach GROUP BY k, x, y, above)
+            SELECT k AS o_orderkey, CAST(above AS BIGINT) AS above,
+                   CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_regions,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM lab GROUP BY k, above ORDER BY k, above
+        """,
+        # q140: nearest site by exact doubled-integer distances; ties
+        # break to the lowest site index via the ORDER BY
+        "q140_voronoi": """
+            WITH s(sid, x2, y2) AS (
+                VALUES (0, 7, 5), (1, 41, 61), (2, 81, 21),
+                       (3, 21, 37), (4, 67, 57), (5, 91, 67)),
+            px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 211 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 47)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 36)) y),
+            asg AS (
+                SELECT k, x, y, v, sid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY k, x, y
+                           ORDER BY (2*x + 1 - x2) * (2*x + 1 - x2)
+                                  + (2*y + 1 - y2) * (2*y + 1 - y2),
+                                    sid) AS rn
+                FROM px CROSS JOIN s)
+            SELECT k AS o_orderkey, CAST(sid AS BIGINT) AS site,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS site_sum
+            FROM asg WHERE rn = 1
+            GROUP BY k, sid ORDER BY k, sid
+        """,
+        # q141: a run starts at x=0 or on a value change; run lengths
+        # from the islands trick (run id = running count of starts)
+        "q141_rle": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       ((o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256) // 32
+                           AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 223 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 47)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 36)) y),
+            st AS (
+                SELECT k, x, y, v,
+                       CASE WHEN x = 0 OR v <> LAG(v) OVER
+                            (PARTITION BY k, y ORDER BY x)
+                            THEN 1 ELSE 0 END AS s
+                FROM px),
+            runs AS (
+                SELECT k, y,
+                       SUM(s) OVER (PARTITION BY k, y ORDER BY x) AS rid
+                FROM st),
+            a1 AS (SELECT k, CAST(SUM(s) AS BIGINT) AS n_runs
+                   FROM st GROUP BY k),
+            a2 AS (SELECT k, CAST(MAX(rl) AS BIGINT) AS max_run
+                   FROM (SELECT k, y, rid, COUNT(*) AS rl
+                         FROM runs GROUP BY k, y, rid) GROUP BY k)
+            SELECT a1.k AS o_orderkey, a1.n_runs, a2.max_run
+            FROM a1 JOIN a2 ON a1.k = a2.k ORDER BY 1
+        """,
+        # q142: exact histogram of the 8-level quantized rasters
+        "q142_value_histogram": """
+            SELECT o.o_orderkey,
+                   ((o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256) // 32
+                       AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey % 227 = 0) o
+            CROSS JOIN (SELECT generate_series AS x
+                        FROM generate_series(0, 47)) x
+            CROSS JOIN (SELECT generate_series AS y
+                        FROM generate_series(0, 36)) y
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # q131: GDAL nearest-neighbor grid: src = out_idx*src_dim //
         # out_dim; the sampled values re-derive from the pixel formula

@@ -126,6 +126,189 @@ def zonal_stats(ds, zone_wkbs, bytes_col: str = "bytes",
                           concurrency=concurrency)
 
 
+class ZonalStatsWindowed:
+    """Zonal statistics through COG WINDOW reads — the 100 TB path:
+    instead of decoding whole rasters, each zone's pixel bbox is
+    decoded via ``geotiff.decode_window`` (header + intersecting tiles
+    only; ranged reads), and the PIP mask is evaluated only inside the
+    window. Equals ``ZonalStats`` exactly (pinned by q138 sharing
+    q126's oracle form) while touching a fraction of the bytes —
+    ``bytes_read`` is emitted per (raster, zone) so read amplification
+    stays observable end to end."""
+
+    def __init__(self, zone_wkbs: list[bytes], bytes_col: str = "bytes",
+                 id_col: str = "path"):
+        self.zones = [wkb_decode([w]) for w in zone_wkbs]
+        # per-zone pixel-center bbox: centers (x+0.5, y+0.5) inside the
+        # polygon satisfy minx < x+0.5 < maxx
+        self.boxes = []
+        for z in self.zones:
+            c = z.coords
+            self.boxes.append((c[:, 0].min(), c[:, 1].min(),
+                               c[:, 0].max(), c[:, 1].max()))
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self._masks: dict[tuple, np.ndarray] = {}
+
+    def _window_of(self, zi: int, w: int, h: int):
+        minx, miny, maxx, maxy = self.boxes[zi]
+        x0 = max(0, int(np.floor(minx - 0.5)))
+        y0 = max(0, int(np.floor(miny - 0.5)))
+        x1 = min(w - 1, int(np.ceil(maxx - 0.5)))
+        y1 = min(h - 1, int(np.ceil(maxy - 0.5)))
+        return x0, y0, x1 - x0 + 1, y1 - y0 + 1
+
+    def _mask_for(self, zi: int, x0: int, y0: int, ww: int, wh: int):
+        key = (zi, x0, y0, ww, wh)
+        got = self._masks.get(key)
+        if got is None:
+            yy, xx = np.meshgrid(y0 + np.arange(wh) + 0.5,
+                                 x0 + np.arange(ww) + 0.5, indexing="ij")
+            got = points_in_geom(xx.ravel(), yy.ravel(),
+                                 self.zones[zi]).reshape(wh, ww)
+            self._masks[key] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, zids, sums, cnts, br = [], [], [], [], []
+        id_vals = t.column(self.id_col).to_pylist()
+        for rid, blob in zip(id_vals, t.column(self.bytes_col)):
+            blob = blob.as_py()
+            info0 = geotiff.parse_info(blob)
+            w, h = info0["width"], info0["height"]
+            nd = info0.get("nodata")
+            for zi in range(len(self.zones)):
+                x0, y0, ww, wh = self._window_of(zi, w, h)
+                win, info = geotiff.decode_window(blob, x0, y0, ww, wh)
+                m = self._mask_for(zi, x0, y0, ww, wh)
+                if nd is not None:
+                    m = m & (win != np.asarray(nd, win.dtype))
+                sel = win[m]
+                ids.append(rid)
+                zids.append(zi)
+                cnts.append(int(sel.size))
+                sums.append(int(sel.astype(np.int64).sum())
+                            if win.dtype.kind != "f" else float(sel.sum()))
+                br.append(int(info["window_bytes_read"]))
+        return pa.table({self.id_col: _id_array(t, self.id_col, ids),
+                         "zone": pa.array(zids, pa.int64()),
+                         "zone_sum": pa.array(sums, pa.int64()),
+                         "zone_count": pa.array(cnts, pa.int64()),
+                         "bytes_read": pa.array(br, pa.int64())})
+
+
+def zonal_stats_windowed(ds, zone_wkbs, bytes_col: str = "bytes",
+                         id_col: str = "path", concurrency=(1, 4)):
+    """Zonal statistics via COG window reads; one row per (raster,
+    zone) with the touched-bytes evidence column."""
+    return ds.map_batches(ZonalStatsWindowed, batch_format="pyarrow",
+                          fn_constructor_kwargs={
+                              "zone_wkbs": zone_wkbs,
+                              "bytes_col": bytes_col, "id_col": id_col},
+                          concurrency=concurrency)
+
+
+def _cc_labels(binm: np.ndarray, max_rounds: int = 10000) -> np.ndarray:
+    """4-connected component labels of a boolean grid by iterative
+    min-label propagation with pointer-jumping: each round takes the
+    min of the 4 neighbors' labels (within the class) then compresses
+    the label forest (label = label[label]) — converges in
+    O(diameter / 2^k)-ish rounds, fully vectorized. Labels are flat
+    indices of each region's minimum cell; cells outside the class
+    keep label -1."""
+    h, w = binm.shape
+    lbl = np.where(binm.ravel(), np.arange(h * w, dtype=np.int64), -1)
+    for _ in range(max_rounds):
+        g = lbl.reshape(h, w)
+        m = g.copy()
+        m[:, 1:] = np.minimum(m[:, 1:], np.where(g[:, :-1] >= 0, g[:, :-1], m[:, 1:]))
+        m[:, :-1] = np.minimum(m[:, :-1], np.where(g[:, 1:] >= 0, g[:, 1:], m[:, :-1]))
+        m[1:, :] = np.minimum(m[1:, :], np.where(g[:-1, :] >= 0, g[:-1, :], m[1:, :]))
+        m[:-1, :] = np.minimum(m[:-1, :], np.where(g[1:, :] >= 0, g[1:, :], m[:-1, :]))
+        m = np.where(binm, m, -1).ravel()
+        # pointer-jump: compress chains through the label forest
+        j = m >= 0
+        while True:
+            nm = m.copy()
+            nm[j] = m[m[j]]
+            if np.array_equal(nm, m):
+                break
+            m = nm
+        if np.array_equal(m, lbl):
+            return lbl.reshape(h, w)
+        lbl = m
+    raise RuntimeError("cc did not converge")
+
+
+def polygonize_counts(ds, threshold: int, bytes_col: str = "bytes",
+                      id_col: str = "path"):
+    """Raster polygonize (region extraction) summary: 4-connected
+    component counts of the thresholded raster, per class. Rows
+    (id, above, n_regions, n_px) for class above = v > threshold and
+    class above = 0 (v <= threshold)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ab, nr, npx = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            b = arr > threshold
+            for above, m in ((1, b), (0, ~b)):
+                lab = _cc_labels(m)
+                regs = np.unique(lab[lab >= 0]).size
+                ids.append(rid)
+                ab.append(above)
+                nr.append(int(regs))
+                npx.append(int(m.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "above": pa.array(ab, pa.int64()),
+                         "n_regions": pa.array(nr, pa.int64()),
+                         "n_px": pa.array(npx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def nearest_site_counts(ds, sites, bytes_col: str = "bytes",
+                        id_col: str = "path"):
+    """Voronoi rasterization / nearest-site labeling: each pixel
+    center is assigned to the site with minimum squared distance
+    (integer arithmetic on doubled coordinates so centers are exact;
+    ties → lowest site index). Rows (id, site, n_px, site_sum) where
+    site_sum adds the raster values of the site's cells.
+
+    ``sites`` is a list of (x, y) pixel-space coordinates shared by
+    every raster (the broadcast small side of a raster↔vector op)."""
+    sx = np.asarray([s[0] for s in sites], np.float64)
+    sy = np.asarray([s[1] for s in sites], np.float64)
+    # doubled-integer site coords: exact when sites are half-integral
+    sx2 = np.rint(sx * 2).astype(np.int64)
+    sy2 = np.rint(sy * 2).astype(np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, sid, cnt, ssum = [], [], [], []
+        cache: dict[tuple[int, int], np.ndarray] = {}
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            h, w = arr.shape
+            lab = cache.get((h, w))
+            if lab is None:
+                # doubled pixel-center coords (2x+1, 2y+1): exact ints
+                px = 2 * np.arange(w, dtype=np.int64) + 1
+                py = 2 * np.arange(h, dtype=np.int64) + 1
+                dx = px[None, :, None] - sx2[None, None, :]
+                dy = py[:, None, None] - sy2[None, None, :]
+                d2 = dx * dx + dy * dy
+                lab = d2.argmin(axis=2)   # first min = lowest site idx
+                cache[(h, w)] = lab
+            a = arr.astype(np.int64)
+            for s in range(len(sites)):
+                m = lab == s
+                ids.append(rid)
+                sid.append(s)
+                cnt.append(int(m.sum()))
+                ssum.append(int(a[m].sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "site": pa.array(sid, pa.int64()),
+                         "n_px": pa.array(cnt, pa.int64()),
+                         "site_sum": pa.array(ssum, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _slope_one(arr: np.ndarray):
     """Interior central-difference |dx|+|dy| (integer-exact)."""
     a = arr.astype(np.int64)
@@ -464,6 +647,45 @@ def resample_bilinear(ds, out_w: int, out_h: int, bytes_col: str = "bytes",
                          "bl_sum": pa.array(ss, pa.int64()),
                          "bl_min": pa.array(mn, pa.int64()),
                          "bl_max": pa.array(mx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rle_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Row-wise run-length statistics (compression planning for the
+    tile store): rows (id, n_runs, max_run). Runs never span rows —
+    every row start opens a run, matching TIFF strip semantics."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nr, mr = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            starts = np.ones(arr.shape, bool)
+            starts[:, 1:] = arr[:, 1:] != arr[:, :-1]
+            flat = starts.ravel()           # row-major; x=0 always True
+            pos = np.flatnonzero(flat)
+            lens = np.diff(np.r_[pos, flat.size])
+            ids.append(rid)
+            nr.append(int(pos.size))
+            mr.append(int(lens.max()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_runs": pa.array(nr, pa.int64()),
+                         "max_run": pa.array(mr, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def value_histogram(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster exact value histogram (small non-negative integer
+    domains): rows (id, value, n_px), nonzero counts only — one
+    bincount per raster, map-only partials."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, vals, cnts = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            c = np.bincount(arr.ravel().astype(np.int64))
+            for v in np.nonzero(c)[0]:
+                ids.append(rid)
+                vals.append(int(v))
+                cnts.append(int(c[v]))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "value": pa.array(vals, pa.int64()),
+                         "n_px": pa.array(cnts, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
 
 

@@ -394,6 +394,103 @@ def test_mosaic_max(ray_session):
             2, int(mo.sum()), int(mo.max()))
 
 
+TRI_C = [(12.7, 8.3), (52.7, 14.6), (30.7, 40.5)]  # q138's window zone
+
+
+def test_zone_c_edges_clear():
+    tri_mask_exact(TRI_C, 96, 80)
+
+
+def test_zonal_windowed_equals_full(ray_session):
+    arrs = [rng_raster(s, h=80, w=96) for s in (50, 51)]
+    ds = ds_of(arrs, tile=(16, 16), nodata=17)
+    zw = [tri_wkb(TRI_C)]
+    full = terrain.zonal_stats(ds_of(arrs, tile=(16, 16), nodata=17),
+                               zw).to_pandas()
+    win = terrain.zonal_stats_windowed(ds, zw).to_pandas()
+    full = full.sort_values("path").reset_index(drop=True)
+    win = win.sort_values("path").reset_index(drop=True)
+    assert list(win.zone_sum) == list(full.zone_sum)
+    assert list(win.zone_count) == list(full.zone_count)
+    # the zone bbox covers ~12 of 30 tiles: the windowed path must
+    # touch well under the full blob
+    blob_len = len(blob_of(arrs[0], tile=(16, 16), nodata=17))
+    assert (win.bytes_read < 0.6 * blob_len).all()
+
+
+def test_zonal_windowed_mask_cache(ray_session):
+    st = terrain.ZonalStatsWindowed([tri_wkb(TRI_C)])
+    t = pa.table({"path": ["a", "b"],
+                  "bytes": pa.array([blob_of(rng_raster(52, h=80, w=96),
+                                             tile=(16, 16)),
+                                     blob_of(rng_raster(53, h=80, w=96),
+                                             tile=(16, 16))], pa.binary())})
+    st(t)
+    assert len(st._masks) == 1  # one (zone, window) pair, built once
+
+
+def brute_cc_count(binm):
+    h, w = binm.shape
+    seen = np.zeros_like(binm, bool)
+    n = 0
+    for y0 in range(h):
+        for x0 in range(w):
+            if binm[y0, x0] and not seen[y0, x0]:
+                n += 1
+                stack = [(y0, x0)]
+                seen[y0, x0] = True
+                while stack:
+                    y, x = stack.pop()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w and binm[yy, xx] \
+                                and not seen[yy, xx]:
+                            seen[yy, xx] = True
+                            stack.append((yy, xx))
+    return n
+
+
+def test_cc_labels_vs_bfs(ray_session):
+    for seed in (54, 55, 56):
+        b = rng_raster(seed, h=13, w=17, hi=2).astype(bool)
+        lab = terrain._cc_labels(b)
+        assert np.unique(lab[lab >= 0]).size == brute_cc_count(b)
+        assert (lab[~b] == -1).all()
+        # label of each region is its minimum flat index
+        for r in np.unique(lab[lab >= 0]):
+            cells = np.flatnonzero((lab == r).ravel())
+            assert r == cells.min()
+
+
+def test_polygonize_counts(ray_session):
+    arrs = [rng_raster(s, h=10, w=12, hi=23) for s in (57, 58)]
+    out = terrain.polygonize_counts(ds_of(arrs), threshold=11).to_pandas()
+    for i, a in enumerate(arrs):
+        sub = out[out.path == f"r{i}"].sort_values("above")
+        b = a > 11
+        assert list(sub.n_regions) == [brute_cc_count(~b), brute_cc_count(b)]
+        assert list(sub.n_px) == [int((~b).sum()), int(b.sum())]
+
+
+def test_nearest_site_counts(ray_session):
+    sites = [(2.5, 1.5), (8.5, 6.5), (4.5, 9.5)]
+    arrs = [rng_raster(s, h=11, w=10) for s in (59, 60)]
+    out = terrain.nearest_site_counts(ds_of(arrs), sites).to_pandas()
+    for i, a in enumerate(arrs):
+        sub = out[out.path == f"r{i}"].sort_values("site")
+        cnt = {s: 0 for s in range(3)}
+        ssum = {s: 0 for s in range(3)}
+        for y in range(11):
+            for x in range(10):
+                d2 = [(x + 0.5 - sx) ** 2 + (y + 0.5 - sy) ** 2
+                      for sx, sy in sites]
+                s = int(np.argmin(d2))  # numpy argmin = first min
+                cnt[s] += 1
+                ssum[s] += int(a[y, x])
+        assert list(sub.n_px) == [cnt[s] for s in range(3)]
+        assert list(sub.site_sum) == [ssum[s] for s in range(3)]
+
+
 def test_ops_survive_mixed_codecs(ray_session):
     # same raster through 4 codec paths must agree op-for-op
     a = rng_raster(20, h=12, w=16)
