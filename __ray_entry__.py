@@ -2001,6 +2001,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = value_histogram(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values(["o_orderkey", "value"]).reset_index(drop=True)
 
+    def q143_band_math(sf):  # NDVI-style math over multi-band BigTIFF
+        """Band math over CHUNKY MULTI-BAND BigTIFF rasters (the codec
+        now carries SamplesPerPixel>1 + PlanarConfig 1 + magic-43
+        8-byte offsets): per raster, count vegetation pixels
+        (nir > red) and sum the integer NDVI numerator (nir - red) —
+        the classic two-band index kept in exact integers."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff, decode_geotiff
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(24, dtype=np.int64),
+                             np.arange(32, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 229 == 0]
+            ks, veg, num = [], [], []
+            for k in keys:
+                k = int(k)
+                red = (k * 5 + xx * 3 + yy * 7) % 199
+                nir = (k * 11 + xx * 13 + yy * 17) % 199
+                a = np.stack([red, nir], axis=-1).astype(np.int32)
+                blob = encode_geotiff(a, compression="deflate",
+                                      predictor=2, bigtiff=True)
+                d, info = decode_geotiff(blob)
+                assert info["bigtiff"] and info["bands"] == 2
+                r64 = d[..., 0].astype(np.int64)
+                n64 = d[..., 1].astype(np.int64)
+                ks.append(k)
+                veg.append(int((n64 > r64).sum()))
+                num.append(int((n64 - r64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "n_veg": pa.array(veg, pa.int64()),
+                             "ndvi_num_sum": pa.array(num, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q144_overview_scan(sf):  # window read at an overview level
+        """COG overview scan: the blob carries a chained
+        reduced-resolution IFD (2x2 floor-mean); the engine window-
+        reads a sub-rect AT LEVEL 1 touching only that level's tiles.
+        The oracle rebuilds the overview with floor-div CTEs (q129's
+        arithmetic) and sums the same window."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff, decode_window
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(64, dtype=np.int64),
+                             np.arange(96, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 233 == 0]
+            ks, sums, npx = [], [], []
+            for k in keys:
+                k = int(k)
+                v = ((k * 13 + xx * 7 + yy * 3) % 256).astype(np.int32)
+                blob = encode_geotiff(v, compression="deflate", predictor=2,
+                                      tile=(16, 16), overviews=1)
+                win, info = decode_window(blob, k % 11, k % 7, 17, 13,
+                                          level=1)
+                assert info["window_bytes_read"] < len(blob) / 2
+                ks.append(k)
+                npx.append(int(win.size))
+                sums.append(int(win.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "n_px": pa.array(npx, pa.int64()),
+                             "ov_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2165,6 +2234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q140_voronoi": q140_voronoi,
         "q141_rle": q141_rle,
         "q142_value_histogram": q142_value_histogram,
+        "q143_band_math": q143_band_math,
+        "q144_overview_scan": q144_overview_scan,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3271,6 +3342,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS site_sum
             FROM asg WHERE rn = 1
             GROUP BY k, sid ORDER BY k, sid
+        """,
+        # q143: the multi-band BigTIFF round-trip is lossless, so the
+        # two-band NDVI aggregates recompute from the band formulas
+        "q143_band_math": """
+            WITH b AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 5 + x.x * 3 + y.y * 7) % 199 AS red,
+                       (o.o_orderkey * 11 + x.x * 13 + y.y * 17) % 199 AS nir
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 229 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 31)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 23)) y)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN nir > red THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_veg,
+                   CAST(SUM(nir - red) AS BIGINT) AS ndvi_num_sum
+            FROM b GROUP BY k ORDER BY k
+        """,
+        # q144: level-1 overview = 2x2 floor-mean of the formula grid
+        # (q129 arithmetic); window filter in overview coordinates
+        "q144_overview_scan": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 233 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 95)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 63)) y),
+            l1 AS (
+                SELECT k, x // 2 AS bx, y // 2 AS by,
+                       CAST(SUM(v) AS BIGINT) // 4 AS v1
+                FROM px GROUP BY k, bx, by)
+            SELECT k AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v1) AS BIGINT) AS ov_sum
+            FROM l1
+            WHERE bx BETWEEN k % 11 AND k % 11 + 16
+              AND by BETWEEN k % 7 AND k % 7 + 12
+            GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

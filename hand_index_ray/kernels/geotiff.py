@@ -60,8 +60,10 @@ _COMP_INV = {1: "none", 5: "lzw", 8: "deflate", 32946: "deflate",
 
 # TIFF field types: id -> (struct char, size)
 _FT = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
-       5: ("II", 8), 12: ("d", 8)}
+       5: ("II", 8), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
+_T_SUBFILE = 254  # NewSubfileType; 1 = reduced-resolution (overview)
+_T_PLANAR = 284   # PlanarConfiguration; 1 = chunky (interleaved)
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMP, _T_PHOTO = 258, 259, 262
 _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
@@ -298,8 +300,13 @@ def _encode_segment(seg: np.ndarray, comp: str, predictor: int) -> bytes:
 
 
 def _decode_segment(buf: bytes, rows: int, cols: int, dtype: np.dtype,
-                    comp: str, predictor: int, byte_order: str) -> np.ndarray:
-    expected = rows * cols * dtype.itemsize
+                    comp: str, predictor: int, byte_order: str,
+                    nb: int = 1) -> np.ndarray:
+    """Decode one strip/tile to (rows, cols) or (rows, cols, nb) for
+    chunky multi-band. The horizontal predictor differences each
+    sample against the SAME channel of the previous pixel, which the
+    (rows, cols, nb) reshape makes a plain axis-1 cumsum."""
+    expected = rows * cols * nb * dtype.itemsize
     if comp == "none":
         raw = buf[:expected]
     elif comp == "deflate":
@@ -313,10 +320,13 @@ def _decode_segment(buf: bytes, rows: int, cols: int, dtype: np.dtype,
     if len(raw) < expected:
         raise ValueError("short segment data")
     if predictor == 3:
+        if nb != 1:
+            raise ValueError("float predictor is single-band here")
         return _fpdiff_decode(raw[:expected], rows, cols,
                               dtype.itemsize).astype(dtype)
+    shape = (rows, cols) if nb == 1 else (rows, cols, nb)
     seg = np.frombuffer(raw[:expected],
-                        dtype.newbyteorder(byte_order)).reshape(rows, cols)
+                        dtype.newbyteorder(byte_order)).reshape(shape)
     seg = seg.astype(dtype)  # native order, writable copy
     if predictor == 2:
         seg = _hdiff_decode(seg)
@@ -333,36 +343,31 @@ def _dtype_tags(dt: np.dtype) -> tuple[int, int]:
     return dt.itemsize * 8, _SFMT[dt.kind]
 
 
-def encode_geotiff(arr: np.ndarray, *, compression: str = "deflate",
-                   predictor: int | None = None,
-                   rows_per_strip: int | None = None,
-                   tile: tuple[int, int] | None = None,
-                   pixel_scale: tuple[float, float] | None = None,
-                   tiepoint: tuple[float, float, float, float] | None = None,
-                   epsg: int | None = None,
-                   nodata: float | None = None) -> bytes:
-    """Encode a 2-D array as a single-band little-endian classic TIFF.
+def _halve_floor(a: np.ndarray) -> np.ndarray:
+    """One overview level: 2x2 block mean over the EXISTING pixels
+    (GDAL 'average' — edge blocks with 1-2 source pixels average only
+    those), floored for integer samples. Works per channel for
+    (h, w, nb) arrays."""
+    h, w = a.shape[:2]
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    acc_t = np.int64 if a.dtype.kind != "f" else np.float64
+    pad = np.zeros((h2 * 2, w2 * 2) + a.shape[2:], acc_t)
+    pad[:h, :w] = a
+    cnt = np.zeros((h2 * 2, w2 * 2), np.int64)
+    cnt[:h, :w] = 1
+    s = pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2]
+    c = cnt[0::2, 0::2] + cnt[0::2, 1::2] + cnt[1::2, 0::2] + cnt[1::2, 1::2]
+    if a.ndim == 3:
+        c = c[..., None]
+    return (s // c if a.dtype.kind != "f" else s / c).astype(a.dtype)
 
-    ``tiepoint`` is (pixel_i, pixel_j, geo_x, geo_y); ``pixel_scale``
-    is (sx, sy) with the usual north-up convention (y decreases with
-    row). ``tile=(tw, th)`` selects tiled layout (multiples of 16),
-    otherwise strips of ``rows_per_strip`` rows (default ~8 KiB)."""
-    arr = np.ascontiguousarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("single-band 2-D array required")
-    h, w = arr.shape
+
+def _cut_segments(arr: np.ndarray, compression: str, predictor: int,
+                  tile, rows_per_strip):
+    """(encoded segments, layout dict) for one IFD level."""
+    h, w = arr.shape[:2]
+    nb = 1 if arr.ndim == 2 else arr.shape[2]
     dt = arr.dtype
-    bits, sfmt = _dtype_tags(dt)
-    if predictor is None:
-        predictor = 1
-    if predictor == 2 and dt.kind == "f":
-        raise ValueError("predictor 2 is for integer samples")
-    if predictor == 3 and dt.kind != "f":
-        raise ValueError("predictor 3 is for float samples")
-    if predictor != 1 and compression in ("none", "packbits"):
-        raise ValueError("predictor requires LZW or Deflate")
-
-    # --- cut segments
     segs: list[bytes] = []
     if tile is not None:
         tw, th = tile
@@ -370,98 +375,194 @@ def encode_geotiff(arr: np.ndarray, *, compression: str = "deflate",
             raise ValueError("tile dims must be multiples of 16")
         for ty in range(0, h, th):
             for tx in range(0, w, tw):
-                t = np.zeros((th, tw), dt)
+                t = np.zeros((th, tw) + arr.shape[2:], dt)
                 part = arr[ty:ty + th, tx:tx + tw]
                 t[:part.shape[0], :part.shape[1]] = part
                 segs.append(_encode_segment(t, compression, predictor))
+        return segs, {"tile": (tw, th)}
+    if rows_per_strip is None:
+        rows_per_strip = max(1, 8192 // max(1, w * nb * dt.itemsize))
+    rows_per_strip = min(rows_per_strip, h)
+    for y in range(0, h, rows_per_strip):
+        segs.append(_encode_segment(arr[y:y + rows_per_strip],
+                                    compression, predictor))
+    return segs, {"rps": rows_per_strip}
+
+
+def encode_geotiff(arr: np.ndarray, *, compression: str = "deflate",
+                   predictor: int | None = None,
+                   rows_per_strip: int | None = None,
+                   tile: tuple[int, int] | None = None,
+                   pixel_scale: tuple[float, float] | None = None,
+                   tiepoint: tuple[float, float, float, float] | None = None,
+                   epsg: int | None = None,
+                   nodata: float | None = None,
+                   bigtiff: bool = False,
+                   overviews: int = 0) -> bytes:
+    """Encode an array as a little-endian GeoTIFF.
+
+    - ``arr``: (h, w) single-band or (h, w, nb) chunky multi-band
+      (PlanarConfiguration 1, samples interleaved per pixel).
+    - ``tiepoint`` is (pixel_i, pixel_j, geo_x, geo_y); ``pixel_scale``
+      is (sx, sy) with the usual north-up convention (y decreases with
+      row). ``tile=(tw, th)`` selects tiled layout (multiples of 16),
+      otherwise strips of ``rows_per_strip`` rows (default ~8 KiB).
+    - ``bigtiff=True`` writes BigTIFF (magic 43, 8-byte offsets and
+      20-byte IFD entries) — the container real >4 GB HAND rasters
+      ship in; the layout is identical otherwise.
+    - ``overviews=N`` appends N reduced-resolution IFDs
+      (NewSubfileType 1) chained after the full-resolution IFD, each a
+      2x2 floor-mean halving of the previous level — the COG overview
+      pyramid, same compression/layout settings per level."""
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim not in (2, 3):
+        raise ValueError("(h, w) or (h, w, bands) array required")
+    nb = 1 if arr.ndim == 2 else arr.shape[2]
+    dt = arr.dtype
+    bits, sfmt = _dtype_tags(dt)
+    if predictor is None:
+        predictor = 1
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 is for integer samples")
+    if predictor == 3 and (dt.kind != "f" or nb != 1):
+        raise ValueError("predictor 3 is for single-band float samples")
+    if predictor != 1 and compression in ("none", "packbits"):
+        raise ValueError("predictor requires LZW or Deflate")
+
+    levels = [arr]
+    for _ in range(overviews):
+        levels.append(_halve_floor(levels[-1]))
+
+    out = bytearray()
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)
     else:
-        if rows_per_strip is None:
-            rows_per_strip = max(1, 8192 // max(1, w * dt.itemsize))
-        rows_per_strip = min(rows_per_strip, h)
-        for y in range(0, h, rows_per_strip):
-            segs.append(_encode_segment(arr[y:y + rows_per_strip],
-                                        compression, predictor))
+        out += struct.pack("<2sHI", b"II", 42, 0)
 
-    # --- lay out: header | segments | external arrays | IFD
-    out = bytearray(b"II*\x00\x00\x00\x00\x00")
-    seg_offs = []
-    for s in segs:
-        if len(out) & 1:
-            out += b"\x00"
-        seg_offs.append(len(out))
-        out += s
-
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
-
-    def tag_short(tag, *vals):
-        entries.append((tag, 3, len(vals), struct.pack(f"<{len(vals)}H", *vals)))
-
-    def tag_long(tag, *vals):
-        entries.append((tag, 4, len(vals), struct.pack(f"<{len(vals)}I", *vals)))
-
-    def tag_double(tag, *vals):
-        entries.append((tag, 12, len(vals), struct.pack(f"<{len(vals)}d", *vals)))
-
-    def tag_ascii(tag, s):
-        b = s.encode() + b"\x00"
-        entries.append((tag, 2, len(b), b))
-
-    tag_long(_T_WIDTH, w)
-    tag_long(_T_HEIGHT, h)
-    tag_short(_T_BITS, bits)
-    tag_short(_T_COMP, _COMP[compression])
-    tag_short(_T_PHOTO, 1)  # BlackIsZero
-    tag_short(_T_SPP, 1)
-    if tile is not None:
-        tag_short(_T_TILE_W, tile[0])
-        tag_short(_T_TILE_H, tile[1])
-        tag_long(_T_TILE_OFF, *seg_offs)
-        tag_long(_T_TILE_CNT, *(len(s) for s in segs))
-    else:
-        tag_long(_T_RPS, rows_per_strip)
-        tag_long(_T_STRIP_OFF, *seg_offs)
-        tag_long(_T_STRIP_CNT, *(len(s) for s in segs))
-    if predictor != 1:
-        tag_short(_T_PRED, predictor)
-    tag_short(_T_SFMT, sfmt)
-    if pixel_scale is not None:
-        tag_double(_T_PIX_SCALE, pixel_scale[0], pixel_scale[1], 0.0)
-    if tiepoint is not None:
-        i, j, x, y = tiepoint
-        tag_double(_T_TIEPOINT, i, j, 0.0, x, y, 0.0)
-    if epsg is not None:
-        geographic = epsg == 4326 or 4000 <= epsg < 5000
-        keys = [(_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
-                (_GK_RASTER_TYPE, 0, 1, 1)]  # PixelIsArea
-        keys.append((_GK_GEOGRAPHIC_CS if geographic else _GK_PROJECTED_CS,
-                     0, 1, epsg))
-        flat = [1, 1, 1, len(keys)]
-        for k in keys:
-            flat.extend(k)
-        tag_short(_T_GEO_KEYS, *flat)
-    if nodata is not None:
-        tag_ascii(_T_GDAL_NODATA, repr(nodata) if dt.kind == "f"
-                  else str(int(nodata)))
-
-    entries.sort(key=lambda e: e[0])
-    # external payloads first
-    fixed: list[tuple[int, int, int, bytes]] = []
-    for tag, ft, cnt, payload in entries:
-        if len(payload) <= 4:
-            fixed.append((tag, ft, cnt, payload.ljust(4, b"\x00")))
-        else:
+    # --- segments of every level first; IFDs go at the end and the
+    # header points at them (parse_info seeks there with ranged reads
+    # and never touches pixel bytes)
+    per_level = []
+    for a in levels:
+        segs, geom = _cut_segments(a, compression, predictor,
+                                   tile, rows_per_strip)
+        offs = []
+        for s in segs:
             if len(out) & 1:
                 out += b"\x00"
-            fixed.append((tag, ft, cnt, struct.pack("<I", len(out))))
-            out += payload
-    if len(out) & 1:
-        out += b"\x00"
-    ifd_off = len(out)
-    out += struct.pack("<H", len(fixed))
-    for tag, ft, cnt, val4 in fixed:
-        out += struct.pack("<HHI", tag, ft, cnt) + val4
-    out += struct.pack("<I", 0)
-    struct.pack_into("<I", out, 4, ifd_off)
+            offs.append(len(out))
+            out += s
+        per_level.append((a, offs, [len(s) for s in segs], geom))
+
+    inline = 8 if bigtiff else 4
+    off_type, off_fmt = (16, "Q") if bigtiff else (4, "I")
+
+    def build_entries(lv, a, offs, lens, geom):
+        entries: list[tuple[int, int, int, bytes]] = []
+
+        def tag_short(tag, *vals):
+            entries.append((tag, 3, len(vals),
+                            struct.pack(f"<{len(vals)}H", *vals)))
+
+        def tag_long(tag, *vals):
+            entries.append((tag, 4, len(vals),
+                            struct.pack(f"<{len(vals)}I", *vals)))
+
+        def tag_off(tag, *vals):
+            entries.append((tag, off_type, len(vals),
+                            struct.pack(f"<{len(vals)}{off_fmt}", *vals)))
+
+        def tag_double(tag, *vals):
+            entries.append((tag, 12, len(vals),
+                            struct.pack(f"<{len(vals)}d", *vals)))
+
+        def tag_ascii(tag, s):
+            b = s.encode() + b"\x00"
+            entries.append((tag, 2, len(b), b))
+
+        lh, lw = a.shape[:2]
+        if lv > 0:
+            tag_long(_T_SUBFILE, 1)  # reduced-resolution subfile
+        tag_long(_T_WIDTH, lw)
+        tag_long(_T_HEIGHT, lh)
+        tag_short(_T_BITS, *([bits] * nb))
+        tag_short(_T_COMP, _COMP[compression])
+        tag_short(_T_PHOTO, 2 if nb == 3 else 1)
+        tag_short(_T_SPP, nb)
+        if nb > 1:
+            tag_short(_T_PLANAR, 1)
+        if "tile" in geom:
+            tag_short(_T_TILE_W, geom["tile"][0])
+            tag_short(_T_TILE_H, geom["tile"][1])
+            tag_off(_T_TILE_OFF, *offs)
+            tag_long(_T_TILE_CNT, *lens)
+        else:
+            tag_long(_T_RPS, geom["rps"])
+            tag_off(_T_STRIP_OFF, *offs)
+            tag_long(_T_STRIP_CNT, *lens)
+        if predictor != 1:
+            tag_short(_T_PRED, predictor)
+        tag_short(_T_SFMT, *([sfmt] * nb))
+        if lv == 0:
+            if pixel_scale is not None:
+                tag_double(_T_PIX_SCALE, pixel_scale[0], pixel_scale[1], 0.0)
+            if tiepoint is not None:
+                i, j, x, y = tiepoint
+                tag_double(_T_TIEPOINT, i, j, 0.0, x, y, 0.0)
+            if epsg is not None:
+                geographic = epsg == 4326 or 4000 <= epsg < 5000
+                keys = [(_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+                        (_GK_RASTER_TYPE, 0, 1, 1)]  # PixelIsArea
+                keys.append((_GK_GEOGRAPHIC_CS if geographic
+                             else _GK_PROJECTED_CS, 0, 1, epsg))
+                flat = [1, 1, 1, len(keys)]
+                for k in keys:
+                    flat.extend(k)
+                tag_short(_T_GEO_KEYS, *flat)
+            if nodata is not None:
+                tag_ascii(_T_GDAL_NODATA, repr(nodata) if dt.kind == "f"
+                          else str(int(nodata)))
+        entries.sort(key=lambda e: e[0])
+        return entries
+
+    # --- external payloads for every IFD, then the IFD blocks chained
+    blocks = []
+    for lv, (a, offs, lens, geom) in enumerate(per_level):
+        fixed = []
+        for tag, ft, cnt, payload in build_entries(lv, a, offs, lens, geom):
+            if len(payload) <= inline:
+                fixed.append((tag, ft, cnt, payload.ljust(inline, b"\x00")))
+            else:
+                if len(out) & 1:
+                    out += b"\x00"
+                fixed.append((tag, ft, cnt,
+                              struct.pack(f"<{off_fmt}", len(out))))
+                out += payload
+        blocks.append(fixed)
+
+    ifd_offs, next_ptr_pos = [], []
+    for fixed in blocks:
+        if len(out) & 1:
+            out += b"\x00"
+        ifd_offs.append(len(out))
+        if bigtiff:
+            out += struct.pack("<Q", len(fixed))
+            for tag, ft, cnt, val in fixed:
+                out += struct.pack("<HHQ", tag, ft, cnt) + val
+            next_ptr_pos.append(len(out))
+            out += struct.pack("<Q", 0)
+        else:
+            out += struct.pack("<H", len(fixed))
+            for tag, ft, cnt, val in fixed:
+                out += struct.pack("<HHI", tag, ft, cnt) + val
+            next_ptr_pos.append(len(out))
+            out += struct.pack("<I", 0)
+    for i in range(len(ifd_offs) - 1):
+        struct.pack_into(f"<{off_fmt}", out, next_ptr_pos[i], ifd_offs[i + 1])
+    if bigtiff:
+        struct.pack_into("<Q", out, 8, ifd_offs[0])
+    else:
+        struct.pack_into("<I", out, 4, ifd_offs[0])
     return bytes(out)
 
 
@@ -489,30 +590,57 @@ class _Reader:
         return self._f.read(n)
 
 
-def _parse_ifd(r: _Reader) -> tuple[dict, str]:
-    head = r.read_at(0, 8)
+def _open_tiff(r: _Reader) -> tuple[str, bool, int]:
+    """(byte_order, is_bigtiff, first_ifd_offset) from the header."""
+    head = r.read_at(0, 16)
     if head[:2] == b"II":
         bo = "<"
     elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
-    if magic != 42:
-        raise ValueError("bad TIFF magic")
-    (n,) = struct.unpack(bo + "H", r.read_at(ifd_off, 2))
-    raw = r.read_at(ifd_off + 2, 12 * n)
+    (magic,) = struct.unpack_from(bo + "H", head, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+        return bo, False, ifd_off
+    if magic == 43:  # BigTIFF
+        osz, zero = struct.unpack_from(bo + "HH", head, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("bad BigTIFF header")
+        (ifd_off,) = struct.unpack_from(bo + "Q", head, 8)
+        return bo, True, ifd_off
+    raise ValueError("bad TIFF magic")
+
+
+def _parse_ifd_at(r: _Reader, ifd_off: int, bo: str, big: bool
+                  ) -> tuple[dict, int]:
+    """Parse one IFD (classic 12-byte or BigTIFF 20-byte entries);
+    returns (tags, next_ifd_offset)."""
+    if big:
+        (n,) = struct.unpack(bo + "Q", r.read_at(ifd_off, 8))
+        esz, base, inline = 20, ifd_off + 8, 8
+    else:
+        (n,) = struct.unpack(bo + "H", r.read_at(ifd_off, 2))
+        esz, base, inline = 12, ifd_off + 2, 4
+    raw = r.read_at(base, esz * n)
     tags: dict[int, tuple] = {}
     for i in range(n):
-        tag, ft, cnt = struct.unpack_from(bo + "HHI", raw, 12 * i)
+        tag, ft = struct.unpack_from(bo + "HH", raw, esz * i)
+        if big:
+            (cnt,) = struct.unpack_from(bo + "Q", raw, esz * i + 4)
+            voff = esz * i + 12
+        else:
+            (cnt,) = struct.unpack_from(bo + "I", raw, esz * i + 4)
+            voff = esz * i + 8
         if ft not in _FT:
             continue
         ch, sz = _FT[ft]
         total = sz * cnt
-        if total <= 4:
-            payload = raw[12 * i + 8: 12 * i + 8 + total]
+        if total <= inline:
+            payload = raw[voff: voff + total]
         else:
-            (off,) = struct.unpack_from(bo + "I", raw, 12 * i + 8)
+            (off,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                        raw, voff)
             payload = r.read_at(off, total)
         if ft == 2:
             vals = payload.split(b"\x00")[0].decode("latin-1")
@@ -523,6 +651,15 @@ def _parse_ifd(r: _Reader) -> tuple[dict, str]:
         else:
             vals = struct.unpack(bo + f"{cnt}{ch}", payload)
         tags[tag] = vals
+    (nxt,) = struct.unpack(bo + ("Q" if big else "I"),
+                           r.read_at(base + esz * n, 8 if big else 4))
+    return tags, nxt
+
+
+def _parse_ifd(r: _Reader) -> tuple[dict, str]:
+    """First-IFD convenience used by the single-level decode paths."""
+    bo, big, off = _open_tiff(r)
+    tags, _ = _parse_ifd_at(r, off, bo, big)
     return tags, bo
 
 
@@ -535,15 +672,20 @@ def _info_from_tags(tags: dict, bo: str) -> dict:
     comp = _COMP_INV.get(comp_code)
     if comp is None:
         raise ValueError(f"unsupported TIFF compression {comp_code}")
-    if int(tags.get(_T_SPP, (1,))[0]) != 1:
-        raise ValueError("single-band TIFF only")
+    nb = int(tags.get(_T_SPP, (1,))[0])
+    if nb > 1:
+        if int(tags.get(_T_PLANAR, (1,))[0]) != 1:
+            raise ValueError("only chunky (PlanarConfiguration=1) multi-band")
+        if len(set(tags.get(_T_BITS, (bits,)))) != 1:
+            raise ValueError("per-band BitsPerSample must match")
     dtype = np.dtype(f"{_SFMT_INV[sfmt]}{bits // 8}")
     info = {
-        "width": w, "height": h, "dtype": dtype.name,
+        "width": w, "height": h, "dtype": dtype.name, "bands": nb,
         "compression": comp,
         "predictor": int(tags.get(_T_PRED, (1,))[0]),
         "tiled": _T_TILE_OFF in tags,
         "byte_order": bo,
+        "is_overview": int(tags.get(_T_SUBFILE, (0,))[0]) == 1,
     }
     if info["tiled"]:
         info["tile_w"] = int(tags[_T_TILE_W][0])
@@ -584,10 +726,19 @@ def _info_from_tags(tags: dict, bo: str) -> dict:
 def parse_info(src) -> dict:
     """IFD-only metadata — never touches pixel segments. ``src`` is
     bytes or a seekable file; on a remote FS this reads a few hundred
-    bytes no matter how large the raster is."""
+    bytes no matter how large the raster is. Walks the whole IFD
+    chain: reduced-resolution subfiles land in ``info['overviews']``
+    (a list of per-level info dicts, coarsest last)."""
     r = _Reader(src)
-    tags, bo = _parse_ifd(r)
+    bo, big, off = _open_tiff(r)
+    tags, nxt = _parse_ifd_at(r, off, bo, big)
     info = _info_from_tags(tags, bo)
+    info["bigtiff"] = big
+    ovs = []
+    while nxt:
+        t2, nxt = _parse_ifd_at(r, nxt, bo, big)
+        ovs.append(_info_from_tags(t2, bo))
+    info["overviews"] = ovs
     info["header_bytes_read"] = r.bytes_read
     return info
 
@@ -610,17 +761,32 @@ def _decode_one(r: _Reader, info: dict, idx: int) -> tuple[np.ndarray, int, int]
     buf = r.read_at(info["offsets"][idx], info["counts"][idx])
     seg = _decode_segment(buf, rows, cols, np.dtype(info["dtype"]),
                           info["compression"], info["predictor"],
-                          info["byte_order"])
+                          info["byte_order"], info.get("bands", 1))
     return seg, y0, x0
 
 
-def decode_geotiff(src) -> tuple[np.ndarray, dict]:
-    """Full decode → (2-D array, info dict)."""
-    r = _Reader(src)
-    tags, bo = _parse_ifd(r)
+def _info_at_level(r: _Reader, level: int) -> dict:
+    """Walk the IFD chain to ``level`` (0 = full resolution, 1.. =
+    overview subfiles) and return that level's info."""
+    bo, big, off = _open_tiff(r)
+    tags, nxt = _parse_ifd_at(r, off, bo, big)
+    for _ in range(level):
+        if not nxt:
+            raise ValueError(f"no overview level {level}")
+        tags, nxt = _parse_ifd_at(r, nxt, bo, big)
     info = _info_from_tags(tags, bo)
-    h, w = info["height"], info["width"]
-    out = np.zeros((h, w), np.dtype(info["dtype"]))
+    info["bigtiff"] = big
+    return info
+
+
+def decode_geotiff(src, level: int = 0) -> tuple[np.ndarray, dict]:
+    """Full decode → ((h, w) or (h, w, bands) array, info dict).
+    ``level`` selects an overview subfile (chained IFD)."""
+    r = _Reader(src)
+    info = _info_at_level(r, level)
+    h, w, nb = info["height"], info["width"], info.get("bands", 1)
+    shape = (h, w) if nb == 1 else (h, w, nb)
+    out = np.zeros(shape, np.dtype(info["dtype"]))
     for idx in range(info["n_segments"]):
         seg, y0, x0 = _decode_one(r, info, idx)
         rows = min(seg.shape[0], h - y0)
@@ -629,19 +795,22 @@ def decode_geotiff(src) -> tuple[np.ndarray, dict]:
     return out, info
 
 
-def decode_window(src, x0: int, y0: int, win_w: int, win_h: int
-                  ) -> tuple[np.ndarray, dict]:
+def decode_window(src, x0: int, y0: int, win_w: int, win_h: int,
+                  level: int = 0) -> tuple[np.ndarray, dict]:
     """Decode only the pixel window [y0:y0+win_h, x0:x0+win_w] reading
-    only intersecting segments (plus the IFD). Returns (window, info);
-    ``info['window_bytes_read']`` is the total bytes touched — the COG
-    read-amplification number the tests pin."""
+    only intersecting segments (plus the IFD). ``level`` selects an
+    overview subfile — window coordinates are in THAT level's pixel
+    grid. Returns (window, info); ``info['window_bytes_read']`` is the
+    total bytes touched — the COG read-amplification number the tests
+    pin."""
     r = _Reader(src)
-    tags, bo = _parse_ifd(r)
-    info = _info_from_tags(tags, bo)
+    info = _info_at_level(r, level)
     h, w = info["height"], info["width"]
+    nb = info.get("bands", 1)
     x1, y1 = min(x0 + win_w, w), min(y0 + win_h, h)
     x0c, y0c = max(x0, 0), max(y0, 0)
-    out = np.zeros((max(y1 - y0c, 0), max(x1 - x0c, 0)),
+    shape = (max(y1 - y0c, 0), max(x1 - x0c, 0))
+    out = np.zeros(shape if nb == 1 else shape + (nb,),
                    np.dtype(info["dtype"]))
     for idx in range(info["n_segments"]):
         sy, sx, rows, cols = _segment_geometry(info, idx)

@@ -278,3 +278,124 @@ def test_window_scan_via_fs_adapter(tmp_path):
     assert res["win_sum"] == int(a[5:25, 5:25].astype(np.int64).sum())
     assert res["n_px"] == 400
     assert res["bytes_read"] < len(blob) / 4  # 1 of 16 tiles + IFD
+
+
+# ---------------------------------------------------------------------------
+# multi-band (chunky), BigTIFF, overview IFD chain
+
+
+def _rngnd(seed, shape, hi=256, dtype=np.int32):
+    return np.random.RandomState(seed).randint(0, hi, size=shape).astype(dtype)
+
+
+def test_multiband_roundtrip_strip_and_tile():
+    a = _rngnd(70, (21, 17, 3))
+    for kw in (dict(compression="deflate", predictor=2),
+               dict(compression="lzw", predictor=2),
+               dict(compression="packbits"),
+               dict(compression="deflate", predictor=2, tile=(16, 16))):
+        blob = gt.encode_geotiff(a, **kw)
+        out, info = gt.decode_geotiff(blob)
+        assert info["bands"] == 3
+        np.testing.assert_array_equal(out, a)
+
+
+def test_multiband_predictor_differenced_per_channel():
+    # a constant-per-channel image must compress tiny under predictor 2
+    # ONLY if differencing respects the channel stride
+    a = np.empty((32, 32, 3), np.int32)
+    a[..., 0], a[..., 1], a[..., 2] = 11, 222, 3333
+    blob = gt.encode_geotiff(a, compression="deflate", predictor=2)
+    assert len(blob) < a.nbytes // 20
+    out, _ = gt.decode_geotiff(blob)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_multiband_window():
+    a = _rngnd(71, (48, 64, 2))
+    blob = gt.encode_geotiff(a, compression="deflate", predictor=2,
+                                  tile=(16, 16))
+    win, info = gt.decode_window(blob, 10, 5, 20, 30)
+    np.testing.assert_array_equal(win, a[5:35, 10:30])
+    assert info["window_bytes_read"] < len(blob)
+
+
+def test_bigtiff_roundtrip_and_window():
+    a = _rngnd(72, (37, 48))
+    blob = gt.encode_geotiff(a, compression="lzw", predictor=2,
+                                  tile=(16, 16), bigtiff=True, epsg=5070,
+                                  nodata=7)
+    assert blob[:4] == b"II+\x00"
+    info = gt.parse_info(blob)
+    assert info["bigtiff"] and info["epsg"] == 5070 and info["nodata"] == 7.0
+    out, _ = gt.decode_geotiff(blob)
+    np.testing.assert_array_equal(out, a)
+    win, wi = gt.decode_window(blob, 17, 3, 13, 21)
+    np.testing.assert_array_equal(win, a[3:24, 17:30])
+    assert wi["window_bytes_read"] < len(blob)
+
+
+def test_bigtiff_classic_same_pixels():
+    a = _rngnd(73, (25, 30))
+    c = gt.decode_geotiff(gt.encode_geotiff(a))[0]
+    b = gt.decode_geotiff(gt.encode_geotiff(a, bigtiff=True))[0]
+    np.testing.assert_array_equal(c, b)
+
+
+def test_overview_chain_parse_and_decode():
+    a = _rngnd(74, (40, 56))
+    blob = gt.encode_geotiff(a, compression="deflate", predictor=2,
+                                  overviews=2)
+    info = gt.parse_info(blob)
+    assert [o["width"] for o in info["overviews"]] == [28, 14]
+    assert [o["height"] for o in info["overviews"]] == [20, 10]
+    assert all(o["is_overview"] for o in info["overviews"])
+    assert not info["is_overview"]
+    l0, _ = gt.decode_geotiff(blob)
+    np.testing.assert_array_equal(l0, a)
+    exp1 = gt._halve_floor(a)
+    l1, i1 = gt.decode_geotiff(blob, level=1)
+    np.testing.assert_array_equal(l1, exp1)
+    assert i1["is_overview"]
+    l2, _ = gt.decode_geotiff(blob, level=2)
+    np.testing.assert_array_equal(l2, gt._halve_floor(exp1))
+
+
+def test_overview_odd_dims_edge_average():
+    # 5x5: the last overview row/col averages only the existing pixels
+    a = np.arange(25, dtype=np.int32).reshape(5, 5)
+    ov = gt._halve_floor(a)
+    assert ov.shape == (3, 3)
+    assert ov[0, 0] == (0 + 1 + 5 + 6) // 4
+    assert ov[0, 2] == (4 + 9) // 2       # 1x2 edge block
+    assert ov[2, 2] == 24                 # single corner pixel
+
+
+def test_overview_window_read_partial():
+    a = _rngnd(75, (96, 128), hi=1000)
+    blob = gt.encode_geotiff(a, compression="deflate", predictor=2,
+                                  tile=(16, 16), overviews=1)
+    exp = gt._halve_floor(a)
+    win, info = gt.decode_window(blob, 4, 6, 20, 10, level=1)
+    np.testing.assert_array_equal(win, exp[6:16, 4:24])
+    # level-1 window touches only that level's tiles, not level 0
+    assert info["window_bytes_read"] < len(blob) / 4
+
+
+def test_overview_levels_deeper_than_chain_raises():
+    blob = gt.encode_geotiff(_rngnd(76, (16, 16)), overviews=1)
+    with pytest.raises(ValueError, match="no overview level"):
+        gt.decode_geotiff(blob, level=2)
+
+
+def test_bigtiff_multiband_overviews_combined():
+    a = _rngnd(77, (33, 45, 3), hi=500)
+    blob = gt.encode_geotiff(a, compression="lzw", predictor=2,
+                                  tile=(16, 16), bigtiff=True, overviews=2)
+    info = gt.parse_info(blob)
+    assert info["bigtiff"] and info["bands"] == 3
+    assert len(info["overviews"]) == 2
+    out, _ = gt.decode_geotiff(blob)
+    np.testing.assert_array_equal(out, a)
+    l1, _ = gt.decode_geotiff(blob, level=1)
+    np.testing.assert_array_equal(l1, gt._halve_floor(a))
