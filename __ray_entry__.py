@@ -2070,6 +2070,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q145_gpkg_source(sf):  # S3 for real: sqlite3 GeoPackage ingest
+        """REAL GeoPackage source (reference S3: globs
+        ``*gw_catchments*.gpkg`` branch trees and reads all non-null
+        geometries per file, load.py:41,67,143): spec-correct GPKG
+        fixtures (application_id/user_version pragmas, gpkg_contents /
+        gpkg_geometry_columns / gpkg_spatial_ref_sys, 'GP'-headed
+        blobs) are read by the sharded stdlib-sqlite3 reader; WKB bbox
+        areas + a property aggregate per branch dir. Fixture geometry
+        derives from orders keys, so the oracle recomputes from the
+        generating formulas — no file access on the SQL side."""
+        from hand_index_ray.kernels import wkb as wkblib
+        from hand_index_ray.sources import gpkg as gk
+
+        root = _cache_dir("gpkg_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 97 == 0])
+            for b in range(8):
+                ks = [int(k) for k in keys if (k // 97) % 8 == b]
+                bdir = os.path.join(root, f"branch_{b}")
+                os.makedirs(bdir, exist_ok=True)
+                blobs = []
+                for k in ks:
+                    if k % 5 == 0:
+                        blobs.append(None)  # NULL geometry row
+                    else:
+                        x0 = float((k * 7) % 360 - 180)
+                        y0 = float((k * 3) % 170 - 85)
+                        s = float(1 + k % 5)
+                        blobs.append(wkblib.encode_box(
+                            np.array([x0]), np.array([y0]),
+                            np.array([x0 + s]), np.array([y0 + s]))[0])
+                gk.write_gpkg(
+                    os.path.join(bdir, f"gw_catchments_{b}.gpkg"),
+                    "gw_catchments", ks, blobs,
+                    props={"ht": [(k * 13) % 1000 for k in ks]})
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = gk.read_gpkg(os.path.join(root, "branch_*",
+                                       "*gw_catchments*.gpkg"))
+
+        def feat(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "wkb" not in t.column_names:
+                return pa.table({"branch": pa.array([], pa.int64()),
+                                 "area_sum": pa.array([], pa.int64()),
+                                 "ht": pa.array([], pa.int64())})
+            r = wkblib.decode(t.column("wkb").to_pylist())
+            starts = r.ring_coord_off[r.part_ring_off[r.geom_part_off[:-1]]]
+            mx = np.maximum.reduceat(r.coords, starts, axis=0)
+            mn = np.minimum.reduceat(r.coords, starts, axis=0)
+            area = np.round((mx[:, 0] - mn[:, 0])
+                            * (mx[:, 1] - mn[:, 1])).astype(np.int64)
+            b = pc.cast(pc.struct_field(pc.extract_regex(
+                t.column("src_path"), r"branch_(?P<b>\d+)"), "b"), pa.int64())
+            return pa.table({"branch": b,
+                             "area_sum": pa.array(area, pa.int64()),
+                             "ht": pc.cast(t.column("ht"), pa.int64())})
+
+        agg = rel.grouped_agg(
+            ds.map_batches(feat, batch_format="pyarrow"),
+            ["branch"], sum_cols=["area_sum", "ht"])
+        df = agg.to_pandas().rename(columns={"ht": "ht_sum", "n": "n_feat"})
+        return df[["branch", "n_feat", "area_sum", "ht_sum"]] \
+            .sort_values("branch").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2236,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q142_value_histogram": q142_value_histogram,
         "q143_band_math": q143_band_math,
         "q144_overview_scan": q144_overview_scan,
+        "q145_gpkg_source": q145_gpkg_source,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3384,6 +3452,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE bx BETWEEN k % 11 AND k % 11 + 16
               AND by BETWEEN k % 7 AND k % 7 + 12
             GROUP BY k ORDER BY k
+        """,
+        # q145: the GPKG fixture derives every feature from orders keys
+        # (branch = (k//97)%8; NULL geometry when k%5=0 — dropped like
+        # the reference's WHERE geom IS NOT NULL; square side 1+k%5;
+        # ht = (k*13)%1000), so the per-branch aggregate recomputes
+        # from the formulas without touching the files
+        "q145_gpkg_source": """
+            SELECT (o_orderkey // 97) % 8 AS branch,
+                   CAST(COUNT(*) AS BIGINT) AS n_feat,
+                   CAST(SUM((1 + o_orderkey % 5) * (1 + o_orderkey % 5))
+                        AS BIGINT) AS area_sum,
+                   CAST(SUM((o_orderkey * 13) % 1000) AS BIGINT) AS ht_sum
+            FROM orders
+            WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 0
+            GROUP BY branch ORDER BY branch
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
