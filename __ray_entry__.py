@@ -2137,6 +2137,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["branch", "n_feat", "area_sum", "ht_sum"]] \
             .sort_values("branch").reset_index(drop=True)
 
+    def q146_png_formats(sf):  # full PNG surface through decode path
+        """Real-world PNG variant ingest (kernels/png.py): grayscale,
+        palette (PLTE gather), RGBA (alpha dropped), 16-bit (MSB), and
+        Adam7-interlaced RGB payloads are built from integer formulas,
+        routed through the ENGINE decode path (image.decode → full
+        from-spec decoder), and reduced to per-image channel sums.
+        Lossless + deterministic normalization ⇒ the oracle recomputes
+        every variant's sum from the formulas in plain SQL."""
+        from hand_index_ray.kernels import image as imk
+        from hand_index_ray.kernels import png as pnglib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(20, dtype=np.int64),
+                             np.arange(28, dtype=np.int64), indexing="ij")
+        pal = np.stack([(np.arange(16) * 37 + 11) % 256,
+                        (np.arange(16) * 59 + 3) % 256,
+                        (np.arange(16) * 83 + 7) % 256],
+                       axis=1).astype(np.uint8)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 239 == 0]
+            ks, variants, sums = [], [], []
+            for k in keys:
+                k = int(k)
+                blobs = {
+                    "gray8": pnglib.encode(
+                        ((k * 3 + xx * 5 + yy * 11) % 256).astype(np.uint8)),
+                    "palette": pnglib.encode(
+                        ((k + xx + yy) % 16).astype(np.uint8), palette=pal),
+                    "rgba": pnglib.encode(np.stack(
+                        [(k + xx * 2) % 256, (yy * 3 + k * 5) % 256,
+                         (xx + yy + k) % 256, (xx * yy) % 256],
+                        axis=-1).astype(np.uint8)),
+                    "adam7": pnglib.encode(np.stack(
+                        [(k + xx) % 256, (2 * yy + k) % 256,
+                         (xx + yy) % 256], axis=-1).astype(np.uint8),
+                        interlace=True),
+                }
+                for v, blob in blobs.items():
+                    assert imk.sniff_format(blob) == "png"
+                    px = imk.decode(blob, "png")
+                    ks.append(k)
+                    variants.append(v)
+                    sums.append(int(px.astype(np.int64).sum()))
+                # 16-bit gray: hand-built stream (encoder is 8-bit)
+                v16 = ((k * 7 + xx * 13 + yy * 29) % 65536).astype(np.uint16)
+                rows = b"".join(b"\x00" + v16[r].astype(">u2").tobytes()
+                                for r in range(20))
+                import struct as _st
+                import zlib as _zl
+                ihdr = _st.pack(">IIBBBBB", 28, 20, 16, 0, 0, 0, 0)
+                parts = [b"\x89PNG\r\n\x1a\n"]
+                for tag, body in ((b"IHDR", ihdr),
+                                  (b"IDAT", _zl.compress(rows)),
+                                  (b"IEND", b"")):
+                    parts.append(_st.pack(">I", len(body)) + tag + body
+                                 + _st.pack(">I", _zl.crc32(tag + body)
+                                            & 0xFFFFFFFF))
+                px = imk.decode(b"".join(parts), "png")
+                ks.append(k)
+                variants.append("gray16")
+                sums.append(int(px.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "variant": pa.array(variants, pa.string()),
+                             "px_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "variant"]) \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2304,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_band_math": q143_band_math,
         "q144_overview_scan": q144_overview_scan,
         "q145_gpkg_source": q145_gpkg_source,
+        "q146_png_formats": q146_png_formats,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3467,6 +3539,38 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 0
             GROUP BY branch ORDER BY branch
+        """,
+        # q146: every PNG variant is lossless with a deterministic
+        # RGB normalization (gray replicated ×3, palette gathered,
+        # alpha dropped, 16-bit MSB, Adam7 == progressive of the same
+        # pixels), so each per-image channel sum recomputes from the
+        # generating formulas
+        "q146_png_formats": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 239 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 27)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 19)) y)
+            SELECT k AS o_orderkey, v.variant,
+                   CAST(SUM(CASE v.variant
+                     WHEN 'gray8' THEN 3 * ((k*3 + x*5 + y*11) % 256)
+                     WHEN 'palette' THEN
+                          (((k+x+y) % 16) * 37 + 11) % 256
+                        + (((k+x+y) % 16) * 59 + 3) % 256
+                        + (((k+x+y) % 16) * 83 + 7) % 256
+                     WHEN 'rgba' THEN (k + x*2) % 256
+                        + (y*3 + k*5) % 256 + (x+y+k) % 256
+                     WHEN 'gray16' THEN
+                          3 * (((k*7 + x*13 + y*29) % 65536) // 256)
+                     WHEN 'adam7' THEN (k+x) % 256 + (2*y+k) % 256
+                        + (x+y) % 256
+                   END) AS BIGINT) AS px_sum
+            FROM px CROSS JOIN (SELECT UNNEST(['gray8','palette','rgba',
+                                               'gray16','adam7']) AS variant) v
+            GROUP BY k, v.variant ORDER BY k, v.variant
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -9,8 +9,10 @@ and dependency-free:
 
   raw   H×W×3 uint8, row-major — zero-copy view onto the WKB bytes
   ppm   binary P6 (ASCII header + raw samples)
-  png   real PNG (RGB8): zlib IDAT, filters 0-4 on decode, filter 0
-        on encode — lossless
+  png   real PNG — full from-spec decoder in kernels/png.py (gray/
+        RGB/palette/alpha, depths 1-16, Adam7, filters 0-4); encode
+        here stays RGB8 filter-0 (stable corpus bytes); the adaptive
+        None/Sub/Up encoder lives in kernels/png.py — lossless
   qjpg  deterministic quantizing lossy codec defined by this engine
         (6 bits/sample + zlib): worst-case |err| ≤ 2 → PSNR ≈ 47 dB,
         satisfying the ≥40 dB per-row invariant (BASELINE.json input_hint)
@@ -74,47 +76,6 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
 # decode
 
 
-def _png_unfilter(data: bytes, w: int, h: int) -> np.ndarray:
-    stride = w * 3
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = arr[:, 0]
-    if not ftypes.any():  # all filter 0 (our encoder's output): no per-row work
-        return np.ascontiguousarray(arr[:, 1:]).reshape(h, w, 3)
-    rows = arr[:, 1:].astype(np.int16)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        f = ftypes[r]
-        cur = rows[r]
-        prev = out[r - 1].astype(np.int16) if r > 0 else np.zeros(stride, dtype=np.int16)
-        if f == 0:
-            line = cur
-        elif f == 2:  # Up
-            line = cur + prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-scan
-            line = np.empty(stride, dtype=np.int16)
-            left = np.zeros(3, dtype=np.int16)
-            ul = np.zeros(3, dtype=np.int16)
-            for x in range(0, stride, 3):
-                up = prev[x : x + 3]
-                if f == 1:
-                    rec = cur[x : x + 3] + left
-                elif f == 3:
-                    rec = cur[x : x + 3] + ((left + up) >> 1)
-                else:  # Paeth
-                    p = left + up - ul
-                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
-                    rec = cur[x : x + 3] + pred
-                rec &= 0xFF
-                line[x : x + 3] = rec
-                left = rec
-                ul = up.astype(np.int16)
-        else:
-            raise ValueError(f"PNG filter {f} unsupported")
-        out[r] = (line & 0xFF).astype(np.uint8)
-    return out.reshape(h, w, 3)
-
-
 def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> np.ndarray:
     """Decode to an H×W×3 uint8 array. ``raw`` needs w/h from columns."""
     buf = bytes(buf)
@@ -129,23 +90,11 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         payload = parts[3]
         return np.frombuffer(payload, dtype=np.uint8, count=pw * ph * 3).reshape(ph, pw, 3)
     if fmt == "png":
-        assert buf[:8] == _PNG_SIG, "bad PNG signature"
-        pos = 8
-        pw = ph = 0
-        idat = []
-        while pos < len(buf):
-            (ln,) = struct.unpack_from(">I", buf, pos)
-            tag = buf[pos + 4 : pos + 8]
-            body = buf[pos + 8 : pos + 8 + ln]
-            pos += 12 + ln
-            if tag == b"IHDR":
-                pw, ph, depth, ctype = struct.unpack_from(">IIBB", body)
-                assert depth == 8 and ctype == 2, "only RGB8 PNG supported"
-            elif tag == b"IDAT":
-                idat.append(body)
-            elif tag == b"IEND":
-                break
-        return _png_unfilter(zlib.decompress(b"".join(idat)), pw, ph)
+        # full from-spec decoder (kernels/png.py): gray/RGB/palette/
+        # alpha, depths 1-16, Adam7 — normalized to the H×W×3 contract.
+        # Engine payloads (RGB8 filter 0/Sub/Up) ride its loop-free path.
+        from . import png as pnglib
+        return pnglib.decode_rgb(buf)
     if fmt == "qjpg":
         assert buf[:4] == b"QJPG"
         pw, ph = struct.unpack_from("<HH", buf, 4)
