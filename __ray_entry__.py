@@ -2208,6 +2208,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["o_orderkey", "variant"]) \
             .reset_index(drop=True)
 
+    def q147_shapefile_source(sf):  # ESRI .shp/.shx/.dbf trio ingest
+        """ESRI Shapefile source (sources/shapefile.py — from the
+        published spec): fixture trios derive from orders keys (Null
+        Shape when k%7=0, mirroring the null-geometry policy of the
+        reference's GPKG path load.py:143), the reader shards by .shx
+        record ranges, decodes dBase attributes typed, and the WKB bbox
+        areas + an attribute sum aggregate per dbf ZONE. Oracle
+        recomputes from the generating formulas."""
+        from hand_index_ray.kernels import wkb as wkblib
+        from hand_index_ray.sources import shapefile as shplib
+
+        root = _cache_dir("shp_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 101 == 0])
+            for part in range(4):
+                ks = [int(k) for k in keys if k % 4 == part]
+                geoms, zones, hts = [], [], []
+                for k in ks:
+                    zones.append((k // 101) % 5)
+                    hts.append((k * 17) % 1000)
+                    if k % 7 == 0:
+                        geoms.append(None)
+                    else:
+                        s = float(1 + k % 4)
+                        x0 = float((k * 11) % 300 - 150)
+                        y0 = float((k * 5) % 160 - 80)
+                        ring = np.array(
+                            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s],
+                             [x0, y0 + s], [x0, y0]])
+                        geoms.append([[ring]])
+                shplib.write_shapefile(
+                    os.path.join(root, f"catch_{part}"), geoms,
+                    fields={"FID_K": ks, "ZONE": zones, "HT": hts})
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = shplib.read_shapefile(os.path.join(root, "catch_*.shp"))
+
+        def feat(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "wkb" not in t.column_names:
+                return pa.table({"zone": pa.array([], pa.int64()),
+                                 "area_sum": pa.array([], pa.int64()),
+                                 "ht": pa.array([], pa.int64())})
+            r = wkblib.decode(t.column("wkb").to_pylist())
+            starts = r.ring_coord_off[r.part_ring_off[r.geom_part_off[:-1]]]
+            mx = np.maximum.reduceat(r.coords, starts, axis=0)
+            mn = np.minimum.reduceat(r.coords, starts, axis=0)
+            area = np.round((mx[:, 0] - mn[:, 0])
+                            * (mx[:, 1] - mn[:, 1])).astype(np.int64)
+            return pa.table({"zone": pc.cast(t.column("ZONE"), pa.int64()),
+                             "area_sum": pa.array(area, pa.int64()),
+                             "ht": pc.cast(t.column("HT"), pa.int64())})
+
+        agg = rel.grouped_agg(
+            ds.map_batches(feat, batch_format="pyarrow"),
+            ["zone"], sum_cols=["area_sum", "ht"])
+        df = agg.to_pandas().rename(columns={"ht": "ht_sum", "n": "n_feat"})
+        return df[["zone", "n_feat", "area_sum", "ht_sum"]] \
+            .sort_values("zone").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2376,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_overview_scan": q144_overview_scan,
         "q145_gpkg_source": q145_gpkg_source,
         "q146_png_formats": q146_png_formats,
+        "q147_shapefile_source": q147_shapefile_source,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3571,6 +3635,18 @@ def oracle_sql() -> dict[str, str]:
             FROM px CROSS JOIN (SELECT UNNEST(['gray8','palette','rgba',
                                                'gray16','adam7']) AS variant) v
             GROUP BY k, v.variant ORDER BY k, v.variant
+        """,
+        # q147: shapefile fixture formulas (Null Shape rows dropped by
+        # the reader, like the reference's IS NOT NULL policy)
+        "q147_shapefile_source": """
+            SELECT (o_orderkey // 101) % 5 AS zone,
+                   CAST(COUNT(*) AS BIGINT) AS n_feat,
+                   CAST(SUM((1 + o_orderkey % 4) * (1 + o_orderkey % 4))
+                        AS BIGINT) AS area_sum,
+                   CAST(SUM((o_orderkey * 17) % 1000) AS BIGINT) AS ht_sum
+            FROM orders
+            WHERE o_orderkey % 101 = 0 AND o_orderkey % 7 <> 0
+            GROUP BY zone ORDER BY zone
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
