@@ -52,7 +52,10 @@ def main(argv: list[str] | None = None) -> int:
 
     bc = sub.add_parser("build-catchments", help="build the vector-side catalog "
                         "(grouped union per branch, reference load.py:146-173)")
-    bc.add_argument("--input", required=True, help="parquet with (geometry, branch_path)")
+    bc.add_argument("--input", required=True,
+                    help="parquet with (geometry, branch_path), or a "
+                         "*.gpkg / *.shp glob (branch_path = parent dir, "
+                         "reference load.py:41,143)")
     bc.add_argument("--output", required=True)
     bc.add_argument("--partition-by-cell", action="store_true",
                     help="hive-partition output by h3_index "
@@ -160,8 +163,12 @@ def main(argv: list[str] | None = None) -> int:
             cfg = replace(cfg, catchment_h3_res=args.h3_resolution)
         if args.simplify_tolerance is not None:
             cfg = replace(cfg, simplify_tol_m=args.simplify_tolerance)
-        raw = ray.data.read_parquet(args.input)
-        ds = build_catchments(raw.select_columns(["geometry", "branch_path"]), cfg)
+        # native container ingest: .gpkg / .shp globs read through the
+        # from-spec sources (reference input shape, load.py:41,131-143);
+        # parquet keeps the prepared-table path
+        from .sources.vector import read_vector_catchments
+        raw = read_vector_catchments(args.input)
+        ds = build_catchments(raw, cfg)
         if args.partition_by_cell:
             ds.write_parquet(args.output, partition_cols=["h3_index"])
         else:
