@@ -2271,6 +2271,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["zone", "n_feat", "area_sum", "ht_sum"]] \
             .sort_values("zone").reset_index(drop=True)
 
+    def q148_mvt_tiles(sf):  # vector-tile sink: per-tile MVT encode
+        """Mapbox Vector Tile sink surface (kernels/mvt.py — protobuf
+        wire + spec-2.1 command/zigzag geometry encoding, implemented
+        from the published spec): features derived from orders keys
+        are grouped per tile, each tile's features encode into ONE
+        protobuf blob (dictionary-deduplicated tags), decode back, and
+        per-tile aggregates are computed from the DECODED data — so
+        the oracle's formula recomputation proves the whole wire
+        round-trip is lossless."""
+        from hand_index_ray.kernels import mvt as mvtlib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 211 == 0].astype(np.int64)
+            return pa.table({
+                "tile": pa.array(keys % 6, pa.int64()),
+                "k": pa.array(keys, pa.int64()),
+                "x0": pa.array((keys * 19) % 4000, pa.int64()),
+                "y0": pa.array((keys * 23) % 4000, pa.int64()),
+                "s": pa.array(1 + keys % 7, pa.int64()),
+                "ht": pa.array((keys * 29) % 500, pa.int64()),
+            })
+
+        feats = orders.map_batches(gen, batch_format="pyarrow")
+
+        def encode_tile_group(g):
+            tile = int(g["tile"].iloc[0])
+            fl = []
+            for _, row in g.iterrows():
+                x0, y0, s = int(row.x0), int(row.y0), int(row.s)
+                ring = np.array([[x0, y0], [x0 + s, y0],
+                                 [x0 + s, y0 + s], [x0, y0 + s]])
+                fl.append({"id": int(row.k), "type": mvtlib.POLYGON,
+                           "geometry": [[ring]],
+                           "tags": {"ht": int(row.ht)}})
+            blob = mvtlib.encode_tile([{"name": "catch", "features": fl}])
+            dec = mvtlib.decode_tile(blob)[0]["features"]
+            assert len(dec) == len(fl)
+            vert = ht = 0
+            for f in dec:
+                for part in f["geometry"]:
+                    for r in part:
+                        vert += int(r.sum())
+                ht += int(f["tags"]["ht"])
+            return pd.DataFrame({"tile": [tile], "n_feat": [len(dec)],
+                                 "vert_sum": [vert], "ht_sum": [ht]})
+
+        out = rel.grouped_apply_bucketed(feats, ["tile"],
+                                         encode_tile_group,
+                                         num_buckets=8)
+        df = out.to_pandas()
+        for c in ("tile", "n_feat", "vert_sum", "ht_sum"):
+            df[c] = df[c].astype(np.int64)
+        return df[["tile", "n_feat", "vert_sum", "ht_sum"]] \
+            .sort_values("tile").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2440,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_gpkg_source": q145_gpkg_source,
         "q146_png_formats": q146_png_formats,
         "q147_shapefile_source": q147_shapefile_source,
+        "q148_mvt_tiles": q148_mvt_tiles,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3647,6 +3706,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 101 = 0 AND o_orderkey % 7 <> 0
             GROUP BY zone ORDER BY zone
+        """,
+        # q148: MVT wire round-trip is lossless for integer tile
+        # coords, so decoded per-tile vertex/tag sums recompute from
+        # the feature formulas (4 open-ring vertices per square:
+        # sum(x)+sum(y) = 4*x0 + 4*y0 + 4*s)
+        "q148_mvt_tiles": """
+            SELECT o_orderkey % 6 AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_feat,
+                   CAST(SUM(4 * ((o_orderkey * 19) % 4000)
+                          + 4 * ((o_orderkey * 23) % 4000)
+                          + 4 * (1 + o_orderkey % 7)) AS BIGINT)
+                       AS vert_sum,
+                   CAST(SUM((o_orderkey * 29) % 500) AS BIGINT) AS ht_sum
+            FROM orders WHERE o_orderkey % 211 = 0
+            GROUP BY tile ORDER BY tile
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
