@@ -2329,6 +2329,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["tile", "n_feat", "vert_sum", "ht_sum"]] \
             .sort_values("tile").reset_index(drop=True)
 
+    def q149_zorder_scan(sf):  # Morton-key bbox scan with range cover
+        """Z-order spatial index scan (kernels/zorder.py): footprint
+        grid coords → vectorized Morton keys; a query bbox becomes an
+        EXACT set of contiguous key ranges by linear-quadtree
+        decomposition, then a capped (coarsened) cover whose over-
+        selection is removed by decoding the keys back — so the result
+        also proves encode/decode are inverse. At scale this is the
+        sorted-column pruning path: ranges map to parquet row groups.
+        The oracle recomputes the 8-bit interleave arithmetically."""
+        from hand_index_ray.kernels import zorder as z
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        X0, Y0, X1, Y1 = 40, 25, 199, 170
+        ranges = z.bbox_ranges(X0, Y0, X1, Y1, 8, max_ranges=24)
+
+        def scan(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 3 == 0].astype(np.int64)
+            x = (keys * 13) % 256
+            y = (keys * 7) % 256
+            mk = z.encode(x, y).astype(np.int64)
+            cand = z.keys_in_ranges(mk, ranges)
+            # exact re-verify from the DECODED key (roundtrip proof)
+            dx, dy = z.decode(mk[cand])
+            keep = (dx >= X0) & (dx <= X1) & (dy >= Y0) & (dy <= Y1)
+            sel = mk[cand][keep]
+            return pa.table({
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "key_sum": pa.array([int(sel.sum())], pa.int64()),
+                "xy_sum": pa.array([int(dx[keep].sum()
+                                        + dy[keep].sum())], pa.int64())})
+
+        parts = orders.map_batches(scan, batch_format="pyarrow") \
+            .to_pandas()
+        return pd.DataFrame({"n": [int(parts.n.sum())],
+                             "key_sum": [int(parts.key_sum.sum())],
+                             "xy_sum": [int(parts.xy_sum.sum())]})
+
+    def q150_hillshade(sf):  # integer lambertian hillshade aggregates
+        """Hillshade quick-look (pipelines/terrain.py:hillshade_stats):
+        per interior pixel raw = 128 - 2*gx - 3*gy with SIGNED central
+        differences (directional light — the lambertian product the
+        normalizing-sqrt renderers approximate), clipped at 0;
+        per-raster shade sum + shadowed-pixel count. Map-only."""
+        from hand_index_ray.pipelines.terrain import hillshade_stats
+        ds = _terrain_blobs(sf, 157, 40, 30, 11, 5, 3, 199,
+                            compression="deflate", predictor=2)
+        df = hillshade_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2499,6 +2549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_png_formats": q146_png_formats,
         "q147_shapefile_source": q147_shapefile_source,
         "q148_mvt_tiles": q148_mvt_tiles,
+        "q149_zorder_scan": q149_zorder_scan,
+        "q150_hillshade": q150_hillshade,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3721,6 +3773,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((o_orderkey * 29) % 500) AS BIGINT) AS ht_sum
             FROM orders WHERE o_orderkey % 211 = 0
             GROUP BY tile ORDER BY tile
+        """,
+        # q149: the Morton key of an 8-bit (x, y) is the plain bit
+        # interleave — recomputable arithmetically; the bbox filter is
+        # the direct coordinate test (the engine's range cover + decode
+        # re-verify must select exactly these rows)
+        "q149_zorder_scan": """
+            WITH g AS (
+                SELECT ((o_orderkey * 13) % 256) AS x,
+                       ((o_orderkey * 7) % 256) AS y
+                FROM orders WHERE o_orderkey % 3 = 0),
+            f AS (
+                SELECT x, y,
+                       ((x >> 0) & 1) * 2     + ((y >> 0) & 1) * 1
+                     + ((x >> 1) & 1) * 8     + ((y >> 1) & 1) * 4
+                     + ((x >> 2) & 1) * 32    + ((y >> 2) & 1) * 16
+                     + ((x >> 3) & 1) * 128   + ((y >> 3) & 1) * 64
+                     + ((x >> 4) & 1) * 512   + ((y >> 4) & 1) * 256
+                     + ((x >> 5) & 1) * 2048  + ((y >> 5) & 1) * 1024
+                     + ((x >> 6) & 1) * 8192  + ((y >> 6) & 1) * 4096
+                     + ((x >> 7) & 1) * 32768 + ((y >> 7) & 1) * 16384
+                       AS mk
+                FROM g
+                WHERE x BETWEEN 40 AND 199 AND y BETWEEN 25 AND 170)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(mk), 0) AS BIGINT) AS key_sum,
+                   CAST(COALESCE(SUM(x + y), 0) AS BIGINT) AS xy_sum
+            FROM f
+        """,
+        # q150: signed central differences of the formula grid feed
+        # the integer lambertian product; GREATEST(0, ...) mirrors the
+        # shade clip
+        "q150_hillshade": """
+            WITH g AS (
+                SELECT o.o_orderkey AS k,
+                       128
+                       - 2 * ((o.o_orderkey * 11 + (x.x+1) * 5 + y.y * 3) % 199
+                              - (o.o_orderkey * 11 + (x.x-1) * 5 + y.y * 3) % 199)
+                       - 3 * ((o.o_orderkey * 11 + x.x * 5 + (y.y+1) * 3) % 199
+                              - (o.o_orderkey * 11 + x.x * 5 + (y.y-1) * 3) % 199)
+                       AS raw
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 157 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(1, 38)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(1, 28)) y)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(GREATEST(raw, 0)) AS BIGINT) AS shade_sum,
+                   CAST(SUM(CASE WHEN raw < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shadow,
+                   CAST(COUNT(*) AS BIGINT) AS n_interior
+            FROM g GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

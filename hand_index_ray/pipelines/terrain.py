@@ -733,3 +733,33 @@ def resample_nn(ds, out_w: int, out_h: int, bytes_col: str = "bytes",
                          "rs_min": pa.array(mn, pa.int64()),
                          "rs_max": pa.array(mx, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hillshade_one(arr: np.ndarray, lx: int, ly: int, lz_k: int):
+    """Integer lambertian quick-look hillshade: per interior pixel
+    raw = lz_k - lx*gx - ly*gy with central-difference gradients,
+    clipped at 0 (the unnormalized fast-hillshade renderers use; the
+    normalizing sqrt would leave integers). Returns (shade_sum,
+    n_shadow, n_interior)."""
+    a = arr.astype(np.int64)
+    gx = a[1:-1, 2:] - a[1:-1, :-2]
+    gy = a[2:, 1:-1] - a[:-2, 1:-1]
+    raw = lz_k - lx * gx - ly * gy
+    return (int(np.maximum(raw, 0).sum()), int((raw < 0).sum()),
+            int(raw.size))
+
+
+def hillshade_stats(ds, lx: int = 2, ly: int = 3, lz_k: int = 128,
+                    bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster integer hillshade aggregates (shade_sum, n_shadow,
+    n_interior) — the directional-light sibling of slope_stats."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ss, sh, ns = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            s, d, n = _hillshade_one(arr, lx, ly, lz_k)
+            ids.append(rid); ss.append(s); sh.append(d); ns.append(n)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "shade_sum": pa.array(ss, pa.int64()),
+                         "n_shadow": pa.array(sh, pa.int64()),
+                         "n_interior": pa.array(ns, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

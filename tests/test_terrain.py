@@ -504,3 +504,35 @@ def test_ops_survive_mixed_codecs(ray_session):
     assert sl.grad_sum.nunique() == 1 and sl.grad_max.nunique() == 1
     ov = terrain.overview_checksums(ds, levels=2).to_pandas()
     assert ov.groupby("level").px_sum.nunique().eq(1).all()
+
+
+def test_hillshade_brute_parity(ray_session):
+    """hillshade_stats vs a scalar reimplementation on random grids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hand_index_ray.kernels.geotiff import encode_geotiff
+    from hand_index_ray.pipelines import terrain
+
+    rng = np.random.default_rng(11)
+    arrs = [rng.integers(0, 200, (9, 12)).astype(np.int32)
+            for _ in range(3)]
+    ds = ray.data.from_arrow(pa.table({
+        "path": pa.array([f"r{i}" for i in range(3)]),
+        "bytes": pa.array([encode_geotiff(a) for a in arrs],
+                          pa.binary())}))
+    df = terrain.hillshade_stats(ds, lx=2, ly=3, lz_k=128) \
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    for i, a in enumerate(arrs):
+        a = a.astype(np.int64)
+        want_sum = want_shadow = 0
+        for y in range(1, 8):
+            for x in range(1, 11):
+                raw = 128 - 2 * (a[y, x + 1] - a[y, x - 1]) \
+                    - 3 * (a[y + 1, x] - a[y - 1, x])
+                want_sum += max(raw, 0)
+                want_shadow += raw < 0
+        assert df.shade_sum[i] == want_sum
+        assert df.n_shadow[i] == want_shadow
+        assert df.n_interior[i] == 7 * 10

@@ -1,0 +1,60 @@
+"""Z-order (Morton) indexing kernels: roundtrip, exact bbox covers,
+coarsened-cover contract, vectorized range membership."""
+
+import numpy as np
+
+from hand_index_ray.kernels import zorder as z
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 1 << 16, 5000)
+    y = rng.integers(0, 1 << 16, 5000)
+    k = z.encode(x, y)
+    dx, dy = z.decode(k)
+    np.testing.assert_array_equal(dx, x)
+    np.testing.assert_array_equal(dy, y)
+    # key order groups quadrants: top-level bit of key = top bit of x
+    assert (np.asarray(k >> np.uint64(31), np.int64)
+            == (x >> 15)).all()
+
+
+def test_known_values():
+    np.testing.assert_array_equal(
+        z.encode(np.array([0, 1, 0, 1, 7]), np.array([0, 0, 1, 1, 5])),
+        np.array([0, 2, 1, 3, 0b111011], np.uint64))
+
+
+def test_exact_bbox_cover_bruteforce():
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    keys = z.encode(xs.ravel(), ys.ravel()).astype(np.int64)
+    rects = [(0, 0, 63, 63), (5, 9, 40, 33), (17, 17, 17, 17),
+             (0, 60, 63, 63), (31, 0, 32, 63)]
+    for x0, y0, x1, y1 in rects:
+        r = z.bbox_ranges(x0, y0, x1, y1, 6, max_ranges=10 ** 9)
+        inside = ((xs.ravel() >= x0) & (xs.ravel() <= x1)
+                  & (ys.ravel() >= y0) & (ys.ravel() <= y1))
+        got = z.keys_in_ranges(keys, r)
+        np.testing.assert_array_equal(got, inside)
+        # ranges are sorted, disjoint, coalesced
+        assert (r[1:, 0] > r[:-1, 1] + 1).all()
+
+
+def test_coarsened_cover_supersets():
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    keys = z.encode(xs.ravel(), ys.ravel()).astype(np.int64)
+    r = z.bbox_ranges(3, 5, 50, 61, 6, max_ranges=5)
+    assert len(r) <= 5
+    inside = ((xs.ravel() >= 3) & (xs.ravel() <= 50)
+              & (ys.ravel() >= 5) & (ys.ravel() <= 61))
+    got = z.keys_in_ranges(keys, r)
+    assert (got | ~inside).all()  # never misses a true hit
+
+
+def test_keys_in_ranges_edges():
+    r = np.array([[4, 7], [10, 10]], np.int64)
+    np.testing.assert_array_equal(
+        z.keys_in_ranges(np.array([3, 4, 7, 8, 10, 11]), r),
+        [False, True, True, False, True, False])
+    assert not z.keys_in_ranges(np.array([1, 2]),
+                                np.zeros((0, 2), np.int64)).any()
