@@ -2379,6 +2379,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = hillshade_stats(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q151_las_source(sf):  # LiDAR point-cloud ingest (LAS 1.2)
+        """LAS point-cloud source (sources/las.py — ASPRS 1.2 spec):
+        fixture tiles with formula-derived points (16 per key), read
+        back via record-range shards (one structured frombuffer per
+        shard, zero per-point Python), aggregated per classification.
+        The raw int32 grid coords stay exact, so the oracle recomputes
+        everything from the generating formulas."""
+        from hand_index_ray.sources import las as laslib
+
+        root = _cache_dir("las_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 223 == 0]).astype(np.int64)
+            ii = np.arange(16, dtype=np.int64)
+            for part in range(3):
+                ks = keys[keys % 3 == part]
+                kk = np.repeat(ks, 16)
+                iv = np.tile(ii, len(ks))
+                laslib.write_las(
+                    os.path.join(root, f"tile_{part}.las"),
+                    (kk * 7 + iv * 13) % 10000,
+                    (kk * 11 + iv * 17) % 10000,
+                    (kk * 3 + iv * 5) % 500,
+                    intensity=(kk * 19 + iv) % 1024,
+                    cls=(kk + iv) % 6)
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = laslib.read_las(os.path.join(root, "tile_*.las"),
+                             shard_points=1024)
+        agg = rel.grouped_agg(
+            ds.map_batches(lambda t: t.select(
+                ["classification", "xi", "zi", "intensity"]),
+                batch_format="pyarrow"),
+            ["classification"], sum_cols=["xi", "zi", "intensity"])
+        df = agg.to_pandas().rename(columns={
+            "xi": "xi_sum", "zi": "zi_sum", "intensity": "int_sum",
+            "n": "n_pts"})
+        return df[["classification", "n_pts", "xi_sum", "zi_sum",
+                   "int_sum"]].sort_values("classification") \
+            .reset_index(drop=True)
+
+    def q152_wkt_export(sf):  # WKT interchange emit + parse roundtrip
+        """WKT export surface (kernels/wkt.py): WKB squares from
+        formulas emit as canonical WKT strings (integer coords print
+        bare), each string re-parsed and checked against the source
+        coords before emission — the oracle builds the identical
+        strings with SQL concatenation, so a hash match proves the
+        emitter's exact formatting AND the parser's inverse."""
+        from hand_index_ray.kernels import wkb as wkblib
+        from hand_index_ray.kernels import wkt as wktlib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 227 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "wkt": pa.array([], pa.string())})
+            x0 = (keys * 9) % 500
+            y0 = (keys * 13) % 400
+            s = 1 + keys % 6
+            blobs = wkblib.encode_box(x0.astype(float), y0.astype(float),
+                                      (x0 + s).astype(float),
+                                      (y0 + s).astype(float))
+            rag = wkblib.decode(blobs)
+            wkts = wktlib.encode_wkt(rag)
+            back = wktlib.decode_wkt(wkts)
+            assert np.array_equal(back.coords, rag.coords)
+            return pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                             "wkt": pa.array(wkts, pa.string())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2551,6 +2629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_mvt_tiles": q148_mvt_tiles,
         "q149_zorder_scan": q149_zorder_scan,
         "q150_hillshade": q150_hillshade,
+        "q151_las_source": q151_las_source,
+        "q152_wkt_export": q152_wkt_export,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3825,6 +3905,45 @@ def oracle_sql() -> dict[str, str]:
                        AS n_shadow,
                    CAST(COUNT(*) AS BIGINT) AS n_interior
             FROM g GROUP BY k ORDER BY k
+        """,
+        # q151: LAS stores raw int32 grid coords, so the per-class
+        # sums recompute from the point-generation formulas (16 points
+        # per key, classification = (k+i)%6)
+        "q151_las_source": """
+            WITH p AS (
+                SELECT o.o_orderkey AS k, i.i AS i
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 223 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) i)
+            SELECT (k + i) % 6 AS classification,
+                   CAST(COUNT(*) AS BIGINT) AS n_pts,
+                   CAST(SUM((k * 7 + i * 13) % 10000) AS BIGINT) AS xi_sum,
+                   CAST(SUM((k * 3 + i * 5) % 500) AS BIGINT) AS zi_sum,
+                   CAST(SUM((k * 19 + i) % 1024) AS BIGINT) AS int_sum
+            FROM p GROUP BY classification ORDER BY classification
+        """,
+        # q152: canonical WKT of the formula squares built by string
+        # concatenation — byte-identical to the engine emitter
+        "q152_wkt_export": """
+            WITH b AS (
+                SELECT o_orderkey,
+                       (o_orderkey * 9) % 500 AS x0,
+                       (o_orderkey * 13) % 400 AS y0,
+                       1 + o_orderkey % 6 AS s
+                FROM orders WHERE o_orderkey % 227 = 0)
+            SELECT o_orderkey,
+                   'POLYGON ((' || CAST(x0 AS VARCHAR) || ' ' ||
+                   CAST(y0 AS VARCHAR) || ', ' ||
+                   CAST(x0 + s AS VARCHAR) || ' ' ||
+                   CAST(y0 AS VARCHAR) || ', ' ||
+                   CAST(x0 + s AS VARCHAR) || ' ' ||
+                   CAST(y0 + s AS VARCHAR) || ', ' ||
+                   CAST(x0 AS VARCHAR) || ' ' ||
+                   CAST(y0 + s AS VARCHAR) || ', ' ||
+                   CAST(x0 AS VARCHAR) || ' ' ||
+                   CAST(y0 AS VARCHAR) || '))' AS wkt
+            FROM b ORDER BY o_orderkey
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
