@@ -2457,6 +2457,160 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q153_geojsonseq(sf):  # NDJSON Feature stream source
+        """GeoJSONSeq source (sources/geojsonseq.py — one Feature per
+        line, the GDAL-GeoJSONSeq / RFC-8142 streaming layout): NDJSON
+        fixtures from orders formulas are read through read_text →
+        batch JSON parse → WKB, then per-zone bbox-area + property
+        aggregates. The sink's canonical integer formatting keeps the
+        text roundtrip exact, so the oracle recomputes from formulas."""
+        from hand_index_ray.kernels import wkb as wkblib
+        from hand_index_ray.sources import geojsonseq as gjslib
+
+        root = _cache_dir("gjs_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 241 == 0]).astype(np.int64)
+            for part in range(2):
+                ks = keys[keys % 2 == part]
+                x0 = (ks * 3) % 600
+                y0 = (ks * 5) % 400
+                s = 1 + ks % 5
+                rag = wkblib.decode(wkblib.encode_box(
+                    x0.astype(float), y0.astype(float),
+                    (x0 + s).astype(float), (y0 + s).astype(float)))
+                props = [{"zone": int((k // 241) % 4),
+                          "ht": int((k * 23) % 800)} for k in ks]
+                gjslib.write_geojsonseq(
+                    os.path.join(root, f"feat_{part}.ndjson"), rag, props)
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = gjslib.read_geojsonseq(os.path.join(root, "feat_*.ndjson"))
+
+        def feat(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "wkb" not in t.column_names:
+                return pa.table({"zone": pa.array([], pa.int64()),
+                                 "area_sum": pa.array([], pa.int64()),
+                                 "ht": pa.array([], pa.int64())})
+            r = wkblib.decode(t.column("wkb").to_pylist())
+            starts = r.ring_coord_off[r.part_ring_off[r.geom_part_off[:-1]]]
+            mx = np.maximum.reduceat(r.coords, starts, axis=0)
+            mn = np.minimum.reduceat(r.coords, starts, axis=0)
+            area = np.round((mx[:, 0] - mn[:, 0])
+                            * (mx[:, 1] - mn[:, 1])).astype(np.int64)
+            return pa.table({"zone": pc.cast(t.column("zone"), pa.int64()),
+                             "area_sum": pa.array(area, pa.int64()),
+                             "ht": pc.cast(t.column("ht"), pa.int64())})
+
+        agg = rel.grouped_agg(
+            ds.map_batches(feat, batch_format="pyarrow"),
+            ["zone"], sum_cols=["area_sum", "ht"])
+        df = agg.to_pandas().rename(columns={"ht": "ht_sum", "n": "n_feat"})
+        return df[["zone", "n_feat", "area_sum", "ht_sum"]] \
+            .sort_values("zone").reset_index(drop=True)
+
+    def q154_las_catchment_join(sf):  # point-cloud × vector PIP join
+        """LiDAR-to-catchment enrichment (the HAND ingest step before
+        gridding): the q151 LAS tiles stream against a BROADCAST
+        catchment-rectangle table (supplier formulas — small side via
+        ray.put, the J7 no-shuffle pattern); per-batch vectorized
+        containment, per-catchment point count + elevation sum.
+        Oracle: BETWEEN cross join on the two formula CTEs."""
+        from hand_index_ray.sources import las as laslib
+
+        q151_las_source(sf)  # ensure the LAS fixture exists
+        root = _cache_dir("las_src", os.path.basename(os.path.normpath(sf)))
+        sup = _tbl(sf, "supplier").column("s_suppkey").to_numpy()
+        sup = np.sort(sup[sup % 7 == 0]).astype(np.int64)
+        rx0 = (sup * 31) % 9000
+        ry0 = (sup * 41) % 9000
+        rw = 400 + sup % 600
+        rh = 300 + sup % 500
+        import ray as _ray
+        rects_ref = _ray.put((sup, rx0, ry0, rx0 + rw, ry0 + rh))
+
+        class PipJoin:
+            def __init__(self):
+                (self.s, self.x0, self.y0,
+                 self.x1, self.y1) = _ray.get(rects_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                xi = t.column("xi").to_numpy()
+                yi = t.column("yi").to_numpy()
+                zi = t.column("zi").to_numpy()
+                ss, ns, zs = [], [], []
+                for j in range(len(self.s)):
+                    m = ((xi >= self.x0[j]) & (xi <= self.x1[j])
+                         & (yi >= self.y0[j]) & (yi <= self.y1[j]))
+                    if m.any():
+                        ss.append(int(self.s[j]))
+                        ns.append(int(m.sum()))
+                        zs.append(int(zi[m].sum()))
+                return pa.table({"s_suppkey": pa.array(ss, pa.int64()),
+                                 "n_pts": pa.array(ns, pa.int64()),
+                                 "zi": pa.array(zs, pa.int64())})
+
+        ds = laslib.read_las(os.path.join(root, "tile_*.las"),
+                             shard_points=1024)
+        agg = rel.grouped_agg(
+            ds.map_batches(PipJoin, batch_format="pyarrow",
+                           concurrency=(1, 8)),
+            ["s_suppkey"], sum_cols=["n_pts", "zi"], count=False)
+        df = agg.to_pandas().rename(columns={"zi": "zi_sum"})
+        return df[["s_suppkey", "n_pts", "zi_sum"]] \
+            .sort_values("s_suppkey").reset_index(drop=True)
+
+    def q155_ground_filter(sf):  # LiDAR ground classification
+        """Ground-point extraction (the classic progressive-filter
+        core): per 500-unit grid cell the minimum elevation, each
+        point classified ground when zi - cell_min <= 20. Grid minima
+        via grouped partial-agg, tagged back by a BROADCAST join (two
+        passes over a streaming source, no big shuffle); per-column
+        (cell_x) ground/total counts. Oracle: MIN() OVER (PARTITION BY
+        cell)."""
+        from hand_index_ray.sources import las as laslib
+
+        q151_las_source(sf)
+        root = _cache_dir("las_src", os.path.basename(os.path.normpath(sf)))
+
+        def cells(t: pa.Table) -> pa.Table:
+            xi = t.column("xi").to_numpy()
+            yi = t.column("yi").to_numpy()
+            zi = t.column("zi").to_numpy()
+            return pa.table({"cx": pa.array(xi // 500, pa.int64()),
+                             "cy": pa.array(yi // 500, pa.int64()),
+                             "zi": pa.array(zi, pa.int64())})
+
+        src = lambda: laslib.read_las(  # noqa: E731
+            os.path.join(root, "tile_*.las"), shard_points=1024) \
+            .map_batches(cells, batch_format="pyarrow")
+
+        minima = pa.Table.from_pandas(
+            rel.grouped_agg(src(), ["cx", "cy"], min_cols=["zi"],
+                            count=False).to_pandas(),
+            preserve_index=False)
+        pts = rel.broadcast_join(src(), minima, ["cx", "cy"])
+
+        def classify(t: pa.Table) -> pa.Table:
+            zi = t.column("zi").to_numpy()
+            mn = t.column("min_zi").to_numpy()
+            ground = (zi - mn) <= 20
+            return pa.table({"cell_x": t.column("cx"),
+                             "n_ground": pa.array(
+                                 ground.astype(np.int64), pa.int64()),
+                             "one": pa.array(
+                                 np.ones(len(zi), np.int64), pa.int64())})
+
+        agg = rel.grouped_agg(
+            pts.map_batches(classify, batch_format="pyarrow"),
+            ["cell_x"], sum_cols=["n_ground", "one"], count=False)
+        df = agg.to_pandas().rename(columns={"one": "n_pts"})
+        return df[["cell_x", "n_ground", "n_pts"]] \
+            .sort_values("cell_x").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2631,6 +2785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q150_hillshade": q150_hillshade,
         "q151_las_source": q151_las_source,
         "q152_wkt_export": q152_wkt_export,
+        "q153_geojsonseq": q153_geojsonseq,
+        "q154_las_catchment_join": q154_las_catchment_join,
+        "q155_ground_filter": q155_ground_filter,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -3944,6 +4101,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(x0 AS VARCHAR) || ' ' ||
                    CAST(y0 AS VARCHAR) || '))' AS wkt
             FROM b ORDER BY o_orderkey
+        """,
+        # q153: NDJSON text roundtrip is exact on integer coords
+        "q153_geojsonseq": """
+            SELECT (o_orderkey // 241) % 4 AS zone,
+                   CAST(COUNT(*) AS BIGINT) AS n_feat,
+                   CAST(SUM((1 + o_orderkey % 5) * (1 + o_orderkey % 5))
+                        AS BIGINT) AS area_sum,
+                   CAST(SUM((o_orderkey * 23) % 800) AS BIGINT) AS ht_sum
+            FROM orders WHERE o_orderkey % 241 = 0
+            GROUP BY zone ORDER BY zone
+        """,
+        # q154: the LAS fixture points (q151 formulas) BETWEEN-joined
+        # to supplier-derived rectangles
+        "q154_las_catchment_join": """
+            WITH p AS (
+                SELECT (o.o_orderkey * 7 + i.i * 13) % 10000 AS xi,
+                       (o.o_orderkey * 11 + i.i * 17) % 10000 AS yi,
+                       (o.o_orderkey * 3 + i.i * 5) % 500 AS zi
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 223 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) i),
+            r AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 31) % 9000 AS x0,
+                       (s_suppkey * 41) % 9000 AS y0,
+                       (s_suppkey * 31) % 9000 + 400 + s_suppkey % 600 AS x1,
+                       (s_suppkey * 41) % 9000 + 300 + s_suppkey % 500 AS y1
+                FROM supplier WHERE s_suppkey % 7 = 0)
+            SELECT r.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pts,
+                   CAST(SUM(p.zi) AS BIGINT) AS zi_sum
+            FROM p JOIN r ON p.xi BETWEEN r.x0 AND r.x1
+                         AND p.yi BETWEEN r.y0 AND r.y1
+            GROUP BY r.s_suppkey ORDER BY r.s_suppkey
+        """,
+        # q155: ground = zi - MIN(zi) OVER (PARTITION BY cell) <= 20
+        "q155_ground_filter": """
+            WITH p AS (
+                SELECT (o.o_orderkey * 7 + i.i * 13) % 10000 AS xi,
+                       (o.o_orderkey * 11 + i.i * 17) % 10000 AS yi,
+                       (o.o_orderkey * 3 + i.i * 5) % 500 AS zi
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 223 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) i),
+            c AS (
+                SELECT xi // 500 AS cell_x, zi,
+                       zi - MIN(zi) OVER (PARTITION BY xi // 500,
+                                          yi // 500) AS dz
+                FROM p)
+            SELECT cell_x,
+                   CAST(SUM(CASE WHEN dz <= 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ground,
+                   CAST(COUNT(*) AS BIGINT) AS n_pts
+            FROM c GROUP BY cell_x ORDER BY cell_x
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
