@@ -2611,6 +2611,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["cell_x", "n_ground", "n_pts"]] \
             .sort_values("cell_x").reset_index(drop=True)
 
+    def q156_zorder_pruned_scan(sf):  # persisted z-index, pruned read
+        """The persisted half of q149: footprints written ONCE as a
+        Morton-SORTED parquet with small row groups; a bbox query
+        turns into key ranges (kernels/zorder.py), the scan reads ONLY
+        row groups whose [min, max] key statistics intersect a range
+        (asserted: touched row groups < total), then decode-re-verify
+        removes the over-cover. This is the 100 TB pruning path made
+        concrete: range cover → row-group statistics → partial read."""
+        import pyarrow.parquet as pq
+
+        from hand_index_ray.kernels import zorder as z
+
+        root = _cache_dir("zidx", os.path.basename(os.path.normpath(sf)))
+        fp = os.path.join(root, "zsorted.parquet")
+        if not os.path.exists(fp):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = keys[keys % 2 == 0].astype(np.int64)
+            x = (keys * 29) % 1024
+            y = (keys * 37) % 1024
+            mk = z.encode(x, y).astype(np.int64)
+            order = np.argsort(mk, kind="stable")
+            tbl = pa.table({"mk": pa.array(mk[order], pa.int64()),
+                            "k": pa.array(keys[order], pa.int64())})
+            tmp = fp + ".tmp"
+            pq.write_table(tbl, tmp, row_group_size=128)
+            os.replace(tmp, fp)
+
+        X0, Y0, X1, Y1 = 100, 50, 420, 300
+        ranges = z.bbox_ranges(X0, Y0, X1, Y1, 10, max_ranges=32)
+        f = pq.ParquetFile(fp)
+        touched = []
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(0).statistics
+            lo, hi = st.min, st.max
+            # row group intersects any range?
+            i = np.searchsorted(ranges[:, 0], hi, side="right") - 1
+            if (i >= 0 and ranges[i, 1] >= lo) or \
+               (i + 1 < len(ranges) and ranges[i + 1, 0] <= hi):
+                touched.append(rg)
+        assert 0 < len(touched) < f.metadata.num_row_groups, \
+            (len(touched), f.metadata.num_row_groups)
+        t = f.read_row_groups(touched)
+        mk = t.column("mk").to_numpy()
+        cand = z.keys_in_ranges(mk, ranges)
+        dx, dy = z.decode(mk[cand].astype(np.uint64))
+        keep = (dx >= X0) & (dx <= X1) & (dy >= Y0) & (dy <= Y1)
+        kk = t.column("k").to_numpy()[cand][keep]
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "k_sum": [int(kk.sum())],
+                             "key_sum": [int(mk[cand][keep].sum())]})
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2788,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q153_geojsonseq": q153_geojsonseq,
         "q154_las_catchment_join": q154_las_catchment_join,
         "q155_ground_filter": q155_ground_filter,
+        "q156_zorder_pruned_scan": q156_zorder_pruned_scan,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4156,6 +4209,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_ground,
                    CAST(COUNT(*) AS BIGINT) AS n_pts
             FROM c GROUP BY cell_x ORDER BY cell_x
+        """,
+        # q156: 10-bit interleave over the even orders keys, filtered
+        # by the coordinate bbox (the engine must reach the same rows
+        # through row-group-statistics pruning + decode re-verify)
+        "q156_zorder_pruned_scan": """
+            WITH g AS (
+                SELECT o_orderkey AS k,
+                       ((o_orderkey * 29) % 1024) AS x,
+                       ((o_orderkey * 37) % 1024) AS y
+                FROM orders WHERE o_orderkey % 2 = 0),
+            f AS (
+                SELECT k, x, y,
+                       (SELECT SUM(((x >> i.i) & 1) * (1 << (2 * i.i + 1))
+                                 + ((y >> i.i) & 1) * (1 << (2 * i.i)))
+                        FROM generate_series(0, 9) i(i)) AS mk
+                FROM g
+                WHERE x BETWEEN 100 AND 420 AND y BETWEEN 50 AND 300)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+                   CAST(COALESCE(SUM(mk), 0) AS BIGINT) AS key_sum
+            FROM f
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
