@@ -2663,6 +2663,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "k_sum": [int(kk.sum())],
                              "key_sum": [int(mk[cand][keep].sum())]})
 
+    def q157_las_to_dem(sf):  # point cloud → gridded DEM raster
+        """The gridding step that turns LiDAR into the DEMs the HAND
+        family consumes: per 500-unit cell floor-mean elevation from
+        the q151 LAS tiles (grouped partial sums — the only shuffle),
+        the 20×20 mean grid PACKED into a real GeoTIFF (nodata -1 for
+        empty cells), decoded back, and per-grid-row aggregates taken
+        from the DECODED raster — the oracle's floor-div groupby proves
+        grid + raster round-trip. Driver-side collect is the bounded
+        400-cell grid, never the points."""
+        from hand_index_ray.kernels.geotiff import (decode_geotiff,
+                                                    encode_geotiff)
+        from hand_index_ray.sources import las as laslib
+
+        q151_las_source(sf)
+        root = _cache_dir("las_src", os.path.basename(os.path.normpath(sf)))
+
+        def cells(t: pa.Table) -> pa.Table:
+            xi = t.column("xi").to_numpy()
+            yi = t.column("yi").to_numpy()
+            zi = t.column("zi").to_numpy()
+            return pa.table({"cx": pa.array(xi // 500, pa.int64()),
+                             "cy": pa.array(yi // 500, pa.int64()),
+                             "zi": pa.array(zi, pa.int64())})
+
+        ds = laslib.read_las(os.path.join(root, "tile_*.las"),
+                             shard_points=1024) \
+            .map_batches(cells, batch_format="pyarrow")
+        gridded = rel.grouped_agg(ds, ["cx", "cy"], sum_cols=["zi"]) \
+            .to_pandas()  # ≤ 400 rows: the grid, not the points
+        dem = np.full((20, 20), -1, np.int32)
+        cy = gridded.cy.to_numpy(np.int64)
+        cx = gridded.cx.to_numpy(np.int64)
+        dem[cy, cx] = (gridded.zi.to_numpy(np.int64)
+                       // gridded.n.to_numpy(np.int64)).astype(np.int32)
+        blob = encode_geotiff(dem, compression="deflate", predictor=2)
+        back, info = decode_geotiff(blob)
+        assert info["compression"] == "deflate"
+        assert np.array_equal(back, dem)
+        valid = back >= 0
+        return pd.DataFrame({
+            "gy": np.arange(20, dtype=np.int64),
+            "n_cells": valid.sum(axis=1).astype(np.int64),
+            "mean_sum": np.where(valid, back, 0).sum(axis=1)
+            .astype(np.int64)})
+
+    def q158_fir_decimate(sf):  # integer FIR low-pass + 4x decimation
+        """Audio downsampling (the resample stage of any speech
+        corpus): PCM16 clips (q35's WAV round-trip) convolved with the
+        integer taps [1,2,3,4,3,2,1] and decimated 4× — one
+        np.convolve per clip, valid region only, exact int64. Oracle:
+        a 7-term dot product over the sample formula at stride 4."""
+        from hand_index_ray.kernels.audio import decode_wav, encode_wav
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        taps = np.array([1, 2, 3, 4, 3, 2, 1], np.int64)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 197 == 0]
+            out_k, out_n, out_s, out_m = [], [], [], []
+            for k in keys:
+                n = 160 + int(k) % 120
+                i = np.arange(n, dtype=np.int64)
+                v = (int(k) * 13 + i * 31) % 2000 - 1000
+                blob = encode_wav(v / 32768.0, 16000, bits=16)
+                x, _rate = decode_wav(blob)
+                s = np.round(x * 32768.0).astype(np.int64)
+                y = np.convolve(s, taps[::-1], mode="valid")[::4]
+                out_k.append(int(k))
+                out_n.append(len(y))
+                out_s.append(int(y.sum()))
+                out_m.append(int(y.max()))
+            return pa.table({"o_orderkey": pa.array(out_k, pa.int64()),
+                             "n_out": pa.array(out_n, pa.int64()),
+                             "y_sum": pa.array(out_s, pa.int64()),
+                             "y_max": pa.array(out_m, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2841,6 +2921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_las_catchment_join": q154_las_catchment_join,
         "q155_ground_filter": q155_ground_filter,
         "q156_zorder_pruned_scan": q156_zorder_pruned_scan,
+        "q157_las_to_dem": q157_las_to_dem,
+        "q158_fir_decimate": q158_fir_decimate,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4230,6 +4312,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
                    CAST(COALESCE(SUM(mk), 0) AS BIGINT) AS key_sum
             FROM f
+        """,
+        # q157: per-cell floor-mean from the q151 point formulas; the
+        # left join against the full row series keeps empty DEM rows
+        "q157_las_to_dem": """
+            WITH p AS (
+                SELECT (o.o_orderkey * 7 + i.i * 13) % 10000 AS xi,
+                       (o.o_orderkey * 11 + i.i * 17) % 10000 AS yi,
+                       (o.o_orderkey * 3 + i.i * 5) % 500 AS zi
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 223 = 0) o
+                CROSS JOIN (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) i),
+            c AS (
+                SELECT xi // 500 AS cx, yi // 500 AS cy,
+                       CAST(SUM(zi) AS BIGINT) // COUNT(*) AS mean_z
+                FROM p GROUP BY cx, cy)
+            SELECT g.gy,
+                   CAST(COUNT(c.cy) AS BIGINT) AS n_cells,
+                   CAST(COALESCE(SUM(c.mean_z), 0) AS BIGINT) AS mean_sum
+            FROM (SELECT generate_series AS gy
+                  FROM generate_series(0, 19)) g
+            LEFT JOIN c ON c.cy = g.gy
+            GROUP BY g.gy ORDER BY g.gy
+        """,
+        # q158: the PCM16 roundtrip is exact, so each decimated output
+        # is a 7-term dot product over the sample formula at stride 4
+        # (valid region: 4t+6 <= n-1)
+        "q158_fir_decimate": """
+            WITH ks AS (
+                SELECT o_orderkey AS k, 160 + o_orderkey % 120 AS n
+                FROM orders WHERE o_orderkey % 197 = 0),
+            y AS (
+                SELECT k,
+                       1 * ((k*13 + (4*t.t + 0) * 31) % 2000 - 1000)
+                     + 2 * ((k*13 + (4*t.t + 1) * 31) % 2000 - 1000)
+                     + 3 * ((k*13 + (4*t.t + 2) * 31) % 2000 - 1000)
+                     + 4 * ((k*13 + (4*t.t + 3) * 31) % 2000 - 1000)
+                     + 3 * ((k*13 + (4*t.t + 4) * 31) % 2000 - 1000)
+                     + 2 * ((k*13 + (4*t.t + 5) * 31) % 2000 - 1000)
+                     + 1 * ((k*13 + (4*t.t + 6) * 31) % 2000 - 1000)
+                       AS y
+                FROM ks CROSS JOIN (SELECT generate_series AS t
+                                    FROM generate_series(0, 100)) t
+                WHERE 4 * t.t + 6 <= n - 1)
+            SELECT k AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_out,
+                   CAST(SUM(y) AS BIGINT) AS y_sum,
+                   CAST(MAX(y) AS BIGINT) AS y_max
+            FROM y GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
