@@ -2743,6 +2743,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q159_reclassify(sf):  # raster reclass via lookup table
+        """Raster reclassification (land-cover / flood-class maps):
+        decoded GeoTIFF values mapped through a 256-entry LUT (one
+        vectorized gather per raster — class = value bucket), per-
+        (raster, class) pixel counts and value sums. Oracle: the same
+        buckets as a CASE expression."""
+        from hand_index_ray.kernels.geotiff import decode_geotiff
+
+        ds = _terrain_blobs(sf, 163, 36, 27, 9, 7, 5, 256,
+                            compression="lzw", predictor=2)
+        # LUT: 0-63→0, 64-127→1, 128-191→2, 192-223→3, 224-255→4
+        lut = np.zeros(256, np.int64)
+        lut[64:128] = 1; lut[128:192] = 2
+        lut[192:224] = 3; lut[224:] = 4
+
+        def fn(t: pa.Table) -> pa.Table:
+            ks, cls, cnt, vs = [], [], [], []
+            for i in range(t.num_rows):
+                k = t.column("o_orderkey")[i].as_py()
+                arr, _ = decode_geotiff(t.column("bytes")[i].as_py())
+                c = lut[arr.astype(np.int64)]
+                for cid in np.unique(c):
+                    m = c == cid
+                    ks.append(k); cls.append(int(cid))
+                    cnt.append(int(m.sum()))
+                    vs.append(int(arr.astype(np.int64)[m].sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "cls": pa.array(cls, pa.int64()),
+                             "n_px": pa.array(cnt, pa.int64()),
+                             "v_sum": pa.array(vs, pa.int64())})
+
+        df = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "cls"]).reset_index(drop=True)
+
+    def q160_dem_difference(sf):  # DEM of difference (two epochs)
+        """Change detection between two raster epochs (the
+        geomorphologist's 'DEM of difference'): epoch A and B rasters
+        per key decode independently, the per-pixel signed difference
+        splits into erosion (negative) and deposition (positive)
+        volumes plus unchanged-pixel counts. Both epochs ride the same
+        GeoTIFF codec; the oracle differences the two formulas."""
+        from hand_index_ray.kernels.geotiff import (decode_geotiff,
+                                                    encode_geotiff)
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(22, dtype=np.int64),
+                             np.arange(30, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 167 == 0]
+            ks, dep, ero, unch = [], [], [], []
+            for k in keys:
+                k = int(k)
+                a = (k * 7 + xx * 5 + yy * 9) % 211
+                b = (k * 3 + xx * 11 + yy * 2) % 211
+                da, _ = decode_geotiff(encode_geotiff(
+                    a.astype(np.int32), compression="deflate", predictor=2))
+                db, _ = decode_geotiff(encode_geotiff(
+                    b.astype(np.int32), compression="lzw", predictor=2))
+                d = db.astype(np.int64) - da.astype(np.int64)
+                ks.append(k)
+                dep.append(int(d[d > 0].sum()))
+                ero.append(int(-d[d < 0].sum()))
+                unch.append(int((d == 0).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "deposition": pa.array(dep, pa.int64()),
+                             "erosion": pa.array(ero, pa.int64()),
+                             "n_same": pa.array(unch, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2923,6 +2996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_zorder_pruned_scan": q156_zorder_pruned_scan,
         "q157_las_to_dem": q157_las_to_dem,
         "q158_fir_decimate": q158_fir_decimate,
+        "q159_reclassify": q159_reclassify,
+        "q160_dem_difference": q160_dem_difference,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4360,6 +4435,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(y) AS BIGINT) AS y_sum,
                    CAST(MAX(y) AS BIGINT) AS y_max
             FROM y GROUP BY k ORDER BY k
+        """,
+        # q159: the LUT buckets as a CASE over the pixel formula
+        "q159_reclassify": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 9 + x.x * 7 + y.y * 5) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 163 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 35)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 26)) y),
+            c AS (
+                SELECT k, v,
+                       CASE WHEN v < 64 THEN 0 WHEN v < 128 THEN 1
+                            WHEN v < 192 THEN 2 WHEN v < 224 THEN 3
+                            ELSE 4 END AS cls
+                FROM px)
+            SELECT k AS o_orderkey, CAST(cls AS BIGINT) AS cls,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS v_sum
+            FROM c GROUP BY k, cls ORDER BY k, cls
+        """,
+        # q160: signed difference of the two epoch formulas
+        "q160_dem_difference": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 3 + x.x * 11 + y.y * 2) % 211
+                       - (o.o_orderkey * 7 + x.x * 5 + y.y * 9) % 211 AS d
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 167 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 29)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 21)) y)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+                       AS deposition,
+                   CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT)
+                       AS erosion,
+                   CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_same
+            FROM px GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -120,6 +120,24 @@ def main(argv: list[str] | None = None) -> int:
                         "(steps.Pipeline.from_spec; JSON spec file)")
     pl.add_argument("--spec", required=True, help="path to the JSON spec")
 
+    mv = sub.add_parser("export-mvt", help="export a geometry table as "
+                        "Mapbox Vector Tiles (one .mvt per grid tile)")
+    mv.add_argument("--catchments", required=True,
+                    help="parquet with (geometry WKB, id)")
+    mv.add_argument("--out-dir", required=True)
+    mv.add_argument("--grid", type=int, default=8,
+                    help="N×N tile grid over the collection bbox")
+    mv.add_argument("--extent", type=int, default=4096)
+    mv.add_argument("--id-col", default="catchment_id")
+
+    gl = sub.add_parser("grid-las", help="grid LAS point elevations to a "
+                        "floor-mean DEM GeoTIFF")
+    gl.add_argument("--las", required=True, help="LAS file or glob")
+    gl.add_argument("--out", required=True, help="output .tif path")
+    gl.add_argument("--cell-size", type=int, default=500)
+    gl.add_argument("--width", type=int, default=0)
+    gl.add_argument("--height", type=int, default=0)
+
     cu = sub.add_parser("curate", help="corpus curation: token filter -> "
                         "normalize -> prefix-fp dedup -> split -> "
                         "hive-partitioned write")
@@ -255,6 +273,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"sink": result}))
         else:
             print(json.dumps({"rows": result.count()}))
+    elif args.cmd == "export-mvt":
+        import ray.data
+
+        from .pipelines.vector_tiles import export_mvt
+
+        ds = ray.data.read_parquet(args.catchments)
+        manifest = export_mvt(ds, args.out_dir, id_col=args.id_col,
+                              grid=args.grid, extent=args.extent)
+        print(json.dumps({"tiles": len(manifest),
+                          "features": int(manifest.n_features.sum()),
+                          "out_dir": args.out_dir}))
+    elif args.cmd == "grid-las":
+        from .pipelines.pointcloud import grid_las
+
+        print(json.dumps(grid_las(args.las, args.out,
+                                  cell_size=args.cell_size,
+                                  width=args.width, height=args.height)))
     elif args.cmd == "curate":
         import ray.data
 
