@@ -2816,6 +2816,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q161_inundation(sf):  # FIM: hydrotable stage → depth raster
+        """Flood-inundation mapping — the reference's end product
+        (hydrotable stage lookup + HAND thresholding,
+        query_geojson.py semantics): per catchment a synthetic
+        relative-elevation raster rides the GeoTIFF codec, the
+        forecast discharge interpolates INTEGER stage from a
+        piecewise-linear hydrotable (floor arithmetic, bracketing
+        breakpoint), and depth = max(0, stage - hand) yields flooded
+        pixel counts + depth volumes. Oracle: the same bracketing +
+        interpolation in SQL."""
+        from hand_index_ray.kernels.geotiff import (decode_geotiff,
+                                                    encode_geotiff)
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(18, dtype=np.int64),
+                             np.arange(24, dtype=np.int64), indexing="ij")
+        jj = np.arange(10, dtype=np.int64)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 179 == 0]
+            ks, stages, nf, dsum = [], [], [], []
+            for k in keys:
+                k = int(k)
+                hand = (k * 5 + xx * 3 + yy * 7) % 97
+                hv, _ = decode_geotiff(encode_geotiff(
+                    hand.astype(np.int32), compression="deflate",
+                    predictor=2))
+                a = 3 + k % 5
+                dis = jj * jj * a + jj          # monotone breakpoints
+                stg = jj * 12
+                q = (k * 37) % int(dis[-1])     # within table range
+                j = int(np.searchsorted(dis, q, side="right") - 1)
+                stage = int(stg[j] + (q - dis[j]) * 12
+                            // (dis[j + 1] - dis[j]))
+                depth = stage - hv.astype(np.int64)
+                ks.append(k)
+                stages.append(stage)
+                nf.append(int((depth > 0).sum()))
+                dsum.append(int(depth[depth > 0].sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "stage": pa.array(stages, pa.int64()),
+                             "n_flooded": pa.array(nf, pa.int64()),
+                             "depth_sum": pa.array(dsum, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -2998,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_fir_decimate": q158_fir_decimate,
         "q159_reclassify": q159_reclassify,
         "q160_dem_difference": q160_dem_difference,
+        "q161_inundation": q161_inundation,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4478,6 +4527,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_same
             FROM px GROUP BY k ORDER BY k
+        """,
+        # q161: bracketing breakpoint j = MAX(j) with dis_j <= Q, then
+        # integer interpolation and the depth threshold per pixel
+        "q161_inundation": """
+            WITH ks AS (
+                SELECT o_orderkey AS k, 3 + o_orderkey % 5 AS a
+                FROM orders WHERE o_orderkey % 179 = 0),
+            ht AS (
+                SELECT ks.k, ks.a, j.j,
+                       j.j * j.j * ks.a + j.j AS dis, j.j * 12 AS stg
+                FROM ks CROSS JOIN (SELECT generate_series AS j
+                                    FROM generate_series(0, 9)) j),
+            qq AS (
+                SELECT k, a, (k * 37) % (81 * a + 9) AS q FROM ks),
+            br AS (
+                SELECT qq.k, qq.q, MAX(ht.j) AS j
+                FROM qq JOIN ht ON ht.k = qq.k AND ht.dis <= qq.q
+                GROUP BY qq.k, qq.q),
+            st AS (
+                SELECT br.k,
+                       lo.stg + (br.q - lo.dis) * 12 // (hi.dis - lo.dis)
+                           AS stage
+                FROM br
+                JOIN ht lo ON lo.k = br.k AND lo.j = br.j
+                JOIN ht hi ON hi.k = br.k AND hi.j = br.j + 1),
+            px AS (
+                SELECT st.k, st.stage,
+                       st.stage - (st.k * 5 + x.x * 3 + y.y * 7) % 97
+                           AS depth
+                FROM st
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 23)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 17)) y)
+            SELECT k AS o_orderkey, CAST(stage AS BIGINT) AS stage,
+                   CAST(SUM(CASE WHEN depth > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flooded,
+                   CAST(SUM(CASE WHEN depth > 0 THEN depth ELSE 0 END)
+                        AS BIGINT) AS depth_sum
+            FROM px GROUP BY k, stage ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
