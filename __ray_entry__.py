@@ -2864,6 +2864,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q162_corner_nms(sf):  # keypoint response + 3×3 non-max suppression
+        """Keypoint detection core (Harris/FAST-style): an integer
+        corner response per interior pixel (|gx|·|gy| of central
+        differences — strong at orthogonal edges), then 3×3
+        NON-MAX SUPPRESSION: a pixel survives only if its response
+        STRICTLY exceeds all 8 neighbors. Vectorized as shifted
+        slices; per-image keypoint count + response sum. Oracle: the
+        9-way strict comparison in SQL."""
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 20, 26
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def resp(k):
+            v = (k * 7 + xx * xx * 3 + yy * yy * 5 + xx * yy) % 151
+            gx = np.abs(v[1:-1, 2:] - v[1:-1, :-2])
+            gy = np.abs(v[2:, 1:-1] - v[:-2, 1:-1])
+            return gx * gy  # (H-2, W-2)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 193 == 0]
+            ks, nk, rs = [], [], []
+            for k in keys:
+                r = resp(int(k))
+                c = r[1:-1, 1:-1]
+                peak = np.ones_like(c, bool)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        peak &= c > r[1 + dy:r.shape[0] - 1 + dy,
+                                      1 + dx:r.shape[1] - 1 + dx]
+                ks.append(int(k))
+                nk.append(int(peak.sum()))
+                rs.append(int(c[peak].sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "n_keypoints": pa.array(nk, pa.int64()),
+                             "resp_sum": pa.array(rs, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q163_palette_quantize(sf):  # nearest-palette color quantization
+        """Color quantization to a fixed 8-entry palette (integer
+        squared-distance argmin, first-wins tie-break) — the
+        preprocessing step of palette-PNG export and perceptual
+        bucketing. Per (image, palette-entry) pixel counts + distance
+        sums. Oracle: the 8 candidate distances with a first-min
+        ROW_NUMBER."""
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 16, 22
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+        pal = np.stack([(np.arange(8) * 36) % 256,
+                        (np.arange(8) * 52 + 17) % 256,
+                        (np.arange(8) * 77 + 5) % 256], axis=1) \
+            .astype(np.int64)  # (8, 3)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 181 == 0]
+            ks, pe, cnt, dsums = [], [], [], []
+            for k in keys:
+                k = int(k)
+                r = (k * 3 + xx * 7 + yy * 11) % 256
+                g = (k * 5 + xx * 13 + yy * 3) % 256
+                b = (k * 11 + xx * 2 + yy * 17) % 256
+                px = np.stack([r, g, b], axis=-1).reshape(-1, 3)
+                d = ((px[:, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
+                best = np.argmin(d, axis=1)  # first-min tie-break
+                bd = d[np.arange(len(px)), best]
+                for e in np.unique(best):
+                    m = best == e
+                    ks.append(k); pe.append(int(e))
+                    cnt.append(int(m.sum())); dsums.append(int(bd[m].sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "entry": pa.array(pe, pa.int64()),
+                             "n_px": pa.array(cnt, pa.int64()),
+                             "d_sum": pa.array(dsums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "entry"]).reset_index(drop=True)
+
+    def q164_template_match(sf):  # integer cross-correlation argmax
+        """Template matching (integer cross-correlation — the
+        registration primitive behind tile alignment and QC): a 3×3
+        per-image template slides over the image, best position =
+        max score with row-major first-wins tie-break. Vectorized as
+        9 shifted-slice multiply-adds. Oracle: 9-term score over all
+        positions + ROW_NUMBER(score DESC, y, x)."""
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 20, 24
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 191 == 0]
+            ks, bx, by, bs = [], [], [], []
+            for k in keys:
+                k = int(k)
+                img = (k * 3 + xx * 13 + yy * 7) % 64
+                tpl = np.array([[(k * 5 + i * 3 + j * 11) % 9
+                                 for j in range(3)] for i in range(3)],
+                               np.int64)
+                score = np.zeros((H - 2, W - 2), np.int64)
+                for i in range(3):
+                    for j in range(3):
+                        score += tpl[i, j] * img[i:i + H - 2, j:j + W - 2]
+                pos = int(np.argmax(score))  # row-major first max
+                ks.append(k)
+                by.append(pos // (W - 2))
+                bx.append(pos % (W - 2))
+                bs.append(int(score.ravel()[pos]))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "best_x": pa.array(bx, pa.int64()),
+                             "best_y": pa.array(by, pa.int64()),
+                             "best_score": pa.array(bs, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3047,6 +3170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_reclassify": q159_reclassify,
         "q160_dem_difference": q160_dem_difference,
         "q161_inundation": q161_inundation,
+        "q162_corner_nms": q162_corner_nms,
+        "q163_palette_quantize": q163_palette_quantize,
+        "q164_template_match": q164_template_match,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4567,6 +4693,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN depth > 0 THEN depth ELSE 0 END)
                         AS BIGINT) AS depth_sum
             FROM px GROUP BY k, stage ORDER BY k
+        """,
+        # q162: response r = |dx|*|dy| of the formula grid; NMS keeps
+        # strict 8-neighborhood maxima (NOT EXISTS a >= neighbor)
+        "q162_corner_nms": """
+            WITH v AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 7 + x.x * x.x * 3
+                        + y.y * y.y * 5 + x.x * y.y) % 151 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 193 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 25)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 19)) y),
+            r AS (
+                SELECT a.k, a.x, a.y,
+                       ABS(r1.v - l1.v) * ABS(d1.v - u1.v) AS r
+                FROM v a
+                JOIN v r1 ON r1.k = a.k AND r1.x = a.x + 1 AND r1.y = a.y
+                JOIN v l1 ON l1.k = a.k AND l1.x = a.x - 1 AND l1.y = a.y
+                JOIN v d1 ON d1.k = a.k AND d1.x = a.x AND d1.y = a.y + 1
+                JOIN v u1 ON u1.k = a.k AND u1.x = a.x AND u1.y = a.y - 1
+                WHERE a.x BETWEEN 1 AND 24 AND a.y BETWEEN 1 AND 18),
+            peaks AS (
+                SELECT c.k, c.r FROM r c
+                WHERE c.x BETWEEN 2 AND 23 AND c.y BETWEEN 2 AND 17
+                  AND NOT EXISTS (
+                      SELECT 1 FROM r n
+                      WHERE n.k = c.k
+                        AND ABS(n.x - c.x) <= 1 AND ABS(n.y - c.y) <= 1
+                        AND NOT (n.x = c.x AND n.y = c.y)
+                        AND n.r >= c.r))
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_keypoints,
+                   CAST(COALESCE(SUM(r), 0) AS BIGINT) AS resp_sum
+            FROM peaks GROUP BY k ORDER BY k
+        """,
+        # q163: squared-distance argmin over the 8 palette formulas,
+        # first-wins tie-break via ROW_NUMBER ordered (d, e)
+        "q163_palette_quantize": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 3 + x.x * 7 + y.y * 11) % 256 AS r,
+                       (o.o_orderkey * 5 + x.x * 13 + y.y * 3) % 256 AS g,
+                       (o.o_orderkey * 11 + x.x * 2 + y.y * 17) % 256 AS b
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 181 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 21)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 15)) y),
+            d AS (
+                SELECT px.k, px.x, px.y, e.e,
+                       (px.r - (e.e * 36) % 256) * (px.r - (e.e * 36) % 256)
+                     + (px.g - (e.e * 52 + 17) % 256)
+                       * (px.g - (e.e * 52 + 17) % 256)
+                     + (px.b - (e.e * 77 + 5) % 256)
+                       * (px.b - (e.e * 77 + 5) % 256) AS d,
+                       ROW_NUMBER() OVER (PARTITION BY px.k, px.x, px.y
+                                          ORDER BY (px.r - (e.e*36)%256)
+                                          * (px.r - (e.e*36)%256)
+                                          + (px.g - (e.e*52+17)%256)
+                                          * (px.g - (e.e*52+17)%256)
+                                          + (px.b - (e.e*77+5)%256)
+                                          * (px.b - (e.e*77+5)%256),
+                                          e.e) AS rn
+                FROM px CROSS JOIN (SELECT generate_series AS e
+                                    FROM generate_series(0, 7)) e)
+            SELECT k AS o_orderkey, CAST(e AS BIGINT) AS entry,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(d) AS BIGINT) AS d_sum
+            FROM d WHERE rn = 1
+            GROUP BY k, e ORDER BY k, e
+        """,
+        # q164: score at (px, py) = Σ tpl(i,j)·img(px+j, py+i); argmax
+        # with row-major first-wins = ROW_NUMBER(score DESC, py, px)
+        "q164_template_match": """
+            WITH ks AS (
+                SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 191 = 0),
+            pos AS (
+                SELECT ks.k, px.px, py.py,
+                       (SELECT SUM(((ks.k * 5 + i.i * 3
+                                     + j.j * 11) % 9)
+                                   * ((ks.k * 3 + (px.px + j.j) * 13
+                                       + (py.py + i.i) * 7) % 64))
+                        FROM generate_series(0, 2) i(i),
+                             generate_series(0, 2) j(j)) AS score
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS px
+                            FROM generate_series(0, 21)) px
+                CROSS JOIN (SELECT generate_series AS py
+                            FROM generate_series(0, 17)) py),
+            best AS (
+                SELECT k, px, py, score,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                                          ORDER BY score DESC, py, px)
+                           AS rn
+                FROM pos)
+            SELECT k AS o_orderkey, CAST(px AS BIGINT) AS best_x,
+                   CAST(py AS BIGINT) AS best_y,
+                   CAST(score AS BIGINT) AS best_score
+            FROM best WHERE rn = 1 ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
