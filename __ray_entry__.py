@@ -2987,6 +2987,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q165_pii_redact(sf):  # PII scrub: count + redact emails
+        """Curation-time PII scrubbing over the documents table:
+        emails (injected deterministically per doc so the corpus has
+        known PII) are counted and replaced with a placeholder —
+        ALL-Arrow kernels (count_substring_regex /
+        replace_substring_regex, RE2 — the same engine DuckDB uses,
+        so redacted lengths compare exactly)."""
+        docs = _t(sf, "documents").select_columns(["doc_id", "text"])
+        pat = r"[A-Za-z0-9_.]+@[A-Za-z0-9]+\.[A-Za-z]{2,4}"
+
+        def gen(t: pa.Table) -> pa.Table:
+            idn = t.column("doc_id").to_numpy()
+            t = t.filter(pa.array(idn % 5 == 0))
+            idn = t.column("doc_id").to_numpy()
+            ids = t.column("doc_id")
+            txt = pc.binary_join_element_wise(
+                t.column("text"),
+                pc.binary_join_element_wise(
+                    pa.array(["contact u"] * t.num_rows),
+                    pc.cast(ids, pa.string()),
+                    pa.array(["@ex"] * t.num_rows),
+                    pa.array((idn % 7).astype("U"), pa.string()),
+                    pa.array([".com now"] * t.num_rows), ""),
+                " ")
+            n = pc.count_substring_regex(txt, pat)
+            red = pc.replace_substring_regex(txt, pat, "<EMAIL>")
+            return pa.table({"doc_id": ids,
+                             "n_matches": pc.cast(n, pa.int64()),
+                             "red_len": pc.cast(
+                                 pc.utf8_length(red), pa.int64())})
+
+        df = docs.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3173,6 +3207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_corner_nms": q162_corner_nms,
         "q163_palette_quantize": q163_palette_quantize,
         "q164_template_match": q164_template_match,
+        "q165_pii_redact": q165_pii_redact,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4796,6 +4831,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(py AS BIGINT) AS best_y,
                    CAST(score AS BIGINT) AS best_score
             FROM best WHERE rn = 1 ORDER BY k
+        """,
+        # q165: same RE2 pattern; DuckDB len() over extract_all for
+        # the count, regexp_replace(..., 'g') for the redaction
+        "q165_pii_redact": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com now' AS t2
+                FROM documents WHERE doc_id % 5 = 0)
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(t2,
+                        '[A-Za-z0-9_.]+@[A-Za-z0-9]+\\.[A-Za-z]{2,4}'))
+                        AS BIGINT) AS n_matches,
+                   CAST(LENGTH(regexp_replace(t2,
+                        '[A-Za-z0-9_.]+@[A-Za-z0-9]+\\.[A-Za-z]{2,4}',
+                        '<EMAIL>', 'g')) AS BIGINT) AS red_len
+            FROM d ORDER BY doc_id
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
