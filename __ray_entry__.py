@@ -3021,6 +3021,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = docs.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q166_validity_check(sf):  # geometry QC: self-intersection scan
+        """Ingest-time geometry validation (every real vector corpus
+        carries bowties/self-touches that break area/clip kernels
+        downstream): a vectorized non-adjacent-edge proper-crossing
+        test per ring (geom.ring_is_simple) flags invalid geometries.
+        The fixture plants bowties at a known rule (k%3=0 swaps two
+        vertices), so the oracle labels by construction while the
+        ENGINE must find them geometrically. Per-zone valid/invalid
+        counts + valid bbox area sum."""
+        from hand_index_ray.kernels import geom as geomlib
+        from hand_index_ray.kernels import wkb as wkblib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 157 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"zone": pa.array([], pa.int64()),
+                                 "n_valid": pa.array([], pa.int64()),
+                                 "n_invalid": pa.array([], pa.int64()),
+                                 "area_sum": pa.array([], pa.int64())})
+            geoms = []
+            for k in keys:
+                k = int(k)
+                x0 = float((k * 7) % 300)
+                y0 = float((k * 11) % 300)
+                s = float(1 + k % 5)
+                if k % 3 == 0:  # bowtie: diagonal vertex order
+                    ring = np.array([[x0, y0], [x0 + s, y0 + s],
+                                     [x0 + s, y0], [x0, y0 + s],
+                                     [x0, y0]])
+                else:
+                    ring = np.array([[x0, y0], [x0 + s, y0],
+                                     [x0 + s, y0 + s], [x0, y0 + s],
+                                     [x0, y0]])
+                geoms.append([[ring]])
+            rag = wkblib.decode(wkblib.encode(wkblib.from_parts(geoms)))
+            ok = geomlib.simple_flags(rag)
+            s = 1 + keys % 5
+            area = np.where(ok, s * s, 0).astype(np.int64)
+            zone = keys % 4
+            return pa.table({"zone": pa.array(zone, pa.int64()),
+                             "n_valid": pa.array(ok.astype(np.int64)),
+                             "n_invalid": pa.array((~ok).astype(np.int64)),
+                             "area_sum": pa.array(area, pa.int64())})
+
+        agg = rel.grouped_agg(
+            orders.map_batches(gen, batch_format="pyarrow"),
+            ["zone"], sum_cols=["n_valid", "n_invalid", "area_sum"],
+            count=False)
+        return agg.to_pandas()[["zone", "n_valid", "n_invalid",
+                                "area_sum"]].sort_values("zone") \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3208,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_palette_quantize": q163_palette_quantize,
         "q164_template_match": q164_template_match,
         "q165_pii_redact": q165_pii_redact,
+        "q166_validity_check": q166_validity_check,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4849,6 +4905,21 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z0-9_.]+@[A-Za-z0-9]+\\.[A-Za-z]{2,4}',
                         '<EMAIL>', 'g')) AS BIGINT) AS red_len
             FROM d ORDER BY doc_id
+        """,
+        # q166: the construction rule labels validity (bowtie when
+        # k%3=0) — the engine must reach the same labels by geometry
+        "q166_validity_check": """
+            SELECT o_orderkey % 4 AS zone,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 <> 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_invalid,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 <> 0
+                            THEN (1 + o_orderkey % 5) * (1 + o_orderkey % 5)
+                            ELSE 0 END) AS BIGINT) AS area_sum
+            FROM orders WHERE o_orderkey % 157 = 0
+            GROUP BY zone ORDER BY zone
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -959,3 +959,45 @@ def simplify(r: Ragged, tol: float) -> Ragged:
             parts.append(rings)
         geoms.append(parts)
     return from_parts(geoms)
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """Self-intersection test: True iff no two NON-ADJACENT edges of
+    the ring properly cross (shared endpoints of neighboring edges are
+    not crossings). O(E²) pairwise orientations, fully vectorized —
+    validity QC runs per catalog geometry, not per pixel."""
+    p = _open_ring(np.asarray(ring, dtype=np.float64))
+    n = len(p)
+    if n < 4:
+        return True
+    a1 = p
+    a2 = np.roll(p, -1, axis=0)
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))  # wrap-adjacent pair
+    i, j = i[keep], j[keep]
+    if len(i) == 0:
+        return True
+
+    def orient(pp, qq, rr):
+        return ((qq[:, 0] - pp[:, 0]) * (rr[:, 1] - pp[:, 1])
+                - (qq[:, 1] - pp[:, 1]) * (rr[:, 0] - pp[:, 0]))
+
+    d1 = orient(a1[j], a2[j], a1[i])
+    d2 = orient(a1[j], a2[j], a2[i])
+    d3 = orient(a1[i], a2[i], a1[j])
+    d4 = orient(a1[i], a2[i], a2[j])
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    return not bool(proper.any())
+
+
+def simple_flags(r: Ragged) -> np.ndarray:
+    """Per-geometry validity flag: every ring of every part simple."""
+    out = np.ones(len(r), dtype=bool)
+    for g in range(len(r)):
+        gg = r.geom_slice(g)
+        for ri in range(len(gg.ring_coord_off) - 1):
+            ring = gg.coords[gg.ring_coord_off[ri]:gg.ring_coord_off[ri + 1]]
+            if not ring_is_simple(ring):
+                out[g] = False
+                break
+    return out
