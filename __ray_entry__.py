@@ -3076,6 +3076,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "area_sum"]].sort_values("zone") \
             .reset_index(drop=True)
 
+    def q167_gif_decode(sf):  # animated GIF ingest (LZW + palettes)
+        """Animated GIF ingest (kernels/gif.py — real LSB-first LZW,
+        per-frame LOCAL color tables, graphic-control delays): 3-frame
+        animations built from integer formulas decode through the
+        engine path; per-(image, frame) channel sums. The palette
+        gather + lossless LZW make the oracle pure formula algebra."""
+        from hand_index_ray.kernels import gif as giflib
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(14, dtype=np.int64),
+                             np.arange(18, dtype=np.int64), indexing="ij")
+        ii = np.arange(16, dtype=np.int64)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 251 == 0]
+            ks, fr, sums = [], [], []
+            for k in keys:
+                k = int(k)
+                frames = [((k + xx * 3 + yy * 5 + f * 7) % 16)
+                          .astype(np.uint8) for f in range(3)]
+                pals = [np.stack([(ii * 31 + f * 13 + 1) % 256,
+                                  (ii * 47 + f * 3) % 256,
+                                  (ii * 11 + f * 29 + 5) % 256],
+                                 axis=1).astype(np.uint8)
+                        for f in range(3)]
+                blob = giflib.encode_gif(frames, pals,
+                                         delays=[4, 4, 4])
+                assert imk.sniff_format(blob) == "gif"
+                dec, info = giflib.decode_gif(blob)
+                assert info["n_frames"] == 3
+                for f, img in enumerate(dec):
+                    ks.append(k)
+                    fr.append(f)
+                    sums.append(int(img.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "frame": pa.array(fr, pa.int64()),
+                             "px_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "frame"]) \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3264,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q164_template_match": q164_template_match,
         "q165_pii_redact": q165_pii_redact,
         "q166_validity_check": q166_validity_check,
+        "q167_gif_decode": q167_gif_decode,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4920,6 +4965,28 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS area_sum
             FROM orders WHERE o_orderkey % 157 = 0
             GROUP BY zone ORDER BY zone
+        """,
+        # q167: per frame f, pixel index i = (k + 3x + 5y + 7f) % 16
+        # gathered through the frame-f palette formulas
+        "q167_gif_decode": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k, f.f,
+                       (o.o_orderkey + x.x * 3 + y.y * 5 + f.f * 7) % 16
+                           AS i
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 251 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 17)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 13)) y
+                CROSS JOIN (SELECT generate_series AS f
+                            FROM generate_series(0, 2)) f)
+            SELECT k AS o_orderkey, f AS frame,
+                   CAST(SUM((i * 31 + f * 13 + 1) % 256
+                          + (i * 47 + f * 3) % 256
+                          + (i * 11 + f * 29 + 5) % 256) AS BIGINT)
+                       AS px_sum
+            FROM px GROUP BY k, f ORDER BY k, f
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -107,6 +107,13 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         if out.ndim == 2:  # grayscale JPEG → replicate to RGB contract
             out = np.repeat(out[:, :, None], 3, axis=2)
         return out
+    if fmt == "gif":
+        # real GIF89a (kernels/gif.py); first frame to the RGB contract
+        from . import gif as giflib
+        frames, _info = giflib.decode_gif(buf)
+        if not frames:
+            raise ValueError("GIF with no frames")
+        return frames[0]
     if fmt == "tif":
         # real GeoTIFF (kernels/geotiff.py); single band scaled to u8
         # and replicated to the RGB tile contract
@@ -148,6 +155,8 @@ def sniff_format(buf: bytes) -> "str | None":
         return "qjpg"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return "tif"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
