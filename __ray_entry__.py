@@ -3120,6 +3120,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["o_orderkey", "frame"]) \
             .reset_index(drop=True)
 
+    def q168_mixed_sniff(sf):  # untyped mixed-container ingest
+        """Real-corpus ingest: the SAME image ships in four containers
+        (24-bit BMP, RLE8 palette BMP, animated-capable GIF, palette
+        PNG) with NO format column — magic-byte sniffing routes each
+        payload to its from-spec decoder and all four must produce
+        identical pixels. Per-(image, container) channel sums; the
+        oracle computes one formula and fans it across containers."""
+        from hand_index_ray.kernels import bmp as bmplib
+        from hand_index_ray.kernels import gif as giflib
+        from hand_index_ray.kernels import image as imk
+        from hand_index_ray.kernels import png as pnglib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(12, dtype=np.int64),
+                             np.arange(16, dtype=np.int64), indexing="ij")
+        ii = np.arange(16, dtype=np.int64)
+        pal = np.stack([(ii * 29 + 3) % 256, (ii * 53 + 11) % 256,
+                        (ii * 71 + 1) % 256], axis=1).astype(np.uint8)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 257 == 0]
+            ks, fmts, sums = [], [], []
+            for k in keys:
+                k = int(k)
+                idx = ((k + xx * 2 + yy * 3) % 16).astype(np.uint8)
+                rgb = pal[idx]
+                blobs = {
+                    "bmp24": bmplib.encode_bmp(rgb),
+                    "bmp_rle": bmplib.encode_bmp(idx, palette=pal,
+                                                 rle=True),
+                    "gif": giflib.encode_gif(idx, pal),
+                    "png_pal": pnglib.encode(idx, palette=pal),
+                }
+                want = int(rgb.astype(np.int64).sum())
+                for name, blob in blobs.items():
+                    fmt = imk.sniff_format(blob)
+                    px = imk.decode(blob, fmt)
+                    s = int(px.astype(np.int64).sum())
+                    assert s == want, (name, s, want)
+                    ks.append(k)
+                    fmts.append(name)
+                    sums.append(s)
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "container": pa.array(fmts, pa.string()),
+                             "px_sum": pa.array(sums, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "container"]) \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3309,6 +3360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_pii_redact": q165_pii_redact,
         "q166_validity_check": q166_validity_check,
         "q167_gif_decode": q167_gif_decode,
+        "q168_mixed_sniff": q168_mixed_sniff,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4987,6 +5039,29 @@ def oracle_sql() -> dict[str, str]:
                           + (i * 11 + f * 29 + 5) % 256) AS BIGINT)
                        AS px_sum
             FROM px GROUP BY k, f ORDER BY k, f
+        """,
+        # q168: one formula sum fanned across the four containers (all
+        # four are lossless representations of the same palette image)
+        "q168_mixed_sniff": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey + x.x * 2 + y.y * 3) % 16 AS i
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 257 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 15)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 11)) y),
+            s AS (
+                SELECT k, CAST(SUM((i * 29 + 3) % 256
+                             + (i * 53 + 11) % 256
+                             + (i * 71 + 1) % 256) AS BIGINT) AS px_sum
+                FROM px GROUP BY k)
+            SELECT s.k AS o_orderkey, c.container, s.px_sum
+            FROM s CROSS JOIN (SELECT UNNEST(['bmp24', 'bmp_rle',
+                                              'gif', 'png_pal'])
+                               AS container) c
+            ORDER BY s.k, c.container
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

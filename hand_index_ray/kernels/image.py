@@ -107,6 +107,10 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         if out.ndim == 2:  # grayscale JPEG → replicate to RGB contract
             out = np.repeat(out[:, :, None], 3, axis=2)
         return out
+    if fmt == "bmp":
+        # real BMP (kernels/bmp.py): 24-bit, palette, RLE8
+        from . import bmp as bmplib
+        return bmplib.decode_bmp(buf)
     if fmt == "gif":
         # real GIF89a (kernels/gif.py); first frame to the RGB contract
         from . import gif as giflib
@@ -157,6 +161,8 @@ def sniff_format(buf: bytes) -> "str | None":
         return "tif"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
     return None
 
 
