@@ -3171,6 +3171,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["o_orderkey", "container"]) \
             .reset_index(drop=True)
 
+    def q169_zip_ingest(sf):  # archive-of-images corpus ingest
+        """Dataset-distribution realism: the corpus arrives as ZIP
+        archives of small image files (the standard download layout).
+        sources/archive.py shards by central-directory member ranges;
+        each member sniffs to its codec (PNG/BMP here), the key parses
+        from the member NAME (M8 path-extract pattern), and per-(key,
+        container) sums must match the single formula the oracle
+        computes."""
+        import zipfile as ziplib
+
+        from hand_index_ray.kernels import bmp as bmplib
+        from hand_index_ray.kernels import image as imk
+        from hand_index_ray.kernels import png as pnglib
+        from hand_index_ray.sources import archive as arclib
+
+        root = _cache_dir("zip_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        yy, xx = np.meshgrid(np.arange(10, dtype=np.int64),
+                             np.arange(14, dtype=np.int64), indexing="ij")
+        ii = np.arange(16, dtype=np.int64)
+        pal = np.stack([(ii * 19 + 7) % 256, (ii * 43 + 13) % 256,
+                        (ii * 61 + 2) % 256], axis=1).astype(np.uint8)
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 263 == 0]).astype(np.int64)
+            for part in range(2):
+                with ziplib.ZipFile(
+                        os.path.join(root, f"corpus_{part}.zip"),
+                        "w") as z:
+                    for k in keys[keys % 2 == part]:
+                        k = int(k)
+                        idx = ((k * 3 + xx + yy * 5) % 16) \
+                            .astype(np.uint8)
+                        z.writestr(f"img_{k}.png",
+                                   pnglib.encode(idx, palette=pal))
+                        z.writestr(f"img_{k}.bmp",
+                                   bmplib.encode_bmp(idx, palette=pal,
+                                                     rle=True))
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = arclib.read_archive(os.path.join(root, "corpus_*.zip"))
+
+        def feat(t: pa.Table) -> pa.Table:
+            ks, cont, sums = [], [], []
+            for i in range(t.num_rows):
+                name = t.column("name")[i].as_py()
+                blob = t.column("bytes")[i].as_py()
+                fmt = imk.sniff_format(blob)
+                px = imk.decode(blob, fmt)
+                ks.append(int(name.split("_")[1].split(".")[0]))
+                cont.append(fmt)
+                sums.append(int(px.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "container": pa.array(cont, pa.string()),
+                             "px_sum": pa.array(sums, pa.int64())})
+
+        df = ds.map_batches(feat, batch_format="pyarrow").to_pandas()
+        return df.sort_values(["o_orderkey", "container"]) \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3361,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_validity_check": q166_validity_check,
         "q167_gif_decode": q167_gif_decode,
         "q168_mixed_sniff": q168_mixed_sniff,
+        "q169_zip_ingest": q169_zip_ingest,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5060,6 +5123,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.k AS o_orderkey, c.container, s.px_sum
             FROM s CROSS JOIN (SELECT UNNEST(['bmp24', 'bmp_rle',
                                               'gif', 'png_pal'])
+                               AS container) c
+            ORDER BY s.k, c.container
+        """,
+        # q169: both members of each key are lossless palette images
+        # of the same formula; container = sniffed format name
+        "q169_zip_ingest": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 3 + x.x + y.y * 5) % 16 AS i
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 263 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 9)) y),
+            s AS (
+                SELECT k, CAST(SUM((i * 19 + 7) % 256
+                             + (i * 43 + 13) % 256
+                             + (i * 61 + 2) % 256) AS BIGINT) AS px_sum
+                FROM px GROUP BY k)
+            SELECT s.k AS o_orderkey, c.container, s.px_sum
+            FROM s CROSS JOIN (SELECT UNNEST(['bmp', 'png'])
                                AS container) c
             ORDER BY s.k, c.container
         """,
