@@ -3233,6 +3233,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["o_orderkey", "container"]) \
             .reset_index(drop=True)
 
+    def q170_webdataset(sf):  # tar-shard image+caption pairs (WebDataset)
+        """WebDataset ingest — the tar-shard (stem.png + stem.txt)
+        layout large image+caption corpora ship in. read_webdataset
+        groups adjacent same-stem members into ONE (key, png, txt)
+        row with blobs kept in Arrow; pixels decode through the
+        from-spec PNG codec and captions must equal the generator's
+        strings byte-for-byte (input_hint: caption equality per
+        row)."""
+        import io as iolib
+        import tarfile as tarlib
+
+        from hand_index_ray.kernels import image as imk
+        from hand_index_ray.kernels import png as pnglib
+        from hand_index_ray.sources import archive as arclib
+
+        root = _cache_dir("wds_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        yy, xx = np.meshgrid(np.arange(10, dtype=np.int64),
+                             np.arange(14, dtype=np.int64), indexing="ij")
+        ii = np.arange(16, dtype=np.int64)
+        pal = np.stack([(ii * 23 + 5) % 256, (ii * 47 + 9) % 256,
+                        (ii * 59 + 4) % 256], axis=1).astype(np.uint8)
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 269 == 0]).astype(np.int64)
+            for part in range(2):
+                with tarlib.open(os.path.join(root, f"shard_{part}.tar"),
+                                 "w") as tf:
+                    for k in keys[keys % 2 == part]:
+                        k = int(k)
+                        idx = ((k * 5 + xx * 2 + yy * 7) % 16) \
+                            .astype(np.uint8)
+                        for name, data in (
+                                (f"{k:012d}.png",
+                                 pnglib.encode(idx, palette=pal)),
+                                (f"{k:012d}.txt",
+                                 f"tile {k} of corpus".encode())):
+                            info = tarlib.TarInfo(name)
+                            info.size = len(data)
+                            tf.addfile(info, iolib.BytesIO(data))
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = arclib.read_webdataset(os.path.join(root, "shard_*.tar"),
+                                    shard_members=64)
+
+        def feat(t: pa.Table) -> pa.Table:
+            ks = [int(s) for s in t.column("key").to_pylist()]
+            caps = t.column("txt").cast(pa.string())
+            sums = []
+            for i in range(t.num_rows):
+                px = imk.decode(t.column("png")[i].as_py(), "png")
+                sums.append(int(px.astype(np.int64).sum()))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "px_sum": pa.array(sums, pa.int64()),
+                             "caption": caps})
+
+        df = ds.map_batches(feat, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3424,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q167_gif_decode": q167_gif_decode,
         "q168_mixed_sniff": q168_mixed_sniff,
         "q169_zip_ingest": q169_zip_ingest,
+        "q170_webdataset": q170_webdataset,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5147,6 +5209,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN (SELECT UNNEST(['bmp', 'png'])
                                AS container) c
             ORDER BY s.k, c.container
+        """,
+        # q170: lossless palette PNG ⇒ pixel sums re-derive from the
+        # generator formula; captions rebuild with string concat
+        "q170_webdataset": """
+            WITH px AS (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey * 5 + x.x * 2 + y.y * 7) % 16 AS i
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 269 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 9)) y)
+            SELECT k AS o_orderkey,
+                   CAST(SUM((i * 23 + 5) % 256 + (i * 47 + 9) % 256
+                          + (i * 59 + 4) % 256) AS BIGINT) AS px_sum,
+                   'tile ' || CAST(k AS VARCHAR) || ' of corpus'
+                       AS caption
+            FROM px GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -136,3 +136,56 @@ def read_archive(paths, *, shard_members: int = 1024,
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def read_webdataset(paths, *, shard_members: int = 1024,
+                    concurrency=(1, 16)) -> ray.data.Dataset:
+    """WebDataset-style paired-member reader: members sharing a stem
+    ("000123.png" + "000123.txt" + ...) group into ONE row
+    ``key | <ext>: bytes ...`` — the tar-shard convention large
+    image+caption corpora actually ship in. Stems must not straddle
+    shard boundaries for exactness; shards are member ranges rounded
+    to stem groups (zip: directory order; tar: archive order — the
+    WebDataset contract is that a sample's members are adjacent)."""
+    ds = read_archive(paths, shard_members=shard_members,
+                      concurrency=concurrency)
+
+    def group(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # names are tiny strings — parse them in Python; the (large)
+        # blobs never leave Arrow: each ext column is a take() of the
+        # original binary array by member index.
+        names = t.column("name").to_pylist()
+        stems, exts = [], []
+        for n in names:
+            base = n.rsplit("/", 1)[-1]
+            stem, _, ext = base.rpartition(".")
+            if not stem:
+                stem, ext = base, ""
+            stems.append(stem)
+            exts.append(ext)
+        order = list(dict.fromkeys(stems))
+        pos = {s: i for i, s in enumerate(order)}
+        blobs = t.column("bytes").combine_chunks()
+        cols: dict = {"key": pa.array(order, pa.string())}
+        for e in dict.fromkeys(exts):
+            idx = np.zeros(len(order), dtype=np.int64)
+            mask = np.zeros(len(order), dtype=bool)
+            for i, (s, x) in enumerate(zip(stems, exts)):
+                if x == e:
+                    j = pos[s]
+                    idx[j] = i
+                    mask[j] = True
+            col = blobs.take(pa.array(idx, pa.int64()))
+            if not mask.all():
+                col = pc.if_else(pa.array(mask), col,
+                                 pa.scalar(None, col.type))
+            cols[e] = col
+        return pa.table(cols)
+
+    # batch_size=None → batches follow the shard readers' blocks, so a
+    # sample's adjacent members stay in one group call (choose
+    # shard_members as a multiple of members-per-sample)
+    return ds.map_batches(group, batch_format="pyarrow", batch_size=None)

@@ -59,3 +59,22 @@ def test_mixed_glob(tmp_path, ray_session):
     assert len(df) == 5 and df.src_path.nunique() == 2
     with pytest.raises(FileNotFoundError):
         archive.read_archive(str(tmp_path / "zz*.zip"))
+
+
+def test_webdataset_pairs(tmp_path, ray_session):
+    import tarfile as tf
+
+    p = str(tmp_path / "wds.tar")
+    with tf.open(p, "w") as t:
+        for i in range(8):
+            for ext, data in (("png", bytes([i]) * 3),
+                              ("txt", f"caption {i}".encode())):
+                info = tf.TarInfo(f"{i:05d}.{ext}")
+                info.size = len(data)
+                t.addfile(info, io.BytesIO(data))
+    df = archive.read_webdataset(p, shard_members=4).to_pandas() \
+        .sort_values("key")
+    assert len(df) == 8
+    assert set(df.columns) == {"key", "png", "txt"}
+    assert bytes(df.iloc[2]["txt"]) == b"caption 2"
+    assert bytes(df.iloc[5]["png"]) == bytes([5]) * 3
