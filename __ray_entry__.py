@@ -3294,6 +3294,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = ds.map_batches(feat, batch_format="pyarrow").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q171_merge_upsert(sf):  # CDC MERGE INTO apply (latest wins)
+        """Incremental catalog maintenance: apply a CDC change stream
+        to a base table with Delta-MERGE semantics — latest change per
+        key wins, 'D' deletes the key, unseen keys insert (the
+        reference rebuilds its catalog from scratch per load,
+        load.py drop+recreate; at 100 TB only an incremental merge is
+        viable). base = customer(c_custkey, c_nationkey); changes
+        derive from orders (ts = orderdate epoch-us, tiebreak =
+        orderkey, delete when orderkey%7=0). ONE slim-row key shuffle;
+        per-bucket resolution is a vectorized sort + keep-last."""
+        from hand_index_ray.pipelines import table as tbl
+
+        def prep_base(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": pc.cast(t.column("c_custkey"), pa.int64()),
+                "v": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+        def prep_ch(t: pa.Table) -> pa.Table:
+            ok = t.column("o_orderkey").to_numpy()
+            op = np.where(ok % 7 == 0, "D", "U")
+            return pa.table({
+                "k": pc.cast(t.column("o_custkey"), pa.int64()),
+                "v": pa.array(ok % 1000, pa.int64()),
+                "ts": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "tb": pa.array(ok, pa.int64()),
+                "op": pa.array(op, pa.string())})
+
+        base = _t(sf, "customer") \
+            .select_columns(["c_custkey", "c_nationkey"]) \
+            .map_batches(prep_base, batch_format="pyarrow")
+        ch = _t(sf, "orders") \
+            .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(prep_ch, batch_format="pyarrow")
+        merged = tbl.merge_upsert(base, ch, key="k", ts="ts",
+                                  tiebreak="tb", op="op")
+        return merged.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def q172_scd2(sf):  # SCD2 validity intervals from a change stream
+        """Slowly-changing-dimension type-2 history build: order the
+        change stream per key by (ts, tiebreak), collapse consecutive
+        rows whose tracked attribute is unchanged, and emit
+        [valid_from, valid_to) intervals with valid_to = -1 for the
+        open interval — the standard warehouse history table, here as
+        one bucketed key shuffle with whole-bucket vectorized interval
+        assembly (pipelines/table.py:scd2)."""
+        from hand_index_ray.pipelines import table as tbl
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("o_orderkey").to_numpy()
+            return pa.table({
+                "k": pc.cast(t.column("o_custkey"), pa.int64()),
+                "ts": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "tb": pa.array(ok, pa.int64()),
+                "attr": pa.array(ok % 5, pa.int64())})
+
+        ch = _t(sf, "orders") \
+            .select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        iv = tbl.scd2(ch, key="k", ts="ts", tiebreak="tb", attr="attr")
+        return iv.to_pandas() \
+            .sort_values(["k", "valid_from", "valid_to"]) \
+            .reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3486,6 +3549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_mixed_sniff": q168_mixed_sniff,
         "q169_zip_ingest": q169_zip_ingest,
         "q170_webdataset": q170_webdataset,
+        "q171_merge_upsert": q171_merge_upsert,
+        "q172_scd2": q172_scd2,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5228,6 +5293,48 @@ def oracle_sql() -> dict[str, str]:
                    'tile ' || CAST(k AS VARCHAR) || ' of corpus'
                        AS caption
             FROM px GROUP BY k ORDER BY k
+        """,
+        "q171_merge_upsert": """
+            WITH ch AS (
+                SELECT o_custkey AS k, o_orderkey % 1000 AS v,
+                       epoch_us(o_orderdate) AS ts, o_orderkey AS tb,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U'
+                           END AS op
+                FROM orders),
+            latest AS (
+                SELECT k, v, op FROM (
+                    SELECT k, v, op,
+                           ROW_NUMBER() OVER (PARTITION BY k
+                               ORDER BY ts DESC, tb DESC) AS rn
+                    FROM ch) WHERE rn = 1),
+            base AS (SELECT c_custkey AS k,
+                            CAST(c_nationkey AS BIGINT) AS v
+                     FROM customer)
+            SELECT COALESCE(l.k, b.k) AS k,
+                   CAST(COALESCE(l.v, b.v) AS BIGINT) AS v
+            FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+            WHERE COALESCE(l.op, 'U') <> 'D'
+            ORDER BY k
+        """,
+        "q172_scd2": """
+            WITH ch AS (
+                SELECT o_custkey AS k, epoch_us(o_orderdate) AS ts,
+                       o_orderkey AS tb, o_orderkey % 5 AS attr
+                FROM orders),
+            ord AS (
+                SELECT k, ts, tb, attr,
+                       LAG(attr) OVER (PARTITION BY k
+                           ORDER BY ts, tb) AS pattr
+                FROM ch),
+            chg AS (SELECT k, ts, tb, attr FROM ord
+                    WHERE pattr IS NULL OR attr <> pattr),
+            iv AS (
+                SELECT k, attr, ts AS valid_from,
+                       COALESCE(LEAD(ts) OVER (PARTITION BY k
+                           ORDER BY ts, tb), -1) AS valid_to
+                FROM chg)
+            SELECT k, attr, valid_from, valid_to FROM iv
+            ORDER BY k, valid_from, valid_to
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
