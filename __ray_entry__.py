@@ -3357,6 +3357,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort_values(["k", "valid_from", "valid_to"]) \
             .reset_index(drop=True)
 
+    def q173_orc_interchange(sf):  # ORC + Feather shard roundtrip
+        """Warehouse interchange: orders shards out as ORC and as
+        Feather (Arrow IPC) files — one file per block, streamed, no
+        driver materialization (sources/columnar.py) — then BOTH
+        trees read back with column pruning at the decoder and
+        aggregated. Oracle = the same aggregate over the parquet
+        source, doubled (two containers of the same rows); any codec
+        or pruning defect breaks the sums."""
+        import glob as globlib
+
+        from hand_index_ray.sources import columnar as col
+
+        root = _cache_dir("columnar", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            src = _t(sf, "orders").select_columns(
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+            col.write_shards(src, os.path.join(root, "orc"),
+                             "orc").materialize()
+            col.write_shards(src, os.path.join(root, "fea"),
+                             "feather").materialize()
+            with open(marker, "w") as f:
+                f.write("ok")
+        a = col.read_shards(
+            globlib.glob(os.path.join(root, "orc", "*.orc")), "orc",
+            columns=["o_orderkey", "o_custkey"])
+        b = col.read_shards(
+            globlib.glob(os.path.join(root, "fea", "*.feather")),
+            "feather", columns=["o_orderkey", "o_custkey"])
+
+        def feat(t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy()
+            return pa.table({
+                "bucket": pa.array(ck % 10, pa.int64()),
+                "key_sum": pc.cast(t.column("o_orderkey"), pa.int64())})
+
+        agg = rel.grouped_agg(a.union(b).map_batches(
+            feat, batch_format="pyarrow"), ["bucket"],
+            sum_cols=["key_sum"], count=True)
+        df = agg.to_pandas()[["bucket", "key_sum", "n"]]
+        return df.sort_values("bucket").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3551,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q170_webdataset": q170_webdataset,
         "q171_merge_upsert": q171_merge_upsert,
         "q172_scd2": q172_scd2,
+        "q173_orc_interchange": q173_orc_interchange,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5335,6 +5378,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM chg)
             SELECT k, attr, valid_from, valid_to FROM iv
             ORDER BY k, valid_from, valid_to
+        """,
+        "q173_orc_interchange": """
+            SELECT o_custkey % 10 AS bucket,
+                   CAST(2 * SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
