@@ -3399,6 +3399,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = agg.to_pandas()[["bucket", "key_sum", "n"]]
         return df.sort_values("bucket").reset_index(drop=True)
 
+    def q174_regression(sf):  # grouped OLS slope (integer-exact)
+        """Per-group linear regression of price-cents on quantity:
+        mergeable integer partial sums per batch (n, Σx, Σy, Σxx, Σxy)
+        → one tiny groupby, then the OLS slope emitted as an EXACT
+        int64 numerator/denominator pair (n·Σxy−Σx·Σy, n·Σxx−(Σx)²) —
+        no float fixpoint, so the DuckDB oracle matches bit-for-bit
+        (relational.py:grouped_regression)."""
+        li = _t(sf, "lineitem").select_columns(
+            ["l_suppkey", "l_quantity", "l_extendedprice"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            sk = t.column("l_suppkey").to_numpy()
+            q = t.column("l_quantity").to_numpy()
+            p = t.column("l_extendedprice").to_numpy()
+            return pa.table({
+                "g": pa.array(sk % 100, pa.int64()),
+                "x": pa.array(q.astype(np.int64), pa.int64()),
+                "y": pa.array(np.round(p * 100.0).astype(np.int64),
+                              pa.int64())})
+
+        out = rel.grouped_regression(
+            li.map_batches(prep, batch_format="pyarrow"), ["g"],
+            x="x", y="y")
+        df = out.to_pandas()[["g", "n", "sum_x", "sum_y",
+                              "slope_num", "slope_den"]]
+        return df.sort_values("g").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3594,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q171_merge_upsert": q171_merge_upsert,
         "q172_scd2": q172_scd2,
         "q173_orc_interchange": q173_orc_interchange,
+        "q174_regression": q174_regression,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5384,6 +5412,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * SUM(o_orderkey) AS BIGINT) AS key_sum,
                    CAST(2 * COUNT(*) AS BIGINT) AS n
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q174_regression": """
+            WITH t AS (
+                SELECT l_suppkey % 100 AS g,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+                FROM lineitem)
+            SELECT g, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS BIGINT) AS slope_den
+            FROM t GROUP BY g ORDER BY g
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -2276,3 +2276,49 @@ def max_drawdown(ds: ray.data.Dataset, keys: list[str], order: str,
     return grouped_apply_bucketed(slim, keys, bucket_fn,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def grouped_regression(ds: ray.data.Dataset, keys: list[str],
+                       x: str, y: str) -> ray.data.Dataset:
+    """Per-group OLS sufficient statistics, integer-exact.
+
+    Emits ``(keys, n, sum_x, sum_y, slope_num, slope_den)`` where
+    ``slope = slope_num / slope_den`` with ``slope_num = n·Σxy − Σx·Σy``
+    and ``slope_den = n·Σxx − (Σx)²`` — the regression coefficient kept
+    as two exact int64s (no float fixpoint, hash-stable across engines;
+    the same trick pipelines/kmeans.py uses for centroids). The
+    intercept follows as ``(Σy·slope_den − slope_num·Σx) / (n·slope_den)``.
+
+    Shape: per-batch partial sums (5 int64 cells per key per batch)
+    → one small groupby — the mergeable-partial pattern, no row-level
+    shuffle. Inputs must be integer-castable; caller scales floats to
+    cents/micros first (q01 pattern).
+    """
+    def prep(t: pa.Table) -> pa.Table:
+        xa = pc.cast(t.column(x), pa.int64())
+        ya = pc.cast(t.column(y), pa.int64())
+        cols = {k: t.column(k) for k in keys}
+        cols["__x"] = xa
+        cols["__y"] = ya
+        cols["__xx"] = pc.multiply(xa, xa)
+        cols["__xy"] = pc.multiply(xa, ya)
+        return pa.table(cols)
+
+    agg = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"), keys,
+                      sum_cols=["__x", "__y", "__xx", "__xy"], count=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        sx = t.column("__x").to_numpy().astype(np.int64)
+        sy = t.column("__y").to_numpy().astype(np.int64)
+        sxx = t.column("__xx").to_numpy().astype(np.int64)
+        sxy = t.column("__xy").to_numpy().astype(np.int64)
+        cols = {k: t.column(k) for k in keys}
+        cols["n"] = pa.array(n, pa.int64())
+        cols["sum_x"] = pa.array(sx, pa.int64())
+        cols["sum_y"] = pa.array(sy, pa.int64())
+        cols["slope_num"] = pa.array(n * sxy - sx * sy, pa.int64())
+        cols["slope_den"] = pa.array(n * sxx - sx * sx, pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -377,3 +377,24 @@ def test_approx_top_k_exact_regime(li_ds):
     assert got.k.tolist() == true.k.tolist()
     assert got.n.tolist() == true.n.tolist()
     assert str(got.k.dtype) == str(df.k.dtype)
+
+
+def test_grouped_regression_matches_polyfit(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    g = rng.integers(0, 5, n)
+    x = rng.integers(1, 50, n)
+    y = 3 * x + g * 100 + rng.integers(-20, 20, n)
+    ds = ray.data.from_arrow(pa.table({
+        "g": g.astype("int64"), "x": x.astype("int64"),
+        "y": y.astype("int64")})).repartition(6)
+    out = rel.grouped_regression(ds, ["g"], "x", "y").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out["n"].sum() == n
+    for _, r in out.iterrows():
+        m = g == r["g"]
+        slope = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+        assert abs(r["slope_num"] / r["slope_den"] - slope) < 1e-9
+        assert r["sum_x"] == x[m].sum() and r["sum_y"] == y[m].sum()
