@@ -3426,6 +3426,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "slope_num", "slope_den"]]
         return df.sort_values("g").reset_index(drop=True)
 
+    def q175_phase_corr(sf):  # FFT image registration (exact shifts)
+        """Tile registration by phase correlation: each pair is a
+        pseudo-noise tile and its planted cyclic shift; ONE batched
+        FFT over the (N,32,32) stack recovers every displacement
+        exactly (kernels/image.py:phase_correlate_batch — the
+        mosaic/stitch alignment step; O(HW log HW) instead of the
+        O(H²W²) spatial search). Oracle = the planted-shift formula;
+        the ENGINE must find it from pixels."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H = W = 32
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 181 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "dy": pa.array([], pa.int64()),
+                                 "dx": pa.array([], pa.int64())})
+            base = (keys[:, None, None] * 17 + xx * 73 + yy * 151
+                    + xx * yy * 7) % 251
+            sy = keys % H
+            sx = (keys * 7) % W
+            shifted = np.empty_like(base)
+            for i in range(len(keys)):  # per-pair roll (tiny: N≤batch)
+                shifted[i] = np.roll(base[i], (int(sy[i]), int(sx[i])),
+                                     (0, 1))
+            d = imk.phase_correlate_batch(base.astype(np.float64),
+                                          shifted.astype(np.float64))
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "dy": pa.array(d[:, 0], pa.int64()),
+                             "dx": pa.array(d[:, 1], pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
+    def q176_block_motion(sf):  # MPEG-style SAD motion vectors
+        """Block motion estimation between consecutive frames (the
+        scene-alignment / video-dedup primitive): full SAD search of
+        the central 8×8 block over ±4 px, vectorized across the batch
+        AND the 81-candidate window
+        (kernels/image.py:block_motion_batch). Frames are pseudo-noise
+        with a planted whole-frame translation, so the motion vector
+        is exactly the negated plant and SAD is exactly 0 — the
+        oracle states that formula, the engine searches pixels."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H = W = 32
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 173 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "dy": pa.array([], pa.int64()),
+                                 "dx": pa.array([], pa.int64()),
+                                 "sad": pa.array([], pa.int64())})
+            prev = (keys[:, None, None] * 29 + xx * 67 + yy * 139
+                    + xx * yy * 11) % 249
+            sy = keys % 9 - 4
+            sx = (keys // 9) % 9 - 4
+            cur = np.empty_like(prev)
+            for i in range(len(keys)):
+                cur[i] = np.roll(prev[i], (int(sy[i]), int(sx[i])),
+                                 (0, 1))
+            m = imk.block_motion_batch(prev, cur, block=8, radius=4)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "dy": pa.array(m[:, 0], pa.int64()),
+                             "dx": pa.array(m[:, 1], pa.int64()),
+                             "sad": pa.array(m[:, 2], pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3622,6 +3702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q172_scd2": q172_scd2,
         "q173_orc_interchange": q173_orc_interchange,
         "q174_regression": q174_regression,
+        "q175_phase_corr": q175_phase_corr,
+        "q176_block_motion": q176_block_motion,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5427,6 +5509,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
                         AS BIGINT) AS slope_den
             FROM t GROUP BY g ORDER BY g
+        """,
+        "q175_phase_corr": """
+            SELECT o_orderkey AS k,
+                   o_orderkey % 32 AS dy,
+                   (o_orderkey * 7) % 32 AS dx
+            FROM orders WHERE o_orderkey % 181 = 0 ORDER BY k
+        """,
+        "q176_block_motion": """
+            SELECT o_orderkey AS k,
+                   -(o_orderkey % 9 - 4) AS dy,
+                   -((o_orderkey // 9) % 9 - 4) AS dx,
+                   CAST(0 AS BIGINT) AS sad
+            FROM orders WHERE o_orderkey % 173 = 0 ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -332,3 +332,71 @@ def patch_sums(img: np.ndarray, patch_h: int, patch_w: int) -> np.ndarray:
     ys = np.arange(0, g.shape[0], patch_h)
     xs = np.arange(0, g.shape[1], patch_w)
     return np.add.reduceat(np.add.reduceat(g, ys, axis=0), xs, axis=1)
+
+
+def phase_correlate_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched phase correlation: the cyclic displacement (dy, dx) of
+    each ``b[i]`` relative to ``a[i]``, i.e. the shift with
+    ``b[i] == np.roll(a[i], (dy, dx), (0, 1))``. One vectorized FFT
+    over the whole (N, H, W) stack — the registration step
+    mosaic/stitch pipelines run per tile pair (the FFT sidesteps the
+    O(H²W²) spatial search). Returns (N, 2) int64 ``[dy, dx]`` with
+    each component in ``[0, dim)``.
+
+    The cross-power spectrum is magnitude-normalized, so the peak is a
+    delta at the displacement, robust to global gain/offset; ties
+    cannot occur for aperiodic content (the caller's images must not
+    be periodic with period dividing the true shift).
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    fa = np.fft.fft2(a)
+    fb = np.fft.fft2(b)
+    cross = fa * np.conj(fb)
+    mag = np.abs(cross)
+    cross /= np.where(mag == 0.0, 1.0, mag)
+    corr = np.fft.ifft2(cross).real
+    n, h, w = corr.shape
+    flat = corr.reshape(n, h * w)
+    pos = np.argmax(flat, axis=1)
+    # the correlation peak sits at -shift mod dims; fold back so the
+    # result is the forward displacement of b relative to a
+    dy = (-(pos // w)) % h
+    dx = (-(pos % w)) % w
+    return np.stack([dy, dx], axis=1).astype(np.int64)
+
+
+def block_motion_batch(prev: np.ndarray, cur: np.ndarray,
+                       block: int = 8, radius: int = 4) -> np.ndarray:
+    """Batched full-search block motion estimation (the MPEG-style
+    SAD search): for each frame pair, the central ``block×block``
+    patch of ``cur`` is matched against ``prev`` over displacements
+    in ``[-radius, radius]²``; returns (N, 3) int64 ``[dy, dx,
+    sad]`` of the best (row-major first-wins on ties).
+
+    Vectorized across the batch AND the search window: all (2r+1)²
+    candidate windows are sliced from ``prev`` (views, no copy) and
+    reduced in one |window|-loop of (N, block, block) tensor ops —
+    no per-frame Python.
+    """
+    prev = np.asarray(prev, np.int64)
+    cur = np.asarray(cur, np.int64)
+    n, h, w = cur.shape
+    cy, cx = (h - block) // 2, (w - block) // 2
+    ref = cur[:, cy:cy + block, cx:cx + block]
+    span = 2 * radius + 1
+    best_sad = np.full(n, np.iinfo(np.int64).max, np.int64)
+    best_dy = np.zeros(n, np.int64)
+    best_dx = np.zeros(n, np.int64)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            y0, x0 = cy + dy, cx + dx
+            if y0 < 0 or x0 < 0 or y0 + block > h or x0 + block > w:
+                continue
+            cand = prev[:, y0:y0 + block, x0:x0 + block]
+            sad = np.abs(cand - ref).sum(axis=(1, 2))
+            better = sad < best_sad
+            best_sad = np.where(better, sad, best_sad)
+            best_dy = np.where(better, dy, best_dy)
+            best_dx = np.where(better, dx, best_dx)
+    return np.stack([best_dy, best_dx, best_sad], axis=1)

@@ -102,3 +102,48 @@ def test_phash_hamming_vectorized():
     a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], dtype=np.uint64)
     b = np.array([0, 0, 0b0010], dtype=np.uint64)
     np.testing.assert_array_equal(im.phash_hamming(a, b), [0, 64, 2])
+
+
+def test_phase_correlate_batch_recovers_planted_shifts():
+    from hand_index_ray.kernels import image as imk
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 255, (8, 24, 40)).astype(np.float64)
+    shifts = [(0, 0), (1, 0), (0, 1), (23, 39), (12, 20), (5, 33),
+              (17, 2), (9, 9)]
+    b = np.stack([np.roll(a[i], s, (0, 1))
+                  for i, s in enumerate(shifts)])
+    d = imk.phase_correlate_batch(a, b)
+    assert d.tolist() == [list(s) for s in shifts]
+
+
+def test_phase_correlate_gain_offset_invariant():
+    from hand_index_ray.kernels import image as imk
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 255, (1, 32, 32)).astype(np.float64)
+    b = np.roll(a[0], (7, 3), (0, 1)) * 2.5 + 40.0
+    d = imk.phase_correlate_batch(a, b[None])
+    assert d.tolist() == [[7, 3]]
+
+
+def test_block_motion_batch_finds_exact_translation():
+    from hand_index_ray.kernels import image as imk
+
+    rng = np.random.default_rng(7)
+    prev = rng.integers(0, 255, (6, 32, 32))
+    shifts = [(2, -3), (0, 0), (-4, 4), (4, 4), (-4, -4), (1, -1)]
+    cur = np.stack([np.roll(prev[i], s, (0, 1))
+                    for i, s in enumerate(shifts)])
+    m = imk.block_motion_batch(prev, cur, block=8, radius=4)
+    assert m[:, 2].tolist() == [0] * 6
+    assert m[:, :2].tolist() == [[-s[0], -s[1]] for s in shifts]
+
+
+def test_block_motion_tie_breaks_first_window():
+    from hand_index_ray.kernels import image as imk
+
+    # constant images: every candidate SAD is 0; first-wins = (-4,-4)
+    prev = np.full((1, 32, 32), 9)
+    m = imk.block_motion_batch(prev, prev.copy(), block=8, radius=4)
+    assert m.tolist() == [[-4, -4, 0]]
