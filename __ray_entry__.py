@@ -3506,6 +3506,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q177_hough_lines(sf):  # digital Hough line detection
+        """Dominant-line detection (striping/scan-artifact QC): each
+        fixture image carries one planted full-length line (vertical
+        or horizontal by k%2, offset k%29) plus 8 noise points kept
+        off the line, so the strongest Hough bin is exactly (angle,
+        offset, 32 votes). kernels/image.py:hough4_batch accumulates
+        all four integer direction functionals for the WHOLE batch in
+        one flat bincount; the oracle states the planted formula."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        S = 32
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 167 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "angle": pa.array([], pa.int64()),
+                                 "rho": pa.array([], pa.int64()),
+                                 "votes": pa.array([], pa.int64())})
+            n = len(keys)
+            d = keys % 29
+            vert = (keys % 2 == 0)
+            line = np.arange(S, dtype=np.int64)
+            j = np.arange(8, dtype=np.int64)
+            # noise stays off the planted line: offset+1..+31 mod S != offset
+            noff = (1 + (keys[:, None] * (j + 3) + j * 13) % (S - 1))
+            n_on = (d[:, None] + noff) % S        # the line's own axis
+            n_free = (keys[:, None] * 7 + j * 11) % S
+            xs = np.empty((n, S + 8), np.int64)
+            ys = np.empty((n, S + 8), np.int64)
+            xs[:, :S] = np.where(vert[:, None], d[:, None], line)
+            ys[:, :S] = np.where(vert[:, None], line, d[:, None])
+            xs[:, S:] = np.where(vert[:, None], n_on, n_free)
+            ys[:, S:] = np.where(vert[:, None], n_free, n_on)
+            best = imk.hough4_batch(xs, ys, size=S)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "angle": pa.array(best[:, 0], pa.int64()),
+                             "rho": pa.array(best[:, 1], pa.int64()),
+                             "votes": pa.array(best[:, 2], pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3704,6 +3749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q174_regression": q174_regression,
         "q175_phase_corr": q175_phase_corr,
         "q176_block_motion": q176_block_motion,
+        "q177_hough_lines": q177_hough_lines,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5522,6 +5568,13 @@ def oracle_sql() -> dict[str, str]:
                    -((o_orderkey // 9) % 9 - 4) AS dx,
                    CAST(0 AS BIGINT) AS sad
             FROM orders WHERE o_orderkey % 173 = 0 ORDER BY k
+        """,
+        "q177_hough_lines": """
+            SELECT o_orderkey AS k,
+                   o_orderkey % 2 AS angle,
+                   o_orderkey % 29 AS rho,
+                   CAST(32 AS BIGINT) AS votes
+            FROM orders WHERE o_orderkey % 167 = 0 ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

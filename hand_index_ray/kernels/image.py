@@ -400,3 +400,36 @@ def block_motion_batch(prev: np.ndarray, cur: np.ndarray,
             best_dy = np.where(better, dy, best_dy)
             best_dx = np.where(better, dx, best_dx)
     return np.stack([best_dy, best_dx, best_sad], axis=1)
+
+
+def hough4_batch(xs: np.ndarray, ys: np.ndarray,
+                 size: int = 32) -> np.ndarray:
+    """Batched digital Hough transform over the four rectilinear /
+    diagonal directions (the line-detection QC step for scan artifacts
+    and raster striping): angle code 0 ⇒ vertical (ρ = x), 1 ⇒
+    horizontal (ρ = y), 2 ⇒ anti-diagonal (ρ = x + y), 3 ⇒ main
+    diagonal (ρ = x − y + size − 1). Integer functionals, so votes are
+    exact — no float ρ binning. ``xs``/``ys`` are (N, P) point
+    coordinates per image; returns (N, 3) int64 ``[angle, rho,
+    votes]`` of the strongest bin (first-wins ties in (angle, ρ)
+    order). One flat ``bincount`` for the whole batch — no per-image
+    Python.
+    """
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    n, p = xs.shape
+    nrho = 2 * size  # covers x+y (0..2size-2) and shifted x-y
+    f = np.empty((n, 4, p), np.int64)
+    f[:, 0] = xs
+    f[:, 1] = ys
+    f[:, 2] = xs + ys
+    f[:, 3] = xs - ys + size - 1
+    img = np.broadcast_to(np.arange(n)[:, None, None], f.shape)
+    ang = np.broadcast_to(np.arange(4)[None, :, None], f.shape)
+    flat = (img * 4 + ang) * nrho + f
+    acc = np.bincount(flat.ravel(), minlength=n * 4 * nrho) \
+        .reshape(n, 4 * nrho)
+    pos = np.argmax(acc, axis=1)
+    votes = acc[np.arange(n), pos]
+    return np.stack([pos // nrho, pos % nrho, votes], axis=1) \
+        .astype(np.int64)

@@ -147,3 +147,36 @@ def test_block_motion_tie_breaks_first_window():
     prev = np.full((1, 32, 32), 9)
     m = imk.block_motion_batch(prev, prev.copy(), block=8, radius=4)
     assert m.tolist() == [[-4, -4, 0]]
+
+
+def test_hough4_batch_detects_planted_lines():
+    from hand_index_ray.kernels import image as imk
+
+    S = 32
+    line = np.arange(S)
+    rng = np.random.default_rng(9)
+    # vertical x=5, horizontal y=20, anti-diagonal x+y=30, diag x-y=-7
+    cases = []
+    xs_v, ys_v = np.full(S, 5), line
+    cases.append((xs_v, ys_v, [0, 5, S]))
+    cases.append((line, np.full(S, 20), [1, 20, S]))
+    d = np.arange(31)
+    cases.append((d, 30 - d, [2, 30, 31]))
+    x3 = np.arange(7, 32)
+    cases.append((x3, x3 - 7, [3, 7 + S - 1 - 14, 25]))  # x-y=7? see below
+    # fix: x - y = 7 → rho = 7 + S - 1
+    cases[3] = (x3, x3 - 7, [3, 7 + S - 1, 25])
+    P = max(len(c[0]) for c in cases) + 6
+    xs = np.zeros((len(cases), P), np.int64)
+    ys = np.zeros((len(cases), P), np.int64)
+    for i, (cx, cy, _) in enumerate(cases):
+        xs[i, :len(cx)] = cx
+        ys[i, :len(cy)] = cy
+        # pad with repeats of the first line point (adds votes to the
+        # same winning bin, never to a competitor)
+        xs[i, len(cx):] = cx[0]
+        ys[i, len(cy):] = cy[0]
+    out = imk.hough4_batch(xs, ys, size=S)
+    for i, (_, _, exp) in enumerate(cases):
+        assert out[i, 0] == exp[0] and out[i, 1] == exp[1]
+        assert out[i, 2] >= exp[2]
