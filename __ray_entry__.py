@@ -3551,6 +3551,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q178_gpx_tracks(sf):  # GPX track ingest + per-track stats
+        """GPS-trace ingest (sources/gpx.py — stdlib-XML GPX reader,
+        one file per read task, coordinates parsed as EXACT integer
+        microdegrees with no float round-trip): per-track point count,
+        Manhattan path length in µdeg, total climb in cm, and time
+        span — all integer, so the window-function oracle hashes
+        identically. Fixture tracks derive from order keys; the
+        writer→reader roundtrip is part of what's under test."""
+        from hand_index_ray.sources import gpx as gpxlib
+
+        root = _cache_dir("gpx_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+        keys = np.sort(keys[keys % 131 == 0]).astype(np.int64)
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            for t in range(6):
+                ks = keys[keys % 6 == t]
+                pts = [(0,
+                        int(35_000_000 + (k % 997) * 1000),
+                        int(-98_000_000 + ((k * 3) % 997) * 1000),
+                        int((k % 500) * 10),
+                        int((1_600_000_000 + k % 86400) * 1_000_000))
+                       for k in ks]
+                gpxlib.write_gpx(os.path.join(root, f"track_{t}.gpx"),
+                                 pts)
+            with open(marker, "w") as f:
+                f.write("ok")
+        import glob as globlib
+
+        ds = gpxlib.read_gpx(globlib.glob(os.path.join(root, "*.gpx")))
+
+        def per_track(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["seg", "idx"], kind="mergesort")
+            lat = g["lat_udeg"].to_numpy()
+            lon = g["lon_udeg"].to_numpy()
+            ele = g["ele_cm"].to_numpy()
+            ts = g["ts_us"].to_numpy()
+            dlat = np.abs(np.diff(lat))
+            dlon = np.abs(np.diff(lon))
+            dele = np.diff(ele)
+            return pd.DataFrame({
+                "track_id": [int(g["track_id"].iloc[0])],
+                "n": [len(g)],
+                "length_udeg": [int((dlat + dlon).sum())],
+                "climb_cm": [int(dele[dele > 0].sum())],
+                "span_us": [int(ts.max() - ts.min())]})
+
+        out = rel.grouped_apply_bucketed(ds, ["track_id"], per_track,
+                                         num_buckets=8)
+        df = out.to_pandas()[["track_id", "n", "length_udeg",
+                              "climb_cm", "span_us"]]
+        return df.sort_values("track_id").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3750,6 +3804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q175_phase_corr": q175_phase_corr,
         "q176_block_motion": q176_block_motion,
         "q177_hough_lines": q177_hough_lines,
+        "q178_gpx_tracks": q178_gpx_tracks,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5575,6 +5630,31 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey % 29 AS rho,
                    CAST(32 AS BIGINT) AS votes
             FROM orders WHERE o_orderkey % 167 = 0 ORDER BY k
+        """,
+        "q178_gpx_tracks": """
+            WITH pts AS (
+                SELECT o_orderkey % 6 AS track_id,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey % 6
+                           ORDER BY o_orderkey) - 1 AS idx,
+                       35000000 + (o_orderkey % 997) * 1000 AS lat,
+                       -98000000 + ((o_orderkey * 3) % 997) * 1000 AS lon,
+                       (o_orderkey % 500) * 10 AS ele,
+                       (1600000000 + o_orderkey % 86400) * 1000000 AS ts
+                FROM orders WHERE o_orderkey % 131 = 0),
+            d AS (SELECT track_id, idx, ele, ts,
+                         lat - LAG(lat) OVER w AS dlat,
+                         lon - LAG(lon) OVER w AS dlon,
+                         ele - LAG(ele) OVER w AS dele
+                  FROM pts
+                  WINDOW w AS (PARTITION BY track_id ORDER BY idx))
+            SELECT track_id, COUNT(*) AS n,
+                   CAST(COALESCE(SUM(ABS(dlat) + ABS(dlon)), 0)
+                        AS BIGINT) AS length_udeg,
+                   CAST(COALESCE(SUM(CASE WHEN dele > 0 THEN dele
+                                     ELSE 0 END), 0) AS BIGINT)
+                       AS climb_cm,
+                   MAX(ts) - MIN(ts) AS span_us
+            FROM d GROUP BY track_id ORDER BY track_id
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
