@@ -3605,6 +3605,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "climb_cm", "span_us"]]
         return df.sort_values("track_id").reset_index(drop=True)
 
+    def q179_tile_pyramid(sf):  # z/x/y sum-pyramid build
+        """Slippy-map tile-pyramid build — the cross-tile shuffle the
+        per-raster overview chains (q129/q144) don't exercise: four
+        level-z tiles co-locate via a hash shuffle on the parent key
+        and assemble the level-(z-1) tile, each level moving 4× less
+        data than the one below (pipelines/raster.py:pyramid_reduce).
+        Integer sum-pyramid ⇒ every tile's pixel sum equals the sum of
+        its base region, which is exactly what the oracle recomputes
+        from the base formula for ALL four levels."""
+        from hand_index_ray.pipelines import raster as rst
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"]).limit(1)
+        T = 8
+
+        def gen_base(t: pa.Table) -> pa.Table:
+            # fixture: full 8×8 tile grid at z=3, pixels from a formula
+            yy, xx = np.meshgrid(np.arange(T, dtype=np.int64),
+                                 np.arange(T, dtype=np.int64),
+                                 indexing="ij")
+            zs, txs, tys, pxs = [], [], [], []
+            for tx in range(8):
+                for ty in range(8):
+                    v = (tx * 131 + ty * 17 + xx * 7 + yy * 3) % 256
+                    zs.append(3)
+                    txs.append(tx)
+                    tys.append(ty)
+                    pxs.append(v.reshape(-1).tolist())
+            return pa.table({"z": pa.array(zs, pa.int64()),
+                             "tx": pa.array(txs, pa.int64()),
+                             "ty": pa.array(tys, pa.int64()),
+                             "px": pa.array(pxs, pa.list_(pa.int64()))})
+
+        base = orders.map_batches(
+            lambda t: gen_base(t), batch_format="pyarrow")
+        levels = [base]
+        for _ in range(3):
+            levels.append(rst.pyramid_reduce(levels[-1], tile_px=T))
+
+        def stats(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return pa.table({"z": pa.array([], pa.int64()),
+                                 "tx": pa.array([], pa.int64()),
+                                 "ty": pa.array([], pa.int64()),
+                                 "px_sum": pa.array([], pa.int64()),
+                                 "px00": pa.array([], pa.int64())})
+            px = np.asarray(t.column("px").to_pylist(), np.int64)
+            return pa.table({"z": t.column("z"), "tx": t.column("tx"),
+                             "ty": t.column("ty"),
+                             "px_sum": pa.array(px.sum(axis=1),
+                                                pa.int64()),
+                             "px00": pa.array(px[:, 0], pa.int64())})
+
+        out = levels[0].map_batches(stats, batch_format="pyarrow")
+        for lv in levels[1:]:
+            out = out.union(lv.map_batches(stats, batch_format="pyarrow"))
+        df = out.to_pandas()
+        return df.sort_values(["z", "tx", "ty"]).reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3805,6 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_block_motion": q176_block_motion,
         "q177_hough_lines": q177_hough_lines,
         "q178_gpx_tracks": q178_gpx_tracks,
+        "q179_tile_pyramid": q179_tile_pyramid,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5655,6 +5715,34 @@ def oracle_sql() -> dict[str, str]:
                        AS climb_cm,
                    MAX(ts) - MIN(ts) AS span_us
             FROM d GROUP BY track_id ORDER BY track_id
+        """,
+        "q179_tile_pyramid": """
+            WITH base AS (
+                SELECT tx.g AS tx, ty.g AS ty, x.g AS x, y.g AS y,
+                       (tx.g * 131 + ty.g * 17 + x.g * 7 + y.g * 3)
+                           % 256 AS v,
+                       tx.g * 8 + x.g AS gx, ty.g * 8 + y.g AS gy
+                FROM (SELECT generate_series AS g
+                      FROM generate_series(0, 7)) tx,
+                     (SELECT generate_series AS g
+                      FROM generate_series(0, 7)) ty,
+                     (SELECT generate_series AS g
+                      FROM generate_series(0, 7)) x,
+                     (SELECT generate_series AS g
+                      FROM generate_series(0, 7)) y),
+            lv AS (SELECT generate_series AS z
+                   FROM generate_series(0, 3))
+            SELECT lv.z AS z,
+                   gx // (8 * (1 << (3 - lv.z))) AS tx,
+                   gy // (8 * (1 << (3 - lv.z))) AS ty,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(v) FILTER (WHERE
+                       gx // (1 << (3 - lv.z))
+                           = (gx // (8 * (1 << (3 - lv.z)))) * 8
+                       AND gy // (1 << (3 - lv.z))
+                           = (gy // (8 * (1 << (3 - lv.z)))) * 8)
+                       AS BIGINT) AS px00
+            FROM base, lv GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -143,3 +143,65 @@ def window_sum_one(src, x0: int, y0: int, w: int, h: int) -> dict:
             "n_px": int(win.size),
             "bytes_read": int(info["window_bytes_read"]),
             "num_reads": int(info["window_num_reads"])}
+
+
+def pyramid_reduce(ds, tile_px: int = 8, num_buckets: int = 32):
+    """One tile-pyramid reduction step: level-z tiles → level-(z-1).
+
+    Input rows ``(z, tx, ty, px)`` where ``px`` is a row-major
+    ``tile_px × tile_px`` int64 list. Each child tile first
+    downsamples IN-TASK (2×2 block SUM — integer-exact, the sum
+    pyramid; a mean pyramid would leave integer arithmetic), then the
+    four children of each parent co-locate via ONE hash shuffle on the
+    parent key and assemble into the parent tile. Missing children
+    (sparse coverage) contribute zeros — exactly how a z/x/y slippy
+    tree handles ocean tiles.
+
+    Scale shape: the downsample quarters the data BEFORE the shuffle,
+    so each pyramid level moves 4× less than the one below — the whole
+    pyramid costs ~4/3 of one pass over the base level.
+    """
+    import pandas as pd
+
+    from .. import relational as rel
+
+    half = tile_px // 2
+
+    def downsample(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"z": pa.array([], pa.int64()),
+                             "ptx": pa.array([], pa.int64()),
+                             "pty": pa.array([], pa.int64()),
+                             "qx": pa.array([], pa.int64()),
+                             "qy": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64()))})
+        px = np.asarray(t.column("px").to_pylist(), np.int64) \
+            .reshape(n, tile_px, tile_px)
+        small = px.reshape(n, half, 2, half, 2).sum(axis=(2, 4))
+        tx = t.column("tx").to_numpy()
+        ty = t.column("ty").to_numpy()
+        return pa.table({
+            "z": pa.array(t.column("z").to_numpy() - 1, pa.int64()),
+            "ptx": pa.array(tx // 2, pa.int64()),
+            "pty": pa.array(ty // 2, pa.int64()),
+            "qx": pa.array(tx % 2, pa.int64()),
+            "qy": pa.array(ty % 2, pa.int64()),
+            "q": pa.array(list(small.reshape(n, half * half)),
+                          pa.list_(pa.int64()))})
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros((tile_px, tile_px), np.int64)
+        for _, r in g.iterrows():
+            quad = np.asarray(r["q"], np.int64).reshape(half, half)
+            y0, x0 = int(r["qy"]) * half, int(r["qx"]) * half
+            out[y0:y0 + half, x0:x0 + half] = quad
+        return pd.DataFrame({
+            "z": [int(g["z"].iloc[0])],
+            "tx": [int(g["ptx"].iloc[0])],
+            "ty": [int(g["pty"].iloc[0])],
+            "px": [out.reshape(-1).tolist()]})
+
+    small = ds.map_batches(downsample, batch_format="pyarrow")
+    return rel.grouped_apply_bucketed(small, ["z", "ptx", "pty"],
+                                      assemble, num_buckets=num_buckets)

@@ -95,3 +95,43 @@ def test_cli_export_and_grid(tmp_path):
         timeout=240)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert json.loads(r2.stdout.strip().splitlines()[-1])["filled_cells"] == 2
+
+
+def test_pyramid_reduce_sparse_and_sums(ray_session):
+    import ray.data
+
+    from hand_index_ray.pipelines import raster as rst
+
+    # sparse coverage: only 2 of 4 children of parent (0,0); one child
+    # of parent (1,1)
+    tiles = [(3, 0, 0), (3, 1, 1), (3, 2, 3)]
+    rows = {"z": [], "tx": [], "ty": [], "px": []}
+    rng = np.random.default_rng(4)
+    pix = {}
+    for z, tx, ty in tiles:
+        v = rng.integers(0, 255, (8, 8)).astype(np.int64)
+        pix[(tx, ty)] = v
+        rows["z"].append(z)
+        rows["tx"].append(tx)
+        rows["ty"].append(ty)
+        rows["px"].append(v.reshape(-1).tolist())
+    ds = ray.data.from_arrow(pa.table({
+        "z": pa.array(rows["z"], pa.int64()),
+        "tx": pa.array(rows["tx"], pa.int64()),
+        "ty": pa.array(rows["ty"], pa.int64()),
+        "px": pa.array(rows["px"], pa.list_(pa.int64()))}))
+    out = rst.pyramid_reduce(ds, tile_px=8).to_pandas() \
+        .sort_values(["tx", "ty"]).reset_index(drop=True)
+    assert out["z"].tolist() == [2, 2]
+    assert out[["tx", "ty"]].values.tolist() == [[0, 0], [1, 1]]
+    p00 = np.asarray(out["px"][0], np.int64).reshape(8, 8)
+    # child (0,0) occupies the top-left quadrant, child (1,1) the
+    # bottom-right; the two missing quadrants are zero
+    d00 = pix[(0, 0)].reshape(4, 2, 4, 2).sum(axis=(1, 3))
+    d11 = pix[(1, 1)].reshape(4, 2, 4, 2).sum(axis=(1, 3))
+    assert (p00[:4, :4] == d00).all()
+    assert (p00[4:, 4:] == d11).all()
+    assert (p00[:4, 4:] == 0).all() and (p00[4:, :4] == 0).all()
+    # sum preservation
+    p11 = np.asarray(out["px"][1], np.int64)
+    assert p11.sum() == pix[(2, 3)].sum()
