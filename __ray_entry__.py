@@ -3664,6 +3664,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = out.to_pandas()
         return df.sort_values(["z", "tx", "ty"]).reset_index(drop=True)
 
+    def q180_avro_source(sf):  # Avro OCF ingest (from-spec codec)
+        """Avro container ingest (kernels/avro.py — OCF header/blocks/
+        deflate from the public spec, no avro lib in the sandbox).
+        All-varint record schemas decode via ONE vectorized scan per
+        block (terminator-bit varint split + union record starts by
+        pointer doubling — no per-record Python); the fixture uses a
+        [null,long] union so the nullable path is what's under test.
+        Read back as nullable Arrow columns and aggregated."""
+        import glob as globlib
+
+        from hand_index_ray.kernels import avro as avrolib
+        from hand_index_ray.sources import avro_src
+
+        root = _cache_dir("avro_src", os.path.basename(os.path.normpath(sf)))
+        marker = os.path.join(root, "_done")
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            keys = _tbl(sf, "orders").column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 127 == 0]).astype(np.int64)
+            schema = {"type": "record", "name": "ev", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "flag", "type": "boolean"},
+                {"name": "cat", "type": "int"},
+                {"name": "opt", "type": ["null", "long"]}]}
+            for part in range(3):
+                ks = keys[keys % 3 == part]
+                rows = [{"id": int(k), "flag": bool(k % 3 == 0),
+                         "cat": int(k % 11),
+                         "opt": None if k % 4 == 0 else int(k % 100)}
+                        for k in ks]
+                avrolib.write_ocf(
+                    os.path.join(root, f"part_{part}.avro"), schema,
+                    rows, codec="deflate", block_rows=200)
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        ds = avro_src.read_avro(
+            globlib.glob(os.path.join(root, "*.avro")))
+
+        def feat(t: pa.Table) -> pa.Table:
+            opt = t.column("opt")
+            return pa.table({
+                "cat": pc.cast(t.column("cat"), pa.int64()),
+                "flag_n": pc.cast(t.column("flag"), pa.int64()),
+                "opt_sum": pc.fill_null(opt, 0),
+                "null_n": pc.cast(pc.is_null(opt), pa.int64())})
+
+        agg = rel.grouped_agg(ds.map_batches(feat, batch_format="pyarrow"),
+                              ["cat"],
+                              sum_cols=["flag_n", "opt_sum", "null_n"],
+                              count=True)
+        df = agg.to_pandas()[["cat", "n", "flag_n", "opt_sum", "null_n"]]
+        return df.sort_values("cat").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3865,6 +3919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q177_hough_lines": q177_hough_lines,
         "q178_gpx_tracks": q178_gpx_tracks,
         "q179_tile_pyramid": q179_tile_pyramid,
+        "q180_avro_source": q180_avro_source,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5743,6 +5798,18 @@ def oracle_sql() -> dict[str, str]:
                            = (gy // (8 * (1 << (3 - lv.z)))) * 8)
                        AS BIGINT) AS px00
             FROM base, lv GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q180_avro_source": """
+            SELECT o_orderkey % 11 AS cat, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS flag_n,
+                   CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 0
+                            ELSE o_orderkey % 100 END) AS BIGINT)
+                       AS opt_sum,
+                   CAST(SUM(CASE WHEN o_orderkey % 4 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS null_n
+            FROM orders WHERE o_orderkey % 127 = 0
+            GROUP BY 1 ORDER BY 1
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)
