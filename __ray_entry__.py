@@ -3718,6 +3718,155 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = agg.to_pandas()[["cat", "n", "flag_n", "opt_sum", "null_n"]]
         return df.sort_values("cat").reset_index(drop=True)
 
+    def q181_table_diff(sf):  # version diff (added/removed/changed)
+        """Anti-entropy table diff between two catalog versions: one
+        key shuffle co-locates both sides, a vectorized boundary pass
+        classifies churn, unchanged keys never leave the task
+        (pipelines/table.py:table_diff — output scales with churn,
+        not table size). Version B is derived from customer by rule:
+        k%13=0 dropped, k%5=0 value-bumped, k%17=0 re-added under a
+        shifted key."""
+        from hand_index_ray.pipelines import table as tbl
+
+        def prep_a(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": pc.cast(t.column("c_custkey"), pa.int64()),
+                "v": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+        def prep_b(t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy()
+            v = t.column("c_nationkey").to_numpy().astype(np.int64)
+            keep = k % 13 != 0
+            kk = k[keep]
+            vv = v[keep] + (kk % 5 == 0)
+            addk = k[k % 17 == 0] + 10_000_000
+            addv = (k[k % 17 == 0] % 7).astype(np.int64)
+            return pa.table({
+                "k": pa.array(np.concatenate([kk, addk]), pa.int64()),
+                "v": pa.array(np.concatenate([vv, addv]), pa.int64())})
+
+        cust = _t(sf, "customer").select_columns(
+            ["c_custkey", "c_nationkey"])
+        a = cust.map_batches(prep_a, batch_format="pyarrow")
+        b = cust.map_batches(prep_b, batch_format="pyarrow")
+        out = tbl.table_diff(a, b, key="k")
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def q182_frequent_pairs(sf):  # market-basket pair mining
+        """Frequent co-occurring part pairs (the a-priori first round
+        of market-basket / co-purchase mining): per-order distinct
+        parts emit their pairs inside the keyed bucket shuffle
+        (bounded by parts-per-order, never a global cross join),
+        partial-agg counts shuffle as slim (p1,p2,n) rows, and the
+        global top-20 merges per-block candidates via sorted_slice —
+        no full sort."""
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey"])
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            parts = np.unique(g["l_partkey"].to_numpy())
+            if len(parts) < 2:
+                return pd.DataFrame({
+                    "p1": pd.Series([], dtype="int64"),
+                    "p2": pd.Series([], dtype="int64")})
+            i, j = np.triu_indices(len(parts), k=1)
+            return pd.DataFrame({"p1": parts[i], "p2": parts[j]})
+
+        pr = rel.grouped_apply_bucketed(li, ["l_orderkey"], pairs,
+                                        num_buckets=64,
+                                        min_group_size=2)
+        agg = rel.grouped_agg(pr, ["p1", "p2"], count=True)
+
+        def neg(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "neg_cnt", pc.multiply(pc.cast(t.column("n"),
+                                               pa.int64()),
+                                       pa.scalar(-1, pa.int64())))
+
+        top = rel.sorted_slice(agg.map_batches(neg,
+                                               batch_format="pyarrow"),
+                               ["neg_cnt", "p1", "p2"], 0, 20)
+        top["cnt"] = -top["neg_cnt"]
+        return top[["p1", "p2", "cnt"]]
+
+    def q183_changepoint(sf):  # per-user CUSUM change detection
+        """Change-point detection over each user's event-value series
+        (drift/regression detection for metrics pipelines): the CUSUM
+        statistic |n·prefix_k − k·total| stays INTEGER by scaling
+        through by n — no float mean, so the window-function oracle
+        hashes exactly (relational.py:cusum_changepoint). Earliest-k
+        tie-break; single-event users emit nothing."""
+        ev = _t(sf, "events").select_columns(
+            ["user_id", "ts", "event_id", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy()
+            return pa.table({
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "ts": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "v": pa.array(np.round(v * 100.0).astype(np.int64),
+                              pa.int64())})
+
+        out = rel.cusum_changepoint(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            key="user_id", order="ts", tiebreak="event_id", value="v")
+        return out.to_pandas().sort_values("user_id") \
+            .reset_index(drop=True)
+
+    def q184_profile(sf):  # one-pass table profiler
+        """Data-quality profiler over lineitem's integer columns: row
+        count, null count, min and max from ONE mergeable-partial pass
+        (4 int64 cells per column per batch — no row shuffle) plus
+        exact per-column distinct counts
+        (relational.py:profile_int_columns; at 100 TB the distinct leg
+        swaps for the HLL sketch, same output shape)."""
+        li = _t(sf, "lineitem").select_columns(
+            ["l_partkey", "l_linenumber", "l_quantity"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "l_linenumber": pc.cast(t.column("l_linenumber"),
+                                        pa.int64()),
+                "l_quantity": pa.array(
+                    t.column("l_quantity").to_numpy()
+                    .astype(np.int64), pa.int64())})
+
+        return rel.profile_int_columns(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_partkey", "l_linenumber", "l_quantity"])
+
+    def q185_viewshed(sf):  # line-of-sight visibility counts
+        """1-D viewshed over synthetic terrain profiles (the per-ray
+        reduction of tower-siting / flood-observation visibility
+        analysis): a cell is visible iff its sight-line slope strictly
+        beats every intermediate slope, evaluated with integer
+        cross-multiplication — exact, no division
+        (pipelines/terrain.py:row_viewshed_batch, W−1 whole-batch
+        numpy steps). Oracle = the NOT EXISTS brute force over the
+        same formula terrain."""
+        from hand_index_ray.pipelines.terrain import row_viewshed_batch
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        W = 24
+        xs = np.arange(W, dtype=np.int64)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 151 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n_visible": pa.array([], pa.int64())})
+            h = (keys[:, None] * 7 + xs * xs * 3
+                 + ((keys[:, None] + xs) % 11) * 5) % 97
+            cnt = row_viewshed_batch(h)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "n_visible": pa.array(cnt, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -3920,6 +4069,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_gpx_tracks": q178_gpx_tracks,
         "q179_tile_pyramid": q179_tile_pyramid,
         "q180_avro_source": q180_avro_source,
+        "q181_table_diff": q181_table_diff,
+        "q182_frequent_pairs": q182_frequent_pairs,
+        "q183_changepoint": q183_changepoint,
+        "q184_profile": q184_profile,
+        "q185_viewshed": q185_viewshed,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5810,6 +5964,105 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS null_n
             FROM orders WHERE o_orderkey % 127 = 0
             GROUP BY 1 ORDER BY 1
+        """,
+        "q181_table_diff": """
+            WITH a AS (SELECT c_custkey AS k,
+                              CAST(c_nationkey AS BIGINT) AS v
+                       FROM customer),
+            b AS (SELECT k,
+                         CASE WHEN k % 5 = 0 THEN v + 1 ELSE v END AS v
+                  FROM a WHERE k % 13 <> 0
+                  UNION ALL
+                  SELECT c_custkey + 10000000,
+                         CAST(c_custkey % 7 AS BIGINT)
+                  FROM customer WHERE c_custkey % 17 = 0)
+            SELECT COALESCE(a.k, b.k) AS k,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+            WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v
+            ORDER BY 1
+        """,
+        "q182_frequent_pairs": """
+            WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                   FROM dp a JOIN dp b
+                   ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey),
+            c AS (SELECT p1, p2, COUNT(*) AS cnt FROM pr GROUP BY 1, 2)
+            SELECT p1, p2, cnt FROM c
+            ORDER BY cnt DESC, p1, p2 LIMIT 20
+        """,
+        "q183_changepoint": """
+            WITH e AS (
+                SELECT user_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS k,
+                       CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                FROM events),
+            tot AS (SELECT user_id, CAST(SUM(v) AS BIGINT) AS total,
+                           COUNT(*) AS n
+                    FROM e GROUP BY 1),
+            pre AS (SELECT user_id, k,
+                           CAST(SUM(v) OVER (PARTITION BY user_id
+                               ORDER BY k) AS BIGINT) AS p
+                    FROM e),
+            dev AS (SELECT p.user_id, p.k,
+                           ABS(t.n * p.p - p.k * t.total) AS d
+                    FROM pre p JOIN tot t USING (user_id)
+                    WHERE p.k < t.n),
+            r AS (SELECT user_id, k, d,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY d DESC, k) AS rn
+                  FROM dev)
+            SELECT user_id, k AS change_k, CAST(d AS BIGINT) AS dev
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "q184_profile": """
+            SELECT 'l_linenumber' AS col, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN l_linenumber IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(MIN(l_linenumber) AS BIGINT) AS min_v,
+                   CAST(MAX(l_linenumber) AS BIGINT) AS max_v,
+                   COUNT(DISTINCT l_linenumber) AS n_distinct
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', COUNT(*),
+                   CAST(SUM(CASE WHEN l_partkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(MIN(l_partkey) AS BIGINT),
+                   CAST(MAX(l_partkey) AS BIGINT),
+                   COUNT(DISTINCT l_partkey)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+                   CAST(SUM(CASE WHEN l_quantity IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                   CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                   COUNT(DISTINCT CAST(l_quantity AS BIGINT))
+            FROM lineitem
+            ORDER BY col
+        """,
+        "q185_viewshed": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 151 = 0),
+            terr AS (
+                SELECT ks.k, x.g AS x,
+                       (ks.k * 7 + x.g * x.g * 3
+                        + ((ks.k + x.g) % 11) * 5) % 97 AS h
+                FROM ks, (SELECT generate_series AS g
+                          FROM generate_series(0, 23)) x),
+            h0 AS (SELECT k, h AS h0 FROM terr WHERE x = 0)
+            SELECT t.k, COUNT(*) AS n_visible
+            FROM terr t JOIN h0 USING (k)
+            WHERE t.x >= 1 AND NOT EXISTS (
+                SELECT 1 FROM terr b
+                WHERE b.k = t.k AND b.x >= 1 AND b.x < t.x
+                  AND (t.h - h0.h0) * b.x <= (b.h - h0.h0) * t.x)
+            GROUP BY t.k ORDER BY t.k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -131,3 +131,69 @@ def scd2(changes: ray.data.Dataset, key: str, ts: str, tiebreak: str,
     return rel.grouped_apply_bucketed(
         changes.map_batches(prep, batch_format="pyarrow"), [key], build,
         num_buckets=num_buckets, whole_bucket=True)
+
+
+def table_diff(a: ray.data.Dataset, b: ray.data.Dataset, key: str,
+               num_buckets: int = 64) -> ray.data.Dataset:
+    """Version diff of two PK-unique tables with identical schemas:
+    one hash shuffle on ``key`` co-locates both sides, then a
+    vectorized boundary pass classifies every key as ``added`` (only
+    in ``b``), ``removed`` (only in ``a``) or ``changed`` (both sides,
+    any value column differs). Unchanged keys are dropped — at 100 TB
+    the diff output is proportional to the churn, not the table.
+
+    Output: ``(key, status)``.
+    """
+    val_cols = [c for c in a.schema().names if c != key]
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__src", pa.array(np.full(t.num_rows, src,
+                                          dtype=np.int64), pa.int64()))
+        return fn
+
+    u = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                          "status": pd.Series([], dtype="object")})
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        g = g.sort_values([key, "__src"], kind="mergesort")
+        k = g[key].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        last = np.empty(len(g), dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        single = first & last
+        src = g["__src"].to_numpy()
+        out_k, out_s = [], []
+        # singles: src 0 → removed, src 1 → added
+        out_k.append(k[single & (src == 0)])
+        out_s.append(np.full((single & (src == 0)).sum(), "removed",
+                             dtype=object))
+        out_k.append(k[single & (src == 1)])
+        out_s.append(np.full((single & (src == 1)).sum(), "added",
+                             dtype=object))
+        # pairs: first row is src 0, next is src 1 (sorted) — compare
+        pf = first & ~last
+        idx = np.flatnonzero(pf)
+        if len(idx):
+            diff = np.zeros(len(idx), dtype=bool)
+            for c in val_cols:
+                v = g[c].to_numpy()
+                diff |= v[idx] != v[idx + 1]
+            out_k.append(k[idx[diff]])
+            out_s.append(np.full(int(diff.sum()), "changed",
+                                 dtype=object))
+        return pd.DataFrame({key: np.concatenate(out_k),
+                             "status": np.concatenate(out_s)})
+
+    return rel.grouped_apply_bucketed(u, [key], classify,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)

@@ -763,3 +763,30 @@ def hillshade_stats(ds, lx: int = 2, ly: int = 3, lz_k: int = 128,
                          "n_shadow": pa.array(sh, pa.int64()),
                          "n_interior": pa.array(ns, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def row_viewshed_batch(h: np.ndarray) -> np.ndarray:
+    """Batched 1-D line-of-sight viewshed: for each terrain profile
+    ``h[i]`` (observer at x=0, eye height = terrain there), a cell x
+    is visible iff its sight-line slope strictly exceeds every
+    intermediate one: (h[x]−h0)·t > (h[t]−h0)·x ∀ 0<t<x — evaluated
+    with INTEGER cross-multiplication, no division, so results are
+    exact (the standard per-ray viewshed reduction; 2-D viewsheds run
+    this kernel once per ray). Vectorized across the batch: W−1 steps
+    of whole-column numpy, maintaining the running max slope as a
+    (num, den) pair. Returns (N,) int64 visible-cell counts
+    (excluding the observer cell).
+    """
+    h = np.asarray(h, np.int64)
+    n, w = h.shape
+    h0 = h[:, 0]
+    best_num = h[:, 1] - h0          # x=1 is always visible
+    best_den = np.ones(n, np.int64)
+    count = np.ones(n, np.int64) if w > 1 else np.zeros(n, np.int64)
+    for x in range(2, w):
+        num = h[:, x] - h0
+        vis = num * best_den > best_num * x
+        count += vis
+        best_num = np.where(vis, num, best_num)
+        best_den = np.where(vis, x, best_den)
+    return count

@@ -2322,3 +2322,109 @@ def grouped_regression(ds: ray.data.Dataset, keys: list[str],
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cusum_changepoint(ds: ray.data.Dataset, key: str, order: str,
+                      tiebreak: str, value: str,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key CUSUM change-point: the 1-based index k (1 ≤ k < n)
+    maximizing |n·prefix_k − k·total| — the scaled cumulative
+    deviation from the mean, kept INTEGER by multiplying through by n
+    (no float mean, hash-stable). Ties take the earliest k. Keys with
+    a single row emit nothing (no interior split point).
+
+    One keyed shuffle; inside each bucket the prefix sums, deviations
+    and per-key argmax are whole-frame pandas/numpy passes.
+    """
+    empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                          "change_k": pd.Series([], dtype="int64"),
+                          "dev": pd.Series([], dtype="int64")})
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        g = g.sort_values([key, order, tiebreak], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[value].to_numpy().astype(np.int64)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(g)))
+        csum = np.cumsum(v)
+        base = np.concatenate([[0], csum[starts[1:] - 1]])
+        prefix = csum - base[gid]
+        total = prefix[np.append(starts[1:] - 1, len(g) - 1)]
+        n = sizes
+        pos = np.arange(len(g), dtype=np.int64) - starts[gid] + 1
+        dev = np.abs(n[gid] * prefix - pos * total[gid])
+        interior = pos < n[gid]
+        df = pd.DataFrame({key: k[interior], "__pos": pos[interior],
+                           "__dev": dev[interior]})
+        if not len(df):
+            return empty
+        df = df.sort_values([key, "__dev", "__pos"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        best = df.drop_duplicates(subset=[key], keep="first")
+        return pd.DataFrame({key: best[key].to_numpy(),
+                             "change_k": best["__pos"].to_numpy(),
+                             "dev": best["__dev"].to_numpy()})
+
+    slim = ds.select_columns([key, order, tiebreak, value])
+    return grouped_apply_bucketed(slim, [key], bucket_fn,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def profile_int_columns(ds: ray.data.Dataset,
+                        cols: list[str]) -> pd.DataFrame:
+    """Table profiler over integer-valued columns: per column the row
+    count, null count, min, max (ONE mergeable-partial pass over the
+    data — 4 int64 cells per column per batch) plus EXACT distinct
+    counts (one dedup shuffle per column). Long output ``(col, n,
+    nulls, min_v, max_v, n_distinct)`` sorted by column name.
+
+    Scale note: exact distinct is the oracle-parity choice here; at
+    100 TB swap it for ``grouped_approx_distinct`` (HLL partials, no
+    shuffle) — same loop, same output shape.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        names, mns, mxs, nulls, ns = [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            if len(col) == 0:
+                continue
+            nn = col.null_count
+            valid = col.drop_null() if nn else col
+            names.append(c)
+            if len(valid):
+                mns.append(pc.min(valid).as_py())
+                mxs.append(pc.max(valid).as_py())
+            else:
+                # all-null batch: identity sentinels keep the merged
+                # min/max correct whenever ANY batch has a value (an
+                # all-null COLUMN reports the sentinels — callers with
+                # nullable columns read `nulls == n` first)
+                mns.append(np.iinfo(np.int64).max)
+                mxs.append(np.iinfo(np.int64).min)
+            nulls.append(nn)
+            ns.append(len(col))
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "min_v": pa.array(mns, pa.int64()),
+                         "max_v": pa.array(mxs, pa.int64()),
+                         "nulls": pa.array(nulls, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["col"], sum_cols=["nulls", "n"],
+                      min_cols=["min_v"], max_cols=["max_v"],
+                      count=False).to_pandas()
+    agg = agg.rename(columns={"min_min_v": "min_v",
+                              "max_max_v": "max_v"})
+    nd = {c: distinct(ds.select_columns([c]), [c]).count()
+          for c in cols}
+    agg["n_distinct"] = agg["col"].map(nd).astype("int64")
+    out = agg[["col", "n", "nulls", "min_v", "max_v", "n_distinct"]]
+    return out.sort_values("col").reset_index(drop=True)

@@ -135,3 +135,25 @@ def test_pyramid_reduce_sparse_and_sums(ray_session):
     # sum preservation
     p11 = np.asarray(out["px"][1], np.int64)
     assert p11.sum() == pix[(2, 3)].sum()
+
+
+def test_row_viewshed_matches_bruteforce():
+    from hand_index_ray.pipelines.terrain import row_viewshed_batch
+
+    rng = np.random.default_rng(2)
+    h = rng.integers(0, 50, (200, 24))
+
+    def brute(row):
+        h0 = row[0]
+        c = 0
+        for x in range(1, len(row)):
+            if all((row[x] - h0) * t > (row[t] - h0) * x
+                   for t in range(1, x)):
+                c += 1
+        return c
+
+    exp = np.array([brute(r) for r in h])
+    assert (row_viewshed_batch(h) == exp).all()
+    # monotone descending terrain: only x=1 visible
+    assert row_viewshed_batch(np.arange(24)[::-1][None] * 10).tolist() \
+        == [1]

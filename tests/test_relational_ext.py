@@ -398,3 +398,48 @@ def test_grouped_regression_matches_polyfit(ray_session):
         slope = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
         assert abs(r["slope_num"] / r["slope_den"] - slope) < 1e-9
         assert r["sum_x"] == x[m].sum() and r["sum_y"] == y[m].sum()
+
+
+def test_cusum_changepoint_matches_bruteforce(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    key = rng.integers(0, 40, n)
+    order = rng.permutation(n)
+    tb = np.arange(n)
+    # planted level shift for some keys
+    v = rng.integers(0, 20, n) + (order > n // 2) * (key % 3 == 0) * 50
+    ds = ray.data.from_arrow(pa.table({
+        "k": key.astype("int64"), "o": order.astype("int64"),
+        "tb": tb.astype("int64"), "v": v.astype("int64")})) \
+        .repartition(5)
+    out = rel.cusum_changepoint(ds, "k", "o", "tb", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for kk in np.unique(key):
+        m = key == kk
+        vv = v[m][np.argsort(order[m], kind="stable")]
+        nn = len(vv)
+        if nn < 2:
+            assert kk not in out["k"].values
+            continue
+        pref = np.cumsum(vv)
+        dev = np.abs(nn * pref[:-1] - np.arange(1, nn) * pref[-1])
+        bk = int(np.argmax(dev)) + 1
+        row = out[out["k"] == kk].iloc[0]
+        assert row["change_k"] == bk and row["dev"] == dev[bk - 1]
+
+
+def test_profile_int_columns_with_nulls(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, None, 7], pa.int64()),
+        "b": pa.array([5, 5, 5, 5, 5], pa.int64())})
+    prof = rel.profile_int_columns(ray.data.from_arrow(t), ["a", "b"])
+    pa_row = prof[prof["col"] == "a"].iloc[0]
+    assert pa_row["n"] == 5 and pa_row["nulls"] == 2
+    assert pa_row["min_v"] == 1 and pa_row["max_v"] == 7
+    assert pa_row["n_distinct"] == 4  # 1, 3, 7, null
+    pb = prof[prof["col"] == "b"].iloc[0]
+    assert pb["n_distinct"] == 1 and pb["min_v"] == 5

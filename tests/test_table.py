@@ -99,3 +99,22 @@ def test_scd2_ts_ties_ordered_by_tiebreak(ray_session):
     # tb=3 (attr 1) comes first, closed by tb=5's interval at same ts
     assert df[["attr", "valid_from", "valid_to"]].values.tolist() == [
         [2, 100, -1], [1, 100, 100]]
+
+
+def test_table_diff_classifies_churn(ray_session):
+    a = _base([(1, 10), (2, 20), (3, 30), (4, 40)])
+    b = _base([(1, 10), (2, 99), (4, 40), (5, 50)])  # 3 removed, 5 added
+    from hand_index_ray.pipelines.table import table_diff
+
+    df = table_diff(a, b, key="k", num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert df.values.tolist() == [[2, "changed"], [3, "removed"],
+                                  [5, "added"]]
+
+
+def test_table_diff_identical_tables_empty(ray_session):
+    a = _base([(1, 10), (2, 20)])
+    b = _base([(2, 20), (1, 10)])
+    from hand_index_ray.pipelines.table import table_diff
+
+    assert table_diff(a, b, key="k", num_buckets=2).count() == 0
