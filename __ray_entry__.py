@@ -3867,6 +3867,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q187_bfs_hops(sf):  # multi-source BFS hop distance
+        """Multi-source shortest hops over a pseudo-random graph
+        derived from order keys (impact-radius / blast-radius
+        analysis): raw-task BFS waves with edges partitioned ONCE and
+        labels never on the driver (pipelines/graph.py:bfs_hops — the
+        hop metric rules out pointer jumping, so rounds = seed-set
+        eccentricity, the BFS lower bound). Oracle = DuckDB recursive
+        CTE over the same edges; unreachable nodes appear in
+        neither."""
+        from hand_index_ray.pipelines.graph import bfs_hops
+
+        def edges(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy()
+            k = k[k % 11 == 0].astype(np.int64)
+            return pa.table({"a": pa.array(k % 1000, pa.int64()),
+                             "b": pa.array((k * 7) % 1000, pa.int64())})
+
+        e = _t(sf, "orders").select_columns(["o_orderkey"]) \
+            .map_batches(edges, batch_format="pyarrow")
+        out = bfs_hops(e, np.array([7, 13], dtype=np.int64),
+                       num_buckets=8)
+        return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+    def q186_pitch_detect(sf):  # autocorrelation period estimation
+        """Pitch detection over WAV clips (audio-curation primitive —
+        fundamental-period estimation): each fixture clip is a square
+        wave of planted even period P ∈ [20,48]; INTEGER
+        autocorrelation R[τ] = Σ x[t]x[t+τ] peaks at exactly τ=P with
+        R[P] = (N−P)·A² (finite-length overlap shrinks later peaks, so
+        the argmax is unique). The WAV encode→decode roundtrip is in
+        the loop (kernels/audio.py); the oracle states the planted
+        formulas."""
+        from hand_index_ray.kernels import audio as audk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        N = 400
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 163 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "period": pa.array([], pa.int64()),
+                                 "peak": pa.array([], pa.int64())})
+            xs = np.empty((len(keys), N), np.int64)
+            for i, k in enumerate(keys):
+                P = int(20 + 2 * (k % 15))
+                A = int(1000 + k % 7)
+                tt = np.arange(N)
+                wave = np.where((tt % P) < P // 2, A, -A) \
+                    .astype(np.float64) / 32768.0
+                buf = audk.encode_wav(wave, 8000, bits=16)
+                dec, _sr = audk.decode_wav(buf)  # float64 in [-1, 1)
+                # 16-bit PCM is exact at /32768 — recover the integers
+                xs[i] = np.round(dec.ravel()[:N] * 32768.0) \
+                    .astype(np.int64)
+            lags = np.arange(20, 50)
+            R = np.empty((len(keys), len(lags)), np.int64)
+            for j, tau in enumerate(lags):
+                R[:, j] = (xs[:, :N - tau] * xs[:, tau:]).sum(axis=1)
+            arg = np.argmax(R, axis=1)
+            return pa.table({
+                "k": pa.array(keys, pa.int64()),
+                "period": pa.array(lags[arg], pa.int64()),
+                "peak": pa.array(R[np.arange(len(keys)), arg],
+                                 pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
+    def q188_segment_snap(sf):  # map-matching: nearest segment
+        """Map-matching / snapping: each point takes its nearest of 8
+        planted axis-aligned segments with EXACT integer
+        point-to-segment distances (cross-multiplied fraction argmin,
+        kernels/geom.py:snap_to_segments_int — the generic kernel
+        handles oblique segments too; axis-aligned keeps the SQL
+        oracle integer). Segments broadcast; points never shuffle."""
+        from hand_index_ray.kernels import geom as geomlib
+
+        segs = np.array([
+            [10, 20, 130, 20], [35, 5, 35, 95],
+            [20, 100, 140, 100], [105, 15, 105, 105],
+            [30, 180, 150, 180], [175, 25, 175, 115],
+            [40, 260, 160, 260], [245, 35, 245, 125]], np.int64)
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 7 == 0].astype(np.int64)
+            px = (keys * 13) % 400
+            py = (keys * 29) % 400
+            idx, num, den = geomlib.snap_to_segments_int(px, py, segs)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "seg": pa.array(idx, pa.int64()),
+                             "d2": pa.array(num // den, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -4074,6 +4173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q183_changepoint": q183_changepoint,
         "q184_profile": q184_profile,
         "q185_viewshed": q185_viewshed,
+        "q186_pitch_detect": q186_pitch_detect,
+        "q187_bfs_hops": q187_bfs_hops,
+        "q188_segment_snap": q188_segment_snap,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6063,6 +6165,59 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.k = t.k AND b.x >= 1 AND b.x < t.x
                   AND (t.h - h0.h0) * b.x <= (b.h - h0.h0) * t.x)
             GROUP BY t.k ORDER BY t.k
+        """,
+        "q187_bfs_hops": """
+            WITH RECURSIVE e AS (
+                SELECT o_orderkey % 1000 AS u,
+                       (o_orderkey * 7) % 1000 AS v
+                FROM orders WHERE o_orderkey % 11 = 0),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            bfs(node, hops) AS (
+                SELECT DISTINCT u, 0 FROM sym WHERE u IN (7, 13)
+                UNION
+                SELECT s.v, b.hops + 1
+                FROM bfs b JOIN sym s ON s.u = b.node
+                WHERE b.hops < 50)
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM bfs GROUP BY node ORDER BY node
+        """,
+        "q186_pitch_detect": """
+            SELECT o_orderkey AS k,
+                   20 + 2 * (o_orderkey % 15) AS period,
+                   (400 - (20 + 2 * (o_orderkey % 15)))
+                       * (1000 + o_orderkey % 7)
+                       * (1000 + o_orderkey % 7) AS peak
+            FROM orders WHERE o_orderkey % 163 = 0 ORDER BY k
+        """,
+        "q188_segment_snap": """
+            WITH segs(sid, x1, y1, x2, y2) AS (VALUES
+                (0, 10, 20, 130, 20), (1, 35, 5, 35, 95),
+                (2, 20, 100, 140, 100), (3, 105, 15, 105, 105),
+                (4, 30, 180, 150, 180), (5, 175, 25, 175, 115),
+                (6, 40, 260, 160, 260), (7, 245, 35, 245, 125)),
+            pts AS (SELECT o_orderkey AS k,
+                           (o_orderkey * 13) % 400 AS px,
+                           (o_orderkey * 29) % 400 AS py
+                    FROM orders WHERE o_orderkey % 7 = 0),
+            d AS (SELECT k, sid,
+                         CASE WHEN x1 = x2 THEN
+                             (px - x1) * (px - x1)
+                             + CASE WHEN py < y1 THEN (y1 - py) * (y1 - py)
+                                    WHEN py > y2 THEN (py - y2) * (py - y2)
+                                    ELSE 0 END
+                         ELSE
+                             (py - y1) * (py - y1)
+                             + CASE WHEN px < x1 THEN (x1 - px) * (x1 - px)
+                                    WHEN px > x2 THEN (px - x2) * (px - x2)
+                                    ELSE 0 END
+                         END AS d2
+                  FROM pts, segs),
+            r AS (SELECT k, sid, d2,
+                         ROW_NUMBER() OVER (PARTITION BY k
+                             ORDER BY d2, sid) AS rn
+                  FROM d)
+            SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
+            FROM r WHERE rn = 1 ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

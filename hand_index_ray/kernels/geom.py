@@ -1001,3 +1001,50 @@ def simple_flags(r: Ragged) -> np.ndarray:
                 out[g] = False
                 break
     return out
+
+
+def snap_to_segments_int(px: np.ndarray, py: np.ndarray,
+                         segs: np.ndarray) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Nearest-segment snap with EXACT integer arithmetic (the
+    map-matching primitive: GPS points → road/stream segments).
+
+    ``segs`` is (M, 4) int64 rows ``(x1, y1, x2, y2)``; points are
+    int64 coordinate arrays. Squared point→segment distance is the
+    rational (|ap|²·L² − (ap·ab)²)/L² when the projection falls inside
+    the segment, else the nearer endpoint's integer distance; the
+    argmin compares fractions by cross-multiplication — no floats, no
+    ties ambiguity (equal distances keep the lower segment id).
+    Bounds: with |coord| ≤ C, cross products stay < 32·C⁶ — C ≤ 10⁴
+    fits int64. Vectorized over points; the segment loop is the small
+    broadcast side (ray.put the segment table once at pipeline level).
+
+    Returns ``(seg_idx, d2_num, d2_den)`` with d² = num/den exact.
+    """
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    n = len(px)
+    best_num = None  # seeded from segment 0 (sentinel·den overflows)
+    best_den = np.ones(n, np.int64)
+    best_idx = np.zeros(n, np.int64)
+    for i, (x1, y1, x2, y2) in enumerate(np.asarray(segs, np.int64)):
+        abx, aby = x2 - x1, y2 - y1
+        L2 = abx * abx + aby * aby
+        apx, apy = px - x1, py - y1
+        dot = apx * abx + apy * aby
+        ap2 = apx * apx + apy * apy
+        if L2 == 0:
+            num, den = ap2, np.ones(n, np.int64)
+        else:
+            inside = (dot >= 0) & (dot <= L2)
+            bpx, bpy = px - x2, py - y2
+            end2 = np.where(dot < 0, ap2, bpx * bpx + bpy * bpy)
+            num = np.where(inside, ap2 * L2 - dot * dot, end2)
+            den = np.where(inside, L2, 1).astype(np.int64)
+        if best_num is None:
+            best_num, best_den = num, den
+            continue
+        better = num * best_den < best_num * den
+        best_num = np.where(better, num, best_num)
+        best_den = np.where(better, den, best_den)
+        best_idx = np.where(better, i, best_idx)
+    return best_idx, best_num, best_den

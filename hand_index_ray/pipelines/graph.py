@@ -39,6 +39,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -390,3 +391,92 @@ def triangle_counts(edges: ray.data.Dataset, a: str = "u", b: str = "v"
     out = parts.groupby("node", as_index=False)["n_tri"].sum()
     return out.sort_values("node").reset_index(drop=True) \
         .astype({"node": "int64", "n_tri": "int64"})
+
+
+@ray.remote
+def _init_hops(eb: pa.Table, seed_ref, inf: int) -> pa.Table:
+    u = pc_unique(eb["u"])
+    un = u.to_numpy(zero_copy_only=False)
+    seeds = seed_ref
+    lbl = np.where(np.isin(un, seeds), 0, inf).astype(np.int64)
+    return pa.table({"node": u, "lbl": pa.array(lbl, pa.int64())})
+
+
+@ray.remote
+def _propagate_hops(eb: pa.Table, lb: pa.Table, B: int,
+                    inf: int) -> tuple:
+    """BFS relax wave: candidates dist(v) = dist(u) + 1 for settled
+    u (dist < inf), scattered by hash(v) % B."""
+    e = eb.select(["u", "v"]).to_pandas()
+    l = lb.to_pandas()
+    l = l[l["lbl"] < inf]
+    cand = e.merge(l, left_on="u", right_on="node")[["v", "lbl"]]
+    out = pa.table({"node": pa.array(cand["v"].to_numpy(),
+                                     eb.schema.field("v").type),
+                    "lbl": pa.array(cand["lbl"].to_numpy() + 1,
+                                    pa.int64())})
+    bk = _bucket_of(out["node"], B)
+    return tuple(out.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _finalize_hops(lb: pa.Table, inf: int) -> pa.Table:
+    keep = pc.less(lb["lbl"], pa.scalar(inf, pa.int64()))
+    t = lb.filter(keep)
+    return pa.table({"node": t["node"], "hops": t["lbl"]})
+
+
+def bfs_hops(edges: ray.data.Dataset, seeds: "np.ndarray",
+             a: str = "a", b: str = "b", max_rounds: int = 64,
+             num_buckets: int | None = None) -> ray.data.Dataset:
+    """Multi-source BFS hop distance over an undirected edge list:
+    every node reachable from any seed gets its minimum hop count
+    (seeds = 0). Unreachable nodes are omitted — output scales with
+    the reachable set.
+
+    Same raw-task wave shape as :func:`connected_components` (edges
+    partitioned ONCE by hash(u), two gather/scatter waves per round,
+    labels never on the driver) — hop metric means no pointer jumping
+    (dist(label(label)) is not dist+hops), so rounds = eccentricity of
+    the seed set, the BFS lower bound. Convergence = a round with no
+    label decrease. SQL parity: a recursive CTE (the q187 oracle).
+    """
+    INF = np.iinfo(np.int64).max // 2
+
+    def sym(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": t[a], "v": t[b]})
+        rev = pa.table({"u": t[b], "v": t[a]})
+        return pa.concat_tables([fwd, rev])
+
+    blocks = edges.map_batches(sym, batch_format="pyarrow").to_arrow_refs()
+    empty_out = pa.table({"node": pa.array([], pa.int64()),
+                          "hops": pa.array([], pa.int64())})
+    if not blocks:
+        return ray.data.from_arrow(empty_out)
+    B = max(2, num_buckets or min(32, max(4, len(blocks))))
+    schemas = ray.get([_peek_schema.remote(blk) for blk in blocks])
+    node_type = next((s.field("u").type for s in schemas
+                      if s is not None), None)
+    if node_type is None:
+        return ray.data.from_arrow(empty_out)
+    empty = pa.table({"u": pa.array([], node_type),
+                      "v": pa.array([], node_type)})
+    seed_ref = ray.put(np.asarray(seeds))
+    splits = [_split_edges.options(num_returns=B).remote(blk, B, empty)
+              for blk in blocks]
+    Eb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
+    Lb = [_init_hops.remote(e, seed_ref, INF) for e in Eb]
+
+    for _ in range(max_rounds):
+        cands = [_propagate_hops.options(num_returns=B).remote(
+                     Eb[i], Lb[i], B, INF) for i in range(B)]
+        outs = [_min_reduce.options(num_returns=2).remote(
+                    Lb[i], *(c[i] for c in cands)) for i in range(B)]
+        Lb = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+    else:
+        raise RuntimeError(f"bfs_hops: no fixpoint in {max_rounds} rounds")
+
+    return ray.data.from_arrow_refs(
+        [_finalize_hops.remote(l, INF) for l in Lb])

@@ -744,3 +744,47 @@ def test_max_drawdown_brute(ray_session):
                        num_buckets=4).to_pandas()
     m = dict(zip(got["k"], got["max_dd"]))
     assert m == {"a": 9, "b": 0}  # a: peak 12 -> 3 ; b: never below peak
+
+
+# ----------------------------------------------------------- BFS hops
+
+def test_bfs_hops_brute(ray_session):
+    from hand_index_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 200).astype(np.int64)
+    b = rng.integers(0, 60, 200).astype(np.int64)
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    seeds = np.array([3, 41], dtype=np.int64)
+    got = bfs_hops(_ds(tbl).repartition(5), seeds, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+
+    # brute BFS over the symmetrized edge list
+    from collections import deque
+    adj = {}
+    for u, v in zip(a, b):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {int(s): 0 for s in seeds if int(s) in adj}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    exp = pd.DataFrame(sorted(dist.items()), columns=["node", "hops"]) \
+        .astype({"node": "int64", "hops": "int64"})
+    assert got.equals(exp)
+
+
+def test_bfs_hops_unreachable_and_seed_only(ray_session):
+    from hand_index_ray.pipelines.graph import bfs_hops
+
+    # two components: {1,2,3} and {10,11}; seed in the first only
+    tbl = pa.table({"a": pa.array([1, 2, 10], pa.int64()),
+                    "b": pa.array([2, 3, 11], pa.int64())})
+    got = bfs_hops(_ds(tbl), np.array([1], np.int64), num_buckets=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["hops"].tolist() == [0, 1, 2]

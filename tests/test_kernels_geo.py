@@ -307,3 +307,32 @@ def test_zonal_broadcast_joiner_unpickles_once_per_catchment():
     out3 = j(batch)
     assert out1.num_rows == 2 and out2.num_rows == 2 and out3.num_rows == 2
     assert j.n_unpickles == 2  # one per catchment, not per batch
+
+
+def test_snap_to_segments_int_brute():
+    from hand_index_ray.kernels.geom import snap_to_segments_int
+
+    rng = np.random.default_rng(5)
+    segs = rng.integers(0, 500, (12, 4)).astype(np.int64)
+    segs[3, 2:] = segs[3, :2]  # degenerate point-segment
+    px = rng.integers(0, 500, 300).astype(np.int64)
+    py = rng.integers(0, 500, 300).astype(np.int64)
+    idx, num, den = snap_to_segments_int(px, py, segs)
+
+    # float brute force
+    for j in range(len(px)):
+        best = None
+        for i, (x1, y1, x2, y2) in enumerate(segs):
+            abx, aby = x2 - x1, y2 - y1
+            L2 = abx * abx + aby * aby
+            if L2 == 0:
+                d2 = (px[j] - x1) ** 2 + (py[j] - y1) ** 2
+            else:
+                t = ((px[j] - x1) * abx + (py[j] - y1) * aby) / L2
+                t = min(1.0, max(0.0, t))
+                cx, cy = x1 + t * abx, y1 + t * aby
+                d2 = (px[j] - cx) ** 2 + (py[j] - cy) ** 2
+            if best is None or d2 < best[1] - 1e-9:
+                best = (i, d2)
+        assert idx[j] == best[0]
+        assert abs(num[j] / den[j] - best[1]) < 1e-6
