@@ -3966,6 +3966,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q189_moments(sf):  # raw image moments / shape descriptors
+        """Raw image moments M00..M02 (centroid/orientation core,
+        kernels/image.py:raw_moments_batch — marginal-sum contraction,
+        one einsum for M11) over PNG-encoded images with the codec
+        round-trip IN the measured path. Oracle sums v·x^p·y^q over
+        the planted pixel formula."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 18, 24
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 59 == 0].astype(np.int64)
+            cols = {"o_orderkey": pa.array(keys, pa.int64())}
+            names = ["m00", "m10", "m01", "m11", "m20", "m02"]
+            if len(keys) == 0:
+                for nm in names:
+                    cols[nm] = pa.array([], pa.int64())
+                return pa.table(cols)
+            dec = np.empty((len(keys), H, W), np.int64)
+            for i, k in enumerate(keys):
+                v = ((int(k) * 7 + xx * 5 + yy * 11 + xx * yy) % 256) \
+                    .astype(np.uint8)
+                rgb = np.stack([v, (v * 3).astype(np.uint8),
+                                (v * 7).astype(np.uint8)], axis=2)
+                buf = imk.encode(rgb, "png")
+                dec[i] = imk.decode(buf, "png")[:, :, 0]
+            mm = imk.raw_moments_batch(dec)
+            for j, nm in enumerate(names):
+                cols[nm] = pa.array(mm[:, j], pa.int64())
+            return pa.table(cols)
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q190_dither(sf):  # ordered (Bayer 8x8) halftoning
+        """Ordered dithering against the published 8×8 Bayer index
+        matrix (built by the spec recursion, pinned to the closed
+        bit form — kernels/image.py:bayer8_matrix/bayer_dither_batch),
+        PNG round-trip in the loop; per-image on-pixel count and a
+        position checksum. The oracle recomputes the matrix from the
+        closed form in SQL."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 16, 24
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 61 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "n_on": pa.array([], pa.int64()),
+                                 "pos_sum": pa.array([], pa.int64())})
+            dec = np.empty((len(keys), H, W), np.int64)
+            for i, k in enumerate(keys):
+                v = ((int(k) * 5 + xx * 11 + yy * 17) % 256) \
+                    .astype(np.uint8)
+                rgb = np.stack([v, v, v], axis=2)
+                buf = imk.encode(rgb, "png")
+                dec[i] = imk.decode(buf, "png")[:, :, 0]
+            on = imk.bayer_dither_batch(dec)
+            pos = (xx + 100 * yy)[None, :, :]
+            return pa.table({
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "n_on": pa.array(on.sum(axis=(1, 2)), pa.int64()),
+                "pos_sum": pa.array((on * pos).sum(axis=(1, 2)),
+                                    pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q191_laplacian(sf):  # terrain curvature (5-point Laplacian)
+        """Per-raster curvature aggregates (∇² = N+S+E+W−4v on
+        interior cells; pipelines/terrain.py:laplacian_stats) over
+        LZW+predictor GeoTIFF blobs — curvature drives flow
+        convergence in HAND-style terrain analysis. Oracle recomputes
+        the stencil from the pixel formula."""
+        from hand_index_ray.pipelines.terrain import laplacian_stats
+        ds = _terrain_blobs(sf, 227, 48, 37, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = laplacian_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q132_flow_paths(sf):  # D8 routing via pointer doubling
         """Full D8 flow routing (the step after q128's direction
         grid): every interior cell's path is resolved by pointer
@@ -4176,6 +4265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_pitch_detect": q186_pitch_detect,
         "q187_bfs_hops": q187_bfs_hops,
         "q188_segment_snap": q188_segment_snap,
+        "q189_moments": q189_moments,
+        "q190_dither": q190_dither,
+        "q191_laplacian": q191_laplacian,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6218,6 +6310,78 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        "q189_moments": """
+            SELECT k AS o_orderkey,
+                   CAST(SUM(v) AS BIGINT) AS m00,
+                   CAST(SUM(v * x) AS BIGINT) AS m10,
+                   CAST(SUM(v * y) AS BIGINT) AS m01,
+                   CAST(SUM(v * x * y) AS BIGINT) AS m11,
+                   CAST(SUM(v * x * x) AS BIGINT) AS m20,
+                   CAST(SUM(v * y * y) AS BIGINT) AS m02
+            FROM (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                       (o.o_orderkey * 7 + x.x * 5 + y.y * 11
+                        + x.x * y.y) % 256 AS v
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 59 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 23)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 17)) y)
+            GROUP BY k ORDER BY k
+        """,
+        # q190: Bayer index via the closed bit form (one base-4 digit
+        # per coordinate-bit pair, LSBs most significant); pixel on
+        # iff 128*v > (2*M+1)*256
+        "q190_dither": """
+            SELECT k AS o_orderkey,
+                   CAST(SUM(CASE WHEN 128 * v > (2 * m + 1) * 256
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_on,
+                   CAST(SUM(CASE WHEN 128 * v > (2 * m + 1) * 256
+                            THEN x + 100 * y ELSE 0 END) AS BIGINT)
+                       AS pos_sum
+            FROM (
+                SELECT k, x, y, v,
+                       16 * ((2 * (x % 2) + 3 * (y % 2)) % 4)
+                       + 4 * ((2 * ((x // 2) % 2)
+                               + 3 * ((y // 2) % 2)) % 4)
+                       + ((2 * ((x // 4) % 2)
+                           + 3 * ((y // 4) % 2)) % 4) AS m
+                FROM (
+                    SELECT o.o_orderkey AS k, x.x AS x, y.y AS y,
+                           (o.o_orderkey * 5 + x.x * 11 + y.y * 17)
+                               % 256 AS v
+                    FROM (SELECT o_orderkey FROM orders
+                          WHERE o_orderkey % 61 = 0) o
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 23)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 15)) y))
+            GROUP BY k ORDER BY k
+        """,
+        "q191_laplacian": """
+            SELECT k AS o_orderkey,
+                   CAST(SUM(ABS(lap)) AS BIGINT) AS abs_sum,
+                   CAST(SUM(CASE WHEN lap > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_concave,
+                   CAST(SUM(CASE WHEN lap < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_convex
+            FROM (
+                SELECT o.o_orderkey AS k,
+                       (o.o_orderkey*13 + x.x*7 + (y.y-1)*3) % 256
+                     + (o.o_orderkey*13 + x.x*7 + (y.y+1)*3) % 256
+                     + (o.o_orderkey*13 + (x.x-1)*7 + y.y*3) % 256
+                     + (o.o_orderkey*13 + (x.x+1)*7 + y.y*3) % 256
+                     - 4 * ((o.o_orderkey*13 + x.x*7 + y.y*3) % 256)
+                         AS lap
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 227 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(1, 46)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(1, 35)) y)
+            GROUP BY k ORDER BY k
         """,
         # q141: a run starts at x=0 or on a value change; run lengths
         # from the islands trick (run id = running count of starts)

@@ -433,3 +433,62 @@ def hough4_batch(xs: np.ndarray, ys: np.ndarray,
     votes = acc[np.arange(n), pos]
     return np.stack([pos // nrho, pos % nrho, votes], axis=1) \
         .astype(np.int64)
+
+
+def raw_moments_batch(imgs: np.ndarray) -> np.ndarray:
+    """Raw image moments per image: (B, H, W) integer grayscale →
+    (B, 6) int64 ``[M00, M10, M01, M11, M20, M02]`` with x = column
+    index, y = row index (Mpq = Σ v·x^p·y^q).
+
+    The shape-descriptor core (centroid = M10/M00, M01/M00; central
+    second moments / orientation derive from these six) — all integer,
+    computed from row/column marginals so the pixel array is read once
+    (M11 is the only true 2-D contraction, one einsum).
+    """
+    v = np.ascontiguousarray(imgs).astype(np.int64)
+    b, h, w = v.shape
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    sx = v.sum(axis=1)  # (B, W) column marginal
+    sy = v.sum(axis=2)  # (B, H) row marginal
+    m00 = sx.sum(axis=1)
+    m10 = sx @ x
+    m20 = sx @ (x * x)
+    m01 = sy @ y
+    m02 = sy @ (y * y)
+    m11 = np.einsum("bhw,h,w->b", v, y, x)
+    return np.stack([m00, m10, m01, m11, m20, m02], axis=1)
+
+
+def bayer8_matrix() -> np.ndarray:
+    """The standard 8×8 Bayer ordered-dithering index matrix, built by
+    the published recursion ``M_{2n}(2y+dy, 2x+dx) = 4·M_n(y,x) +
+    M_2(dy, dx)`` from ``M_2 = [[0, 2], [3, 1]]`` — a permutation of
+    0..63. The closed form (each coordinate-bit pair contributes one
+    base-4 digit, LSBs most significant) is pinned against this
+    recursion in tests."""
+    m = np.array([[0, 2], [3, 1]], np.int64)
+    for _ in range(2):
+        n = m.shape[0]
+        out = np.empty((2 * n, 2 * n), np.int64)
+        for dy in range(2):
+            for dx in range(2):
+                # fine position = high digit, coarse block = low digit
+                out[dy * n:(dy + 1) * n, dx * n:(dx + 1) * n] = \
+                    4 * m + (2 * dx + 3 * dy) % 4
+        m = out
+    return m
+
+
+def bayer_dither_batch(imgs: np.ndarray, levels: int = 256) -> np.ndarray:
+    """Ordered (Bayer 8×8) dithering: (B, H, W) integer grayscale in
+    [0, levels) → (B, H, W) bool halftone, pixel on iff
+    ``2·64·v > (2·M(y%8, x%8) + 1) · levels`` — the exact-integer form
+    of v/levels > (M + ½)/64. Deterministic, vectorized (one tiled
+    compare); the halftoning step of a print/thumbnail export stage.
+    """
+    v = np.asarray(imgs, np.int64)
+    b, h, w = v.shape
+    m = bayer8_matrix()
+    tiled = np.tile(m, ((h + 7) // 8, (w + 7) // 8))[:h, :w]
+    return 128 * v > (2 * tiled + 1) * int(levels)

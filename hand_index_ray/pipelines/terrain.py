@@ -790,3 +790,27 @@ def row_viewshed_batch(h: np.ndarray) -> np.ndarray:
         best_num = np.where(vis, num, best_num)
         best_den = np.where(vis, x, best_den)
     return count
+
+
+def laplacian_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster 5-point Laplacian (∇²v = N+S+E+W−4v on interior
+    cells) aggregates: abs_sum (total curvature magnitude),
+    n_concave (∇² > 0, local basins), n_convex (∇² < 0, local ridges)
+    — the second-derivative sibling of slope_stats/hillshade_stats
+    (curvature drives flow convergence in HAND-style terrain
+    analysis). Pure shifted-slice integer arithmetic."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, asum, ncc, ncv = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            lap = (v[:-2, 1:-1] + v[2:, 1:-1] + v[1:-1, :-2]
+                   + v[1:-1, 2:] - 4 * v[1:-1, 1:-1])
+            ids.append(rid)
+            asum.append(int(np.abs(lap).sum()))
+            ncc.append(int((lap > 0).sum()))
+            ncv.append(int((lap < 0).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "abs_sum": pa.array(asum, pa.int64()),
+                         "n_concave": pa.array(ncc, pa.int64()),
+                         "n_convex": pa.array(ncv, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -180,3 +180,53 @@ def test_hough4_batch_detects_planted_lines():
     for i, (_, _, exp) in enumerate(cases):
         assert out[i, 0] == exp[0] and out[i, 1] == exp[1]
         assert out[i, 2] >= exp[2]
+
+
+def test_bayer8_matrix_matches_published():
+    from hand_index_ray.kernels.image import bayer8_matrix
+
+    ref = np.array([
+        [0, 32, 8, 40, 2, 34, 10, 42],
+        [48, 16, 56, 24, 50, 18, 58, 26],
+        [12, 44, 4, 36, 14, 46, 6, 38],
+        [60, 28, 52, 20, 62, 30, 54, 22],
+        [3, 35, 11, 43, 1, 33, 9, 41],
+        [51, 19, 59, 27, 49, 17, 57, 25],
+        [15, 47, 7, 39, 13, 45, 5, 37],
+        [63, 31, 55, 23, 61, 29, 53, 21]], np.int64)
+    m = bayer8_matrix()
+    assert (m == ref).all()
+    # closed bit form (the q190 oracle's expression) agrees
+    y, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    cf = (16 * ((2 * (x % 2) + 3 * (y % 2)) % 4)
+          + 4 * ((2 * ((x // 2) % 2) + 3 * ((y // 2) % 2)) % 4)
+          + ((2 * ((x // 4) % 2) + 3 * ((y // 4) % 2)) % 4))
+    assert (cf == m).all()
+
+
+def test_raw_moments_batch_brute():
+    from hand_index_ray.kernels.image import raw_moments_batch
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (4, 11, 17))
+    got = raw_moments_batch(imgs)
+    yy, xx = np.meshgrid(np.arange(11), np.arange(17), indexing="ij")
+    for i in range(4):
+        v = imgs[i].astype(np.int64)
+        exp = [v.sum(), (v * xx).sum(), (v * yy).sum(),
+               (v * xx * yy).sum(), (v * xx * xx).sum(),
+               (v * yy * yy).sum()]
+        assert got[i].tolist() == exp
+
+
+def test_bayer_dither_gradient_monotone_density():
+    from hand_index_ray.kernels.image import bayer_dither_batch
+
+    # constant-gray images: on-pixel density must be monotone in v
+    # and hit 0/64 exactly at the extremes of each 8x8 tile
+    vals = np.r_[np.arange(0, 256, 4), 255]
+    imgs = np.repeat(vals[:, None, None], 8, axis=1).repeat(8, axis=2)
+    on = bayer_dither_batch(imgs)
+    dens = on.sum(axis=(1, 2))
+    assert (np.diff(dens) >= 0).all()
+    assert dens[0] == 0 and dens[-1] == 64

@@ -536,3 +536,22 @@ def test_hillshade_brute_parity(ray_session):
         assert df.shade_sum[i] == want_sum
         assert df.n_shadow[i] == want_shadow
         assert df.n_interior[i] == 7 * 10
+
+
+def test_laplacian_stats_brute(ray_session):
+    from hand_index_ray.kernels.geotiff import encode_geotiff
+    from hand_index_ray.pipelines.terrain import laplacian_stats
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 200, (9, 12)).astype(np.int32)
+    blob = encode_geotiff(arr)
+    ds = ray.data.from_arrow(pa.table({
+        "path": pa.array([7], pa.int64()),
+        "bytes": pa.array([blob], pa.binary())}))
+    got = laplacian_stats(ds, id_col="path").to_pandas()
+    v = arr.astype(np.int64)
+    lap = (v[:-2, 1:-1] + v[2:, 1:-1] + v[1:-1, :-2] + v[1:-1, 2:]
+           - 4 * v[1:-1, 1:-1])
+    assert got["abs_sum"].iloc[0] == np.abs(lap).sum()
+    assert got["n_concave"].iloc[0] == (lap > 0).sum()
+    assert got["n_convex"].iloc[0] == (lap < 0).sum()
