@@ -3966,6 +3966,130 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q192_staypoints(sf):  # trajectory stay-point detection
+        """Stay-point detection (the dwell/move segmentation stage of
+        trajectory mining, pipelines/trajectory.py:staypoint_stats):
+        planted trajectories pause ~8 steps (jitter < 5) then jump
+        blocks; anchor t qualifies iff the next 6 points stay within
+        Chebyshev radius 4. One shuffle on the trajectory key; sliding
+        extrema via stride tricks. Oracle = window MAX/MIN over
+        following rows."""
+        from hand_index_ray.pipelines.trajectory import staypoint_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        T = 64
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 37 == 0].astype(np.int64)
+            k = np.repeat(keys, T)
+            tt = np.tile(np.arange(T, dtype=np.int64), len(keys))
+            return pa.table({
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(tt, pa.int64()),
+                "x": pa.array((tt // 8) * 40 + (k + tt) % 5, pa.int64()),
+                "y": pa.array((tt // 8) * 30 + (k * 2 + tt * 3) % 5,
+                              pa.int64())})
+
+        pts = orders.map_batches(gen, batch_format="pyarrow")
+        out = staypoint_stats(pts, "k", "t", "x", "y",
+                              window=6, radius=4, num_buckets=16)
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def q193_rasterize(sf):  # distributed vector->raster line burn
+        """Line-network rasterization with a tile-key shuffle
+        (pipelines/raster.py:rasterize_lines): x-major segments burn
+        their exact closest-pixel DDA trace (half-up rational round,
+        no floats), slim (tile, x, y) rows shuffle once, tiles
+        aggregate locally (hits, distinct pixels, checksum). Oracle
+        evaluates the same closed-form pixel row per column."""
+        from hand_index_ray.pipelines.raster import rasterize_lines
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 23 == 0].astype(np.int64)
+            return pa.table({
+                "x0": pa.array(k % 16, pa.int64()),
+                "x1": pa.array(100 + (k * 3) % 28, pa.int64()),
+                "y0": pa.array((k * 5) % 60, pa.int64()),
+                "y1": pa.array((k * 7) % 60, pa.int64())})
+
+        lines = orders.map_batches(gen, batch_format="pyarrow")
+        out = rasterize_lines(lines, tile_px=32, tiles_x=4,
+                              num_buckets=8)
+        return out.to_pandas().sort_values("tile").reset_index(drop=True)
+
+    def q194_wht_bands(sf):  # Walsh-Hadamard sequency analysis
+        """Integer-exact spectral analysis over WAV clips: the
+        Walsh–Hadamard transform (kernels/audio.py:wht_batch — fast
+        butterfly, log₂N whole-batch passes) replaces the DFT where
+        exactness matters; sequency band coefficients + total WHT
+        energy (Parseval-checked in tests). WAV encode→decode is in
+        the loop. Oracle = the (−1)^popcount(t&j) definition via
+        bit_count."""
+        from hand_index_ray.kernels import audio as audk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        N = 64
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 151 == 0].astype(np.int64)
+            cols = {"o_orderkey": pa.array(keys, pa.int64())}
+            names = ["c1", "c8", "c21", "c63", "energy"]
+            if len(keys) == 0:
+                for nm in names:
+                    cols[nm] = pa.array([], pa.int64())
+                return pa.table(cols)
+            tt = np.arange(N, dtype=np.int64)
+            xs = np.empty((len(keys), N), np.int64)
+            for i, k in enumerate(keys):
+                s = ((int(k) * 3 + tt * 7) % 17 - 8) * 100
+                buf = audk.encode_wav(s / 32768.0, 8000, bits=16)
+                dec, _sr = audk.decode_wav(buf)
+                xs[i] = np.round(dec.ravel()[:N] * 32768.0)
+            C = audk.wht_batch(xs)
+            for nm, j in zip(names[:4], (1, 8, 21, 63)):
+                cols[nm] = pa.array(C[:, j], pa.int64())
+            cols["energy"] = pa.array((C * C).sum(axis=1), pa.int64())
+            return pa.table(cols)
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q195_hausdorff(sf):  # mask <-> point-set shape matching
+        """Directed Hausdorff distances (squared, integer) between
+        planted binary masks and a broadcast 5-point template
+        (kernels/image.py:directed_hausdorff_masks — min-distance
+        grids precomputed once, two masked reductions per image).
+        Oracle = the max-min double aggregation in SQL."""
+        from hand_index_ray.kernels import image as imk
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        H, W = 12, 16
+        pts = np.array([[2, 3], [14, 1], [7, 10], [0, 8], [13, 9]],
+                       np.int64)
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.int64),
+                             np.arange(W, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 43 == 0].astype(np.int64)
+            if len(keys) == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "h_ab": pa.array([], pa.int64()),
+                                 "h_ba": pa.array([], pa.int64())})
+            masks = ((keys[:, None, None] + 3 * xx + 7 * yy) % 11) == 0
+            hab, hba = imk.directed_hausdorff_masks(masks, pts)
+            return pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                             "h_ab": pa.array(hab, pa.int64()),
+                             "h_ba": pa.array(hba, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     def q189_moments(sf):  # raw image moments / shape descriptors
         """Raw image moments M00..M02 (centroid/orientation core,
         kernels/image.py:raw_moments_batch — marginal-sum contraction,
@@ -4268,6 +4392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q189_moments": q189_moments,
         "q190_dither": q190_dither,
         "q191_laplacian": q191_laplacian,
+        "q192_staypoints": q192_staypoints,
+        "q193_rasterize": q193_rasterize,
+        "q194_wht_bands": q194_wht_bands,
+        "q195_hausdorff": q195_hausdorff,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6310,6 +6438,123 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        "q192_staypoints": """
+            WITH pts AS (
+                SELECT o.o_orderkey AS k, t.t AS t,
+                       (t.t // 8) * 40 + (o.o_orderkey + t.t) % 5 AS x,
+                       (t.t // 8) * 30
+                           + (o.o_orderkey * 2 + t.t * 3) % 5 AS y
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 37 = 0) o
+                CROSS JOIN (SELECT generate_series AS t
+                            FROM generate_series(0, 63)) t),
+            w AS (
+                SELECT k, t,
+                       MAX(x) OVER win - x AS dxp,
+                       x - MIN(x) OVER win AS dxn,
+                       MAX(y) OVER win - y AS dyp,
+                       y - MIN(y) OVER win AS dyn
+                FROM pts
+                WINDOW win AS (PARTITION BY k ORDER BY t
+                               ROWS BETWEEN CURRENT ROW
+                               AND 5 FOLLOWING)),
+            a AS (SELECT k, t FROM w
+                  WHERE t <= 58 AND dxp <= 4 AND dxn <= 4
+                    AND dyp <= 4 AND dyn <= 4)
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_stay,
+                   CAST(SUM(t) AS BIGINT) AS idx_sum,
+                   CAST(MIN(t) AS BIGINT) AS first_stay
+            FROM a GROUP BY k ORDER BY k
+        """,
+        # q193: closest-pixel DDA row per column (exact half-up
+        # rational round); coverage per 32px tile with distinct-pixel
+        # dedup
+        "q193_rasterize": """
+            WITH lines AS (
+                SELECT o_orderkey AS k,
+                       o_orderkey % 16 AS x0,
+                       100 + (o_orderkey * 3) % 28 AS x1,
+                       (o_orderkey * 5) % 60 AS y0,
+                       (o_orderkey * 7) % 60 AS y1
+                FROM orders WHERE o_orderkey % 23 = 0),
+            px AS (
+                SELECT k, g.x AS x,
+                       (2 * (y0 * (x1 - g.x) + y1 * (g.x - x0))
+                        + (x1 - x0)) // (2 * (x1 - x0)) AS y
+                FROM lines
+                JOIN (SELECT generate_series AS x
+                      FROM generate_series(0, 127)) g
+                  ON g.x BETWEEN x0 AND x1),
+            tt AS (SELECT (y // 32) * 4 + (x // 32) AS tile, x, y
+                   FROM px),
+            d AS (SELECT DISTINCT tile, x, y FROM tt),
+            agg1 AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_hits
+                     FROM tt GROUP BY tile),
+            agg2 AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_pix,
+                            CAST(SUM(x + 131 * y) AS BIGINT)
+                                AS checksum
+                     FROM d GROUP BY tile)
+            SELECT agg1.tile, agg1.n_hits, agg2.n_pix, agg2.checksum
+            FROM agg1 JOIN agg2 ON agg1.tile = agg2.tile
+            ORDER BY agg1.tile
+        """,
+        "q194_wht_bands": """
+            WITH s AS (
+                SELECT o.o_orderkey AS k, t.t AS t,
+                       ((o.o_orderkey * 3 + t.t * 7) % 17 - 8) * 100
+                           AS x
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 151 = 0) o
+                CROSS JOIN (SELECT generate_series AS t
+                            FROM generate_series(0, 63)) t),
+            c AS (
+                SELECT k, j.j AS j,
+                       CAST(SUM(x * CASE WHEN
+                                bit_count(CAST(t AS BIGINT) & j.j)
+                                % 2 = 0 THEN 1 ELSE -1 END)
+                            AS BIGINT) AS c
+                FROM s CROSS JOIN (SELECT generate_series AS j
+                                   FROM generate_series(0, 63)) j
+                GROUP BY k, j.j)
+            SELECT k AS o_orderkey,
+                   CAST(MAX(CASE WHEN j = 1 THEN c END) AS BIGINT)
+                       AS c1,
+                   CAST(MAX(CASE WHEN j = 8 THEN c END) AS BIGINT)
+                       AS c8,
+                   CAST(MAX(CASE WHEN j = 21 THEN c END) AS BIGINT)
+                       AS c21,
+                   CAST(MAX(CASE WHEN j = 63 THEN c END) AS BIGINT)
+                       AS c63,
+                   CAST(SUM(c * c) AS BIGINT) AS energy
+            FROM c GROUP BY k ORDER BY k
+        """,
+        "q195_hausdorff": """
+            WITH cells AS (
+                SELECT o.o_orderkey AS k, x.x AS x, y.y AS y
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 43 = 0) o
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 15)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 11)) y
+                WHERE (o.o_orderkey + 3 * x.x + 7 * y.y) % 11 = 0),
+            b(bx, by) AS (VALUES (2, 3), (14, 1), (7, 10), (0, 8),
+                                 (13, 9)),
+            dab AS (SELECT k, x, y,
+                           MIN((x - bx) * (x - bx)
+                               + (y - by) * (y - by)) AS dmin
+                    FROM cells, b GROUP BY k, x, y),
+            dba AS (SELECT k, bx, by,
+                           MIN((x - bx) * (x - bx)
+                               + (y - by) * (y - by)) AS dmin
+                    FROM cells, b GROUP BY k, bx, by),
+            h1 AS (SELECT k, MAX(dmin) AS h_ab FROM dab GROUP BY k),
+            h2 AS (SELECT k, MAX(dmin) AS h_ba FROM dba GROUP BY k)
+            SELECT h1.k AS o_orderkey,
+                   CAST(h1.h_ab AS BIGINT) AS h_ab,
+                   CAST(h2.h_ba AS BIGINT) AS h_ba
+            FROM h1 JOIN h2 ON h1.k = h2.k ORDER BY h1.k
         """,
         "q189_moments": """
             SELECT k AS o_orderkey,

@@ -115,3 +115,23 @@ def decode_wav(buf: bytes) -> "tuple[np.ndarray, int]":
     n = len(x) // ch
     x = x[: n * ch].reshape(n, ch)
     return x.mean(axis=1), int(rate)
+
+
+def wht_batch(x: np.ndarray) -> np.ndarray:
+    """Walsh–Hadamard transform (Hadamard/natural order) of each row:
+    ``C[b, j] = Σ_t x[b, t] · (−1)^popcount(t & j)`` for power-of-two
+    length N — the integer-exact spectral primitive (sequency
+    analysis) where a DFT would be irrational. Fast butterfly,
+    log₂N whole-batch passes, int64 throughout (|C| ≤ N·max|x|)."""
+    v = np.asarray(x, np.int64).copy()
+    b, n = v.shape
+    if n & (n - 1):
+        raise ValueError("wht_batch needs power-of-two length")
+    h = 1
+    while h < n:
+        v = v.reshape(b, n // (2 * h), 2, h)
+        a0 = v[:, :, 0, :] + v[:, :, 1, :]
+        a1 = v[:, :, 0, :] - v[:, :, 1, :]
+        v = np.stack([a0, a1], axis=2).reshape(b, n)
+        h *= 2
+    return v

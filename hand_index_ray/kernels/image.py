@@ -492,3 +492,33 @@ def bayer_dither_batch(imgs: np.ndarray, levels: int = 256) -> np.ndarray:
     m = bayer8_matrix()
     tiled = np.tile(m, ((h + 7) // 8, (w + 7) // 8))[:h, :w]
     return 128 * v > (2 * tiled + 1) * int(levels)
+
+
+def directed_hausdorff_masks(masks: np.ndarray, pts: np.ndarray
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Directed Hausdorff distances (squared, integer-exact) between
+    each boolean mask's cell set A and a small point set B — the
+    shape-matching metric (template vs detected silhouette).
+
+    ``masks``: (N, H, W) bool; ``pts``: (M, 2) int64 (x, y). Returns
+    ``(h_ab, h_ba)`` int64 arrays: h_ab = max_{a∈A} min_{b∈B} d²(a,b),
+    h_ba = max_{b∈B} min_{a∈A} d²(b,a). Vectorized: min-distance
+    grids to B are precomputed once (M small, the broadcast side), so
+    each mask is two masked reductions — no per-cell Python.
+    Masks must be non-empty.
+    """
+    m = np.asarray(masks, bool)
+    n, h, w = m.shape
+    p = np.asarray(pts, np.int64)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.int64),
+                         np.arange(w, dtype=np.int64), indexing="ij")
+    # (M, H, W) squared-distance grids to each b
+    d2 = (xx[None] - p[:, 0, None, None]) ** 2 \
+        + (yy[None] - p[:, 1, None, None]) ** 2
+    dmin_b = d2.min(axis=0)  # min over B per cell
+    big = np.int64(1) << 60
+    h_ab = np.where(m, dmin_b[None], -1).reshape(n, -1).max(axis=1)
+    # h_ba: per mask, per b: min over A of d2(b, ·), then max over b
+    per_b = np.where(m[:, None], d2[None], big).reshape(n, len(p), -1) \
+        .min(axis=2)
+    return h_ab, per_b.max(axis=1)

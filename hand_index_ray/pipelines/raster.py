@@ -22,6 +22,7 @@ Scale shapes (the 100 TB design points):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..kernels import geotiff
@@ -205,3 +206,61 @@ def pyramid_reduce(ds, tile_px: int = 8, num_buckets: int = 32):
     small = ds.map_batches(downsample, batch_format="pyarrow")
     return rel.grouped_apply_bucketed(small, ["z", "ptx", "pty"],
                                       assemble, num_buckets=num_buckets)
+
+
+def rasterize_lines(lines: ray.data.Dataset, tile_px: int, tiles_x: int,
+                    x0: str = "x0", y0: str = "y0", x1: str = "x1",
+                    y1: str = "y1", num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed vector→raster line burn-in (stream/road network
+    rasterization): each x-major segment (x0 < x1, |dy| ≤ dx) is
+    rasterized to its closest-pixel DDA trace — pixel row at column x
+    is the EXACT half-up rational round
+    ``y = (2·(y0·(x1−x) + y1·(x−x0)) + dx) // (2·dx)`` — then pixels
+    shuffle ONCE on their tile key (``tile = (y//tile_px)·tiles_x +
+    x//tile_px``) and each tile aggregates coverage locally.
+
+    Scale shape: the wide exchange carries only slim (tile, x, y)
+    rows; a segment crossing many tiles contributes to each without
+    any raster materialized; per-tile state is bounded by tile_px².
+    Returns one row per non-empty tile: (tile, n_hits, n_pix,
+    checksum) where n_pix counts DISTINCT burned pixels and checksum
+    = Σ (x + 131·y) over them.
+    """
+    from ..relational import grouped_apply_bucketed
+
+    def burn(t: pa.Table) -> pa.Table:
+        ax0 = t.column(x0).to_numpy().astype(np.int64)
+        ax1 = t.column(x1).to_numpy().astype(np.int64)
+        ay0 = t.column(y0).to_numpy().astype(np.int64)
+        ay1 = t.column(y1).to_numpy().astype(np.int64)
+        n = ax1 - ax0 + 1  # columns per segment (x-major contract)
+        if len(n) == 0 or n.sum() == 0:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        # ragged expansion: flat (segment, column) index arrays
+        seg = np.repeat(np.arange(len(n)), n)
+        step = np.arange(n.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n) - n, n)
+        X = ax0[seg] + step
+        dx = (ax1 - ax0)[seg]
+        num = ay0[seg] * (ax1[seg] - X) + ay1[seg] * (X - ax0[seg])
+        Y = (2 * num + dx) // (2 * dx)
+        tile = (Y // tile_px) * tiles_x + X // tile_px
+        return pa.table({"tile": pa.array(tile, pa.int64()),
+                         "x": pa.array(X, pa.int64()),
+                         "y": pa.array(Y, pa.int64())})
+
+    pix = lines.map_batches(burn, batch_format="pyarrow")
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        pid = g["x"].to_numpy() * 100000 + g["y"].to_numpy()
+        u = np.unique(pid)
+        return pd.DataFrame({
+            "tile": [int(g["tile"].iloc[0])],
+            "n_hits": [len(g)],
+            "n_pix": [len(u)],
+            "checksum": [int((u // 100000 + 131 * (u % 100000)).sum())]})
+
+    return grouped_apply_bucketed(pix, ["tile"], per_tile,
+                                  num_buckets=num_buckets)

@@ -788,3 +788,74 @@ def test_bfs_hops_unreachable_and_seed_only(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     assert got["node"].tolist() == [1, 2, 3]
     assert got["hops"].tolist() == [0, 1, 2]
+
+
+# ------------------------------------------------- trajectory / raster
+
+def test_staypoint_stats_brute(ray_session):
+    from hand_index_ray.pipelines.trajectory import staypoint_stats
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for k in range(6):
+        T = 40
+        xs = rng.integers(0, 30, T)
+        ys = rng.integers(0, 30, T)
+        if k == 5:  # one trajectory with a guaranteed dwell
+            xs[10:20] = 7
+            ys[10:20] = 9
+        for t in range(T):
+            rows.append((k, t, int(xs[t]), int(ys[t])))
+    tbl = pa.table({c: pa.array([r[i] for r in rows], pa.int64())
+                    for i, c in enumerate(["k", "t", "x", "y"])})
+    W, R = 5, 3
+    got = staypoint_stats(ray.data.from_arrow(tbl).repartition(4),
+                          "k", "t", "x", "y", window=W, radius=R,
+                          num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    exp_rows = []
+    df = tbl.to_pandas()
+    for k, g in df.groupby("k"):
+        g = g.sort_values("t")
+        xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
+        anchors = [t for t in range(len(xs) - W + 1)
+                   if max(abs(xs[t:t + W] - xs[t]).max(),
+                          abs(ys[t:t + W] - ys[t]).max()) <= R]
+        if anchors:
+            exp_rows.append((k, len(anchors), sum(anchors), anchors[0]))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["k", "n_stay", "idx_sum", "first_stay"]) \
+        .astype("int64")
+    assert got.astype("int64").equals(exp)
+
+
+def test_rasterize_lines_brute(ray_session):
+    from hand_index_ray.pipelines.raster import rasterize_lines
+
+    lines = [(0, 5, 40, 37), (3, 30, 50, 2), (10, 10, 45, 10)]
+    tbl = pa.table({
+        "x0": pa.array([l[0] for l in lines], pa.int64()),
+        "y0": pa.array([l[1] for l in lines], pa.int64()),
+        "x1": pa.array([l[2] for l in lines], pa.int64()),
+        "y1": pa.array([l[3] for l in lines], pa.int64())})
+    got = rasterize_lines(ray.data.from_arrow(tbl), tile_px=16,
+                          tiles_x=4, num_buckets=4).to_pandas() \
+        .sort_values("tile").reset_index(drop=True)
+
+    from collections import defaultdict
+    hits = defaultdict(list)
+    for x0, y0, x1, y1 in lines:
+        dx = x1 - x0
+        for x in range(x0, x1 + 1):
+            y = (2 * (y0 * (x1 - x) + y1 * (x - x0)) + dx) // (2 * dx)
+            hits[(y // 16) * 4 + x // 16].append((x, y))
+    exp_rows = []
+    for tile in sorted(hits):
+        pix = sorted(set(hits[tile]))
+        exp_rows.append((tile, len(hits[tile]), len(pix),
+                         sum(x + 131 * y for x, y in pix)))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["tile", "n_hits", "n_pix", "checksum"]) \
+        .astype("int64")
+    assert got.astype("int64").equals(exp)

@@ -230,3 +230,20 @@ def test_bayer_dither_gradient_monotone_density():
     dens = on.sum(axis=(1, 2))
     assert (np.diff(dens) >= 0).all()
     assert dens[0] == 0 and dens[-1] == 64
+
+
+def test_directed_hausdorff_masks_brute():
+    from hand_index_ray.kernels.image import directed_hausdorff_masks
+
+    rng = np.random.default_rng(1)
+    masks = rng.random((5, 12, 16)) < 0.1
+    masks[:, 3, 4] = True  # guarantee non-empty
+    pts = np.array([[2, 3], [10, 8], [15, 0]], np.int64)
+    hab, hba = directed_hausdorff_masks(masks, pts)
+    for i in range(5):
+        A = np.argwhere(masks[i])  # (y, x)
+        dab = max(min((ax - bx) ** 2 + (ay - by) ** 2
+                      for bx, by in pts) for ay, ax in A)
+        dba = max(min((ax - bx) ** 2 + (ay - by) ** 2
+                      for ay, ax in A) for bx, by in pts)
+        assert hab[i] == dab and hba[i] == dba

@@ -196,3 +196,28 @@ def test_frame_sampler_real_y4m_path(ray_session):
     want = [int(phash64(decode_y4m_frame(buf, i))) for i in (0, 4, 8)]
     got = [int(np.uint64(v)) for v in out["frame_phash"].to_numpy().astype(np.uint64)]
     assert got == want
+
+
+def test_wht_batch_matches_popcount_definition():
+    from hand_index_ray.kernels.audio import wht_batch
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-50, 50, (3, 64))
+    C = wht_batch(x)
+    t = np.arange(64)
+
+    def pop(a):
+        return sum((a >> i) & 1 for i in range(7))
+
+    for j in [0, 1, 8, 21, 33, 63]:
+        sign = 1 - 2 * (pop(t & j) % 2)
+        assert (C[:, j] == (x * sign).sum(axis=1)).all()
+    # Parseval: sum C^2 = N * sum x^2
+    assert ((C ** 2).sum(axis=1) == 64 * (x ** 2).sum(axis=1)).all()
+
+
+def test_wht_batch_rejects_non_power_of_two():
+    from hand_index_ray.kernels.audio import wht_batch
+
+    with pytest.raises(ValueError):
+        wht_batch(np.zeros((2, 48)))
