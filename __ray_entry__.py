@@ -3966,6 +3966,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q196_overlay(sf):  # vector<->vector polygon layer overlay
+        """Two polygon layers (planted integer rectangles, WKB-encoded)
+        overlay to exact pairwise intersection areas through the full
+        general machinery — lattice-cell explode, one cell-key
+        shuffle, bbox prefilter, concave-capable exact clip,
+        canonical-cell exactly-once emission
+        (pipelines/overlay.py:overlay_intersection_areas). Rect inputs
+        keep the SQL oracle integer; the engine path is shape-agnostic.
+        """
+        from hand_index_ray.kernels import wkb as kwkb
+        from hand_index_ray.pipelines.overlay import \
+            overlay_intersection_areas
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def rect_layer(mod, fx, fy, fw, fh, mw, mh):
+            def gen(t: pa.Table) -> pa.Table:
+                keys = t.column("o_orderkey").to_numpy()
+                k = keys[keys % mod == 0].astype(np.int64)
+                x0 = (k * fx) % 50
+                y0 = (k * fy) % 50
+                x1 = x0 + 4 + (k * fw) % mw
+                y1 = y0 + 4 + (k * fh) % mh
+                wkbs = kwkb.encode(kwkb.from_parts(
+                    [[[np.array([(a, b), (c, b), (c, d), (a, d),
+                                 (a, b)], np.float64)]]
+                      for a, b, c, d in zip(x0, y0, x1, y1)])) \
+                    if len(k) else []
+                return pa.table({"id": pa.array(k, pa.int64()),
+                                 "wkb": pa.array(wkbs, pa.binary())})
+            return gen
+
+        a = orders.map_batches(rect_layer(29, 1, 3, 5, 9, 7, 5),
+                               batch_format="pyarrow")
+        b = orders.map_batches(rect_layer(31, 7, 11, 13, 3, 6, 8),
+                               batch_format="pyarrow")
+        out = overlay_intersection_areas(a, b, cell=16.0,
+                                         num_buckets=16).to_pandas()
+        out["area"] = out["area"].round().astype("int64")
+        return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
     def q192_staypoints(sf):  # trajectory stay-point detection
         """Stay-point detection (the dwell/move segmentation stage of
         trajectory mining, pipelines/trajectory.py:staypoint_stats):
@@ -4396,6 +4437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q193_rasterize": q193_rasterize,
         "q194_wht_bands": q194_wht_bands,
         "q195_hausdorff": q195_hausdorff,
+        "q196_overlay": q196_overlay,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6438,6 +6480,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        "q196_overlay": """
+            WITH a AS (
+                SELECT o_orderkey AS aid,
+                       o_orderkey % 50 AS x0,
+                       (o_orderkey * 3) % 50 AS y0,
+                       o_orderkey % 50 + 4 + (o_orderkey * 5) % 7 AS x1,
+                       (o_orderkey * 3) % 50 + 4
+                           + (o_orderkey * 9) % 5 AS y1
+                FROM orders WHERE o_orderkey % 29 = 0),
+            b AS (
+                SELECT o_orderkey AS bid,
+                       (o_orderkey * 7) % 50 AS x0,
+                       (o_orderkey * 11) % 50 AS y0,
+                       (o_orderkey * 7) % 50 + 4
+                           + (o_orderkey * 13) % 6 AS x1,
+                       (o_orderkey * 11) % 50 + 4
+                           + (o_orderkey * 3) % 8 AS y1
+                FROM orders WHERE o_orderkey % 31 = 0)
+            SELECT a.aid AS a_id, b.bid AS b_id,
+                   CAST((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                        * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))
+                        AS BIGINT) AS area
+            FROM a, b
+            WHERE LEAST(a.x1, b.x1) > GREATEST(a.x0, b.x0)
+              AND LEAST(a.y1, b.y1) > GREATEST(a.y0, b.y0)
+            ORDER BY a_id, b_id
         """,
         "q192_staypoints": """
             WITH pts AS (
