@@ -3966,6 +3966,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q197_geohash(sf):  # geohash cell encoding (3rd cell family)
+        """Geohash encode from EXACT integer microdegrees
+        (kernels/geohash.py — Morton-spread interleave, published
+        base-32 alphabet, validated against the classic bisection on
+        1200 random points + published vectors): sortable uint64 cell
+        key + the 6-char string per point. Oracle reproduces every
+        bit with shift/mask arithmetic."""
+        from hand_index_ray.kernels import geohash as ghlib
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 17 == 0].astype(np.int64)
+            lat = (k * 9301) % 180_000_000 - 90_000_000
+            lon = (k * 7817) % 360_000_000 - 180_000_000
+            code, s = ghlib.encode_udeg(lat, lon, 6)
+            return pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                             "code": pa.array(code.astype(np.int64),
+                                              pa.int64()),
+                             "gh": pa.array(s.tolist(), pa.string())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q198_kcore(sf):  # k-core decomposition by distributed peeling
+        """3-core of a planted forest of clique+tail components
+        (pipelines/graph.py:kcore — one hash(u) edge partition, per-
+        round traffic O(newly dead), bucket-local degrees): tails peel
+        away, cliques survive with degree c−1. Oracle states the
+        planted structure; the general algorithm is brute-checked in
+        tests/test_graph_ext.py."""
+        from hand_index_ray.pipelines.graph import kcore
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            ks = keys[keys % 53 == 0].astype(np.int64)
+            aa, bb = [], []
+            for k in ks:
+                base = int(k) * 100
+                c = 4 + int(k) % 3
+                for i in range(c):
+                    for j in range(i + 1, c):
+                        aa.append(base + i); bb.append(base + j)
+                for e0, e1 in ((0, 50), (50, 51), (51, 52)):
+                    aa.append(base + e0); bb.append(base + e1)
+            return pa.table({"a": pa.array(aa, pa.int64()),
+                             "b": pa.array(bb, pa.int64())})
+
+        edges = orders.map_batches(gen, batch_format="pyarrow")
+        out = kcore(edges, 3, num_buckets=8)
+        return out.to_pandas().sort_values("node").reset_index(drop=True)
+
     def q196_overlay(sf):  # vector<->vector polygon layer overlay
         """Two polygon layers (planted integer rectangles, WKB-encoded)
         overlay to exact pairwise intersection areas through the full
@@ -4438,6 +4493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q194_wht_bands": q194_wht_bands,
         "q195_hausdorff": q195_hausdorff,
         "q196_overlay": q196_overlay,
+        "q197_geohash": q197_geohash,
+        "q198_kcore": q198_kcore,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6480,6 +6537,59 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        # q197: lonq/latq are exact integer quantizations; interleave
+        # (lon on odd bit positions) via shift/mask over a 15-bit
+        # series; chars from the published base-32 alphabet
+        "q197_geohash": """
+            WITH pts AS (
+                SELECT o_orderkey AS k,
+                       (o_orderkey * 9301) % 180000000 - 90000000
+                           AS lat,
+                       (o_orderkey * 7817) % 360000000 - 180000000
+                           AS lon
+                FROM orders WHERE o_orderkey % 17 = 0),
+            q AS (
+                SELECT k,
+                       ((lon + 180000000) * 32768) // 360000000
+                           AS lonq,
+                       ((lat + 90000000) * 32768) // 180000000
+                           AS latq
+                FROM pts),
+            code AS (
+                SELECT k,
+                       CAST(SUM((((lonq >> i.i) & 1) << (2 * i.i + 1))
+                                + (((latq >> i.i) & 1) << (2 * i.i)))
+                            AS BIGINT) AS code
+                FROM q CROSS JOIN (SELECT generate_series AS i
+                                   FROM generate_series(0, 14)) i
+                GROUP BY k)
+            SELECT k AS o_orderkey, code,
+                   substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(((code >> 25) & 31) + 1 AS INT), 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(((code >> 20) & 31) + 1 AS INT), 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(((code >> 15) & 31) + 1 AS INT), 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(((code >> 10) & 31) + 1 AS INT), 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(((code >> 5) & 31) + 1 AS INT), 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((code & 31) + 1 AS INT), 1) AS gh
+            FROM code ORDER BY k
+        """,
+        # q198: the planted 3-core — tails peel, cliques of size
+        # c = 4 + k%3 survive with degree c-1
+        "q198_kcore": """
+            SELECT o.o_orderkey * 100 + i.i AS node,
+                   CAST(3 + o.o_orderkey % 3 AS BIGINT) AS deg
+            FROM (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey % 53 = 0) o
+            JOIN (SELECT generate_series AS i
+                  FROM generate_series(0, 5)) i
+              ON i.i < 4 + o.o_orderkey % 3
+            ORDER BY node
         """,
         "q196_overlay": """
             WITH a AS (

@@ -480,3 +480,112 @@ def bfs_hops(edges: ray.data.Dataset, seeds: "np.ndarray",
 
     return ray.data.from_arrow_refs(
         [_finalize_hops.remote(l, INF) for l in Lb])
+
+
+@ray.remote
+def _kcore_dedup(eb: pa.Table) -> pa.Table:
+    """Simple-graph normalization per bucket: drop self-loops and
+    duplicate (u, v) rows (degree = distinct-neighbor count)."""
+    if eb.num_rows == 0:
+        return eb
+    u = eb["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = eb["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = u != v
+    u, v = u[m], v[m]
+    packed = np.unique(np.stack([u, v], axis=1), axis=0)
+    return pa.table({"u": pa.array(packed[:, 0], eb.schema.field("u").type),
+                     "v": pa.array(packed[:, 1], eb.schema.field("v").type)})
+
+
+@ray.remote(num_returns=2)
+def _kcore_dead(eb: pa.Table, k: int) -> tuple:
+    """Nodes of this bucket whose current degree < k."""
+    if eb.num_rows == 0:
+        return np.empty(0, np.int64), 0
+    u = eb["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, cnt = np.unique(u, return_counts=True)
+    dead = uniq[cnt < k]
+    return dead, len(dead)
+
+
+@ray.remote
+def _kcore_filter(eb: pa.Table, *dead_all) -> pa.Table:
+    """Drop every edge incident to a dead node (either endpoint)."""
+    if eb.num_rows == 0:
+        return eb
+    dead = np.sort(np.concatenate([d for d in dead_all]))
+    if len(dead) == 0:
+        return eb
+    u = eb["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = eb["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def hit(x):
+        i = np.searchsorted(dead, x)
+        i = np.minimum(i, len(dead) - 1)
+        return dead[i] == x
+
+    return eb.filter(pa.array(~(hit(u) | hit(v))))
+
+
+@ray.remote
+def _kcore_emit(eb: pa.Table) -> pa.Table:
+    if eb.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})
+    u = eb["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, cnt = np.unique(u, return_counts=True)
+    return pa.table({"node": pa.array(uniq, pa.int64()),
+                     "deg": pa.array(cnt, pa.int64())})
+
+
+def kcore(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",
+          num_buckets: int | None = None, max_rounds: int = 10000
+          ) -> ray.data.Dataset:
+    """k-core decomposition by distributed peeling: repeatedly delete
+    every node whose degree (distinct neighbors, self-loops ignored)
+    is < k until none remains; returns the surviving subgraph's nodes
+    with their FINAL degrees — Dataset[(node, deg)], empty if the
+    graph has no k-core.
+
+    Same raw-task bucket shape as connected_components: edges
+    symmetrize and partition ONCE by hash(u) (so each node's whole
+    adjacency is bucket-local and degree needs no communication); a
+    round is one dead-node scan per bucket plus one filter per bucket
+    that takes every bucket's (small) dead list — per-round traffic is
+    O(#newly-dead), not O(edges). Rounds ≤ peeling depth; convergence
+    = a round with zero deaths. The degeneracy-ordering use (core
+    numbers for ALL k) is a loop over k reusing the surviving state.
+    """
+    def sym(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": t[a], "v": t[b]})
+        rev = pa.table({"u": t[b], "v": t[a]})
+        return pa.concat_tables([fwd, rev])
+
+    blocks = edges.map_batches(sym, batch_format="pyarrow").to_arrow_refs()
+    empty_out = pa.table({"node": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+    if not blocks:
+        return ray.data.from_arrow(empty_out)
+    B = max(2, num_buckets or min(32, max(4, len(blocks))))
+    schemas = ray.get([_peek_schema.remote(blk) for blk in blocks])
+    node_type = next((s.field("u").type for s in schemas
+                      if s is not None), None)
+    if node_type is None:
+        return ray.data.from_arrow(empty_out)
+    empty = pa.table({"u": pa.array([], node_type),
+                      "v": pa.array([], node_type)})
+    splits = [_split_edges.options(num_returns=B).remote(blk, B, empty)
+              for blk in blocks]
+    Eb = [_kcore_dedup.remote(_build_bucket.remote(*(s[i] for s in splits)))
+          for i in range(B)]
+
+    for _ in range(max_rounds):
+        outs = [_kcore_dead.remote(e, k) for e in Eb]
+        deads = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+        Eb = [_kcore_filter.remote(Eb[i], *deads) for i in range(B)]
+    else:
+        raise RuntimeError(f"kcore: no fixpoint in {max_rounds} rounds")
+
+    return ray.data.from_arrow_refs([_kcore_emit.remote(e) for e in Eb])

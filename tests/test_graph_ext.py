@@ -859,3 +859,57 @@ def test_rasterize_lines_brute(ray_session):
                        columns=["tile", "n_hits", "n_pix", "checksum"]) \
         .astype("int64")
     assert got.astype("int64").equals(exp)
+
+
+# ----------------------------------------------------------- k-core
+
+def _brute_kcore(edges, k):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(s) for n, s in adj.items()}
+
+
+def test_kcore_brute(ray_session):
+    from hand_index_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 160).astype(np.int64)
+    b = rng.integers(0, 40, 160).astype(np.int64)
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    for k in (2, 3, 4):
+        got = kcore(_ds(tbl).repartition(5), k, num_buckets=4) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        exp = pd.DataFrame(sorted(_brute_kcore(zip(a, b), k).items()),
+                           columns=["node", "deg"]).astype("int64")
+        if len(exp) == 0:
+            assert len(got) == 0
+        else:
+            assert got.equals(exp), k
+
+
+def test_kcore_ignores_multi_edges_and_self_loops(ray_session):
+    from hand_index_ray.pipelines.graph import kcore
+
+    # triangle with every edge tripled + a self-loop: 2-core is the
+    # triangle with degree 2 each (distinct-neighbor degrees)
+    a = [1, 1, 1, 2, 2, 2, 1, 1, 1, 3] * 1
+    b = [2, 2, 2, 3, 3, 3, 3, 3, 3, 3]
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64())})
+    got = kcore(_ds(tbl), 2, num_buckets=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["deg"].tolist() == [2, 2, 2]
+    assert len(kcore(_ds(tbl), 3, num_buckets=2).to_pandas()) == 0

@@ -115,3 +115,57 @@ def test_hexgrid_cover_bbox_join_key_guarantee():
         ca = hx.cover_bbox(*a, res=7)
         cb = hx.cover_bbox(*b, res=7)
         assert len(np.intersect1d(ca, cb)) > 0
+
+
+# --------------------------------------------------------------- geohash
+
+def test_geohash_published_vectors():
+    from hand_index_ray.kernels.geohash import encode_udeg
+
+    _, s = encode_udeg(np.array([57_649_110]), np.array([10_407_440]), 11)
+    assert s[0] == "u4pruydqqvj"
+    _, s = encode_udeg(np.array([42_605_000]), np.array([-5_603_000]), 5)
+    assert s[0] == "ezs42"
+    _, s = encode_udeg(np.array([0]), np.array([0]), 6)
+    assert s[0] == "s00000"
+
+
+def test_geohash_matches_classic_bisection():
+    from hand_index_ray.kernels.geohash import encode_udeg
+
+    def classic(lat, lon, precision):
+        B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even = [], True
+        while len(bits) < precision * 5:
+            r, v = (lonr, lon) if even else (latr, lat)
+            mid = (r[0] + r[1]) / 2
+            if v >= mid:
+                bits.append(1); r[0] = mid
+            else:
+                bits.append(0); r[1] = mid
+            even = not even
+        return "".join(B32[int("".join(map(str, bits[c * 5:(c + 1) * 5])),
+                               2)] for c in range(precision))
+
+    rng = np.random.default_rng(0)
+    lat = rng.integers(-89_999_999, 90_000_000, 60)
+    lon = rng.integers(-179_999_999, 180_000_000, 60)
+    for p in (1, 5, 6, 7, 12):  # both parities of total bits
+        _, s = encode_udeg(lat, lon, p)
+        for i in range(len(lat)):
+            assert s[i] == classic(lat[i] / 1e6, lon[i] / 1e6, p)
+
+
+def test_geohash_prefix_is_containment():
+    from hand_index_ray.kernels.geohash import encode_udeg
+
+    # precision p codes of points sharing a precision-(p-1) cell share
+    # the (p-1)-char prefix; and code == prefix-code * 32 + last char
+    rng = np.random.default_rng(1)
+    lat = rng.integers(-89_999_999, 90_000_000, 100)
+    lon = rng.integers(-179_999_999, 180_000_000, 100)
+    c6, s6 = encode_udeg(lat, lon, 6)
+    c5, s5 = encode_udeg(lat, lon, 5)
+    assert all(a.startswith(b) for a, b in zip(s6, s5))
+    assert ((c6 >> np.uint64(5)) == c5).all()
