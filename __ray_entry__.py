@@ -3966,6 +3966,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q199_idw(sf):  # exact inverse-distance-weighted interpolation
+        """IDW (power 2) spatial interpolation against 5 broadcast
+        sites as an exact integer rational (kernels/geom.py:idw_exact
+        — denominators cleared, no floats): per point the fraction
+        (num, den) and the floor estimate. Odd point coords vs even
+        site coords guarantee d² ≥ 1. Oracle builds Π_{t≠s}d² via a
+        NULL-skipping product over the site self-join."""
+        from hand_index_ray.kernels.geom import idw_exact
+
+        sites = np.array([(4, 8), (20, 30), (44, 12), (10, 50),
+                          (52, 48)], np.int64)
+        vals = np.array([120, 200, 60, 180, 240], np.int64)
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 19 == 0].astype(np.int64)
+            px = ((k * 3) % 30) * 2 + 1
+            py = ((k * 7) % 30) * 2 + 1
+            num, den = idw_exact(px, py, sites, vals)
+            return pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                             "num": pa.array(num, pa.int64()),
+                             "den": pa.array(den, pa.int64()),
+                             "est": pa.array(num // den, pa.int64())})
+
+        df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q200_butterflies(sf):  # bipartite co-pair / butterfly counts
+        """Butterfly (bipartite 4-cycle) counting
+        (pipelines/graph.py:copair_counts): right-key group emits
+        left-pairs (wedge explode), pair-key group counts — common-
+        neighbor count c and C(c,2) butterflies per left pair with
+        c ≥ 2. Oracle = the DISTINCT self-join count."""
+        from hand_index_ray.pipelines.graph import copair_counts
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 7 == 0].astype(np.int64)
+            return pa.table({"u": pa.array(k % 25, pa.int64()),
+                             "w": pa.array((k // 25) % 12, pa.int64())})
+
+        edges = orders.map_batches(gen, batch_format="pyarrow")
+        out = copair_counts(edges, num_buckets=16)
+        return out.to_pandas().sort_values(["u1", "u2"]) \
+            .reset_index(drop=True)
+
     def q197_geohash(sf):  # geohash cell encoding (3rd cell family)
         """Geohash encode from EXACT integer microdegrees
         (kernels/geohash.py — Morton-spread interleave, published
@@ -4495,6 +4544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q196_overlay": q196_overlay,
         "q197_geohash": q197_geohash,
         "q198_kcore": q198_kcore,
+        "q199_idw": q199_idw,
+        "q200_butterflies": q200_butterflies,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6537,6 +6588,47 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        # q199: product() skips NULLs, so the self-join CASE builds
+        # Π_{t≠s} d²; the double-precision product is exact below 2^53
+        # and the BIGINT cast restores integer arithmetic for the sums
+        "q199_idw": """
+            WITH pts AS (
+                SELECT o_orderkey AS k,
+                       ((o_orderkey * 3) % 30) * 2 + 1 AS px,
+                       ((o_orderkey * 7) % 30) * 2 + 1 AS py
+                FROM orders WHERE o_orderkey % 19 = 0),
+            s(sx, sy, v) AS (VALUES (4, 8, 120), (20, 30, 200),
+                                    (44, 12, 60), (10, 50, 180),
+                                    (52, 48, 240)),
+            d AS (SELECT k, sx, sy, v,
+                         (px - sx) * (px - sx)
+                         + (py - sy) * (py - sy) AS d2
+                  FROM pts, s),
+            pr AS (SELECT a.k, a.sx, a.v,
+                          CAST(product(CASE WHEN b.sx = a.sx
+                                             AND b.sy = a.sy THEN NULL
+                                        ELSE b.d2 END) AS BIGINT) AS po
+                   FROM d a JOIN d b ON a.k = b.k
+                   GROUP BY a.k, a.sx, a.sy, a.v)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(v * po) AS BIGINT) AS num,
+                   CAST(SUM(po) AS BIGINT) AS den,
+                   CAST(SUM(v * po) AS BIGINT)
+                       // CAST(SUM(po) AS BIGINT) AS est
+            FROM pr GROUP BY k ORDER BY k
+        """,
+        "q200_butterflies": """
+            WITH e AS (
+                SELECT DISTINCT o_orderkey % 25 AS u,
+                                (o_orderkey // 25) % 12 AS w
+                FROM orders WHERE o_orderkey % 7 = 0),
+            p AS (SELECT a.u AS u1, b.u AS u2,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e a JOIN e b ON a.w = b.w AND a.u < b.u
+                  GROUP BY a.u, b.u)
+            SELECT u1, u2, c, c * (c - 1) // 2 AS bf
+            FROM p WHERE c >= 2 ORDER BY u1, u2
         """,
         # q197: lonq/latq are exact integer quantizations; interleave
         # (lon on odd bit positions) via shift/mask over a 15-bit

@@ -1048,3 +1048,41 @@ def snap_to_segments_int(px: np.ndarray, py: np.ndarray,
         best_den = np.where(better, den, best_den)
         best_idx = np.where(better, i, best_idx)
     return best_idx, best_num, best_den
+
+
+def idw_exact(px: np.ndarray, py: np.ndarray, sites: np.ndarray,
+              vals: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Inverse-distance-weighted (power 2) interpolation as an EXACT
+    integer rational: est = Σ v_s/d²_s / Σ 1/d²_s, cleared of
+    denominators — num = Σ_s v_s·Π_{t≠s} d²_t, den = Σ_s Π_{t≠s} d²_t
+    (the geostatistics baseline interpolator; kriging replaces the
+    weights, not this shape). No floats anywhere, so the SQL oracle
+    reproduces it bit-for-bit.
+
+    Callers must keep points OFF sites (d² ≥ 1) and sizes within
+    int64: with S sites, |coords| ≤ C, v ≤ V the num bound is
+    S·V·(2C²)^(S−1) — S=5, C=60, V=255 gives ~3e18 < 2⁶³. Sites
+    broadcast (ray.put once at pipeline level); vectorized over
+    points.
+
+    Returns (num, den) int64 with gcd NOT reduced (the oracle doesn't
+    reduce either); est = num // den.
+    """
+    px = np.asarray(px, np.int64)[:, None]
+    py = np.asarray(py, np.int64)[:, None]
+    s = np.asarray(sites, np.int64)
+    v = np.asarray(vals, np.int64)
+    d2 = (px - s[None, :, 0]) ** 2 + (py - s[None, :, 1]) ** 2  # (N, S)
+    if (d2 == 0).any():
+        raise ValueError("idw_exact: point coincides with a site")
+    S = d2.shape[1]
+    num = np.zeros(len(px), np.int64)
+    den = np.zeros(len(px), np.int64)
+    for i in range(S):
+        po = np.ones(len(px), np.int64)
+        for t in range(S):
+            if t != i:
+                po = po * d2[:, t]
+        num += v[i] * po
+        den += po
+    return num, den

@@ -589,3 +589,45 @@ def kcore(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",
         raise RuntimeError(f"kcore: no fixpoint in {max_rounds} rounds")
 
     return ray.data.from_arrow_refs([_kcore_emit.remote(e) for e in Eb])
+
+
+def copair_counts(edges: ray.data.Dataset, u: str = "u", w: str = "w",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Bipartite co-occurrence / butterfly counting: for every pair of
+    left nodes (u1 < u2) sharing ≥ 2 right neighbors, the common-
+    neighbor count c and the butterfly (4-cycle) count C(c, 2) —
+    the co-citation / user-item-overlap metric of bipartite graphs.
+
+    Two slim shuffles: (1) edges group on the RIGHT key; each group
+    emits its C(deg, 2) left-pairs (the wedge explode — bound the hub
+    degree upstream or salt, SURVEY §4); (2) pairs group on (u1, u2)
+    and count. Input multi-edges are deduped inside the first group.
+    Returns Dataset[(u1, u2, c, bf)] with c ≥ 2.
+    """
+    from ..relational import grouped_apply_bucketed
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        ls = np.unique(g[u].to_numpy().astype(np.int64))
+        n = len(ls)
+        if n < 2:
+            return pd.DataFrame({"u1": pd.Series([], dtype="int64"),
+                                 "u2": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(n, k=1)
+        return pd.DataFrame({"u1": ls[ii], "u2": ls[jj]})
+
+    pairs = grouped_apply_bucketed(edges, [w], wedges,
+                                   num_buckets=num_buckets)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        c = len(g)
+        if c < 2:
+            return pd.DataFrame({"u1": pd.Series([], dtype="int64"),
+                                 "u2": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "bf": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u1": [int(g["u1"].iloc[0])],
+                             "u2": [int(g["u2"].iloc[0])],
+                             "c": [c], "bf": [c * (c - 1) // 2]})
+
+    return grouped_apply_bucketed(pairs, ["u1", "u2"], count,
+                                  num_buckets=num_buckets)

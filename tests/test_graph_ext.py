@@ -913,3 +913,30 @@ def test_kcore_ignores_multi_edges_and_self_loops(ray_session):
     assert got["node"].tolist() == [1, 2, 3]
     assert got["deg"].tolist() == [2, 2, 2]
     assert len(kcore(_ds(tbl), 3, num_buckets=2).to_pandas()) == 0
+
+
+def test_copair_counts_brute(ray_session):
+    from hand_index_ray.pipelines.graph import copair_counts
+
+    rng = np.random.default_rng(12)
+    u = rng.integers(0, 10, 120).astype(np.int64)
+    w = rng.integers(0, 8, 120).astype(np.int64)
+    tbl = pa.table({"u": pa.array(u), "w": pa.array(w)})
+    got = copair_counts(_ds(tbl).repartition(4), num_buckets=4) \
+        .to_pandas().sort_values(["u1", "u2"]).reset_index(drop=True)
+
+    edges = set(zip(u, w))
+    from collections import defaultdict
+    nb = defaultdict(set)
+    for a, b in edges:
+        nb[a].add(b)
+    rows = []
+    us = sorted(nb)
+    for i, a in enumerate(us):
+        for b in us[i + 1:]:
+            c = len(nb[a] & nb[b])
+            if c >= 2:
+                rows.append((a, b, c, c * (c - 1) // 2))
+    exp = pd.DataFrame(rows, columns=["u1", "u2", "c", "bf"]) \
+        .astype("int64")
+    assert got.astype("int64").equals(exp)

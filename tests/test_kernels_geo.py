@@ -336,3 +336,22 @@ def test_snap_to_segments_int_brute():
                 best = (i, d2)
         assert idx[j] == best[0]
         assert abs(num[j] / den[j] - best[1]) < 1e-6
+
+
+def test_idw_exact_matches_float_idw():
+    from hand_index_ray.kernels.geom import idw_exact
+
+    rng = np.random.default_rng(8)
+    sites = rng.integers(0, 30, (5, 2)) * 2  # even coords
+    vals = rng.integers(10, 250, 5)
+    px = rng.integers(0, 30, 50) * 2 + 1  # odd -> never on a site
+    py = rng.integers(0, 30, 50) * 2 + 1
+    num, den = idw_exact(px, py, sites, vals)
+    for i in range(50):
+        d2 = ((px[i] - sites[:, 0]) ** 2
+              + (py[i] - sites[:, 1]) ** 2).astype(np.float64)
+        exp = (vals / d2).sum() / (1.0 / d2).sum()
+        assert abs(num[i] / den[i] - exp) < 1e-9
+    with pytest.raises(ValueError):
+        idw_exact(np.array([sites[0, 0]]), np.array([sites[0, 1]]),
+                  sites, vals)
