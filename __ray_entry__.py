@@ -3966,6 +3966,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = orders.map_batches(gen, batch_format="pyarrow").to_pandas()
         return df.sort_values("k").reset_index(drop=True)
 
+    def q201_dbscan(sf):  # distributed DBSCAN (grid shuffle + CC)
+        """Full DBSCAN composed from the engine's own distributed
+        primitives (pipelines/cluster.py:dbscan): eps-grid cell
+        shuffle with 8-ghost replication → local core counting →
+        exactly-once core-edge emission → connected-component label
+        waves → bucketed border/anchor resolve; noise decided locally.
+        Deterministic variant: border joins its MINIMUM core
+        neighbor's cluster; cluster id = min core id. Oracle =
+        recursive min-label closure over the core graph."""
+        from hand_index_ray.pipelines.cluster import dbscan
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 11 == 0].astype(np.int64)
+            return pa.table({"id": pa.array(k, pa.int64()),
+                             "x": pa.array((k * 13) % 200, pa.int64()),
+                             "y": pa.array((k * 29) % 200, pa.int64())})
+
+        pts = orders.map_batches(gen, batch_format="pyarrow")
+        out = dbscan(pts, eps=6, min_pts=4, num_buckets=16).to_pandas()
+        return out.astype({"id": "int64", "cluster": "int64",
+                           "role": "int64"}) \
+            .sort_values("id").reset_index(drop=True)
+
     def q199_idw(sf):  # exact inverse-distance-weighted interpolation
         """IDW (power 2) spatial interpolation against 5 broadcast
         sites as an exact integer rational (kernels/geom.py:idw_exact
@@ -4546,6 +4572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q198_kcore": q198_kcore,
         "q199_idw": q199_idw,
         "q200_butterflies": q200_butterflies,
+        "q201_dbscan": q201_dbscan,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6588,6 +6615,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT k, CAST(sid AS BIGINT) AS seg, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1 ORDER BY k
+        """,
+        # q201: nb includes self (deg counts the point itself, the
+        # sklearn convention); the recursive term floods every label
+        # through core edges, MIN(lbl) per id = min core id of the
+        # component
+        "q201_dbscan": """
+            WITH RECURSIVE pts AS (
+                SELECT o_orderkey AS id,
+                       (o_orderkey * 13) % 200 AS x,
+                       (o_orderkey * 29) % 200 AS y
+                FROM orders WHERE o_orderkey % 11 = 0),
+            nb AS (SELECT a.id AS ia, b.id AS ib
+                   FROM pts a JOIN pts b
+                     ON (a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) <= 36),
+            core AS (SELECT ia AS id FROM nb GROUP BY ia
+                     HAVING COUNT(*) >= 4),
+            ce AS (SELECT n.ia, n.ib FROM nb n
+                   JOIN core c1 ON n.ia = c1.id
+                   JOIN core c2 ON n.ib = c2.id),
+            r(id, lbl) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT ce.ib, r.lbl FROM r JOIN ce ON ce.ia = r.id),
+            cl AS (SELECT id, MIN(lbl) AS cluster FROM r GROUP BY id),
+            bor AS (SELECT n.ia AS id, MIN(n.ib) AS anchor
+                    FROM nb n JOIN core c ON n.ib = c.id
+                    WHERE n.ia NOT IN (SELECT id FROM core)
+                    GROUP BY n.ia)
+            SELECT id, cluster, CAST(2 AS BIGINT) AS role FROM cl
+            UNION ALL
+            SELECT b.id, cl.cluster, CAST(1 AS BIGINT)
+            FROM bor b JOIN cl ON cl.id = b.anchor
+            UNION ALL
+            SELECT p.id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+            FROM pts p
+            WHERE p.id NOT IN (SELECT id FROM core)
+              AND p.id NOT IN (SELECT id FROM bor)
+            ORDER BY id
         """,
         # q199: product() skips NULLs, so the self-join CASE builds
         # Π_{t≠s} d²; the double-precision product is exact below 2^53
