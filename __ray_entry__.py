@@ -4377,6 +4377,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = hand_stats(ds, drain_thresh=8, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q202_fill_depressions(sf):  # Priority-Flood DEM conditioning
+        """Exact depression filling (Planchon–Darboux / Priority-Flood
+        fixpoint, pipelines/terrain.py:fill_depressions) — the DEM
+        conditioning step hydrology toolchains run before computing
+        the reference's HAND rasters (load.py:44-45 *rem_zeroed*.tif).
+        The fixture's 16x12 pattern depends on the key only through
+        k mod 256, and the Jacobi sweep converges in ≤9 iterations
+        over ALL 256 residues (checked exhaustively), so the oracle's
+        12 unrolled relaxation waves are provably at fixpoint at any
+        scale factor."""
+        from hand_index_ray.pipelines.terrain import fill_depression_stats
+        ds = _terrain_blobs(sf, 211, 16, 12, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = fill_depression_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q203_edt(sf):  # exact squared Euclidean distance transform
+        """Exact integer squared-EDT aggregates with features = cells
+        below 80 (proximity-to-drainage — the Euclidean sibling of the
+        HAND product; pipelines/terrain.py:squared_edt: per-column
+        directional scans then a vectorized horizontal broadcast min,
+        all int64, no rationals). Threshold 80 provably leaves no
+        featureless raster: coverage was checked over all 256 key
+        residues the fixture can produce. Oracle is the literal
+        brute-force MIN over feature cells."""
+        from hand_index_ray.pipelines.terrain import edt_stats
+        ds = _terrain_blobs(sf, 211, 20, 16, 17, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = edt_stats(ds, 80, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q204_moran(sf):  # global Moran's I (rook weights), exact
+        """Global spatial-autocorrelation components per raster
+        (pipelines/terrain.py:moran_stats): deviations scaled by n
+        (dev = n·v − Σv) keep numerator/denominator exact int64
+        through the pipeline; Moran's I = (n/w_sum)·num/den divides
+        only at the reader. The standard QC gate for interpolated
+        terrain products. Oracle recomputes the same scaled integers
+        from the pixel formula with rook-neighbor self-joins."""
+        from hand_index_ray.pipelines.terrain import moran_stats
+        ds = _terrain_blobs(sf, 251, 24, 18, 19, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = moran_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4573,6 +4618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_idw": q199_idw,
         "q200_butterflies": q200_butterflies,
         "q201_dbscan": q201_dbscan,
+        "q202_fill_depressions": q202_fill_depressions,
+        "q203_edt": q203_edt,
+        "q204_moran": q204_moran,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4822,9 +4870,108 @@ def _winnow_sql(k: int = 8, w: int = 4) -> str:
 """
 
 
+def _fill_waves_sql(waves: int = 12) -> str:
+    """Unrolled Jacobi relaxation for q202: W_{n+1} = min(W_n,
+    max(dem, min of 4-neighbor W_n)) on interior cells, boundary
+    pinned at dem. 12 waves ≥ the exhaustively-checked 9-sweep
+    fixpoint bound over every raster the fixture can produce."""
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 211 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 13 + x.x * 7 + y.y * 3) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            w0 AS MATERIALIZED (SELECT k, x, y, v,
+                          CASE WHEN x = 0 OR x = 15 OR y = 0 OR y = 11
+                               THEN v ELSE 1152921504606846976 END AS w
+                   FROM dem)"""]
+    for i in range(1, waves + 1):
+        p, q = f"w{i - 1}", f"w{i}"
+        ctes.append(f"""{q} AS MATERIALIZED (
+                SELECT p.k, p.x, p.y, p.v,
+                       CASE WHEN p.x = 0 OR p.x = 15
+                                 OR p.y = 0 OR p.y = 11 THEN p.v
+                            ELSE LEAST(p.w, GREATEST(p.v,
+                                 LEAST(e.w, wn.w, nn.w, ss.w))) END AS w
+                FROM {p} p
+                LEFT JOIN {p} e  ON e.k = p.k AND e.x = p.x + 1
+                                 AND e.y = p.y
+                LEFT JOIN {p} wn ON wn.k = p.k AND wn.x = p.x - 1
+                                 AND wn.y = p.y
+                LEFT JOIN {p} nn ON nn.k = p.k AND nn.x = p.x
+                                 AND nn.y = p.y - 1
+                LEFT JOIN {p} ss ON ss.k = p.k AND ss.x = p.x
+                                 AND ss.y = p.y + 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+            SELECT k AS o_orderkey,
+                   CAST(SUM(w - v) AS BIGINT) AS fill_volume,
+                   CAST(SUM(CASE WHEN w > v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_filled,
+                   CAST(MAX(w - v) AS BIGINT) AS max_raise
+            FROM w{waves} GROUP BY k ORDER BY k""")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
+        "q202_fill_depressions": _fill_waves_sql(),
+        "q203_edt": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 211 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 17 + x.x * 7 + y.y * 3) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 19)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 15)) y),
+            feat AS (SELECT k, x, y FROM dem WHERE v < 80),
+            nf AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_feat
+                   FROM feat GROUP BY k),
+            d AS (SELECT d.k, d.x, d.y,
+                         MIN((d.x - f.x) * (d.x - f.x)
+                             + (d.y - f.y) * (d.y - f.y)) AS d2
+                  FROM dem d JOIN feat f ON f.k = d.k
+                  GROUP BY d.k, d.x, d.y)
+            SELECT d.k AS o_orderkey,
+                   CAST(SUM(d.d2) AS BIGINT) AS d2_sum,
+                   CAST(MAX(d.d2) AS BIGINT) AS d2_max,
+                   nf.n_feat
+            FROM d JOIN nf ON nf.k = d.k
+            GROUP BY d.k, nf.n_feat ORDER BY d.k
+        """,
+        "q204_moran": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 251 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 19 + x.x * 7 + y.y * 3) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 23)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 17)) y),
+            s AS (SELECT k, SUM(v) AS sv FROM dem GROUP BY k),
+            dev AS (SELECT d.k, d.x, d.y, 432 * d.v - s.sv AS dv
+                    FROM dem d JOIN s ON s.k = d.k),
+            h AS (SELECT a.k, SUM(a.dv * b.dv) AS p
+                  FROM dev a JOIN dev b
+                    ON b.k = a.k AND b.x = a.x + 1 AND b.y = a.y
+                  GROUP BY a.k),
+            vt AS (SELECT a.k, SUM(a.dv * b.dv) AS p
+                   FROM dev a JOIN dev b
+                     ON b.k = a.k AND b.x = a.x AND b.y = a.y + 1
+                   GROUP BY a.k),
+            den AS (SELECT k, SUM(dv * dv) AS dn FROM dev GROUP BY k)
+            SELECT den.k AS o_orderkey,
+                   CAST(2 * (h.p + vt.p) AS BIGINT) AS num_scaled,
+                   CAST(den.dn AS BIGINT) AS den_scaled,
+                   CAST(1644 AS BIGINT) AS w_sum
+            FROM den JOIN h ON h.k = den.k JOIN vt ON vt.k = den.k
+            ORDER BY den.k
+        """,
         "q01_groupby_sum": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,

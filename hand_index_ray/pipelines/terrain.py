@@ -814,3 +814,145 @@ def laplacian_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
                          "n_concave": pa.array(ncc, pa.int64()),
                          "n_convex": pa.array(ncv, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fill_depressions(arr: np.ndarray) -> tuple[np.ndarray, int]:
+    """Exact depression filling (the Planchon–Darboux / Priority-Flood
+    result): the unique fixpoint of
+
+        W(c) = dem(c)                         on boundary cells
+        W(c) = max(dem(c), min_{n in N4(c)} W(n))   on interior cells
+
+    reached by monotone Jacobi iteration from W = +inf interior — the
+    published equivalence with heap-based Priority-Flood (Barnes 2014:
+    the filled elevation of a cell is the minimax over boundary paths
+    of path-max elevation, which is exactly this fixpoint). Every
+    sweep is four shifted-slice mins + one max; iteration count is
+    bounded by the longest optimal drain path (≈ grid diameter), so
+    per-raster work is O(iters · n) fully vectorized. Returns the
+    filled surface and the sweep count (DEM conditioning is the step
+    hydrology toolchains run BEFORE computing the reference's HAND
+    rasters, load.py:44-45 *rem_zeroed*.tif)."""
+    dem = arr.astype(np.int64)
+    big = np.int64(np.iinfo(np.int64).max // 4)
+    w = np.full_like(dem, big)
+    w[0, :] = dem[0, :]
+    w[-1, :] = dem[-1, :]
+    w[:, 0] = dem[:, 0]
+    w[:, -1] = dem[:, -1]
+    iters = 0
+    while True:
+        nmin = np.minimum(
+            np.minimum(w[:-2, 1:-1], w[2:, 1:-1]),
+            np.minimum(w[1:-1, :-2], w[1:-1, 2:]))
+        new = np.maximum(dem[1:-1, 1:-1], nmin)
+        # monotone: W only ever decreases toward the fixpoint
+        new = np.minimum(w[1:-1, 1:-1], new)
+        iters += 1
+        if np.array_equal(new, w[1:-1, 1:-1]):
+            break
+        w[1:-1, 1:-1] = new
+    return w, iters
+
+
+def fill_depression_stats(ds, bytes_col: str = "bytes",
+                          id_col: str = "path"):
+    """Per-raster depression-fill aggregates over GeoTIFF blobs:
+    fill_volume = Σ (filled − dem), n_filled = cells raised, max_raise
+    = deepest fill. Map-only; see ``fill_depressions``."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, vol, nf, mx = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            w, _ = fill_depressions(arr)
+            d = w - arr.astype(np.int64)
+            ids.append(rid)
+            vol.append(int(d.sum()))
+            nf.append(int((d > 0).sum()))
+            mx.append(int(d.max()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "fill_volume": pa.array(vol, pa.int64()),
+                         "n_filled": pa.array(nf, pa.int64()),
+                         "max_raise": pa.array(mx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def squared_edt(feat: np.ndarray) -> np.ndarray:
+    """EXACT squared Euclidean distance transform of a boolean feature
+    mask (True = feature): two integer phases. Phase 1: per column,
+    the exact |row distance| to the nearest feature in that column
+    (two directional scans). Phase 2: per cell, min over source
+    columns of (dx² + dy²(col, row)) — a vectorized (W × W) broadcast
+    per row block. All int64, no rationals, no float: the production
+    scale path would swap phase 2 for the Felzenszwalb lower-envelope
+    O(n) pass; at raster-tile sizes the dense min is faster in numpy
+    and bit-identical. Cells with no feature anywhere get -1."""
+    h, w = feat.shape
+    big = np.int64(1) << 40
+    # phase 1: vertical distances per column (forward + backward scan)
+    dy = np.full((h, w), big, np.int64)
+    dy[feat] = 0
+    for r in range(1, h):
+        dy[r] = np.minimum(dy[r], dy[r - 1] + 1)
+    for r in range(h - 2, -1, -1):
+        dy[r] = np.minimum(dy[r], dy[r + 1] + 1)
+    dy2 = np.where(dy >= big, big, dy * dy)
+    # phase 2: horizontal broadcast min  d2[r, x] = min_c (x-c)^2 + dy2[r, c]
+    xs = np.arange(w, dtype=np.int64)
+    dx2 = (xs[:, None] - xs[None, :]) ** 2          # (x, c)
+    d2 = (dx2[None, :, :] + dy2[:, None, :]).min(axis=2)
+    return np.where(d2 >= big, -1, d2)
+
+
+def edt_stats(ds, feature_thresh: int, bytes_col: str = "bytes",
+              id_col: str = "path"):
+    """Per-raster exact squared-EDT aggregates with features = cells
+    strictly below ``feature_thresh`` (proximity-to-drainage rasters —
+    the Euclidean sibling of the reference's HAND product): d2_sum,
+    d2_max, n_feat."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, s, m, nf = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            feat = arr < feature_thresh
+            d2 = squared_edt(feat)
+            ids.append(rid)
+            s.append(int(d2.sum()))
+            m.append(int(d2.max()))
+            nf.append(int(feat.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "d2_sum": pa.array(s, pa.int64()),
+                         "d2_max": pa.array(m, pa.int64()),
+                         "n_feat": pa.array(nf, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def moran_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster global Moran's I components under rook (4-neighbor,
+    binary-weight) adjacency, kept EXACT by scaling deviations by n:
+    with S = Σv and n = H·W, dev(c) = n·v(c) − S, report
+
+        num_scaled = Σ_{directed rook pairs (i,j)} dev(i)·dev(j)
+        den_scaled = Σ_i dev(i)²
+        w_sum      = number of directed rook pairs
+
+    so Moran's I = (n / w_sum) · num_scaled / den_scaled with zero
+    float drift in the shuffled parts (the division happens at the
+    reader). Spatial autocorrelation is the standard QC gate for
+    interpolated terrain products."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, num, den, ws = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            h, w = v.shape
+            n = h * w
+            dev = n * v - v.sum()
+            horiz = (dev[:, :-1] * dev[:, 1:]).sum()
+            vert = (dev[:-1, :] * dev[1:, :]).sum()
+            ids.append(rid)
+            num.append(int(2 * (horiz + vert)))
+            den.append(int((dev * dev).sum()))
+            ws.append(int(2 * (h * (w - 1) + w * (h - 1))))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "num_scaled": pa.array(num, pa.int64()),
+                         "den_scaled": pa.array(den, pa.int64()),
+                         "w_sum": pa.array(ws, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -555,3 +555,78 @@ def test_laplacian_stats_brute(ray_session):
     assert got["abs_sum"].iloc[0] == np.abs(lap).sum()
     assert got["n_concave"].iloc[0] == (lap > 0).sum()
     assert got["n_convex"].iloc[0] == (lap < 0).sum()
+
+
+def test_fill_depressions_minimax_parity():
+    """Fixpoint fill == heap Priority-Flood (minimax boundary path)."""
+    import heapq
+    rng = np.random.default_rng(41)
+    for _ in range(12):
+        a = rng.integers(0, 50, (8, 10)).astype(np.int32)
+        w, iters = terrain.fill_depressions(a)
+        H, W = a.shape
+        best = np.full((H, W), 10 ** 9, np.int64)
+        pq = []
+        for r in range(H):
+            for c in range(W):
+                if r in (0, H - 1) or c in (0, W - 1):
+                    best[r, c] = a[r, c]
+                    heapq.heappush(pq, (int(a[r, c]), r, c))
+        while pq:
+            d, r, c = heapq.heappop(pq)
+            if d > best[r, c]:
+                continue
+            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nr, nc = r + dr, c + dc
+                if 0 < nr < H - 1 and 0 < nc < W - 1:
+                    nd = max(d, int(a[nr, nc]))
+                    if nd < best[nr, nc]:
+                        best[nr, nc] = nd
+                        heapq.heappush(pq, (nd, nr, nc))
+        assert np.array_equal(w, best)
+        assert (w >= a).all()
+        assert iters >= 1
+
+
+def test_fill_depressions_no_pit_is_identity():
+    # strictly monotone ramp has no depressions
+    yy, xx = np.meshgrid(np.arange(6), np.arange(7), indexing="ij")
+    a = (3 * xx + 5 * yy).astype(np.int32)
+    w, _ = terrain.fill_depressions(a)
+    assert np.array_equal(w, a)
+
+
+def test_squared_edt_brute_parity():
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        feat = rng.random((9, 11)) < 0.12
+        d2 = terrain.squared_edt(feat)
+        fr, fc = np.nonzero(feat)
+        for r in range(9):
+            for c in range(11):
+                if len(fr) == 0:
+                    assert d2[r, c] == -1
+                else:
+                    assert d2[r, c] == ((fr - r) ** 2 + (fc - c) ** 2).min()
+
+
+def test_moran_stats_checkerboard(ray_session):
+    """Perfect checkerboard = maximal negative autocorrelation:
+    num_scaled = -w_sum * den_scaled / n (every rook pair is (+d)(-d))."""
+    from hand_index_ray.kernels.geotiff import encode_geotiff
+
+    a = np.indices((6, 8)).sum(axis=0) % 2
+    blob = encode_geotiff((a * 10).astype(np.int32))
+    ds = ray.data.from_arrow(pa.table({
+        "path": pa.array([1], pa.int64()),
+        "bytes": pa.array([blob], pa.binary())}))
+    got = terrain.moran_stats(ds, id_col="path").to_pandas()
+    n = 48
+    v = (a * 10).astype(np.int64)
+    dev = n * v - v.sum()
+    den = int((dev * dev).sum())
+    wsum = 2 * (6 * 7 + 8 * 5)
+    assert got["den_scaled"].iloc[0] == den
+    assert got["w_sum"].iloc[0] == wsum
+    # every neighbor pair multiplies opposite-sign equal-magnitude devs
+    assert got["num_scaled"].iloc[0] == -wsum * den // n
