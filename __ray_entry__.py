@@ -4422,6 +4422,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = moran_stats(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q205_semivariogram(sf):  # experimental (Matheron) semivariogram
+        """Kriging's fitting input — the experimental semivariogram
+        over a site table (pipelines/geostat.py): one eps-grid ghost
+        shuffle (the DBSCAN cell shape), exactly-once pair ownership
+        by the smaller id's home cell, per-bin int64 partials
+        (n_pairs, Σ(v_i−v_j)²) — pairs are never materialized as
+        rows. γ(bin) = gamma_num / (2·n_pairs) divides only at the
+        reader. Oracle is the literal brute pair self-join."""
+        from hand_index_ray.pipelines.geostat import semivariogram
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            k = keys[keys % 41 == 0].astype(np.int64)
+            return pa.table({"id": pa.array(k, pa.int64()),
+                             "x": pa.array((k * 37) % 400, pa.int64()),
+                             "y": pa.array((k * 61) % 400, pa.int64()),
+                             "v": pa.array((k * 7) % 100, pa.int64())})
+
+        pts = orders.map_batches(gen, batch_format="pyarrow")
+        out = semivariogram(pts, max_lag=60, nbins=8,
+                            num_buckets=16).to_pandas()
+        if out.empty:
+            out = pd.DataFrame({"d2_bin": pd.Series([], dtype="int64"),
+                                "n_pairs": pd.Series([], dtype="int64"),
+                                "gamma_num": pd.Series([], dtype="int64")})
+        return out.astype({"d2_bin": "int64", "n_pairs": "int64",
+                           "gamma_num": "int64"}) \
+            .sort_values("d2_bin").reset_index(drop=True)
+
+    def q207_cost_distance(sf):  # least-cost path / corridor analysis
+        """Accumulated-cost surface from the west edge
+        (pipelines/terrain.py:cost_distance — GRASS r.cost semantics,
+        4-connectivity, cost on entry) by exact Bellman–Ford Jacobi
+        sweeps; east_min is the cheapest full crossing (corridor
+        analysis). The 16x12 fixture depends on the key only through
+        k mod 64 and converges in ≤27 sweeps over ALL 64 residues
+        (checked exhaustively), so the oracle's 30 unrolled waves are
+        provably at fixpoint at any scale factor."""
+        from hand_index_ray.pipelines.terrain import cost_distance_stats
+        ds = _terrain_blobs(sf, 191, 16, 12, 23, 7, 3, 64,
+                            compression="lzw", predictor=2)
+        df = cost_distance_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4621,6 +4667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q202_fill_depressions": q202_fill_depressions,
         "q203_edt": q203_edt,
         "q204_moran": q204_moran,
+        "q205_semivariogram": q205_semivariogram,
+        "q207_cost_distance": q207_cost_distance,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -4914,10 +4962,71 @@ def _fill_waves_sql(waves: int = 12) -> str:
             FROM w{waves} GROUP BY k ORDER BY k""")
 
 
+def _cost_waves_sql(waves: int = 30) -> str:
+    """Unrolled Bellman–Ford for q207: D_{n+1} = min(D_n, min of
+    4-neighbor D_n + v) with the west edge pinned at v. 30 waves ≥ the
+    exhaustively-checked 27-sweep fixpoint bound over every raster the
+    fixture can produce (pattern depends on k mod 64 only)."""
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 191 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 23 + x.x * 7 + y.y * 3) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            c0 AS MATERIALIZED (SELECT k, x, y, v,
+                          CASE WHEN x = 0 THEN v
+                               ELSE 1152921504606846976 END AS d
+                   FROM dem)"""]
+    for i in range(1, waves + 1):
+        p, q = f"c{i - 1}", f"c{i}"
+        ctes.append(f"""{q} AS MATERIALIZED (
+                SELECT p.k, p.x, p.y, p.v,
+                       CASE WHEN p.x = 0 THEN p.v
+                            ELSE LEAST(p.d,
+                                 LEAST(e.d, wn.d, nn.d, ss.d) + p.v)
+                       END AS d
+                FROM {p} p
+                LEFT JOIN {p} e  ON e.k = p.k AND e.x = p.x + 1
+                                 AND e.y = p.y
+                LEFT JOIN {p} wn ON wn.k = p.k AND wn.x = p.x - 1
+                                 AND wn.y = p.y
+                LEFT JOIN {p} nn ON nn.k = p.k AND nn.x = p.x
+                                 AND nn.y = p.y - 1
+                LEFT JOIN {p} ss ON ss.k = p.k AND ss.x = p.x
+                                 AND ss.y = p.y + 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+            SELECT k AS o_orderkey,
+                   CAST(SUM(d) AS BIGINT) AS cost_sum,
+                   CAST(MAX(d) AS BIGINT) AS cost_max,
+                   CAST(MIN(CASE WHEN x = 15 THEN d END)
+                        AS BIGINT) AS east_min
+            FROM c{waves} GROUP BY k ORDER BY k""")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
         "q202_fill_depressions": _fill_waves_sql(),
+        "q205_semivariogram": """
+            WITH p AS (SELECT o_orderkey AS id,
+                              (o_orderkey * 37) % 400 AS x,
+                              (o_orderkey * 61) % 400 AS y,
+                              (o_orderkey * 7) % 100 AS v
+                       FROM orders WHERE o_orderkey % 41 = 0),
+            pr AS (SELECT (a.x - b.x) * (a.x - b.x)
+                          + (a.y - b.y) * (a.y - b.y) AS d2,
+                          (a.v - b.v) * (a.v - b.v) AS dv2
+                   FROM p a JOIN p b ON a.id < b.id)
+            SELECT CAST((d2 - 1) * 8 // 3600 AS BIGINT) AS d2_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(dv2) AS BIGINT) AS gamma_num
+            FROM pr WHERE d2 BETWEEN 1 AND 3600
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q207_cost_distance": _cost_waves_sql(),
         "q203_edt": """
             WITH ks AS (SELECT o_orderkey AS k FROM orders
                         WHERE o_orderkey % 211 = 0),

@@ -1,0 +1,116 @@
+"""Geostatistics over distributed integer point sets.
+
+``semivariogram`` is the experimental (Matheron) semivariogram — the
+fitting input for kriging, the interpolation family the reference's
+HAND/terrain products come from upstream. The pair enumeration is the
+same one-shuffle eps-grid shape as DBSCAN (``pipelines/cluster.py``):
+
+1. every site shuffles ONCE on its ``max_lag``-sized grid cell and is
+   replicated to the 8 neighbor cells as a ghost, so every pair with
+   d ≤ max_lag co-lives in the smaller id's home cell's 3×3 block;
+2. each cell group emits exactly-once per-bin PARTIALS
+   (pair count, Σ(v_i − v_j)²) — never the pairs themselves;
+3. a tiny bin-keyed grouped sum merges the partials.
+
+Scale shape: shuffle payload is slim (cell, home, id, x, y, v) ×9;
+per-cell work is bounded by local density × the 3×3 block; the merge
+moves ``nbins`` rows per cell group. γ(bin) = num / (2·n) divides only
+at the reader — everything shuffled is exact int64.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_OFF = 1 << 30
+
+
+def _explode9v(cell: int):
+    """9 rows per site: (cell, home, id, x, y, v) — the DBSCAN ghost
+    explode with an int64 value column riding along."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "home": pa.array([], pa.int8()),
+                             "id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        ids = t.column("id").to_numpy().astype(np.int64)
+        v = t.column("v").to_numpy().astype(np.int64)
+        cx = x // cell
+        cy = y // cell
+        dx = np.array([-1, 0, 1] * 3, np.int64)
+        dy = np.repeat(np.array([-1, 0, 1], np.int64), 3)
+        CX = (cx[:, None] + dx[None, :]).ravel()
+        CY = (cy[:, None] + dy[None, :]).ravel()
+        home = np.tile((dx == 0) & (dy == 0), n).astype(np.int8)
+        rep = np.repeat(np.arange(n), 9)
+        return pa.table({
+            "cell": pa.array((CX + _OFF) * (1 << 32) + (CY + _OFF),
+                             pa.int64()),
+            "home": pa.array(home, pa.int8()),
+            "id": pa.array(ids[rep], pa.int64()),
+            "x": pa.array(x[rep], pa.int64()),
+            "y": pa.array(y[rep], pa.int64()),
+            "v": pa.array(v[rep], pa.int64())})
+    return fn
+
+
+def semivariogram(points: ray.data.Dataset, max_lag: int,
+                  nbins: int = 8,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Experimental semivariogram over Dataset[(id, x, y, v)] (int64):
+    for every unordered site pair with 1 ≤ d² ≤ max_lag², bin =
+    ((d² − 1) · nbins) // max_lag² and per bin report exact
+    n_pairs and gamma_num = Σ (v_i − v_j)²; the estimator is
+    γ(bin) = gamma_num / (2 · n_pairs). Returns
+    Dataset[(d2_bin, n_pairs, gamma_num)]."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    max2 = int(max_lag) * int(max_lag)
+
+    def bin_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "d2_bin": pd.Series([], dtype="int64"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "gamma_num": pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        h = g[g["home"] == 1]
+        if len(h) == 0:
+            return empty
+        hx = h["x"].to_numpy(); hy = h["y"].to_numpy()
+        hid = h["id"].to_numpy(); hv = h["v"].to_numpy()
+        ax = g["x"].to_numpy(); ay = g["y"].to_numpy()
+        aid = g["id"].to_numpy(); av = g["v"].to_numpy()
+        d2 = (hx[:, None] - ax[None, :]) ** 2 \
+            + (hy[:, None] - ay[None, :]) ** 2
+        # exactly-once: the smaller id's HOME cell owns the pair
+        take = (d2 >= 1) & (d2 <= max2) & (hid[:, None] < aid[None, :])
+        ii, jj = np.nonzero(take)
+        if len(ii) == 0:
+            return empty
+        b = (d2[ii, jj] - 1) * nbins // max2
+        dv2 = (hv[ii] - av[jj]) ** 2
+        cnt = np.bincount(b, minlength=nbins)
+        # weighted bincount routes through float64 (exact only below
+        # 2^53) — scatter-add in int64 instead
+        num = np.zeros(nbins, np.int64)
+        np.add.at(num, b, dv2)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"d2_bin": nz.astype(np.int64),
+                             "n_pairs": cnt[nz].astype(np.int64),
+                             "gamma_num": num[nz]})
+
+    parts = grouped_apply_bucketed(
+        points.map_batches(_explode9v(max_lag), batch_format="pyarrow"),
+        ["cell"], bin_partials, num_buckets=num_buckets)
+    agg = grouped_agg(parts, ["d2_bin"],
+                      sum_cols=["n_pairs", "gamma_num"], count=False)
+    return agg.select_columns(["d2_bin", "n_pairs", "gamma_num"])

@@ -956,3 +956,54 @@ def moran_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
                          "den_scaled": pa.array(den, pa.int64()),
                          "w_sum": pa.array(ws, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cost_distance(arr: np.ndarray) -> tuple[np.ndarray, int]:
+    """Exact accumulated-cost surface from the WEST edge (the
+    least-cost-path / cost-distance operator, GRASS ``r.cost``
+    semantics with 4-connectivity and cost charged on cell ENTRY):
+
+        D(0, y-col 0 cells) = v(cell)           (start cells pay own cost)
+        D(c)               = min_{n in N4(c)} D(n) + v(c)
+
+    computed by monotone Bellman–Ford Jacobi sweeps (four shifted-slice
+    mins + one add per sweep) to the unique fixpoint — exact int64, no
+    heap, no float. Returns (D, sweeps)."""
+    v = arr.astype(np.int64)
+    big = np.int64(np.iinfo(np.int64).max // 4)
+    d = np.full_like(v, big)
+    d[:, 0] = v[:, 0]
+    sweeps = 0
+    while True:
+        inner = np.full_like(v, big)
+        inner[:, 1:] = np.minimum(inner[:, 1:], d[:, :-1])
+        inner[:, :-1] = np.minimum(inner[:, :-1], d[:, 1:])
+        inner[1:, :] = np.minimum(inner[1:, :], d[:-1, :])
+        inner[:-1, :] = np.minimum(inner[:-1, :], d[1:, :])
+        new = np.minimum(d, np.where(inner >= big, big, inner + v))
+        new[:, 0] = v[:, 0]
+        sweeps += 1
+        if np.array_equal(new, d):
+            break
+        d = new
+    return d, sweeps
+
+
+def cost_distance_stats(ds, bytes_col: str = "bytes",
+                        id_col: str = "path"):
+    """Per-raster accumulated-cost aggregates (west-edge sources):
+    cost_sum, cost_max, east_min = cheapest full west→east crossing
+    (the corridor-analysis number)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, s, m, em = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            d, _ = cost_distance(arr)
+            ids.append(rid)
+            s.append(int(d.sum()))
+            m.append(int(d.max()))
+            em.append(int(d[:, -1].min()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "cost_sum": pa.array(s, pa.int64()),
+                         "cost_max": pa.array(m, pa.int64()),
+                         "east_min": pa.array(em, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -630,3 +630,91 @@ def test_moran_stats_checkerboard(ray_session):
     assert got["w_sum"].iloc[0] == wsum
     # every neighbor pair multiplies opposite-sign equal-magnitude devs
     assert got["num_scaled"].iloc[0] == -wsum * den // n
+
+
+def test_cost_distance_dijkstra_parity():
+    """Bellman–Ford Jacobi sweeps == heap Dijkstra with west-edge
+    sources and cost-on-entry (GRASS r.cost semantics)."""
+    import heapq
+    rng = np.random.default_rng(43)
+    for _ in range(12):
+        a = rng.integers(0, 60, (9, 11)).astype(np.int32)
+        d, sweeps = terrain.cost_distance(a)
+        H, W = a.shape
+        best = np.full((H, W), 10 ** 12, np.int64)
+        pq = []
+        for r in range(H):
+            best[r, 0] = a[r, 0]
+            heapq.heappush(pq, (int(a[r, 0]), r, 0))
+        while pq:
+            cd, r, c = heapq.heappop(pq)
+            if cd > best[r, c]:
+                continue
+            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < H and 0 <= nc < W:
+                    nd = cd + int(a[nr, nc])
+                    if nd < best[nr, nc]:
+                        best[nr, nc] = nd
+                        heapq.heappush(pq, (nd, nr, nc))
+        assert np.array_equal(d, best)
+        assert sweeps >= 1
+
+
+def test_cost_distance_uniform_is_manhattan():
+    # uniform cost 1: D = x+1 (enter x+1 cells including the start)
+    a = np.ones((5, 7), np.int32)
+    d, _ = terrain.cost_distance(a)
+    want = np.tile(np.arange(1, 8, dtype=np.int64), (5, 1))
+    assert np.array_equal(d, want)
+
+
+def test_semivariogram_brute_parity(ray_session):
+    """Eps-grid ghost-shuffle semivariogram == brute all-pairs, across
+    cell boundaries and bin edges."""
+    from hand_index_ray.pipelines.geostat import semivariogram
+
+    rng = np.random.default_rng(44)
+    n, max_lag, nbins = 120, 13, 5
+    x = rng.integers(0, 90, n).astype(np.int64)
+    y = rng.integers(0, 90, n).astype(np.int64)
+    v = rng.integers(0, 50, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    pts = ray.data.from_arrow(pa.table(
+        {"id": ids, "x": x, "y": y, "v": v}))
+    got = semivariogram(pts, max_lag=max_lag, nbins=nbins,
+                        num_buckets=8).to_pandas() \
+        .sort_values("d2_bin").reset_index(drop=True)
+
+    max2 = max_lag * max_lag
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    dv2 = (v[:, None] - v[None, :]) ** 2
+    iu = np.triu_indices(n, 1)
+    d2 = d2[iu]; dv2 = dv2[iu]
+    keep = (d2 >= 1) & (d2 <= max2)
+    b = (d2[keep] - 1) * nbins // max2
+    cnt = np.bincount(b, minlength=nbins)
+    num = np.zeros(nbins, np.int64)
+    np.add.at(num, b, dv2[keep])
+    nz = np.flatnonzero(cnt)
+    assert got["d2_bin"].tolist() == nz.tolist()
+    assert got["n_pairs"].to_numpy().tolist() == cnt[nz].tolist()
+    assert got["gamma_num"].to_numpy().tolist() == num[nz].tolist()
+
+
+def test_semivariogram_duplicate_coords(ray_session):
+    """Co-located distinct sites (d2=0) are excluded; ids never pair
+    with themselves; exactly-once across ghost replicas."""
+    from hand_index_ray.pipelines.geostat import semivariogram
+
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "x": pa.array([0, 0, 4, 5], pa.int64()),
+        "y": pa.array([0, 0, 0, 0], pa.int64()),
+        "v": pa.array([10, 20, 30, 41], pa.int64())}))
+    got = semivariogram(pts, max_lag=5, nbins=1,
+                        num_buckets=4).to_pandas()
+    # pairs with 1<=d2<=25: (1,3)d2=16 (1,4)d2=25 (2,3)16 (2,4)25 (3,4)1
+    assert got["n_pairs"].sum() == 5
+    assert got["gamma_num"].sum() == (20**2 + 31**2 + 10**2 + 21**2
+                                      + 11**2)
