@@ -4468,6 +4468,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = cost_distance_stats(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q206_otsu(sf):  # histogram binarization threshold
+        """Exact Otsu threshold per raster
+        (pipelines/terrain.py:otsu_threshold): between-class variance
+        maximized as the exact fraction A²/B (A = s0·n − S·c0,
+        B = c0·(n−c0)), ties to the smallest t — the standard
+        land/water binarization step, no floats anywhere. The oracle
+        recomputes every candidate t and keeps the fraction-max by
+        cross-multiplied anti-join."""
+        from hand_index_ray.pipelines.terrain import otsu_stats
+        ds = _terrain_blobs(sf, 181, 16, 12, 19, 5, 11, 64,
+                            compression="deflate", predictor=2)
+        df = otsu_stats(ds, nlevels=64, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q209_seam_carving(sf):  # content-aware resize seam DP
+        """Seam carving (Avidan–Shamir): clamped central-gradient
+        energy, min-energy 8-connected top→bottom DP
+        (pipelines/terrain.py:seam_bottom_costs). Unlike q207's
+        fixpoint, this is a DIRECTED acyclic DP — one wave per row,
+        exactly H−1 waves, so the oracle's 11 unrolled CTEs are the
+        computation itself, not a bound."""
+        from hand_index_ray.pipelines.terrain import seam_stats
+        ds = _terrain_blobs(sf, 197, 16, 12, 29, 11, 5, 64,
+                            compression="lzw", predictor=2)
+        df = seam_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4668,7 +4695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_edt": q203_edt,
         "q204_moran": q204_moran,
         "q205_semivariogram": q205_semivariogram,
+        "q206_otsu": q206_otsu,
         "q207_cost_distance": q207_cost_distance,
+        "q209_seam_carving": q209_seam_carving,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5006,10 +5035,94 @@ def _cost_waves_sql(waves: int = 30) -> str:
             FROM c{waves} GROUP BY k ORDER BY k""")
 
 
+def _seam_waves_sql() -> str:
+    """Directed DP for q209: energy from clamped central gradients,
+    then exactly H−1 = 11 row waves (this is the whole computation —
+    the DP is acyclic, one wave per row)."""
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 197 = 0),
+            dem AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                           (ks.k * 29 + x.x * 11 + y.y * 5) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            en AS MATERIALIZED (SELECT d.k, d.x, d.y,
+                           ABS(r.v - l.v) + ABS(dn.v - up.v) AS e
+                    FROM dem d
+                    JOIN dem r  ON r.k = d.k AND r.y = d.y
+                                AND r.x = LEAST(d.x + 1, 15)
+                    JOIN dem l  ON l.k = d.k AND l.y = d.y
+                                AND l.x = GREATEST(d.x - 1, 0)
+                    JOIN dem dn ON dn.k = d.k AND dn.x = d.x
+                                AND dn.y = LEAST(d.y + 1, 11)
+                    JOIN dem up ON up.k = d.k AND up.x = d.x
+                                AND up.y = GREATEST(d.y - 1, 0)),
+            s0 AS MATERIALIZED (SELECT k, x, e AS d FROM en
+                                WHERE y = 0)"""]
+    big = 1 << 40
+    for i in range(1, 12):
+        p, q = f"s{i - 1}", f"s{i}"
+        ctes.append(f"""{q} AS MATERIALIZED (
+                SELECT e.k, e.x,
+                       e.e + LEAST(COALESCE(a.d, {big}), b.d,
+                                   COALESCE(c.d, {big})) AS d
+                FROM en e
+                JOIN {p} b      ON b.k = e.k AND b.x = e.x
+                LEFT JOIN {p} a ON a.k = e.k AND a.x = e.x - 1
+                LEFT JOIN {p} c ON c.k = e.k AND c.x = e.x + 1
+                WHERE e.y = {i})""")
+    ctes.append("""m AS (SELECT k, MIN(d) AS md, SUM(d) AS sd
+                         FROM s11 GROUP BY k)""")
+    return ("WITH " + ",\n".join(ctes) + """
+            SELECT m.k AS o_orderkey,
+                   CAST(m.md AS BIGINT) AS seam_min,
+                   CAST(MIN(s.x) AS BIGINT) AS seam_argmin,
+                   CAST(m.sd AS BIGINT) AS bottom_sum
+            FROM m JOIN s11 s ON s.k = m.k AND s.d = m.md
+            GROUP BY m.k, m.md, m.sd ORDER BY 1""")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
         "q202_fill_depressions": _fill_waves_sql(),
+        "q206_otsu": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 181 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 19 + x.x * 5 + y.y * 11) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            st AS (SELECT d.k, ts.t,
+                          COUNT(*) FILTER (WHERE d.v <= ts.t) AS c0,
+                          CAST(SUM(CASE WHEN d.v <= ts.t THEN d.v
+                                        ELSE 0 END) AS BIGINT) AS s0,
+                          CAST(SUM(d.v) AS BIGINT) AS s,
+                          COUNT(*) AS n
+                   FROM dem d
+                   CROSS JOIN (SELECT generate_series AS t
+                               FROM generate_series(0, 62)) ts
+                   GROUP BY 1, 2),
+            sc AS (SELECT k, t,
+                          (s0 * n - s * c0) * (s0 * n - s * c0) AS num,
+                          c0 * (n - c0) AS den
+                   FROM st WHERE c0 * (n - c0) > 0)
+            SELECT k AS o_orderkey, CAST(t AS BIGINT) AS otsu_t,
+                   CAST(num AS BIGINT) AS bcv_num,
+                   CAST(den AS BIGINT) AS bcv_den
+            FROM sc a
+            WHERE NOT EXISTS (SELECT 1 FROM sc b WHERE b.k = a.k
+                AND (b.num * a.den > a.num * b.den
+                     OR (b.num * a.den = a.num * b.den
+                         AND b.t < a.t)))
+            ORDER BY 1
+        """,
+        "q209_seam_carving": _seam_waves_sql(),
         "q205_semivariogram": """
             WITH p AS (SELECT o_orderkey AS id,
                               (o_orderkey * 37) % 400 AS x,

@@ -1007,3 +1007,92 @@ def cost_distance_stats(ds, bytes_col: str = "bytes",
                          "cost_max": pa.array(m, pa.int64()),
                          "east_min": pa.array(em, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def otsu_threshold(arr: np.ndarray, nlevels: int) -> tuple[int, int, int]:
+    """Exact Otsu threshold over integer levels 0..nlevels-1: the t
+    (class0 = v ≤ t) maximizing between-class variance, compared as
+    the exact fraction A²/B with A = s0·n − S·c0, B = c0·(n − c0)
+    (σ²_B scaled by n²; no floats, ties break to the smallest t —
+    the classic histogram-based binarization used to split rasters
+    into land/water or foreground/background classes). Returns
+    (t, A², B)."""
+    v = arr.astype(np.int64).ravel()
+    n = v.size
+    cnt = np.bincount(v, minlength=nlevels)
+    vals = np.arange(nlevels, dtype=np.int64)
+    c0 = np.cumsum(cnt)[: nlevels - 1]
+    s0 = np.cumsum(cnt * vals)[: nlevels - 1]
+    S = int((cnt * vals).sum())
+    A = s0 * n - S * c0
+    B = c0 * (n - c0)
+    best_t, bn, bd = -1, -1, 1
+    for tt in range(nlevels - 1):
+        if B[tt] <= 0:
+            continue
+        num = int(A[tt]) ** 2
+        den = int(B[tt])
+        if best_t < 0 or num * bd > bn * den:
+            best_t, bn, bd = tt, num, den
+    return best_t, bn, bd
+
+
+def otsu_stats(ds, nlevels: int = 64, bytes_col: str = "bytes",
+               id_col: str = "path"):
+    """Per-raster exact Otsu threshold + the winning between-class
+    variance as the exact fraction (bcv_num, bcv_den)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ts_, nums, dens = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            tt, bn, bd = otsu_threshold(arr, nlevels)
+            ids.append(rid)
+            ts_.append(tt)
+            nums.append(bn)
+            dens.append(bd)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "otsu_t": pa.array(ts_, pa.int64()),
+                         "bcv_num": pa.array(nums, pa.int64()),
+                         "bcv_den": pa.array(dens, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def seam_bottom_costs(arr: np.ndarray) -> np.ndarray:
+    """Seam-carving DP (Avidan–Shamir content-aware resize): energy =
+    clamped central gradient |v[r,c+1]−v[r,c−1]| + |v[r+1,c]−v[r−1,c]|,
+    then the minimum-energy 8-connected top→bottom path table
+    D(r,c) = E + min(D(r−1, c−1..c+1)). Exact int64; returns the
+    bottom row of D (the cheapest vertical seam ends at its argmin)."""
+    v = arr.astype(np.int64)
+    H, W = v.shape
+    cx = np.arange(W)
+    cy = np.arange(H)
+    E = (np.abs(v[:, np.minimum(cx + 1, W - 1)]
+                - v[:, np.maximum(cx - 1, 0)])
+         + np.abs(v[np.minimum(cy + 1, H - 1), :]
+                  - v[np.maximum(cy - 1, 0), :]))
+    big = np.int64(1) << 40
+    d = E[0].copy()
+    for r in range(1, H):
+        left = np.concatenate(([big], d[:-1]))
+        right = np.concatenate((d[1:], [big]))
+        d = E[r] + np.minimum(d, np.minimum(left, right))
+    return d
+
+
+def seam_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster cheapest-vertical-seam aggregates: seam_min (the
+    seam the first removal would take), seam_argmin (its bottom
+    column, ties → smallest), bottom_sum (Σ of the DP bottom row)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, mn, am, sm = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            d = seam_bottom_costs(arr)
+            ids.append(rid)
+            mn.append(int(d.min()))
+            am.append(int(np.flatnonzero(d == d.min())[0]))
+            sm.append(int(d.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "seam_min": pa.array(mn, pa.int64()),
+                         "seam_argmin": pa.array(am, pa.int64()),
+                         "bottom_sum": pa.array(sm, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

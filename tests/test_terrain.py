@@ -718,3 +718,58 @@ def test_semivariogram_duplicate_coords(ray_session):
     assert got["n_pairs"].sum() == 5
     assert got["gamma_num"].sum() == (20**2 + 31**2 + 10**2 + 21**2
                                       + 11**2)
+
+
+def test_otsu_brute_parity():
+    """otsu_threshold vs float brute-force between-class variance."""
+    from hand_index_ray.pipelines.terrain import otsu_threshold
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        L = int(rng.integers(4, 64))
+        arr = rng.integers(0, L, size=(int(rng.integers(3, 12)),
+                                       int(rng.integers(3, 12))))
+        t, num, den = otsu_threshold(arr, L)
+        v = arr.ravel().astype(np.float64)
+        n = v.size
+        best_t, best_s = -1, -1.0
+        for tt in range(L - 1):
+            m0 = v <= tt
+            c0 = m0.sum()
+            if c0 == 0 or c0 == n:
+                continue
+            w0, w1 = c0 / n, 1 - c0 / n
+            s = w0 * w1 * (v[m0].mean() - v[~m0].mean()) ** 2
+            if s > best_s + 1e-12:
+                best_s, best_t = s, tt
+        assert t == best_t
+        # exact fraction num/den == n^2 * sigma_B^2
+        assert abs(num / den - n * n * best_s) < 1e-6 * max(1.0, num / den)
+
+
+def test_seam_dp_brute_parity():
+    """seam_bottom_costs vs exhaustive path enumeration on tiny grids."""
+    from itertools import product
+
+    from hand_index_ray.pipelines.terrain import seam_bottom_costs
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        H, W = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+        arr = rng.integers(0, 30, size=(H, W)).astype(np.int64)
+        v = arr
+        cx, cy = np.arange(W), np.arange(H)
+        E = (np.abs(v[:, np.minimum(cx + 1, W - 1)]
+                    - v[:, np.maximum(cx - 1, 0)])
+             + np.abs(v[np.minimum(cy + 1, H - 1), :]
+                      - v[np.maximum(cy - 1, 0), :]))
+        d = seam_bottom_costs(arr)
+        # brute force: all column sequences with |c[r+1]-c[r]|<=1
+        best = np.full(W, np.int64(1) << 50)
+        for path in product(range(W), repeat=H):
+            if any(abs(path[r + 1] - path[r]) > 1 for r in range(H - 1)):
+                continue
+            cost = sum(int(E[r, path[r]]) for r in range(H))
+            if cost < best[path[-1]]:
+                best[path[-1]] = cost
+        assert d.tolist() == best.tolist()
