@@ -4495,6 +4495,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = seam_stats(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q208_glcm(sf):  # Haralick GLCM texture features
+        """Gray-level co-occurrence matrix for the (dx=1,dy=0) offset
+        (pipelines/terrain.py:glcm_features): contrast, energy
+        (Σ count², needs the actual matrix — counted per (a,b) pair),
+        the modal pair count, and the occupied-cell count. The
+        Haralick texture family over terrain rasters, exact int64;
+        oracle groups neighbor pairs per raster."""
+        from hand_index_ray.pipelines.terrain import glcm_stats
+        ds = _terrain_blobs(sf, 191, 16, 12, 23, 7, 13, 64,
+                            compression="deflate", predictor=2)
+        df = glcm_stats(ds, nlevels=64, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q210_median_filter(sf):  # 3x3 rank-order denoise filter
+        """3×3 median filter over interior pixels
+        (pipelines/terrain.py:median3_interior): 9 shifted slices,
+        one np.partition — the salt-and-pepper denoise pass. Reports
+        Σ filtered, max filtered, and the pixels-changed count. The
+        oracle takes QUANTILE_DISC(0.5) over the 9-neighbor join
+        (odd count ⇒ both conventions hit the exact middle)."""
+        from hand_index_ray.pipelines.terrain import median_filter_stats
+        ds = _terrain_blobs(sf, 193, 16, 12, 31, 5, 7, 64,
+                            compression="deflate", predictor=2)
+        df = median_filter_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q211_quadtree(sf):  # linear-quadtree decomposition size
+        """Quadtree raster compression measure
+        (pipelines/terrain.py:quadtree_leaves): min/max pyramids by
+        2×2 reduceat, a leaf = homogeneous block whose parent is not.
+        Reports leaf count, solid (size>1) leaf count, and the
+        largest leaf side. Oracle: per-level GROUP BY (x>>s, y>>s)
+        min=max flags, child⟕parent anti-condition."""
+        from hand_index_ray.pipelines.terrain import quadtree_stats
+        ds = _terrain_blobs(sf, 199, 16, 16, 11, 2, 2, 64, div=16,
+                            compression="lzw", predictor=2)
+        df = quadtree_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4697,7 +4736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q205_semivariogram": q205_semivariogram,
         "q206_otsu": q206_otsu,
         "q207_cost_distance": q207_cost_distance,
+        "q208_glcm": q208_glcm,
         "q209_seam_carving": q209_seam_carving,
+        "q210_median_filter": q210_median_filter,
+        "q211_quadtree": q211_quadtree,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5123,6 +5165,80 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "q209_seam_carving": _seam_waves_sql(),
+        "q208_glcm": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 191 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 23 + x.x * 7 + y.y * 13) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            pr AS (SELECT d.k, d.v AS a, r.v AS b
+                   FROM dem d JOIN dem r ON r.k = d.k AND r.y = d.y
+                                         AND r.x = d.x + 1),
+            cm AS (SELECT k, a, b, COUNT(*) AS c FROM pr GROUP BY 1, 2, 3)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS contrast,
+                   CAST(SUM(c * c) AS BIGINT) AS energy,
+                   CAST(MAX(c) AS BIGINT) AS glcm_max,
+                   CAST(COUNT(*) AS BIGINT) AS glcm_distinct
+            FROM cm GROUP BY 1 ORDER BY 1
+        """,
+        "q210_median_filter": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 193 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 31 + x.x * 5 + y.y * 7) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            med AS (SELECT d.k, d.x, d.y,
+                           QUANTILE_DISC(n.v, 0.5) AS mv,
+                           MIN(d.v) AS cv
+                    FROM dem d
+                    CROSS JOIN (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),
+                                       (1,0),(-1,1),(0,1),(1,1)) o(dx, dy)
+                    JOIN dem n ON n.k = d.k AND n.x = d.x + o.dx
+                               AND n.y = d.y + o.dy
+                    WHERE d.x BETWEEN 1 AND 14 AND d.y BETWEEN 1 AND 10
+                    GROUP BY 1, 2, 3)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(mv) AS BIGINT) AS med_sum,
+                   CAST(MAX(mv) AS BIGINT) AS med_max,
+                   CAST(COUNT(*) FILTER (WHERE mv <> cv) AS BIGINT)
+                       AS n_changed
+            FROM med GROUP BY 1 ORDER BY 1
+        """,
+        "q211_quadtree": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 199 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           ((ks.k * 11 + x.x * 2 + y.y * 2) % 64) // 16 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 15)) y),
+            hom AS (SELECT d.k, s.s, d.x >> s.s AS bx, d.y >> s.s AS by,
+                           (MIN(d.v) = MAX(d.v)) AS h
+                    FROM dem d
+                    CROSS JOIN (VALUES (0),(1),(2),(3),(4)) s(s)
+                    GROUP BY 1, 2, 3, 4),
+            leaf AS (SELECT c.k, c.s
+                     FROM hom c LEFT JOIN hom p
+                       ON p.k = c.k AND p.s = c.s + 1
+                      AND p.bx = c.bx // 2 AND p.by = c.by // 2
+                     WHERE c.h AND (p.k IS NULL OR NOT p.h))
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS qt_leaves,
+                   CAST(COUNT(*) FILTER (WHERE s > 0) AS BIGINT) AS qt_solid,
+                   CAST(MAX(1 << s) AS BIGINT) AS qt_max_side
+            FROM leaf GROUP BY 1 ORDER BY 1
+        """,
         "q205_semivariogram": """
             WITH p AS (SELECT o_orderkey AS id,
                               (o_orderkey * 37) % 400 AS x,

@@ -1096,3 +1096,119 @@ def seam_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
                          "seam_argmin": pa.array(am, pa.int64()),
                          "bottom_sum": pa.array(sm, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def glcm_features(arr: np.ndarray, nlevels: int) -> tuple[int, int, int, int]:
+    """Gray-level co-occurrence matrix features for the (dx=1, dy=0)
+    offset (Haralick texture): over all horizontal neighbor pairs
+    (v[y,x], v[y,x+1]), contrast = Σ c(a,b)·(a−b)² (= Σ (vi−vj)² over
+    pairs), energy = Σ c(a,b)² (needs the actual matrix), glcm_max =
+    the most frequent pair's count, glcm_distinct = #occupied cells.
+    All exact int64."""
+    v = arr.astype(np.int64)
+    a = v[:, :-1].ravel()
+    b = v[:, 1:].ravel()
+    contrast = int(((a - b) ** 2).sum())
+    cnt = np.bincount(a * nlevels + b, minlength=nlevels * nlevels)
+    energy = int((cnt.astype(np.int64) ** 2).sum())
+    return contrast, energy, int(cnt.max()), int((cnt > 0).sum())
+
+
+def glcm_stats(ds, nlevels: int = 64, bytes_col: str = "bytes",
+               id_col: str = "path"):
+    """Per-raster GLCM texture features (map-only, no shuffle)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, co, en, mx, di = [], [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            c, e, m, d = glcm_features(arr, nlevels)
+            ids.append(rid); co.append(c); en.append(e)
+            mx.append(m); di.append(d)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "contrast": pa.array(co, pa.int64()),
+                         "energy": pa.array(en, pa.int64()),
+                         "glcm_max": pa.array(mx, pa.int64()),
+                         "glcm_distinct": pa.array(di, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def median3_interior(arr: np.ndarray) -> np.ndarray:
+    """3×3 median filter over interior pixels: stack the 9 shifted
+    slices, partition on the middle element — the rank-order denoise
+    filter (salt-and-pepper removal), exact for integer rasters."""
+    v = arr.astype(np.int64)
+    st = np.stack([v[1 + dy:v.shape[0] - 1 + dy or None,
+                     1 + dx:v.shape[1] - 1 + dx or None]
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    return np.partition(st, 4, axis=0)[4]
+
+
+def median_filter_stats(ds, bytes_col: str = "bytes",
+                        id_col: str = "path"):
+    """Per-raster 3×3 median-filter aggregates over the interior:
+    med_sum (Σ of filtered values), med_max, and n_changed (pixels the
+    filter altered — the denoise-activity count)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, sm, mx, ch = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            med = median3_interior(arr)
+            ctr = arr.astype(np.int64)[1:-1, 1:-1]
+            ids.append(rid)
+            sm.append(int(med.sum()))
+            mx.append(int(med.max()))
+            ch.append(int((med != ctr).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "med_sum": pa.array(sm, pa.int64()),
+                         "med_max": pa.array(mx, pa.int64()),
+                         "n_changed": pa.array(ch, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quadtree_leaves(arr: np.ndarray) -> tuple[int, int, int]:
+    """Quadtree decomposition size of a 2^L × 2^L raster: recursively
+    split any non-homogeneous (min ≠ max) block into 4 quadrants; a
+    leaf is a homogeneous block whose parent is not homogeneous (the
+    root, if homogeneous, is the single leaf). Returns (n_leaves,
+    n_solid — leaves with size > 1, max_leaf_size — side length of
+    the largest leaf). The classic raster-compression measure: low
+    leaf counts = large uniform regions."""
+    n = arr.shape[0]
+    assert arr.shape == (n, n) and n & (n - 1) == 0
+    mn = arr.astype(np.int64)
+    mx = mn.copy()
+    hom = [mn == mx]  # level 0: always True
+    while mn.shape[0] > 1:
+        mn = np.minimum.reduceat(np.minimum.reduceat(mn, np.arange(0, mn.shape[0], 2), axis=0),
+                                 np.arange(0, mn.shape[1], 2), axis=1)
+        mx = np.maximum.reduceat(np.maximum.reduceat(mx, np.arange(0, mx.shape[0], 2), axis=0),
+                                 np.arange(0, mx.shape[1], 2), axis=1)
+        hom.append(mn == mx)
+    leaves = solid = 0
+    max_side = 0
+    for lv in range(len(hom)):
+        h = hom[lv]
+        if lv == len(hom) - 1:
+            leaf = h
+        else:
+            parent = np.repeat(np.repeat(hom[lv + 1], 2, axis=0), 2, axis=1)
+            leaf = h & ~parent
+        c = int(leaf.sum())
+        leaves += c
+        if lv > 0:
+            solid += c
+        if c:
+            max_side = 1 << lv
+    return leaves, solid, max_side
+
+
+def quadtree_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster quadtree leaf counts (map-only)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nl, ns, ms = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            a, b, c = quadtree_leaves(arr)
+            ids.append(rid); nl.append(a); ns.append(b); ms.append(c)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "qt_leaves": pa.array(nl, pa.int64()),
+                         "qt_solid": pa.array(ns, pa.int64()),
+                         "qt_max_side": pa.array(ms, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

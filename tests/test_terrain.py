@@ -773,3 +773,68 @@ def test_seam_dp_brute_parity():
             if cost < best[path[-1]]:
                 best[path[-1]] = cost
         assert d.tolist() == best.tolist()
+
+
+def test_glcm_brute_parity():
+    from hand_index_ray.pipelines.terrain import glcm_features
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        L = int(rng.integers(3, 20))
+        arr = rng.integers(0, L, size=(int(rng.integers(2, 9)),
+                                       int(rng.integers(2, 9))))
+        co, en, mx, di = glcm_features(arr, L)
+        from collections import Counter
+        c = Counter()
+        contrast = 0
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1] - 1):
+                a, b = int(arr[y, x]), int(arr[y, x + 1])
+                c[(a, b)] += 1
+                contrast += (a - b) ** 2
+        assert co == contrast
+        assert en == sum(v * v for v in c.values())
+        assert mx == max(c.values())
+        assert di == len(c)
+
+
+def test_median3_brute_parity():
+    from hand_index_ray.pipelines.terrain import median3_interior
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        H, W = int(rng.integers(3, 10)), int(rng.integers(3, 10))
+        arr = rng.integers(0, 40, size=(H, W))
+        m = median3_interior(arr)
+        ref = np.array([[sorted(arr[y-1:y+2, x-1:x+2].ravel())[4]
+                         for x in range(1, W - 1)]
+                        for y in range(1, H - 1)])
+        assert (m == ref).all()
+
+
+def test_quadtree_brute_parity():
+    from hand_index_ray.pipelines.terrain import quadtree_leaves
+
+    def brute(arr):
+        leaves = []
+
+        def rec(x0, y0, s):
+            blk = arr[y0:y0 + s, x0:x0 + s]
+            if blk.min() == blk.max():
+                leaves.append(s)
+            else:
+                h = s // 2
+                for dy in (0, h):
+                    for dx in (0, h):
+                        rec(x0 + dx, y0 + dy, h)
+
+        rec(0, 0, arr.shape[0])
+        return (len(leaves), sum(1 for s in leaves if s > 1),
+                max(leaves))
+
+    rng = np.random.default_rng(9)
+    for n in (4, 8, 16):
+        for _ in range(6):
+            arr = rng.integers(0, 3, size=(n, n))
+            assert quadtree_leaves(arr) == brute(arr)
+    assert quadtree_leaves(np.zeros((8, 8), np.int64)) == (1, 1, 8)
