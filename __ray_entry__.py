@@ -4534,6 +4534,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = quadtree_stats(ds, id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q212_ssim(sf):  # exact-rational global SSIM between epochs
+        """Global SSIM (Wang et al.) between two raster epochs as an
+        EXACT int64 rational — the formula multiplied through by n⁴
+        (pipelines/terrain.py:ssim_global, c1=1/c2=9 integer
+        stabilizers). The change-detection quality metric next to
+        q160's DEM-of-difference volumes; oracle computes the same
+        rational from per-key pixel sums."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines.terrain import ssim_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(12, dtype=np.int64),
+                             np.arange(16, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 173 == 0]
+            ks, ba, bb = [], [], []
+            for k in keys:
+                k = int(k)
+                a = (k * 7 + xx * 5 + yy * 9) % 32
+                b = (k * 3 + xx * 11 + yy * 2) % 32
+                ks.append(k)
+                ba.append(encode_geotiff(a.astype(np.int32),
+                                         compression="deflate", predictor=2))
+                bb.append(encode_geotiff(b.astype(np.int32),
+                                         compression="lzw", predictor=2))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "bytes_a": pa.array(ba, pa.binary()),
+                             "bytes_b": pa.array(bb, pa.binary())})
+
+        ds = orders.map_batches(gen, batch_format="pyarrow")
+        df = ssim_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q213_hog(sf):  # HOG octant orientation histogram
+        """Histogram of oriented gradients, exact-integer octant code
+        4·(gy<0)+2·(gx<0)+(|gy|>|gx|) over interior central
+        differences, zero gradients excluded
+        (pipelines/terrain.py:hog_octants); long form with per-octant
+        pixel counts and L1-magnitude sums."""
+        from hand_index_ray.pipelines.terrain import hog_stats
+        ds = _terrain_blobs(sf, 227, 16, 12, 17, 9, 4, 64,
+                            compression="deflate", predictor=2)
+        df = hog_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "octant"]) \
+            .reset_index(drop=True)
+
+    def q214_strahler(sf):  # Strahler stream order over D8 forest
+        """Strahler order over the D8 flow forest (every cell a node;
+        donors along the steepest strictly-positive drop, ties →
+        smallest code — same rule as q128 flow direction). Vectorized
+        monotone fixpoint (pipelines/terrain.py:strahler_orders),
+        measured ≤3 waves over the full key range; the oracle unrolls
+        4 SQL waves (max-donor + count-at-max + coalesce per wave)
+        from the QUALIFY-selected steepest-descent edge set."""
+        from hand_index_ray.pipelines.terrain import strahler_stats
+        ds = _terrain_blobs(sf, 179, 12, 10, 11, 4, 7, 41,
+                            compression="deflate", predictor=2)
+        df = strahler_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values(["o_orderkey", "strahler"]) \
+            .reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4740,6 +4803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_seam_carving": q209_seam_carving,
         "q210_median_filter": q210_median_filter,
         "q211_quadtree": q211_quadtree,
+        "q212_ssim": q212_ssim,
+        "q213_hog": q213_hog,
+        "q214_strahler": q214_strahler,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5126,6 +5192,56 @@ def _seam_waves_sql() -> str:
             GROUP BY m.k, m.md, m.sd ORDER BY 1""")
 
 
+def _strahler_waves_sql(waves: int = 4) -> str:
+    """q214: D8 steepest-descent edges via QUALIFY, then ``waves``
+    unrolled Strahler fixpoint rounds (measured convergence ≤3 over
+    the full key range; monotone, so extra waves are identity)."""
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 179 = 0),
+            dem AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                           (ks.k * 11 + x.x * 4 + y.y * 7) % 41 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 11)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 9)) y),
+            nb AS (SELECT d.k, d.y * 12 + d.x AS src,
+                          n.y * 12 + n.x AS dst,
+                          d.v - n.v AS drp, o.code
+                   FROM dem d
+                   CROSS JOIN (VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),
+                                      (4,-1,0),(5,-1,-1),(6,0,-1),
+                                      (7,1,-1)) o(code, dx, dy)
+                   JOIN dem n ON n.k = d.k AND n.x = d.x + o.dx
+                              AND n.y = d.y + o.dy
+                   WHERE d.v - n.v > 0),
+            edges AS MATERIALIZED (SELECT k, src, dst FROM nb
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY k, src
+                       ORDER BY drp DESC, code) = 1),
+            cells AS MATERIALIZED (SELECT k, y * 12 + x AS cell FROM dem),
+            w0 AS (SELECT k, cell, 1 AS o FROM cells)"""]
+    for i in range(1, waves + 1):
+        p = f"w{i - 1}"
+        ctes.append(f"""a{i} AS (SELECT e.k, e.dst, MAX(p.o) AS m
+                   FROM edges e JOIN {p} p ON p.k = e.k
+                     AND p.cell = e.src GROUP BY 1, 2)""")
+        ctes.append(f"""c{i} AS (SELECT a.k, a.dst, COUNT(*) AS c
+                   FROM a{i} a
+                   JOIN edges e ON e.k = a.k AND e.dst = a.dst
+                   JOIN {p} p ON p.k = e.k AND p.cell = e.src
+                     AND p.o = a.m GROUP BY 1, 2)""")
+        ctes.append(f"""w{i} AS (SELECT cl.k, cl.cell,
+                   COALESCE(a.m + CASE WHEN c.c >= 2 THEN 1 ELSE 0 END,
+                            1) AS o
+                   FROM cells cl
+                   LEFT JOIN a{i} a ON a.k = cl.k AND a.dst = cl.cell
+                   LEFT JOIN c{i} c ON c.k = cl.k AND c.dst = cl.cell)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+            SELECT k AS o_orderkey, CAST(o AS BIGINT) AS strahler,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM w{waves} GROUP BY 1, 2 ORDER BY 1, 2""")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
@@ -5213,6 +5329,67 @@ def oracle_sql() -> dict[str, str]:
                        AS n_changed
             FROM med GROUP BY 1 ORDER BY 1
         """,
+        "q212_ssim": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 173 = 0),
+            px AS (SELECT ks.k,
+                          (ks.k * 7 + x.x * 5 + y.y * 9) % 32 AS a,
+                          (ks.k * 3 + x.x * 11 + y.y * 2) % 32 AS b
+                   FROM ks
+                   CROSS JOIN (SELECT generate_series AS x
+                               FROM generate_series(0, 15)) x
+                   CROSS JOIN (SELECT generate_series AS y
+                               FROM generate_series(0, 11)) y),
+            s AS (SELECT k, COUNT(*) AS n,
+                         CAST(SUM(a) AS BIGINT) AS sx,
+                         CAST(SUM(b) AS BIGINT) AS sy,
+                         CAST(SUM(a * a) AS BIGINT) AS sxx,
+                         CAST(SUM(b * b) AS BIGINT) AS syy,
+                         CAST(SUM(a * b) AS BIGINT) AS sxy
+                  FROM px GROUP BY 1)
+            SELECT k AS o_orderkey,
+                   CAST((2 * sx * sy + n * n)
+                        * (2 * (n * sxy - sx * sy) + 9 * n * n)
+                        AS BIGINT) AS ssim_num,
+                   CAST((sx * sx + sy * sy + n * n)
+                        * (n * sxx - sx * sx + n * syy - sy * sy
+                           + 9 * n * n) AS BIGINT) AS ssim_den
+            FROM s ORDER BY 1
+        """,
+        "q213_hog": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 227 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 17 + x.x * 9 + y.y * 4) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            g AS (SELECT d.k, r.v - l.v AS gx, dn.v - up.v AS gy
+                  FROM dem d
+                  JOIN dem r  ON r.k = d.k AND r.y = d.y
+                              AND r.x = d.x + 1
+                  JOIN dem l  ON l.k = d.k AND l.y = d.y
+                              AND l.x = d.x - 1
+                  JOIN dem dn ON dn.k = d.k AND dn.x = d.x
+                              AND dn.y = d.y + 1
+                  JOIN dem up ON up.k = d.k AND up.x = d.x
+                              AND up.y = d.y - 1
+                  WHERE d.x BETWEEN 1 AND 14 AND d.y BETWEEN 1 AND 10),
+            h AS (SELECT k,
+                         4 * CASE WHEN gy < 0 THEN 1 ELSE 0 END
+                         + 2 * CASE WHEN gx < 0 THEN 1 ELSE 0 END
+                         + CASE WHEN ABS(gy) > ABS(gx) THEN 1 ELSE 0 END
+                             AS octant,
+                         gx, gy
+                  FROM g WHERE gx <> 0 OR gy <> 0)
+            SELECT k AS o_orderkey, CAST(octant AS BIGINT) AS octant,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(ABS(gx) + ABS(gy)) AS BIGINT) AS wsum
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q214_strahler": _strahler_waves_sql(),
         "q211_quadtree": """
             WITH ks AS (SELECT o_orderkey AS k FROM orders
                         WHERE o_orderkey % 199 = 0),

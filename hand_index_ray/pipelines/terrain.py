@@ -1212,3 +1212,146 @@ def quadtree_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
                          "qt_solid": pa.array(ns, pa.int64()),
                          "qt_max_side": pa.array(ms, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ssim_global(a: np.ndarray, b: np.ndarray, c1: int = 1,
+                c2: int = 9) -> tuple[int, int]:
+    """Global (single-window) SSIM between two integer rasters as an
+    EXACT rational: with n pixels and integer sums Sx,Sy,Sxx,Syy,Sxy,
+    multiply Wang et al.'s formula through by n⁴ —
+      num = (2·Sx·Sy + c1·n²) · (2·(n·Sxy − Sx·Sy) + c2·n²)
+      den = (Sx² + Sy² + c1·n²) · (n·Sxx − Sx² + n·Syy − Sy² + c2·n²)
+    (population variances; c1/c2 are the integer stabilizers). Exact
+    in int64 for value range < 32 at n ≤ a few hundred."""
+    x = a.astype(np.int64).ravel()
+    y = b.astype(np.int64).ravel()
+    n = x.size
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = (2 * sx * sy + c1 * n * n) * (2 * (n * sxy - sx * sy) + c2 * n * n)
+    den = ((sx * sx + sy * sy + c1 * n * n)
+           * (n * sxx - sx * sx + n * syy - sy * sy + c2 * n * n))
+    return num, den
+
+
+def ssim_stats(ds, bytes_a: str = "bytes_a", bytes_b: str = "bytes_b",
+               id_col: str = "path", c1: int = 1, c2: int = 9):
+    """Per-key exact-rational global SSIM between two raster epochs
+    (change-detection quality metric); map-only over a two-blob-column
+    table."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nums, dens = [], [], []
+        ida = t.column(id_col).to_pylist()
+        for rid, ba, bb in zip(ida, t.column(bytes_a), t.column(bytes_b)):
+            a, _ = geotiff.decode_geotiff(ba.as_py())
+            b, _ = geotiff.decode_geotiff(bb.as_py())
+            num, den = ssim_global(a, b, c1, c2)
+            ids.append(rid); nums.append(num); dens.append(den)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "ssim_num": pa.array(nums, pa.int64()),
+                         "ssim_den": pa.array(dens, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hog_octants(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Histogram-of-oriented-gradients octant code over interior
+    pixels: central differences gx = v[y,x+1]−v[y,x−1],
+    gy = v[y+1,x]−v[y−1,x]; octant = 4·(gy<0) + 2·(gx<0) + (|gy|>|gx|)
+    (an exact-integer 8-way orientation code — quadrant plus axis
+    dominance); zero-gradient pixels are excluded. Returns (count,
+    L1-magnitude sum) per octant 0..7."""
+    v = arr.astype(np.int64)
+    gx = v[1:-1, 2:] - v[1:-1, :-2]
+    gy = v[2:, 1:-1] - v[:-2, 1:-1]
+    nz = (gx != 0) | (gy != 0)
+    gx, gy = gx[nz], gy[nz]
+    code = (4 * (gy < 0) + 2 * (gx < 0)
+            + (np.abs(gy) > np.abs(gx))).astype(np.int64)
+    cnt = np.bincount(code, minlength=8)
+    w = np.zeros(8, np.int64)
+    np.add.at(w, code, np.abs(gx) + np.abs(gy))
+    return cnt.astype(np.int64), w
+
+
+def hog_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster HOG octant histogram, long form (id, octant, n_px,
+    wsum); empty octants are omitted."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, octs, ns, ws = [], [], [], []
+        raw = t.column(id_col).to_pylist()
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            cnt, w = hog_octants(arr)
+            for o in range(8):
+                if cnt[o]:
+                    ids.append(rid); octs.append(o)
+                    ns.append(int(cnt[o])); ws.append(int(w[o]))
+        _ = raw
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "octant": pa.array(octs, pa.int64()),
+                         "n_px": pa.array(ns, pa.int64()),
+                         "wsum": pa.array(ws, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def strahler_orders(arr: np.ndarray) -> np.ndarray:
+    """Strahler stream order over the D8 flow forest of a DEM (every
+    cell a network node): donors flow along the steepest strictly
+    positive drop (ties → smallest D8 code, matching
+    flow_direction_counts); order fixpoint ord(v) = 1 for sources,
+    else M + (≥2 donors at M) where M = max donor order. Converges in
+    ≤ max-order waves (monotone); fully vectorized per raster."""
+    v = arr.astype(np.int64)
+    H, W = v.shape
+    big = np.int64(1) << 40
+    bestdrop = np.zeros((H, W), np.int64)
+    bestcode = np.full((H, W), -1, np.int64)
+    for code, (dx, dy) in enumerate(D8_OFFSETS):
+        nb = np.full((H, W), big, np.int64)
+        ys0, ys1 = max(0, -dy), min(H, H - dy)
+        xs0, xs1 = max(0, -dx), min(W, W - dx)
+        nb[ys0:ys1, xs0:xs1] = v[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+        drop = v - nb
+        better = drop > bestdrop
+        bestdrop = np.where(better, drop, bestdrop)
+        bestcode = np.where(better, code, bestcode)
+    idx = np.arange(H * W).reshape(H, W)
+    srcs, dsts = [], []
+    for code, (dx, dy) in enumerate(D8_OFFSETS):
+        ys, xs = np.nonzero(bestcode == code)
+        srcs.append(idx[ys, xs])
+        dsts.append(idx[ys + dy, xs + dx])
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    o = np.ones(H * W, np.int64)
+    while True:
+        if not len(src):
+            break
+        po = o[src]
+        m = np.zeros(H * W, np.int64)
+        np.maximum.at(m, dst, po)
+        c = np.zeros(H * W, np.int64)
+        np.add.at(c, dst, (po == m[dst]).astype(np.int64))
+        has = np.zeros(H * W, bool)
+        has[dst] = True
+        new = np.where(has, m + (c >= 2), 1)
+        if (new == o).all():
+            break
+        o = new
+    return o
+
+
+def strahler_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster Strahler order histogram, long form (id, strahler,
+    n_cells)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, orders, ns = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            o = strahler_orders(arr)
+            for val in np.unique(o):
+                ids.append(rid)
+                orders.append(int(val))
+                ns.append(int((o == val).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "strahler": pa.array(orders, pa.int64()),
+                         "n_cells": pa.array(ns, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

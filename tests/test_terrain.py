@@ -838,3 +838,92 @@ def test_quadtree_brute_parity():
             arr = rng.integers(0, 3, size=(n, n))
             assert quadtree_leaves(arr) == brute(arr)
     assert quadtree_leaves(np.zeros((8, 8), np.int64)) == (1, 1, 8)
+
+
+def test_ssim_float_parity():
+    from hand_index_ray.pipelines.terrain import ssim_global
+
+    rng = np.random.default_rng(13)
+    for _ in range(12):
+        a = rng.integers(0, 32, size=(8, 9)).astype(np.float64)
+        b = rng.integers(0, 32, size=(8, 9)).astype(np.float64)
+        num, den = ssim_global(a.astype(np.int64), b.astype(np.int64))
+        n = a.size
+        mx, my = a.mean(), b.mean()
+        vx, vy = a.var(), b.var()
+        cov = ((a - mx) * (b - my)).mean()
+        c1, c2 = 1 / n / n * n * n, 9  # c1=1, c2=9 in pixel units
+        ref = ((2 * mx * my + 1) * (2 * cov + 9)) / \
+              ((mx * mx + my * my + 1) * (vx + vy + 9))
+        assert abs(num / den - ref) < 1e-9 * max(1.0, abs(ref))
+    # identical images: SSIM == 1 exactly
+    a = rng.integers(0, 32, size=(8, 9)).astype(np.int64)
+    num, den = ssim_global(a, a)
+    assert num == den
+
+
+def test_hog_octants_brute():
+    from hand_index_ray.pipelines.terrain import hog_octants
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 64, size=(9, 11))
+    cnt, w = hog_octants(arr)
+    bc = np.zeros(8, np.int64)
+    bw = np.zeros(8, np.int64)
+    for y in range(1, 8):
+        for x in range(1, 10):
+            gx = int(arr[y, x + 1]) - int(arr[y, x - 1])
+            gy = int(arr[y + 1, x]) - int(arr[y - 1, x])
+            if gx == 0 and gy == 0:
+                continue
+            code = 4 * (gy < 0) + 2 * (gx < 0) + (abs(gy) > abs(gx))
+            bc[code] += 1
+            bw[code] += abs(gx) + abs(gy)
+    assert cnt.tolist() == bc.tolist()
+    assert w.tolist() == bw.tolist()
+
+
+def test_strahler_brute_parity():
+    """Vectorized fixpoint vs a recursive bottom-up reference on the
+    same D8 forest (random small DEMs, unique values ⇒ no flats)."""
+    import sys
+
+    from hand_index_ray.pipelines.terrain import (D8_OFFSETS,
+                                                  strahler_orders)
+
+    rng = np.random.default_rng(21)
+    sys.setrecursionlimit(10000)
+    for _ in range(8):
+        H, W = int(rng.integers(4, 9)), int(rng.integers(4, 9))
+        arr = rng.permutation(H * W).reshape(H, W).astype(np.int64)
+        got = strahler_orders(arr)
+        # build donor lists from the same steepest-descent rule
+        donors = {i: [] for i in range(H * W)}
+        for y in range(H):
+            for x in range(W):
+                best, bd = -1, 0
+                for code, (dx, dy) in enumerate(D8_OFFSETS):
+                    nx, ny = x + dx, y + dy
+                    if 0 <= nx < W and 0 <= ny < H:
+                        drop = int(arr[y, x]) - int(arr[ny, nx])
+                        if drop > bd:
+                            bd, best = drop, code
+                if best >= 0:
+                    dx, dy = D8_OFFSETS[best]
+                    donors[(y + dy) * W + (x + dx)].append(y * W + x)
+
+        memo = {}
+
+        def order(v):
+            if v in memo:
+                return memo[v]
+            ds_ = [order(u) for u in donors[v]]
+            if not ds_:
+                memo[v] = 1
+            else:
+                m = max(ds_)
+                memo[v] = m + (1 if ds_.count(m) >= 2 else 0)
+            return memo[v]
+
+        ref = np.array([order(v) for v in range(H * W)])
+        assert (got == ref).all()
