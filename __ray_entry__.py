@@ -4597,6 +4597,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["o_orderkey", "strahler"]) \
             .reset_index(drop=True)
 
+    def q215_frechet(sf):  # discrete Fréchet distance to a template
+        """Discrete Fréchet (Eiter–Mannila coupling DP, squared int)
+        from each trajectory to a broadcast 4-point template
+        (pipelines/trajectory.py:frechet_to_template) — the DP unrolls
+        over the fixed template axis and runs ONE lockstep wave per
+        point index across all trajectories in a bucket. Oracle: a
+        genuine recursive CTE carrying the 4 DP columns, advancing one
+        point per iteration (lateral column aliases chain the same-row
+        dependencies)."""
+        from hand_index_ray.pipelines.trajectory import frechet_to_template
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy()
+            ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+            x = t.column("l_partkey").to_numpy() % 64
+            y = t.column("l_suppkey").to_numpy() % 64
+            # (orderkey, linenumber) is NOT unique in the synthetic
+            # lineitem — extend the order key by the point coords so
+            # the order is total up to identical points (DP-invariant)
+            o = ((ok * 8 + ln) * 64 + x) * 64 + y
+            return pa.table({
+                "gid": pa.array(ok % 401, pa.int64()),
+                "ord": pa.array(o, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64())})
+
+        ds = li.map_batches(prep, batch_format="pyarrow")
+        tpl = np.array([[5, 7], [20, 40], [45, 12], [60, 60]], np.int64)
+        df = frechet_to_template(ds, "gid", "ord", "x", "y", tpl) \
+            .to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q216_closest_pair(sf):  # grid-pruned closest pair per group
+        """Per-group closest pair (squared Euclidean, exact): the
+        engine prunes with a consecutive-x upper bound + 3×3 grid-cell
+        candidate join (pipelines/pointset.py:closest_pair); the
+        oracle is the honest O(n²) self-join min."""
+        from hand_index_ray.pipelines.pointset import closest_pair
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy()
+            return pa.table({
+                "gid": pa.array(ok % 251, pa.int64()),
+                "x": pa.array((t.column("l_partkey").to_numpy() * 7)
+                              % 101, pa.int64()),
+                "y": pa.array((t.column("l_suppkey").to_numpy() * 11)
+                              % 101, pa.int64())})
+
+        ds = li.map_batches(prep, batch_format="pyarrow")
+        df = closest_pair(ds, "gid", "x", "y").to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q217_diameter(sf):  # farthest pair via quickhull prefilter
+        """Per-group diameter (max squared distance + count of pairs
+        achieving it): the engine eliminates points strictly inside
+        the 4-extreme quadrilateral (they cannot be hull vertices)
+        then self-joins only the survivors
+        (pipelines/pointset.py:diameter); oracle = O(n²) max."""
+        from hand_index_ray.pipelines.pointset import diameter
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy()
+            return pa.table({
+                "gid": pa.array(ok % 233, pa.int64()),
+                "x": pa.array((t.column("l_partkey").to_numpy() * 3)
+                              % 211, pa.int64()),
+                "y": pa.array((t.column("l_suppkey").to_numpy() * 5)
+                              % 211, pa.int64())})
+
+        ds = li.map_batches(prep, batch_format="pyarrow")
+        df = diameter(ds, "gid", "x", "y").to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q218_rollup(sf):  # GROUP BY ROLLUP in one pass
+        """ROLLUP(l_returnflag, l_linestatus) sums + counts — finest
+        partials stream once, coarser levels re-aggregate the partials
+        driver-side (relational.py:rollup_sums); oracle is DuckDB's
+        native GROUP BY ROLLUP with COALESCE('ALL') markers."""
+        from hand_index_ray.relational import rollup_sums
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+        df = rollup_sums(li, ["l_returnflag", "l_linestatus"],
+                         "l_quantity")
+        return df.sort_values(["l_returnflag", "l_linestatus"]) \
+            .reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4806,6 +4902,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_ssim": q212_ssim,
         "q213_hog": q213_hog,
         "q214_strahler": q214_strahler,
+        "q215_frechet": q215_frechet,
+        "q216_closest_pair": q216_closest_pair,
+        "q217_diameter": q217_diameter,
+        "q218_rollup": q218_rollup,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5242,6 +5342,51 @@ def _strahler_waves_sql(waves: int = 4) -> str:
             FROM w{waves} GROUP BY 1, 2 ORDER BY 1, 2""")
 
 
+def _frechet_sql() -> str:
+    """q215: genuine recursive-CTE Fréchet DP — the 4 template-axis
+    DP columns ride each recursion row; same-row dependencies
+    (dF(i,j−1) next to dF(i,j)) are expanded by nesting the earlier
+    column's expression."""
+    tpl = [(5, 7), (20, 40), (45, 12), (60, 60)]
+    dcols = ",\n                   ".join(
+        f"((l_partkey % 64) - {tx}) * ((l_partkey % 64) - {tx})"
+        f" + ((l_suppkey % 64) - {ty}) * ((l_suppkey % 64) - {ty})"
+        f" AS d{j + 1}"
+        for j, (tx, ty) in enumerate(tpl))
+    base = ["d1"]
+    for j in range(1, 4):
+        base.append(f"GREATEST(d{j + 1}, {base[j - 1]})")
+    base_sel = ", ".join(f"{e} AS f{j + 1}" for j, e in enumerate(base))
+    nf = ["GREATEST(p.d1, s.f1)"]
+    for j in range(1, 4):
+        nf.append(f"GREATEST(p.d{j + 1}, "
+                  f"LEAST(s.f{j + 1}, s.f{j}, {nf[j - 1]}))")
+    rec_sel = ", ".join(f"{e} AS f{j + 1}" for j, e in enumerate(nf))
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT l_orderkey % 401 AS gid,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey % 401
+                       ORDER BY ((l_orderkey * 8 + l_linenumber) * 64
+                                 + l_partkey % 64) * 64
+                                + l_suppkey % 64)
+                       AS BIGINT) AS i,
+                   {dcols}
+            FROM lineitem),
+        st AS (
+            SELECT gid, i, {base_sel} FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.gid, p.i, {rec_sel}
+            FROM st s JOIN pts p ON p.gid = s.gid AND p.i = s.i + 1),
+        cnt AS (SELECT gid, COUNT(*) AS n FROM pts GROUP BY 1)
+        SELECT s.gid, CAST(s.f4 AS BIGINT) AS frechet_d2,
+               CAST(cnt.n AS BIGINT) AS n_pts
+        FROM st s JOIN cnt ON cnt.gid = s.gid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.gid
+                                   ORDER BY s.i DESC) = 1
+        ORDER BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
@@ -5390,6 +5535,53 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q214_strahler": _strahler_waves_sql(),
+        "q215_frechet": _frechet_sql(),
+        "q216_closest_pair": """
+            WITH p AS (SELECT l_orderkey % 251 AS gid,
+                              ROW_NUMBER() OVER () AS rid,
+                              (l_partkey * 7) % 101 AS x,
+                              (l_suppkey * 11) % 101 AS y
+                       FROM lineitem),
+            n AS (SELECT gid, COUNT(*) AS n_pts FROM p GROUP BY 1),
+            d AS (SELECT a.gid,
+                         MIN((a.x - b.x) * (a.x - b.x)
+                             + (a.y - b.y) * (a.y - b.y)) AS d2
+                  FROM p a JOIN p b ON b.gid = a.gid AND b.rid > a.rid
+                  GROUP BY 1)
+            SELECT d.gid, CAST(d.d2 AS BIGINT) AS d2_min,
+                   CAST(n.n_pts AS BIGINT) AS n_pts
+            FROM d JOIN n USING (gid) ORDER BY 1
+        """,
+        "q217_diameter": """
+            WITH p AS (SELECT l_orderkey % 233 AS gid,
+                              ROW_NUMBER() OVER () AS rid,
+                              (l_partkey * 3) % 211 AS x,
+                              (l_suppkey * 5) % 211 AS y
+                       FROM lineitem),
+            n AS (SELECT gid, COUNT(*) AS n_pts FROM p GROUP BY 1),
+            d AS (SELECT a.gid,
+                         (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y) AS d2
+                  FROM p a JOIN p b ON b.gid = a.gid AND b.rid > a.rid),
+            m AS (SELECT gid, MAX(d2) AS mx FROM d GROUP BY 1),
+            c AS (SELECT d.gid, COUNT(*) AS c
+                  FROM d JOIN m ON m.gid = d.gid AND d.d2 = m.mx
+                  GROUP BY 1)
+            SELECT m.gid, CAST(m.mx AS BIGINT) AS d2_max,
+                   CAST(c.c AS BIGINT) AS n_pairs_max,
+                   CAST(n.n_pts AS BIGINT) AS n_pts
+            FROM m JOIN c USING (gid) JOIN n USING (gid) ORDER BY 1
+        """,
+        "q218_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_v,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
         "q211_quadtree": """
             WITH ks AS (SELECT o_orderkey AS k FROM orders
                         WHERE o_orderkey % 199 = 0),

@@ -2428,3 +2428,38 @@ def profile_int_columns(ds: ray.data.Dataset,
     agg["n_distinct"] = agg["col"].map(nd).astype("int64")
     out = agg[["col", "n", "nulls", "min_v", "max_v", "n_distinct"]]
     return out.sort_values("col").reset_index(drop=True)
+
+
+def rollup_sums(ds: ray.data.Dataset, keys: list[str], value: str,
+                all_marker: str = "ALL") -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys...): sums + counts at every prefix level
+    (finest, each coarser prefix, grand total), rolled-up columns
+    replaced by ``all_marker``. ONE pass over the data — per-batch
+    partials at the finest level stream to the driver (bounded by the
+    finest key domain, not the row count), coarser levels re-aggregate
+    those partials; no second scan, no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [value]).to_pandas()
+        df[value] = df[value].astype("int64")
+        g = df.groupby(keys, as_index=False).agg(
+            __s=(value, "sum"), __n=(value, "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    finest = parts.groupby(keys, as_index=False)[["__s", "__n"]].sum()
+    levels = [finest]
+    for lv in range(len(keys) - 1, -1, -1):
+        sub = keys[:lv]
+        if sub:
+            agg = finest.groupby(sub, as_index=False)[["__s", "__n"]].sum()
+        else:
+            agg = finest[["__s", "__n"]].sum().to_frame().T
+        for k in keys[lv:]:
+            agg[k] = all_marker
+        levels.append(agg[keys + ["__s", "__n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out = out.rename(columns={"__s": "sum_v", "__n": "n_rows"})
+    out["sum_v"] = out["sum_v"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)

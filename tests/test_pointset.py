@@ -1,0 +1,140 @@
+"""Brute-force parity for pointset (closest pair, diameter) and the
+Fréchet / rollup operators."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _pts_ds(rng, n_groups=6, lo=3, hi=40, span=50):
+    rows = []
+    for g in range(n_groups):
+        n = int(rng.integers(lo, hi))
+        xs = rng.integers(0, span, n)
+        ys = rng.integers(0, span, n)
+        for x, y in zip(xs, ys):
+            rows.append((g, int(x), int(y)))
+    df = pd.DataFrame(rows, columns=["gid", "x", "y"])
+    return df, ray.data.from_pandas(df)
+
+
+def test_closest_pair_brute(ray_session):
+    from hand_index_ray.pipelines.pointset import closest_pair
+
+    rng = np.random.default_rng(31)
+    df, ds = _pts_ds(rng)
+    got = closest_pair(ds, "gid", "x", "y").to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["gid"] == row["gid"]]
+        p = sub[["x", "y"]].to_numpy()
+        d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        iu = np.triu_indices(len(p), 1)
+        assert row["d2_min"] == d2[iu].min()
+        assert row["n_pts"] == len(p)
+    assert set(got["gid"]) == set(df["gid"].unique())
+
+
+def test_closest_pair_duplicates_and_singletons(ray_session):
+    from hand_index_ray.pipelines.pointset import closest_pair
+
+    df = pd.DataFrame({"gid": [0, 0, 0, 1, 2, 2],
+                       "x": [5, 5, 9, 3, 0, 40],
+                       "y": [7, 7, 1, 3, 0, 40]})
+    got = closest_pair(ray.data.from_pandas(df), "gid", "x", "y") \
+        .to_pandas().sort_values("gid").reset_index(drop=True)
+    # gid 1 is a singleton: omitted; gid 0 has a duplicate pair: 0
+    assert got["gid"].tolist() == [0, 2]
+    assert got["d2_min"].tolist() == [0, 3200]
+
+
+def test_diameter_brute(ray_session):
+    from hand_index_ray.pipelines.pointset import diameter
+
+    rng = np.random.default_rng(37)
+    df, ds = _pts_ds(rng)
+    got = diameter(ds, "gid", "x", "y").to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["gid"] == row["gid"]]
+        p = sub[["x", "y"]].to_numpy()
+        d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        iu = np.triu_indices(len(p), 1)
+        assert row["d2_max"] == d2[iu].max()
+        assert row["n_pairs_max"] == int((d2[iu] == d2[iu].max()).sum())
+
+
+def test_diameter_collinear_and_identical(ray_session):
+    from hand_index_ray.pipelines.pointset import diameter
+
+    df = pd.DataFrame({"gid": [0] * 4 + [1] * 3,
+                       "x": [0, 1, 2, 3, 5, 5, 5],
+                       "y": [0, 1, 2, 3, 5, 5, 5]})
+    got = diameter(ray.data.from_pandas(df), "gid", "x", "y") \
+        .to_pandas().sort_values("gid").reset_index(drop=True)
+    assert got["d2_max"].tolist() == [18, 0]
+    assert got["n_pairs_max"].tolist() == [1, 3]
+
+
+def _brute_frechet(track, tpl):
+    n, m = len(track), len(tpl)
+    d = np.array([[(ax - bx) ** 2 + (ay - by) ** 2
+                   for bx, by in tpl] for ax, ay in track], np.int64)
+    f = np.zeros((n, m), np.int64)
+    for i in range(n):
+        for j in range(m):
+            if i == 0 and j == 0:
+                f[i, j] = d[0, 0]
+            elif i == 0:
+                f[i, j] = max(d[0, j], f[0, j - 1])
+            elif j == 0:
+                f[i, j] = max(d[i, 0], f[i - 1, 0])
+            else:
+                f[i, j] = max(d[i, j], min(f[i - 1, j], f[i, j - 1],
+                                           f[i - 1, j - 1]))
+    return int(f[n - 1, m - 1])
+
+
+def test_frechet_brute(ray_session):
+    from hand_index_ray.pipelines.trajectory import frechet_to_template
+
+    rng = np.random.default_rng(41)
+    tpl = np.array([[5, 7], [20, 40], [45, 12], [60, 60]], np.int64)
+    rows = []
+    for g in range(5):
+        n = int(rng.integers(1, 30))
+        for i in range(n):
+            rows.append((g, i, int(rng.integers(0, 64)),
+                         int(rng.integers(0, 64))))
+    df = pd.DataFrame(rows, columns=["gid", "ord", "x", "y"])
+    got = frechet_to_template(ray.data.from_pandas(df), "gid", "ord",
+                              "x", "y", tpl).to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["gid"] == row["gid"]].sort_values("ord")
+        ref = _brute_frechet(sub[["x", "y"]].to_numpy(), tpl)
+        assert row["frechet_d2"] == ref
+        assert row["n_pts"] == len(sub)
+
+
+def test_rollup_sums(ray_session):
+    from hand_index_ray.relational import rollup_sums
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 200),
+                       "b": rng.choice(["p", "q", "r"], 200),
+                       "v": rng.integers(0, 100, 200).astype("int64")})
+    got = rollup_sums(ray.data.from_pandas(df), ["a", "b"], "v")
+    fine = df.groupby(["a", "b"])["v"].agg(["sum", "size"])
+    assert len(got) == len(fine) + df["a"].nunique() + 1
+    tot = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert tot["sum_v"].iloc[0] == df["v"].sum()
+    assert tot["n_rows"].iloc[0] == 200
+    for (a, b), r in fine.iterrows():
+        m = got[(got["a"] == a) & (got["b"] == b)]
+        assert m["sum_v"].iloc[0] == r["sum"]
+        assert m["n_rows"].iloc[0] == r["size"]
+    for a, r in df.groupby("a")["v"].agg(["sum", "size"]).iterrows():
+        m = got[(got["a"] == a) & (got["b"] == "ALL")]
+        assert m["sum_v"].iloc[0] == r["sum"]
