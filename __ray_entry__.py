@@ -4693,6 +4693,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.sort_values(["l_returnflag", "l_linestatus"]) \
             .reset_index(drop=True)
 
+    def q219_watershed(sf):  # pour-point basin labeling
+        """Watershed labeling over the D8 flow forest: every cell's
+        terminal sink found by pointer DOUBLING (⌈log₂(H·W)⌉
+        vectorized gathers, pipelines/terrain.py:watershed_labels) —
+        the O(log n) path-resolution trick the oracle mirrors with 7
+        unrolled next∘next self-joins. Reports basin count, largest
+        basin, and the sink-index checksum."""
+        from hand_index_ray.pipelines.terrain import watershed_stats
+        ds = _terrain_blobs(sf, 211, 12, 10, 13, 5, 3, 47,
+                            compression="deflate", predictor=2)
+        df = watershed_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q220_jaccard_join(sf):  # exact similarity join, prefix filter
+        """Exact Jaccard τ≥0.6 self-join over word-3-gram sets via
+        AllPairs/PPJoin prefix filtering
+        (pipelines/text.py:jaccard_join_prefix): only the hash-order
+        prefix of each set enters the shuffle, candidates length-
+        filter cross-multiplied, exact verify in a pair-keyed bucket
+        shuffle. The deterministic (no-LSH) sibling of q24; oracle is
+        the brute all-pairs list_intersect."""
+        from hand_index_ray.pipelines.text import jaccard_join_prefix
+        out = jaccard_join_prefix(_t(sf, "documents"), tau_num=3,
+                                  tau_den=5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def q221_largest_rect(sf):  # largest all-below-threshold rectangle
+        """Largest axis-aligned rectangle of cells with v < 20 (the
+        'largest buildable flat patch' query): histogram-stack
+        reduction per raster — O(H·W), vs the oracle's brute
+        enumerate-all-rectangles NOT EXISTS — plus an exact
+        count-at-max via divisor-pair sliding sums
+        (pipelines/terrain.py:largest_zero_rect)."""
+        from hand_index_ray.pipelines.terrain import largest_rect_stats
+        ds = _terrain_blobs(sf, 241, 12, 8, 7, 3, 11, 64,
+                            compression="lzw", predictor=2)
+        df = largest_rect_stats(ds, thresh=20,
+                                id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4906,6 +4946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q216_closest_pair": q216_closest_pair,
         "q217_diameter": q217_diameter,
         "q218_rollup": q218_rollup,
+        "q219_watershed": q219_watershed,
+        "q220_jaccard_join": q220_jaccard_join,
+        "q221_largest_rect": q221_largest_rect,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5387,6 +5430,51 @@ def _frechet_sql() -> str:
         ORDER BY 1"""
 
 
+def _watershed_sql(doublings: int = 7) -> str:
+    """q219: D8 next-pointer table, then ``doublings`` unrolled
+    pointer-doubling self-joins (2⁷ = 128 ≥ any path on the 12×10
+    grid) — the SQL mirror of the engine's log-time gathers."""
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 211 = 0),
+            dem AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                           (ks.k * 13 + x.x * 5 + y.y * 3) % 47 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 11)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 9)) y),
+            nb AS (SELECT d.k, d.y * 12 + d.x AS src,
+                          n.y * 12 + n.x AS dst,
+                          d.v - n.v AS drp, o.code
+                   FROM dem d
+                   CROSS JOIN (VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),
+                                      (4,-1,0),(5,-1,-1),(6,0,-1),
+                                      (7,1,-1)) o(code, dx, dy)
+                   JOIN dem n ON n.k = d.k AND n.x = d.x + o.dx
+                              AND n.y = d.y + o.dy
+                   WHERE d.v - n.v > 0),
+            e AS (SELECT k, src, dst FROM nb
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY k, src
+                      ORDER BY drp DESC, code) = 1),
+            t0 AS (SELECT d.k, d.y * 12 + d.x AS src,
+                          COALESCE(e.dst, d.y * 12 + d.x) AS dst
+                   FROM dem d LEFT JOIN e ON e.k = d.k
+                     AND e.src = d.y * 12 + d.x)"""]
+    for i in range(1, doublings + 1):
+        p = f"t{i - 1}"
+        ctes.append(f"""t{i} AS (SELECT a.k, a.src, b.dst
+                   FROM {p} a JOIN {p} b ON b.k = a.k
+                     AND b.src = a.dst)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+            , b AS (SELECT k, dst, COUNT(*) AS sz
+                    FROM t{doublings} GROUP BY 1, 2)
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_basins,
+                   CAST(MAX(sz) AS BIGINT) AS max_basin,
+                   CAST(SUM(dst * sz) AS BIGINT) AS sink_sum
+            FROM b GROUP BY 1 ORDER BY 1""")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
@@ -5571,6 +5659,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.c AS BIGINT) AS n_pairs_max,
                    CAST(n.n_pts AS BIGINT) AS n_pts
             FROM m JOIN c USING (gid) JOIN n USING (gid) ORDER BY 1
+        """,
+        "q219_watershed": _watershed_sql(),
+        "q220_jaccard_join": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, GREATEST(
+                           len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(
+                           (string_split(text, ' '))[i:i+2], ' ')))
+                         AS grams
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS i,
+                     len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams)) AS u
+              FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+                   CAST(u AS BIGINT) AS uni
+            FROM p WHERE i * 5 >= 3 * u ORDER BY 1, 2
+        """,
+        "q221_largest_rect": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 241 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 7 + x.x * 3 + y.y * 11) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 11)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 7)) y),
+            r AS (SELECT ks.k, x1.i AS x1, x2.i AS x2,
+                         y1.i AS y1, y2.i AS y2,
+                         (x2.i - x1.i + 1) * (y2.i - y1.i + 1) AS area
+                  FROM ks
+                  CROSS JOIN (SELECT generate_series AS i
+                              FROM generate_series(0, 11)) x1
+                  CROSS JOIN (SELECT generate_series AS i
+                              FROM generate_series(0, 11)) x2
+                  CROSS JOIN (SELECT generate_series AS i
+                              FROM generate_series(0, 7)) y1
+                  CROSS JOIN (SELECT generate_series AS i
+                              FROM generate_series(0, 7)) y2
+                  WHERE x2.i >= x1.i AND y2.i >= y1.i
+                    AND NOT EXISTS (
+                      SELECT 1 FROM dem d
+                      WHERE d.k = ks.k AND d.x BETWEEN x1.i AND x2.i
+                        AND d.y BETWEEN y1.i AND y2.i AND d.v >= 20)),
+            m AS (SELECT k, MAX(area) AS mx FROM r GROUP BY 1),
+            c AS (SELECT r.k, COUNT(*) AS c
+                  FROM r JOIN m ON m.k = r.k AND r.area = m.mx
+                  GROUP BY 1),
+            nm AS (SELECT k, COUNT(*) FILTER (WHERE v < 20) AS nmask
+                   FROM dem GROUP BY 1)
+            SELECT nm.k AS o_orderkey,
+                   CAST(COALESCE(m.mx, 0) AS BIGINT) AS max_area,
+                   CAST(COALESCE(c.c, 0) AS BIGINT) AS n_at_max,
+                   CAST(nm.nmask AS BIGINT) AS n_mask
+            FROM nm LEFT JOIN m ON m.k = nm.k
+                    LEFT JOIN c ON c.k = nm.k
+            ORDER BY 1
         """,
         "q218_rollup": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

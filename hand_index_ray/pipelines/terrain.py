@@ -1355,3 +1355,120 @@ def strahler_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
                          "strahler": pa.array(orders, pa.int64()),
                          "n_cells": pa.array(ns, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def watershed_labels(arr: np.ndarray) -> np.ndarray:
+    """Watershed (pour-point) labeling: every cell follows its D8
+    steepest-descent pointer (same rule as strahler_orders /
+    flow_direction_counts: strictly positive drop, ties → smallest
+    code; pits point at themselves) to its terminal sink. Pointer
+    DOUBLING — nxt ← nxt[nxt] — resolves every path in ⌈log₂ L⌉
+    vectorized gathers instead of L sequential steps. Returns the
+    sink cell index (y·W + x) per cell."""
+    v = arr.astype(np.int64)
+    H, W = v.shape
+    big = np.int64(1) << 40
+    bestdrop = np.zeros((H, W), np.int64)
+    bestcode = np.full((H, W), -1, np.int64)
+    for code, (dx, dy) in enumerate(D8_OFFSETS):
+        nb = np.full((H, W), big, np.int64)
+        ys0, ys1 = max(0, -dy), min(H, H - dy)
+        xs0, xs1 = max(0, -dx), min(W, W - dx)
+        nb[ys0:ys1, xs0:xs1] = v[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+        drop = v - nb
+        better = drop > bestdrop
+        bestdrop = np.where(better, drop, bestdrop)
+        bestcode = np.where(better, code, bestcode)
+    idx = np.arange(H * W)
+    nxt = idx.copy()
+    for code, (dx, dy) in enumerate(D8_OFFSETS):
+        ys, xs = np.nonzero(bestcode == code)
+        nxt[ys * W + xs] = (ys + dy) * W + (xs + dx)
+    steps = max(1, int(np.ceil(np.log2(H * W))))
+    for _ in range(steps):
+        nn = nxt[nxt]
+        if (nn == nxt).all():
+            break
+        nxt = nn
+    return nxt
+
+
+def watershed_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster watershed aggregates: basin count, largest basin
+    size, and the sum over cells of their sink index (a
+    label-assignment checksum)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nb, mb, ss = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            lab = watershed_labels(arr)
+            _, counts = np.unique(lab, return_counts=True)
+            ids.append(rid)
+            nb.append(len(counts))
+            mb.append(int(counts.max()))
+            ss.append(int(lab.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_basins": pa.array(nb, pa.int64()),
+                         "max_basin": pa.array(mb, pa.int64()),
+                         "sink_sum": pa.array(ss, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def largest_zero_rect(mask: np.ndarray) -> tuple[int, int]:
+    """Largest all-True axis-aligned rectangle in a boolean mask (the
+    classic histogram-stack reduction: per row, column heights of
+    consecutive True cells; the max rectangle in each histogram by a
+    monotone stack — O(H·W) total). Returns (max_area, n_at_max —
+    the number of distinct (x1,x2,y1,y2) rectangles achieving it,
+    counted exactly by a bounded second pass)."""
+    H, W = mask.shape
+    heights = np.zeros(W, np.int64)
+    best = 0
+    for r in range(H):
+        heights = np.where(mask[r], heights + 1, 0)
+        stack: list[int] = []
+        for c in range(W + 1):
+            h = int(heights[c]) if c < W else 0
+            while stack and heights[stack[-1]] >= h:
+                top = stack.pop()
+                left = stack[-1] + 1 if stack else 0
+                area = int(heights[top]) * (c - left)
+                if area > best:
+                    best = area
+        # (second pass below counts exactly; stack pass finds the max)
+            if c < W:
+                stack.append(c)
+    if best == 0:
+        return 0, 0
+    # exact count of maximal-area rectangles: enumerate (w, h) factor
+    # pairs of `best` and count placements where the w×h all-True
+    # window fits — O(d(best) · H · W) via 2-D sliding sums
+    ii = np.zeros((H + 1, W + 1), np.int64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(mask.astype(np.int64), 0), 1)
+    n_at = 0
+    for w in range(1, W + 1):
+        if best % w or best // w > H:
+            continue
+        h = best // w
+        s = (ii[h:H + 1, w:W + 1] - ii[0:H - h + 1, w:W + 1]
+             - ii[h:H + 1, 0:W - w + 1] + ii[0:H - h + 1, 0:W - w + 1])
+        n_at += int((s == w * h).sum())
+    return best, n_at
+
+
+def largest_rect_stats(ds, thresh: int, bytes_col: str = "bytes",
+                       id_col: str = "path"):
+    """Per-raster largest rectangle of cells with v < thresh (the
+    'largest buildable flat patch' query): max area, count of
+    rectangles achieving it, and the mask cell count."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ar, na, nm = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            m = arr.astype(np.int64) < thresh
+            a, n = largest_zero_rect(m)
+            ids.append(rid); ar.append(a); na.append(n)
+            nm.append(int(m.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "max_area": pa.array(ar, pa.int64()),
+                         "n_at_max": pa.array(na, pa.int64()),
+                         "n_mask": pa.array(nm, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1000,3 +1000,127 @@ def bigram_topk(ds: ray.data.Dataset, k: int = 20,
         bigrams, batch_format="pyarrow", zero_copy_batch=True)
     counts = rel.grouped_agg(bg, ["bg"], count=True)
     return rel.topk(counts, "n", k, descending=True, tiebreak="bg")
+
+
+def jaccard_join_prefix(ds: ray.data.Dataset, tau_num: int = 3,
+                        tau_den: int = 5, col: str = "text",
+                        id_col: str = "doc_id",
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """EXACT Jaccard τ-similarity self-join via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    PPJoin) over word-3-gram sets — the deterministic sibling of the
+    MinHash pipeline (no LSH false-negative risk):
+
+    - each doc's UNIQUE gram-hash set rides sorted by the global hash
+      order (a fixed total order is all prefix filtering needs; hash
+      order needs NO frequency pass, so the stage stays one-pass at
+      any corpus size — rarest-first ordering is only a candidate-
+      count heuristic);
+    - only the first p = s − ⌈τ·s⌉ + 1 grams (the prefix) are emitted
+      to the shuffle: any pair with J ≥ τ MUST share a prefix gram;
+    - candidate pairs form inside per-gram buckets with the length
+      filter τ·max(|A|,|B|) ≤ min(|A|,|B|) applied cross-multiplied;
+    - verification is exact set intersection; duplicates collapse in
+      the pair-keyed verify shuffle (exactly-once output).
+
+    Gram payloads broadcast via the object store at test scale (same
+    contract as minhash_lsh_pairs' broadcast mode; the carry-by-id
+    re-join is the documented PB-scale path). Returns
+    Dataset[(id_a, id_b, inter, uni)] with inter·τ_den ≥ τ_num·uni.
+    """
+    from ..relational import grouped_apply_bucketed
+
+    def emit_sets(t: pa.Table) -> pa.Table:
+        sets_ = _gram_hash_sets(t, col)
+        ids = t.column(id_col).to_numpy()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "grams": pa.array([g for g in sets_], pa.list_(pa.uint64()))})
+
+    sets_ds = ds.map_batches(emit_sets, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    # broadcast flat payload (ids sorted, offsets, flat grams)
+    tabs = [b for b in sets_ds.iter_batches(batch_format="pyarrow")]
+    allt = pa.concat_tables(tabs) if tabs else pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "grams": pa.array([], pa.list_(pa.uint64()))})
+    ids_all = allt.column(id_col).to_numpy()
+    gcol = allt.column("grams").combine_chunks()
+    flat = np.asarray(gcol.flatten(), dtype=np.uint64)
+    lens = np.asarray(pc.list_value_length(gcol), dtype=np.int64)
+    order = np.argsort(ids_all)
+    off = np.zeros(len(ids_all) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    pay = ray.put((ids_all[order], flat, off, order.astype(np.int64)))
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        gcol_ = t.column("grams").combine_chunks()
+        fl = np.asarray(gcol_.flatten(), dtype=np.uint64)
+        ln = np.asarray(pc.list_value_length(gcol_), dtype=np.int64)
+        ids = t.column(id_col).to_numpy()
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(ln[:-1], out=starts[1:])
+        # prefix length p = s - ceil(tau*s) + 1 (sets arrive sorted by
+        # the global hash order from _gram_hash_sets)
+        p = ln - (tau_num * ln + tau_den - 1) // tau_den + 1
+        p = np.clip(p, 0, ln)
+        pos = np.concatenate([np.arange(s, s + k) for s, k in
+                              zip(starts, p)]) if len(ids) else \
+            np.empty(0, np.int64)
+        doc = np.repeat(ids, p)
+        size = np.repeat(ln, p)
+        return pa.table({"gram": pa.array(fl[pos], pa.uint64()),
+                         id_col: pa.array(doc, pa.int64()),
+                         "size": pa.array(size, pa.int64())})
+
+    prefix = sets_ds.map_batches(emit_prefix, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def pairs_per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("gram", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sz = sub["size"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), 1)
+            lo = np.minimum(sz[ii], sz[jj])
+            hi = np.maximum(sz[ii], sz[jj])
+            keep = tau_num * hi <= tau_den * lo
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64)})
+
+    cands = grouped_apply_bucketed(prefix, ["gram"], pairs_per_gram,
+                                   num_buckets=num_buckets,
+                                   min_group_size=2, whole_bucket=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["id_a", "id_b"])
+        sids, fl, of, orig = ray.get(pay)
+        ia, ib, iv, uv = [], [], [], []
+        for a, b in zip(g["id_a"].to_numpy(), g["id_b"].to_numpy()):
+            pa_ = int(orig[np.searchsorted(sids, a)])
+            pb_ = int(orig[np.searchsorted(sids, b)])
+            sa = fl[of[pa_]:of[pa_ + 1]]
+            sb = fl[of[pb_]:of[pb_ + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            uni = len(sa) + len(sb) - inter
+            if inter * tau_den >= tau_num * uni:
+                ia.append(int(a)); ib.append(int(b))
+                iv.append(inter); uv.append(uni)
+        return pd.DataFrame({"id_a": pd.Series(ia, dtype="int64"),
+                             "id_b": pd.Series(ib, dtype="int64"),
+                             "inter": pd.Series(iv, dtype="int64"),
+                             "uni": pd.Series(uv, dtype="int64")})
+
+    return grouped_apply_bucketed(cands, ["id_a", "id_b"], verify,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -927,3 +927,56 @@ def test_strahler_brute_parity():
 
         ref = np.array([order(v) for v in range(H * W)])
         assert (got == ref).all()
+
+
+def test_watershed_brute_parity():
+    """Pointer doubling vs step-by-step pointer chasing."""
+    from hand_index_ray.pipelines.terrain import (D8_OFFSETS,
+                                                  watershed_labels)
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        H, W = int(rng.integers(3, 9)), int(rng.integers(3, 9))
+        arr = rng.integers(0, 30, size=(H, W)).astype(np.int64)
+        got = watershed_labels(arr)
+        for y in range(H):
+            for x in range(W):
+                cy, cx = y, x
+                for _ in range(H * W + 1):
+                    best, bd = None, 0
+                    for code, (dx, dy) in enumerate(D8_OFFSETS):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < H and 0 <= nx < W:
+                            drop = int(arr[cy, cx]) - int(arr[ny, nx])
+                            if drop > bd:
+                                bd, best = drop, (ny, nx)
+                    if best is None:
+                        break
+                    cy, cx = best
+                assert got[y * W + x] == cy * W + cx
+
+
+def test_largest_rect_brute_parity():
+    from hand_index_ray.pipelines.terrain import largest_zero_rect
+
+    rng = np.random.default_rng(29)
+    for density in (0.3, 0.6, 0.9):
+        for _ in range(5):
+            H, W = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+            m = rng.random((H, W)) < density
+            a, n = largest_zero_rect(m)
+            best, cnt = 0, 0
+            for y1 in range(H):
+                for y2 in range(y1, H):
+                    for x1 in range(W):
+                        for x2 in range(x1, W):
+                            if m[y1:y2 + 1, x1:x2 + 1].all():
+                                ar = (y2 - y1 + 1) * (x2 - x1 + 1)
+                                if ar > best:
+                                    best, cnt = ar, 1
+                                elif ar == best and ar > 0:
+                                    cnt += 1
+                            # (zero-area impossible: loops inclusive)
+            assert (a, n) == (best, cnt), (m, a, n, best, cnt)
+    assert largest_zero_rect(np.zeros((3, 4), bool)) == (0, 0)
+    assert largest_zero_rect(np.ones((3, 4), bool)) == (12, 1)

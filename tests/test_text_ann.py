@@ -383,3 +383,43 @@ def test_edit1_pairs_symmetric_delete(ray_session):
     # 'xy'/'yx' is distance 2 but shares deletion variants both ways:
     # the verify pass must have rejected it
     assert ("xy", "yx") not in pairs
+
+
+def test_jaccard_join_prefix_brute(ray_session):
+    """Prefix-filter join == brute-force exact Jaccard >= tau."""
+    import itertools
+
+    import pyarrow as pa
+    import ray
+
+    from hand_index_ray.pipelines.text import jaccard_join_prefix
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(4, 18))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    # plant near-dupes
+    docs[7] = docs[3]
+    docs[11] = docs[3] + " w1"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    got = jaccard_join_prefix(ds, tau_num=3, tau_den=5).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def grams(s):
+        t = s.split(" ")
+        if len(t) < 3:
+            return frozenset([" ".join(t)])
+        return frozenset(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+
+    gs = [grams(d) for d in docs]
+    exp = []
+    for a, b in itertools.combinations(range(40), 2):
+        inter = len(gs[a] & gs[b])
+        uni = len(gs[a] | gs[b])
+        if inter * 5 >= 3 * uni:
+            exp.append((a, b, inter, uni))
+    assert [tuple(r) for r in got.to_numpy()] == sorted(exp)
