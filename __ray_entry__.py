@@ -4733,6 +4733,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q222_tophat(sf):  # white top-hat (v − opening) small features
+        """Morphological white top-hat (value minus 3×3 opening) over
+        the border-free (H−4)×(W−4) core — the classic small-bright-
+        feature extractor / background remover
+        (pipelines/terrain.py:tophat_stats; exact int64, shifted-slice
+        min then max, map-only). Oracle: erosion and dilation as two
+        chained 3×3-neighborhood GROUP BY joins."""
+        from hand_index_ray.pipelines.terrain import tophat_stats
+        ds = _terrain_blobs(sf, 223, 13, 11, 9, 5, 2, 50,
+                            compression="deflate", predictor=2)
+        df = tophat_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q223_histmatch(sf):  # radiometric normalization (CDF match)
+        """Exact histogram matching of raster epoch A to reference B:
+        m(v) = min{w : cdf_B(w) ≥ cdf_A(v)} — the integer-exact
+        radiometric normalization used to align image epochs before
+        differencing (pipelines/terrain.py:histmatch_stats; one
+        bincount+cumsum+searchsorted per pair). Oracle rebuilds both
+        full-range CDFs and takes MIN(w) per level."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines.terrain import histmatch_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(9, dtype=np.int64),
+                             np.arange(14, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 229 == 0]
+            ks, ba, bb = [], [], []
+            for k in keys:
+                a = (int(k) * 7 + xx * 3 + yy * 5) % 32
+                b = (int(k) * 11 + xx * 2 + yy * 9) % 32
+                ks.append(int(k))
+                ba.append(encode_geotiff(a.astype(np.int32),
+                                         compression="deflate",
+                                         predictor=2))
+                bb.append(encode_geotiff(b.astype(np.int32),
+                                         compression="lzw", predictor=2))
+            return pa.table({"o_orderkey": pa.array(ks, pa.int64()),
+                             "bytes_a": pa.array(ba, pa.binary()),
+                             "bytes_b": pa.array(bb, pa.binary())})
+
+        ds = orders.map_batches(gen, batch_format="pyarrow")
+        df = histmatch_stats(ds, nlevels=32,
+                             id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q224_dtw(sf):  # dynamic time warping to a template
+        """DTW distance (Sakoe–Chiba DP, squared-int point costs) from
+        each trajectory to a broadcast 4-point template
+        (pipelines/trajectory.py:dtw_to_template) — the elastic
+        sibling of q215's Fréchet: same lockstep one-wave-per-point
+        vectorization, the fixed template axis unrolled. Oracle: a
+        recursive CTE carrying the 4 DP columns, base row = template-
+        axis cumsum, same-row dependencies nested."""
+        from hand_index_ray.pipelines.trajectory import dtw_to_template
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy()
+            ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+            x = t.column("l_partkey").to_numpy() % 64
+            y = t.column("l_suppkey").to_numpy() % 64
+            o = ((ok * 8 + ln) * 64 + x) * 64 + y
+            return pa.table({
+                "gid": pa.array(ok % 397, pa.int64()),
+                "ord": pa.array(o, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64())})
+
+        ds = li.map_batches(prep, batch_format="pyarrow")
+        tpl = np.array([[3, 9], [30, 22], [50, 50], [9, 60]], np.int64)
+        df = dtw_to_template(ds, "gid", "ord", "x", "y", tpl) \
+            .to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q225_ema(sf):  # exact integer exponential moving average
+        """Per-user EMA with α = 1/4 over event values in cents:
+        ema_t = (v_t + 3·ema_{t-1}) >> 2 — floor-exact integer
+        smoothing, no float drift (relational.py:integer_ema, ONE
+        lockstep vectorized wave per sequence index across every user
+        in the bucket). Oracle: recursive CTE advancing one event per
+        user per iteration with the same floor division."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.integer_ema(ev, "user_id", "event_id", "value_cents",
+                             shift=2).to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -4949,6 +5042,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_watershed": q219_watershed,
         "q220_jaccard_join": q220_jaccard_join,
         "q221_largest_rect": q221_largest_rect,
+        "q222_tophat": q222_tophat,
+        "q223_histmatch": q223_histmatch,
+        "q224_dtw": q224_dtw,
+        "q225_ema": q225_ema,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5430,6 +5527,51 @@ def _frechet_sql() -> str:
         ORDER BY 1"""
 
 
+def _dtw_sql() -> str:
+    """q224: recursive-CTE DTW DP — the 4 template-axis DP columns
+    ride each recursion row; base row is the cumsum over the template
+    axis, recursion nf_j = d_j + LEAST(f_j, f_{j−1}, nf_{j−1}) with
+    same-row dependencies expanded by nesting."""
+    tpl = [(3, 9), (30, 22), (50, 50), (9, 60)]
+    dcols = ",\n                   ".join(
+        f"((l_partkey % 64) - {tx}) * ((l_partkey % 64) - {tx})"
+        f" + ((l_suppkey % 64) - {ty}) * ((l_suppkey % 64) - {ty})"
+        f" AS d{j + 1}"
+        for j, (tx, ty) in enumerate(tpl))
+    base = ["d1"]
+    for j in range(1, 4):
+        base.append(f"d{j + 1} + ({base[j - 1]})")
+    base_sel = ", ".join(f"{e} AS f{j + 1}" for j, e in enumerate(base))
+    nf = ["p.d1 + s.f1"]
+    for j in range(1, 4):
+        nf.append(f"p.d{j + 1} + "
+                  f"LEAST(s.f{j + 1}, s.f{j}, ({nf[j - 1]}))")
+    rec_sel = ", ".join(f"{e} AS f{j + 1}" for j, e in enumerate(nf))
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT l_orderkey % 397 AS gid,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey % 397
+                       ORDER BY ((l_orderkey * 8 + l_linenumber) * 64
+                                 + l_partkey % 64) * 64
+                                + l_suppkey % 64)
+                       AS BIGINT) AS i,
+                   {dcols}
+            FROM lineitem),
+        st AS (
+            SELECT gid, i, {base_sel} FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.gid, p.i, {rec_sel}
+            FROM st s JOIN pts p ON p.gid = s.gid AND p.i = s.i + 1),
+        cnt AS (SELECT gid, COUNT(*) AS n FROM pts GROUP BY 1)
+        SELECT s.gid, CAST(s.f4 AS BIGINT) AS dtw_d2,
+               CAST(cnt.n AS BIGINT) AS n_pts
+        FROM st s JOIN cnt ON cnt.gid = s.gid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.gid
+                                   ORDER BY s.i DESC) = 1
+        ORDER BY 1"""
+
+
 def _watershed_sql(doublings: int = 7) -> str:
     """q219: D8 next-pointer table, then ``doublings`` unrolled
     pointer-doubling self-joins (2⁷ = 128 ≥ any path on the 12×10
@@ -5661,6 +5803,94 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN c USING (gid) JOIN n USING (gid) ORDER BY 1
         """,
         "q219_watershed": _watershed_sql(),
+        "q222_tophat": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 223 = 0),
+            dem AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                           (ks.k * 9 + x.x * 5 + y.y * 2) % 50 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 12)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 10)) y),
+            ero AS (SELECT d.k, d.x, d.y, MIN(n.v) AS e
+                    FROM dem d JOIN dem n ON n.k = d.k
+                     AND abs(n.x - d.x) <= 1 AND abs(n.y - d.y) <= 1
+                    WHERE d.x BETWEEN 1 AND 11 AND d.y BETWEEN 1 AND 9
+                    GROUP BY 1, 2, 3),
+            opn AS (SELECT a.k, a.x, a.y, MAX(b.e) AS o
+                    FROM ero a JOIN ero b ON b.k = a.k
+                     AND abs(b.x - a.x) <= 1 AND abs(b.y - a.y) <= 1
+                    WHERE a.x BETWEEN 2 AND 10 AND a.y BETWEEN 2 AND 8
+                    GROUP BY 1, 2, 3),
+            th AS (SELECT o.k, d.v - o.o AS t
+                   FROM opn o JOIN dem d
+                     ON d.k = o.k AND d.x = o.x AND d.y = o.y)
+            SELECT k AS o_orderkey,
+                   CAST(SUM(t) AS BIGINT) AS tophat_sum,
+                   CAST(MAX(t) AS BIGINT) AS tophat_max,
+                   CAST(COUNT(*) FILTER (WHERE t > 0) AS BIGINT) AS n_pos
+            FROM th GROUP BY 1 ORDER BY 1
+        """,
+        "q223_histmatch": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 229 = 0),
+            px AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                          (ks.k * 7 + x.x * 3 + y.y * 5) % 32 AS va,
+                          (ks.k * 11 + x.x * 2 + y.y * 9) % 32 AS vb
+                   FROM ks
+                   CROSS JOIN (SELECT generate_series AS x
+                               FROM generate_series(0, 13)) x
+                   CROSS JOIN (SELECT generate_series AS y
+                               FROM generate_series(0, 8)) y),
+            lv AS (SELECT generate_series AS v
+                   FROM generate_series(0, 31)),
+            ca AS (SELECT ks.k, lv.v, COUNT(p.x) AS cdf
+                   FROM ks CROSS JOIN lv
+                   LEFT JOIN px p ON p.k = ks.k AND p.va <= lv.v
+                   GROUP BY 1, 2),
+            cb AS (SELECT ks.k, lv.v AS w, COUNT(p.x) AS cdf
+                   FROM ks CROSS JOIN lv
+                   LEFT JOIN px p ON p.k = ks.k AND p.vb <= lv.v
+                   GROUP BY 1, 2),
+            mp AS (SELECT ca.k, ca.v, MIN(cb.w) AS m
+                   FROM ca JOIN cb ON cb.k = ca.k AND cb.cdf >= ca.cdf
+                   GROUP BY 1, 2),
+            cnt AS (SELECT k, va AS v, COUNT(*) AS c FROM px
+                    GROUP BY 1, 2)
+            SELECT cnt.k AS o_orderkey,
+                   CAST(SUM(cnt.c * mp.m) AS BIGINT) AS matched_sum,
+                   CAST(MAX(mp.m) AS BIGINT) AS matched_max,
+                   CAST(COALESCE(SUM(cnt.c) FILTER (WHERE mp.m <> cnt.v),
+                                 0) AS BIGINT) AS n_changed
+            FROM cnt JOIN mp ON mp.k = cnt.k AND mp.v = cnt.v
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q224_dtw": _dtw_sql(),
+        "q225_ema": """
+            WITH RECURSIVE s AS (
+                SELECT user_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY event_id)
+                            AS BIGINT) AS rn,
+                       CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                FROM events),
+            e AS (
+                SELECT user_id, rn, v AS ema, v AS tot
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.rn,
+                       (s.v + 3 * e.ema) // 4,
+                       e.tot + (s.v + 3 * e.ema) // 4
+                FROM e JOIN s ON s.user_id = e.user_id
+                             AND s.rn = e.rn + 1)
+            SELECT user_id, ema AS ema_last, tot AS ema_sum,
+                   rn AS n_events
+            FROM e
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY rn DESC) = 1
+            ORDER BY 1
+        """,
         "q220_jaccard_join": """
             WITH g AS (
               SELECT doc_id,

@@ -1472,3 +1472,78 @@ def largest_rect_stats(ds, thresh: int, bytes_col: str = "bytes",
                          "n_at_max": pa.array(na, pa.int64()),
                          "n_mask": pa.array(nm, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tophat_core(arr: np.ndarray) -> np.ndarray:
+    """White top-hat transform (v − opening, the classic small-bright-
+    feature extractor / background remover): 3×3 erosion on the
+    interior, 3×3 dilation of that on ITS interior, so the (H−4)×(W−4)
+    core needs no border convention at all. Exact int64, ≥ 0 by
+    anti-extensivity of the opening."""
+    v = arr.astype(np.int64)
+    st = np.stack([v[1 + dy:v.shape[0] - 1 + dy or None,
+                     1 + dx:v.shape[1] - 1 + dx or None]
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ero = st.min(axis=0)
+    st2 = np.stack([ero[1 + dy:ero.shape[0] - 1 + dy or None,
+                        1 + dx:ero.shape[1] - 1 + dx or None]
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    opening = st2.max(axis=0)
+    return v[2:-2, 2:-2] - opening
+
+
+def tophat_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster white top-hat aggregates over the core: sum, max,
+    and the count of strictly positive responses."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, sm, mx, np_ = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            th = tophat_core(arr)
+            ids.append(rid)
+            sm.append(int(th.sum()))
+            mx.append(int(th.max()))
+            np_.append(int((th > 0).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "tophat_sum": pa.array(sm, pa.int64()),
+                         "tophat_max": pa.array(mx, pa.int64()),
+                         "n_pos": pa.array(np_, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def histogram_match(a: np.ndarray, b: np.ndarray,
+                    nlevels: int) -> np.ndarray:
+    """Exact histogram matching (radiometric normalization): map each
+    value v of raster A to m(v) = min{w : cdf_B(w) ≥ cdf_A(v)} — the
+    integer-exact form of the classic CDF-matching used to normalize
+    one image epoch to a reference. Returns the per-level mapping
+    array m[0..nlevels-1] (levels absent from A map by their CDF rank
+    too, harmlessly)."""
+    ca = np.cumsum(np.bincount(a.ravel(), minlength=nlevels))
+    cb = np.cumsum(np.bincount(b.ravel(), minlength=nlevels))
+    return np.searchsorted(cb, ca, side="left").astype(np.int64)
+
+
+def histmatch_stats(ds, nlevels: int, bytes_a: str = "bytes_a",
+                    bytes_b: str = "bytes_b", id_col: str = "path"):
+    """Per-key histogram-matching aggregates (A normalized to B):
+    matched_sum = Σ m(v) over A's pixels, matched_max over values
+    present in A, n_changed = pixels where m(v) ≠ v."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, sm, mx, ch = [], [], [], []
+        ida = t.column(id_col).to_pylist()
+        for rid, ba, bb in zip(ida, t.column(bytes_a), t.column(bytes_b)):
+            a, _ = geotiff.decode_geotiff(ba.as_py())
+            b, _ = geotiff.decode_geotiff(bb.as_py())
+            a = a.astype(np.int64)
+            m = histogram_match(a, b.astype(np.int64), nlevels)
+            cnt = np.bincount(a.ravel(), minlength=nlevels)
+            vals = np.flatnonzero(cnt)
+            ids.append(rid)
+            sm.append(int((cnt[vals] * m[vals]).sum()))
+            mx.append(int(m[vals].max()))
+            ch.append(int(cnt[vals][m[vals] != vals].sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "matched_sum": pa.array(sm, pa.int64()),
+                         "matched_max": pa.array(mx, pa.int64()),
+                         "n_changed": pa.array(ch, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -120,3 +120,60 @@ def frechet_to_template(ds: ray.data.Dataset, key: str, order: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def dtw_to_template(ds: ray.data.Dataset, key: str, order: str,
+                    x: str, y: str, template: "np.ndarray",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Dynamic time warping distance (classic Sakoe–Chiba DP, sum of
+    squared point distances, exact int64) from each trajectory to a
+    small broadcast template: D(i,j) = d²(aᵢ,bⱼ) + min(D(i−1,j),
+    D(i,j−1), D(i−1,j−1)). Same lockstep shape as
+    ``frechet_to_template`` — the fixed template axis unrolls, one
+    vectorized wave per point index across every trajectory in the
+    bucket. Returns (key, dtw_d2, n_pts)."""
+    from ..relational import grouped_apply_bucketed
+
+    tpl = np.asarray(template, dtype=np.int64)
+    m = len(tpl)
+    big = np.int64(1) << 60
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        keys_arr = g[key].to_numpy()
+        xs = g[x].to_numpy().astype(np.int64)
+        ys = g[y].to_numpy().astype(np.int64)
+        uk, start = np.unique(keys_arr, return_index=True)
+        G = len(uk)
+        if G == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "dtw_d2": pd.Series(dtype="int64"),
+                                 "n_pts": pd.Series(dtype="int64")})
+        sizes = np.diff(np.append(start, len(g)))
+        L = int(sizes.max())
+        pos = np.arange(len(g)) - np.repeat(start, sizes)
+        gi = np.repeat(np.arange(G), sizes)
+        d = np.full((G, L, m), big, np.int64)
+        for j in range(m):
+            d[gi, pos, j] = (xs - tpl[j, 0]) ** 2 + (ys - tpl[j, 1]) ** 2
+        alive = np.zeros((G, L), bool)
+        alive[gi, pos] = True
+        # i = 0 row: D(1, j) = cumsum_j d(a1, bj); padded rows stay big
+        f = np.where(alive[:, 0, None],
+                     np.cumsum(np.where(alive[:, 0, None], d[:, 0, :], 0),
+                               axis=1), big)
+        for i in range(1, L):
+            di = d[:, i, :]
+            m_ = alive[:, i]
+            nf = np.empty_like(f)
+            nf[:, 0] = di[:, 0] + f[:, 0]
+            for j in range(1, m):
+                nf[:, j] = di[:, j] + np.minimum(
+                    np.minimum(f[:, j], f[:, j - 1]), nf[:, j - 1])
+            f = np.where(m_[:, None], nf, f)
+        return pd.DataFrame({key: uk,
+                             "dtw_d2": f[:, m - 1].astype(np.int64),
+                             "n_pts": sizes.astype(np.int64)})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

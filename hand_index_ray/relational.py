@@ -2463,3 +2463,48 @@ def rollup_sums(ds: ray.data.Dataset, keys: list[str], value: str,
     out["sum_v"] = out["sum_v"].astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def integer_ema(ds: ray.data.Dataset, key: str, order: str, value: str,
+                shift: int = 2, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key exact integer exponential moving average with
+    α = 1/2^shift: ema₁ = v₁, emaₜ = (vₜ + (2^shift − 1)·emaₜ₋₁)
+    >> shift (floor — exact for non-negative values, no float drift).
+    The classic streaming smoother, run as ONE lockstep vectorized
+    wave per sequence index across every key in the bucket (no
+    per-key Python loop). Returns (key, ema_last, ema_sum, n_events).
+    """
+    mul = (1 << shift) - 1
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        keys_arr = g[key].to_numpy()
+        vs = g[value].to_numpy().astype(np.int64)
+        uk, start = np.unique(keys_arr, return_index=True)
+        G = len(uk)
+        if G == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "ema_last": pd.Series(dtype="int64"),
+                                 "ema_sum": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        sizes = np.diff(np.append(start, len(g)))
+        L = int(sizes.max())
+        pos = np.arange(len(g)) - np.repeat(start, sizes)
+        gi = np.repeat(np.arange(G), sizes)
+        v = np.zeros((G, L), np.int64)
+        v[gi, pos] = vs
+        alive = np.zeros((G, L), bool)
+        alive[gi, pos] = True
+        ema = v[:, 0].copy()
+        tot = ema.copy()
+        for i in range(1, L):
+            ne = (v[:, i] + mul * ema) >> shift
+            ema = np.where(alive[:, i], ne, ema)
+            tot += np.where(alive[:, i], ema, 0)
+        return pd.DataFrame({key: uk,
+                             "ema_last": ema.astype(np.int64),
+                             "ema_sum": tot.astype(np.int64),
+                             "n_events": sizes.astype(np.int64)})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

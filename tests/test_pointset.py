@@ -138,3 +138,39 @@ def test_rollup_sums(ray_session):
     for a, r in df.groupby("a")["v"].agg(["sum", "size"]).iterrows():
         m = got[(got["a"] == a) & (got["b"] == "ALL")]
         assert m["sum_v"].iloc[0] == r["sum"]
+
+
+def _brute_dtw(track, tpl):
+    n, m = len(track), len(tpl)
+    d = np.array([[(ax - bx) ** 2 + (ay - by) ** 2
+                   for bx, by in tpl] for ax, ay in track], np.int64)
+    big = np.int64(1) << 60
+    f = np.full((n + 1, m + 1), big, np.int64)
+    f[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            f[i, j] = d[i - 1, j - 1] + min(f[i - 1, j], f[i, j - 1],
+                                            f[i - 1, j - 1])
+    return int(f[n, m])
+
+
+def test_dtw_brute(ray_session):
+    from hand_index_ray.pipelines.trajectory import dtw_to_template
+
+    rng = np.random.default_rng(47)
+    tpl = np.array([[3, 9], [30, 22], [50, 50], [9, 60]], np.int64)
+    rows = []
+    for g in range(6):
+        n = int(rng.integers(1, 30))
+        for i in range(n):
+            rows.append((g, i, int(rng.integers(0, 64)),
+                         int(rng.integers(0, 64))))
+    df = pd.DataFrame(rows, columns=["gid", "ord", "x", "y"])
+    got = dtw_to_template(ray.data.from_pandas(df), "gid", "ord",
+                          "x", "y", tpl).to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["gid"] == row["gid"]].sort_values("ord")
+        ref = _brute_dtw(sub[["x", "y"]].to_numpy(), tpl)
+        assert row["dtw_d2"] == ref
+        assert row["n_pts"] == len(sub)

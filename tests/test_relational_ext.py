@@ -443,3 +443,28 @@ def test_profile_int_columns_with_nulls(ray_session):
     assert pa_row["n_distinct"] == 4  # 1, 3, 7, null
     pb = prof[prof["col"] == "b"].iloc[0]
     assert pb["n_distinct"] == 1 and pb["min_v"] == 5
+
+
+def test_integer_ema_brute(ray_session):
+    import ray.data
+    from hand_index_ray.relational import integer_ema
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for k in range(7):
+        n = int(rng.integers(1, 40))
+        for i in range(n):
+            rows.append((k, i, int(rng.integers(0, 50000))))
+    df = pd.DataFrame(rows, columns=["k", "ord", "v"])
+    got = integer_ema(ray.data.from_pandas(df), "k", "ord", "v",
+                      shift=2).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]].sort_values("ord")["v"].tolist()
+        ema, tot = sub[0], sub[0]
+        for v in sub[1:]:
+            ema = (v + 3 * ema) >> 2
+            tot += ema
+        assert row["ema_last"] == ema
+        assert row["ema_sum"] == tot
+        assert row["n_events"] == len(sub)

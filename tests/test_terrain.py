@@ -980,3 +980,42 @@ def test_largest_rect_brute_parity():
             assert (a, n) == (best, cnt), (m, a, n, best, cnt)
     assert largest_zero_rect(np.zeros((3, 4), bool)) == (0, 0)
     assert largest_zero_rect(np.ones((3, 4), bool)) == (12, 1)
+
+
+def test_tophat_brute_parity():
+    from hand_index_ray.pipelines.terrain import tophat_core
+
+    rng = np.random.default_rng(53)
+    for _ in range(6):
+        H, W = int(rng.integers(5, 14)), int(rng.integers(5, 14))
+        v = rng.integers(0, 60, (H, W)).astype(np.int64)
+        got = tophat_core(v)
+        assert got.shape == (H - 4, W - 4)
+        for y in range(2, H - 2):
+            for x in range(2, W - 2):
+                # opening at (y,x): max over 3x3 of the 3x3-min field
+                op = max(v[yy - 1:yy + 2, xx - 1:xx + 2].min()
+                         for yy in range(y - 1, y + 2)
+                         for xx in range(x - 1, x + 2))
+                assert got[y - 2, x - 2] == v[y, x] - op
+        assert (got >= 0).all()  # opening is anti-extensive
+
+
+def test_histmatch_brute_parity():
+    from hand_index_ray.pipelines.terrain import histogram_match
+
+    rng = np.random.default_rng(59)
+    for _ in range(8):
+        n = 32
+        a = rng.integers(0, n, (9, 14)).astype(np.int64)
+        b = rng.integers(0, n, (9, 14)).astype(np.int64)
+        m = histogram_match(a, b, n)
+        ca = np.cumsum(np.bincount(a.ravel(), minlength=n))
+        cb = np.cumsum(np.bincount(b.ravel(), minlength=n))
+        for v in range(n):
+            want = min(w for w in range(n) if cb[w] >= ca[v])
+            assert m[v] == want
+        # matching A to itself is the identity on present levels
+        mi = histogram_match(a, a, n)
+        present = np.flatnonzero(np.bincount(a.ravel(), minlength=n))
+        assert (mi[present] == present).all()
