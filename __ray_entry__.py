@@ -4826,6 +4826,199 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              shift=2).to_pandas()
         return df.sort_values("user_id").reset_index(drop=True)
 
+    def q226_segment_crossings(sf):  # line-layer crossing join
+        """Distributed line-layer crossing join (the candidate-pair
+        pass of GIS node-ing): proper crossings between two integer
+        segment layers via ONE cell-key shuffle — bbox cell covers,
+        vectorized orientation sign tests, exactly-once canonical-cell
+        emission (pipelines/overlay.py:segment_crossings). Oracle is
+        the brute all-pairs sign-test self-join."""
+        from hand_index_ray.pipelines.overlay import segment_crossings
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def seg(side):
+            def fn(t: pa.Table) -> pa.Table:
+                ok = t.column("o_orderkey").to_numpy()
+                ok = ok[(ok % 7 == 0) & (ok % 2 == side)]
+                return pa.table({
+                    "id": pa.array(ok, pa.int64()),
+                    "x1": pa.array((ok * 3) % 97, pa.int64()),
+                    "y1": pa.array((ok * 7) % 97, pa.int64()),
+                    "x2": pa.array((ok * 5 + 13) % 97, pa.int64()),
+                    "y2": pa.array((ok * 11 + 29) % 97, pa.int64())})
+            return fn
+
+        la = orders.map_batches(seg(0), batch_format="pyarrow")
+        lb = orders.map_batches(seg(1), batch_format="pyarrow")
+        pairs = segment_crossings(la, lb, cs=16).to_pandas()
+        pairs["gid"] = pairs["a_id"] % 13
+        pairs["checksum"] = pairs["a_id"] + 2 * pairs["b_id"]
+        out = pairs.groupby("gid", as_index=False).agg(
+            n_cross=("a_id", "size"), checksum=("checksum", "sum"))
+        out["n_cross"] = out["n_cross"].astype("int64")
+        return out.sort_values("gid").reset_index(drop=True)
+
+    def q227_hotspot(sf):  # Getis-Ord-style local hotspot detection
+        """Local hotspot detection (the Getis–Ord Gi* shape, exact
+        integer form): interior cell hot iff den·H·W·local9 >
+        num·9·total — local mean > 1.25× global mean, cross-multiplied
+        (pipelines/terrain.py:hotspot_stats). The LOCAL sibling of
+        q204's global Moran's I. Oracle: 3×3 neighbor GROUP BY join
+        + the same integer inequality."""
+        from hand_index_ray.pipelines.terrain import hotspot_stats
+        ds = _terrain_blobs(sf, 233, 12, 9, 8, 3, 5, 43,
+                            compression="deflate", predictor=2)
+        df = hotspot_stats(ds, num=5, den=4,
+                           id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q228_hilbert(sf):  # Hilbert-curve keys (4th index family)
+        """Hilbert-curve distance keys over integer points — the
+        locality-optimal total order next to Morton/geohash/H3/S2
+        (kernels/hilbert.py: one vectorized pass over bit levels,
+        quadrant Gray code + canonical re-framing; unit-step adjacency
+        and bijection pinned in tests). Oracle: recursive CTE running
+        the same per-level rotation arithmetic."""
+        from hand_index_ray.kernels import hilbert
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey"])
+
+        def enc(t: pa.Table) -> pa.Table:
+            d = hilbert.encode(t.column("l_partkey").to_numpy() % 1024,
+                               t.column("l_suppkey").to_numpy() % 1024,
+                               order=10)
+            return pa.table({
+                "gid": pa.array(t.column("l_orderkey").to_numpy() % 101,
+                                pa.int64()),
+                "d": pa.array(d, pa.int64())})
+
+        ds = li.map_batches(enc, batch_format="pyarrow")
+        df = rel.grouped_agg(ds, ["gid"], sum_cols=["d"],
+                             max_cols=["d"]).to_pandas()
+        df = df.rename(columns={"d": "hilbert_sum"})
+        df["n"] = df["n"].astype("int64")
+        return df[["gid", "hilbert_sum", "max_d", "n"]] \
+            .sort_values("gid").reset_index(drop=True)
+
+    def q229_edge_nms(sf):  # gradient non-maximum suppression
+        """Edge thinning by gradient NMS (Canny stage 2): 3×3 Sobel,
+        exact-integer 4-sector quantization (|gx| ≥ 2|gy| horizontal,
+        |gy| ≥ 2|gx| vertical, else sign(gx·gy) diagonal), survivor
+        iff mag² strictly beats both sector neighbors and ≥ thresh
+        (pipelines/terrain.py:edge_nms_stats). Oracle: Sobel as an
+        8-neighbor weighted join + CASE sector + neighbor compares."""
+        from hand_index_ray.pipelines.terrain import edge_nms_stats
+        ds = _terrain_blobs(sf, 239, 12, 10, 15, 6, 11, 59,
+                            compression="lzw", predictor=2)
+        df = edge_nms_stats(ds, thresh2=500,
+                            id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q230_rlsa(sf):  # run-length smoothing (document layout)
+        """Horizontal RLSA (the classic document-layout block
+        segmentation pass): 0-runs of length ≤ 2 between set pixels
+        filled — per-pixel nearest-set-left/right via two
+        maximum.accumulate passes, one fill formula, map-only
+        (pipelines/terrain.py:rlsa_horizontal). Reports set-before,
+        newly-filled, and run counts after smoothing. Oracle: window
+        MAX/MIN over each row + LAG run starts."""
+        from hand_index_ray.pipelines.terrain import rlsa_stats
+        ds = _terrain_blobs(sf, 251, 14, 9, 10, 7, 3, 37,
+                            compression="deflate", predictor=2)
+        df = rlsa_stats(ds, thresh=12, gap=2,
+                        id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q231_lcss(sf):  # LCSS trajectory similarity
+        """LCSS similarity to a broadcast template under a Chebyshev
+        ε-match — the noise-robust sibling of q224's DTW (outliers are
+        skipped, not paid for); same lockstep one-wave-per-point
+        vectorization (pipelines/trajectory.py:lcss_to_template).
+        Oracle: recursive CTE carrying the 4 DP columns with CASE
+        match arms."""
+        from hand_index_ray.pipelines.trajectory import lcss_to_template
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy()
+            ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+            x = t.column("l_partkey").to_numpy() % 64
+            y = t.column("l_suppkey").to_numpy() % 64
+            o = ((ok * 8 + ln) * 64 + x) * 64 + y
+            return pa.table({
+                "gid": pa.array(ok % 389, pa.int64()),
+                "ord": pa.array(o, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64())})
+
+        ds = li.map_batches(prep, batch_format="pyarrow")
+        tpl = np.array([[10, 10], [25, 30], [40, 15], [55, 50]],
+                       np.int64)
+        df = lcss_to_template(ds, "gid", "ord", "x", "y", tpl, eps=6) \
+            .to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q232_weighted_median(sf):  # grouped weighted median
+        """Lower weighted median of event value (cents) per event
+        type, weighted by user_id%7+1 — weights pre-summed per
+        distinct value so ties are deterministic; one keyed shuffle,
+        sort+reduceat first-crossing inside the bucket, no per-group
+        loop (relational.py:grouped_weighted_median). Oracle: window
+        cumulative weights + MIN(v) at the crossing."""
+        from hand_index_ray.relational import grouped_weighted_median
+
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def w(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "value_cents": t.column("value_cents"),
+                "w": pa.array(t.column("user_id").to_numpy() % 7 + 1,
+                              pa.int64())})
+
+        ds = ev.map_batches(w, batch_format="pyarrow")
+        df = grouped_weighted_median(ds, "event_type", "value_cents",
+                                     "w").to_pandas()
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    def q233_mann_kendall(sf):  # nonparametric trend test statistic
+        """Mann–Kendall S per user over event values in cents — the
+        classic hydrology/climatology trend statistic, Σ sign(vⱼ−vᵢ)
+        over time-ordered pairs, exact integer
+        (relational.py:mann_kendall: L lockstep waves inside the
+        bucket, no per-key loop, no L×L×G tensor). Oracle: the literal
+        pair self-join SUM(SIGN(...))."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.mann_kendall(ev, "user_id", "event_id",
+                              "value_cents").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q234_kernel_heatmap(sf):  # exact-integer KDE heat map
+        """Triangle-kernel heatmap rasterization (the exact-integer
+        KDE heat map): each point tents weight r−|Δ| per axis onto the
+        16×16 cell-center grid — SHUFFLE-FREE: each batch scatter-adds
+        a dense grid and emits nx·ny partial rows, a tiny grouped sum
+        merges (pipelines/geostat.py:kernel_heatmap). Oracle: the
+        literal cells × points GREATEST product sum."""
+        from hand_index_ray.pipelines.geostat import kernel_heatmap
+
+        ev = _t(sf, "events").select_columns(["event_id"])
+
+        def pts(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"px": pa.array((e * 7) % 256, pa.int64()),
+                             "py": pa.array((e * 13) % 256, pa.int64())})
+
+        ds = ev.map_batches(pts, batch_format="pyarrow")
+        df = kernel_heatmap(ds, "px", "py", r=12, cs=16, nx=16,
+                            ny=16).to_pandas()
+        return df.sort_values(["cx", "cy"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5046,6 +5239,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q223_histmatch": q223_histmatch,
         "q224_dtw": q224_dtw,
         "q225_ema": q225_ema,
+        "q226_segment_crossings": q226_segment_crossings,
+        "q227_hotspot": q227_hotspot,
+        "q228_hilbert": q228_hilbert,
+        "q229_edge_nms": q229_edge_nms,
+        "q230_rlsa": q230_rlsa,
+        "q231_lcss": q231_lcss,
+        "q232_weighted_median": q232_weighted_median,
+        "q233_mann_kendall": q233_mann_kendall,
+        "q234_kernel_heatmap": q234_kernel_heatmap,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5572,6 +5774,106 @@ def _dtw_sql() -> str:
         ORDER BY 1"""
 
 
+def _lcss_sql() -> str:
+    """q231: recursive-CTE LCSS DP — 4 boolean match columns ride each
+    point row; base row f_j = m_j ? 1 : f_{j−1}; recursion
+    nf_j = m_j ? f_{j−1}+1 : GREATEST(f_j, nf_{j−1}) (f_0 ≡ 0),
+    same-row dependencies expanded by nesting."""
+    tpl = [(10, 10), (25, 30), (40, 15), (55, 50)]
+    mcols = ",\n                   ".join(
+        f"(abs((l_partkey % 64) - {tx}) <= 6"
+        f" AND abs((l_suppkey % 64) - {ty}) <= 6) AS m{j + 1}"
+        for j, (tx, ty) in enumerate(tpl))
+    base = ["CASE WHEN m1 THEN 1 ELSE 0 END"]
+    for j in range(1, 4):
+        base.append(f"CASE WHEN m{j + 1} THEN 1 ELSE ({base[j - 1]}) END")
+    base_sel = ", ".join(f"CAST({e} AS BIGINT) AS f{j + 1}"
+                         for j, e in enumerate(base))
+    nf = ["CASE WHEN p.m1 THEN 1 ELSE s.f1 END"]
+    for j in range(1, 4):
+        nf.append(f"CASE WHEN p.m{j + 1} THEN s.f{j} + 1 "
+                  f"ELSE GREATEST(s.f{j + 1}, ({nf[j - 1]})) END")
+    rec_sel = ", ".join(f"CAST({e} AS BIGINT) AS f{j + 1}"
+                        for j, e in enumerate(nf))
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT l_orderkey % 389 AS gid,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey % 389
+                       ORDER BY ((l_orderkey * 8 + l_linenumber) * 64
+                                 + l_partkey % 64) * 64
+                                + l_suppkey % 64)
+                       AS BIGINT) AS i,
+                   {mcols}
+            FROM lineitem),
+        st AS (
+            SELECT gid, i, {base_sel} FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.gid, p.i, {rec_sel}
+            FROM st s JOIN pts p ON p.gid = s.gid AND p.i = s.i + 1),
+        cnt AS (SELECT gid, COUNT(*) AS n FROM pts GROUP BY 1)
+        SELECT s.gid, CAST(s.f4 AS BIGINT) AS lcss_len,
+               CAST(cnt.n AS BIGINT) AS n_pts
+        FROM st s JOIN cnt ON cnt.gid = s.gid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.gid
+                                   ORDER BY s.i DESC) = 1
+        ORDER BY 1"""
+
+
+def _edge_nms_sql() -> str:
+    """q229: Sobel gradients computed ARITHMETICALLY from the fixture
+    formula (no neighbor joins needed for g), then 8 mag²-grid joins
+    for the sector-neighbor compares."""
+    def v(xe: str, ye: str) -> str:
+        return f"(k * 15 + ({xe}) * 6 + ({ye}) * 11) % 59"
+    gx = (f"({v('x+1', 'y-1')} + 2 * ({v('x+1', 'y')}) + {v('x+1', 'y+1')}"
+          f" - {v('x-1', 'y-1')} - 2 * ({v('x-1', 'y')})"
+          f" - {v('x-1', 'y+1')})")
+    gy = (f"({v('x-1', 'y+1')} + 2 * ({v('x', 'y+1')}) + {v('x+1', 'y+1')}"
+          f" - {v('x-1', 'y-1')} - 2 * ({v('x', 'y-1')})"
+          f" - {v('x+1', 'y-1')})")
+    return f"""
+        WITH ks AS (SELECT o_orderkey AS k FROM orders
+                    WHERE o_orderkey % 239 = 0),
+        g AS MATERIALIZED (
+            SELECT ks.k, x.x, y.y, {gx} AS gx, {gy} AS gy
+            FROM ks
+            CROSS JOIN (SELECT generate_series AS x
+                        FROM generate_series(1, 10)) x
+            CROSS JOIN (SELECT generate_series AS y
+                        FROM generate_series(1, 8)) y),
+        m AS MATERIALIZED (
+            SELECT k, x, y, gx * gx + gy * gy AS m2,
+                   CASE WHEN abs(gx) >= 2 * abs(gy) THEN 0
+                        WHEN abs(gy) >= 2 * abs(gx) THEN 1
+                        WHEN gx * gy > 0 THEN 2 ELSE 3 END AS sec
+            FROM g),
+        core AS (
+            SELECT c.k, c.m2,
+                   CASE c.sec
+                     WHEN 0 THEN c.m2 > e.m2 AND c.m2 > w.m2
+                     WHEN 1 THEN c.m2 > s.m2 AND c.m2 > n.m2
+                     WHEN 2 THEN c.m2 > se.m2 AND c.m2 > nw.m2
+                     ELSE c.m2 > sw.m2 AND c.m2 > ne.m2
+                   END AND c.m2 >= 500 AS kp
+            FROM m c
+            JOIN m e  ON e.k = c.k AND e.x = c.x + 1 AND e.y = c.y
+            JOIN m w  ON w.k = c.k AND w.x = c.x - 1 AND w.y = c.y
+            JOIN m s  ON s.k = c.k AND s.x = c.x AND s.y = c.y + 1
+            JOIN m n  ON n.k = c.k AND n.x = c.x AND n.y = c.y - 1
+            JOIN m se ON se.k = c.k AND se.x = c.x + 1 AND se.y = c.y + 1
+            JOIN m nw ON nw.k = c.k AND nw.x = c.x - 1 AND nw.y = c.y - 1
+            JOIN m sw ON sw.k = c.k AND sw.x = c.x - 1 AND sw.y = c.y + 1
+            JOIN m ne ON ne.k = c.k AND ne.x = c.x + 1 AND ne.y = c.y - 1
+            WHERE c.x BETWEEN 2 AND 9 AND c.y BETWEEN 2 AND 7)
+        SELECT k AS o_orderkey,
+               CAST(COUNT(*) FILTER (WHERE kp) AS BIGINT) AS n_edges,
+               CAST(COALESCE(SUM(m2) FILTER (WHERE kp), 0) AS BIGINT)
+                   AS edge_mag2_sum,
+               CAST(MAX(m2) AS BIGINT) AS max_mag2
+        FROM core GROUP BY 1 ORDER BY 1"""
+
+
 def _watershed_sql(doublings: int = 7) -> str:
     """q219: D8 next-pointer table, then ``doublings`` unrolled
     pointer-doubling self-joins (2⁷ = 128 ≥ any path on the 12×10
@@ -5867,6 +6169,174 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q224_dtw": _dtw_sql(),
+        "q226_segment_crossings": """
+            WITH s AS (SELECT o_orderkey AS id,
+                              (o_orderkey * 3) % 97 AS x1,
+                              (o_orderkey * 7) % 97 AS y1,
+                              (o_orderkey * 5 + 13) % 97 AS x2,
+                              (o_orderkey * 11 + 29) % 97 AS y2
+                       FROM orders WHERE o_orderkey % 7 = 0),
+            a AS (SELECT * FROM s WHERE id % 2 = 0),
+            b AS (SELECT * FROM s WHERE id % 2 = 1),
+            p AS (SELECT a.id AS ai, b.id AS bi FROM a, b
+                  WHERE ((a.x2 - a.x1) * (b.y1 - a.y1)
+                         - (a.y2 - a.y1) * (b.x1 - a.x1))
+                      * ((a.x2 - a.x1) * (b.y2 - a.y1)
+                         - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+                    AND ((b.x2 - b.x1) * (a.y1 - b.y1)
+                         - (b.y2 - b.y1) * (a.x1 - b.x1))
+                      * ((b.x2 - b.x1) * (a.y2 - b.y1)
+                         - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0)
+            SELECT ai % 13 AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_cross,
+                   CAST(SUM(ai + 2 * bi) AS BIGINT) AS checksum
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "q227_hotspot": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 233 = 0),
+            dem AS MATERIALIZED (SELECT ks.k, x.x, y.y,
+                           (ks.k * 8 + x.x * 3 + y.y * 5) % 43 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 11)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 8)) y),
+            loc AS (SELECT d.k, d.x, d.y, SUM(n.v) AS l9
+                    FROM dem d JOIN dem n ON n.k = d.k
+                     AND abs(n.x - d.x) <= 1 AND abs(n.y - d.y) <= 1
+                    WHERE d.x BETWEEN 1 AND 10 AND d.y BETWEEN 1 AND 7
+                    GROUP BY 1, 2, 3),
+            tot AS (SELECT k, SUM(v) AS t FROM dem GROUP BY 1)
+            SELECT loc.k AS o_orderkey,
+                   CAST(COUNT(*) FILTER (WHERE 4 * 108 * l9 > 5 * 9 * tot.t)
+                        AS BIGINT) AS n_hot,
+                   CAST(MAX(l9) AS BIGINT) AS max_local,
+                   CAST(SUM(l9) AS BIGINT) AS local_sum
+            FROM loc JOIN tot ON tot.k = loc.k
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q228_hilbert": """
+            WITH RECURSIVE h AS (
+                SELECT l_orderkey % 101 AS gid,
+                       CAST(l_partkey % 1024 AS BIGINT) AS x,
+                       CAST(l_suppkey % 1024 AS BIGINT) AS y,
+                       CAST(0 AS BIGINT) AS d, 9 AS i
+                FROM lineitem
+                UNION ALL
+                SELECT gid,
+                       CASE WHEN (y >> i) & 1 = 1
+                              THEN x & ((1 << i) - 1)
+                            WHEN (x >> i) & 1 = 0
+                              THEN y & ((1 << i) - 1)
+                            ELSE (1 << i) - 1 - (y & ((1 << i) - 1))
+                       END AS x,
+                       CASE WHEN (y >> i) & 1 = 1
+                              THEN y & ((1 << i) - 1)
+                            WHEN (x >> i) & 1 = 0
+                              THEN x & ((1 << i) - 1)
+                            ELSE (1 << i) - 1 - (x & ((1 << i) - 1))
+                       END AS y,
+                       d + (CAST(1 AS BIGINT) << (2 * i)) *
+                           (CASE WHEN (x >> i) & 1 = 0
+                                  AND (y >> i) & 1 = 0 THEN 0
+                                 WHEN (x >> i) & 1 = 0 THEN 1
+                                 WHEN (y >> i) & 1 = 1 THEN 2
+                                 ELSE 3 END) AS d,
+                       i - 1 AS i
+                FROM h WHERE i >= 0)
+            SELECT gid, CAST(SUM(d) AS BIGINT) AS hilbert_sum,
+                   CAST(MAX(d) AS BIGINT) AS max_d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM h WHERE i = -1 GROUP BY 1 ORDER BY 1
+        """,
+        "q229_edge_nms": _edge_nms_sql(),
+        "q230_rlsa": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 251 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 10 + x.x * 7 + y.y * 3) % 37 < 12 AS m
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 13)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 8)) y),
+            w AS (SELECT k, x, y, m,
+                         MAX(CASE WHEN m THEN x END) OVER (
+                             PARTITION BY k, y ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS lft,
+                         MIN(CASE WHEN m THEN x END) OVER (
+                             PARTITION BY k, y ORDER BY x
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS rgt
+                  FROM dem),
+            s AS (SELECT k, x, y, m,
+                         m OR (lft IS NOT NULL AND rgt IS NOT NULL
+                               AND rgt - lft - 1 <= 2) AS sm
+                  FROM w),
+            r AS (SELECT k, m, sm,
+                         LAG(sm, 1, FALSE) OVER (
+                             PARTITION BY k, y ORDER BY x) AS prev
+                  FROM s)
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) FILTER (WHERE m) AS BIGINT) AS n_set,
+                   CAST(COUNT(*) FILTER (WHERE sm AND NOT m)
+                        AS BIGINT) AS n_filled,
+                   CAST(COUNT(*) FILTER (WHERE sm AND NOT prev)
+                        AS BIGINT) AS n_runs
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "q231_lcss": _lcss_sql(),
+        "q233_mann_kendall": """
+            WITH b AS (SELECT user_id, event_id,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events),
+            cnt AS (SELECT user_id, COUNT(*) AS n FROM b GROUP BY 1),
+            s AS (SELECT a.user_id, SUM(SIGN(x2.v - a.v)) AS s
+                  FROM b a JOIN b x2 ON x2.user_id = a.user_id
+                                    AND x2.event_id > a.event_id
+                  GROUP BY 1)
+            SELECT cnt.user_id,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS s_stat,
+                   CAST(cnt.n AS BIGINT) AS n_events
+            FROM cnt LEFT JOIN s ON s.user_id = cnt.user_id
+            ORDER BY 1
+        """,
+        "q234_kernel_heatmap": """
+            WITH pts AS (SELECT (event_id * 7) % 256 AS px,
+                                (event_id * 13) % 256 AS py
+                         FROM events),
+            cells AS (SELECT i.i AS cx, j.j AS cy
+                      FROM (SELECT generate_series AS i
+                            FROM generate_series(0, 15)) i
+                      CROSS JOIN (SELECT generate_series AS j
+                                  FROM generate_series(0, 15)) j)
+            SELECT c.cx, c.cy,
+                   CAST(SUM(GREATEST(0, 12 - abs(c.cx * 16 - p.px))
+                            * GREATEST(0, 12 - abs(c.cy * 16 - p.py)))
+                        AS BIGINT) AS heat
+            FROM cells c CROSS JOIN pts p
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q232_weighted_median": """
+            WITH b AS (SELECT event_type,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              user_id % 7 + 1 AS w
+                       FROM events),
+            a AS (SELECT event_type, v, SUM(w) AS w
+                  FROM b GROUP BY 1, 2),
+            c AS (SELECT event_type, v,
+                         SUM(w) OVER (PARTITION BY event_type
+                                      ORDER BY v) AS cw,
+                         SUM(w) OVER (PARTITION BY event_type) AS tw
+                  FROM a)
+            SELECT event_type,
+                   CAST(MIN(v) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+                       AS wmedian,
+                   CAST(MAX(tw) AS BIGINT) AS total_w
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
         "q225_ema": """
             WITH RECURSIVE s AS (
                 SELECT user_id,

@@ -114,3 +114,45 @@ def semivariogram(points: ray.data.Dataset, max_lag: int,
     agg = grouped_agg(parts, ["d2_bin"],
                       sum_cols=["n_pairs", "gamma_num"], count=False)
     return agg.select_columns(["d2_bin", "n_pairs", "gamma_num"])
+
+
+def kernel_heatmap(ds: "ray.data.Dataset", x: str, y: str, r: int,
+                   cs: int, nx: int, ny: int) -> "ray.data.Dataset":
+    """Triangle-kernel (separable tent) heatmap rasterization: each
+    integer point adds w = max(0, r − |i·cs − px|) · max(0, r −
+    |j·cs − py|) to every grid cell center (i·cs, j·cs) — the exact-
+    integer form of the classic KDE heat map. SHUFFLE-FREE: each batch
+    scatter-adds its points into a dense (nx, ny) int64 grid (a point
+    touches ≤ ⌈2r/cs⌉² cells, vectorized outer-product add per offset
+    pair) and emits the grid as nx·ny partial rows; a tiny grouped sum
+    merges the partials. Returns (cx, cy, heat) for every cell."""
+    import pyarrow as pa
+
+    from ..relational import grouped_agg
+
+    span = (r - 1) // cs + 1  # max |i − px//cs| with nonzero weight
+
+    def partial(t: pa.Table) -> pa.Table:
+        px = t.column(x).to_numpy().astype(np.int64)
+        py = t.column(y).to_numpy().astype(np.int64)
+        grid = np.zeros((nx, ny), np.int64)
+        bx = px // cs
+        by = py // cs
+        for di in range(-span, span + 1):
+            i = bx + di
+            wx = r - np.abs(i * cs - px)
+            for dj in range(-span, span + 1):
+                j = by + dj
+                wy = r - np.abs(j * cs - py)
+                w = np.maximum(wx, 0) * np.maximum(wy, 0)
+                m = (i >= 0) & (i < nx) & (j >= 0) & (j < ny) & (w > 0)
+                np.add.at(grid, (i[m], j[m]), w[m])
+        ii, jj = np.meshgrid(np.arange(nx, dtype=np.int64),
+                             np.arange(ny, dtype=np.int64), indexing="ij")
+        return pa.table({"cx": pa.array(ii.ravel(), pa.int64()),
+                         "cy": pa.array(jj.ravel(), pa.int64()),
+                         "heat": pa.array(grid.ravel(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, ["cx", "cy"], sum_cols=["heat"],
+                       count=False)

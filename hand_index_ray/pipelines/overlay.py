@@ -139,3 +139,93 @@ def overlay_intersection_areas(layer_a: ray.data.Dataset,
 
     return grouped_apply_bucketed(both, ["cell"], per_cell,
                                   num_buckets=num_buckets)
+
+
+def _seg_explode(side: int, cs: int):
+    """Explode integer segments to covering lattice cells (cell edge =
+    ``cs``), slim (cell, side, id, x1, y1, x2, y2) rows."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy().astype(np.int64)
+        x1 = t.column("x1").to_numpy().astype(np.int64)
+        y1 = t.column("y1").to_numpy().astype(np.int64)
+        x2 = t.column("x2").to_numpy().astype(np.int64)
+        y2 = t.column("y2").to_numpy().astype(np.int64)
+        cx0 = np.minimum(x1, x2) // cs
+        cx1 = np.maximum(x1, x2) // cs
+        cy0 = np.minimum(y1, y2) // cs
+        cy1 = np.maximum(y1, y2) // cs
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        n = nx * ny
+        g = np.repeat(np.arange(len(n)), n)
+        step = np.arange(int(n.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
+        cx = cx0[g] + step % nx[g]
+        cy = cy0[g] + step // nx[g]
+        return pa.table({
+            "cell": pa.array((cx + _OFF) * (1 << 32) + (cy + _OFF),
+                             pa.int64()),
+            "side": pa.array(np.full(len(g), side, np.int8()), pa.int8()),
+            "id": pa.array(ids[g], pa.int64()),
+            "x1": pa.array(x1[g], pa.int64()),
+            "y1": pa.array(y1[g], pa.int64()),
+            "x2": pa.array(x2[g], pa.int64()),
+            "y2": pa.array(y2[g], pa.int64())})
+    return fn
+
+
+def segment_crossings(layer_a: ray.data.Dataset,
+                      layer_b: ray.data.Dataset, cs: int,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed line-layer crossing join (the candidate-pair pass of
+    GIS node-ing / planar overlay of line layers): every (a, b) pair of
+    integer segments, one per layer, that PROPERLY cross — orientation
+    signs strictly opposite on both sides, touching/collinear excluded
+    — emitted exactly once as (a_id, b_id).
+
+    Same shuffle shape as ``overlay_intersection_areas``: segments
+    explode to bbox-covering cells of one integer lattice, each cell
+    co-group runs a fully vectorized sign test (no per-pair Python),
+    and a pair sharing many cells is emitted only by the canonical
+    cell containing the bbox-intersection's lower-left corner (which
+    both coverings provably contain). All arithmetic is exact int64 —
+    coordinates must satisfy |coord| < 2^20 so the orientation
+    products stay in range."""
+    from ..relational import grouped_apply_bucketed
+
+    ea = layer_a.map_batches(_seg_explode(0, cs), batch_format="pyarrow")
+    eb = layer_b.map_batches(_seg_explode(1, cs), batch_format="pyarrow")
+    both = ea.union(eb)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64")})
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        key = int(g["cell"].iloc[0])
+        cellx = (key >> 32) - _OFF
+        celly = (key & 0xFFFFFFFF) - _OFF
+        ax1 = a["x1"].to_numpy()[:, None]; ay1 = a["y1"].to_numpy()[:, None]
+        ax2 = a["x2"].to_numpy()[:, None]; ay2 = a["y2"].to_numpy()[:, None]
+        bx1 = b["x1"].to_numpy()[None, :]; by1 = b["y1"].to_numpy()[None, :]
+        bx2 = b["x2"].to_numpy()[None, :]; by2 = b["y2"].to_numpy()[None, :]
+        # canonical cell: lower-left corner of the bbox intersection
+        ox = np.maximum(np.minimum(ax1, ax2), np.minimum(bx1, bx2))
+        oy = np.maximum(np.minimum(ay1, ay2), np.minimum(by1, by2))
+        canon = (ox // cs == cellx) & (oy // cs == celly)
+        dax = ax2 - ax1; day = ay2 - ay1
+        dbx = bx2 - bx1; dby = by2 - by1
+        d1 = dax * (by1 - ay1) - day * (bx1 - ax1)
+        d2 = dax * (by2 - ay1) - day * (bx2 - ax1)
+        d3 = dbx * (ay1 - by1) - dby * (ax1 - bx1)
+        d4 = dbx * (ay2 - by1) - dby * (ax2 - bx1)
+        hit = canon & (d1 * d2 < 0) & (d3 * d4 < 0)
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame({"a_id": a["id"].to_numpy()[ii],
+                             "b_id": b["id"].to_numpy()[jj]})
+
+    return grouped_apply_bucketed(both, ["cell"], per_cell,
+                                  num_buckets=num_buckets)

@@ -1547,3 +1547,141 @@ def histmatch_stats(ds, nlevels: int, bytes_a: str = "bytes_a",
                          "matched_max": pa.array(mx, pa.int64()),
                          "n_changed": pa.array(ch, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hotspot_core(arr: np.ndarray, num: int = 2, den: int = 1):
+    """Getis–Ord-style local hotspot test over interior cells: a cell
+    is hot iff its 3×3 local sum exceeds ``num/den`` times the expected
+    local sum under uniformity (9·total/(H·W)) — cross-multiplied so
+    the comparison is exact int64:  den·H·W·local9 > num·9·total.
+    Returns (hot mask, local-sum grid, total)."""
+    v = arr.astype(np.int64)
+    H, W = v.shape
+    loc = np.zeros((H - 2, W - 2), np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            loc += v[1 + dy:H - 1 + dy or None, 1 + dx:W - 1 + dx or None]
+    total = int(v.sum())
+    hot = den * H * W * loc > num * 9 * total
+    return hot, loc, total
+
+
+def hotspot_stats(ds, num: int = 2, den: int = 1,
+                  bytes_col: str = "bytes", id_col: str = "path"):
+    """Per-raster hotspot aggregates: hot-cell count, max local sum,
+    and the interior local-sum checksum."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nh, mx, sm = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            hot, loc, _ = hotspot_core(arr, num, den)
+            ids.append(rid)
+            nh.append(int(hot.sum()))
+            mx.append(int(loc.max()))
+            sm.append(int(loc.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_hot": pa.array(nh, pa.int64()),
+                         "max_local": pa.array(mx, pa.int64()),
+                         "local_sum": pa.array(sm, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def edge_nms_core(arr: np.ndarray, thresh2: int):
+    """Gradient non-maximum suppression (the edge-thinning pass of
+    Canny): 3×3 Sobel gx/gy on the interior, squared magnitude, the
+    gradient direction quantized to 4 sectors by the exact integer
+    rule |gx| ≥ 2|gy| → horizontal, |gy| ≥ 2|gx| → vertical, else the
+    diagonal picked by sign(gx·gy); a pixel survives iff its mag² is
+    STRICTLY greater than both neighbors along its sector and
+    ≥ ``thresh2``. Runs over the (H−4)×(W−4) core so every survivor's
+    sector neighbors carry full Sobel support. Returns (keep mask,
+    mag² core grid)."""
+    v = arr.astype(np.int64)
+    H, W = v.shape
+    s = {(dy, dx): v[1 + dy:H - 1 + dy or None, 1 + dx:W - 1 + dx or None]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+    gx = (s[(-1, 1)] + 2 * s[(0, 1)] + s[(1, 1)]
+          - s[(-1, -1)] - 2 * s[(0, -1)] - s[(1, -1)])
+    gy = (s[(1, -1)] + 2 * s[(1, 0)] + s[(1, 1)]
+          - s[(-1, -1)] - 2 * s[(-1, 0)] - s[(-1, 1)])
+    mag2 = gx * gx + gy * gy
+    ax, ay = np.abs(gx), np.abs(gy)
+    horiz = ax >= 2 * ay          # neighbors at dx = ±1
+    vert = ay >= 2 * ax           # neighbors at dy = ±1
+    diag_main = ~horiz & ~vert & (gx * gy > 0)   # (+1,+1)/(−1,−1)
+    # remaining: anti-diagonal (+1,−1)/(−1,+1)
+    h, w = mag2.shape
+    core = np.s_[1:h - 1], np.s_[1:w - 1]
+    m = mag2[core]
+
+    def nb(dy, dx):
+        return mag2[1 + dy:h - 1 + dy or None, 1 + dx:w - 1 + dx or None]
+
+    keep = np.where(
+        horiz[core], (m > nb(0, 1)) & (m > nb(0, -1)),
+        np.where(vert[core], (m > nb(1, 0)) & (m > nb(-1, 0)),
+                 np.where(diag_main[core],
+                          (m > nb(1, 1)) & (m > nb(-1, -1)),
+                          (m > nb(1, -1)) & (m > nb(-1, 1)))))
+    keep &= m >= thresh2
+    return keep, m
+
+
+def edge_nms_stats(ds, thresh2: int, bytes_col: str = "bytes",
+                   id_col: str = "path"):
+    """Per-raster thinned-edge aggregates: surviving-pixel count, the
+    sum of their squared magnitudes, and the max core mag²."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ne, sm, mx = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            keep, m = edge_nms_core(arr, thresh2)
+            ids.append(rid)
+            ne.append(int(keep.sum()))
+            sm.append(int(m[keep].sum()))
+            mx.append(int(m.max()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_edges": pa.array(ne, pa.int64()),
+                         "edge_mag2_sum": pa.array(sm, pa.int64()),
+                         "max_mag2": pa.array(mx, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rlsa_horizontal(mask: np.ndarray, gap: int):
+    """Horizontal run-length smoothing (RLSA, the classic document-
+    layout block-segmentation pass): every 0-run of length ≤ ``gap``
+    lying BETWEEN two set pixels in its row is filled. Fully
+    vectorized: per-pixel nearest-set-index to the left/right via two
+    maximum.accumulate passes, one boolean fill formula. Returns the
+    smoothed mask."""
+    H, W = mask.shape
+    idx = np.arange(W, dtype=np.int64)[None, :]
+    left = np.maximum.accumulate(np.where(mask, idx, -1), axis=1)
+    rr = np.where(mask[:, ::-1], idx, -1)
+    right_rev = np.maximum.accumulate(rr, axis=1)[:, ::-1]
+    right = np.where(right_rev >= 0, W - 1 - right_rev, W)
+    fill = (~mask & (left >= 0) & (right < W)
+            & (right - left - 1 <= gap))
+    return mask | fill
+
+
+def rlsa_stats(ds, thresh: int, gap: int, bytes_col: str = "bytes",
+               id_col: str = "path"):
+    """Per-raster horizontal-RLSA aggregates over the mask v < thresh:
+    set-pixel count before, newly filled count, and the number of
+    horizontal runs after smoothing (the block count layout analysis
+    consumes)."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nb, nf, nr = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            m = arr.astype(np.int64) < thresh
+            sm = rlsa_horizontal(m, gap)
+            starts = sm & ~np.pad(sm[:, :-1], ((0, 0), (1, 0)),
+                                  constant_values=False)
+            ids.append(rid)
+            nb.append(int(m.sum()))
+            nf.append(int(sm.sum()) - int(m.sum()))
+            nr.append(int(starts.sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_set": pa.array(nb, pa.int64()),
+                         "n_filled": pa.array(nf, pa.int64()),
+                         "n_runs": pa.array(nr, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

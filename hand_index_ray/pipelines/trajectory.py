@@ -177,3 +177,56 @@ def dtw_to_template(ds: ray.data.Dataset, key: str, order: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def lcss_to_template(ds: ray.data.Dataset, key: str, order: str,
+                     x: str, y: str, template: "np.ndarray", eps: int,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Longest common subsequence (LCSS) similarity to a broadcast
+    template under a Chebyshev ε-match (|Δx| ≤ eps AND |Δy| ≤ eps) —
+    the noise-robust sibling of DTW (skips outliers instead of paying
+    for them): L(i,j) = L(i−1,j−1)+1 on match else max(L(i−1,j),
+    L(i,j−1)). Same lockstep shape as ``dtw_to_template``. Returns
+    (key, lcss_len, n_pts)."""
+    from ..relational import grouped_apply_bucketed
+
+    tpl = np.asarray(template, dtype=np.int64)
+    m = len(tpl)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        keys_arr = g[key].to_numpy()
+        xs = g[x].to_numpy().astype(np.int64)
+        ys = g[y].to_numpy().astype(np.int64)
+        uk, start = np.unique(keys_arr, return_index=True)
+        G = len(uk)
+        if G == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "lcss_len": pd.Series(dtype="int64"),
+                                 "n_pts": pd.Series(dtype="int64")})
+        sizes = np.diff(np.append(start, len(g)))
+        L = int(sizes.max())
+        pos = np.arange(len(g)) - np.repeat(start, sizes)
+        gi = np.repeat(np.arange(G), sizes)
+        mt = np.zeros((G, L, m), bool)
+        for j in range(m):
+            mt[gi, pos, j] = ((np.abs(xs - tpl[j, 0]) <= eps)
+                              & (np.abs(ys - tpl[j, 1]) <= eps))
+        alive = np.zeros((G, L), bool)
+        alive[gi, pos] = True
+        f = np.zeros((G, m), np.int64)
+        for i in range(L):
+            mi = mt[:, i, :]
+            nf = np.empty_like(f)
+            # j = 0: L(i−1, j−1) is the all-zero column
+            nf[:, 0] = np.where(mi[:, 0], 1, f[:, 0])
+            for j in range(1, m):
+                nf[:, j] = np.where(mi[:, j], f[:, j - 1] + 1,
+                                    np.maximum(f[:, j], nf[:, j - 1]))
+            f = np.where(alive[:, i, None], nf, f)
+        return pd.DataFrame({key: uk,
+                             "lcss_len": f[:, m - 1].astype(np.int64),
+                             "n_pts": sizes.astype(np.int64)})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -2508,3 +2508,80 @@ def integer_ema(ds: ray.data.Dataset, key: str, order: str, value: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def grouped_weighted_median(ds: ray.data.Dataset, key: str, value: str,
+                            weight: str,
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Lower weighted median per key — the smallest v with 2·cumw(v) ≥
+    total_w, weights first summed per distinct (key, value) so ties are
+    deterministic (the corpus-stats form: e.g. median document quality
+    weighted by token count). ONE keyed shuffle; inside each bucket a
+    single sort + reduceat/cumsum pass, first-crossing by a
+    minimum.reduceat — no per-group Python loop. Returns
+    (key, wmedian, total_w)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby([key, value], sort=True)[weight].sum().reset_index()
+        if len(a) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "wmedian": pd.Series(dtype="int64"),
+                                 "total_w": pd.Series(dtype="int64")})
+        k = a[key].to_numpy()
+        v = a[value].to_numpy().astype(np.int64)
+        w = a[weight].to_numpy().astype(np.int64)
+        n = len(a)
+        uk, start = np.unique(k, return_index=True)
+        counts = np.diff(np.append(start, n))
+        cum = np.cumsum(w)
+        tot = np.add.reduceat(w, start)
+        offs = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        within = cum - np.repeat(offs, counts)
+        cond = 2 * within >= np.repeat(tot, counts)
+        first = np.minimum.reduceat(np.where(cond, np.arange(n), n),
+                                    start)
+        return pd.DataFrame({key: uk,
+                             "wmedian": v[first].astype(np.int64),
+                             "total_w": tot.astype(np.int64)})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def mann_kendall(ds: ray.data.Dataset, key: str, order: str, value: str,
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Mann–Kendall trend statistic per key — S = Σ_{i<j}
+    sign(v_j − v_i) over the time-ordered values (the classic
+    nonparametric hydrology/climatology trend test; exact integer,
+    ties contribute 0). ONE keyed shuffle; inside the bucket the pair
+    sum runs as L lockstep vectorized waves of width ≤ L across every
+    key at once (never a per-key Python loop, never an L×L×G tensor).
+    Returns (key, s_stat, n_events)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        keys_arr = g[key].to_numpy()
+        vs = g[value].to_numpy().astype(np.int64)
+        uk, start = np.unique(keys_arr, return_index=True)
+        G = len(uk)
+        if G == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "s_stat": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        sizes = np.diff(np.append(start, len(g)))
+        L = int(sizes.max())
+        pos = np.arange(len(g)) - np.repeat(start, sizes)
+        gi = np.repeat(np.arange(G), sizes)
+        v = np.zeros((G, L), np.int64)
+        v[gi, pos] = vs
+        alive = np.zeros((G, L), bool)
+        alive[gi, pos] = True
+        s = np.zeros(G, np.int64)
+        for i in range(L - 1):
+            d = np.sign(v[:, i + 1:] - v[:, i:i + 1])
+            ok = alive[:, i:i + 1] & alive[:, i + 1:]
+            s += np.where(ok, d, 0).sum(axis=1)
+        return pd.DataFrame({key: uk,
+                             "s_stat": s,
+                             "n_events": sizes.astype(np.int64)})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

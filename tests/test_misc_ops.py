@@ -255,3 +255,28 @@ def test_jsonl_csv_document_sources(ray_session, tmp_path):
     df.drop(columns=["text"]).to_csv(bad, index=False)
     with _pytest.raises(Exception):
         read_documents_csv(bad).to_pandas()
+
+
+def test_kernel_heatmap_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from hand_index_ray.pipelines.geostat import kernel_heatmap
+
+    rng = np.random.default_rng(101)
+    px = rng.integers(0, 256, 300)
+    py = rng.integers(0, 256, 300)
+    df = pd.DataFrame({"px": px, "py": py})
+    got = kernel_heatmap(ray.data.from_pandas(df).repartition(4),
+                         "px", "py", r=12, cs=16, nx=16, ny=16) \
+        .to_pandas().sort_values(["cx", "cy"]).reset_index(drop=True)
+    assert len(got) == 256
+    ci, cj = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    want = (np.maximum(0, 12 - np.abs(ci.ravel()[:, None] * 16 - px))
+            * np.maximum(0, 12 - np.abs(cj.ravel()[:, None] * 16 - py))
+            ).sum(axis=1)
+    assert got["heat"].to_numpy().tolist() == want.tolist()
+    # conservation: total heat == sum of per-point separable masses
+    wx = np.maximum(0, 12 - np.abs(np.arange(16)[:, None] * 16 - px))
+    wy = np.maximum(0, 12 - np.abs(np.arange(16)[:, None] * 16 - py))
+    assert int(got["heat"].sum()) == int((wx.sum(0) * wy.sum(0)).sum())

@@ -68,3 +68,59 @@ def test_overlay_concave_l_shape(ray_session):
     assert len(got) == 1
     assert got["a_id"].iloc[0] == 1 and got["b_id"].iloc[0] == 2
     assert abs(got["area"].iloc[0] - 20.0) < 1e-9
+
+
+def _brute_crossings(A, B):
+    out = []
+    for ai, ax1, ay1, ax2, ay2 in A:
+        for bi, bx1, by1, bx2, by2 in B:
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                out.append((ai, bi))
+    return sorted(out)
+
+
+def test_segment_crossings_brute_parity(ray_session):
+    from hand_index_ray.pipelines.overlay import segment_crossings
+
+    rng = np.random.default_rng(67)
+    for cs in (4, 16, 64):
+        A = [(i, *(int(v) for v in rng.integers(-30, 70, 4)))
+             for i in range(40)]
+        B = [(i, *(int(v) for v in rng.integers(-30, 70, 4)))
+             for i in range(100, 140)]
+        da = ray.data.from_pandas(pd.DataFrame(
+            A, columns=["id", "x1", "y1", "x2", "y2"]))
+        db = ray.data.from_pandas(pd.DataFrame(
+            B, columns=["id", "x1", "y1", "x2", "y2"]))
+        got = segment_crossings(da, db, cs=cs).to_pandas()
+        got_pairs = sorted(zip(got["a_id"], got["b_id"]))
+        assert got_pairs == _brute_crossings(A, B), cs
+        # exactly-once: no duplicate pair rows
+        assert len(got_pairs) == len(set(got_pairs))
+
+
+def test_segment_crossings_touch_excluded(ray_session):
+    from hand_index_ray.pipelines.overlay import segment_crossings
+
+    # T-touch (endpoint on interior), shared endpoint, collinear
+    # overlap: none are PROPER crossings against A0.  B10 T-touches A0
+    # at (5,0) but ALSO properly crosses A1 at (5,5); B13 properly
+    # crosses A1 at (5,5).
+    A = [(0, 0, 0, 10, 0),    # horizontal y=0
+         (1, 0, 5, 10, 5)]    # horizontal y=5
+    B = [(10, 5, 0, 5, 10),   # vertical: T-touch on A0, proper X on A1
+         (11, 0, 0, 0, 10),   # shares endpoint with A0
+         (12, 2, 0, 8, 0),    # collinear inside A0
+         (13, 3, 4, 7, 6)]    # properly crosses A1
+    da = ray.data.from_pandas(pd.DataFrame(
+        A, columns=["id", "x1", "y1", "x2", "y2"]))
+    db = ray.data.from_pandas(pd.DataFrame(
+        B, columns=["id", "x1", "y1", "x2", "y2"]))
+    got = segment_crossings(da, db, cs=8).to_pandas()
+    assert sorted(zip(got["a_id"], got["b_id"])) == [(1, 10), (1, 13)]
+    # nothing pairs with A0: every B contact with A0 is touch/collinear
+    assert 0 not in set(got["a_id"])

@@ -174,3 +174,39 @@ def test_dtw_brute(ray_session):
         ref = _brute_dtw(sub[["x", "y"]].to_numpy(), tpl)
         assert row["dtw_d2"] == ref
         assert row["n_pts"] == len(sub)
+
+
+def _brute_lcss(track, tpl, eps):
+    n, m = len(track), len(tpl)
+    f = np.zeros((n + 1, m + 1), np.int64)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            ax, ay = track[i - 1]
+            bx, by = tpl[j - 1]
+            if abs(ax - bx) <= eps and abs(ay - by) <= eps:
+                f[i, j] = f[i - 1, j - 1] + 1
+            else:
+                f[i, j] = max(f[i - 1, j], f[i, j - 1])
+    return int(f[n, m])
+
+
+def test_lcss_brute(ray_session):
+    from hand_index_ray.pipelines.trajectory import lcss_to_template
+
+    rng = np.random.default_rng(83)
+    tpl = np.array([[10, 10], [25, 30], [40, 15], [55, 50]], np.int64)
+    rows = []
+    for g in range(6):
+        n = int(rng.integers(1, 30))
+        for i in range(n):
+            rows.append((g, i, int(rng.integers(0, 64)),
+                         int(rng.integers(0, 64))))
+    df = pd.DataFrame(rows, columns=["gid", "ord", "x", "y"])
+    got = lcss_to_template(ray.data.from_pandas(df), "gid", "ord",
+                           "x", "y", tpl, eps=6).to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["gid"] == row["gid"]].sort_values("ord")
+        ref = _brute_lcss(sub[["x", "y"]].to_numpy(), tpl, 6)
+        assert row["lcss_len"] == ref
+        assert row["n_pts"] == len(sub)

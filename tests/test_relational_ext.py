@@ -468,3 +468,58 @@ def test_integer_ema_brute(ray_session):
         assert row["ema_last"] == ema
         assert row["ema_sum"] == tot
         assert row["n_events"] == len(sub)
+
+
+def test_grouped_weighted_median_brute(ray_session):
+    import ray.data
+    from hand_index_ray.relational import grouped_weighted_median
+
+    rng = np.random.default_rng(89)
+    rows = []
+    for k in range(8):
+        n = int(rng.integers(1, 50))
+        for _ in range(n):
+            rows.append((k, int(rng.integers(0, 20)),
+                         int(rng.integers(1, 9))))
+    df = pd.DataFrame(rows, columns=["k", "v", "w"])
+    got = grouped_weighted_median(ray.data.from_pandas(df), "k", "v",
+                                  "w").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]]
+        agg = sub.groupby("v")["w"].sum().sort_index()
+        tot = int(agg.sum())
+        cum = 0
+        for v, w in agg.items():
+            cum += int(w)
+            if 2 * cum >= tot:
+                assert row["wmedian"] == v
+                break
+        assert row["total_w"] == tot
+
+
+def test_mann_kendall_brute(ray_session):
+    import ray.data
+    from hand_index_ray.relational import mann_kendall
+
+    rng = np.random.default_rng(97)
+    rows = []
+    for k in range(7):
+        n = int(rng.integers(1, 40))
+        for i in range(n):
+            rows.append((k, i, int(rng.integers(0, 12))))  # many ties
+    df = pd.DataFrame(rows, columns=["k", "ord", "v"])
+    got = mann_kendall(ray.data.from_pandas(df), "k", "ord", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]].sort_values("ord")["v"].to_numpy()
+        s = sum(int(np.sign(sub[j] - sub[i]))
+                for i in range(len(sub)) for j in range(i + 1, len(sub)))
+        assert row["s_stat"] == s
+        assert row["n_events"] == len(sub)
+    # monotone sequences hit the exact extremes
+    mono = pd.DataFrame({"k": [0] * 5 + [1] * 5, "ord": list(range(5)) * 2,
+                         "v": [1, 2, 3, 4, 5, 9, 7, 5, 3, 1]})
+    got = mann_kendall(ray.data.from_pandas(mono), "k", "ord", "v") \
+        .to_pandas().sort_values("k")
+    assert got["s_stat"].tolist() == [10, -10]

@@ -1019,3 +1019,73 @@ def test_histmatch_brute_parity():
         mi = histogram_match(a, a, n)
         present = np.flatnonzero(np.bincount(a.ravel(), minlength=n))
         assert (mi[present] == present).all()
+
+
+def test_edge_nms_brute_parity():
+    from hand_index_ray.pipelines.terrain import edge_nms_core
+
+    rng = np.random.default_rng(71)
+    for _ in range(5):
+        H, W = int(rng.integers(5, 12)), int(rng.integers(5, 12))
+        v = rng.integers(0, 60, (H, W)).astype(np.int64)
+        keep, m = edge_nms_core(v, thresh2=300)
+        assert keep.shape == (H - 4, W - 4) and m.shape == keep.shape
+        for y in range(2, H - 2):
+            for x in range(2, W - 2):
+                def grad(yy, xx):
+                    gx = (v[yy - 1, xx + 1] + 2 * v[yy, xx + 1]
+                          + v[yy + 1, xx + 1] - v[yy - 1, xx - 1]
+                          - 2 * v[yy, xx - 1] - v[yy + 1, xx - 1])
+                    gy = (v[yy + 1, xx - 1] + 2 * v[yy + 1, xx]
+                          + v[yy + 1, xx + 1] - v[yy - 1, xx - 1]
+                          - 2 * v[yy - 1, xx] - v[yy - 1, xx + 1])
+                    return gx, gy
+                gx, gy = grad(y, x)
+                m2 = gx * gx + gy * gy
+                assert m[y - 2, x - 2] == m2
+                if abs(gx) >= 2 * abs(gy):
+                    nbs = ((y, x + 1), (y, x - 1))
+                elif abs(gy) >= 2 * abs(gx):
+                    nbs = ((y + 1, x), (y - 1, x))
+                elif gx * gy > 0:
+                    nbs = ((y + 1, x + 1), (y - 1, x - 1))
+                else:
+                    nbs = ((y + 1, x - 1), (y - 1, x + 1))
+                want = m2 >= 300 and all(
+                    m2 > sum(g * g for g in grad(*nb)) for nb in nbs)
+                assert bool(keep[y - 2, x - 2]) == want
+
+
+def test_hotspot_brute_parity():
+    from hand_index_ray.pipelines.terrain import hotspot_core
+
+    rng = np.random.default_rng(73)
+    for _ in range(6):
+        H, W = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        v = rng.integers(0, 50, (H, W)).astype(np.int64)
+        hot, loc, total = hotspot_core(v, num=5, den=4)
+        assert total == v.sum()
+        for y in range(1, H - 1):
+            for x in range(1, W - 1):
+                l9 = int(v[y - 1:y + 2, x - 1:x + 2].sum())
+                assert loc[y - 1, x - 1] == l9
+                assert bool(hot[y - 1, x - 1]) == \
+                    (4 * H * W * l9 > 5 * 9 * total)
+
+
+def test_rlsa_brute_parity():
+    from hand_index_ray.pipelines.terrain import rlsa_horizontal
+
+    rng = np.random.default_rng(79)
+    for gap in (0, 1, 2, 4):
+        for _ in range(4):
+            H, W = int(rng.integers(1, 8)), int(rng.integers(1, 14))
+            m = rng.random((H, W)) < 0.4
+            got = rlsa_horizontal(m, gap)
+            want = m.copy()
+            for y in range(H):
+                xs = np.flatnonzero(m[y])
+                for a, b in zip(xs[:-1], xs[1:]):
+                    if b - a - 1 <= gap:
+                        want[y, a:b + 1] = True
+            assert (got == want).all(), (gap, m)

@@ -58,3 +58,41 @@ def test_keys_in_ranges_edges():
         [False, True, True, False, True, False])
     assert not z.keys_in_ranges(np.array([1, 2]),
                                 np.zeros((0, 2), np.int64)).any()
+
+
+def test_hilbert_bijection_adjacency_roundtrip():
+    from hand_index_ray.kernels import hilbert
+
+    for order in (1, 2, 3, 5, 6):
+        n = 1 << order
+        xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = hilbert.encode(xx.ravel(), yy.ravel(), order)
+        assert sorted(d.tolist()) == list(range(n * n))  # bijection
+        x2, y2 = hilbert.decode(d, order)
+        assert (x2 == xx.ravel()).all() and (y2 == yy.ravel()).all()
+        # THE Hilbert property Morton lacks: consecutive keys are unit
+        # grid steps
+        px, py = hilbert.decode(np.arange(n * n), order)
+        steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+        assert (steps == 1).all()
+        # quadrant recursion: the first quarter of keys fills exactly
+        # one quadrant
+        qx, qy = px[: n * n // 4], py[: n * n // 4]
+        assert qx.max() < n // 2 and qy.max() < n // 2
+
+
+def test_hilbert_locality_beats_morton():
+    """Mean |Δgrid| over one key step is exactly 1 for Hilbert; Morton
+    jumps at quadrant seams. Quantifies the documented locality claim."""
+    from hand_index_ray.kernels import hilbert
+
+    order = 6
+    n = 1 << order
+    px, py = hilbert.decode(np.arange(n * n), order)
+    assert (np.abs(np.diff(px)) + np.abs(np.diff(py))).max() == 1
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mk = z.encode(xx.ravel().astype(np.uint32), yy.ravel().astype(np.uint32))
+    order_idx = np.argsort(mk)
+    mx, my = xx.ravel()[order_idx], yy.ravel()[order_idx]
+    mort_steps = np.abs(np.diff(mx)) + np.abs(np.diff(my))
+    assert mort_steps.max() > 1  # morton seam jumps exist
