@@ -5019,6 +5019,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ny=16).to_pandas()
         return df.sort_values(["cx", "cy"]).reset_index(drop=True)
 
+    def q235_interval_union(sf):  # per-key interval union (coverage)
+        """Interval-union coverage per user: each event opens a
+        half-open [ts, ts + (user_id%5+1) min) window; overlapping or
+        touching windows merge, reporting islands / covered time /
+        longest island — ONE keyed shuffle, C-speed cummax sweep, no
+        per-key loop (relational.py:interval_union). Oracle: window
+        running-max islands."""
+        ev = _t(sf, "events").select_columns(["user_id", "ts"])
+
+        def iv(t: pa.Table) -> pa.Table:
+            u = t.column("user_id").to_numpy()
+            s = pc.cast(t["ts"], pa.int64()).to_numpy()
+            return pa.table({
+                "user_id": pa.array(u, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + (u % 5 + 1) * 60_000_000, pa.int64())})
+
+        ds = ev.map_batches(iv, batch_format="pyarrow")
+        df = rel.interval_union(ds, "user_id", "s", "e").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q236_forest_rank(sf):  # forest depth+root by pointer doubling
+        """Depth and root of every node of a synthetic forest over the
+        customer keys (parent(k) = k // (k%7 + 2), 0 = root) —
+        distributed pointer doubling / parallel list ranking: O(log
+        depth) slim task waves, state never on the driver
+        (pipelines/graph.py:forest_rank). Oracle: the recursive CTE
+        this replaces at warehouse scale."""
+        from hand_index_ray.pipelines.graph import forest_rank
+
+        cust = _t(sf, "customer").select_columns(["c_custkey"])
+
+        def nodes(t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy().astype(np.int64)
+            return pa.table({
+                "node": pa.array(k, pa.int64()),
+                "parent": pa.array(k // (k % 7 + 2), pa.int64())})
+
+        ds = cust.map_batches(nodes, batch_format="pyarrow")
+        df = forest_rank(ds).to_pandas()
+        return df.sort_values("node").reset_index(drop=True)
+
+    def q237_cheapest_hops(sf):  # hop-bounded min-plus shortest path
+        """Cheapest cost within 4 hops from a 3-seed set over a
+        directed weighted graph minted from lineitem — distributed
+        Bellman–Ford cut at a hop budget: edges hash-partitioned once,
+        one relax + one min-reduce wave per round, parallel multi-edges
+        absorbed by the min (pipelines/graph.py:cheapest_hops).
+        Oracle: 4 chained relax CTEs."""
+        from hand_index_ray.pipelines.graph import cheapest_hops
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey"])
+
+        def edges(t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+            return pa.table({
+                "u": pa.array(pk * 17 % 2000, pa.int64()),
+                "v": pa.array((sk * 131 + pk) % 2000, pa.int64()),
+                "w": pa.array(ok % 97 + 1, pa.int64())})
+
+        ds = li.map_batches(edges, batch_format="pyarrow")
+        df = cheapest_hops(ds, np.array([0, 7, 130]), hops=4).to_pandas()
+        df = df.rename(columns={"cost": "cost"})
+        return df.sort_values("node").reset_index(drop=True)
+
+    def q238_cdc_chunks(sf):  # content-defined chunking dedup ledger
+        """Content-defined chunking (FastCDC/LBFS shape) over the
+        documents corpus: Rabin–Karp gram hash ≡ 0 (mod 64) cuts,
+        chunk ids from the same ONE flat modular prefix sum, corpus-
+        wide chunk dedup through a slim (fp, len) shuffle, per
+        size-class dedup ledger (pipelines/text.py:cdc_chunks).
+        Oracle: the identical polynomial arithmetic via a windowed
+        modular prefix sum."""
+        return textops.cdc_chunks(_t(sf, "documents"), k=8, div=64)
+
+    def q239_hysteresis(sf):  # Canny hysteresis edge linking
+        """Canny stage 3 — hysteresis linking on NMS survivors of a
+        disc fixture (ring edges vary gradient magnitude ALONG the
+        boundary, so strong and weak survivors are 8-adjacent): strong
+        (mag² ≥ hi) seeds flood through weak survivors, per-image
+        vectorized dilation to fixpoint, map-only across the corpus
+        (pipelines/terrain.py:hysteresis_stats). Oracle: join-based
+        Sobel + NMS, then a recursive-CTE flood from the strong set."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines.terrain import hysteresis_stats
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(12, dtype=np.int64),
+                             np.arange(14, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 239 == 0]
+            blobs = []
+            for k in keys:
+                k = int(k)
+                cx, cy = 4 + k % 6, 4 + (k // 6) % 4
+                disc = (xx - cx) ** 2 + (yy - cy) ** 2 <= 5 + k % 9
+                v = np.where(disc, 40 + k % 7, k % 5).astype(np.int32)
+                blobs.append(encode_geotiff(v, compression="lzw",
+                                            predictor=2))
+            return pa.table({"o_orderkey": pa.array(
+                                 [int(k) for k in keys], pa.int64()),
+                             "bytes": pa.array(blobs, pa.binary())})
+
+        ds = orders.map_batches(gen, batch_format="pyarrow")
+        df = hysteresis_stats(ds, lo2=5000, hi2=30000,
+                              id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5248,6 +5360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q232_weighted_median": q232_weighted_median,
         "q233_mann_kendall": q233_mann_kendall,
         "q234_kernel_heatmap": q234_kernel_heatmap,
+        "q235_interval_union": q235_interval_union,
+        "q236_forest_rank": q236_forest_rank,
+        "q237_cheapest_hops": q237_cheapest_hops,
+        "q238_cdc_chunks": q238_cdc_chunks,
+        "q239_hysteresis": q239_hysteresis,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5874,6 +5991,201 @@ def _edge_nms_sql() -> str:
         FROM core GROUP BY 1 ORDER BY 1"""
 
 
+def _hysteresis_sql(lo2: int = 5000, hi2: int = 30000) -> str:
+    """q239: disc-fixture pixels (CASE inside/outside), join-based
+    Sobel + the q229 NMS core, then a recursive-CTE flood — reach =
+    strong pixels UNION weak 8-neighbors of reach (recursive-UNION
+    dedup terminates the recursion at the fixpoint)."""
+    return f"""
+        WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders
+                    WHERE o_orderkey % 239 = 0),
+        px AS MATERIALIZED (
+            SELECT ks.k, x.x, y.y,
+                   CASE WHEN (x.x - (4 + ks.k % 6))
+                            * (x.x - (4 + ks.k % 6))
+                          + (y.y - (4 + (ks.k // 6) % 4))
+                            * (y.y - (4 + (ks.k // 6) % 4))
+                          <= 5 + ks.k % 9
+                        THEN 40 + ks.k % 7 ELSE ks.k % 5 END AS v
+            FROM ks
+            CROSS JOIN (SELECT generate_series AS x
+                        FROM generate_series(0, 13)) x
+            CROSS JOIN (SELECT generate_series AS y
+                        FROM generate_series(0, 11)) y),
+        m AS MATERIALIZED (
+            SELECT c.k, c.x, c.y,
+                   (ne.v + 2 * e.v + se.v - nw.v - 2 * w.v - sw.v)
+                 * (ne.v + 2 * e.v + se.v - nw.v - 2 * w.v - sw.v)
+                 + (sw.v + 2 * s.v + se.v - nw.v - 2 * n.v - ne.v)
+                 * (sw.v + 2 * s.v + se.v - nw.v - 2 * n.v - ne.v)
+                       AS m2,
+                   CASE WHEN abs(ne.v + 2 * e.v + se.v
+                                 - nw.v - 2 * w.v - sw.v)
+                             >= 2 * abs(sw.v + 2 * s.v + se.v
+                                        - nw.v - 2 * n.v - ne.v) THEN 0
+                        WHEN abs(sw.v + 2 * s.v + se.v
+                                 - nw.v - 2 * n.v - ne.v)
+                             >= 2 * abs(ne.v + 2 * e.v + se.v
+                                        - nw.v - 2 * w.v - sw.v) THEN 1
+                        WHEN (ne.v + 2 * e.v + se.v
+                              - nw.v - 2 * w.v - sw.v)
+                           * (sw.v + 2 * s.v + se.v
+                              - nw.v - 2 * n.v - ne.v) > 0 THEN 2
+                        ELSE 3 END AS sec
+            FROM px c
+            JOIN px e  ON e.k = c.k AND e.x = c.x + 1 AND e.y = c.y
+            JOIN px w  ON w.k = c.k AND w.x = c.x - 1 AND w.y = c.y
+            JOIN px s  ON s.k = c.k AND s.x = c.x AND s.y = c.y + 1
+            JOIN px n  ON n.k = c.k AND n.x = c.x AND n.y = c.y - 1
+            JOIN px se ON se.k = c.k AND se.x = c.x + 1 AND se.y = c.y + 1
+            JOIN px nw ON nw.k = c.k AND nw.x = c.x - 1 AND nw.y = c.y - 1
+            JOIN px sw ON sw.k = c.k AND sw.x = c.x - 1 AND sw.y = c.y + 1
+            JOIN px ne ON ne.k = c.k AND ne.x = c.x + 1 AND ne.y = c.y - 1
+            WHERE c.x BETWEEN 1 AND 12 AND c.y BETWEEN 1 AND 10),
+        core AS MATERIALIZED (
+            SELECT c.k, c.x, c.y, c.m2,
+                   CASE c.sec
+                     WHEN 0 THEN c.m2 > e.m2 AND c.m2 > w.m2
+                     WHEN 1 THEN c.m2 > s.m2 AND c.m2 > n.m2
+                     WHEN 2 THEN c.m2 > se.m2 AND c.m2 > nw.m2
+                     ELSE c.m2 > sw.m2 AND c.m2 > ne.m2
+                   END AND c.m2 >= {lo2} AS kp
+            FROM m c
+            JOIN m e  ON e.k = c.k AND e.x = c.x + 1 AND e.y = c.y
+            JOIN m w  ON w.k = c.k AND w.x = c.x - 1 AND w.y = c.y
+            JOIN m s  ON s.k = c.k AND s.x = c.x AND s.y = c.y + 1
+            JOIN m n  ON n.k = c.k AND n.x = c.x AND n.y = c.y - 1
+            JOIN m se ON se.k = c.k AND se.x = c.x + 1 AND se.y = c.y + 1
+            JOIN m nw ON nw.k = c.k AND nw.x = c.x - 1 AND nw.y = c.y - 1
+            JOIN m sw ON sw.k = c.k AND sw.x = c.x - 1 AND sw.y = c.y + 1
+            JOIN m ne ON ne.k = c.k AND ne.x = c.x + 1 AND ne.y = c.y - 1
+            WHERE c.x BETWEEN 2 AND 11 AND c.y BETWEEN 2 AND 9),
+        strong AS (SELECT k, x, y, m2 FROM core
+                   WHERE kp AND m2 >= {hi2}),
+        weak AS MATERIALIZED (SELECT k, x, y, m2 FROM core
+                              WHERE kp AND m2 < {hi2}),
+        rch AS (
+            SELECT k, x, y FROM strong
+            UNION
+            SELECT w.k, w.x, w.y
+            FROM rch r JOIN weak w ON w.k = r.k
+                 AND abs(w.x - r.x) <= 1 AND abs(w.y - r.y) <= 1),
+        linked AS (SELECT r.k, w.m2 FROM rch r
+                   JOIN weak w ON w.k = r.k AND w.x = r.x AND w.y = r.y)
+        SELECT ks.k AS o_orderkey,
+               CAST(COALESCE(st.n, 0) AS BIGINT) AS n_strong,
+               CAST(COALESCE(wk.n, 0) AS BIGINT) AS n_weak,
+               CAST(COALESCE(lk.n, 0) AS BIGINT) AS n_linked,
+               CAST(COALESCE(st.s, 0) + COALESCE(lk.s, 0) AS BIGINT)
+                   AS edge_mag2_sum
+        FROM ks
+        LEFT JOIN (SELECT k, COUNT(*) AS n, SUM(m2) AS s FROM strong
+                   GROUP BY k) st ON st.k = ks.k
+        LEFT JOIN (SELECT k, COUNT(*) AS n FROM weak GROUP BY k) wk
+               ON wk.k = ks.k
+        LEFT JOIN (SELECT k, COUNT(*) AS n, SUM(m2) AS s FROM linked
+                   GROUP BY k) lk ON lk.k = ks.k
+        ORDER BY 1"""
+
+
+def _cdc_sql(k: int = 8, div: int = 64) -> str:
+    """q238: content-defined chunking in SQL — the gram hash is the
+    same degree-(k-1) polynomial mod 2^31-1 as q42's winnowing
+    (k explicit ascii(substr) terms); cuts where it ≡ 0 (mod div)
+    plus the forced end-of-doc cut; each chunk's id is the polynomial
+    over the whole chunk, evaluated from a B^-j-weighted windowed
+    prefix sum (HUGEINT-safe cumulative, mod at use) times B^b —
+    exactly the engine's flat-prefix arithmetic."""
+    from hand_index_ray.pipelines.text import WINNOW_BASE, WINNOW_MOD
+    P = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, t.pos + {j}, 1)) * {P[k - 1 - j]}::BIGINT"
+        for j in range(k))
+    inv = pow(WINNOW_BASE, WINNOW_MOD - 2, WINNOW_MOD)
+    return f"""
+    WITH RECURSIVE pw(e, p, ip) AS (
+        SELECT 0, 1::BIGINT, 1::BIGINT
+        UNION ALL
+        SELECT e + 1, (p * {WINNOW_BASE}) % {WINNOW_MOD},
+               (ip * {inv}) % {WINNOW_MOD}
+        FROM pw WHERE e < (SELECT MAX(length(text)) FROM documents)
+    ), g AS (
+      SELECT doc_id, t.pos AS pos, ({terms}) % {WINNOW_MOD} AS gh
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, length(text) - {k - 1}))
+                    AS pos) t
+      WHERE length(text) >= {k}
+    ), cuts AS (
+      -- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB does
+      -- not apply plain-UNION dedup semantics to non-recursive CTEs
+      SELECT DISTINCT doc_id, b FROM (
+        SELECT doc_id, pos + {k - 1} AS b FROM g WHERE gh % {div} = 0
+        UNION ALL
+        SELECT doc_id, length(text) AS b FROM documents
+        WHERE length(text) > 0)
+    ), ch AS (
+      SELECT doc_id,
+             COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+                 AS a, b
+      FROM cuts
+    ), chars AS (
+      SELECT doc_id, t.i AS i,
+             ascii(substr(text, t.i + 1, 1))::BIGINT AS cp
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(0, length(text) - 1))
+                    AS i) t
+      WHERE length(text) > 0
+    ), pref AS (
+      SELECT c.doc_id, c.i,
+             SUM(c.cp * pw.ip) OVER (PARTITION BY c.doc_id ORDER BY c.i)
+                 AS s
+      FROM chars c JOIN pw ON pw.e = c.i + 1
+    ), hx AS (
+      SELECT ch.doc_id, ch.b - ch.a AS len,
+             (CAST(((pb.s - COALESCE(pa.s, 0)) % {WINNOW_MOD}
+                    + {WINNOW_MOD}) % {WINNOW_MOD} AS BIGINT)
+              * pwb.p) % {WINNOW_MOD} AS fp
+      FROM ch
+      JOIN pref pb ON pb.doc_id = ch.doc_id AND pb.i = ch.b - 1
+      LEFT JOIN pref pa ON pa.doc_id = ch.doc_id AND pa.i = ch.a - 1
+      JOIN pw pwb ON pwb.e = ch.b
+    ), per AS (
+      SELECT fp, len, COUNT(*) AS n FROM hx GROUP BY 1, 2
+    )
+    SELECT len % 8 AS sc,
+           CAST(SUM(n) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n * len) AS BIGINT) AS bytes_total,
+           CAST(SUM(len) AS BIGINT) AS bytes_distinct
+    FROM per GROUP BY 1 ORDER BY 1"""
+
+
+def _cheapest_hops_sql(hops: int = 4) -> str:
+    """q237: ``hops`` unrolled min-plus relax CTEs — d_{{t+1}}(v) =
+    min(d_t(v), min over edges (u,v) of d_t(u) + w), the SQL mirror of
+    the engine's Bellman–Ford waves."""
+    ctes = ["""e AS MATERIALIZED (
+                SELECT l_partkey * 17 % 2000 AS u,
+                       (l_suppkey * 131 + l_partkey) % 2000 AS v,
+                       MIN(l_orderkey % 97 + 1) AS w
+                FROM lineitem GROUP BY 1, 2),
+            d0 AS (SELECT n, 0::BIGINT AS d
+                   FROM (SELECT u AS n FROM e UNION SELECT v FROM e)
+                   WHERE n IN (0, 7, 130))"""]
+    for t in range(1, hops + 1):
+        p, q = f"d{t - 1}", f"d{t}"
+        ctes.append(f"""{q} AS MATERIALIZED (
+                SELECT n, MIN(d) AS d FROM (
+                    SELECT n, d FROM {p}
+                    UNION ALL
+                    SELECT e.v AS n, {p}.d + e.w AS d
+                    FROM {p} JOIN e ON e.u = {p}.n)
+                GROUP BY n)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+            SELECT n AS node, CAST(d AS BIGINT) AS cost
+            FROM d{hops} ORDER BY 1""")
+
+
 def _watershed_sql(doublings: int = 7) -> str:
     """q219: D8 next-pointer table, then ``doublings`` unrolled
     pointer-doubling self-joins (2⁷ = 128 ≥ any path on the 12×10
@@ -6303,6 +6615,53 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt LEFT JOIN s ON s.user_id = cnt.user_id
             ORDER BY 1
         """,
+        "q235_interval_union": """
+            WITH iv AS (
+                SELECT user_id AS u, epoch_us(ts) AS s,
+                       epoch_us(ts) + (user_id % 5 + 1) * 60000000 AS e
+                FROM events),
+            c AS (
+                SELECT u, s, e,
+                       MAX(e) OVER (PARTITION BY u ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM iv),
+            st AS (
+                SELECT u, s, e,
+                       CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+                           AS st
+                FROM c),
+            isl AS (
+                SELECT u, s, e,
+                       SUM(st) OVER (PARTITION BY u ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS iid
+                FROM st),
+            agg AS (SELECT u, iid, MIN(s) AS a, MAX(e) AS b
+                    FROM isl GROUP BY 1, 2)
+            SELECT u AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(b - a) AS BIGINT) AS covered,
+                   CAST(MAX(b - a) AS BIGINT) AS max_island
+            FROM agg GROUP BY 1 ORDER BY 1
+        """,
+        "q236_forest_rank": """
+            WITH RECURSIVE n AS (
+                SELECT c_custkey AS node,
+                       c_custkey // (c_custkey % 7 + 2) AS parent
+                FROM customer),
+            r AS (
+                SELECT node, node AS root, 0 AS depth
+                FROM n WHERE parent <= 0
+                UNION ALL
+                SELECT n.node, r.root, r.depth + 1
+                FROM n JOIN r ON n.parent = r.node AND n.parent > 0)
+            SELECT node, CAST(root AS BIGINT) AS root,
+                   CAST(depth AS BIGINT) AS depth
+            FROM r ORDER BY 1
+        """,
+        "q237_cheapest_hops": _cheapest_hops_sql(),
+        "q238_cdc_chunks": _cdc_sql(),
+        "q239_hysteresis": _hysteresis_sql(),
         "q234_kernel_heatmap": """
             WITH pts AS (SELECT (event_id * 7) % 256 AS px,
                                 (event_id * 13) % 256 AS py

@@ -631,3 +631,268 @@ def copair_counts(edges: ray.data.Dataset, u: str = "u", w: str = "w",
 
     return grouped_apply_bucketed(pairs, ["u1", "u2"], count,
                                   num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Forest ranking: depth + root per node via distributed pointer doubling
+# (the classic parallel list-ranking primitive generalized to forests).
+
+
+@ray.remote
+def _rank_init(nb: pa.Table) -> pa.Table:
+    """State per node: (node, anc, d, done). Non-roots start pointing
+    one step up (anc=parent, d=1); roots are born finished
+    (anc=node, d=0)."""
+    node = nb["node"].to_numpy()
+    par = nb["parent"].to_numpy()
+    root = par <= 0
+    anc = np.where(root, node, par)
+    d = np.where(root, 0, 1).astype(np.int64)
+    return pa.table({"node": pa.array(node, pa.int64()),
+                     "anc": pa.array(anc, pa.int64()),
+                     "d": pa.array(d, pa.int64()),
+                     "done": pa.array(root)})
+
+
+@ray.remote
+def _rank_request(sb: pa.Table, B: int) -> tuple:
+    """Wave A: every unfinished node asks its ancestor's owner bucket
+    for that ancestor's (anc, d, done) — scatter (q=anc, node, d) by
+    hash(anc) % B. Finished nodes ask nothing."""
+    live = sb.filter(pc.invert(sb["done"]))
+    t = pa.table({"q": live["anc"], "node": live["node"], "d": live["d"]})
+    bk = _bucket_of(t["q"], B) if t.num_rows else np.empty(0, np.int64)
+    return tuple(t.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _rank_answer(sb: pa.Table, B: int, *pieces: pa.Table) -> tuple:
+    """Wave B: answer each request from this bucket's state — the new
+    ancestor doubles the jump: (node, anc←anc.anc, d←d+anc.d,
+    done←anc.done); scatter back by hash(node) % B."""
+    reqs = [p.to_pandas() for p in pieces if p.num_rows]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "anc": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64()),
+                      "done": pa.array([], pa.bool_())})
+    if not reqs:
+        return tuple(empty for _ in range(B))
+    r = pd.concat(reqs, ignore_index=True).merge(
+        sb.to_pandas(), left_on="q", right_on="node",
+        suffixes=("", "_a"))
+    out = pa.table({"node": pa.array(r["node"].to_numpy(), pa.int64()),
+                    "anc": pa.array(r["anc"].to_numpy(), pa.int64()),
+                    "d": pa.array((r["d"] + r["d_a"]).to_numpy(), pa.int64()),
+                    "done": pa.array(r["done"].to_numpy(), pa.bool_())})
+    bk = _bucket_of(out["node"], B)
+    return tuple(out.filter(pa.array(bk == i)) for i in range(B))
+
+
+@ray.remote
+def _rank_apply(old: pa.Table, *pieces: pa.Table) -> tuple:
+    """Overwrite each answered node's state; returns (state, number of
+    nodes still unfinished)."""
+    ans = [p.to_pandas() for p in pieces if p.num_rows]
+    o = old.to_pandas()
+    if ans:
+        a = pd.concat(ans, ignore_index=True).set_index("node")
+        m = o["node"].map(a["anc"])
+        hit = m.notna().to_numpy()
+        anc = o["anc"].to_numpy().copy()
+        d = o["d"].to_numpy().copy()
+        done = o["done"].to_numpy().copy()
+        anc[hit] = m[hit].to_numpy().astype(np.int64)
+        d[hit] = o["node"].map(a["d"])[hit].to_numpy().astype(np.int64)
+        done[hit] = o["node"].map(a["done"])[hit].to_numpy().astype(bool)
+        o = pd.DataFrame({"node": o["node"], "anc": anc, "d": d,
+                          "done": done})
+    left = int((~o["done"]).sum())
+    return pa.Table.from_pandas(o, preserve_index=False), left
+
+
+@ray.remote
+def _rank_final(sb: pa.Table) -> pa.Table:
+    return pa.table({"node": sb["node"], "root": sb["anc"],
+                     "depth": sb["d"]})
+
+
+def forest_rank(nodes: ray.data.Dataset, node: str = "node",
+                parent: str = "parent", max_rounds: int = 64,
+                num_buckets: int | None = None) -> ray.data.Dataset:
+    """Depth and root id for every node of a forest given as
+    (node, parent) rows — parent ≤ 0 marks a root. Distributed
+    pointer doubling (parallel list ranking): after round t every
+    node's pointer has jumped 2^t ancestors (or landed on its root),
+    so a forest of depth D finishes in ceil(log2 D)+1 rounds — two
+    slim task waves per round over hash(node)-partitioned state, the
+    state never on the driver (the exact shape of
+    connected_components' shortcut waves, with the jump distance
+    accumulated so depth comes out exact).
+
+    Reference parity: none (no hierarchy ops in the reference); this
+    is the recursive-CTE flattening (org charts, river networks,
+    thread trees) every warehouse needs, in O(log D) rounds instead
+    of D dependent scans. Oracle: a recursive CTE (q236)."""
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(t[node], pa.int64()),
+            "parent": pc.cast(t[parent], pa.int64())})
+
+    blocks = nodes.map_batches(norm, batch_format="pyarrow") \
+        .to_arrow_refs()
+    empty_out = pa.table({"node": pa.array([], pa.int64()),
+                          "root": pa.array([], pa.int64()),
+                          "depth": pa.array([], pa.int64())})
+    if not blocks:
+        return ray.data.from_arrow(empty_out)
+    B = max(2, num_buckets or min(32, max(4, len(blocks))))
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+
+    @ray.remote
+    def split(blk, B):
+        t = blk if isinstance(blk, pa.Table) else \
+            pa.Table.from_pandas(blk, preserve_index=False)
+        if t.num_rows == 0 or "node" not in t.column_names:
+            e = pa.table({"node": pa.array([], pa.int64()),
+                          "parent": pa.array([], pa.int64())})
+            return tuple(e for _ in range(B))
+        bk = _bucket_of(t["node"], B)
+        return tuple(t.filter(pa.array(bk == i)) for i in range(B))
+
+    splits = [split.options(num_returns=B).remote(blk, B)
+              for blk in blocks]
+    Nb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
+    Sb = [_rank_init.remote(n) for n in Nb]
+
+    for _ in range(max_rounds):
+        reqs = [_rank_request.options(num_returns=B).remote(Sb[i], B)
+                for i in range(B)]
+        answ = [_rank_answer.options(num_returns=B).remote(
+                    Sb[i], B, *(r[i] for r in reqs)) for i in range(B)]
+        outs = [_rank_apply.options(num_returns=2).remote(
+                    Sb[i], *(a[i] for a in answ)) for i in range(B)]
+        Sb = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+    else:
+        raise RuntimeError(f"forest_rank: no fixpoint in {max_rounds} rounds")
+    return ray.data.from_arrow_refs([_rank_final.remote(s) for s in Sb])
+
+
+# ---------------------------------------------------------------------------
+# Hop-bounded cheapest path: L min-plus relaxation rounds (distributed
+# Bellman–Ford) from a broadcast seed set over a DIRECTED weighted
+# edge list.
+
+
+@ray.remote
+def _relax(eb: pa.Table, lb: pa.Table, B: int, inf: int) -> tuple:
+    """Min-plus relax wave: candidates dist(v) = dist(u) + w(u,v) for
+    settled u, scattered by hash(v) % B."""
+    e = eb.select(["u", "v", "w"]).to_pandas()
+    l = lb.to_pandas()
+    l = l[l["lbl"] < inf]
+    cand = e.merge(l, left_on="u", right_on="node")
+    out = pa.table({"node": pa.array(cand["v"].to_numpy(), pa.int64()),
+                    "lbl": pa.array((cand["lbl"] + cand["w"]).to_numpy(),
+                                    pa.int64())})
+    bk = _bucket_of(out["node"], B)
+    return tuple(out.filter(pa.array(bk == i)) for i in range(B))
+
+
+def cheapest_hops(edges: ray.data.Dataset, seeds: "np.ndarray",
+                  hops: int, u: str = "u", v: str = "v", w: str = "w",
+                  num_buckets: int | None = None) -> ray.data.Dataset:
+    """Cheapest cost to reach each node from any seed using at most
+    ``hops`` edges — distributed Bellman–Ford cut at a hop budget (the
+    form whose SQL oracle is ``hops`` chained self-joins, and the
+    building block of delta-stepping-style SSSP). Directed edges with
+    nonnegative int64 weights; nodes unreachable within the budget are
+    omitted.
+
+    Same raw-task wave shape as :func:`bfs_hops` (edges partitioned
+    ONCE by hash(u), one relax + one min-reduce wave per round, labels
+    never on the driver), but each round relaxes dist(v) = min(dist(v),
+    dist(u) + w) instead of +1, and the loop runs EXACTLY ``hops``
+    rounds (early-exits only when a round changes nothing — then the
+    budget is already slack). Per-round traffic is slim (node, cand)
+    rows; parallel multi-edges need no pre-dedup (min-reduce absorbs
+    them)."""
+    INF = np.iinfo(np.int64).max // 4
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(t[u], pa.int64()),
+                         "v": pc.cast(t[v], pa.int64()),
+                         "w": pc.cast(t[w], pa.int64())})
+
+    blocks = edges.map_batches(norm, batch_format="pyarrow").to_arrow_refs()
+    empty_out = pa.table({"node": pa.array([], pa.int64()),
+                          "cost": pa.array([], pa.int64())})
+    if not blocks:
+        return ray.data.from_arrow(empty_out)
+    B = max(2, num_buckets or min(32, max(4, len(blocks))))
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+
+    @ray.remote
+    def split(blk, B):
+        t = blk if isinstance(blk, pa.Table) else \
+            pa.Table.from_pandas(blk, preserve_index=False)
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return tuple(empty for _ in range(B))
+        bk = _bucket_of(t["u"], B)
+        return tuple(t.filter(pa.array(bk == i)) for i in range(B))
+
+    @ray.remote
+    def init_nodes(eb: pa.Table, seed_ref, inf: int) -> pa.Table:
+        nodes = pc_unique(pa.chunked_array([eb["u"].combine_chunks(),
+                                            eb["v"].combine_chunks()]))
+        un = nodes.to_numpy(zero_copy_only=False)
+        lbl = np.where(np.isin(un, seed_ref), 0, inf).astype(np.int64)
+        return pa.table({"node": nodes, "lbl": pa.array(lbl, pa.int64())})
+
+    @ray.remote
+    def own(lb: pa.Table, i: int, B: int) -> pa.Table:
+        bk = _bucket_of(lb["node"], B)
+        return lb.filter(pa.array(bk == i))
+
+    seed_ref = ray.put(np.asarray(seeds))
+    splits = [split.options(num_returns=B).remote(blk, B) for blk in blocks]
+    Eb = [_build_bucket.remote(*(s[i] for s in splits)) for i in range(B)]
+    # label bucket i owns hash(node)%B == i, seeded from BOTH edge
+    # endpoints so sinks (v-only nodes) are rankable
+    nb = [init_nodes.remote(e, seed_ref, INF) for e in Eb]
+    Lb = [_min_reduce.options(num_returns=2).remote(
+              _build_bucket.remote(*[own.remote(n, i, B) for n in nb]),
+              pa.table({"node": pa.array([], pa.int64()),
+                        "lbl": pa.array([], pa.int64())}))
+          for i in range(B)]
+    Lb = [l[0] for l in Lb]
+    # dedupe node rows inside each owner bucket (a node appears once
+    # per edge bucket that touches it)
+    @ray.remote
+    def dedupe(lb: pa.Table) -> pa.Table:
+        df = lb.to_pandas().groupby("node", as_index=False)["lbl"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    Lb = [dedupe.remote(l) for l in Lb]
+
+    # relax needs dist(u) co-located with edges bucketed by hash(u) —
+    # the owner partitioning IS that partitioning, so Lb serves both.
+    for _ in range(hops):
+        cands = [_relax.options(num_returns=B).remote(Eb[i], Lb[i], B, INF)
+                 for i in range(B)]
+        outs = [_min_reduce.options(num_returns=2).remote(
+                    Lb[i], *(c[i] for c in cands)) for i in range(B)]
+        Lb = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+
+    @ray.remote
+    def final(lb: pa.Table, inf: int) -> pa.Table:
+        t = lb.filter(pc.less(lb["lbl"], pa.scalar(inf, pa.int64())))
+        return pa.table({"node": t["node"], "cost": t["lbl"]})
+
+    return ray.data.from_arrow_refs([final.remote(l, INF) for l in Lb])

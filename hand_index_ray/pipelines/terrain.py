@@ -1685,3 +1685,53 @@ def rlsa_stats(ds, thresh: int, gap: int, bytes_col: str = "bytes",
                          "n_filled": pa.array(nf, pa.int64()),
                          "n_runs": pa.array(nr, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hysteresis_core(arr: np.ndarray, lo2: int, hi2: int):
+    """Canny stage 3 — hysteresis edge linking on the NMS survivors:
+    strong survivors (mag² ≥ ``hi2``) are edges; weak survivors
+    (``lo2`` ≤ mag² < ``hi2``) are kept iff 8-connected to a strong
+    pixel THROUGH weak pixels. The flood is vectorized shifts-dilate
+    iterated to fixpoint — per image, bounded by the image diameter,
+    map-only across the corpus. Returns (strong, weak, linked) masks
+    on the NMS core grid."""
+    keep, m = edge_nms_core(arr, lo2)     # m is already the core grid
+    strong = keep & (m >= hi2)
+    weak = keep & ~strong
+    reach = strong.copy()
+    while True:
+        p = np.pad(reach, 1)
+        dil = np.zeros_like(reach)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    dil |= p[1 + dy:p.shape[0] - 1 + dy or None,
+                             1 + dx:p.shape[1] - 1 + dx or None]
+        grow = dil & weak & ~reach
+        if not grow.any():
+            break
+        reach |= grow
+    linked = reach & weak
+    return strong, weak, linked, m
+
+
+def hysteresis_stats(ds, lo2: int, hi2: int, bytes_col: str = "bytes",
+                     id_col: str = "path"):
+    """Per-raster hysteresis-linking aggregates: strong count, weak
+    count, weak pixels linked to an edge, and the mag² sum over the
+    final (strong + linked) edge set."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ns, nw, nl, sm = [], [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            s, w, l, m = hysteresis_core(arr, lo2, hi2)
+            ids.append(rid)
+            ns.append(int(s.sum()))
+            nw.append(int(w.sum()))
+            nl.append(int(l.sum()))
+            sm.append(int(m[s | l].sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_strong": pa.array(ns, pa.int64()),
+                         "n_weak": pa.array(nw, pa.int64()),
+                         "n_linked": pa.array(nl, pa.int64()),
+                         "edge_mag2_sum": pa.array(sm, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1124,3 +1124,94 @@ def jaccard_join_prefix(ds: ray.data.Dataset, tau_num: int = 3,
     return grouped_apply_bucketed(cands, ["id_a", "id_b"], verify,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def cdc_chunks(ds: ray.data.Dataset, col: str = "text",
+               id_col: str = "doc_id", k: int = 8,
+               div: int = 64) -> ray.data.Dataset:
+    """Content-defined chunking dedup (the FastCDC/LBFS shape): split
+    every document at positions where the k-gram Rabin–Karp hash ≡ 0
+    (mod ``div``) — so boundaries stick to CONTENT, surviving
+    insertions/deletions that would shift every fixed-size block — and
+    deduplicate the chunks corpus-wide. Returns per size-class
+    (len % 8) rows: chunk count, distinct-chunk count, total bytes,
+    distinct bytes — the dedup-ratio ledger a content-addressed store
+    reports.
+
+    Boundary rule: a cut AFTER gram start i (i.e. at i + k) whenever
+    gram_hash(i) % div == 0, plus the forced end-of-doc cut; the chunk
+    id is the same polynomial hash evaluated over the whole chunk, so
+    equal text spans get equal ids with zero re-hash cost — both the
+    gram hashes and every chunk hash come from ONE flat modular prefix
+    sum per batch (the winnowing machinery, text.py _winnow_sets).
+    Map side emits slim (fp, len) rows — text never moves; dedup is
+    one hash-partitioned count shuffle; the size-class ledger is a
+    partial-aggregated second pass. Beyond-reference training-data op
+    (SURVEY §2 'beyond'): the storage-dedup sibling of q42's
+    winnowing."""
+    from ..relational import grouped_agg
+
+    if k < 1 or div < 1:
+        raise ValueError("k and div must be >= 1")
+    M = np.uint64(WINNOW_MOD)
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(col).to_pylist()
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        keep = lens > 0
+        texts = [s for s, kp in zip(texts, keep) if kp]
+        lens = lens[keep]
+        ndoc = len(texts)
+        if ndoc == 0:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "len": pa.array([], pa.int64())})
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        loc = np.arange(len(cp), dtype=np.int64) - np.repeat(off[:-1], lens)
+        tabs = _pow_tables(int(lens.max()) + k + 1)
+        term = (cp * tabs.ipows[loc + 1]) % M
+        C = _cumsum_mod(term)
+        gdoc = np.repeat(np.arange(ndoc), lens)
+        gram_ok = loc <= np.repeat(lens, lens) - k
+        gpos = np.nonzero(gram_ok)[0]
+        gh = (tabs.pows[loc[gpos] + k]
+              * ((C[gpos + k] + M - C[gpos]) % M)) % M
+        cut = gh % np.uint64(div) == 0
+        bdoc = gdoc[gpos][cut]                     # doc of each cut
+        bpos = loc[gpos][cut] + k                  # local cut position
+        # forced end-of-doc cut, then distinct (doc, pos) ascending
+        bdoc = np.concatenate([bdoc, np.arange(ndoc)])
+        bpos = np.concatenate([bpos, lens])
+        key = np.unique(bdoc.astype(np.uint64) << np.uint64(32) | 
+                        bpos.astype(np.uint64))
+        bdoc = (key >> np.uint64(32)).astype(np.int64)
+        bpos = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        first = np.concatenate([[True], bdoc[1:] != bdoc[:-1]])
+        a = np.where(first, 0, np.concatenate([[0], bpos[:-1]]))
+        ga = off[bdoc] + a
+        gb = off[bdoc] + bpos
+        fp = (tabs.pows[bpos] * ((C[gb] + M - C[ga]) % M)) % M
+        return pa.table({"fp": pa.array(fp.astype(np.int64), pa.int64()),
+                         "len": pa.array(bpos - a, pa.int64())})
+
+    chunks = ds.select_columns([id_col, col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    # one hash-partitioned shuffle: occurrence count per distinct chunk
+    per_chunk = grouped_agg(chunks, ["fp", "len"], count=True)
+
+    def ledger(t: pa.Table) -> pa.Table:
+        ln = t.column("len").to_numpy()
+        n = t.column("n").to_numpy()
+        sc = ln % 8
+        out = pd.DataFrame({"sc": sc, "n": n, "bt": n * ln, "bd": ln}) \
+            .groupby("sc", as_index=False) \
+            .agg(n_chunks=("n", "sum"), n_distinct=("n", "size"),
+                 bytes_total=("bt", "sum"), bytes_distinct=("bd", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = per_chunk.map_batches(ledger, batch_format="pyarrow")
+    return grouped_agg(partial, ["sc"], count=False,
+                       sum_cols=["n_chunks", "n_distinct", "bytes_total",
+                                 "bytes_distinct"])

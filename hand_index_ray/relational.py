@@ -2585,3 +2585,51 @@ def mann_kendall(ds: ray.data.Dataset, key: str, order: str, value: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def interval_union(ds: ray.data.Dataset, key: str, start: str, end: str,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key interval union (merge overlapping/touching intervals):
+    the classic coverage aggregate — total covered length, number of
+    merged islands, and the longest island, per key. Half-open
+    ``[start, end)`` integer intervals; intervals that merely touch
+    (a.end == b.start) merge.
+
+    ONE keyed shuffle; inside each bucket a single sort + per-key
+    running-max sweep in pandas/numpy C kernels (groupby cummax +
+    shift), never a per-key Python loop: an island starts where the
+    interval's start exceeds the running max end of everything before
+    it in its key. Returns (key, n_islands, covered, max_island).
+
+    Reference parity: the reference has no interval algebra (its
+    window is DuckDB windowing, SURVEY §2.9); this is the
+    gaps-and-islands coverage form (q104 streaks' continuous-time
+    sibling) every sessionized-events pipeline needs at scale.
+    """
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "n_islands": pd.Series(dtype="int64"),
+                                 "covered": pd.Series(dtype="int64"),
+                                 "max_island": pd.Series(dtype="int64")})
+        g = g.sort_values([key, start, end], kind="mergesort",
+                          ignore_index=True)
+        grp = g.groupby(key, sort=False)
+        cm = grp[end].cummax()
+        prev = cm.groupby(g[key], sort=False).shift(1)
+        is_start = prev.isna() | (g[start] > prev)
+        iid = np.cumsum(is_start.to_numpy())
+        isl = pd.DataFrame({key: g[key], "__iid": iid,
+                            "__s": g[start], "__e": cm})
+        per_isl = isl.groupby("__iid", sort=False).agg(
+            **{key: (key, "first"), "__s": ("__s", "first"),
+               "__e": ("__e", "last")})
+        per_isl["__len"] = (per_isl["__e"] - per_isl["__s"]).astype("int64")
+        out = per_isl.groupby(key, sort=False).agg(
+            n_islands=("__len", "size"), covered=("__len", "sum"),
+            max_island=("__len", "max")).reset_index()
+        out["n_islands"] = out["n_islands"].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

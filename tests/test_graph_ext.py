@@ -940,3 +940,74 @@ def test_copair_counts_brute(ray_session):
     exp = pd.DataFrame(rows, columns=["u1", "u2", "c", "bf"]) \
         .astype("int64")
     assert got.astype("int64").equals(exp)
+
+
+# ---------------------------------------------------- forest_rank
+
+def test_forest_rank_chain_and_forest(ray_session):
+    from hand_index_ray.pipelines.graph import forest_rank
+
+    # chain 1<-2<-...<-20 (depth 19) + a bushy second tree + isolated
+    # root: exercises the doubling past several wave boundaries
+    rows = [(1, 0)] + [(k, k - 1) for k in range(2, 21)]
+    rows += [(100, 0), (101, 100), (102, 100), (103, 101), (104, 103)]
+    rows += [(500, 0)]
+    t = pa.table({"node": pa.array([r[0] for r in rows], pa.int64()),
+                  "parent": pa.array([r[1] for r in rows], pa.int64())})
+    got = forest_rank(_ds(t)).to_pandas().set_index("node")
+
+    def brute(node):
+        d = 0
+        pmap = dict(rows)
+        while pmap[node] > 0:
+            node = pmap[node]
+            d += 1
+        return node, d
+
+    for n, _ in rows:
+        root, depth = brute(n)
+        assert got.loc[n, "root"] == root, n
+        assert got.loc[n, "depth"] == depth, n
+    assert len(got) == len(rows)
+
+
+def test_forest_rank_log_rounds(ray_session):
+    """A 64-deep chain must converge in ~log2(64)+1 doubling rounds,
+    not 64 — pinned by max_rounds=9."""
+    from hand_index_ray.pipelines.graph import forest_rank
+
+    rows = [(1, 0)] + [(k, k - 1) for k in range(2, 65)]
+    t = pa.table({"node": pa.array([r[0] for r in rows], pa.int64()),
+                  "parent": pa.array([r[1] for r in rows], pa.int64())})
+    got = forest_rank(_ds(t), max_rounds=9).to_pandas()
+    assert got["depth"].max() == 63
+    assert (got["root"] == 1).all()
+
+
+# ---------------------------------------------------- cheapest_hops
+
+def test_cheapest_hops_vs_brute(ray_session):
+    from hand_index_ray.pipelines.graph import cheapest_hops
+
+    rng = np.random.RandomState(7)
+    E = 300
+    u = rng.randint(0, 60, E)
+    v = rng.randint(0, 60, E)
+    w = rng.randint(1, 20, E).astype(np.int64)
+    seeds = np.array([3, 11])
+    for hops in (1, 3):
+        t = pa.table({"u": pa.array(u, pa.int64()),
+                      "v": pa.array(v, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        got = cheapest_hops(_ds(t), seeds, hops=hops).to_pandas()
+        INF = 1 << 60
+        d = {int(s): 0 for s in seeds}
+        for _ in range(hops):
+            nd = dict(d)
+            for a, b, c in zip(u, v, w):
+                a, b = int(a), int(b)
+                if a in d and d[a] + c < nd.get(b, INF):
+                    nd[b] = d[a] + int(c)
+            d = nd
+        gm = dict(zip(got["node"], got["cost"]))
+        assert gm == d, hops

@@ -7,6 +7,12 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
 import hand_index_ray.relational as rel
 from hand_index_ray.pipelines import text as tx
 
@@ -93,7 +99,7 @@ def test_lag_delta_per_key(ray_session):
     t = pa.table({"u": [1, 1, 1, 2, 2, 3],
                   "ts": [10, 3, 7, 5, 5, 9],
                   "id": [0, 1, 2, 3, 4, 5]})
-    out = rel.lag_delta(ray.data.from_arrow(t), "u", "ts", "id",
+    out = rel.lag_delta(_rd().from_arrow(t), "u", "ts", "id",
                         out="d", keep=["id"]).to_pandas() \
         .sort_values(["u", "ts", "id"]).reset_index(drop=True)
     # u=1 sorted ts: 3,7,10 → deltas 4,3 ; u=2 ties (5,5) → delta 0 ; u=3 single → none
@@ -106,7 +112,7 @@ def test_grouped_concat_sorted_distinct(ray_session):
     import ray.data
 
     t = pa.table({"g": ["x", "x", "x", "y"], "s": ["b", "a", "b", "c"]})
-    out = rel.grouped_concat(ray.data.from_arrow(t), ["g"], "s",
+    out = rel.grouped_concat(_rd().from_arrow(t), ["g"], "s",
                              out="ss").to_pandas().sort_values("g")
     assert out.ss.tolist() == ["a,b", "c"]
 
@@ -115,7 +121,7 @@ def test_grouped_mode_ties_break_small(ray_session):
     import ray.data
 
     t = pa.table({"g": [1, 1, 1, 1, 2, 2], "s": ["b", "b", "a", "a", "z", "q"]})
-    out = rel.grouped_mode(ray.data.from_arrow(t), ["g"], "s").to_pandas() \
+    out = rel.grouped_mode(_rd().from_arrow(t), ["g"], "s").to_pandas() \
         .sort_values("g").reset_index(drop=True)
     assert out.s.tolist() == ["a", "q"]  # ties → lexicographically smallest
     assert out.n.tolist() == [2, 1]
@@ -125,7 +131,7 @@ def test_normalize_text_re2_semantics(ray_session):
     import ray.data
 
     t = pa.table({"text": ["  Hello, WORLD!!  42 ", "a--b", ""]})
-    out = tx.normalize_text(ray.data.from_arrow(t)).to_pandas()["norm"].tolist()
+    out = tx.normalize_text(_rd().from_arrow(t)).to_pandas()["norm"].tolist()
     assert out == ["hello world 42", "a b", ""]
 
 
@@ -152,7 +158,7 @@ def test_grouped_approx_distinct_string_values(ray_session):
 
     t = pa.table({"g": ["a"] * 50 + ["b"] * 30,
                   "v": [f"u{i % 17}" for i in range(50)] + [f"w{i % 9}" for i in range(30)]})
-    got = rel.grouped_approx_distinct(ray.data.from_arrow(t).repartition(4),
+    got = rel.grouped_approx_distinct(_rd().from_arrow(t).repartition(4),
                                       ["g"], "v").to_pandas()
     assert dict(zip(got.g, got.n_distinct)) == {"a": 17, "b": 9}
 
@@ -162,7 +168,7 @@ def test_unnest_with_carried_columns(ray_session):
 
     t = pa.table({"id": [1, 2, 3],
                   "xs": [[10, 20], [], [30]]})
-    out = rel.unnest(ray.data.from_arrow(t), "xs", keep=["id"],
+    out = rel.unnest(_rd().from_arrow(t), "xs", keep=["id"],
                      out="x").to_pandas().sort_values(["id", "x"]) \
         .reset_index(drop=True)
     assert out.id.tolist() == [1, 1, 3]
@@ -436,7 +442,7 @@ def test_profile_int_columns_with_nulls(ray_session):
     t = pa.table({
         "a": pa.array([1, None, 3, None, 7], pa.int64()),
         "b": pa.array([5, 5, 5, 5, 5], pa.int64())})
-    prof = rel.profile_int_columns(ray.data.from_arrow(t), ["a", "b"])
+    prof = rel.profile_int_columns(_rd().from_arrow(t), ["a", "b"])
     pa_row = prof[prof["col"] == "a"].iloc[0]
     assert pa_row["n"] == 5 and pa_row["nulls"] == 2
     assert pa_row["min_v"] == 1 and pa_row["max_v"] == 7
@@ -523,3 +529,23 @@ def test_mann_kendall_brute(ray_session):
     got = mann_kendall(ray.data.from_pandas(mono), "k", "ord", "v") \
         .to_pandas().sort_values("k")
     assert got["s_stat"].tolist() == [10, -10]
+
+
+def test_interval_union(ray_session):
+    from hand_index_ray.relational import interval_union
+
+    # overlapping, touching (merge), disjoint, nested, duplicate
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 12, 20),      # one island [0,20)
+        (1, 30, 35), (1, 31, 33),                  # nested -> [30,35)
+        (2, 0, 1), (2, 2, 3), (2, 2, 3),           # dup row, 2 islands
+        (3, 7, 8),
+    ]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "s": pa.array([r[1] for r in rows], pa.int64()),
+                  "e": pa.array([r[2] for r in rows], pa.int64())})
+    got = interval_union(_rd().from_arrow(t), "k", "s", "e") \
+        .to_pandas().set_index("k").sort_index()
+    assert got.loc[1].tolist() == [2, 25, 20]   # islands, covered, max
+    assert got.loc[2].tolist() == [2, 2, 1]
+    assert got.loc[3].tolist() == [1, 1, 1]

@@ -1089,3 +1089,40 @@ def test_rlsa_brute_parity():
                     if b - a - 1 <= gap:
                         want[y, a:b + 1] = True
             assert (got == want).all(), (gap, m)
+
+
+def test_hysteresis_linking():
+    """A bright disc ring yields strong+weak NMS survivors that are
+    8-adjacent: weak pixels connected to strong survive, isolated weak
+    pixels do not, and the masks partition the NMS survivor set."""
+    import numpy as np
+    from hand_index_ray.pipelines.terrain import (edge_nms_core,
+                                                  hysteresis_core)
+
+    yy, xx = np.meshgrid(np.arange(12), np.arange(14), indexing="ij")
+    arr = np.where((xx - 6) ** 2 + (yy - 5) ** 2 <= 9, 44, 2) \
+        .astype(np.int64)
+    keep, m = edge_nms_core(arr, 5000)
+    s, w, l, m2 = hysteresis_core(arr, 5000, 30000)
+    assert (m2 == m).all()
+    assert ((s | w) == keep).all() and not (s & w).any()
+    assert (s & (m < 30000)).sum() == 0 and (w & (m >= 30000)).sum() == 0
+    # every linked weak pixel has an 8-path to a strong pixel through
+    # weak pixels — brute-force BFS oracle
+    import collections
+    H, W = s.shape
+    reach = set(zip(*np.nonzero(s)))
+    q = collections.deque(reach)
+    weakset = set(zip(*np.nonzero(w)))
+    while q:
+        y, x = q.popleft()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                p = (y + dy, x + dx)
+                if p in weakset and p not in reach:
+                    reach.add(p)
+                    q.append(p)
+    exp_linked = reach & weakset
+    assert set(zip(*np.nonzero(l))) == exp_linked
+    # the fixture actually exercises the flood
+    assert s.any() and w.any()

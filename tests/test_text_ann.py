@@ -5,6 +5,12 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
 
 @pytest.fixture(scope="module")
 def docs_ds(ray_session):
@@ -423,3 +429,58 @@ def test_jaccard_join_prefix_brute(ray_session):
         if inter * 5 >= 3 * uni:
             exp.append((a, b, inter, uni))
     assert [tuple(r) for r in got.to_numpy()] == sorted(exp)
+
+
+def test_cdc_chunks_ledger(ray_session):
+    """CDC ledger equals a brute-force python chunker, and a shared
+    paragraph dedupes across docs (content-defined boundaries survive
+    a prefix insertion)."""
+    from hand_index_ray.pipelines.text import (WINNOW_BASE, WINNOW_MOD,
+                                               cdc_chunks)
+
+    shared = ("the quick brown fox jumps over the lazy dog again and "
+              "again while the rain in spain stays mainly on the plain "
+              "and every good boy deserves fudge in the orchard ") * 3
+    docs = ["PREFIX-A " + shared + " suffix one",
+            "completely different text here " + shared,
+            "tiny", ""]
+    k, div = 8, 16
+
+    def brute(s):
+        if not s:
+            return []
+        h = [0] * (len(s) - k + 1)
+        for i in range(len(s) - k + 1):
+            v = 0
+            for j in range(k):
+                v = (v * WINNOW_BASE + ord(s[i + j])) % WINNOW_MOD
+            h[i] = v
+        cuts = sorted({i + k for i, v in enumerate(h) if v % div == 0}
+                      | {len(s)})
+        out, a = [], 0
+        for b in cuts:
+            fp = 0
+            for ch in s[a:b]:
+                fp = (fp * WINNOW_BASE + ord(ch)) % WINNOW_MOD
+            out.append((fp, b - a))
+            a = b
+        return out
+
+    exp = [c for d in docs for c in brute(d)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = cdc_chunks(_rd().from_arrow(t), k=k, div=div).to_pandas()
+    import collections
+    cnt = collections.Counter(exp)
+    by_sc = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for (fp, ln), n in cnt.items():
+        r = by_sc[ln % 8]
+        r[0] += n; r[1] += 1; r[2] += n * ln; r[3] += ln
+    gm = {int(r.sc): [int(r.n_chunks), int(r.n_distinct),
+                      int(r.bytes_total), int(r.bytes_distinct)]
+          for r in got.itertuples()}
+    assert gm == dict(by_sc)
+    # the shared paragraph must actually dedup: distinct bytes < total
+    tot = sum(v[2] for v in gm.values())
+    dis = sum(v[3] for v in gm.values())
+    assert dis < tot
