@@ -5131,6 +5131,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q240_rect_union(sf):  # union area of rectangle footprints
+        """Tile-coverage measure: union area of axis-aligned integer
+        rectangle footprints per group, overlaps counted once — ONE
+        keyed shuffle, per key a coordinate-compressed 2-D difference
+        array built by one np.add.at scatter over ALL rectangle
+        corners + two cumsums (pipelines/geostat.py:rect_union_area).
+        Oracle: distinct covered unit cells."""
+        from hand_index_ray.pipelines.geostat import rect_union_area
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def rects(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy().astype(np.int64)
+            x1 = (k * 3) % 50
+            y1 = (k * 7) % 40
+            return pa.table({
+                "gid": pa.array(k % 13, pa.int64()),
+                "x1": pa.array(x1, pa.int64()),
+                "y1": pa.array(y1, pa.int64()),
+                "x2": pa.array(x1 + k % 9 + 1, pa.int64()),
+                "y2": pa.array(y1 + k % 6 + 1, pa.int64())})
+
+        ds = orders.map_batches(rects, batch_format="pyarrow")
+        df = rect_union_area(ds, "gid", "x1", "y1", "x2", "y2") \
+            .to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q241_range_frame_sum(sf):  # time-RANGE windowed sum
+        """RANGE-frame windowed aggregate — per event, the sum/count
+        of value over the user's events in the trailing 10 minutes
+        (timestamp peers included, SQL RANGE semantics): one keyed
+        shuffle, groups shifted onto disjoint integer segments so ONE
+        global searchsorted per frame edge + prefix-sum gathers window
+        every row at once (relational.py:range_frame_sum). Oracle:
+        native RANGE BETWEEN window."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_cents": t["value_cents"]})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.range_frame_sum(ds, "user_id", "ts_us", "value_cents",
+                                 width=600_000_000).to_pandas()
+        df = df[["event_id", "user_id", "ts_us", "w_sum", "w_cnt"]]
+        return df.sort_values("event_id").reset_index(drop=True)
+
+    def q242_rrf(sf):  # reciprocal-rank fusion of two orderings
+        """Hybrid-retrieval merge: per event type, fuse the
+        value-descending and time-ascending orderings with reciprocal
+        rank fusion (k=60) and keep the top 3 — the score rides as the
+        EXACT unreduced fraction (num, den) and ordering uses the
+        integer key num·2⁴⁰ // den with id tiebreak, a deterministic
+        total order SQL reproduces bit-for-bit
+        (relational.py:rrf_topk). Oracle: two ROW_NUMBER orderings +
+        the same integer sort key."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "value_cents": t["value_cents"],
+                "ts_us": pc.cast(t["ts"], pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.rrf_topk(ds, "event_type", "event_id", "value_cents",
+                          "ts_us", k=60, topk=3).to_pandas()
+        return df.sort_values(["event_type", "rk"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5365,6 +5438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q237_cheapest_hops": q237_cheapest_hops,
         "q238_cdc_chunks": q238_cdc_chunks,
         "q239_hysteresis": q239_hysteresis,
+        "q240_rect_union": q240_rect_union,
+        "q241_range_frame_sum": q241_range_frame_sum,
+        "q242_rrf": q242_rrf,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6662,6 +6738,71 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q240_rect_union": """
+            WITH r AS (
+                SELECT o_orderkey % 13 AS gid,
+                       (o_orderkey * 3) % 50 AS x1,
+                       (o_orderkey * 7) % 40 AS y1,
+                       (o_orderkey * 3) % 50 + o_orderkey % 9 + 1 AS x2,
+                       (o_orderkey * 7) % 40 + o_orderkey % 6 + 1 AS y2
+                FROM orders),
+            cells AS (
+                SELECT DISTINCT gid, i.i, j.j
+                FROM r
+                JOIN (SELECT generate_series AS i
+                      FROM generate_series(0, 58)) i
+                  ON i.i >= r.x1 AND i.i < r.x2
+                JOIN (SELECT generate_series AS j
+                      FROM generate_series(0, 45)) j
+                  ON j.j >= r.y1 AND j.j < r.y2),
+            n AS (SELECT gid, COUNT(*) AS n_rects FROM r GROUP BY 1)
+            SELECT n.gid, CAST(COALESCE(c.area, 0) AS BIGINT) AS area,
+                   CAST(n.n_rects AS BIGINT) AS n_rects
+            FROM n LEFT JOIN (SELECT gid, COUNT(*) AS area FROM cells
+                              GROUP BY 1) c ON c.gid = n.gid
+            ORDER BY 1
+        """,
+        "q241_range_frame_sum": """
+            WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id, t AS ts_us,
+                   CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY t
+                                     RANGE BETWEEN 600000000 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                       AS w_sum,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                                       RANGE BETWEEN 600000000 PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                       AS w_cnt
+            FROM s ORDER BY event_id
+        """,
+        "q242_rrf": """
+            WITH s AS (SELECT event_type, event_id,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              epoch_us(ts) AS t
+                       FROM events),
+            r AS (SELECT event_type, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY v DESC, event_id)
+                             AS ra,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY t, event_id) AS rb
+                  FROM s),
+            f AS (SELECT event_type, event_id,
+                         120 + ra + rb AS num,
+                         (60 + ra) * (60 + rb) AS den
+                  FROM r),
+            t AS (SELECT event_type, event_id, num, den,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY event_type
+                             ORDER BY num * 1099511627776 // den DESC,
+                                      event_id) AS rk
+                  FROM f)
+            SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id,
+                   CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
+            FROM t WHERE rk <= 3 ORDER BY 1, 2
+        """,
         "q234_kernel_heatmap": """
             WITH pts AS (SELECT (event_id * 7) % 256 AS px,
                                 (event_id * 13) % 256 AS py

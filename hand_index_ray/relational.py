@@ -2633,3 +2633,110 @@ def interval_union(ds: ray.data.Dataset, key: str, start: str, end: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def range_frame_sum(ds: ray.data.Dataset, key: str, ts: str, value: str,
+                    width: int,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Time-RANGE windowed sum: for every row, the sum and count of
+    ``value`` over the key's rows with timestamp in
+    ``[ts - width, ts]`` — SQL ``RANGE BETWEEN width PRECEDING AND
+    CURRENT ROW`` semantics, so timestamp PEERS (equal ts) include
+    each other regardless of physical order (the q102 moving-frame
+    sibling keyed by TIME, not row count).
+
+    ONE keyed shuffle; inside the bucket every group is processed in
+    the same flat pass: rows sort once by (key, ts), each group's
+    timestamps are shifted onto a disjoint integer segment (group
+    rank × (span + width + 2)), and ONE global searchsorted per frame
+    edge finds every row's window — prefix sums turn each window into
+    two gathers. No per-key loop, no per-row loop.
+    Returns the input keys plus (w_sum, w_cnt) per row."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.assign(w_sum=pd.Series(dtype="int64"),
+                            w_cnt=pd.Series(dtype="int64"))
+        g = g.sort_values([key, ts], kind="mergesort", ignore_index=True)
+        t = g[ts].to_numpy(np.int64)
+        v = g[value].to_numpy(np.int64)
+        gid = g.groupby(key, sort=False).ngroup().to_numpy()
+        span = int(t.max() - t.min()) if len(t) else 0
+        base = np.int64(span + width + 2)
+        comp = gid * base + (t - t.min())
+        lo = np.searchsorted(comp, comp - width, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cum = np.concatenate([[0], np.cumsum(v)])
+        g["w_sum"] = (cum[hi] - cum[lo]).astype("int64")
+        g["w_cnt"] = (hi - lo).astype("int64")
+        return g
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def rrf_topk(ds: ray.data.Dataset, key: str, id_col: str, a: str, b: str,
+             k: int = 60, topk: int = 3,
+             num_buckets: int = 64) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two orderings per key (the classic
+    hybrid-retrieval merge: BM25 list + vector list): rank items by
+    ``a`` DESC and by ``b`` ASC (ties broken by id), fuse with
+    RRF(i) = 1/(k+rank_a) + 1/(k+rank_b), and keep each key's top
+    ``topk``. The score is carried EXACTLY as the unreduced fraction
+    num = 2k + ra + rb, den = (k+ra)(k+rb); ordering uses the integer
+    key num·2⁴⁰ // den with id as the final tiebreak — a deterministic
+    total order both the engine and a SQL oracle reproduce bit-for-bit
+    (floats would differ in the last ulp).
+
+    ONE keyed shuffle; ranks are argsort positions, selection is a
+    lexsort + per-key prefix mask — no per-key loop.
+    Returns (key, rk, id, num, den)."""
+    SCALE = np.int64(1) << np.int64(40)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "rk": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "num": pd.Series(dtype="int64"),
+                                 "den": pd.Series(dtype="int64")})
+        kv = g[key].to_numpy()
+        # lexsort needs a sortable key; group identity is all that
+        # matters for per-key ranks, so factorized codes suffice
+        kcode = pd.factorize(g[key], sort=True)[0].astype(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        av = g[a].to_numpy(np.int64)
+        bv = g[b].to_numpy(np.int64)
+        n = len(g)
+        # rank within key: argsort positions minus the key's offset
+        def ranks(order):
+            pos = np.empty(n, np.int64)
+            pos[order] = np.arange(n)
+            kk = kcode[order]
+            starts = np.concatenate([[0], np.nonzero(kk[1:] != kk[:-1])[0] + 1])
+            off = np.zeros(n, np.int64)
+            off[starts] = starts
+            off = np.maximum.accumulate(off)
+            return pos - off[pos] + 1
+
+        oa = np.lexsort((ids, -av, kcode))
+        ob = np.lexsort((ids, bv, kcode))
+        ra = ranks(oa)
+        rb = ranks(ob)
+        num = 2 * k + ra + rb
+        den = (k + ra) * (k + rb)
+        skey = num * SCALE // den
+        sel = np.lexsort((ids, -skey, kcode))
+        kk = kv[sel]
+        starts = np.concatenate([[0], np.nonzero(kk[1:] != kk[:-1])[0] + 1])
+        off = np.zeros(n, np.int64)
+        off[starts] = starts
+        off = np.maximum.accumulate(off)
+        rk = np.arange(n) - off + 1
+        keep = rk <= topk
+        return pd.DataFrame({key: kk[keep], "rk": rk[keep],
+                             id_col: ids[sel][keep],
+                             "num": num[sel][keep],
+                             "den": den[sel][keep]})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

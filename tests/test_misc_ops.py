@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -280,3 +281,31 @@ def test_kernel_heatmap_brute(ray_session):
     wx = np.maximum(0, 12 - np.abs(np.arange(16)[:, None] * 16 - px))
     wy = np.maximum(0, 12 - np.abs(np.arange(16)[:, None] * 16 - py))
     assert int(got["heat"].sum()) == int((wx.sum(0) * wy.sum(0)).sum())
+
+
+def test_rect_union_area_vs_brute(ray_session):
+    import ray.data
+    from hand_index_ray.pipelines.geostat import rect_union_area
+
+    rng = np.random.RandomState(11)
+    n = 200
+    g = rng.randint(0, 5, n)
+    x1 = rng.randint(0, 40, n)
+    y1 = rng.randint(0, 30, n)
+    x2 = x1 + rng.randint(1, 10, n)
+    y2 = y1 + rng.randint(1, 8, n)
+    t = pa.table({"gid": pa.array(g, pa.int64()),
+                  "x1": pa.array(x1, pa.int64()),
+                  "y1": pa.array(y1, pa.int64()),
+                  "x2": pa.array(x2, pa.int64()),
+                  "y2": pa.array(y2, pa.int64())})
+    got = rect_union_area(ray.data.from_arrow(t), "gid",
+                          "x1", "y1", "x2", "y2") \
+        .to_pandas().set_index("gid").sort_index()
+    for k in range(5):
+        cells = set()
+        m = g == k
+        for a, b, c, d in zip(x1[m], y1[m], x2[m], y2[m]):
+            cells |= {(i, j) for i in range(a, c) for j in range(b, d)}
+        assert got.loc[k, "area"] == len(cells), k
+        assert got.loc[k, "n_rects"] == int(m.sum()), k

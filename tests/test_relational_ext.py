@@ -549,3 +549,68 @@ def test_interval_union(ray_session):
     assert got.loc[1].tolist() == [2, 25, 20]   # islands, covered, max
     assert got.loc[2].tolist() == [2, 2, 1]
     assert got.loc[3].tolist() == [1, 1, 1]
+
+
+def test_range_frame_sum_vs_brute(ray_session):
+    from hand_index_ray.relational import range_frame_sum
+
+    rng = np.random.RandomState(3)
+    n = 300
+    k = rng.randint(0, 6, n)
+    # duplicate timestamps on purpose: RANGE peers must co-include
+    ts = rng.randint(0, 50, n).astype(np.int64) * 10
+    v = rng.randint(-5, 20, n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "rid": pa.array(rid, pa.int64())})
+    W = 70
+    got = range_frame_sum(_rd().from_arrow(t), "k", "ts", "v", width=W) \
+        .to_pandas().set_index("rid").sort_index()
+    for i in range(n):
+        m = (k == k[i]) & (ts >= ts[i] - W) & (ts <= ts[i])
+        assert got.loc[i, "w_sum"] == v[m].sum(), i
+        assert got.loc[i, "w_cnt"] == int(m.sum()), i
+
+
+def test_rrf_topk_vs_brute(ray_session):
+    from fractions import Fraction
+
+    from hand_index_ray.relational import rrf_topk
+
+    rng = np.random.RandomState(9)
+    n = 120
+    key = np.array(["ab", "cd", "e"])[rng.randint(0, 3, n)]
+    ids = np.arange(n, dtype=np.int64)
+    a = rng.randint(0, 40, n).astype(np.int64)   # deliberate ties
+    b = rng.randint(0, 40, n).astype(np.int64)
+    t = pa.table({"key": pa.array(key), "id": pa.array(ids, pa.int64()),
+                  "a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    K, TOP = 60, 4
+    got = rrf_topk(_rd().from_arrow(t), "key", "id", "a", "b",
+                   k=K, topk=TOP).to_pandas()
+    for kk in ["ab", "cd", "e"]:
+        m = key == kk
+        sub = sorted(zip(-a[m], ids[m]))
+        ra = {i: r + 1 for r, (_, i) in enumerate(sub)}
+        sub = sorted(zip(b[m], ids[m]))
+        rb = {i: r + 1 for r, (_, i) in enumerate(sub)}
+        scored = sorted(
+            ids[m],
+            key=lambda i: (-((2 * K + ra[i] + rb[i]) * (1 << 40)
+                            // ((K + ra[i]) * (K + rb[i]))), i))
+        g = got[got["key"] == kk].sort_values("rk")
+        assert g["id"].tolist() == scored[:TOP]
+        for _, row in g.iterrows():
+            i = row["id"]
+            assert row["num"] == 2 * K + ra[i] + rb[i]
+            assert row["den"] == (K + ra[i]) * (K + rb[i])
+        # the integer sort key respects the true fraction order
+        # whenever fractions differ beyond 2^-40
+        fr = {i: Fraction(1, K + ra[i]) + Fraction(1, K + rb[i])
+              for i in ids[m]}
+        for x, y in zip(scored, scored[1:]):
+            assert fr[x] >= fr[y] or \
+                abs(fr[x] - fr[y]) < Fraction(1, 1 << 39)
