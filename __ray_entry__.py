@@ -5204,6 +5204,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           "ts_us", k=60, topk=3).to_pandas()
         return df.sort_values(["event_type", "rk"]).reset_index(drop=True)
 
+    def _discbar_blobs(sf):
+        """Disc ∪ 2-pixel bar masks (values 30/0) as GeoTIFFs — the
+        skeletonization fixture (elongated shapes → line skeletons)."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(12, dtype=np.int64),
+                             np.arange(14, dtype=np.int64), indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 239 == 0]
+            blobs = []
+            for k in keys:
+                k = int(k)
+                cx, cy = 4 + k % 6, 4 + (k // 6) % 4
+                by = 2 + k % 7
+                m = (((xx - cx) ** 2 + (yy - cy) ** 2 <= 5 + k % 9)
+                     | ((yy >= by) & (yy <= by + 1)
+                        & (xx >= 1) & (xx <= 12)))
+                blobs.append(encode_geotiff(
+                    np.where(m, 30, 0).astype(np.int32),
+                    compression="deflate", predictor=2))
+            return pa.table({"o_orderkey": pa.array(
+                                 [int(k) for k in keys], pa.int64()),
+                             "bytes": pa.array(blobs, pa.binary())})
+
+        return orders.map_batches(gen, batch_format="pyarrow")
+
+    def q243_skeleton(sf):  # Zhang-Suen raster skeletonization
+        """Zhang–Suen thinning of disc∪bar masks to line skeletons —
+        the two alternating delete sub-iterations (B∈[2,6], A=1, phase
+        product conditions) run vectorized to fixpoint per raster,
+        map-only across the corpus
+        (pipelines/terrain.py:zhang_suen_core). Oracle: 16 unrolled
+        sub-iteration CTEs (≥ the measured 6-iteration fixpoint)."""
+        from hand_index_ray.pipelines.terrain import skeleton_stats
+        df = skeleton_stats(_discbar_blobs(sf), thresh=20,
+                            id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q244_resample_tracks(sf):  # trajectory resampling to a grid
+        """GPS-track resampling: every trajectory re-sampled at the
+        global tick grid 5·ℤ inside [t_first, t_last], floor-exact
+        linear interpolation of the bracketing points, ONE keyed
+        shuffle + one global searchsorted for every bracket
+        (pipelines/trajectory.py:resample_tracks). Points are first
+        deduped to the min packed (x,y) per (gid, t) — the synthetic
+        lineitem repeats (orderkey, linenumber) pairs. Oracle: LEAD
+        segments range-joined to the tick series."""
+        from hand_index_ray.pipelines.trajectory import resample_tracks
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+            ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            return pa.table({
+                "gid": pa.array(ok % 389, pa.int64()),
+                "t": pa.array((ok // 389) * 8 + ln, pa.int64()),
+                "c": pa.array((pk % 64) * 64 + sk % 64, pa.int64())})
+
+        pts = rel.grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["gid", "t"], min_cols=["c"], count=False)
+
+        def unpack(t: pa.Table) -> pa.Table:
+            c = t.column("min_c").to_numpy()
+            return pa.table({"gid": t["gid"], "t": t["t"],
+                             "x": pa.array(c // 64, pa.int64()),
+                             "y": pa.array(c % 64, pa.int64())})
+
+        ds = pts.map_batches(unpack, batch_format="pyarrow")
+        df = resample_tracks(ds, "gid", "t", "x", "y", step=5).to_pandas()
+        return df.sort_values(["gid", "tick"]).reset_index(drop=True)
+
+    def q245_mode_filter(sf):  # 3x3 majority (mode) filter
+        """Categorical-raster denoise: 3×3 majority filter over the
+        8-level plateau fixture, smallest-value tie-break, one
+        shifted-slice count pass per label (no per-pixel loop)
+        (pipelines/terrain.py:mode_filter_stats). Oracle: 3×3 offsets
+        cross join + QUALIFY argmax."""
+        from hand_index_ray.pipelines.terrain import mode_filter_stats
+        ds = _terrain_blobs(sf, 241, 14, 11, 13, 7, 3, 256, div=32,
+                            compression="lzw", predictor=2)
+        df = mode_filter_stats(ds, nvals=8,
+                               id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q246_zonal_majority(sf):  # majority class per zone band
+        """Corpus-wide zonal majority (the land-cover rollup): every
+        raster bincounts (y-band, class) locally so PARTIALS, not
+        pixels, cross the wire; a tiny grouped sum merges and the
+        per-band argmax breaks ties toward the smaller class
+        (pipelines/terrain.py:zonal_majority). Oracle: GROUP BY +
+        window argmax."""
+        from hand_index_ray.pipelines.terrain import zonal_majority
+        ds = _terrain_blobs(sf, 241, 14, 11, 13, 7, 3, 256,
+                            compression="lzw", predictor=2)
+        df = zonal_majority(ds, band_h=3, nclasses=8, div=32,
+                            id_col="o_orderkey").to_pandas()
+        return df.sort_values("band").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5441,6 +5546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q240_rect_union": q240_rect_union,
         "q241_range_frame_sum": q241_range_frame_sum,
         "q242_rrf": q242_rrf,
+        "q243_skeleton": q243_skeleton,
+        "q244_resample_tracks": q244_resample_tracks,
+        "q245_mode_filter": q245_mode_filter,
+        "q246_zonal_majority": q246_zonal_majority,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6262,6 +6371,69 @@ def _cheapest_hops_sql(hops: int = 4) -> str:
             FROM d{hops} ORDER BY 1""")
 
 
+def _zhang_suen_sql(subiters: int = 16) -> str:
+    """q243: Zhang–Suen thinning as ``subiters`` unrolled
+    sub-iteration CTEs (phase alternates; 16 ≥ the measured 6-full-
+    iteration fixpoint over every mask the fixture can produce).
+    Out-of-grid neighbors are 0 via LEFT JOIN + COALESCE."""
+    offs = {2: (0, -1), 3: (1, -1), 4: (1, 0), 5: (1, 1),
+            6: (0, 1), 7: (-1, 1), 8: (-1, 0), 9: (-1, -1)}
+
+    def nb(i):
+        return f"COALESCE(p{i}.v, 0)"
+
+    ring = [2, 3, 4, 5, 6, 7, 8, 9, 2]
+    B = " + ".join(nb(i) for i in range(2, 10))
+    A = " + ".join(f"(1 - {nb(ring[i])}) * {nb(ring[i + 1])}"
+                   for i in range(8))
+    conds = ["({p2} * {p4} * {p6}) = 0 AND ({p4} * {p6} * {p8}) = 0",
+             "({p2} * {p4} * {p8}) = 0 AND ({p2} * {p6} * {p8}) = 0"]
+    ctes = ["""ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 239 = 0),
+            m0 AS MATERIALIZED (
+                SELECT ks.k, x.x, y.y,
+                       CASE WHEN (x.x - (4 + ks.k % 6))
+                                * (x.x - (4 + ks.k % 6))
+                              + (y.y - (4 + (ks.k // 6) % 4))
+                                * (y.y - (4 + (ks.k // 6) % 4))
+                              <= 5 + ks.k % 9
+                              OR (y.y >= 2 + ks.k % 7
+                                  AND y.y <= 3 + ks.k % 7
+                                  AND x.x BETWEEN 1 AND 12)
+                            THEN 1 ELSE 0 END AS v
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 11)) y)"""]
+    for s in range(1, subiters + 1):
+        cond = conds[(s - 1) % 2].format(
+            p2=nb(2), p4=nb(4), p6=nb(6), p8=nb(8))
+        joins = "\n".join(
+            f"LEFT JOIN m{s - 1} p{i} ON p{i}.k = c.k "
+            f"AND p{i}.x = c.x + {dx} AND p{i}.y = c.y + {dy}"
+            for i, (dx, dy) in offs.items())
+        ctes.append(f"""m{s} AS MATERIALIZED (
+            SELECT c.k, c.x, c.y,
+                   CASE WHEN c.v = 1
+                             AND ({B}) BETWEEN 2 AND 6
+                             AND ({A}) = 1
+                             AND {cond}
+                        THEN 0 ELSE c.v END AS v
+            FROM m{s - 1} c
+            {joins})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT a.k AS o_orderkey, a.n_set, b.n_skel, b.pos_sum
+        FROM (SELECT k, CAST(SUM(v) AS BIGINT) AS n_set
+              FROM m0 GROUP BY k) a
+        JOIN (SELECT k, CAST(SUM(v) AS BIGINT) AS n_skel,
+                     CAST(COALESCE(SUM(CASE WHEN v = 1
+                                       THEN x + 100 * y END), 0)
+                          AS BIGINT) AS pos_sum
+              FROM m{subiters} GROUP BY k) b ON b.k = a.k
+        ORDER BY 1""")
+
+
 def _watershed_sql(doublings: int = 7) -> str:
     """q219: D8 next-pointer table, then ``doublings`` unrolled
     pointer-doubling self-joins (2⁷ = 128 ≥ any path on the 12×10
@@ -6738,6 +6910,108 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q243_skeleton": _zhang_suen_sql(),
+        "q244_resample_tracks": """
+            WITH p0 AS (
+                SELECT l_orderkey % 389 AS g,
+                       (l_orderkey // 389) * 8 + l_linenumber AS t,
+                       MIN((l_partkey % 64) * 64 + l_suppkey % 64) AS c
+                FROM lineitem GROUP BY 1, 2),
+            pts AS (SELECT g, t, c // 64 AS x, c % 64 AS y FROM p0),
+            seg AS (
+                SELECT g, t, x, y,
+                       LEAD(t) OVER w AS t2, LEAD(x) OVER w AS x2,
+                       LEAD(y) OVER w AS y2
+                FROM pts WINDOW w AS (PARTITION BY g ORDER BY t)),
+            bounds AS (SELECT g, MIN(t) AS tmin, MAX(t) AS tmax
+                       FROM pts GROUP BY 1),
+            ticks AS (
+                SELECT b.g, s.s * 5 AS tick
+                FROM bounds b
+                JOIN (SELECT generate_series AS s
+                      FROM generate_series(0, 200000)) s
+                  ON s.s * 5 >= b.tmin AND s.s * 5 <= b.tmax),
+            -- floor division (DuckDB // truncates; numerators can be
+            -- negative): a_floordiv_b = (a - posmod(a,b)) // b
+            interp AS (
+                SELECT t.g, t.tick,
+                       CASE WHEN s.t2 IS NULL THEN s.x
+                            ELSE s.x + ((s.x2 - s.x) * (t.tick - s.t)
+                                 - (((s.x2 - s.x) * (t.tick - s.t))
+                                    % (s.t2 - s.t) + (s.t2 - s.t))
+                                   % (s.t2 - s.t)) // (s.t2 - s.t)
+                       END AS xi,
+                       CASE WHEN s.t2 IS NULL THEN s.y
+                            ELSE s.y + ((s.y2 - s.y) * (t.tick - s.t)
+                                 - (((s.y2 - s.y) * (t.tick - s.t))
+                                    % (s.t2 - s.t) + (s.t2 - s.t))
+                                   % (s.t2 - s.t)) // (s.t2 - s.t)
+                       END AS yi
+                FROM ticks t
+                JOIN seg s ON s.g = t.g AND t.tick >= s.t
+                     AND (t.tick < s.t2
+                          OR (s.t2 IS NULL AND t.tick = s.t)))
+            SELECT g AS gid, tick, CAST(xi AS BIGINT) AS xi,
+                   CAST(yi AS BIGINT) AS yi
+            FROM interp ORDER BY 1, 2
+        """,
+        "q245_mode_filter": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 241 = 0),
+            px AS MATERIALIZED (
+                SELECT ks.k, x.x, y.y,
+                       ((ks.k * 13 + x.x * 7 + y.y * 3) % 256) // 32 AS v
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 10)) y),
+            off(dx, dy) AS (VALUES (-1,-1), (0,-1), (1,-1), (-1,0),
+                                   (0,0), (1,0), (-1,1), (0,1), (1,1)),
+            nb AS (
+                SELECT c.k, c.x, c.y, p.v
+                FROM px c
+                JOIN off o ON TRUE
+                JOIN px p ON p.k = c.k AND p.x = c.x + o.dx
+                         AND p.y = c.y + o.dy
+                WHERE c.x BETWEEN 1 AND 12 AND c.y BETWEEN 1 AND 9),
+            cnts AS (SELECT k, x, y, v, COUNT(*) AS c
+                     FROM nb GROUP BY 1, 2, 3, 4),
+            modes AS (SELECT k, x, y, v FROM cnts
+                      QUALIFY ROW_NUMBER() OVER (PARTITION BY k, x, y
+                                                 ORDER BY c DESC, v) = 1)
+            SELECT m.k AS o_orderkey,
+                   CAST(SUM(CASE WHEN m.v <> px.v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(SUM(m.v * (1 + (m.x - 1) + 100 * (m.y - 1)))
+                        AS BIGINT) AS mode_checksum
+            FROM modes m
+            JOIN px ON px.k = m.k AND px.x = m.x AND px.y = m.y
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q246_zonal_majority": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 241 = 0),
+            px AS (
+                SELECT ks.k, x.x, y.y,
+                       ((ks.k * 13 + x.x * 7 + y.y * 3) % 256) // 32 AS v
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 10)) y),
+            b AS (SELECT y // 3 AS band, v AS cls, COUNT(*) AS cnt
+                  FROM px GROUP BY 1, 2)
+            SELECT band, CAST(cls AS BIGINT) AS maj_class,
+                   CAST(cnt AS BIGINT) AS n_pixels,
+                   CAST(tot AS BIGINT) AS n_total
+            FROM (SELECT band, cls, cnt,
+                         SUM(cnt) OVER (PARTITION BY band) AS tot,
+                         ROW_NUMBER() OVER (PARTITION BY band
+                                            ORDER BY cnt DESC, cls) AS rn
+                  FROM b)
+            WHERE rn = 1 ORDER BY band
+        """,
         "q240_rect_union": """
             WITH r AS (
                 SELECT o_orderkey % 13 AS gid,

@@ -37,6 +37,7 @@ by raster dims, built once per (actor, dims) not per batch.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..kernels import geotiff
@@ -1735,3 +1736,146 @@ def hysteresis_stats(ds, lo2: int, hi2: int, bytes_col: str = "bytes",
                          "n_linked": pa.array(nl, pa.int64()),
                          "edge_mag2_sum": pa.array(sm, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def zhang_suen_core(mask: np.ndarray) -> tuple:
+    """Zhang–Suen thinning (the classic raster skeletonization): the
+    two alternating sub-iterations delete boundary pixels with
+    2 ≤ B(p) ≤ 6 neighbors, exactly one 0→1 transition A(p) around
+    the ring, and the phase's two product conditions, until a full
+    iteration deletes nothing. Fully vectorized shifted slices per
+    sub-iteration; pixels outside the grid are 0. Returns
+    (skeleton mask, iterations run)."""
+    m = mask.astype(bool).copy()
+    iters = 0
+    while True:
+        iters += 1
+        any_change = False
+        for phase in (0, 1):
+            p = np.pad(m, 1)
+            P2 = p[:-2, 1:-1]; P3 = p[:-2, 2:]; P4 = p[1:-1, 2:]
+            P5 = p[2:, 2:]; P6 = p[2:, 1:-1]; P7 = p[2:, :-2]
+            P8 = p[1:-1, :-2]; P9 = p[:-2, :-2]
+            ring = [P2, P3, P4, P5, P6, P7, P8, P9, P2]
+            B = sum(x.astype(np.int64) for x in ring[:8])
+            A = sum(((~ring[i]) & ring[i + 1]).astype(np.int64)
+                    for i in range(8))
+            if phase == 0:
+                cond = (~(P2 & P4 & P6)) & (~(P4 & P6 & P8))
+            else:
+                cond = (~(P2 & P4 & P8)) & (~(P2 & P6 & P8))
+            kill = m & (B >= 2) & (B <= 6) & (A == 1) & cond
+            if kill.any():
+                m &= ~kill
+                any_change = True
+        if not any_change:
+            return m, iters
+
+
+def skeleton_stats(ds, thresh: int, bytes_col: str = "bytes",
+                   id_col: str = "path"):
+    """Per-raster Zhang–Suen skeleton aggregates over the mask
+    v ≥ thresh: set pixels before, skeleton pixels after, and the
+    position checksum Σ (x + 100·y) over the skeleton."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nb, ns, cs = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            mask = arr.astype(np.int64) >= thresh
+            sk, _ = zhang_suen_core(mask)
+            yy, xx = np.nonzero(sk)
+            ids.append(rid)
+            nb.append(int(mask.sum()))
+            ns.append(int(sk.sum()))
+            cs.append(int((xx + 100 * yy).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_set": pa.array(nb, pa.int64()),
+                         "n_skel": pa.array(ns, pa.int64()),
+                         "pos_sum": pa.array(cs, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mode_filter_stats(ds, nvals: int, bytes_col: str = "bytes",
+                      id_col: str = "path"):
+    """3×3 majority (mode) filter over a small label domain — the
+    classic categorical-raster denoise (land-cover smoothing): each
+    interior pixel takes the most frequent value of its 3×3
+    neighborhood, ties broken by the SMALLEST value. Vectorized as
+    one shifted-slice count pass per label value (nvals × 9 adds, no
+    per-pixel loop). Reports changed-pixel count and the mode-grid
+    checksum per raster."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nc, cs = [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            H, W = v.shape
+            sh = {(dy, dx): v[1 + dy:H - 1 + dy or None,
+                              1 + dx:W - 1 + dx or None]
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+            cnt = np.zeros((nvals, H - 2, W - 2), np.int64)
+            for c in range(nvals):
+                for s in sh.values():
+                    cnt[c] += s == c
+            # argmax with smallest-value tie-break = plain argmax
+            # (np.argmax returns the FIRST max index)
+            mode = cnt.argmax(axis=0)
+            ctr = v[1:-1, 1:-1]
+            ids.append(rid)
+            nc.append(int((mode != ctr).sum()))
+            yy, xx = np.indices(mode.shape)
+            cs.append(int((mode * (1 + xx + 100 * yy)).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_changed": pa.array(nc, pa.int64()),
+                         "mode_checksum": pa.array(cs, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def zonal_majority(ds, band_h: int, nclasses: int, div: int,
+                   bytes_col: str = "bytes", id_col: str = "path",
+                   num_buckets: int = 16):
+    """Majority class per horizontal zone band ACROSS the whole raster
+    corpus (the land-cover majority rollup): every raster bincounts
+    (band, class) locally — partials, not pixels, cross the wire —
+    one tiny grouped sum merges them, and the per-band argmax (ties →
+    smallest class) runs on the merged counts. Returns
+    (band, maj_class, n_pixels, n_total)."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc = {}
+        for _, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64) // div
+            H, W = v.shape
+            band = (np.arange(H) // band_h)
+            for b in np.unique(band):
+                rows = v[band == b]
+                bc = np.bincount(rows.ravel(), minlength=nclasses)
+                key = int(b)
+                acc[key] = acc.get(key, 0) + bc
+        bands, classes, counts = [], [], []
+        for b, bc in acc.items():
+            for c in range(nclasses):
+                if bc[c]:
+                    bands.append(b); classes.append(c)
+                    counts.append(int(bc[c]))
+        return pa.table({"band": pa.array(bands, pa.int64()),
+                         "cls": pa.array(classes, pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["band", "cls"], sum_cols=["cnt"], count=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "cnt", "cls"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("band", sort=True).first().reset_index()
+        tot = g.groupby("band", sort=True)["cnt"].sum().reset_index()
+        out = top.merge(tot, on="band", suffixes=("", "_tot"))
+        return pd.DataFrame({"band": out["band"].astype("int64"),
+                             "maj_class": out["cls"].astype("int64"),
+                             "n_pixels": out["cnt"].astype("int64"),
+                             "n_total": out["cnt_tot"].astype("int64")})
+
+    return grouped_apply_bucketed(merged, ["band"], pick,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -230,3 +230,69 @@ def lcss_to_template(ds: ray.data.Dataset, key: str, order: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def resample_tracks(ds: ray.data.Dataset, key: str, t: str, x: str,
+                    y: str, step: int,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Resample every trajectory at the fixed global tick grid
+    T ∈ step·ℤ, keeping ticks inside [t_first, t_last]: position at T
+    is the floor-exact linear interpolation of the bracketing points
+    (xi = x_a + (x_b − x_a)(T − t_a) // (t_b − t_a)) — the GPS-track
+    normalization pass every fleet/AIS pipeline runs before
+    map-matching. Timestamps must be unique per key.
+
+    ONE keyed shuffle; inside the bucket all groups resolve in flat
+    passes: points sort once by (key, t), per-key tick COUNTS come
+    from the key's min/max, ticks materialize with one repeat/arange,
+    and one global searchsorted on segment-shifted timestamps brackets
+    every tick at once — no per-key loop. Returns (key, tick, xi, yi).
+    """
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                              "tick": pd.Series(dtype="int64"),
+                              "xi": pd.Series(dtype="int64"),
+                              "yi": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, t], kind="mergesort", ignore_index=True)
+        kv = g[key].to_numpy()
+        tv = g[t].to_numpy(np.int64)
+        xv = g[x].to_numpy(np.int64)
+        yv = g[y].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate(
+            [[0], np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        tmin = tv[starts]
+        tmax = tv[ends - 1]
+        # first/last tick per key (ceil/floor to the step grid)
+        t0 = -(-tmin // step) * step
+        t1 = (tmax // step) * step
+        cnt = np.maximum(0, (t1 - t0) // step + 1)
+        if cnt.sum() == 0:
+            return empty
+        gi = np.repeat(np.arange(len(starts)), cnt)
+        base = np.repeat(t0, cnt)
+        offs = np.arange(len(gi)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        ticks = base + offs * step
+        # bracket: one global searchsorted on segment-shifted times
+        span = int(tv.max() - tv.min()) + step + 2
+        comp_pts = np.arange(len(starts)).repeat(ends - starts) * span \
+            + (tv - tv.min())
+        comp_tk = gi * span + (ticks - tv.min())
+        ia = np.searchsorted(comp_pts, comp_tk, side="right") - 1
+        xa, ya, ta = xv[ia], yv[ia], tv[ia]
+        last = ia == np.repeat(ends, cnt) - 1
+        ib = np.where(last, ia, ia + 1)
+        dt = np.where(last, 1, tv[ib] - ta)
+        xi = xa + (xv[ib] - xa) * (ticks - ta) // dt
+        yi = ya + (yv[ib] - ya) * (ticks - ta) // dt
+        return pd.DataFrame({key: kv[starts][gi], "tick": ticks,
+                             "xi": xi.astype("int64"),
+                             "yi": yi.astype("int64")})
+
+    from ..relational import grouped_apply_bucketed
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

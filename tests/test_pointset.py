@@ -210,3 +210,45 @@ def test_lcss_brute(ray_session):
         ref = _brute_lcss(sub[["x", "y"]].to_numpy(), tpl, 6)
         assert row["lcss_len"] == ref
         assert row["n_pts"] == len(sub)
+
+
+def test_resample_tracks_vs_brute(ray_session):
+    import ray.data
+    from hand_index_ray.pipelines.trajectory import resample_tracks
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g in range(6):
+        npts = rng.randint(1, 9)
+        ts = np.sort(rng.choice(np.arange(0, 200), npts, replace=False))
+        for t in ts:
+            rows.append((g, int(t), int(rng.randint(-50, 50)),
+                         int(rng.randint(-50, 50))))
+    t = pa.table({"g": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "x": pa.array([r[2] for r in rows], pa.int64()),
+                  "y": pa.array([r[3] for r in rows], pa.int64())})
+    STEP = 7
+    got = resample_tracks(ray.data.from_arrow(t), "g", "t", "x", "y",
+                          step=STEP).to_pandas()
+    gm = {(r.g, r.tick): (r.xi, r.yi) for r in got.itertuples()}
+    exp = {}
+    bygrp = {}
+    for g, tt, x, y in rows:
+        bygrp.setdefault(g, []).append((tt, x, y))
+    for g, pts in bygrp.items():
+        pts.sort()
+        tmin, tmax = pts[0][0], pts[-1][0]
+        T = -(-tmin // STEP) * STEP
+        while T <= tmax:
+            i = max(j for j in range(len(pts)) if pts[j][0] <= T)
+            ta, xa, ya = pts[i]
+            if i + 1 < len(pts) and T > ta:
+                tb, xb, yb = pts[i + 1]
+                xi = xa + (xb - xa) * (T - ta) // (tb - ta)
+                yi = ya + (yb - ya) * (T - ta) // (tb - ta)
+            else:
+                xi, yi = xa, ya
+            exp[(g, T)] = (xi, yi)
+            T += STEP
+    assert gm == exp
