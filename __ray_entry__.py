@@ -5309,6 +5309,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             id_col="o_orderkey").to_pandas()
         return df.sort_values("band").reset_index(drop=True)
 
+    def q247_theil_sen(sf):  # robust trend slope (Theil-Sen)
+        """Theil–Sen slope per user over event values in cents (t =
+        event id): the exact lower-median pairwise slope, reported as
+        the (med_dy, med_dx) pair; median ordering by the integer key
+        dy·2⁴⁰ // dx with (dy, dx) tiebreak — SQL-reproducible
+        bit-for-bit (relational.py:theil_sen; the robust sibling of
+        q174's OLS and q233's Mann–Kendall). Oracle: pair self-join +
+        QUALIFY median pick with truncation-safe floor division."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.theil_sen(ev, "user_id", "event_id",
+                           "value_cents").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q248_autocov(sf):  # lag-k autocovariance partials
+        """Lag-3 autocovariance sufficient statistics per user —
+        m = n−3 overlapped pairs, Σ x·x₊₃ and the two marginal sums,
+        exact integers from one groupby shift inside the bucket
+        (relational.py:lag_autocov). Oracle: rn+3 self-join."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.lag_autocov(ev, "user_id", "event_id", "value_cents",
+                             lag=3).to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q249_soundex(sf):  # phonetic blocking (entity resolution)
+        """Phonetic blocking over part-name nouns: simplified Soundex
+        (h/w rule omitted, mirrored exactly by the oracle) codes every
+        distinct last word, buckets report fuzzy-candidate yield —
+        fully vectorized flat code-point pass, slim (code, word)
+        shuffle (pipelines/text.py:soundex_codes). Oracle: translate()
+        + per-char LAG run-collapse + STRING_AGG."""
+        from hand_index_ray.pipelines.text import soundex_buckets
+        df = soundex_buckets(_t(sf, "part"), "p_name").to_pandas()
+        return df.sort_values("code").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5550,6 +5586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q244_resample_tracks": q244_resample_tracks,
         "q245_mode_filter": q245_mode_filter,
         "q246_zonal_majority": q246_zonal_majority,
+        "q247_theil_sen": q247_theil_sen,
+        "q248_autocov": q248_autocov,
+        "q249_soundex": q249_soundex,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6910,6 +6949,77 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q247_theil_sen": """
+            WITH s AS (SELECT user_id AS u, event_id AS t,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events),
+            p AS (SELECT a.u, b.v - a.v AS dy, b.t - a.t AS dx
+                  FROM s a JOIN s b ON b.u = a.u AND b.t > a.t),
+            sk AS (SELECT u, dy, dx,
+                          (dy * 1099511627776
+                           - ((dy * 1099511627776) % dx + dx) % dx)
+                          // dx AS skey
+                   FROM p),
+            m AS (SELECT u, dy, dx,
+                         ROW_NUMBER() OVER (PARTITION BY u
+                                            ORDER BY skey, dy, dx) AS rn,
+                         COUNT(*) OVER (PARTITION BY u) AS np
+                  FROM sk)
+            SELECT u AS user_id, CAST(dy AS BIGINT) AS med_dy,
+                   CAST(dx AS BIGINT) AS med_dx,
+                   CAST(np AS BIGINT) AS n_pairs
+            FROM m WHERE rn = (np + 1) // 2 ORDER BY 1
+        """,
+        "q248_autocov": """
+            WITH s AS (SELECT user_id AS u,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id) AS rn
+                       FROM events)
+            SELECT a.u AS user_id, CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS s_xy,
+                   CAST(SUM(a.v) AS BIGINT) AS s_x,
+                   CAST(SUM(b.v) AS BIGINT) AS s_y
+            FROM s a JOIN s b ON b.u = a.u AND b.rn = a.rn + 3
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q249_soundex": """
+            WITH w AS (SELECT lower(regexp_extract(p_name,
+                                     '([a-zA-Z]+)$', 1)) AS word
+                       FROM part),
+            dw AS (SELECT DISTINCT word FROM w),
+            d0 AS (SELECT word,
+                          translate(word,
+                                    'abcdefghijklmnopqrstuvwxyz',
+                                    '01230120022455012623010202') AS ds
+                   FROM dw),
+            ch AS (SELECT word, t.i AS i, substr(ds, t.i, 1) AS c
+                   FROM d0,
+                        LATERAL (SELECT UNNEST(generate_series(
+                                     1, length(ds))) AS i) t),
+            kept AS (SELECT word, i, c FROM (
+                         SELECT word, i, c,
+                                LAG(c) OVER (PARTITION BY word
+                                             ORDER BY i) AS p
+                         FROM ch)
+                     WHERE i = 1 OR c <> p),
+            tail AS (SELECT word, STRING_AGG(c, '' ORDER BY i) AS digs
+                     FROM kept WHERE i > 1 AND c <> '0' GROUP BY word),
+            code AS (SELECT dw.word,
+                            upper(substr(dw.word, 1, 1))
+                            || substr(COALESCE(t.digs, '') || '000',
+                                      1, 3) AS code
+                     FROM dw LEFT JOIN tail t USING (word)),
+            cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
+            per AS (SELECT c.code, COUNT(*) AS n_words,
+                           SUM(cnt.n) AS n_rows
+                    FROM code c JOIN cnt USING (word) GROUP BY 1)
+            SELECT code, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_words * (n_words - 1) // 2 AS BIGINT)
+                       AS n_pairs
+            FROM per ORDER BY code
+        """,
         "q243_skeleton": _zhang_suen_sql(),
         "q244_resample_tracks": """
             WITH p0 AS (

@@ -1215,3 +1215,80 @@ def cdc_chunks(ds: ray.data.Dataset, col: str = "text",
     return grouped_agg(partial, ["sc"], count=False,
                        sum_cols=["n_chunks", "n_distinct", "bytes_total",
                                  "bytes_distinct"])
+
+
+# simplified American Soundex digit per letter a..z (h/w rule omitted —
+# the oracle applies the identical simplification)
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def soundex_codes(words: list[str]) -> np.ndarray:
+    """Simplified Soundex for a batch of lowercase ascii words, fully
+    vectorized: one flat code-point pass maps letters to digits,
+    adjacent equal digits collapse with one shift-compare, zeros drop,
+    and the code assembles as FIRST LETTER + first three surviving
+    digits (zero-padded). The h/w separator rule of full American
+    Soundex is intentionally omitted — documented, and mirrored
+    exactly by the SQL oracle (q249)."""
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                       count=len(words))
+    if len(words) == 0 or lens.sum() == 0:
+        return np.array([w[:1].upper() + "000" for w in words])
+    cp = np.frombuffer("".join(words).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    loc = np.arange(len(cp)) - np.repeat(off[:-1], lens)
+    lut = np.frombuffer(_SOUNDEX_DIGITS.encode(), dtype=np.uint8) - 48
+    d = lut[np.clip(cp - 97, 0, 25)]
+    wid = np.repeat(np.arange(len(words)), lens)
+    # collapse runs: keep where first-of-word or digit != previous
+    keep = (loc == 0) | (d != np.concatenate([[255], d[:-1]])) \
+        | (wid != np.concatenate([[-1], wid[:-1]]))
+    # drop the first letter's own digit slot and zeros
+    keep &= (loc > 0) & (d > 0)
+    kw = wid[keep]
+    kd = d[keep]
+    # rank of each kept digit within its word
+    rank = np.arange(len(kw)) - np.concatenate(
+        [[0], np.cumsum(np.bincount(kw, minlength=len(words)))])[kw]
+    out = np.full((len(words), 3), 0, np.int64)
+    sel = rank < 3
+    out[kw[sel], rank[sel]] = kd[sel]
+    first = np.array([w[:1].upper() or "0" for w in words])
+    return np.char.add(first, np.char.add(np.char.add(
+        out[:, 0].astype("U1"), out[:, 1].astype("U1")),
+        out[:, 2].astype("U1")))
+
+
+def soundex_buckets(ds: ray.data.Dataset, col: str,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Phonetic blocking (the classic entity-resolution candidate
+    pass): Soundex-code the LAST word of ``col``, bucket distinct
+    words by code, and report each bucket's fuzzy-match candidate
+    yield — distinct words, total rows, candidate pairs C(n,2).
+    Map side emits slim (code, word) rows; one hash-partitioned
+    dedup+count shuffle. Returns (code, n_words, n_rows, n_pairs)."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    def explode(t: pa.Table) -> pa.Table:
+        names = t.column(col).to_pylist()
+        words = [n.rsplit(None, 1)[-1].lower() if n else "" for n in names]
+        return pa.table({"code": pa.array(soundex_codes(words)),
+                         "word": pa.array(words)})
+
+    rows = ds.select_columns([col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    per_word = grouped_agg(rows, ["code", "word"], count=True)
+
+    def per_code(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("code", as_index=False).agg(
+            n_words=("word", "size"), n_rows=("n", "sum"))
+        out["n_pairs"] = (out["n_words"] * (out["n_words"] - 1) // 2) \
+            .astype("int64")
+        out["n_words"] = out["n_words"].astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(per_word, ["code"], per_code,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -2740,3 +2740,101 @@ def rrf_topk(ds: ray.data.Dataset, key: str, id_col: str, a: str, b: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def theil_sen(ds: ray.data.Dataset, key: str, t: str, value: str,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Theil–Sen slope estimator per key — the robust trend slope:
+    the (lower) median of all pairwise slopes (v_j − v_i)/(t_j − t_i)
+    over t-ordered pairs, reported as the EXACT pair (med_dy, med_dx).
+    The median ordering uses the integer key dy·2⁴⁰ // dx (floor; dx >
+    0 because t is strictly increasing per key) with (dy, dx) as the
+    tiebreak — a deterministic total order a SQL oracle reproduces
+    bit-for-bit. |dy| must stay below 2²² so dy·2⁴⁰ fits int64.
+
+    ONE keyed shuffle; inside the bucket the pair set is built as L−1
+    lockstep gap waves across every key at once (the mann_kendall
+    shape) and each key's median is picked by one lexsort + offset
+    arithmetic — no per-key loop. Pair count is Σ n_k(n_k−1)/2: fine
+    for the grouped-series regime (per-key n in the hundreds), cap
+    upstream for hot keys. Returns (key, med_dy, med_dx, n_pairs)."""
+    SCALE = np.int64(1) << np.int64(40)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                              "med_dy": pd.Series(dtype="int64"),
+                              "med_dx": pd.Series(dtype="int64"),
+                              "n_pairs": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, t], kind="mergesort", ignore_index=True)
+        kc, uniq = pd.factorize(g[key], sort=True)
+        kc = kc.astype(np.int64)
+        tv = g[t].to_numpy(np.int64)
+        vv = g[value].to_numpy(np.int64)
+        n = len(g)
+        sizes = np.bincount(kc)
+        L = int(sizes.max())
+        kparts, dyp, dxp = [], [], []
+        for gap in range(1, L):
+            ok = np.nonzero(kc[gap:] == kc[:-gap])[0]
+            if len(ok) == 0:
+                continue
+            kparts.append(kc[ok])
+            dyp.append(vv[ok + gap] - vv[ok])
+            dxp.append(tv[ok + gap] - tv[ok])
+        if not kparts:
+            return empty
+        kk = np.concatenate(kparts)
+        dy = np.concatenate(dyp)
+        dx = np.concatenate(dxp)
+        skey = dy * SCALE // dx
+        order = np.lexsort((dx, dy, skey, kk))
+        kk, dy, dx = kk[order], dy[order], dx[order]
+        starts = np.concatenate([[0], np.nonzero(kk[1:] != kk[:-1])[0] + 1])
+        cnt = np.diff(np.append(starts, len(kk)))
+        med = starts + (cnt - 1) // 2
+        uk = np.asarray(uniq)
+        return pd.DataFrame({key: uk[kk[starts]],
+                             "med_dy": dy[med].astype("int64"),
+                             "med_dx": dx[med].astype("int64"),
+                             "n_pairs": cnt.astype("int64")})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def lag_autocov(ds: ray.data.Dataset, key: str, order: str, value: str,
+                lag: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """Lag-k autocovariance partials per key — the exact integer
+    sufficient statistics of the series' serial correlation at lag
+    ``lag`` over the ``order``-sorted values: m = n − lag overlapped
+    pairs, Σ x_t·x_{t+lag}, Σ x_t (first m), Σ x_{t+lag} (last m).
+    ONE keyed shuffle; inside the bucket one groupby shift + three
+    vectorized sums (no per-key loop).
+    Returns (key, m, s_xy, s_x, s_y)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "m": pd.Series(dtype="int64"),
+                                 "s_xy": pd.Series(dtype="int64"),
+                                 "s_x": pd.Series(dtype="int64"),
+                                 "s_y": pd.Series(dtype="int64")})
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        x = g[value].astype("int64")
+        y = g.groupby(key, sort=False)[value].shift(-lag)
+        ok = y.notna()
+        yv = y.fillna(0).astype("int64")
+        d = pd.DataFrame({key: g[key], "m": ok.astype("int64"),
+                          "s_xy": (x * yv).where(ok, 0),
+                          "s_x": x.where(ok, 0),
+                          "s_y": yv.where(ok, 0)})
+        out = d.groupby(key, sort=True, as_index=False).sum()
+        out = out[out["m"] > 0]  # keys shorter than the lag drop out
+        for c in ("m", "s_xy", "s_x", "s_y"):
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -614,3 +614,62 @@ def test_rrf_topk_vs_brute(ray_session):
         for x, y in zip(scored, scored[1:]):
             assert fr[x] >= fr[y] or \
                 abs(fr[x] - fr[y]) < Fraction(1, 1 << 39)
+
+
+def test_theil_sen_vs_brute(ray_session):
+    from fractions import Fraction
+
+    from hand_index_ray.relational import theil_sen
+
+    rng = np.random.RandomState(17)
+    n = 90
+    k = rng.randint(0, 5, n)
+    t = np.arange(n, dtype=np.int64)            # unique, increasing
+    v = rng.randint(-100, 100, n).astype(np.int64)
+    tab = pa.table({"k": pa.array(k, pa.int64()),
+                    "t": pa.array(t, pa.int64()),
+                    "v": pa.array(v, pa.int64())})
+    got = theil_sen(_rd().from_arrow(tab), "k", "t", "v") \
+        .to_pandas().set_index("k").sort_index()
+    S = 1 << 40
+    for g in range(5):
+        m = k == g
+        tt, vv = t[m], v[m]
+        pairs = [(int(vv[j] - vv[i]), int(tt[j] - tt[i]))
+                 for i in range(len(tt)) for j in range(i + 1, len(tt))]
+        pairs.sort(key=lambda p: (p[0] * S // p[1], p[0], p[1]))
+        dy, dx = pairs[(len(pairs) - 1) // 2]
+        assert got.loc[g, "med_dy"] == dy
+        assert got.loc[g, "med_dx"] == dx
+        assert got.loc[g, "n_pairs"] == len(pairs)
+        # the chosen median is a genuine slope median up to 2^-40 key
+        # collisions: its true Fraction sits at the lower median rank
+        fr = sorted(Fraction(a, b) for a, b in pairs)
+        assert abs(Fraction(dy, dx) - fr[(len(fr) - 1) // 2]) \
+            < Fraction(1, 1 << 38)
+
+
+def test_lag_autocov_vs_brute(ray_session):
+    from hand_index_ray.relational import lag_autocov
+
+    rng = np.random.RandomState(23)
+    n = 120
+    k = rng.randint(0, 8, n)                    # some keys < lag long
+    o = np.arange(n, dtype=np.int64)
+    v = rng.randint(-9, 9, n).astype(np.int64)
+    tab = pa.table({"k": pa.array(k, pa.int64()),
+                    "o": pa.array(o, pa.int64()),
+                    "v": pa.array(v, pa.int64())})
+    LAG = 4
+    got = lag_autocov(_rd().from_arrow(tab), "k", "o", "v", lag=LAG) \
+        .to_pandas().set_index("k")
+    for g in range(8):
+        vv = v[k == g]
+        m = len(vv) - LAG
+        if m <= 0:
+            assert g not in got.index
+            continue
+        assert got.loc[g, "m"] == m
+        assert got.loc[g, "s_xy"] == int((vv[:-LAG] * vv[LAG:]).sum())
+        assert got.loc[g, "s_x"] == int(vv[:-LAG].sum())
+        assert got.loc[g, "s_y"] == int(vv[LAG:].sum())

@@ -484,3 +484,16 @@ def test_cdc_chunks_ledger(ray_session):
     tot = sum(v[2] for v in gm.values())
     dis = sum(v[3] for v in gm.values())
     assert dis < tot
+
+
+def test_soundex_golden():
+    """Golden vectors for the simplified Soundex (no h/w rule): the
+    classic examples that don't involve the h/w separator rule match
+    full American Soundex; ashcraft documents the simplification."""
+    from hand_index_ray.pipelines.text import soundex_codes
+
+    got = soundex_codes(["robert", "rupert", "tymczak", "pfister",
+                         "honeyman", "jackson", "ashcraft", "a",
+                         "widget", "wadget"])
+    assert list(got) == ["R163", "R163", "T522", "P236", "H555",
+                         "J250", "A226", "A000", "W323", "W323"]
