@@ -5345,6 +5345,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = soundex_buckets(_t(sf, "part"), "p_name").to_pandas()
         return df.sort_values("code").reset_index(drop=True)
 
+    def q250_ohlc(sf):  # OHLC candlestick resampling
+        """OHLC bars per (event type, hour): open/high/low/close of
+        value cents with (ts, event_id) tie-break, one keyed shuffle +
+        one pandas groupby.agg (relational.py:ohlc_bars). Oracle:
+        window ROW_NUMBER first/last + MIN/MAX."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "value_cents": t["value_cents"]})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.ohlc_bars(ds, "event_type", "ts_us", "event_id",
+                           "value_cents",
+                           width=3_600_000_000).to_pandas()
+        return df.sort_values(["event_type", "window_id"]) \
+            .reset_index(drop=True)
+
+    def q251_gini(sf):  # exact Gini impurity per key
+        """Label-skew diagnostic: Gini impurity of each user's
+        event-type distribution as the EXACT unreduced rational
+        (n² − Σc², n²) — class counts pre-aggregate per batch, no
+        float ever (relational.py:gini_impurity). Oracle: the same
+        integer algebra over GROUP BY counts."""
+        ev = _t(sf, "events").select_columns(["user_id", "event_type"])
+        df = rel.gini_impurity(ev, "user_id", "event_type").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q252_interval_join(sf):  # interval x interval overlap join
+        """Two-sided interval overlap join per user — error windows
+        [ts, ts+5 min) against view windows [ts, ts+3 min), every
+        overlapping pair exactly once via time-cell co-groups with the
+        canonical max(sa, sb) cell rule
+        (relational.py:interval_overlap_join). Oracle: the brute
+        sa < eb AND sb < ea theta join."""
+        ev = _t(sf, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"])
+
+        def side(et, dur):
+            def fn(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t["event_type"], et))
+                s = pc.cast(t["ts"], pa.int64()).to_numpy()
+                return pa.table({
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "s": pa.array(s, pa.int64()),
+                    "e": pa.array(s + dur, pa.int64())})
+            return fn
+
+        da = ev.map_batches(side("error", 300_000_000),
+                            batch_format="pyarrow")
+        db = ev.map_batches(side("view", 180_000_000),
+                            batch_format="pyarrow")
+        pairs = rel.interval_overlap_join(
+            da, db, "user_id", "event_id", "s", "e",
+            cell_us=300_000_000).to_pandas()
+        out = pairs.groupby("user_id", as_index=False).agg(
+            n_pairs=("a_id", "size"),
+            checksum=("a_id", "sum"))
+        out["checksum"] = (out["checksum"]
+                           + 2 * pairs.groupby("user_id")["b_id"].sum()
+                           .reindex(out["user_id"]).to_numpy())
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        out["checksum"] = out["checksum"].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5589,6 +5658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q247_theil_sen": q247_theil_sen,
         "q248_autocov": q248_autocov,
         "q249_soundex": q249_soundex,
+        "q250_ohlc": q250_ohlc,
+        "q251_gini": q251_gini,
+        "q252_interval_join": q252_interval_join,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6949,6 +7021,57 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q250_ohlc": """
+            WITH s AS (SELECT event_type, event_id,
+                              epoch_us(ts) AS t,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events),
+            w AS (SELECT event_type, t // 3600000000 AS window_id,
+                         v,
+                         ROW_NUMBER() OVER (PARTITION BY event_type,
+                                            t // 3600000000
+                                            ORDER BY t, event_id) AS rf,
+                         ROW_NUMBER() OVER (PARTITION BY event_type,
+                                            t // 3600000000
+                                            ORDER BY t DESC,
+                                                     event_id DESC) AS rl
+                  FROM s)
+            SELECT event_type, window_id,
+                   CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT)
+                       AS open,
+                   CAST(MAX(v) AS BIGINT) AS high,
+                   CAST(MIN(v) AS BIGINT) AS low,
+                   CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT)
+                       AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q251_gini": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                         CAST(SUM(c * c) AS BIGINT) AS c2
+                  FROM c GROUP BY 1)
+            SELECT user_id, n,
+                   CAST(n * n - c2 AS BIGINT) AS gini_num,
+                   CAST(n * n AS BIGINT) AS gini_den
+            FROM a ORDER BY 1
+        """,
+        "q252_interval_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                              epoch_us(ts) + 300000000 AS x
+                       FROM events WHERE event_type = 'error'),
+            v AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                         epoch_us(ts) + 180000000 AS x
+                  FROM events WHERE event_type = 'view'),
+            p AS (SELECT e.user_id, e.event_id AS a_id,
+                         v.event_id AS b_id
+                  FROM e JOIN v ON v.user_id = e.user_id
+                       AND e.s < v.x AND v.s < e.x)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(a_id + 2 * b_id) AS BIGINT) AS checksum
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
         "q247_theil_sen": """
             WITH s AS (SELECT user_id AS u, event_id AS t,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v

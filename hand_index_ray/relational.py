@@ -2838,3 +2838,129 @@ def lag_autocov(ds: ray.data.Dataset, key: str, order: str, value: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def ohlc_bars(ds: ray.data.Dataset, key: str, ts: str, id_col: str,
+              value: str, width: int,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """OHLC candlestick resampling: per (key, time bucket ts // width)
+    the open (value at the smallest (ts, id)), high, low, close
+    (largest (ts, id)) and row count — the time-series downsampling
+    every market/telemetry pipeline runs. Ties on ts are broken by
+    ``id_col`` so open/close are deterministic. ONE keyed shuffle;
+    inside the bucket one sort + a single pandas groupby.agg
+    (first/max/min/last all C kernels).
+    Returns (key, window_id, open, high, low, close, n)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "window_id": pd.Series(dtype="int64"),
+                                 "open": pd.Series(dtype="int64"),
+                                 "high": pd.Series(dtype="int64"),
+                                 "low": pd.Series(dtype="int64"),
+                                 "close": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        g = g.sort_values([key, ts, id_col], kind="mergesort",
+                          ignore_index=True)
+        g["window_id"] = (g[ts].to_numpy(np.int64) // width)
+        out = g.groupby([key, "window_id"], sort=True).agg(
+            open=(value, "first"), high=(value, "max"),
+            low=(value, "min"), close=(value, "last"),
+            n=(value, "size")).reset_index()
+        for c in ("open", "high", "low", "close", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def gini_impurity(ds: ray.data.Dataset, key: str, cls: str,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Gini impurity of the class distribution per key, EXACT as the
+    unreduced rational (num, den) = (n² − Σ c², n²) — the integer form
+    of 1 − Σ (c/n)², so no float ever enters (the label-skew /
+    data-quality diagnostic of a curation pipeline). Class counts
+    pre-aggregate per batch (partials cross the wire), the per-key
+    fold is one groupby. Returns (key, n, gini_num, gini_den)."""
+    counts = grouped_agg(ds.select_columns([key, cls]), [key, cls],
+                         count=True)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["n"].to_numpy(np.int64)
+        d = pd.DataFrame({key: g[key], "n": c, "c2": c * c})
+        out = d.groupby(key, sort=True, as_index=False).sum()
+        n = out["n"].to_numpy(np.int64)
+        out["gini_num"] = n * n - out["c2"].to_numpy(np.int64)
+        out["gini_den"] = n * n
+        out["n"] = out["n"].astype("int64")
+        return out[[key, "n", "gini_num", "gini_den"]]
+
+    return grouped_apply_bucketed(counts, [key], per,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def interval_overlap_join(da: ray.data.Dataset, db: ray.data.Dataset,
+                          key: str, id_col: str, start: str, end: str,
+                          cell_us: int,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Interval × interval overlap join per key (half-open
+    [start, end) integer intervals overlap iff sa < eb AND sb < ea) —
+    the two-sided sibling of range_join's point-in-interval: every
+    overlapping (a, b) pair emitted EXACTLY ONCE as
+    (key, a_id, b_id). Both sides explode to the time cells of width
+    ``cell_us`` their interval covers; each (key, cell) co-group runs
+    a fully vectorized broadcast overlap test; a pair spanning many
+    cells is emitted only by the canonical cell containing
+    max(sa, sb) — which both coverings provably contain (the 1-D form
+    of segment_crossings' exactly-once rule)."""
+    def explode(side):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            kv = t.column(key).to_numpy().astype(np.int64)
+            s = t.column(start).to_numpy().astype(np.int64)
+            e = t.column(end).to_numpy().astype(np.int64)
+            ok = e > s
+            ids, kv, s, e = ids[ok], kv[ok], s[ok], e[ok]
+            c0 = s // cell_us
+            c1 = (e - 1) // cell_us
+            cnt = (c1 - c0 + 1).astype(np.int64)
+            rep = np.repeat(np.arange(len(ids)), cnt)
+            offs = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            return pa.table({
+                "k": pa.array(kv[rep], pa.int64()),
+                "cell": pa.array(c0[rep] + offs, pa.int64()),
+                "side": pa.array(np.full(len(rep), side, np.int8)),
+                "iid": pa.array(ids[rep], pa.int64()),
+                "s": pa.array(s[rep], pa.int64()),
+                "e": pa.array(e[rep], pa.int64())})
+        return fn
+
+    both = da.map_batches(explode(0), batch_format="pyarrow").union(
+        db.map_batches(explode(1), batch_format="pyarrow"))
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                              "a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64")})
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        cell = int(g["cell"].iloc[0])
+        sa = a["s"].to_numpy()[:, None]; ea = a["e"].to_numpy()[:, None]
+        sb = b["s"].to_numpy()[None, :]; eb = b["e"].to_numpy()[None, :]
+        canon = np.maximum(sa, sb) // cell_us == cell
+        hit = canon & (sa < eb) & (sb < ea)
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame({key: np.full(len(ii),
+                                          int(g["k"].iloc[0]), np.int64),
+                             "a_id": a["iid"].to_numpy()[ii],
+                             "b_id": b["iid"].to_numpy()[jj]})
+
+    return grouped_apply_bucketed(both, ["k", "cell"], per_cell,
+                                  num_buckets=num_buckets)

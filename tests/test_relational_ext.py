@@ -673,3 +673,65 @@ def test_lag_autocov_vs_brute(ray_session):
         assert got.loc[g, "s_xy"] == int((vv[:-LAG] * vv[LAG:]).sum())
         assert got.loc[g, "s_x"] == int(vv[:-LAG].sum())
         assert got.loc[g, "s_y"] == int(vv[LAG:].sum())
+
+
+def test_ohlc_bars(ray_session):
+    from hand_index_ray.relational import ohlc_bars
+
+    rows = [  # key, ts, id, v  (ties on ts inside one window)
+        (1, 10, 5, 100), (1, 10, 3, 200), (1, 19, 9, 50),
+        (1, 25, 1, 70),                       # second window
+        (2, 5, 2, 7),
+    ]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "id": pa.array([r[2] for r in rows], pa.int64()),
+                  "v": pa.array([r[3] for r in rows], pa.int64())})
+    got = ohlc_bars(_rd().from_arrow(t), "k", "ts", "id", "v",
+                    width=20).to_pandas()
+    got = got.set_index(["k", "window_id"]).sort_index()
+    # window (1,0): open = id3 (ts tie, smaller id) = 200, close = 50
+    assert got.loc[(1, 0)].tolist() == [200, 200, 50, 50, 3]
+    assert got.loc[(1, 1)].tolist() == [70, 70, 70, 70, 1]
+    assert got.loc[(2, 0)].tolist() == [7, 7, 7, 7, 1]
+
+
+def test_gini_impurity(ray_session):
+    from hand_index_ray.relational import gini_impurity
+
+    t = pa.table({"k": pa.array([1]*4 + [2]*3, pa.int64()),
+                  "c": pa.array(["a", "a", "b", "c", "x", "x", "x"])})
+    got = gini_impurity(_rd().from_arrow(t), "k", "c") \
+        .to_pandas().set_index("k")
+    # key 1: n=4, counts 2,1,1 -> num = 16 - 6 = 10, den = 16
+    assert got.loc[1].tolist() == [4, 10, 16]
+    # key 2: pure -> impurity 0
+    assert got.loc[2].tolist() == [3, 0, 9]
+
+
+def test_interval_overlap_join_exactly_once(ray_session):
+    from hand_index_ray.relational import interval_overlap_join
+
+    rng = np.random.RandomState(31)
+    n = 150
+    def mk(seed_ids):
+        k = rng.randint(0, 4, n)
+        s = rng.randint(0, 1000, n).astype(np.int64)
+        e = s + rng.randint(1, 400, n)          # spans many cells
+        return pa.table({"id": pa.array(seed_ids, pa.int64()),
+                         "k": pa.array(k, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(e, pa.int64())}), k, s, e
+    ta, ka, sa, ea = mk(np.arange(n, dtype=np.int64))
+    tb, kb, sb, eb = mk(np.arange(n, 2 * n, dtype=np.int64))
+    got = interval_overlap_join(_rd().from_arrow(ta),
+                                _rd().from_arrow(tb),
+                                "k", "id", "s", "e", cell_us=64) \
+        .to_pandas()
+    pairs = sorted(zip(got["a_id"], got["b_id"]))
+    assert len(pairs) == len(set(pairs))        # exactly once
+    exp = sorted((int(ai), int(bi + n))
+                 for ai in range(n) for bi in range(n)
+                 if ka[ai] == kb[bi] and sa[ai] < eb[bi]
+                 and sb[bi] < ea[ai])
+    assert pairs == exp
