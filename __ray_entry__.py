@@ -5268,7 +5268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "t": pa.array((ok // 389) * 8 + ln, pa.int64()),
                 "c": pa.array((pk % 64) * 64 + sk % 64, pa.int64())})
 
-        pts = rel.grouped_agg(
+        pts = rel.grouped_agg_hash(
             li.map_batches(prep, batch_format="pyarrow"),
             ["gid", "t"], min_cols=["c"], count=False)
 
@@ -5413,6 +5413,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_pairs"] = out["n_pairs"].astype("int64")
         out["checksum"] = out["checksum"].astype("int64")
         return out.sort_values("user_id").reset_index(drop=True)
+
+    def q253_rolling_active(sf):  # rolling 7-day distinct users
+        """DAU/WAU: per day present in events, distinct users that day
+        and over the trailing 7 days — exact without per-window sets:
+        dedup (user, day), explode each survivor to the 7 windows it
+        influences, dedup (user, window); every shuffle carries slim
+        pairs (relational.py:rolling_distinct). Oracle: correlated
+        COUNT(DISTINCT) over the day range."""
+        ev = _t(sf, "events").select_columns(["user_id", "ts"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            d = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+            return pa.table({"user_id": t["user_id"],
+                             "day": pa.array(d, pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        return rel.rolling_distinct(ds, "user_id", "day", window=7)
+
+    def q254_shared_ngrams(sf):  # exact shared-12-gram dedup pairs
+        """ExactSubstr-style dedup candidates: doc pairs sharing ≥ 20
+        distinct character 12-grams, EVERY gram counted (q42's
+        winnowing samples; this is the exact-at-gram-granularity
+        sibling) — distinct (hash, doc) slim rows from one flat prefix
+        sum, posting-list pair emission, count shuffle
+        (pipelines/text.py:shared_ngram_pairs). Oracle: the same
+        polynomial grams via 12 explicit terms + a brute hash-equality
+        self-join."""
+        from hand_index_ray.pipelines.text import shared_ngram_pairs
+        df = shared_ngram_pairs(_t(sf, "documents"), k=12,
+                                min_shared=20).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     return {
         "q01_groupby_sum": q01_groupby_sum,
@@ -5661,6 +5692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q250_ohlc": q250_ohlc,
         "q251_gini": q251_gini,
         "q252_interval_join": q252_interval_join,
+        "q253_rolling_active": q253_rolling_active,
+        "q254_shared_ngrams": q254_shared_ngrams,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -5908,6 +5941,31 @@ def _winnow_sql(k: int = 8, w: int = 4) -> str:
            CAST(SUM(fp) AS BIGINT) AS fp_sum
     FROM sel GROUP BY doc_id
 """
+
+
+def _shared_ngrams_sql(k: int = 12, min_shared: int = 20) -> str:
+    """q254: exact shared-k-gram pairs — the same polynomial gram hash
+    as q42/q238 spelled as k explicit terms, DISTINCT per doc, brute
+    hash-equality self-join, pairs with >= min_shared shared grams."""
+    from hand_index_ray.pipelines.text import WINNOW_BASE, WINNOW_MOD
+    P = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, t.pos + {j}, 1)) * {P[k - 1 - j]}::BIGINT"
+        for j in range(k))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, ({terms}) % {WINNOW_MOD} AS gh
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, length(text) - {k - 1}))
+                    AS pos) t
+      WHERE length(text) >= {k}
+    ), dg AS (SELECT DISTINCT doc_id, gh FROM g),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS shared
+          FROM dg a JOIN dg b ON b.gh = a.gh AND b.doc_id > a.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+    FROM p WHERE shared >= {min_shared} ORDER BY 1, 2"""
 
 
 def _fill_waves_sql(waves: int = 12) -> str:
@@ -7021,6 +7079,20 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q253_rolling_active": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud)
+            SELECT d.day,
+                   CAST((SELECT COUNT(*) FROM ud
+                         WHERE ud.day = d.day) AS BIGINT) AS dau,
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+                         WHERE ud.day BETWEEN d.day - 6 AND d.day)
+                        AS BIGINT) AS wau
+            FROM days d ORDER BY 1
+        """,
+        "q254_shared_ngrams": _shared_ngrams_sql(),
         "q250_ohlc": """
             WITH s AS (SELECT event_type, event_id,
                               epoch_us(ts) AS t,

@@ -1199,7 +1199,9 @@ def cdc_chunks(ds: ray.data.Dataset, col: str = "text",
     chunks = ds.select_columns([id_col, col]).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True)
     # one hash-partitioned shuffle: occurrence count per distinct chunk
-    per_chunk = grouped_agg(chunks, ["fp", "len"], count=True)
+    # (high-cardinality keys -> the bucketed agg, see grouped_agg_hash)
+    from ..relational import grouped_agg_hash
+    per_chunk = grouped_agg_hash(chunks, ["fp", "len"], count=True)
 
     def ledger(t: pa.Table) -> pa.Table:
         ln = t.column("len").to_numpy()
@@ -1292,3 +1294,109 @@ def soundex_buckets(ds: ray.data.Dataset, col: str,
     return grouped_apply_bucketed(per_word, ["code"], per_code,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def shared_ngram_pairs(ds: ray.data.Dataset, col: str = "text",
+                       id_col: str = "doc_id", k: int = 12,
+                       min_shared: int = 20,
+                       max_postings: int = 256) -> ray.data.Dataset:
+    """Exact shared-k-gram near-dup candidates (the ExactSubstr dedup
+    candidate pass): pairs of docs sharing at least ``min_shared``
+    DISTINCT character k-grams, with the shared count as evidence.
+    Unlike q42's winnowing (which SAMPLES grams), every full k-gram
+    counts — the guarantee is exact at gram granularity (gram identity
+    is the q42 polynomial hash; the oracle computes the same
+    polynomial, so parity is exact by construction).
+
+    Map side: distinct (gram hash, doc) slim rows from ONE flat
+    modular prefix sum per batch; one groupby-on-hash shuffle forms
+    posting lists; pairs per gram (lists > ``max_postings`` = global
+    boilerplate, dropped — mirrored by a fixture bound, asserted in
+    the driver query) combine in a second slim count shuffle."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    M = np.uint64(WINNOW_MOD)
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        keep = lens >= k
+        texts = [s for s, kp in zip(texts, keep) if kp]
+        ids = ids[keep]
+        lens = lens[keep]
+        if len(texts) == 0:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        loc = np.arange(len(cp), dtype=np.int64) - np.repeat(off[:-1],
+                                                             lens)
+        tabs = _pow_tables(int(lens.max()) + k + 1)
+        term = (cp * tabs.ipows[loc + 1]) % M
+        C = _cumsum_mod(term)
+        gdoc = np.repeat(np.arange(len(texts)), lens)
+        gpos = np.nonzero(loc <= np.repeat(lens, lens) - k)[0]
+        gh = (tabs.pows[loc[gpos] + k]
+              * ((C[gpos + k] + M - C[gpos]) % M)) % M
+        combo = np.unique(gdoc[gpos].astype(np.uint64) << np.uint64(31)
+                          | gh)
+        return pa.table({
+            "gh": pa.array((combo & np.uint64(0x7FFFFFFF))
+                           .astype(np.int64), pa.int64()),
+            id_col: pa.array(ids[(combo >> np.uint64(31))
+                                 .astype(np.int64)], pa.int64())})
+
+    exploded = ds.select_columns([id_col, col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All posting-list pairs of the whole bucket in max-posting
+        vectorized gap waves — with ~10⁵ tiny gram groups a per-group
+        dispatch dominates; here each wave is one shifted equality
+        compare across every group at once."""
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["gh", id_col], kind="mergesort",
+                          ignore_index=True)
+        kk = g["gh"].to_numpy()
+        ii = g[id_col].to_numpy()
+        _, starts, cnt = np.unique(kk, return_index=True,
+                                   return_counts=True)
+        hot = np.repeat(cnt > max_postings, cnt)
+        if hot.any():
+            kk, ii = kk[~hot], ii[~hot]
+            cnt = cnt[cnt <= max_postings]
+        if len(kk) < 2 or len(cnt) == 0:
+            return empty
+        la, lb = [], []
+        for gap in range(1, int(cnt.max())):
+            m = np.nonzero(kk[:-gap] == kk[gap:])[0]
+            if len(m) == 0:
+                break
+            la.append(ii[m])
+            lb.append(ii[m + gap])
+        if not la:
+            return empty
+        # (doc, gh) rows are distinct and sorted, so id_a < id_b holds
+        return pd.DataFrame({"id_a": np.concatenate(la),
+                             "id_b": np.concatenate(lb)})
+
+    pairs = grouped_apply_bucketed(exploded, ["gh"], pairs_bucket,
+                                   whole_bucket=True)
+    from ..relational import grouped_agg_hash
+    counted = grouped_agg_hash(pairs, ["id_a", "id_b"], count=True)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        # rename inline — Dataset.rename_columns needs the schema,
+        # which EXECUTES the whole plan a second time
+        t = t.filter(pc.greater_equal(t["n"],
+                                      pa.scalar(min_shared, pa.int64())))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "shared": t["n"]})
+
+    return counted.map_batches(thresh, batch_format="pyarrow")

@@ -735,3 +735,38 @@ def test_interval_overlap_join_exactly_once(ray_session):
                  if ka[ai] == kb[bi] and sa[ai] < eb[bi]
                  and sb[bi] < ea[ai])
     assert pairs == exp
+
+
+def test_grouped_agg_hash_matches_native(ray_session):
+    from hand_index_ray.relational import grouped_agg, grouped_agg_hash
+
+    rng = np.random.RandomState(41)
+    n = 5000
+    t = pa.table({"k1": pa.array(rng.randint(0, 300, n), pa.int64()),
+                  "k2": pa.array(rng.randint(0, 300, n), pa.int64()),
+                  "v": pa.array(rng.randint(-50, 50, n), pa.int64())})
+    a = grouped_agg(_rd().from_arrow(t), ["k1", "k2"], sum_cols=["v"],
+                    count=True, min_cols=["v"], max_cols=["v"]) \
+        .to_pandas()
+    b = grouped_agg_hash(_rd().from_arrow(t), ["k1", "k2"],
+                         sum_cols=["v"], count=True, min_cols=["v"],
+                         max_cols=["v"]).to_pandas()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rolling_distinct(ray_session):
+    from hand_index_ray.relational import rolling_distinct
+
+    rows = [(1, 0), (1, 0), (2, 0), (1, 2), (3, 2), (1, 9), (1, 10)]
+    t = pa.table({"u": pa.array([r[0] for r in rows], pa.int64()),
+                  "d": pa.array([r[1] for r in rows], pa.int64())})
+    got = rolling_distinct(_rd().from_arrow(t), "u", "d", window=3)
+    got = got.set_index("d")
+    assert got.loc[0].tolist() == [2, 2]      # day0: users {1,2}
+    assert got.loc[2].tolist() == [2, 3]      # win {0,1,2}: {1,2,3}
+    assert got.loc[9].tolist() == [1, 1]
+    assert got.loc[10].tolist() == [1, 1]     # win {8,9,10}: {1}

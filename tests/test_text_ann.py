@@ -497,3 +497,29 @@ def test_soundex_golden():
                          "widget", "wadget"])
     assert list(got) == ["R163", "R163", "T522", "P236", "H555",
                          "J250", "A226", "A000", "W323", "W323"]
+
+
+def test_shared_ngram_pairs_vs_brute(ray_session):
+    from hand_index_ray.pipelines.text import shared_ngram_pairs
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    docs = [base + " one", base + " two",               # heavy overlap
+            "completely unrelated text with nothing in common here",
+            base.replace("quick", "rapid") + " three",  # partial
+            "tiny"]
+    K, TH = 12, 5
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = shared_ngram_pairs(_rd().from_arrow(t), k=K, min_shared=TH) \
+        .to_pandas()
+    gm = {(r.id_a, r.id_b): r.shared for r in got.itertuples()}
+    def grams(s):
+        return {s[i:i + K] for i in range(len(s) - K + 1)}
+    gs = [grams(d) for d in docs]
+    exp = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            c = len(gs[a] & gs[b])
+            if c >= TH:
+                exp[(a, b)] = c
+    assert gm == exp
