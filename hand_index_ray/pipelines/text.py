@@ -263,9 +263,11 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text",
     moves (fingerprint, id) pairs only — content never moves."""
     with_fp = fingerprint(ds.select_columns([id_col, col]), col)
     slim = with_fp.select_columns([id_col, "fp"])
-    from ..relational import grouped_agg
+    from ..relational import grouped_agg_hash
 
-    return grouped_agg(slim, ["fp"], min_cols=[id_col], count=True)
+    # one group per distinct content fingerprint -> high cardinality:
+    # the bucketed agg (grouped_agg_hash) beats the native Aggregate
+    return grouped_agg_hash(slim, ["fp"], min_cols=[id_col], count=True)
 
 
 # ---------------------------------------------------------------------------
@@ -816,10 +818,10 @@ def winnow_dup_candidates(ds: ray.data.Dataset, col: str = "text",
         iu, ju = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
-    from ..relational import grouped_agg, grouped_apply_bucketed
+    from ..relational import grouped_agg_hash, grouped_apply_bucketed
     pairs = grouped_apply_bucketed(exploded, ["fp"], pairs_in_group,
                                    min_group_size=2)
-    return grouped_agg(pairs, ["id_a", "id_b"], count=True)
+    return grouped_agg_hash(pairs, ["id_a", "id_b"], count=True)
 
 
 
@@ -943,7 +945,7 @@ def tfidf_topk(ds: ray.data.Dataset, k: int = 3, col: str = "text",
 
     tok = ds.select_columns(["doc_id", col]).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True)
-    tf = rel.grouped_agg(tok, ["doc_id", "term"], count=True)
+    tf = rel.grouped_agg_hash(tok, ["doc_id", "term"], count=True)
 
     def rn(t: pa.Table) -> pa.Table:
         return t.rename_columns(
@@ -951,7 +953,8 @@ def tfidf_topk(ds: ray.data.Dataset, k: int = 3, col: str = "text",
 
     tf = tf.map_batches(rn, batch_format="pyarrow").materialize()
 
-    dfreq = rel.grouped_agg(tf.select_columns(["term"]), ["term"], count=True)
+    dfreq = rel.grouped_agg_hash(tf.select_columns(["term"]), ["term"],
+                                 count=True)
     df_tbl = pa.concat_tables(dfreq.iter_batches(batch_format="pyarrow"))
     df_tbl = df_tbl.rename_columns(
         ["df_docs" if c == "n" else c for c in df_tbl.column_names])
@@ -998,7 +1001,7 @@ def bigram_topk(ds: ray.data.Dataset, k: int = 20,
 
     bg = ds.select_columns([col]).map_batches(
         bigrams, batch_format="pyarrow", zero_copy_batch=True)
-    counts = rel.grouped_agg(bg, ["bg"], count=True)
+    counts = rel.grouped_agg_hash(bg, ["bg"], count=True)
     return rel.topk(counts, "n", k, descending=True, tiebreak="bg")
 
 
