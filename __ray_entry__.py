@@ -5445,6 +5445,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 min_shared=20).to_pandas()
         return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def q255_twap(sf):  # time-weighted average partials
+        """TWAP per user: Σ value·Δt over consecutive events plus the
+        covered duration, exact integers (the value holds until the
+        next event; single-event users carry no duration and drop)
+        (relational.py:twap). Oracle: LEAD deltas."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t["user_id"],
+                             "ts_us": pc.cast(t["ts"], pa.int64()),
+                             "value_cents": t["value_cents"]})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.twap(ds, "user_id", "ts_us", "value_cents").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def q256_label_dict(sf):  # global categorical dictionary
+        """Label-encoding dictionary for part names: every distinct
+        value with a stable dense id (= sorted rank) and its row count
+        — distinct+count through the bucketed shuffle, only the
+        VOCABULARY is ever sorted (relational.py:label_dictionary).
+        Oracle: ROW_NUMBER over the distinct values."""
+        df = rel.label_dictionary(_t(sf, "part"), "p_name")
+        return df.sort_values("p_name").reset_index(drop=True)
+
+    def q257_str_pack(sf):  # STR bulk-load spatial partitioning
+        """Sort-Tile-Recursive packing of point footprints into 8×8
+        NTILE leaves with per-leaf count + bbox — exact global (cx,id)
+        ranks WITHOUT a global sort: domain-bounded value counts
+        broadcast as offsets + per-value id ranks inside the value's
+        hash bucket (relational.py:str_pack; the bulk R-tree loading
+        layout). Oracle: two native NTILE windows."""
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def pts(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy().astype(np.int64)
+            return pa.table({"id": pa.array(k, pa.int64()),
+                             "cx": pa.array((k * 7) % 500, pa.int64()),
+                             "cy": pa.array((k * 13) % 500, pa.int64())})
+
+        ds = orders.map_batches(pts, batch_format="pyarrow")
+        df = rel.str_pack(ds, "id", "cx", "cy", slabs=8,
+                          leaves=8).to_pandas()
+        return df.sort_values(["slab", "leaf"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5694,6 +5739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q252_interval_join": q252_interval_join,
         "q253_rolling_active": q253_rolling_active,
         "q254_shared_ngrams": q254_shared_ngrams,
+        "q255_twap": q255_twap,
+        "q256_label_dict": q256_label_dict,
+        "q257_str_pack": q257_str_pack,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7079,6 +7127,46 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q255_twap": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events),
+            d AS (SELECT user_id, v,
+                         LEAD(t) OVER (PARTITION BY user_id
+                                       ORDER BY t) - t AS dt
+                  FROM s)
+            SELECT user_id,
+                   CAST(SUM(v * dt) AS BIGINT) AS twap_num,
+                   CAST(SUM(dt) AS BIGINT) AS twap_den,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM d GROUP BY 1 HAVING SUM(dt) > 0 ORDER BY 1
+        """,
+        "q256_label_dict": """
+            WITH d AS (SELECT p_name, COUNT(*) AS n FROM part
+                       GROUP BY 1)
+            SELECT p_name,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_name) - 1
+                        AS BIGINT) AS label_id,
+                   CAST(n AS BIGINT) AS n
+            FROM d ORDER BY 1
+        """,
+        "q257_str_pack": """
+            WITH p AS (SELECT o_orderkey AS id,
+                              (o_orderkey * 7) % 500 AS cx,
+                              (o_orderkey * 13) % 500 AS cy
+                       FROM orders),
+            r AS (SELECT *, NTILE(8) OVER (ORDER BY cx, id) AS slab
+                  FROM p),
+            l AS (SELECT *, NTILE(8) OVER (PARTITION BY slab
+                                           ORDER BY cy, id) AS leaf
+                  FROM r)
+            SELECT slab, leaf, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(cx) AS BIGINT) AS min_x,
+                   CAST(MAX(cx) AS BIGINT) AS max_x,
+                   CAST(MIN(cy) AS BIGINT) AS min_y,
+                   CAST(MAX(cy) AS BIGINT) AS max_y
+            FROM l GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "q253_rolling_active": """
             WITH ud AS (SELECT DISTINCT user_id,
                                epoch_us(ts) // 86400000000 AS day

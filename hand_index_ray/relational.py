@@ -3052,3 +3052,143 @@ def grouped_agg_hash(ds: ray.data.Dataset, keys: list[str],
     return grouped_apply_bucketed(partials, keys, final,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def twap(ds: ray.data.Dataset, key: str, ts: str, value: str,
+         num_buckets: int = 64) -> ray.data.Dataset:
+    """Time-weighted average partials per key — Σ v_i·(t_{i+1} − t_i)
+    over consecutive events plus the covered duration, EXACT integers
+    (the value holds from its event until the next; the last event
+    carries no weight). The canonical telemetry/market TWAP; divide
+    num/den downstream. ONE keyed shuffle, groupby shift, vectorized
+    sums. Keys with a single event are omitted (no duration).
+    Returns (key, twap_num, twap_den, n_events)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "twap_num": pd.Series(dtype="int64"),
+                                 "twap_den": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        g = g.sort_values([key, ts], kind="mergesort", ignore_index=True)
+        nxt = g.groupby(key, sort=False)[ts].shift(-1)
+        ok = nxt.notna()
+        dt = (nxt.fillna(0).astype("int64") - g[ts]).where(ok, 0)
+        d = pd.DataFrame({key: g[key],
+                          "twap_num": g[value].astype("int64") * dt,
+                          "twap_den": dt,
+                          "n_events": 1})
+        out = d.groupby(key, sort=True, as_index=False).sum()
+        out = out[out["twap_den"] > 0]
+        for c in ("twap_num", "twap_den", "n_events"):
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def label_dictionary(ds: ray.data.Dataset, col: str) -> "pd.DataFrame":
+    """Global categorical dictionary: every distinct value of ``col``
+    with a STABLE dense id = its rank in sorted order, plus its row
+    count — the label-encoding table a feature pipeline persists.
+    Distinct+count is one bucketed shuffle of slim (value, n) partials;
+    the rank assignment sorts only the VOCABULARY (driver-bounded by
+    |distinct|, documented), never the data."""
+    counts = grouped_agg_hash(ds.select_columns([col]), [col],
+                              count=True)
+    df = counts.to_pandas().sort_values(col, kind="mergesort",
+                                        ignore_index=True)
+    df["label_id"] = np.arange(len(df), dtype=np.int64)
+    df["n"] = df["n"].astype("int64")
+    return df[[col, "label_id", "n"]]
+
+
+def _ntile(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE: first (n % tiles) tiles get ceil(n/tiles) rows."""
+    q, r = divmod(n, tiles)
+    cut = r * (q + 1)
+    small = np.maximum(rank - cut, 0)
+    return np.where(rank < cut, rank // max(q + 1, 1),
+                    r + small // max(q, 1)).astype(np.int64) + 1
+
+
+def str_pack(ds: ray.data.Dataset, id_col: str, cx: str, cy: str,
+             slabs: int, leaves: int,
+             num_buckets: int = 64) -> ray.data.Dataset:
+    """Sort-Tile-Recursive bulk-load partitioning (the classic R-tree
+    packing): rows rank by (cx, id) into ``slabs`` NTILE slabs, then
+    within each slab by (cy, id) into ``leaves`` NTILE leaves; emits
+    each leaf's count and bounding box — the partition layout a bulk
+    spatial-index build writes. EXACT global ranks WITHOUT a global
+    sort: per-coordinate-value counts (domain-bounded, broadcast as
+    cumulative offsets) plus an id-rank within each coordinate value
+    computed in that value's hash bucket — every row's rank is
+    offset[value] + local rank, because a value's rows all land in one
+    bucket. Two such passes, no all-to-all sort of the data.
+    Returns (slab, leaf, n, min_x, max_x, min_y, max_y)."""
+    def ranks_pass(dsx, vcol, within, out_name):
+        # global (value, id) rank split by `within` (None = global)
+        keys = ([within] if within else []) + [vcol]
+        cnt = grouped_agg_hash(dsx.select_columns(keys), keys,
+                               count=True).to_pandas()
+        cnt = cnt.sort_values(keys, kind="mergesort", ignore_index=True)
+        grpc = cnt.groupby(within)["n"] if within else None
+        if within:
+            cnt["__off"] = cnt.groupby(within)["n"].cumsum() - cnt["n"]
+        else:
+            cnt["__off"] = cnt["n"].cumsum() - cnt["n"]
+        off_map = cnt.set_index(keys)["__off"]
+        off_ref = ray.put(off_map)
+
+        def add_rank(g: pd.DataFrame) -> pd.DataFrame:
+            om = ray.get(off_ref)
+            g = g.sort_values(keys + [id_col], kind="mergesort",
+                              ignore_index=True)
+            local = g.groupby(keys, sort=False).cumcount()
+            idx = pd.MultiIndex.from_frame(g[keys]) if len(keys) > 1 \
+                else pd.Index(g[vcol])
+            g[out_name] = om.loc[idx].to_numpy() + local.to_numpy()
+            return g
+
+        return grouped_apply_bucketed(dsx, [vcol], add_rank,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+    n_total = ds.count()
+    ranked = ranks_pass(ds, cx, None, "__xr")
+
+    def slab_of(t: pa.Table) -> pa.Table:
+        s = _ntile(t.column("__xr").to_numpy(), n_total, slabs)
+        return t.drop_columns(["__xr"]).append_column(
+            "slab", pa.array(s, pa.int64()))
+
+    with_slab = ranked.map_batches(slab_of, batch_format="pyarrow")
+    # per-slab sizes for the inner NTILE
+    sl = grouped_agg_hash(with_slab.select_columns(["slab"]), ["slab"],
+                          count=True).to_pandas()
+    size_ref = ray.put(sl.set_index("slab")["n"])
+    ranked2 = ranks_pass(with_slab, cy, "slab", "__yr")
+
+    def leaf_of(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(size_ref)
+        out = []
+        for s, gg in g.groupby("slab", sort=False):
+            lf = _ntile(gg["__yr"].to_numpy(), int(sizes.loc[s]),
+                        leaves)
+            gg = gg.assign(leaf=lf)
+            out.append(gg)
+        r = pd.concat(out, ignore_index=True)
+        agg = r.groupby(["slab", "leaf"], as_index=False).agg(
+            n=(id_col, "size"), min_x=(cx, "min"), max_x=(cx, "max"),
+            min_y=(cy, "min"), max_y=(cy, "max"))
+        for c in agg.columns:
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    leaves_ds = grouped_apply_bucketed(ranked2, ["slab"], leaf_of,
+                                       num_buckets=min(num_buckets,
+                                                       slabs),
+                                       whole_bucket=True)
+    # a slab lives in ONE bucket, so the per-(slab, leaf) partials are
+    # already final rows
+    return leaves_ds

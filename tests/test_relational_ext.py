@@ -770,3 +770,57 @@ def test_rolling_distinct(ray_session):
     assert got.loc[2].tolist() == [2, 3]      # win {0,1,2}: {1,2,3}
     assert got.loc[9].tolist() == [1, 1]
     assert got.loc[10].tolist() == [1, 1]     # win {8,9,10}: {1}
+
+
+def test_twap_vs_brute(ray_session):
+    from hand_index_ray.relational import twap
+
+    rows = [(1, 0, 10), (1, 10, 20), (1, 40, 5),   # 10*10+20*30 / 40
+            (2, 7, 99),                             # single -> dropped
+            (3, 0, 1), (3, 1, 2)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "v": pa.array([r[2] for r in rows], pa.int64())})
+    got = twap(_rd().from_arrow(t), "k", "ts", "v") \
+        .to_pandas().set_index("k")
+    assert got.loc[1].tolist() == [10 * 10 + 20 * 30, 40, 3]
+    assert 2 not in got.index
+    assert got.loc[3].tolist() == [1, 1, 2]
+
+
+def test_str_pack_vs_ntile_brute(ray_session):
+    from hand_index_ray.relational import str_pack
+
+    rng = np.random.RandomState(13)
+    n = 777                                   # not divisible by tiles
+    ids = np.arange(n, dtype=np.int64)
+    cx = rng.randint(0, 60, n).astype(np.int64)   # heavy ties
+    cy = rng.randint(0, 60, n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "cx": pa.array(cx),
+                  "cy": pa.array(cy)})
+    S, L = 5, 4
+    got = str_pack(_rd().from_arrow(t), "id", "cx", "cy",
+                   slabs=S, leaves=L).to_pandas()
+    got = got.set_index(["slab", "leaf"]).sort_index()
+
+    def ntile(ranks, total, tiles):
+        q, r = divmod(total, tiles)
+        return [(rk // (q + 1) if rk < r * (q + 1)
+                 else r + (rk - r * (q + 1)) // q) + 1 for rk in ranks]
+
+    order = sorted(range(n), key=lambda i: (cx[i], ids[i]))
+    slab = np.empty(n, np.int64)
+    slab[order] = ntile(range(n), n, S)
+    leaf = np.empty(n, np.int64)
+    for s in range(1, S + 1):
+        m = np.nonzero(slab == s)[0]
+        o2 = sorted(m, key=lambda i: (cy[i], ids[i]))
+        leaf[o2] = ntile(range(len(m)), len(m), L)
+    for s in range(1, S + 1):
+        for lf in range(1, L + 1):
+            m = (slab == s) & (leaf == lf)
+            assert got.loc[(s, lf), "n"] == int(m.sum())
+            assert got.loc[(s, lf), "min_x"] == int(cx[m].min())
+            assert got.loc[(s, lf), "max_x"] == int(cx[m].max())
+            assert got.loc[(s, lf), "min_y"] == int(cy[m].min())
+            assert got.loc[(s, lf), "max_y"] == int(cy[m].max())
