@@ -5490,6 +5490,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           leaves=8).to_pandas()
         return df.sort_values(["slab", "leaf"]).reset_index(drop=True)
 
+    def q258_nearest_join(sf):  # nearest-event join (sensor fusion)
+        """Each error event joined to the same user's NEAREST view
+        event by |Δt| (earlier side wins exact ties) — one
+        co-partitioning shuffle, per-bucket two-direction merge_asof +
+        vectorized tie resolve (relational.py:nearest_join). Oracle:
+        QUALIFY argmin over the pair join."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def typed(et, cols):
+            def fn(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t["event_type"], et))
+                out = {"user_id": t["user_id"],
+                       "ts_us": pc.cast(t["ts"], pa.int64())}
+                for c in cols:
+                    out[c] = t[c]
+                return pa.table(out)
+            return fn
+
+        err = ev.map_batches(typed("error", ["event_id"]),
+                             batch_format="pyarrow")
+        view = ev.map_batches(typed("view", ["value_cents"]),
+                              batch_format="pyarrow")
+        df = rel.nearest_join(err, view, on="ts_us", by="user_id",
+                              left_cols=["event_id"],
+                              right_cols=["value_cents"]).to_pandas()
+        return df.sort_values("event_id").reset_index(drop=True)
+
+    def q259_locf(sf):  # LOCF gap-fill to an hourly grid
+        """Last-observation-carried-forward regularization: per user,
+        hourly ticks inside [first, last] carry the latest
+        at-or-before value — tick enumeration by repeat/arange, ONE
+        global searchsorted on segment-shifted times; (user, ts)
+        deduped to min cents first (relational.py:locf_grid). Oracle:
+        tick spine + native ASOF JOIN."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t["user_id"],
+                             "ts_us": pc.cast(t["ts"], pa.int64()),
+                             "value_cents": t["value_cents"]})
+
+        pts = rel.grouped_agg_hash(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id", "ts_us"], min_cols=["value_cents"],
+            count=False)
+
+        def unpack(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t["user_id"],
+                             "ts_us": t["ts_us"],
+                             "v": t["min_value_cents"]})
+
+        ds = pts.map_batches(unpack, batch_format="pyarrow")
+        df = rel.locf_grid(ds, "user_id", "ts_us", "v",
+                           step=3_600_000_000).to_pandas()
+        return df.sort_values(["user_id", "tick"]).reset_index(drop=True)
+
+    def q260_cdf_join(sf):  # broadcast empirical-CDF rank join
+        """Percentile-rank every event value against the order-price
+        calibration distribution: the sorted reference broadcasts once
+        and each batch is one searchsorted — MAP-ONLY, no join shuffle
+        (relational.py:cdf_rank_join; the score-normalization lookup).
+        Oracle: correlated COUNT(ref ≤ v)."""
+        orders = _t(sf, "orders").select_columns(["o_totalprice"]) \
+            .to_pandas()
+        ref = np.round(orders["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"event_id": t["event_id"],
+                             "value_cents": t["value_cents"]})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.cdf_rank_join(ds, "value_cents", ref).to_pandas()
+        return df.sort_values("event_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5742,6 +5818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q255_twap": q255_twap,
         "q256_label_dict": q256_label_dict,
         "q257_str_pack": q257_str_pack,
+        "q258_nearest_join": q258_nearest_join,
+        "q259_locf": q259_locf,
+        "q260_cdf_join": q260_cdf_join,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7127,6 +7206,50 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q258_nearest_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'error'),
+            v AS (SELECT user_id, epoch_us(ts) AS t,
+                         CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+                  FROM events WHERE event_type = 'view')
+            SELECT e.user_id, e.t AS ts_us, e.event_id,
+                   v.t AS ts_us_r, v.vc AS value_cents_r
+            FROM e JOIN v ON v.user_id = e.user_id
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                       ORDER BY abs(v.t - e.t), v.t)
+                    = 1
+            ORDER BY e.event_id
+        """,
+        "q259_locf": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                              MIN(CAST(ROUND(value * 100.0) AS BIGINT))
+                                  AS v
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, MIN(t) AS tmin, MAX(t) AS tmax
+                  FROM s GROUP BY 1),
+            ticks AS (
+                SELECT b.user_id, g.g * 3600000000 AS tick
+                FROM b JOIN (SELECT generate_series AS g
+                             FROM generate_series(0, 600000)) g
+                  ON g.g * 3600000000 >= b.tmin
+                 AND g.g * 3600000000 <= b.tmax)
+            SELECT t.user_id, t.tick, s.v
+            FROM ticks t ASOF JOIN s
+                 ON s.user_id = t.user_id AND t.tick >= s.t
+            ORDER BY 1, 2
+        """,
+        "q260_cdf_join": """
+            WITH r AS (SELECT CAST(ROUND(o_totalprice * 100.0)
+                              AS BIGINT) AS rv FROM orders),
+            e AS (SELECT event_id,
+                         CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                  FROM events)
+            SELECT e.event_id, e.v AS value_cents,
+                   CAST((SELECT COUNT(*) FROM r WHERE r.rv <= e.v)
+                        AS BIGINT) AS rank_le,
+                   CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_ref
+            FROM e ORDER BY 1
+        """,
         "q255_twap": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS t,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v

@@ -3192,3 +3192,150 @@ def str_pack(ds: ray.data.Dataset, id_col: str, cx: str, cy: str,
     # a slab lives in ONE bucket, so the per-(slab, leaf) partials are
     # already final rows
     return leaves_ds
+
+
+def nearest_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                 on: str = "ts", by: str = "user_id",
+                 left_cols: list[str] | None = None,
+                 right_cols: list[str] | None = None,
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Nearest-event join (sensor fusion's asof sibling): each left
+    row picks the right row of the same ``by`` key minimizing
+    |right.on − left.on|, EARLIER side winning exact-distance ties —
+    a deterministic rule both pandas and SQL reproduce. Same scale
+    shape as :func:`asof_join`: ONE co-partitioning shuffle of slim
+    tagged rows, per-bucket sorted ``pd.merge_asof`` both directions +
+    a vectorized tie resolve. Right must be unique per (by, on);
+    every joined column must be integer. Left rows with no right key
+    match drop (inner). ``left_cols`` / ``right_cols`` name the value
+    columns of each side (disjoint from ``on``/``by``); right values
+    come back suffixed ``_r``. Returns by, on, left_cols, on_r,
+    right value columns ``_r``."""
+    left_cols = left_cols or []
+    right_cols = right_cols or []
+
+    def tag(side, vals):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {by: t[by], on: t[on]}
+            for c in left_cols:
+                cols[c] = t[c] if c in vals else \
+                    pa.nulls(t.num_rows, pa.int64())
+            for c in right_cols:
+                cols[f"__r_{c}"] = t[c] if c in vals else \
+                    pa.nulls(t.num_rows, pa.int64())
+            cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+        return fn
+
+    both = left.map_batches(tag(0, set(left_cols)),
+                            batch_format="pyarrow").union(
+        right.map_batches(tag(1, set(right_cols)),
+                          batch_format="pyarrow"))
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][[by, on] + left_cols]
+        r = g[g["__side"] == 1][[by, on]
+                                + [f"__r_{c}" for c in right_cols]]
+        r = r.rename(columns={on: f"{on}_r"})
+        out_cols = [by, on] + left_cols + [f"{on}_r"] \
+            + [f"{c}_r" for c in right_cols]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in out_cols})
+        l = l.sort_values(on, kind="mergesort", ignore_index=True)
+        r = r.sort_values(f"{on}_r", kind="mergesort",
+                          ignore_index=True)
+        back = pd.merge_asof(l, r, left_on=on, right_on=f"{on}_r",
+                             by=by, direction="backward")
+        fwd = pd.merge_asof(l, r, left_on=on, right_on=f"{on}_r",
+                            by=by, direction="forward")
+        db = (l[on] - back[f"{on}_r"]).abs()
+        df_ = (fwd[f"{on}_r"] - l[on]).abs()
+        use_fwd = (back[f"{on}_r"].isna()
+                   | (df_.notna() & (df_ < db))).to_numpy()
+        out = back.copy()
+        out.loc[use_fwd, :] = fwd.loc[use_fwd, :].to_numpy()
+        out = out[out[f"{on}_r"].notna()]
+        out = out.rename(columns={f"__r_{c}": f"{c}_r"
+                                  for c in right_cols})
+        out = out[out_cols]
+        for c in out_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(both, [by], per,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def locf_grid(ds: ray.data.Dataset, key: str, ts: str, value: str,
+              step: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """Gap-fill to a fixed tick grid with last-observation-carried-
+    forward: for every key and every tick of ``step``·ℤ inside
+    [t_first, t_last], the latest value at-or-before the tick — the
+    time-series regularization pass (the LOCF sibling of q244's
+    interpolating resampler). ONE keyed shuffle; ticks enumerate by
+    repeat/arange and ONE global searchsorted on segment-shifted
+    timestamps finds every carry source. Timestamps must be unique
+    per key. Returns (key, tick, v)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                              "tick": pd.Series(dtype="int64"),
+                              "v": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, ts], kind="mergesort", ignore_index=True)
+        kv = g[key].to_numpy()
+        tv = g[ts].to_numpy(np.int64)
+        vv = g[value].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate([[0],
+                                 np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        t0 = -(-tv[starts] // step) * step
+        t1 = (tv[ends - 1] // step) * step
+        cnt = np.maximum(0, (t1 - t0) // step + 1)
+        if cnt.sum() == 0:
+            return empty
+        gi = np.repeat(np.arange(len(starts)), cnt)
+        offs = np.arange(len(gi)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        ticks = np.repeat(t0, cnt) + offs * step
+        span = int(tv.max() - tv.min()) + step + 2
+        comp_pts = np.arange(len(starts)).repeat(ends - starts) * span \
+            + (tv - tv.min())
+        comp_tk = gi * span + (ticks - tv.min())
+        ia = np.searchsorted(comp_pts, comp_tk, side="right") - 1
+        return pd.DataFrame({key: kv[starts][gi], "tick": ticks,
+                             "v": vv[ia].astype("int64")})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def cdf_rank_join(ds: ray.data.Dataset, value: str,
+                  ref_sorted: "np.ndarray") -> ray.data.Dataset:
+    """Percentile-rank every row against a BROADCAST reference
+    distribution: appends rank_le = |{r ∈ ref : r ≤ v}| and n_ref —
+    the empirical-CDF lookup (score normalization against a
+    calibration table). The reference ships once via ``ray.put`` and
+    each batch is one vectorized searchsorted: MAP-ONLY at any scale,
+    no join shuffle."""
+    ref = np.sort(np.asarray(ref_sorted))
+    ref_ref = ray.put(ref)
+
+    class Ranker:
+        def __init__(self):
+            self.ref = ray.get(ref_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(value).to_numpy()
+            le = np.searchsorted(self.ref, v, side="right")
+            return t.append_column(
+                "rank_le", pa.array(le.astype(np.int64), pa.int64())) \
+                .append_column("n_ref",
+                               pa.array(np.full(len(v), len(self.ref),
+                                                np.int64), pa.int64()))
+
+    return ds.map_batches(Ranker, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))

@@ -158,3 +158,52 @@ def test_asof_join_resolve_dups(ray_session):
     want = _ref_asof(left, pre, "inner")
     pd.testing.assert_frame_equal(got[["lid", "k", "t", "v", "t_r"]],
                                   want[["lid", "k", "t", "v", "t_r"]])
+
+
+def test_nearest_join_vs_brute(ray_session):
+    import ray.data
+    from hand_index_ray.relational import nearest_join
+
+    rng = np.random.RandomState(19)
+    nl, nr = 80, 60
+    lk = rng.randint(0, 4, nl)
+    lt = rng.choice(np.arange(0, 500), nl, replace=False).astype(np.int64)
+    lid = np.arange(nl, dtype=np.int64)
+    rk = rng.randint(0, 4, nr)
+    rt = rng.choice(np.arange(0, 500), nr, replace=False).astype(np.int64)
+    rv = rng.randint(0, 100, nr).astype(np.int64)
+    # make exact-distance ties possible: right times at +-d around some
+    # left times
+    left = ray.data.from_arrow(pa.table({
+        "u": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.int64()),
+        "lid": pa.array(lid, pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "u": pa.array(rk, pa.int64()), "t": pa.array(rt, pa.int64()),
+        "rv": pa.array(rv, pa.int64())}))
+    got = nearest_join(left, right, on="t", by="u",
+                       left_cols=["lid"], right_cols=["rv"]).to_pandas()
+    gm = {r.lid: (r.t_r, r.rv_r) for r in got.itertuples()}
+    exp = {}
+    for i in range(nl):
+        cand = [(abs(int(rt[j]) - int(lt[i])), int(rt[j]), int(rv[j]))
+                for j in range(nr) if rk[j] == lk[i]]
+        if cand:
+            d, t, v = min(cand)
+            exp[int(lid[i])] = (t, v)
+    assert gm == exp
+
+
+def test_locf_grid_vs_brute(ray_session):
+    import ray.data
+    from hand_index_ray.relational import locf_grid
+
+    rows = [(1, 3, 10), (1, 12, 20), (1, 31, 5),
+            (2, 40, 7)]
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.int64()),
+                  "v": pa.array([r[2] for r in rows], pa.int64())})
+    got = locf_grid(ray.data.from_arrow(t), "k", "ts", "v", step=10) \
+        .to_pandas()
+    gm = sorted(map(tuple, got[["k", "tick", "v"]].to_numpy().tolist()))
+    assert gm == [(1, 10, 10), (1, 20, 20), (1, 30, 20),
+                  (2, 40, 7)]
