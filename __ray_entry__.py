@@ -5566,6 +5566,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = rel.cdf_rank_join(ds, "value_cents", ref).to_pandas()
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def q261_sliding_max(sf):  # ROWS-frame sliding maximum
+        """Peak-hold: per user, the max value over the trailing 5
+        rows by event id — every key of the bucket processed at once
+        on a padded grid with one numpy sliding-window view
+        (relational.py:sliding_max). Oracle: MAX OVER ROWS 4
+        PRECEDING."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.sliding_max(ev, "user_id", "event_id", "value_cents",
+                             window=5).to_pandas()
+        return df.sort_values(["user_id", "event_id"]) \
+            .reset_index(drop=True)
+
+    def q262_emd1d(sf):  # exact EMD vs the global distribution
+        """Distribution-drift diagnostic: exact 1-D earth mover's
+        distance of each event type's binned value histogram against
+        the corpus, as the unreduced rational (Σ|n_g·C_k − n_k·C_g|,
+        n_k·n_g) — count partials cross the wire, the fold is
+        |types|×64 (relational.py:emd1d_vs_global). Oracle: windowed
+        cumulative sums over a zero-filled grid."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            b = np.clip(t.column("value_cents").to_numpy() // 200,
+                        0, 63)
+            return pa.table({"event_type": t["event_type"],
+                             "b": pa.array(b, pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        return rel.emd1d_vs_global(ds, "event_type", "b", nbins=64)
+
+    def q263_audience_overlap(sf):  # segment-overlap matrix
+        """Audience overlap: users active in BOTH event types, for
+        every type pair — each user folds to one bitmask row, mask
+        frequencies aggregate to ≤ 2^|types| rows, pairs fold on the
+        counts; the data never self-joins
+        (relational.py:audience_overlap). Oracle: distinct-pair
+        self-join."""
+        ev = _t(sf, "events").select_columns(["user_id", "event_type"])
+        return rel.audience_overlap(ev, "user_id", "event_type")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5821,6 +5862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q258_nearest_join": q258_nearest_join,
         "q259_locf": q259_locf,
         "q260_cdf_join": q260_cdf_join,
+        "q261_sliding_max": q261_sliding_max,
+        "q262_emd1d": q262_emd1d,
+        "q263_audience_overlap": q263_audience_overlap,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7206,6 +7250,57 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q261_sliding_max": """
+            WITH s AS (SELECT user_id, event_id,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(MAX(v) OVER (PARTITION BY user_id
+                                     ORDER BY event_id
+                                     ROWS BETWEEN 4 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                       AS wmax
+            FROM s ORDER BY 1, 2
+        """,
+        "q262_emd1d": """
+            WITH e AS (SELECT event_type,
+                              LEAST(GREATEST(
+                                  CAST(ROUND(value * 100.0) AS BIGINT)
+                                  // 200, 0), 63) AS b
+                       FROM events),
+            h AS (SELECT event_type, b, COUNT(*) AS n
+                  FROM e GROUP BY 1, 2),
+            grid AS (SELECT t.event_type, g.g AS b
+                     FROM (SELECT DISTINCT event_type FROM e) t
+                     CROSS JOIN (SELECT generate_series AS g
+                                 FROM generate_series(0, 63)) g),
+            f AS (SELECT grid.event_type, grid.b,
+                         COALESCE(h.n, 0) AS n
+                  FROM grid LEFT JOIN h USING (event_type, b)),
+            c AS (SELECT event_type, b,
+                         SUM(n) OVER (PARTITION BY event_type
+                                      ORDER BY b) AS ck,
+                         SUM(n) OVER (PARTITION BY event_type) AS nk
+                  FROM f),
+            gg AS (SELECT b, SUM(n) AS gn FROM f GROUP BY 1),
+            cg AS (SELECT b, SUM(gn) OVER (ORDER BY b) AS cgb FROM gg),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ng FROM f)
+            SELECT c.event_type, CAST(MAX(c.nk) AS BIGINT) AS n,
+                   CAST(SUM(ABS(tot.ng * c.ck - c.nk * cg.cgb))
+                        AS BIGINT) AS emd_num,
+                   CAST(MAX(c.nk) * tot.ng AS BIGINT) AS emd_den
+            FROM c JOIN cg USING (b) CROSS JOIN tot
+            WHERE c.b < 63
+            GROUP BY 1, tot.ng ORDER BY 1
+        """,
+        "q263_audience_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM d a JOIN d b ON b.user_id = a.user_id
+                 AND b.event_type > a.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "q258_nearest_join": """
             WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
                        FROM events WHERE event_type = 'error'),

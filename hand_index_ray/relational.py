@@ -3339,3 +3339,124 @@ def cdf_rank_join(ds: ray.data.Dataset, value: str,
 
     return ds.map_batches(Ranker, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8))
+
+
+def sliding_max(ds: ray.data.Dataset, key: str, order: str, value: str,
+                window: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """Sliding-window maximum per key — SQL ``MAX(v) OVER (PARTITION
+    BY key ORDER BY ord ROWS window−1 PRECEDING..CURRENT)``: the
+    telemetry peak-hold. ONE keyed shuffle; inside the bucket every
+    key is processed at once on a (groups × maxlen) grid with a
+    numpy sliding-window view — no per-key loop.
+    Returns (key, order, wmax)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 order: pd.Series(dtype="int64"),
+                                 "wmax": pd.Series(dtype="int64")})
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        kv = g[key].to_numpy()
+        ov = g[order].to_numpy(np.int64)
+        vv = g[value].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate([[0],
+                                 np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        sizes = np.diff(np.append(starts, n))
+        G, L = len(starts), int(sizes.max())
+        NEG = np.int64(np.iinfo(np.int64).min)
+        grid = np.full((G, L + window - 1), NEG, np.int64)
+        gi = np.repeat(np.arange(G), sizes)
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        grid[gi, pos + window - 1] = vv
+        wins = np.lib.stride_tricks.sliding_window_view(
+            grid, window, axis=1).max(axis=2)
+        return pd.DataFrame({key: kv, order: ov,
+                             "wmax": wins[gi, pos].astype("int64")})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def emd1d_vs_global(ds: ray.data.Dataset, key: str, bin_col: str,
+                    nbins: int) -> "pd.DataFrame":
+    """Exact 1-D earth mover's distance of each key's binned
+    distribution against the GLOBAL one, as the unreduced rational
+    (Σ_b |n_g·C_k(b) − n_k·C_g(b)|, n_k·n_g) over unit-spaced bins —
+    the drift/skew diagnostic between a slice and the corpus, no
+    float. Per-batch (key, bin) count partials cross the wire; the
+    fold is |keys|×nbins, driver-bounded. Returns
+    (key, n, emd_num, emd_den)."""
+    counts = grouped_agg(ds.select_columns([key, bin_col]),
+                         [key, bin_col], count=True).to_pandas()
+    piv = counts.pivot_table(index=key, columns=bin_col, values="n",
+                             aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(nbins), fill_value=0)
+    H = piv.to_numpy(np.int64)
+    nk = H.sum(axis=1)
+    g = H.sum(axis=0)
+    ng = int(g.sum())
+    Ck = np.cumsum(H, axis=1)[:, :-1]
+    Cg = np.cumsum(g)[:-1]
+    num = np.abs(ng * Ck - nk[:, None] * Cg).sum(axis=1)
+    out = pd.DataFrame({key: piv.index.to_numpy(), "n": nk,
+                        "emd_num": num, "emd_den": nk * ng})
+    for c in ("n", "emd_num", "emd_den"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def audience_overlap(ds: ray.data.Dataset, key: str,
+                     cat: str) -> "pd.DataFrame":
+    """Pairwise audience overlap: for every pair of categories, how
+    many keys appear in BOTH — the segment-overlap matrix. Each key
+    folds to ONE bitmask row (dedup (key, cat) then OR of bits), mask
+    frequencies aggregate to ≤ 2^|cats| rows, and the pair fold runs
+    on those counts — the data is touched once, pairs never join.
+    Categories are the sorted distinct values (driver-bounded ≤ 64).
+    Returns (cat_a, cat_b, n_both) for cat_a < cat_b."""
+    cats = sorted(grouped_agg_hash(ds.select_columns([cat]), [cat],
+                                   count=True).to_pandas()[cat])
+    if len(cats) > 64:
+        raise ValueError("audience_overlap supports <= 64 categories")
+    cmap = {c: i for i, c in enumerate(cats)}
+    cref = ray.put(cmap)
+
+    class Mask(object):
+        def __init__(self):
+            self.cmap = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy()
+            bits = np.array([1 << self.cmap[c]
+                             for c in t.column(cat).to_pylist()],
+                            np.int64)
+            df = pd.DataFrame({key: k, "b": bits}) \
+                .groupby(key, as_index=False)["b"] \
+                .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = ds.select_columns([key, cat]).map_batches(
+        Mask, batch_format="pyarrow", concurrency=(1, 8))
+
+    def orfold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False)["b"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        return out
+
+    masks = grouped_apply_bucketed(partial, [key], orfold,
+                                   whole_bucket=True)
+    mc = grouped_agg_hash(masks.select_columns(["b"]), ["b"],
+                          count=True).to_pandas()
+    bvals = mc["b"].to_numpy(np.int64)
+    ns = mc["n"].to_numpy(np.int64)
+    rows = []
+    for a in range(len(cats)):
+        for bb in range(a + 1, len(cats)):
+            m = (1 << a) | (1 << bb)
+            rows.append((cats[a], cats[bb],
+                         int(ns[(bvals & m) == m].sum())))
+    out = pd.DataFrame(rows, columns=["cat_a", "cat_b", "n_both"])
+    out = out[out["n_both"] > 0].reset_index(drop=True)
+    out["n_both"] = out["n_both"].astype("int64")
+    return out

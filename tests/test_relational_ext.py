@@ -824,3 +824,51 @@ def test_str_pack_vs_ntile_brute(ray_session):
             assert got.loc[(s, lf), "max_x"] == int(cx[m].max())
             assert got.loc[(s, lf), "min_y"] == int(cy[m].min())
             assert got.loc[(s, lf), "max_y"] == int(cy[m].max())
+
+
+def test_sliding_max_vs_brute(ray_session):
+    from hand_index_ray.relational import sliding_max
+
+    rng = np.random.RandomState(29)
+    n = 200
+    k = rng.randint(0, 6, n)
+    o = np.arange(n, dtype=np.int64)
+    v = rng.randint(-50, 50, n).astype(np.int64)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "o": pa.array(o, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    W = 4
+    got = sliding_max(_rd().from_arrow(t), "k", "o", "v", window=W) \
+        .to_pandas().set_index("o").sort_index()
+    for g in range(6):
+        idx = np.nonzero(k == g)[0]
+        for p, i in enumerate(idx):
+            lo = max(0, p - W + 1)
+            assert got.loc[o[i], "wmax"] == v[idx[lo:p + 1]].max()
+
+
+def test_emd1d_and_overlap(ray_session):
+    from fractions import Fraction
+
+    from hand_index_ray.relational import (audience_overlap,
+                                           emd1d_vs_global)
+
+    t = pa.table({"k": pa.array(["a"] * 4 + ["b"] * 2),
+                  "b": pa.array([0, 0, 1, 3, 3, 3], pa.int64())})
+    got = emd1d_vs_global(_rd().from_arrow(t), "k", "b", nbins=4) \
+        .set_index("k")
+    # brute: EMD between normalized histograms = sum |CDF diff|
+    for kk, hist in (("a", [2, 1, 0, 1]), ("b", [0, 0, 0, 2])):
+        gl = [2, 1, 0, 3]
+        nk, ng = sum(hist), sum(gl)
+        exp = sum(abs(Fraction(sum(hist[:i + 1]), nk)
+                      - Fraction(sum(gl[:i + 1]), ng))
+                  for i in range(3))
+        assert Fraction(int(got.loc[kk, "emd_num"]),
+                        int(got.loc[kk, "emd_den"])) == exp
+
+    t2 = pa.table({"u": pa.array([1, 1, 2, 2, 3, 1], pa.int64()),
+                   "c": pa.array(["x", "y", "x", "z", "y", "x"])})
+    ov = audience_overlap(_rd().from_arrow(t2), "u", "c")
+    gm = {(r.cat_a, r.cat_b): r.n_both for r in ov.itertuples()}
+    assert gm == {("x", "y"): 1, ("x", "z"): 1}
