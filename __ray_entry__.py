@@ -5607,6 +5607,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _t(sf, "events").select_columns(["user_id", "event_type"])
         return rel.audience_overlap(ev, "user_id", "event_type")
 
+    def q264_largest_remainder(sf):  # pro-rata integer allocation
+        """Hamilton largest-remainder allocation: 10 000 units per
+        event type split across its users proportional to activity,
+        base + largest-remainder bonuses (ties → smaller user id), so
+        the per-type total is EXACT
+        (relational.py:largest_remainder). Oracle: window base/rem
+        arithmetic + ROW_NUMBER bonus rank."""
+        ev = _t(sf, "events").select_columns(["event_type", "user_id"])
+        counts = rel.grouped_agg_hash(ev, ["event_type", "user_id"],
+                                      count=True)
+        df = rel.largest_remainder(counts, "event_type", "user_id",
+                                   "n", total=10_000).to_pandas()
+        return df.sort_values(["event_type", "user_id"]) \
+            .reset_index(drop=True)
+
+    def q265_mase(sf):  # forecast-baseline error partials
+        """MASE ledger per user: Σ|v_t−v_{t−1}| (naive) and
+        Σ|v_t−v_{t−7}| (seasonal) step errors as exact integers from
+        two groupby shifts (relational.py:mase_partials). Oracle: two
+        LAG windows."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["user_id", "event_id", "value_cents"])
+        df = rel.mase_partials(ev, "user_id", "event_id",
+                               "value_cents", season=7).to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5865,6 +5891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q261_sliding_max": q261_sliding_max,
         "q262_emd1d": q262_emd1d,
         "q263_audience_overlap": q263_audience_overlap,
+        "q264_largest_remainder": q264_largest_remainder,
+        "q265_mase": q265_mase,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7250,6 +7278,49 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q264_largest_remainder": """
+            WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, user_id, n,
+                         SUM(n) OVER (PARTITION BY event_type) AS W
+                  FROM c),
+            b AS (SELECT *, (10000 * n) // W AS base,
+                         (10000 * n) % W AS rem
+                  FROM s),
+            l AS (SELECT *,
+                         10000 - SUM(base) OVER (PARTITION BY
+                                                 event_type) AS lft,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY rem DESC,
+                                                     user_id) - 1 AS rk
+                  FROM b)
+            SELECT event_type, user_id,
+                   CAST(base + CASE WHEN rk < lft THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM l ORDER BY 1, 2
+        """,
+        "q265_mase": """
+            WITH s AS (SELECT user_id,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id)
+                                  AS rn
+                       FROM events),
+            d AS (SELECT user_id, v,
+                         LAG(v, 1) OVER (PARTITION BY user_id
+                                         ORDER BY rn) AS p1,
+                         LAG(v, 7) OVER (PARTITION BY user_id
+                                         ORDER BY rn) AS p7
+                  FROM s)
+            SELECT user_id,
+                   CAST(COUNT(p1) AS BIGINT) AS m1,
+                   CAST(COALESCE(SUM(ABS(v - p1)), 0) AS BIGINT)
+                       AS abs_naive,
+                   CAST(COUNT(p7) AS BIGINT) AS ms,
+                   CAST(COALESCE(SUM(ABS(v - p7)), 0) AS BIGINT)
+                       AS abs_seasonal
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
         "q261_sliding_max": """
             WITH s AS (SELECT user_id, event_id,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v

@@ -3460,3 +3460,86 @@ def audience_overlap(ds: ray.data.Dataset, key: str,
     out = out[out["n_both"] > 0].reset_index(drop=True)
     out["n_both"] = out["n_both"].astype("int64")
     return out
+
+
+def largest_remainder(ds: ray.data.Dataset, key: str, id_col: str,
+                      weight: str, total: int,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Pro-rata integer allocation with largest-remainder rounding
+    (the Hamilton / budget-allocation method): each key's ``total``
+    units split across its rows proportional to ``weight`` — base =
+    total·w // W, then the rows with the largest remainders (ties →
+    smaller id) take the leftover units, so Σ alloc = total EXACTLY
+    per key. ONE keyed shuffle; remainder ranking is one lexsort +
+    per-key prefix mask across the whole bucket.
+    Returns (key, id, alloc)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "alloc": pd.Series(dtype="int64")})
+        g = g.sort_values([key, id_col], kind="mergesort",
+                          ignore_index=True)
+        kc, uniq = pd.factorize(g[key], sort=True)
+        kc = kc.astype(np.int64)
+        w = g[weight].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        W = np.bincount(kc, weights=w).astype(np.int64)
+        Wr = W[kc]
+        base = total * w // np.maximum(Wr, 1)
+        rem = total * w - base * Wr            # scaled remainder
+        used = np.bincount(kc, weights=base).astype(np.int64)
+        left = (total - used)[kc]              # leftover per key
+        order = np.lexsort((ids, -rem, kc))
+        kk = kc[order]
+        starts = np.concatenate([[0],
+                                 np.nonzero(kk[1:] != kk[:-1])[0] + 1])
+        off = np.zeros(len(kk), np.int64)
+        off[starts] = starts
+        off = np.maximum.accumulate(off)
+        rank = np.arange(len(kk)) - off        # 0-based within key
+        bonus = np.zeros(len(kk), np.int64)
+        bonus[order] = (rank < left[order]).astype(np.int64)
+        return pd.DataFrame({key: g[key], id_col: ids,
+                             "alloc": (base + bonus).astype("int64")})
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def mase_partials(ds: ray.data.Dataset, key: str, order: str,
+                  value: str, season: int,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Forecast-baseline error partials per key (the MASE
+    denominator/numerator ledger): Σ|v_t − v_{t−1}| over m1 = n−1
+    naive steps and Σ|v_t − v_{t−season}| over ms = n−season seasonal
+    steps, exact integers from two groupby shifts. Keys shorter than
+    season+1 report ms = 0. Returns (key, m1, abs_naive, ms,
+    abs_seasonal)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "m1": pd.Series(dtype="int64"),
+                                 "abs_naive": pd.Series(dtype="int64"),
+                                 "ms": pd.Series(dtype="int64"),
+                                 "abs_seasonal": pd.Series(dtype="int64")})
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        x = g[value].astype("int64")
+        p1 = g.groupby(key, sort=False)[value].shift(1)
+        ps = g.groupby(key, sort=False)[value].shift(season)
+        d = pd.DataFrame({
+            key: g[key],
+            "m1": p1.notna().astype("int64"),
+            "abs_naive": (x - p1.fillna(0).astype("int64")).abs()
+            .where(p1.notna(), 0),
+            "ms": ps.notna().astype("int64"),
+            "abs_seasonal": (x - ps.fillna(0).astype("int64")).abs()
+            .where(ps.notna(), 0)})
+        out = d.groupby(key, sort=True, as_index=False).sum()
+        for c in ("m1", "abs_naive", "ms", "abs_seasonal"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -872,3 +872,36 @@ def test_emd1d_and_overlap(ray_session):
     ov = audience_overlap(_rd().from_arrow(t2), "u", "c")
     gm = {(r.cat_a, r.cat_b): r.n_both for r in ov.itertuples()}
     assert gm == {("x", "y"): 1, ("x", "z"): 1}
+
+
+def test_largest_remainder(ray_session):
+    from hand_index_ray.relational import largest_remainder
+
+    t = pa.table({"k": pa.array(["a"] * 3 + ["b"] * 2),
+                  "id": pa.array([1, 2, 3, 1, 2], pa.int64()),
+                  "w": pa.array([1, 1, 1, 3, 1], pa.int64())})
+    got = largest_remainder(_rd().from_arrow(t), "k", "id", "w",
+                            total=10).to_pandas()
+    gm = {(r.k, r.id): r.alloc for r in got.itertuples()}
+    # a: 10/3 each -> base 3,3,3 rem equal -> ties by id: 1 bonus unit
+    assert gm[("a", 1)] == 4 and gm[("a", 2)] == 3 and gm[("a", 3)] == 3
+    # b: w 3:1 -> 7.5/2.5 -> base 7,2; remainders .5/.5 tie -> id 1
+    assert gm[("b", 1)] == 8 and gm[("b", 2)] == 2
+    # exact totals
+    assert sum(v for (k, _), v in gm.items() if k == "a") == 10
+    assert sum(v for (k, _), v in gm.items() if k == "b") == 10
+
+
+def test_mase_partials(ray_session):
+    from hand_index_ray.relational import mase_partials
+
+    v = np.array([5, 9, 2, 2, 7], np.int64)
+    t = pa.table({"k": pa.array([1] * 5, pa.int64()),
+                  "o": pa.array(np.arange(5), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    got = mase_partials(_rd().from_arrow(t), "k", "o", "v", season=2) \
+        .to_pandas().set_index("k")
+    assert got.loc[1, "m1"] == 4
+    assert got.loc[1, "abs_naive"] == int(np.abs(np.diff(v)).sum())
+    assert got.loc[1, "ms"] == 3
+    assert got.loc[1, "abs_seasonal"] == int(np.abs(v[2:] - v[:-2]).sum())
