@@ -5633,6 +5633,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "value_cents", season=7).to_pandas()
         return df.sort_values("user_id").reset_index(drop=True)
 
+    def q266_seq_packing(sf):  # LLM context-window packing
+        """Greedy sequential context-window packing (the LLM training
+        batcher): documents stream per source in doc-id order filling
+        2000-token bins; the carry recurrence runs as one lockstep
+        vectorized wave per sequence index across every source at once
+        (pipelines/text.py:sequence_packing, the integer_ema shape).
+        Oracle: recursive CTE carrying (fill, bin)."""
+        from hand_index_ray.pipelines.text import sequence_packing
+        docs = _t(sf, "documents").select_columns(
+            ["source", "doc_id", "n_chars"])
+        df = sequence_packing(docs, "source", "doc_id", "n_chars",
+                              capacity=2000).to_pandas()
+        return df.sort_values(["source", "doc_id"]) \
+            .reset_index(drop=True)
+
+    def q267_linear_reference(sf):  # locate-along-measure
+        """Linear referencing: the exact point 1/4, 2/4 and 3/4 of the
+        way along each trajectory's L1 chainage (integer metric — the
+        euclidean one needs sqrt; oracle mirrors it), floor-exact
+        interpolation inside the containing segment, one flat
+        searchsorted per fraction
+        (pipelines/trajectory.py:linear_reference). Oracle: window
+        prefix sums + QUALIFY last-vertex-at-or-before pick."""
+        from hand_index_ray.pipelines.trajectory import linear_reference
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+            ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            return pa.table({
+                "gid": pa.array(ok % 389, pa.int64()),
+                "t": pa.array((ok // 389) * 8 + ln, pa.int64()),
+                "c": pa.array((pk % 64) * 64 + sk % 64, pa.int64())})
+
+        pts = rel.grouped_agg_hash(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["gid", "t"], min_cols=["c"], count=False)
+
+        def unpack(t: pa.Table) -> pa.Table:
+            c = t.column("min_c").to_numpy()
+            return pa.table({"gid": t["gid"], "t": t["t"],
+                             "x": pa.array(c // 64, pa.int64()),
+                             "y": pa.array(c % 64, pa.int64())})
+
+        ds = pts.map_batches(unpack, batch_format="pyarrow")
+        df = linear_reference(ds, "gid", "t", "x", "y",
+                              fractions=[1, 2, 3], denom=4).to_pandas()
+        return df.sort_values(["gid", "frac_num"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5893,6 +5946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q263_audience_overlap": q263_audience_overlap,
         "q264_largest_remainder": q264_largest_remainder,
         "q265_mase": q265_mase,
+        "q266_seq_packing": q266_seq_packing,
+        "q267_linear_reference": q267_linear_reference,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7278,6 +7333,76 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q266_seq_packing": """
+            WITH RECURSIVE s AS (
+                SELECT source, doc_id, n_chars AS t,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            r AS (
+                SELECT source, doc_id, t, rn, t AS fill, 0 AS bin
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.source, s.doc_id, s.t, s.rn,
+                       CASE WHEN r.fill + s.t <= 2000
+                            THEN r.fill + s.t ELSE s.t END,
+                       CASE WHEN r.fill + s.t <= 2000
+                            THEN r.bin ELSE r.bin + 1 END
+                FROM r JOIN s ON s.source = r.source
+                            AND s.rn = r.rn + 1)
+            SELECT source, doc_id, CAST(t AS BIGINT) AS n_tokens,
+                   CAST(bin AS BIGINT) AS bin_id
+            FROM r ORDER BY 1, 2
+        """,
+        "q267_linear_reference": """
+            WITH p0 AS (
+                SELECT l_orderkey % 389 AS g,
+                       (l_orderkey // 389) * 8 + l_linenumber AS t,
+                       MIN((l_partkey % 64) * 64 + l_suppkey % 64) AS c
+                FROM lineitem GROUP BY 1, 2),
+            pts AS (SELECT g, t, c // 64 AS x, c % 64 AS y FROM p0),
+            seg AS (
+                SELECT g, t, x, y,
+                       ROW_NUMBER() OVER w AS i,
+                       LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny,
+                       abs(LEAD(x) OVER w - x)
+                       + abs(LEAD(y) OVER w - y) AS sl
+                FROM pts WINDOW w AS (PARTITION BY g ORDER BY t)),
+            pref AS (
+                SELECT *,
+                       COALESCE(SUM(sl) OVER (PARTITION BY g ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS pr,
+                       COALESCE(SUM(sl) OVER (PARTITION BY g), 0)
+                           AS tot
+                FROM seg),
+            fr(p) AS (VALUES (1), (2), (3)),
+            cand AS (
+                SELECT pref.g, fr.p, pref.x, pref.y, pref.nx, pref.ny,
+                       pref.sl, pref.pr, (pref.tot * fr.p) // 4 AS tgt
+                FROM pref CROSS JOIN fr
+                WHERE pref.pr <= (pref.tot * fr.p) // 4
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY pref.g, fr.p
+                                           ORDER BY pref.i DESC) = 1)
+            -- floor division (DuckDB // truncates; the interpolation
+            -- numerator can be negative): (a - posmod(a, b)) // b
+            SELECT g AS gid, CAST(p AS BIGINT) AS frac_num,
+                   CAST(x + (COALESCE(nx - x, 0) * (tgt - pr)
+                        - ((COALESCE(nx - x, 0) * (tgt - pr))
+                           % GREATEST(COALESCE(sl, 0), 1)
+                           + GREATEST(COALESCE(sl, 0), 1))
+                          % GREATEST(COALESCE(sl, 0), 1))
+                        // GREATEST(COALESCE(sl, 0), 1) AS BIGINT)
+                       AS px,
+                   CAST(y + (COALESCE(ny - y, 0) * (tgt - pr)
+                        - ((COALESCE(ny - y, 0) * (tgt - pr))
+                           % GREATEST(COALESCE(sl, 0), 1)
+                           + GREATEST(COALESCE(sl, 0), 1))
+                          % GREATEST(COALESCE(sl, 0), 1))
+                        // GREATEST(COALESCE(sl, 0), 1) AS BIGINT)
+                       AS py
+            FROM cand ORDER BY 1, 2
+        """,
         "q264_largest_remainder": """
             WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
                        FROM events GROUP BY 1, 2),

@@ -1403,3 +1403,56 @@ def shared_ngram_pairs(ds: ray.data.Dataset, col: str = "text",
                          "shared": t["n"]})
 
     return counted.map_batches(thresh, batch_format="pyarrow")
+
+
+def sequence_packing(ds: ray.data.Dataset, key: str, order: str,
+                     tokens: str, capacity: int,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Greedy sequential context-window packing (the LLM training
+    batcher): docs stream per key in ``order`` and fill bins of
+    ``capacity`` tokens — a doc that would overflow the running bin
+    opens the next one; docs longer than the capacity get a bin of
+    their own. Deterministic and shuffle-light: ONE keyed shuffle,
+    then the carry recurrence (fill' = fill+t if it fits else t) runs
+    as one lockstep vectorized wave per sequence index across every
+    key in the bucket (the integer_ema shape — never a per-key Python
+    loop). Returns (key, order, n_tokens, bin_id) with bin_id dense
+    from 0 per key."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 order: pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "bin_id": pd.Series(dtype="int64")})
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        kv = g[key].to_numpy()
+        ov = g[order].to_numpy(np.int64)
+        tv = g[tokens].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate([[0],
+                                 np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        sizes = np.diff(np.append(starts, n))
+        G, L = len(starts), int(sizes.max())
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        gi = np.repeat(np.arange(G), sizes)
+        t = np.zeros((G, L), np.int64)
+        t[gi, pos] = tv
+        alive = np.zeros((G, L), bool)
+        alive[gi, pos] = True
+        fill = t[:, 0].copy()
+        bid = np.zeros((G, L), np.int64)
+        cur = np.zeros(G, np.int64)
+        for i in range(1, L):
+            fits = fill + t[:, i] <= capacity
+            nf = np.where(fits, fill + t[:, i], t[:, i])
+            cur = np.where(alive[:, i] & ~fits, cur + 1, cur)
+            fill = np.where(alive[:, i], nf, fill)
+            bid[:, i] = cur
+        return pd.DataFrame({key: kv, order: ov,
+                             "n_tokens": tv,
+                             "bin_id": bid[gi, pos].astype("int64")})
+
+    from ..relational import grouped_apply_bucketed
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -296,3 +296,73 @@ def resample_tracks(ds: ray.data.Dataset, key: str, t: str, x: str,
     from ..relational import grouped_apply_bucketed
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def linear_reference(ds: ray.data.Dataset, key: str, order: str,
+                     x: str, y: str, fractions: list[int],
+                     denom: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """Linear referencing (locate-along-measure): for each polyline
+    and each requested fraction p/denom of its TOTAL L1 (Manhattan)
+    length, the exact point that far along the line — chainage in L1
+    keeps every quantity integer (the euclidean measure needs sqrt;
+    the oracle mirrors the same metric). Position interpolates
+    floor-exact inside the containing segment. Lines with zero length
+    report their first vertex at every fraction.
+
+    ONE keyed shuffle; per bucket: per-key L1 prefix sums, one flat
+    searchsorted per fraction to find the containing segment, floor
+    interpolation — no per-key loop. Returns (key, frac_num, px, py).
+    """
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                              "frac_num": pd.Series(dtype="int64"),
+                              "px": pd.Series(dtype="int64"),
+                              "py": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        kv = g[key].to_numpy()
+        xv = g[x].to_numpy(np.int64)
+        yv = g[y].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate([[0],
+                                 np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        seg = np.abs(np.diff(xv)) + np.abs(np.diff(yv))
+        seg = np.append(seg, 0)
+        seg[ends - 1] = 0                      # no segment across keys
+        cum = np.cumsum(seg) - seg             # length BEFORE vertex i+1?
+        # prefix length at vertex i (start of key = 0)
+        pref = np.cumsum(np.concatenate([[0], seg[:-1]]))
+        pref = pref - pref[starts].repeat(ends - starts)
+        total = np.zeros(len(starts), np.int64)
+        np.add.at(total, np.repeat(np.arange(len(starts)),
+                                   ends - starts), seg)
+        rows = []
+        G = len(starts)
+        span = pref.max() + 2 if n else 2
+        comp_pref = np.repeat(np.arange(G), ends - starts) * span + pref
+        for p in fractions:
+            target = total * p // denom        # L1 distance along
+            comp_t = np.arange(G) * span + target
+            ia = np.searchsorted(comp_pref, comp_t, side="right") - 1
+            d = target - pref[ia]
+            sl = seg[ia]
+            sl = np.maximum(sl, 1)
+            dx = np.where(ia + 1 < ends, xv[np.minimum(ia + 1, n - 1)]
+                          - xv[ia], 0)
+            dy = np.where(ia + 1 < ends, yv[np.minimum(ia + 1, n - 1)]
+                          - yv[ia], 0)
+            px = xv[ia] + dx * d // sl
+            py = yv[ia] + dy * d // sl
+            rows.append(pd.DataFrame({key: kv[starts],
+                                      "frac_num": np.full(G, p,
+                                                          np.int64),
+                                      "px": px.astype("int64"),
+                                      "py": py.astype("int64")}))
+        return pd.concat(rows, ignore_index=True)
+
+    from ..relational import grouped_apply_bucketed
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

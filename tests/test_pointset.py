@@ -252,3 +252,51 @@ def test_resample_tracks_vs_brute(ray_session):
             exp[(g, T)] = (xi, yi)
             T += STEP
     assert gm == exp
+
+
+def test_linear_reference_vs_brute(ray_session):
+    import ray.data
+    from hand_index_ray.pipelines.trajectory import linear_reference
+
+    rng = np.random.RandomState(37)
+    rows = []
+    for g in range(5):
+        npts = rng.randint(1, 8)
+        ts = np.sort(rng.choice(np.arange(50), npts, replace=False))
+        for t in ts:
+            rows.append((g, int(t), int(rng.randint(0, 40)),
+                         int(rng.randint(0, 40))))
+    t = pa.table({"g": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "x": pa.array([r[2] for r in rows], pa.int64()),
+                  "y": pa.array([r[3] for r in rows], pa.int64())})
+    got = linear_reference(ray.data.from_arrow(t), "g", "t", "x", "y",
+                           fractions=[1, 3], denom=4).to_pandas()
+    gm = {(r.g, r.frac_num): (r.px, r.py) for r in got.itertuples()}
+    byg = {}
+    for g, tt, x, y in rows:
+        byg.setdefault(g, []).append((tt, x, y))
+    for g, pts in byg.items():
+        pts.sort()
+        seg = [abs(pts[i + 1][1] - pts[i][1])
+               + abs(pts[i + 1][2] - pts[i][2])
+               for i in range(len(pts) - 1)]
+        tot = sum(seg)
+        for p in (1, 3):
+            tgt = tot * p // 4
+            pr, i = 0, 0
+            while i < len(seg) and pr + seg[i] <= tgt:
+                pr += seg[i]
+                i += 1
+            # engine picks the LAST vertex with pref <= target
+            while i + 1 < len(pts) and pr == tgt and i < len(seg) \
+                    and seg[i] == 0:
+                i += 1
+            if i >= len(seg):
+                exp = (pts[-1][1], pts[-1][2])
+            else:
+                d = tgt - pr
+                sl = max(seg[i], 1)
+                exp = (pts[i][1] + (pts[i + 1][1] - pts[i][1]) * d // sl,
+                       pts[i][2] + (pts[i + 1][2] - pts[i][2]) * d // sl)
+            assert gm[(g, p)] == exp, (g, p)

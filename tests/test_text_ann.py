@@ -523,3 +523,23 @@ def test_shared_ngram_pairs_vs_brute(ray_session):
             if c >= TH:
                 exp[(a, b)] = c
     assert gm == exp
+
+
+def test_sequence_packing(ray_session):
+    from hand_index_ray.pipelines.text import sequence_packing
+
+    toks = [800, 900, 500, 2500, 100, 2000]
+    t = pa.table({"k": pa.array(["s"] * 6),
+                  "o": pa.array(range(6), pa.int64()),
+                  "t": pa.array(toks, pa.int64())})
+    got = sequence_packing(_rd().from_arrow(t), "k", "o", "t",
+                           capacity=2000).to_pandas()
+    got = got.sort_values("o")
+    # 800+900 fits; +500 overflows -> bin1; 2500 alone -> bin2 (even
+    # though > capacity); 100 opens bin3 (2500 "filled" its bin past
+    # capacity so nothing joins it); 2000 exactly fills bin4
+    assert got["bin_id"].tolist() == [0, 0, 1, 2, 3, 4]
+    # per-bin token sums never exceed capacity except oversized docs
+    sums = got.groupby("bin_id")["n_tokens"].sum()
+    assert all(s <= 2000 or c == 1
+               for s, c in zip(sums, got.groupby("bin_id").size()))
