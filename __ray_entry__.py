@@ -5686,6 +5686,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               fractions=[1, 2, 3], denom=4).to_pandas()
         return df.sort_values(["gid", "frac_num"]).reset_index(drop=True)
 
+    def q268_shoelace(sf):  # exact polygon area + centroid
+        """Exact shoelace area and area-weighted centroid of
+        star-shaped integer polygons (8 fixed directions, key-mixed
+        radii), carried as the unreduced triple (2A, cx_num, cy_num) —
+        divide by 3·2A downstream, no float
+        (pipelines/geostat.py:shoelace_stats). Oracle: LEAD cross
+        products with modular wraparound."""
+        from hand_index_ray.pipelines.geostat import shoelace_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        dirs = np.array([(1, 0), (1, 1), (0, 1), (-1, 1),
+                         (-1, 0), (-1, -1), (0, -1), (1, -1)],
+                        np.int64)
+
+        def verts(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy().astype(np.int64)
+            k = k[k % 11 == 0]
+            i = np.tile(np.arange(8, dtype=np.int64), len(k))
+            kk = np.repeat(k, 8)
+            r = (kk * (i + 3)) % 9 + 2
+            return pa.table({
+                "gid": pa.array(kk, pa.int64()),
+                "i": pa.array(i, pa.int64()),
+                "x": pa.array(100 + r * dirs[i, 0], pa.int64()),
+                "y": pa.array(100 + r * dirs[i, 1], pa.int64())})
+
+        ds = orders.map_batches(verts, batch_format="pyarrow")
+        df = shoelace_stats(ds, "gid", "i", "x", "y").to_pandas()
+        return df.sort_values("gid").reset_index(drop=True)
+
+    def q269_lbp(sf):  # local-binary-pattern texture
+        """LBP texture descriptor over the plateau fixture: 8-bit
+        neighbor-threshold codes per interior pixel, uniform-pattern
+        count (≤2 circular transitions), code checksum and distinct
+        codes — one shifted-slice pass per bit, map-only
+        (pipelines/terrain.py:lbp_stats). Oracle: 8 neighbor joins +
+        bit_count(xor(...)) transitions."""
+        from hand_index_ray.pipelines.terrain import lbp_stats
+        ds = _terrain_blobs(sf, 241, 14, 11, 13, 7, 3, 256, div=32,
+                            compression="lzw", predictor=2)
+        df = lbp_stats(ds, id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
+    def q270_blob_stats(sf):  # 8-connected component statistics
+        """Connected-component statistics of disc∪bar masks: blob
+        count, largest blob, and the Σ of per-blob min flat pixel
+        indices — vectorized min-label propagation to fixpoint per
+        raster (measured ≤14 waves on every fixture mask), map-only
+        (pipelines/terrain.py:blob_stats). Oracle: 16 unrolled
+        8-neighbor MIN waves."""
+        from hand_index_ray.pipelines.terrain import blob_stats
+        df = blob_stats(_discbar_blobs(sf), thresh=20,
+                        id_col="o_orderkey").to_pandas()
+        return df.sort_values("o_orderkey").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -5948,6 +6003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q265_mase": q265_mase,
         "q266_seq_packing": q266_seq_packing,
         "q267_linear_reference": q267_linear_reference,
+        "q268_shoelace": q268_shoelace,
+        "q269_lbp": q269_lbp,
+        "q270_blob_stats": q270_blob_stats,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7333,6 +7391,421 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q268_shoelace": """
+            WITH dirs(i, dx, dy) AS (VALUES
+                (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)),
+            v AS (
+                SELECT o.o_orderkey AS g, d.i,
+                       100 + ((o.o_orderkey * (d.i + 3)) % 9 + 2)
+                           * d.dx AS x,
+                       100 + ((o.o_orderkey * (d.i + 3)) % 9 + 2)
+                           * d.dy AS y
+                FROM (SELECT o_orderkey FROM orders
+                      WHERE o_orderkey % 11 = 0) o
+                CROSS JOIN dirs d),
+            w AS (SELECT a.g, a.x, a.y, b.x AS nx, b.y AS ny
+                  FROM v a JOIN v b ON b.g = a.g
+                       AND b.i = (a.i + 1) % 8)
+            SELECT g AS gid, CAST(8 AS BIGINT) AS n_vertices,
+                   CAST(SUM(x * ny - nx * y) AS BIGINT) AS twice_area,
+                   CAST(SUM((x + nx) * (x * ny - nx * y)) AS BIGINT)
+                       AS cx_num,
+                   CAST(SUM((y + ny) * (x * ny - nx * y)) AS BIGINT)
+                       AS cy_num
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "q269_lbp": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 241 = 0),
+            px AS MATERIALIZED (
+                SELECT ks.k, x.x, y.y,
+                       ((ks.k * 13 + x.x * 7 + y.y * 3) % 256) // 32 AS v
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 10)) y),
+            code AS (
+                SELECT c.k,
+                       (CASE WHEN w.v >= c.v THEN 1 ELSE 0 END)
+                     + (CASE WHEN nw.v >= c.v THEN 2 ELSE 0 END)
+                     + (CASE WHEN n.v >= c.v THEN 4 ELSE 0 END)
+                     + (CASE WHEN ne.v >= c.v THEN 8 ELSE 0 END)
+                     + (CASE WHEN e.v >= c.v THEN 16 ELSE 0 END)
+                     + (CASE WHEN se.v >= c.v THEN 32 ELSE 0 END)
+                     + (CASE WHEN s.v >= c.v THEN 64 ELSE 0 END)
+                     + (CASE WHEN sw.v >= c.v THEN 128 ELSE 0 END)
+                         AS code
+                FROM px c
+                JOIN px w  ON w.k = c.k AND w.x = c.x - 1 AND w.y = c.y
+                JOIN px nw ON nw.k = c.k AND nw.x = c.x - 1
+                          AND nw.y = c.y - 1
+                JOIN px n  ON n.k = c.k AND n.x = c.x AND n.y = c.y - 1
+                JOIN px ne ON ne.k = c.k AND ne.x = c.x + 1
+                          AND ne.y = c.y - 1
+                JOIN px e  ON e.k = c.k AND e.x = c.x + 1 AND e.y = c.y
+                JOIN px se ON se.k = c.k AND se.x = c.x + 1
+                          AND se.y = c.y + 1
+                JOIN px s  ON s.k = c.k AND s.x = c.x AND s.y = c.y + 1
+                JOIN px sw ON sw.k = c.k AND sw.x = c.x - 1
+                          AND sw.y = c.y + 1
+                WHERE c.x BETWEEN 1 AND 12 AND c.y BETWEEN 1 AND 9)
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) FILTER (WHERE bit_count(
+                        CAST(xor(code, (code // 2)
+                                 + (code % 2) * 128) AS BIGINT)) <= 2)
+                        AS BIGINT) AS n_uniform,
+                   CAST(SUM(code) AS BIGINT) AS code_checksum,
+                   CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
+            FROM code GROUP BY 1 ORDER BY 1
+        """,
+        "q270_blob_stats": """WITH ks AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 239 = 0),
+            m0 AS MATERIALIZED (
+                SELECT ks.k, x.x, y.y,
+                       CASE WHEN (x.x - (4 + ks.k % 6))
+                                * (x.x - (4 + ks.k % 6))
+                              + (y.y - (4 + (ks.k // 6) % 4))
+                                * (y.y - (4 + (ks.k // 6) % 4))
+                              <= 5 + ks.k % 9
+                              OR (y.y >= 2 + ks.k % 7
+                                  AND y.y <= 3 + ks.k % 7
+                                  AND x.x BETWEEN 1 AND 12)
+                            THEN y.y * 14 + x.x ELSE NULL END AS lbl,
+                       x.x, y.y
+                FROM ks
+                CROSS JOIN (SELECT generate_series AS x
+                            FROM generate_series(0, 13)) x
+                CROSS JOIN (SELECT generate_series AS y
+                            FROM generate_series(0, 11)) y),\n            m1 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m0 c
+                LEFT JOIN m0 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m0 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m0 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m0 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m0 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m0 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m0 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m0 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m2 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m1 c
+                LEFT JOIN m1 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m1 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m1 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m1 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m1 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m1 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m1 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m1 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m3 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m2 c
+                LEFT JOIN m2 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m2 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m2 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m2 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m2 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m2 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m2 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m2 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m4 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m3 c
+                LEFT JOIN m3 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m3 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m3 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m3 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m3 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m3 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m3 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m3 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m5 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m4 c
+                LEFT JOIN m4 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m4 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m4 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m4 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m4 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m4 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m4 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m4 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m6 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m5 c
+                LEFT JOIN m5 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m5 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m5 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m5 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m5 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m5 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m5 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m5 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m7 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m6 c
+                LEFT JOIN m6 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m6 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m6 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m6 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m6 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m6 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m6 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m6 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m8 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m7 c
+                LEFT JOIN m7 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m7 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m7 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m7 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m7 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m7 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m7 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m7 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m9 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m8 c
+                LEFT JOIN m8 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m8 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m8 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m8 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m8 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m8 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m8 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m8 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m10 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m9 c
+                LEFT JOIN m9 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m9 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m9 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m9 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m9 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m9 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m9 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m9 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m11 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m10 c
+                LEFT JOIN m10 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m10 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m10 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m10 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m10 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m10 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m10 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m10 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m12 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m11 c
+                LEFT JOIN m11 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m11 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m11 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m11 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m11 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m11 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m11 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m11 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m13 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m12 c
+                LEFT JOIN m12 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m12 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m12 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m12 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m12 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m12 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m12 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m12 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m14 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m13 c
+                LEFT JOIN m13 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m13 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m13 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m13 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m13 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m13 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m13 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m13 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m15 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m14 c
+                LEFT JOIN m14 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m14 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m14 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m14 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m14 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m14 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m14 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m14 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1),\n            m16 AS MATERIALIZED (
+                SELECT c.k, c.x, c.y,
+                       CASE WHEN c.lbl IS NULL THEN NULL
+                            ELSE LEAST(c.lbl,
+                                 COALESCE(p1.lbl, c.lbl),
+                                 COALESCE(p2.lbl, c.lbl),
+                                 COALESCE(p3.lbl, c.lbl),
+                                 COALESCE(p4.lbl, c.lbl),
+                                 COALESCE(p5.lbl, c.lbl),
+                                 COALESCE(p6.lbl, c.lbl),
+                                 COALESCE(p7.lbl, c.lbl),
+                                 COALESCE(p8.lbl, c.lbl)) END AS lbl
+                FROM m15 c
+                LEFT JOIN m15 p1 ON p1.k=c.k AND p1.x=c.x+1 AND p1.y=c.y
+                LEFT JOIN m15 p2 ON p2.k=c.k AND p2.x=c.x-1 AND p2.y=c.y
+                LEFT JOIN m15 p3 ON p3.k=c.k AND p3.x=c.x AND p3.y=c.y+1
+                LEFT JOIN m15 p4 ON p4.k=c.k AND p4.x=c.x AND p4.y=c.y-1
+                LEFT JOIN m15 p5 ON p5.k=c.k AND p5.x=c.x+1 AND p5.y=c.y+1
+                LEFT JOIN m15 p6 ON p6.k=c.k AND p6.x=c.x-1 AND p6.y=c.y-1
+                LEFT JOIN m15 p7 ON p7.k=c.k AND p7.x=c.x+1 AND p7.y=c.y-1
+                LEFT JOIN m15 p8 ON p8.k=c.k AND p8.x=c.x-1 AND p8.y=c.y+1)
+            , blobs AS (SELECT k, lbl, COUNT(*) AS sz FROM m16
+                        WHERE lbl IS NOT NULL GROUP BY 1, 2)
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_blobs,
+                   CAST(MAX(sz) AS BIGINT) AS max_blob,
+                   CAST(SUM(lbl) AS BIGINT) AS label_checksum
+            FROM blobs GROUP BY 1 ORDER BY 1""",
         "q266_seq_packing": """
             WITH RECURSIVE s AS (
                 SELECT source, doc_id, n_chars AS t,

@@ -209,3 +209,51 @@ def rect_union_area(ds: ray.data.Dataset, key: str, x1: str, y1: str,
     from ..relational import grouped_apply_bucketed
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def shoelace_stats(ds: ray.data.Dataset, key: str, order: str,
+                   x: str, y: str,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact polygon area + area-weighted centroid per key from the
+    shoelace formula over integer vertices in ring order: 2A = Σ
+    (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) (wrapping), centroid = (Σ (xᵢ+xᵢ₊₁)·crossᵢ,
+    Σ (yᵢ+yᵢ₊₁)·crossᵢ) / (3·2A) — everything carried as the
+    unreduced integer triple (twice_area, cx_num, cy_num), no float.
+    ONE keyed shuffle; inside the bucket the wrap-around pairs come
+    from one roll per key done with flat index arithmetic.
+    Returns (key, n_vertices, twice_area, cx_num, cy_num)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "n_vertices": pd.Series(dtype="int64"),
+                                 "twice_area": pd.Series(dtype="int64"),
+                                 "cx_num": pd.Series(dtype="int64"),
+                                 "cy_num": pd.Series(dtype="int64")})
+        g = g.sort_values([key, order], kind="mergesort",
+                          ignore_index=True)
+        kv = g[key].to_numpy()
+        xv = g[x].to_numpy(np.int64)
+        yv = g[y].to_numpy(np.int64)
+        n = len(g)
+        starts = np.concatenate([[0],
+                                 np.nonzero(kv[1:] != kv[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        sizes = ends - starts
+        # next vertex with wrap: i+1, except last of key -> key start
+        nxt = np.arange(1, n + 1)
+        nxt[ends - 1] = starts
+        cross = xv * yv[nxt] - xv[nxt] * yv
+        gi = np.repeat(np.arange(len(starts)), sizes)
+        A2 = np.bincount(gi, weights=cross).astype(np.int64)
+        cxn = np.bincount(gi, weights=(xv + xv[nxt]) * cross) \
+            .astype(np.int64)
+        cyn = np.bincount(gi, weights=(yv + yv[nxt]) * cross) \
+            .astype(np.int64)
+        return pd.DataFrame({key: kv[starts],
+                             "n_vertices": sizes.astype("int64"),
+                             "twice_area": A2, "cx_num": cxn,
+                             "cy_num": cyn})
+
+    from ..relational import grouped_apply_bucketed
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

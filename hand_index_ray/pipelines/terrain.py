@@ -1879,3 +1879,88 @@ def zonal_majority(ds, band_h: int, nclasses: int, div: int,
     return grouped_apply_bucketed(merged, ["band"], pick,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def lbp_stats(ds, bytes_col: str = "bytes", id_col: str = "path"):
+    """Local-binary-pattern texture descriptor per raster: each
+    interior pixel's 8-bit code sets bit b iff neighbor b ≥ center
+    (clockwise from west: W, NW, N, NE, E, SE, S, SW); reports the
+    number of UNIFORM patterns (≤ 2 circular 0↔1 transitions — the
+    texture-classification workhorse), the code-histogram checksum
+    Σ code·count, and the distinct code count. One shifted-slice pass
+    per bit, map-only."""
+    offs = [(0, -1), (-1, -1), (-1, 0), (-1, 1),
+            (0, 1), (1, 1), (1, 0), (1, -1)]
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nu, cs, nd = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            H, W = v.shape
+            c = v[1:-1, 1:-1]
+            code = np.zeros_like(c)
+            for b, (dy, dx) in enumerate(offs):
+                nb = v[1 + dy:H - 1 + dy or None,
+                       1 + dx:W - 1 + dx or None]
+                code |= ((nb >= c).astype(np.int64) << b)
+            rot = code ^ ((code >> 1) | ((code & 1) << 7))
+            trans = np.zeros_like(code)
+            for b in range(8):
+                trans += (rot >> b) & 1
+            hist = np.bincount(code.ravel(), minlength=256)
+            ids.append(rid)
+            nu.append(int((trans <= 2).sum()))
+            cs.append(int((np.arange(256) * hist).sum()))
+            nd.append(int((hist > 0).sum()))
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_uniform": pa.array(nu, pa.int64()),
+                         "code_checksum": pa.array(cs, pa.int64()),
+                         "n_codes": pa.array(nd, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def blob_stats(ds, thresh: int, bytes_col: str = "bytes",
+               id_col: str = "path"):
+    """8-connected component statistics of the mask v ≥ thresh per
+    raster: component count, largest blob size, and the sum of each
+    blob's min flat pixel index (a label checksum the SQL oracle can
+    reproduce). Vectorized min-label propagation to fixpoint per
+    image — map-only across the corpus."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nc, mx, ck = [], [], [], []
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            m = arr.astype(np.int64) >= thresh
+            H, W = m.shape
+            lbl = np.where(m, np.arange(H * W).reshape(H, W),
+                           np.int64(H * W))
+            while True:
+                p = np.pad(lbl, 1, constant_values=H * W)
+                best = lbl.copy()
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy or dx:
+                            np.minimum(best,
+                                       p[1 + dy:H + 1 + dy,
+                                         1 + dx:W + 1 + dx],
+                                       out=best)
+                best = np.where(m, best, H * W)
+                if (best == lbl).all():
+                    break
+                lbl = best
+            labs = lbl[m]
+            if len(labs):
+                u, cnt = np.unique(labs, return_counts=True)
+                ids.append(rid)
+                nc.append(len(u))
+                mx.append(int(cnt.max()))
+                ck.append(int(u.sum()))
+            else:
+                ids.append(rid)
+                nc.append(0)
+                mx.append(0)
+                ck.append(0)
+        return pa.table({id_col: _id_array(t, id_col, ids),
+                         "n_blobs": pa.array(nc, pa.int64()),
+                         "max_blob": pa.array(mx, pa.int64()),
+                         "label_checksum": pa.array(ck, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -300,3 +300,22 @@ def test_linear_reference_vs_brute(ray_session):
                 exp = (pts[i][1] + (pts[i + 1][1] - pts[i][1]) * d // sl,
                        pts[i][2] + (pts[i + 1][2] - pts[i][2]) * d // sl)
             assert gm[(g, p)] == exp, (g, p)
+
+
+def test_shoelace_vs_brute(ray_session):
+    import ray.data
+    from fractions import Fraction
+
+    from hand_index_ray.pipelines.geostat import shoelace_stats
+
+    # unit square CCW: area 1, centroid (.5, .5)
+    t = pa.table({"g": pa.array([1] * 4, pa.int64()),
+                  "i": pa.array(range(4), pa.int64()),
+                  "x": pa.array([0, 1, 1, 0], pa.int64()),
+                  "y": pa.array([0, 0, 1, 1], pa.int64())})
+    got = shoelace_stats(ray.data.from_arrow(t), "g", "i", "x", "y") \
+        .to_pandas().set_index("g")
+    r = got.loc[1]
+    assert r["twice_area"] == 2
+    assert Fraction(int(r["cx_num"]), 3 * 2) == Fraction(1, 2)
+    assert Fraction(int(r["cy_num"]), 3 * 2) == Fraction(1, 2)

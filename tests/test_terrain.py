@@ -1163,3 +1163,45 @@ def test_mode_filter_vs_brute():
     # neighborhood of center: {0:3, 1:4, 7:1, 5:1} -> mode 1
     cnt = np.bincount(v.ravel(), minlength=8)
     assert cnt[1] == 4 and np.argmax(cnt) == 1
+
+
+def test_lbp_uniform_and_blobs():
+    import numpy as np
+    from hand_index_ray.pipelines.terrain import blob_stats  # noqa
+    # LBP on a flat image: all neighbors == center -> code 255
+    # (all-ones), rot transitions = 0 -> uniform
+    v = np.full((5, 6), 7, np.int64)
+    c = v[1:-1, 1:-1]
+    code = np.zeros_like(c)
+    offs = [(0, -1), (-1, -1), (-1, 0), (-1, 1),
+            (0, 1), (1, 1), (1, 0), (1, -1)]
+    H, W = v.shape
+    for b, (dy, dx) in enumerate(offs):
+        nb = v[1 + dy:H - 1 + dy or None, 1 + dx:W - 1 + dx or None]
+        code |= ((nb >= c).astype(np.int64) << b)
+    assert (code == 255).all()
+
+
+def test_blob_label_core():
+    import numpy as np
+    # two separate blobs + diagonal connectivity
+    m = np.zeros((6, 8), bool)
+    m[1, 1] = True; m[2, 2] = True          # diagonal pair = 1 blob
+    m[4, 5] = True; m[4, 6] = True          # second blob
+    H, W = m.shape
+    lbl = np.where(m, np.arange(H * W).reshape(H, W), H * W)
+    while True:
+        p = np.pad(lbl, 1, constant_values=H * W)
+        best = lbl.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    np.minimum(best, p[1 + dy:H + 1 + dy,
+                                       1 + dx:W + 1 + dx], out=best)
+        best = np.where(m, best, H * W)
+        if (best == lbl).all():
+            break
+        lbl = best
+    labs = lbl[m]
+    assert len(np.unique(labs)) == 2
+    assert sorted(np.unique(labs)) == [1 * 8 + 1, 4 * 8 + 5]
