@@ -5741,6 +5741,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         id_col="o_orderkey").to_pandas()
         return df.sort_values("o_orderkey").reset_index(drop=True)
 
+    def q271_benford(sf):  # Benford first-digit profile
+        """Benford's-law screen: leading-digit counts of positive
+        event cents per event type — digits from one vectorized
+        decimal-string view (no float log10), per-batch partials
+        (relational.py:benford_profile). Oracle: substr of the
+        decimal cast."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+        df = rel.benford_profile(ev, "event_type",
+                                 "value_cents").to_pandas()
+        return df.sort_values(["event_type", "digit"]) \
+            .reset_index(drop=True)
+
+    def q272_front_coding(sf):  # dictionary front-coding ledger
+        """Front-coding compression ledger of the distinct part
+        names: per first-character block, terms / bytes / bytes saved
+        by each term's LCP with its sorted predecessor — terms bucket
+        by FIRST CHARACTER so every sorted-neighbor pair shares a
+        bucket and cross-bucket neighbors provably share no prefix
+        (relational.py:front_coding_ledger). Oracle: LAG + monotone
+        MAX-prefix-equality LCP."""
+        df = rel.front_coding_ledger(_t(sf, "part"),
+                                     "p_name").to_pandas()
+        return df.sort_values("first_char").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6006,6 +6030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q268_shoelace": q268_shoelace,
         "q269_lbp": q269_lbp,
         "q270_blob_stats": q270_blob_stats,
+        "q271_benford": q271_benford,
+        "q272_front_coding": q272_front_coding,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7391,6 +7417,40 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q271_benford": """
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_type,
+                   CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE v > 0 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q272_front_coding": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+            s AS (SELECT p_name, substr(p_name, 1, 1) AS fc,
+                         LAG(p_name) OVER (ORDER BY p_name) AS prev
+                  FROM d),
+            l AS (SELECT fc, length(p_name) AS len,
+                         CASE WHEN prev IS NULL
+                                   OR substr(prev, 1, 1) <> fc THEN 0
+                              ELSE COALESCE(
+                                  (SELECT MAX(j.j) FROM (
+                                       SELECT UNNEST(generate_series(
+                                           1, LEAST(length(p_name),
+                                                    length(prev))))
+                                           AS j) j
+                                   WHERE substr(p_name, 1, j.j)
+                                         = substr(prev, 1, j.j)), 0)
+                         END AS lcp
+                  FROM s)
+            SELECT fc AS first_char,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(len) AS BIGINT) AS total_bytes,
+                   CAST(SUM(lcp) AS BIGINT) AS saved_bytes
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
         "q268_shoelace": """
             WITH dirs(i, dx, dy) AS (VALUES
                 (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),

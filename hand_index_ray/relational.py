@@ -3543,3 +3543,92 @@ def mase_partials(ds: ray.data.Dataset, key: str, order: str,
 
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def benford_profile(ds: ray.data.Dataset, key: str, value: str,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Benford first-digit profile per key: counts of leading digits
+    1..9 of the positive values (the fraud/data-quality screen).
+    First digits come from one vectorized decimal-string view — no
+    float log10, so exact at any magnitude; per-batch partials cross
+    the wire. Returns (key, digit, n)."""
+    def digits(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy()
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        pos = v > 0
+        v, k = v[pos], k[pos]
+        if len(v) == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "digit": pa.array([], pa.int64())})
+        d = np.char.mod("%d", v).astype("U1").astype(np.int64)
+        return pa.table({key: pa.array(k), "digit": pa.array(d,
+                                                             pa.int64())})
+
+    return grouped_agg(ds.select_columns([key, value]).map_batches(
+        digits, batch_format="pyarrow"), [key, "digit"], count=True)
+
+
+def front_coding_ledger(ds: ray.data.Dataset, col: str,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Front-coding (incremental/prefix) compression ledger of the
+    DISTINCT values of ``col``: per first-character bucket, the term
+    count, total bytes, and bytes saved by sharing each term's longest
+    common prefix with its sorted predecessor — the dictionary-block
+    layout every search index writes. Distributed exactly: terms
+    bucket by FIRST CHARACTER, so every sorted-neighbor pair lives in
+    one bucket (cross-bucket neighbors share no prefix by
+    construction) and each bucket's LCP sweep is one vectorized
+    char-compare. Returns (first_char, n_terms, total_bytes,
+    saved_bytes)."""
+    distinct = grouped_agg_hash(ds.select_columns([col]), [col],
+                                count=True).drop_columns(["n"])
+
+    def first_char(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        return pa.table({col: t[col],
+                         "fc": pc2.utf8_slice_codeunits(t[col], 0, 1)})
+
+    keyed = distinct.map_batches(first_char, batch_format="pyarrow")
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"first_char": pd.Series(dtype=object),
+                                 "n_terms": pd.Series(dtype="int64"),
+                                 "total_bytes": pd.Series(dtype="int64"),
+                                 "saved_bytes": pd.Series(dtype="int64")})
+        g = g.sort_values([col], kind="mergesort", ignore_index=True)
+        terms = g[col].tolist()
+        lens = np.fromiter((len(s) for s in terms), np.int64,
+                           count=len(terms))
+        L = int(lens.max()) if len(lens) else 0
+        grid = np.zeros((len(terms), L), np.uint32)
+        flat = np.frombuffer("".join(terms).encode("utf-32-le"),
+                             dtype=np.uint32)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        rows = np.repeat(np.arange(len(terms)), lens)
+        cols = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+        grid[rows, cols] = flat
+        same = (grid[1:] == grid[:-1]) & (grid[1:] != 0)
+        lcp = np.zeros(len(terms), np.int64)
+        if len(terms) > 1:
+            # longest common prefix = leading run of equal chars
+            neq = ~same
+            first_diff = np.where(neq.any(axis=1),
+                                  neq.argmax(axis=1), L)
+            lim = np.minimum(lens[1:], lens[:-1])
+            lcp[1:] = np.minimum(first_diff, lim)
+        samekey = np.concatenate(
+            [[False], g["fc"].to_numpy()[1:] == g["fc"].to_numpy()[:-1]])
+        lcp = np.where(samekey, lcp, 0)
+        d = pd.DataFrame({"first_char": g["fc"], "len": lens,
+                          "lcp": lcp})
+        out = d.groupby("first_char", as_index=False).agg(
+            n_terms=("len", "size"), total_bytes=("len", "sum"),
+            saved_bytes=("lcp", "sum"))
+        for c in ("n_terms", "total_bytes", "saved_bytes"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_apply_bucketed(keyed, ["fc"], per,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -905,3 +905,27 @@ def test_mase_partials(ray_session):
     assert got.loc[1, "abs_naive"] == int(np.abs(np.diff(v)).sum())
     assert got.loc[1, "ms"] == 3
     assert got.loc[1, "abs_seasonal"] == int(np.abs(v[2:] - v[:-2]).sum())
+
+
+def test_front_coding_ledger(ray_session):
+    from hand_index_ray.relational import front_coding_ledger
+
+    words = ["apple", "applet", "apply", "banana", "band", "bz",
+             "apple"]                       # dup collapses
+    t = pa.table({"w": pa.array(words)})
+    got = front_coding_ledger(_rd().from_arrow(t), "w") \
+        .to_pandas().set_index("first_char").sort_index()
+    # a: apple(5,0) applet(6,5) apply(5,4) -> 3 terms 16 bytes 9 saved
+    assert got.loc["a"].tolist() == [3, 16, 9]
+    # b: banana(6,0) band(4,3) bz(2,1) -> 3 terms 12 bytes 4 saved
+    assert got.loc["b"].tolist() == [3, 12, 4]
+
+
+def test_benford_profile(ray_session):
+    from hand_index_ray.relational import benford_profile
+
+    t = pa.table({"k": pa.array(["x"] * 5),
+                  "v": pa.array([1, 19, 100, 950, -7], pa.int64())})
+    got = benford_profile(_rd().from_arrow(t), "k", "v").to_pandas()
+    gm = {int(r.digit): int(r.n) for r in got.itertuples()}
+    assert gm == {1: 3, 9: 1}               # negatives excluded
