@@ -5765,6 +5765,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "p_name").to_pandas()
         return df.sort_values("first_char").reset_index(drop=True)
 
+    def q273_stratified_sample(sf):  # deterministic stratified sample
+        """1000-row proportional stratified sample of events by type:
+        largest-remainder per-stratum allocation (exact total) and a
+        content-stable md5(id) pick within each stratum — no RNG, SQL
+        reproduces it row for row
+        (relational.py:stratified_sample). Oracle: the same allocation
+        windows + md5 ROW_NUMBER."""
+        ev = _t(sf, "events").select_columns(["event_type", "event_id"])
+        df = rel.stratified_sample(ev, "event_type", "event_id",
+                                   total=1000).to_pandas()
+        return df.sort_values(["event_type", "event_id"]) \
+            .reset_index(drop=True)
+
+    def q274_containment(sf):  # asymmetric containment near-dups
+        """Containment dedup candidates over documents: ordered pairs
+        where ≥ 1/2 of the contained side's distinct 12-grams appear
+        in the other doc (cross-multiplied, no float) — the
+        quote/superset rule Jaccard misses
+        (pipelines/text.py:containment_pairs). Oracle: the q254 gram
+        join + a per-doc gram-count join."""
+        from hand_index_ray.pipelines.text import containment_pairs
+        df = containment_pairs(_t(sf, "documents"), k=12, tau_num=1,
+                               tau_den=2).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6032,6 +6057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q270_blob_stats": q270_blob_stats,
         "q271_benford": q271_benford,
         "q272_front_coding": q272_front_coding,
+        "q273_stratified_sample": q273_stratified_sample,
+        "q274_containment": q274_containment,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -6304,6 +6331,36 @@ def _shared_ngrams_sql(k: int = 12, min_shared: int = 20) -> str:
           GROUP BY 1, 2)
     SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
     FROM p WHERE shared >= {min_shared} ORDER BY 1, 2"""
+
+
+def _containment_sql(k: int = 12, tau_num: int = 1,
+                     tau_den: int = 2) -> str:
+    """q274: the q254 distinct-gram machinery + per-doc gram counts;
+    ordered pairs kept iff tau_den·shared >= tau_num·|grams(a)|."""
+    from hand_index_ray.pipelines.text import WINNOW_BASE, WINNOW_MOD
+    P = [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, t.pos + {j}, 1)) * {P[k - 1 - j]}::BIGINT"
+        for j in range(k))
+    return f"""
+    WITH g AS (
+      SELECT doc_id, ({terms}) % {WINNOW_MOD} AS gh
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, length(text) - {k - 1}))
+                    AS pos) t
+      WHERE length(text) >= {k}
+    ), dg AS (SELECT DISTINCT doc_id, gh FROM g),
+    nc AS (SELECT doc_id, COUNT(*) AS n_a FROM dg GROUP BY 1),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS shared
+          FROM dg a JOIN dg b ON b.gh = a.gh
+               AND b.doc_id <> a.doc_id
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(nc.n_a AS BIGINT) AS n_a
+    FROM p JOIN nc ON nc.doc_id = p.id_a
+    WHERE {tau_den} * p.shared >= {tau_num} * nc.n_a
+    ORDER BY 1, 2"""
 
 
 def _fill_waves_sql(waves: int = 12) -> str:
@@ -7417,6 +7474,31 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q273_stratified_sample": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n FROM events
+                       GROUP BY 1),
+            a AS (SELECT event_type, n, SUM(n) OVER () AS W FROM c),
+            b AS (SELECT event_type, n, (1000 * n) // W AS base,
+                         (1000 * n) % W AS rem
+                  FROM a),
+            l AS (SELECT *, 1000 - SUM(base) OVER () AS lft,
+                         ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                            event_type) - 1 AS rk
+                  FROM b),
+            alloc AS (SELECT event_type,
+                             base + CASE WHEN rk < lft THEN 1 ELSE 0 END
+                                 AS ns
+                      FROM l),
+            r AS (SELECT event_type, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                      event_id) AS rn
+                  FROM events)
+            SELECT r.event_type, r.event_id
+            FROM r JOIN alloc USING (event_type)
+            WHERE r.rn <= alloc.ns ORDER BY 1, 2
+        """,
+        "q274_containment": _containment_sql(),
         "q271_benford": """
             WITH s AS (SELECT event_type,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v

@@ -1299,25 +1299,11 @@ def soundex_buckets(ds: ray.data.Dataset, col: str,
                                   whole_bucket=True)
 
 
-def shared_ngram_pairs(ds: ray.data.Dataset, col: str = "text",
-                       id_col: str = "doc_id", k: int = 12,
-                       min_shared: int = 20,
-                       max_postings: int = 256) -> ray.data.Dataset:
-    """Exact shared-k-gram near-dup candidates (the ExactSubstr dedup
-    candidate pass): pairs of docs sharing at least ``min_shared``
-    DISTINCT character k-grams, with the shared count as evidence.
-    Unlike q42's winnowing (which SAMPLES grams), every full k-gram
-    counts — the guarantee is exact at gram granularity (gram identity
-    is the q42 polynomial hash; the oracle computes the same
-    polynomial, so parity is exact by construction).
-
-    Map side: distinct (gram hash, doc) slim rows from ONE flat
-    modular prefix sum per batch; one groupby-on-hash shuffle forms
-    posting lists; pairs per gram (lists > ``max_postings`` = global
-    boilerplate, dropped — mirrored by a fixture bound, asserted in
-    the driver query) combine in a second slim count shuffle."""
-    from ..relational import grouped_agg, grouped_apply_bucketed
-
+def _distinct_gram_rows(ds: ray.data.Dataset, col: str, id_col: str,
+                        k: int) -> ray.data.Dataset:
+    """Distinct (gram hash, doc) slim rows for every full character
+    k-gram — ONE flat modular prefix sum per batch (the winnowing
+    machinery), one np.unique for the per-doc distinct."""
     M = np.uint64(WINNOW_MOD)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1352,8 +1338,30 @@ def shared_ngram_pairs(ds: ray.data.Dataset, col: str = "text",
             id_col: pa.array(ids[(combo >> np.uint64(31))
                                  .astype(np.int64)], pa.int64())})
 
-    exploded = ds.select_columns([id_col, col]).map_batches(
+    return ds.select_columns([id_col, col]).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shared_ngram_pairs(ds: ray.data.Dataset, col: str = "text",
+                       id_col: str = "doc_id", k: int = 12,
+                       min_shared: int = 20,
+                       max_postings: int = 256) -> ray.data.Dataset:
+    """Exact shared-k-gram near-dup candidates (the ExactSubstr dedup
+    candidate pass): pairs of docs sharing at least ``min_shared``
+    DISTINCT character k-grams, with the shared count as evidence.
+    Unlike q42's winnowing (which SAMPLES grams), every full k-gram
+    counts — the guarantee is exact at gram granularity (gram identity
+    is the q42 polynomial hash; the oracle computes the same
+    polynomial, so parity is exact by construction).
+
+    Map side: distinct (gram hash, doc) slim rows from ONE flat
+    modular prefix sum per batch; one groupby-on-hash shuffle forms
+    posting lists; pairs per gram (lists > ``max_postings`` = global
+    boilerplate, dropped — mirrored by a fixture bound, asserted in
+    the driver query) combine in a second slim count shuffle."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    exploded = _distinct_gram_rows(ds, col, id_col, k)
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """All posting-list pairs of the whole bucket in max-posting
@@ -1455,4 +1463,96 @@ def sequence_packing(ds: ray.data.Dataset, key: str, order: str,
 
     from ..relational import grouped_apply_bucketed
     return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)
+
+
+def containment_pairs(ds: ray.data.Dataset, col: str = "text",
+                      id_col: str = "doc_id", k: int = 12,
+                      tau_num: int = 1, tau_den: int = 2,
+                      max_postings: int = 256) -> ray.data.Dataset:
+    """Asymmetric containment near-dup candidates (superset/quote
+    detection — the dedup rule Jaccard misses when one doc embeds
+    another): ordered pairs (a, b) where |grams(a) ∩ grams(b)| ≥
+    (tau_num/tau_den)·|grams(a)|, compared cross-multiplied so no
+    float enters. Same slim shuffles as shared_ngram_pairs plus one
+    co-shuffle of (doc, gram count) partials against the pair stream
+    keyed by the CONTAINED side. Emits both directions when both
+    clear their own threshold. Returns (id_a, id_b, shared, n_a)
+    with id_a the contained side."""
+    from ..relational import grouped_agg_hash, grouped_apply_bucketed
+
+    exploded = _distinct_gram_rows(ds, col, id_col, k)
+    ngrams = grouped_agg_hash(exploded.select_columns([id_col]),
+                              [id_col], count=True)
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["gh", id_col], kind="mergesort",
+                          ignore_index=True)
+        kk = g["gh"].to_numpy()
+        ii = g[id_col].to_numpy()
+        _, cnt = np.unique(kk, return_counts=True)
+        hot = np.repeat(cnt > max_postings, cnt)
+        if hot.any():
+            kk, ii = kk[~hot], ii[~hot]
+            cnt = cnt[cnt <= max_postings]
+        if len(kk) < 2 or len(cnt) == 0:
+            return empty
+        la, lb = [], []
+        for gap in range(1, int(cnt.max())):
+            m = np.nonzero(kk[:-gap] == kk[gap:])[0]
+            if len(m) == 0:
+                break
+            la.append(ii[m])
+            lb.append(ii[m + gap])
+        if not la:
+            return empty
+        a = np.concatenate(la)
+        b = np.concatenate(lb)
+        # ordered both ways: containment is asymmetric
+        return pd.DataFrame({"id_a": np.concatenate([a, b]),
+                             "id_b": np.concatenate([b, a])})
+
+    pairs = grouped_apply_bucketed(exploded, ["gh"], pairs_bucket,
+                                   whole_bucket=True)
+    counted = grouped_agg_hash(pairs, ["id_a", "id_b"], count=True)
+
+    # co-shuffle the contained side's gram count with the pair stream
+    def tag_cnt(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t[id_col],
+                         "id_b": pa.nulls(t.num_rows, pa.int64()),
+                         "n": pa.nulls(t.num_rows, pa.int64()),
+                         "n_a": t["n"]})
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "n": t["n"],
+                         "n_a": pa.nulls(t.num_rows, pa.int64())})
+
+    both = counted.map_batches(tag_pairs, batch_format="pyarrow") \
+        .union(ngrams.map_batches(tag_cnt, batch_format="pyarrow"))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cnts = g[g["n_a"].notna()].set_index("id_a")["n_a"]
+        p = g[g["n_a"].isna()]
+        if len(p) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "shared": pd.Series([], dtype="int64"),
+                                 "n_a": pd.Series([], dtype="int64")})
+        na = p["id_a"].map(cnts).to_numpy()
+        sh = p["n"].to_numpy(np.int64)
+        keep = tau_den * sh >= tau_num * na
+        out = pd.DataFrame({"id_a": p["id_a"].to_numpy()[keep]
+                            .astype("int64"),
+                            "id_b": p["id_b"].to_numpy()[keep]
+                            .astype("int64"),
+                            "shared": sh[keep],
+                            "n_a": na[keep].astype("int64")})
+        return out
+
+    return grouped_apply_bucketed(both, ["id_a"], resolve,
                                   whole_bucket=True)

@@ -3632,3 +3632,49 @@ def front_coding_ledger(ds: ray.data.Dataset, col: str,
     return grouped_apply_bucketed(keyed, ["fc"], per,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def stratified_sample(ds: ray.data.Dataset, stratum: str, id_col: str,
+                      total: int,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Deterministic proportional stratified sample: ``total`` rows
+    split across strata by largest-remainder allocation (exact total,
+    remainder ties → lexicographically smaller stratum), and within
+    each stratum the rows with the SMALLEST md5(id) hex digests win —
+    content-stable like hash_split, reproducible in SQL, no RNG.
+    Stratum counts and the allocation table are driver-bounded by the
+    number of strata; the selection is one keyed shuffle + a
+    vectorized rank mask. Returns (stratum, id) of the sample."""
+    import hashlib
+
+    counts = grouped_agg(ds.select_columns([stratum]), [stratum],
+                         count=True).to_pandas() \
+        .sort_values(stratum, ignore_index=True)
+    n = counts["n"].to_numpy(np.int64)
+    W = int(n.sum())
+    base = total * n // max(W, 1)
+    rem = total * n - base * W
+    left = total - int(base.sum())
+    order = np.lexsort((np.arange(len(n)), -rem))
+    bonus = np.zeros(len(n), np.int64)
+    bonus[order[:left]] = 1
+    alloc = dict(zip(counts[stratum], (base + bonus).tolist()))
+    aref = ray.put(alloc)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        am = ray.get(aref)
+        md5 = hashlib.md5
+        h = np.array([md5(str(int(i)).encode()).hexdigest()
+                      for i in g[id_col]], dtype=object)
+        g = g.assign(__h=h).sort_values([stratum, "__h", id_col],
+                                        kind="mergesort",
+                                        ignore_index=True)
+        rk = g.groupby(stratum, sort=False).cumcount()
+        ns = g[stratum].map(am).to_numpy()
+        out = g[rk.to_numpy() < ns][[stratum, id_col]]
+        return out.reset_index(drop=True)
+
+    return grouped_apply_bucketed(ds.select_columns([stratum, id_col]),
+                                  [stratum], pick,
+                                  num_buckets=num_buckets,
+                                  whole_bucket=True)

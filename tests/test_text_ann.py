@@ -543,3 +543,57 @@ def test_sequence_packing(ray_session):
     sums = got.groupby("bin_id")["n_tokens"].sum()
     assert all(s <= 2000 or c == 1
                for s, c in zip(sums, got.groupby("bin_id").size()))
+
+
+def test_containment_pairs_vs_brute(ray_session):
+    from hand_index_ray.pipelines.text import containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near a river"
+    docs = [base,                                    # contained in 1
+            base + " and then some extra trailing content here",
+            "completely different words entirely unrelated stuff",
+            "xy"]
+    K = 12
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = containment_pairs(_rd().from_arrow(t), k=K, tau_num=1,
+                            tau_den=2).to_pandas()
+    gm = {(r.id_a, r.id_b): (r.shared, r.n_a) for r in got.itertuples()}
+    def grams(s):
+        return {s[i:i + K] for i in range(len(s) - K + 1)}
+    gs = [grams(d) for d in docs]
+    exp = {}
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b or not gs[a]:
+                continue
+            c = len(gs[a] & gs[b])
+            if 2 * c >= len(gs[a]):
+                exp[(a, b)] = (c, len(gs[a]))
+    assert gm == exp
+    # doc 0 is fully contained in doc 1: (0, 1) must be present with
+    # shared == |grams(0)|
+    assert gm[(0, 1)][0] == gm[(0, 1)][1]
+
+
+def test_stratified_sample_exact(ray_session):
+    from hand_index_ray.relational import stratified_sample
+
+    rng = np.random.RandomState(43)
+    n = 1000
+    st = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    t = pa.table({"s": pa.array(st), "id": pa.array(range(n),
+                                                    pa.int64())})
+    TOTAL = 100
+    got = stratified_sample(_rd().from_arrow(t), "s", "id",
+                            total=TOTAL).to_pandas()
+    assert len(got) == TOTAL                     # exact total
+    # proportionality within 1 of the exact quota
+    cnt = got.groupby("s").size()
+    for s in "abc":
+        exact = TOTAL * (st == s).sum() / n
+        assert abs(cnt[s] - exact) <= 1
+    # determinism: same input -> same rows
+    again = stratified_sample(_rd().from_arrow(t), "s", "id",
+                              total=TOTAL).to_pandas()
+    assert sorted(got["id"]) == sorted(again["id"])
