@@ -5790,6 +5790,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                tau_den=2).to_pandas()
         return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def q275_lift(sf):  # decile lift table (model evaluation)
+        """Ranked-model lift: events NTILE into 10 score deciles
+        (value cents DESC, id tiebreak) with per-decile rows /
+        positives (clicks) / cumulative positives — exact global
+        NTILE without a global sort (the str_pack rank trick)
+        (relational.py:lift_table). Oracle: native NTILE windows."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            lab = pc.equal(t["event_type"], "click")
+            return pa.table({
+                "value_cents": t["value_cents"],
+                "event_id": t["event_id"],
+                "is_click": pc.cast(lab, pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        return rel.lift_table(ds, "value_cents", "event_id",
+                              "is_click", tiles=10)
+
+    def q276_auc(sf):  # exact AUC (Mann-Whitney with ties)
+        """Exact AUC of value cents predicting clicks, as the
+        unreduced rational (2U, 2·n_pos·n_neg) — tie-aware
+        Mann–Whitney from score-histogram partials, fold bounded by
+        the distinct-cents domain, no pair join, no float
+        (relational.py:auc_exact). Oracle: the same cumulative
+        algebra in SQL windows."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def prep(t: pa.Table) -> pa.Table:
+            lab = pc.equal(t["event_type"], "click")
+            return pa.table({"value_cents": t["value_cents"],
+                             "is_click": pc.cast(lab, pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        return rel.auc_exact(ds, "value_cents", "is_click")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6059,6 +6095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q272_front_coding": q272_front_coding,
         "q273_stratified_sample": q273_stratified_sample,
         "q274_containment": q274_containment,
+        "q275_lift": q275_lift,
+        "q276_auc": q276_auc,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7474,6 +7512,42 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q275_lift": """
+            WITH s AS (SELECT event_id,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS pos
+                       FROM events),
+            r AS (SELECT *, NTILE(10) OVER (ORDER BY v DESC, event_id)
+                                AS tile
+                  FROM s),
+            a AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(pos) AS BIGINT) AS n_pos
+                  FROM r GROUP BY 1)
+            SELECT tile, n, n_pos,
+                   CAST(SUM(n_pos) OVER (ORDER BY tile) AS BIGINT)
+                       AS cum_pos
+            FROM a ORDER BY 1
+        """,
+        "q276_auc": """
+            WITH s AS (SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS pos
+                       FROM events),
+            h AS (SELECT v, CAST(SUM(pos) AS BIGINT) AS p,
+                         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS ng
+                  FROM s GROUP BY 1),
+            c AS (SELECT v, p, ng,
+                         COALESCE(SUM(ng) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cnb
+                  FROM h)
+            SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(ng) AS BIGINT) AS n_neg,
+                   CAST(SUM(p * (2 * cnb + ng)) AS BIGINT) AS auc_num,
+                   CAST(2 * SUM(p) * SUM(ng) AS BIGINT) AS auc_den
+            FROM c
+        """,
         "q273_stratified_sample": """
             WITH c AS (SELECT event_type, COUNT(*) AS n FROM events
                        GROUP BY 1),

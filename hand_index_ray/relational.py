@@ -3678,3 +3678,76 @@ def stratified_sample(ds: ray.data.Dataset, stratum: str, id_col: str,
                                   [stratum], pick,
                                   num_buckets=num_buckets,
                                   whole_bucket=True)
+
+
+def lift_table(ds: ray.data.Dataset, score: str, id_col: str,
+               label: str, tiles: int = 10,
+               num_buckets: int = 64) -> ray.data.Dataset:
+    """Decile lift table (the ranked-model evaluation): rows rank by
+    (score DESC, id) into ``tiles`` NTILE buckets; per bucket the row
+    count, positives, and cumulative positives — exact global NTILE
+    WITHOUT a global sort via the str_pack trick (score-value counts
+    broadcast as offsets + per-value id ranks inside the value's own
+    hash bucket; score domains are bounded in cents).
+    Returns (tile, n, n_pos, cum_pos)."""
+    cnt = grouped_agg_hash(ds.select_columns([score]), [score],
+                           count=True).to_pandas() \
+        .sort_values(score, ascending=False, ignore_index=True)
+    cnt["__off"] = cnt["n"].cumsum() - cnt["n"]
+    off_map = cnt.set_index(score)["__off"]
+    n_total = int(cnt["n"].sum())
+    off_ref = ray.put(off_map)
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(off_ref)
+        g = g.sort_values([score, id_col], ascending=[False, True],
+                          kind="mergesort", ignore_index=True)
+        local = g.groupby(score, sort=False).cumcount()
+        rank = g[score].map(om).to_numpy() + local.to_numpy()
+        tile = _ntile(rank, n_total, tiles)
+        d = pd.DataFrame({"tile": tile, "n": 1,
+                          "n_pos": g[label].to_numpy(np.int64)})
+        out = d.groupby("tile", as_index=False).sum()
+        for c in ("n", "n_pos"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = grouped_apply_bucketed(ds, [score], per,
+                                   num_buckets=num_buckets,
+                                   whole_bucket=True)
+    agg = grouped_agg(parts, ["tile"], sum_cols=["n", "n_pos"],
+                      count=False).to_pandas().sort_values(
+        "tile", ignore_index=True)
+    agg["cum_pos"] = agg["n_pos"].cumsum().astype("int64")
+    for c in ("tile", "n", "n_pos"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+def auc_exact(ds: ray.data.Dataset, score: str,
+              label: str) -> "pd.DataFrame":
+    """Exact AUC (Mann–Whitney U with tie handling) as the unreduced
+    rational (2U, 2·n_pos·n_neg): 2U = Σ_v nPos(v)·(2·cumNeg(<v) +
+    nNeg(v)) over distinct score values ascending — per-batch
+    (score, pos, neg) count partials cross the wire; the fold is
+    bounded by the distinct-score domain (cents). No float, no pair
+    join. Returns one row (n_pos, n_neg, auc_num, auc_den)."""
+    def part(t: pa.Table) -> pa.Table:
+        lab = t.column(label).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({score: t[score],
+                         "pos": pa.array(lab, pa.int64()),
+                         "neg": pa.array(1 - lab, pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(part, batch_format="pyarrow"),
+                         [score], sum_cols=["pos", "neg"],
+                         count=False).to_pandas() \
+        .sort_values(score, ignore_index=True)
+    p = counts["pos"].to_numpy(np.int64)
+    ng = counts["neg"].to_numpy(np.int64)
+    cum_neg_below = np.cumsum(ng) - ng
+    u2 = int((p * (2 * cum_neg_below + ng)).sum())
+    npos, nneg = int(p.sum()), int(ng.sum())
+    return pd.DataFrame({"n_pos": [npos], "n_neg": [nneg],
+                         "auc_num": [u2],
+                         "auc_den": [2 * npos * nneg]}).astype("int64")

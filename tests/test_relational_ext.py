@@ -929,3 +929,47 @@ def test_benford_profile(ray_session):
     got = benford_profile(_rd().from_arrow(t), "k", "v").to_pandas()
     gm = {int(r.digit): int(r.n) for r in got.itertuples()}
     assert gm == {1: 3, 9: 1}               # negatives excluded
+
+
+def test_auc_exact_vs_sklearnless_brute(ray_session):
+    from fractions import Fraction
+
+    from hand_index_ray.relational import auc_exact
+
+    rng = np.random.RandomState(47)
+    n = 400
+    s = rng.randint(0, 30, n).astype(np.int64)   # heavy ties
+    y = rng.randint(0, 2, n).astype(np.int64)
+    t = pa.table({"s": pa.array(s), "y": pa.array(y, pa.int64())})
+    got = auc_exact(_rd().from_arrow(t), "s", "y").iloc[0]
+    pos = s[y == 1]
+    neg = s[y == 0]
+    u = Fraction(0)
+    for a in pos:
+        u += int((a > neg).sum()) + Fraction(int((a == neg).sum()), 2)
+    assert Fraction(int(got["auc_num"]), int(got["auc_den"])) \
+        == u / (len(pos) * len(neg))
+
+
+def test_lift_table(ray_session):
+    from hand_index_ray.relational import lift_table
+
+    rng = np.random.RandomState(53)
+    n = 500
+    v = rng.randint(0, 40, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    y = (v + rng.randint(0, 10, n) > 30).astype(np.int64)
+    t = pa.table({"v": pa.array(v), "id": pa.array(ids),
+                  "y": pa.array(y, pa.int64())})
+    got = lift_table(_rd().from_arrow(t), "v", "id", "y", tiles=10)
+    # NTILE brute
+    order = sorted(range(n), key=lambda i: (-v[i], ids[i]))
+    q, r = divmod(n, 10)
+    exp_pos, k = [], 0
+    for tdx in range(10):
+        size = q + 1 if tdx < r else q
+        exp_pos.append(int(sum(y[order[k + j]] for j in range(size))))
+        k += size
+    assert got["n_pos"].tolist() == exp_pos
+    assert got["cum_pos"].tolist() == list(np.cumsum(exp_pos))
+    assert int(got["n"].sum()) == n
