@@ -5826,6 +5826,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ev.map_batches(prep, batch_format="pyarrow")
         return rel.auc_exact(ds, "value_cents", "is_click")
 
+    def q277_ks_test(sf):  # exact two-sample KS statistic
+        """Two-sample Kolmogorov–Smirnov drift test between click and
+        view value distributions, exact as the unreduced rational
+        max|n_b·C_a − n_a·C_b| / n_a·n_b over cent values — count
+        partials only, no float (relational.py:ks_two_sample).
+        Oracle: the same cumulative algebra in SQL windows."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents") \
+            .select_columns(["event_type", "value_cents"])
+        return rel.ks_two_sample(ev, "event_type", "value_cents",
+                                 "click", "view")
+
+    def q278_pair_lift(sf):  # association lift between categories
+        """Surprising event-type co-occurrence among HIGH-VALUE
+        events (cents > 20000 — the full incidence is saturated):
+        pairs whose joint user-incidence meets or beats independence,
+        cross-multiplied (obs·N·den ≥ num·c_a·c_b) — rides the
+        audience-overlap bitmask fold, the data never self-joins
+        (relational.py:pair_lift). Oracle: distinct-pair join + the
+        same integer inequality."""
+        ev = rel.add_cents(_t(sf, "events"), "value", "value_cents")
+
+        def hi(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["value_cents"],
+                                    pa.scalar(20000, pa.int64())))
+            return pa.table({"user_id": t["user_id"],
+                             "event_type": t["event_type"]})
+
+        ds = ev.map_batches(hi, batch_format="pyarrow")
+        return rel.pair_lift(ds, "user_id", "event_type",
+                             lift_num=1, lift_den=1)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6097,6 +6128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q274_containment": q274_containment,
         "q275_lift": q275_lift,
         "q276_auc": q276_auc,
+        "q277_ks_test": q277_ks_test,
+        "q278_pair_lift": q278_pair_lift,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7512,6 +7545,53 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q277_ks_test": """
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+            h AS (SELECT v,
+                         CAST(SUM(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                         CAST(SUM(CASE WHEN event_type = 'view'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                  FROM s GROUP BY 1),
+            c AS (SELECT v,
+                         SUM(ca) OVER (ORDER BY v) AS cca,
+                         SUM(cb) OVER (ORDER BY v) AS ccb
+                  FROM h),
+            t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                         CAST(SUM(cb) AS BIGINT) AS nb
+                  FROM h)
+            SELECT t.na AS n_a, t.nb AS n_b,
+                   CAST(MAX(ABS(t.nb * c.cca - t.na * c.ccb))
+                        AS BIGINT) AS ks_num,
+                   CAST(t.na * t.nb AS BIGINT) AS ks_den
+            FROM c CROSS JOIN t GROUP BY 1, 2
+        """,
+        "q278_pair_lift": """
+            WITH hi AS (SELECT user_id, event_type FROM events
+                        WHERE CAST(ROUND(value * 100.0) AS BIGINT)
+                              > 20000),
+            d AS (SELECT DISTINCT user_id, event_type FROM hi),
+            n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                      AS nk FROM hi),
+            c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM d GROUP BY 1),
+            p AS (SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_both
+                  FROM d a JOIN d b ON b.user_id = a.user_id
+                       AND b.event_type > a.event_type
+                  GROUP BY 1, 2)
+            SELECT p.cat_a, p.cat_b, p.n_both,
+                   ca.cnt AS n_a, cb.cnt AS n_b, n.nk AS n_keys
+            FROM p
+            JOIN c ca ON ca.event_type = p.cat_a
+            JOIN c cb ON cb.event_type = p.cat_b
+            CROSS JOIN n
+            WHERE p.n_both * n.nk >= ca.cnt * cb.cnt
+            ORDER BY 1, 2
+        """,
         "q275_lift": """
             WITH s AS (SELECT event_id,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v,

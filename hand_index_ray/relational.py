@@ -3751,3 +3751,66 @@ def auc_exact(ds: ray.data.Dataset, score: str,
     return pd.DataFrame({"n_pos": [npos], "n_neg": [nneg],
                          "auc_num": [u2],
                          "auc_den": [2 * npos * nneg]}).astype("int64")
+
+
+def ks_two_sample(ds: ray.data.Dataset, group: str, bin_col: str,
+                  a: str, b: str) -> "pd.DataFrame":
+    """Exact two-sample Kolmogorov–Smirnov statistic between slices
+    ``a`` and ``b`` of the binned values: D = max_v |CDF_a − CDF_b|
+    as the unreduced rational (max_v |n_b·C_a(v) − n_a·C_b(v)|,
+    n_a·n_b) — the drift test next to q262's EMD, exact by
+    cross-multiplication. Per-batch (bin, side) count partials; the
+    fold is |distinct bins|, driver-bounded for cent-domain scores.
+    Returns one row (n_a, n_b, ks_num, ks_den)."""
+    def part(t: pa.Table) -> pa.Table:
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        keep = (g == a) | (g == b)
+        t = t.filter(pa.array(keep))
+        g = g[keep]
+        return pa.table({bin_col: t[bin_col],
+                         "ca": pa.array((g == a).astype(np.int64),
+                                        pa.int64()),
+                         "cb": pa.array((g == b).astype(np.int64),
+                                        pa.int64())})
+
+    counts = grouped_agg(ds.select_columns([group, bin_col])
+                         .map_batches(part, batch_format="pyarrow"),
+                         [bin_col], sum_cols=["ca", "cb"],
+                         count=False).to_pandas() \
+        .sort_values(bin_col, ignore_index=True)
+    cca = counts["ca"].to_numpy(np.int64).cumsum()
+    ccb = counts["cb"].to_numpy(np.int64).cumsum()
+    na, nb = int(cca[-1]) if len(cca) else 0, int(ccb[-1]) if len(ccb) else 0
+    num = int(np.abs(nb * cca - na * ccb).max()) if len(cca) else 0
+    return pd.DataFrame({"n_a": [na], "n_b": [nb], "ks_num": [num],
+                         "ks_den": [na * nb]}).astype("int64")
+
+
+def pair_lift(ds: ray.data.Dataset, key: str, cat: str,
+              lift_num: int, lift_den: int) -> "pd.DataFrame":
+    """Association lift between category pairs: keep (a, b) where
+    P(a,b) ≥ (lift_num/lift_den)·P(a)·P(b), cross-multiplied over the
+    distinct-(key,cat) incidence so no float enters: obs·N·lift_den ≥
+    lift_num·c_a·c_b with N = distinct keys. Rides audience_overlap's
+    bitmask fold (the data never self-joins); categories driver-
+    bounded ≤ 64. Returns (cat_a, cat_b, n_both, n_a, n_b, n_keys)
+    for qualifying pairs."""
+    ov = audience_overlap(ds, key, cat)
+    singles = grouped_agg(ds.select_columns([key, cat]), [key, cat],
+                          count=True)
+    per_cat = grouped_agg(singles.drop_columns(["n"]), [cat],
+                          count=True).to_pandas()
+    cmap = dict(zip(per_cat[cat], per_cat["n"].astype(int)))
+    nkeys = int(grouped_agg_hash(ds.select_columns([key]), [key],
+                                 count=True).count())
+    rows = []
+    for r in ov.itertuples():
+        ca, cb = cmap[r.cat_a], cmap[r.cat_b]
+        if r.n_both * nkeys * lift_den >= lift_num * ca * cb:
+            rows.append((r.cat_a, r.cat_b, int(r.n_both), ca, cb,
+                         nkeys))
+    out = pd.DataFrame(rows, columns=["cat_a", "cat_b", "n_both",
+                                      "n_a", "n_b", "n_keys"])
+    for c in ("n_both", "n_a", "n_b", "n_keys"):
+        out[c] = out[c].astype("int64")
+    return out

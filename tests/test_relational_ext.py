@@ -973,3 +973,32 @@ def test_lift_table(ray_session):
     assert got["n_pos"].tolist() == exp_pos
     assert got["cum_pos"].tolist() == list(np.cumsum(exp_pos))
     assert int(got["n"].sum()) == n
+
+
+def test_ks_and_pair_lift(ray_session):
+    from fractions import Fraction
+
+    from hand_index_ray.relational import ks_two_sample, pair_lift
+
+    rng = np.random.RandomState(59)
+    n = 300
+    g = np.array(["p", "q", "z"])[rng.randint(0, 3, n)]
+    v = np.where(g == "p", rng.randint(0, 20, n),
+                 rng.randint(5, 30, n)).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+    got = ks_two_sample(_rd().from_arrow(t), "g", "v", "p", "q").iloc[0]
+    pv = np.sort(v[g == "p"])
+    qv = np.sort(v[g == "q"])
+    grid = np.unique(np.concatenate([pv, qv]))
+    d = max(abs(Fraction(int((pv <= x).sum()), len(pv))
+                - Fraction(int((qv <= x).sum()), len(qv)))
+            for x in grid)
+    assert Fraction(int(got["ks_num"]), int(got["ks_den"])) == d
+
+    t2 = pa.table({"u": pa.array([1, 1, 2, 2, 3, 4], pa.int64()),
+                   "c": pa.array(["x", "y", "x", "y", "x", "z"])})
+    # N=4; x:{1,2,3} y:{1,2} z:{4}; (x,y) both: 2 -> lift
+    # 2*4/(3*2)=4/3 >= 1 keep; (x,z) and (y,z) have no joint user
+    got2 = pair_lift(_rd().from_arrow(t2), "u", "c", 1, 1)
+    gm = {(r.cat_a, r.cat_b): r.n_both for r in got2.itertuples()}
+    assert gm == {("x", "y"): 2}
