@@ -5837,6 +5837,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.ks_two_sample(ev, "event_type", "value_cents",
                                  "click", "view")
 
+    def q279_reciprocity(sf):  # directed-graph reciprocity
+        """Reciprocity of the q237 directed graph: distinct directed
+        edges whose reverse also exists — each edge folds to its
+        undirected key + orientation bit, one hash-bucket shuffle,
+        per-pair OR; only 3 counters reach the driver
+        (pipelines/graph.py:reciprocity). Oracle: distinct-edge
+        self-join."""
+        from hand_index_ray.pipelines.graph import reciprocity
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey"])
+
+        def edges(t: pa.Table) -> pa.Table:
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            return pa.table({
+                "u": pa.array(pk * 17 % 2000, pa.int64()),
+                "v": pa.array((sk * 131 + pk) % 2000, pa.int64())})
+
+        ds = li.map_batches(edges, batch_format="pyarrow")
+        return reciprocity(ds)
+
     def q278_pair_lift(sf):  # association lift between categories
         """Surprising event-type co-occurrence among HIGH-VALUE
         events (cents > 20000 — the full incidence is saturated):
@@ -6130,6 +6152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q276_auc": q276_auc,
         "q277_ks_test": q277_ks_test,
         "q278_pair_lift": q278_pair_lift,
+        "q279_reciprocity": q279_reciprocity,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7545,6 +7568,26 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q279_reciprocity": """
+            WITH e AS (SELECT DISTINCT
+                              l_partkey * 17 % 2000 AS u,
+                              (l_suppkey * 131 + l_partkey) % 2000 AS v
+                       FROM lineitem
+                       WHERE l_partkey * 17 % 2000
+                             <> (l_suppkey * 131 + l_partkey) % 2000),
+            r AS (SELECT e.u, e.v,
+                         CASE WHEN EXISTS (SELECT 1 FROM e e2
+                                           WHERE e2.u = e.v
+                                             AND e2.v = e.u)
+                              THEN 1 ELSE 0 END AS has_rev
+                  FROM e)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_directed,
+                   CAST(COUNT(DISTINCT LEAST(u, v) * 2147483648
+                              + GREATEST(u, v)) AS BIGINT)
+                       AS n_undirected,
+                   CAST(SUM(has_rev) // 2 AS BIGINT) AS n_reciprocal
+            FROM r
+        """,
         "q277_ks_test": """
             WITH s AS (SELECT event_type,
                               CAST(ROUND(value * 100.0) AS BIGINT) AS v

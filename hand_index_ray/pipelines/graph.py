@@ -896,3 +896,44 @@ def cheapest_hops(edges: ray.data.Dataset, seeds: "np.ndarray",
         return pa.table({"node": t["node"], "cost": t["lbl"]})
 
     return ray.data.from_arrow_refs([final.remote(l, INF) for l in Lb])
+
+
+def reciprocity(edges: ray.data.Dataset, u: str = "u", v: str = "v",
+                num_buckets: int = 64) -> "pd.DataFrame":
+    """Directed-graph reciprocity: of the distinct directed edges
+    (self-loops excluded), how many have their reverse present —
+    each edge folds to its UNDIRECTED key with an orientation bit,
+    one hash-bucket shuffle, and a per-pair OR tells whether one or
+    both directions exist; the fold result is 3 counters, never the
+    edge list, on the driver. Returns one row
+    (n_directed, n_undirected, n_reciprocal)."""
+    from ..relational import grouped_apply_bucketed
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[u], pa.int64()).to_numpy()
+        b = pc.cast(t[v], pa.int64()).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({
+            "pk": pa.array(lo * (1 << 31) + hi, pa.int64()),
+            "fwd": pa.array((a < b).astype(np.int64), pa.int64()),
+            "rev": pa.array((a > b).astype(np.int64), pa.int64())})
+
+    keyed = edges.map_batches(canon, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pk").agg(fwd=("fwd", "max"),
+                                  rev=("rev", "max"))
+        both = int((agg["fwd"] & agg["rev"]).sum())
+        ndir = int(agg["fwd"].sum() + agg["rev"].sum())
+        return pd.DataFrame({"n_directed": [ndir],
+                             "n_undirected": [len(agg)],
+                             "n_reciprocal": [both]})
+
+    parts = grouped_apply_bucketed(keyed, ["pk"], fold,
+                                   num_buckets=num_buckets,
+                                   whole_bucket=True).to_pandas()
+    out = parts.sum().to_frame().T.astype("int64")
+    return out.reset_index(drop=True)

@@ -1011,3 +1011,17 @@ def test_cheapest_hops_vs_brute(ray_session):
             d = nd
         gm = dict(zip(got["node"], got["cost"]))
         assert gm == d, hops
+
+
+def test_reciprocity(ray_session):
+    from hand_index_ray.pipelines.graph import reciprocity
+
+    edges = [(1, 2), (2, 1), (1, 2),      # reciprocal pair, dup edge
+             (3, 4), (4, 5), (5, 4),      # one one-way + one recip
+             (6, 6)]                       # self-loop excluded
+    t = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                  "v": pa.array([e[1] for e in edges], pa.int64())})
+    got = reciprocity(_ds(t)).iloc[0]
+    assert got["n_directed"] == 5       # (1,2),(2,1),(3,4),(4,5),(5,4)
+    assert got["n_undirected"] == 3
+    assert got["n_reciprocal"] == 2
