@@ -5879,6 +5879,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.pair_lift(ds, "user_id", "event_type",
                              lift_num=1, lift_den=1)
 
+    def q280_delta_varint(sf):  # column-encoding cost ledger
+        """Delta+varint encoding ledger of each user's sorted event
+        timestamps (the encoding chooser's cost model): LEB128 byte
+        sizes and the bit-packing width, exact integers — bit lengths
+        from an exact power-of-two repair of float log2
+        (relational.py:delta_varint_ledger). Oracle: length(bin(Δ))
+        arithmetic."""
+        ev = _t(sf, "events").select_columns(["user_id", "ts"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t["user_id"],
+                             "ts_us": pc.cast(t["ts"], pa.int64())})
+
+        ds = ev.map_batches(prep, batch_format="pyarrow")
+        df = rel.delta_varint_ledger(ds, "user_id", "ts_us").to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6153,6 +6170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q277_ks_test": q277_ks_test,
         "q278_pair_lift": q278_pair_lift,
         "q279_reciprocity": q279_reciprocity,
+        "q280_delta_varint": q280_delta_varint,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7568,6 +7586,26 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q280_delta_varint": """
+            WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),
+            d AS (SELECT user_id, v,
+                         LAG(v) OVER (PARTITION BY user_id
+                                      ORDER BY v) AS p
+                  FROM s),
+            e AS (SELECT user_id,
+                         CASE WHEN p IS NULL THEN 8
+                              WHEN v - p = 0 THEN 1
+                              ELSE (length(bin(v - p)) + 6) // 7
+                         END AS vb,
+                         CASE WHEN p IS NULL OR v = p THEN 0
+                              ELSE length(bin(v - p)) END AS mb
+                  FROM d)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(vb) AS BIGINT) AS varint_bytes,
+                   CAST(MAX(mb) AS BIGINT) AS max_bits
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
         "q279_reciprocity": """
             WITH e AS (SELECT DISTINCT
                               l_partkey * 17 % 2000 AS u,

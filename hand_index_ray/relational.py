@@ -3814,3 +3814,51 @@ def pair_lift(ds: ray.data.Dataset, key: str, cat: str,
     for c in ("n_both", "n_a", "n_b", "n_keys"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def delta_varint_ledger(ds: ray.data.Dataset, key: str, value: str,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Delta + varint compression ledger per key (the column-encoding
+    chooser's cost model): sort the key's values, first value at full
+    8 bytes, each nonnegative delta at its LEB128 varint size
+    (⌈bits/7⌉ bytes, 1 byte for 0) — plus the bit-packing width
+    max_bits = bits of the largest delta. Exact integers; one keyed
+    shuffle, groupby shift + vectorized byte-size classing.
+    Returns (key, n, raw_bytes, varint_bytes, max_bits)."""
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=g[key].dtype),
+                                 "n": pd.Series(dtype="int64"),
+                                 "raw_bytes": pd.Series(dtype="int64"),
+                                 "varint_bytes": pd.Series(dtype="int64"),
+                                 "max_bits": pd.Series(dtype="int64")})
+        g = g.sort_values([key, value], kind="mergesort",
+                          ignore_index=True)
+        prev = g.groupby(key, sort=False)[value].shift(1)
+        first = prev.isna()
+        d = (g[value] - prev.fillna(0)).astype("int64") \
+            .where(~first, 0).to_numpy()
+        # varint size = ceil(bit_length / 7), min 1; first value = 8
+        bits = np.zeros(len(d), np.int64)
+        nz = d > 0
+        bits[nz] = np.floor(np.log2(d[nz].astype(np.float64))) \
+            .astype(np.int64) + 1
+        # float log2 can be off by one at exact powers: repair exactly
+        too_hi = bits > 0
+        bits = np.where(too_hi & (d < (np.int64(1) << np.maximum(
+            bits - 1, 0))), bits - 1, bits)
+        bits = np.where(d >> bits > 0, bits + 1, bits)
+        vb = np.where(first.to_numpy(), 8,
+                      np.maximum(1, -(-bits // 7)))
+        out = pd.DataFrame({key: g[key], "n": 1, "vb": vb,
+                            "mb": np.where(first.to_numpy(), 0, bits)})
+        agg = out.groupby(key, sort=True, as_index=False).agg(
+            n=("n", "sum"), varint_bytes=("vb", "sum"),
+            max_bits=("mb", "max"))
+        agg["raw_bytes"] = 8 * agg["n"]
+        for c in ("n", "raw_bytes", "varint_bytes", "max_bits"):
+            agg[c] = agg[c].astype("int64")
+        return agg[[key, "n", "raw_bytes", "varint_bytes", "max_bits"]]
+
+    return grouped_apply_bucketed(ds, [key], per, num_buckets=num_buckets,
+                                  whole_bucket=True)

@@ -1002,3 +1002,18 @@ def test_ks_and_pair_lift(ray_session):
     got2 = pair_lift(_rd().from_arrow(t2), "u", "c", 1, 1)
     gm = {(r.cat_a, r.cat_b): r.n_both for r in got2.itertuples()}
     assert gm == {("x", "y"): 2}
+
+
+def test_delta_varint_ledger(ray_session):
+    from hand_index_ray.relational import delta_varint_ledger
+
+    v = np.array([100, 100, 101, 228, 228 + (1 << 14)], np.int64)
+    t = pa.table({"k": pa.array([1] * 5, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    got = delta_varint_ledger(_rd().from_arrow(t), "k", "v") \
+        .to_pandas().set_index("k")
+    # deltas: first(8B), 0(1B), 1(1B), 127(1B), 16384(15 bits -> 3B)
+    assert got.loc[1, "n"] == 5
+    assert got.loc[1, "raw_bytes"] == 40
+    assert got.loc[1, "varint_bytes"] == 8 + 1 + 1 + 1 + 3
+    assert got.loc[1, "max_bits"] == 15
