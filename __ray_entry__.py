@@ -5896,6 +5896,317 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = rel.delta_varint_ledger(ds, "user_id", "ts_us").to_pandas()
         return df.sort_values("user_id").reset_index(drop=True)
 
+    def q281_bm25(sf):  # BM25 retrieval scoring (log-free rational idf)
+        """BM25 top-25 with k1=6/5, b=3/4 and the log-free idf ratio
+        (2N−2df+1)/(2df+1) — the whole per-term score is one exact
+        int64 rational, floor(10⁶·num/den + ½) with ONE double
+        division in identical order on both sides
+        (pipelines/mining.py:bm25_topk). Two streaming passes (corpus
+        stats, then scoring) + bounded local-top-k merge."""
+        from hand_index_ray.pipelines import mining
+        return mining.bm25_topk(_t(sf, "documents"),
+                                ["hash", "merge", "window"], k=25)
+
+    def q282_link_pred(sf):  # common-neighbor link prediction
+        """Link prediction over the derived graph (q279's edge
+        formula): top-25 NON-adjacent pairs by common-neighbor count,
+        with the neighborhood-Jaccard denominator. Per-node vectorized
+        wedge explosion → high-cardinality pair count → streamed
+        anti-edge filter (pipelines/mining.py:link_prediction)."""
+        from hand_index_ray.pipelines import mining
+
+        def edges(t: pa.Table) -> pa.Table:
+            p = t.column("l_partkey").to_numpy().astype(np.int64)
+            s = t.column("l_suppkey").to_numpy().astype(np.int64)
+            return pa.table({"u": pa.array(p * 17 % 2000),
+                             "v": pa.array((s * 131 + p) % 2000)})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey"]).map_batches(
+            edges, batch_format="pyarrow")
+        return mining.link_prediction(ds, "u", "v", k=25)
+
+    def q283_bool_and(sf):  # conjunctive boolean retrieval
+        """Posting-list AND: documents whose token set contains EVERY
+        query term — a map-only membership filter, no index
+        materialization (pipelines/mining.py:boolean_and)."""
+        from hand_index_ray.pipelines import mining
+        ds = mining.boolean_and(_t(sf, "documents"),
+                                ["hash", "merge", "window", "scan"],
+                                keep=["n_chars"])
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def q284_k_anonymity(sf):  # privacy audit of quasi-identifiers
+        """k-anonymity ledger over (nation, segment, balance-bucket):
+        group sizes via the hash-bucket groupby, 1-row-per-batch
+        ledger partials (pipelines/mining.py:k_anonymity_ledger)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            ab = np.floor(t.column("c_acctbal").to_numpy()
+                          / 100.0).astype(np.int64)
+            return pa.table({"c_nationkey": t.column("c_nationkey"),
+                             "c_mktsegment": t.column("c_mktsegment"),
+                             "ab": pa.array(ab)})
+
+        ds = _t(sf, "customer").map_batches(prep, batch_format="pyarrow")
+        return mining.k_anonymity_ledger(
+            ds, ["c_nationkey", "c_mktsegment", "ab"], k=5)
+
+    def q285_linkage(sf):  # blocked record-linkage scoring
+        """Fellegi–Sunter-style agreement scoring inside nation
+        blocks: same segment (+4), |Δcents| ≤ 10000 (+2), same sign
+        (+1); pairs ≥ 6 (pipelines/mining.py:linkage_pairs). One
+        shuffle on the blocking key, O(block²) vectorized pair
+        matrices — never all-pairs."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = rel.round_half_away(
+                t.column("c_acctbal").to_numpy() * 100.0)
+            return pa.table({"c_custkey": t.column("c_custkey"),
+                             "c_nationkey": t.column("c_nationkey"),
+                             "c_mktsegment": t.column("c_mktsegment"),
+                             "cents": pa.array(cents.astype(np.int64))})
+
+        ds = _t(sf, "customer").map_batches(prep, batch_format="pyarrow")
+        out = mining.linkage_pairs(ds, "c_nationkey", "c_custkey",
+                                   "c_mktsegment", "cents",
+                                   close=10000, threshold=6)
+        return (out.to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    def q286_lttb(sf):  # LTTB-mean series downsampling
+        """Largest-Triangle downsampling with bucket-MEAN anchors
+        (the parallel LTTB variant — every bucket's argmax is
+        independent): 6 equal-frequency buckets per user, triangle
+        areas compared by the exact integer numerator over the common
+        denominator n_prev²·n_next (pipelines/mining.py:lttb_mean)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = rel.round_half_away(
+                t.column("value").to_numpy() * 100.0)
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64()),
+                             "cents": pa.array(cents.astype(np.int64))})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        out = mining.lttb_mean(ds, "user_id", "us", "cents",
+                               "event_id", nbuckets=6)
+        return (out.to_pandas().sort_values(["user_id", "bucket"])
+                .reset_index(drop=True))
+
+    def q287_priority_sample(sf):  # weighted sampling without replacement
+        """Duffield–Lund–Thorup priority sampling: priority = w/u with
+        the deterministic multiplicative-hash u, top-200 — map-only +
+        bounded top-k merge (pipelines/mining.py:priority_sample)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = rel.round_half_away(
+                t.column("o_totalprice").to_numpy() * 100.0)
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "w_cents": pa.array(cents.astype(np.int64))})
+
+        ds = _t(sf, "orders").map_batches(prep, batch_format="pyarrow")
+        return mining.priority_sample(ds, "o_orderkey", "w_cents", k=200)
+
+    def q288_pq_assign(sf):  # product-quantization codebook assignment
+        """PQ assignment (the PQ half of IVF-PQ; q37 holds the IVF
+        half): embeddings quantized to integers, 4 sub-spaces × 16
+        codes, nearest code by EXACT integer squared L2, total
+        reconstruction error per vector — broadcast codebook,
+        tensorized per-batch argmin (pipelines/mining.py:pq_assign)."""
+        from hand_index_ray.pipelines import mining
+        out = mining.pq_assign(_t(sf, "embeddings"), ncodes=16, m=4)
+        return (out.to_pandas().sort_values("vec_id")
+                .reset_index(drop=True))
+
+    def q289_compact_cells(sf):  # H3-compact cell-set compaction
+        """Hierarchical cell-set compaction (H3 ``compact``
+        semantics, kernels/h3exact.py holds the real bit layout):
+        wherever all 7 children are present replace them by the
+        parent, recursively. ONE shuffle on the root ancestor — every
+        merge is subtree-local
+        (pipelines/mining.py:compact_hierarchy)."""
+        from hand_index_ray.pipelines import mining
+
+        def leaves(t: pa.Table) -> pa.Table:
+            c = (t.column("l_partkey").to_numpy().astype(np.int64) * 31
+                 + t.column("l_suppkey").to_numpy().astype(np.int64) * 7
+                 + t.column("l_orderkey").to_numpy().astype(np.int64))
+            return pa.table({"cell": pa.array(c % 9604)})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_orderkey"]).map_batches(
+            leaves, batch_format="pyarrow")
+        out = mining.compact_hierarchy(ds, "cell", depth=4, arity=7,
+                                       nroots=4)
+        return (out.to_pandas().sort_values(["res", "cell"])
+                .reset_index(drop=True))
+
+    def q290_lead_lag(sf):  # lead-lag cross-correlation detection
+        """Best-lag between click and view streams per user: 1-hour
+        buckets, integer cross-correlation over ℓ ∈ [−3, 3], argmax
+        with ties to the smallest lag
+        (pipelines/mining.py:lead_lag)."""
+        from hand_index_ray.pipelines import mining
+        out = mining.lead_lag(_t(sf, "events"), "user_id", "ts",
+                              "event_type", "click", "view", max_lag=3)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def q291_zone_adjacency(sf):  # region-adjacency boundary ledger
+        """Region-adjacency graph of a label raster: shared-boundary
+        length in pixel edges per unordered label pair
+        (4-connectivity) — the decision input of dissolve/merge
+        planning (pipelines/mining.py:zone_adjacency). Map-only,
+        per-raster independent; oracle = shifted self-joins."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 211, 16, 12, 37, 3, 5, 48, div=8,
+                            compression="deflate", predictor=2)
+        out = mining.zone_adjacency(ds)
+        return (out.to_pandas().sort_values(["o_orderkey", "za", "zb"])
+                .reset_index(drop=True))
+
+    def q292_euler(sf):  # Euler characteristic (hole counting)
+        """Image topology by Gray's quad counts over the zero-padded
+        foreground mask (v ≥ 128): Q1/Q3/QD pattern counts, E4 and E8
+        Euler numbers (components − holes), exact integers
+        (pipelines/mining.py:euler_stats)."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 223, 16, 12, 41, 7, 3, 256,
+                            compression="deflate", predictor=2)
+        out = mining.euler_stats(ds, thresh=128)
+        return (out.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
+    def q293_hist_pairs(sf):  # histogram-intersection retrieval pairs
+        """Image retrieval by histogram intersection with DOMINANT-BIN
+        blocking (pairs only inside equal-dominant-bin blocks — the
+        retrieval blocking trick, never all-pairs); similarity =
+        Σ min(h_a, h_b) exact ints
+        (pipelines/mining.py:hist_intersection_pairs)."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 227, 16, 12, 43, 9, 7, 256,
+                            compression="deflate", predictor=2)
+        df = mining.hist_intersection_pairs(ds, nbins=16,
+                                            binw=16).to_pandas()
+        if df.empty:  # no block had 2+ members (tiny sf)
+            df = pd.DataFrame({c: pd.Series([], dtype="int64")
+                               for c in ("id_a", "id_b", "dom", "sim")})
+        return (df.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    def q294_latency_hist(sf):  # power-of-two inter-arrival histogram
+        """Telemetry latency ledger: per-user consecutive timestamp
+        deltas bucketed by bit length (frexp-exact), global counts
+        (pipelines/mining.py:latency_histogram)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64())})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        return mining.latency_histogram(ds, "user_id", "us", "event_id")
+
+    def q295_zonemap(sf):  # data-skipping zone-map ledger
+        """Zone-map pruning ledger over key-range blocks of 512
+        orders: per-block min/max/count, blocks skippable for a
+        cents ≥ 4·10⁷ scan, and the exact match count
+        (pipelines/mining.py:zonemap_ledger) — the manifest-pruning
+        primitive (state/manifest.py) as a queryable operator."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy().astype(np.int64)
+            cents = rel.round_half_away(
+                t.column("o_totalprice").to_numpy() * 100.0)
+            return pa.table({"blk": pa.array(k // 512),
+                             "cents": pa.array(cents.astype(np.int64))})
+
+        ds = _t(sf, "orders").map_batches(prep, batch_format="pyarrow")
+        return mining.zonemap_ledger(ds, "blk", "cents",
+                                     threshold=40000000)
+
+    def q296_covariance(sf):  # feature covariance numerators
+        """Cross-feature covariance matrix numerators (n·Σxy − Σx·Σy)
+        for three integer features in one mergeable-partial pass —
+        exact int64, bounds: x ≤ 50, y < 1000, z ≤ 10, so n·Σxy stays
+        < 2⁶³ through sf10 (pipelines/mining.py:covariance_partials)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            q = t.column("l_quantity").to_numpy().astype(np.int64)
+            p = t.column("l_partkey").to_numpy().astype(np.int64)
+            d = rel.round_half_away(
+                t.column("l_discount").to_numpy() * 100.0)
+            return pa.table({"x": pa.array(q),
+                             "y": pa.array(p % 1000),
+                             "z": pa.array(d.astype(np.int64))})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_quantity", "l_partkey", "l_discount"]).map_batches(
+            prep, batch_format="pyarrow")
+        return mining.covariance_partials(ds, "x", "y", "z")
+
+    def q297_sat_rects(sf):  # summed-area-table rectangle queries
+        """Integral-image rectangle sums: 5 arithmetic-derived rects
+        per raster answered in O(1) each via the 4-corner SAT
+        identity; the oracle recomputes each naively
+        (pipelines/mining.py:sat_rect_queries)."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 229, 16, 12, 47, 11, 9, 256,
+                            compression="deflate", predictor=2)
+        out = mining.sat_rect_queries(ds, nq=5)
+        return (out.to_pandas().sort_values(["o_orderkey", "j"])
+                .reset_index(drop=True))
+
+    def q298_late_events(sf):  # watermark lateness audit
+        """Streaming allowed-lateness sizing: events ordered by a
+        jittered ARRIVAL time; count arrivals > 1 h behind the running
+        max event time per user, with the max lateness
+        (pipelines/mining.py:late_event_ledger)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            eid = t.column("event_id").to_numpy().astype(np.int64)
+            arr = us + ((eid * 2654435761) % 14400) * 1000000
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pa.array(us),
+                             "arr": pa.array(arr)})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        out = mining.late_event_ledger(ds, "user_id", "us", "arr",
+                                       "event_id",
+                                       w_us=3_600_000_000)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def q299_compass(sf):  # movement-direction histogram
+        """Compass-rose ledger over derived integer positions:
+        consecutive per-user moves classified into axis-centered
+        quadrants by exact integer comparisons (no trigonometry),
+        global sector counts (pipelines/mining.py:compass_rose)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy().astype(np.int64)
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64()),
+                             "x": pa.array((eid * 48271) % 1024),
+                             "y": pa.array((eid * 69621) % 1024)})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        return mining.compass_rose(ds, "user_id", "us", "event_id",
+                                   "x", "y")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6171,6 +6482,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q278_pair_lift": q278_pair_lift,
         "q279_reciprocity": q279_reciprocity,
         "q280_delta_varint": q280_delta_varint,
+        "q281_bm25": q281_bm25,
+        "q282_link_pred": q282_link_pred,
+        "q283_bool_and": q283_bool_and,
+        "q284_k_anonymity": q284_k_anonymity,
+        "q285_linkage": q285_linkage,
+        "q286_lttb": q286_lttb,
+        "q287_priority_sample": q287_priority_sample,
+        "q288_pq_assign": q288_pq_assign,
+        "q289_compact_cells": q289_compact_cells,
+        "q290_lead_lag": q290_lead_lag,
+        "q291_zone_adjacency": q291_zone_adjacency,
+        "q292_euler": q292_euler,
+        "q293_hist_pairs": q293_hist_pairs,
+        "q294_latency_hist": q294_latency_hist,
+        "q295_zonemap": q295_zonemap,
+        "q296_covariance": q296_covariance,
+        "q297_sat_rects": q297_sat_rects,
+        "q298_late_events": q298_late_events,
+        "q299_compass": q299_compass,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -7586,6 +7916,428 @@ def oracle_sql() -> dict[str, str]:
         "q237_cheapest_hops": _cheapest_hops_sql(),
         "q238_cdc_chunks": _cdc_sql(),
         "q239_hysteresis": _hysteresis_sql(),
+        "q281_bm25": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            dln AS (SELECT doc_id,
+                           len(string_split(text, ' ')) AS dl
+                    FROM documents),
+            c AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                         (SELECT SUM(dl) FROM dln) AS a),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok WHERE term IN ('hash', 'merge', 'window')
+                   GROUP BY 1, 2),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id, dln.dl,
+                          CAST(FLOOR(1000000.0
+                               * (22 * tf.tf * c.a
+                                  * (2 * c.n - 2 * df.df + 1))
+                               / ((10 * c.a * tf.tf + 3 * c.a
+                                   + 9 * dln.dl * c.n)
+                                  * (2 * df.df + 1)) + 0.5)
+                               AS BIGINT) AS s
+                   FROM tf JOIN df USING (term)
+                           JOIN dln USING (doc_id) CROSS JOIN c)
+            SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl,
+                   CAST(SUM(s) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY 1
+            ORDER BY score_ppm DESC, doc_id LIMIT 25
+        """,
+        "q282_link_pred": """
+            WITH e0 AS (SELECT DISTINCT l_partkey * 17 % 2000 AS u,
+                               (l_suppkey * 131 + l_partkey) % 2000 AS v
+                        FROM lineitem),
+            e AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b
+                  FROM e0 WHERE u <> v GROUP BY 1, 2),
+            s AS (SELECT a AS node, b AS nbr FROM e
+                  UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM s GROUP BY 1),
+            w AS (SELECT s1.nbr AS a, s2.nbr AS b
+                  FROM s s1 JOIN s s2 ON s1.node = s2.node
+                                     AND s1.nbr < s2.nbr),
+            cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn
+                   FROM w GROUP BY 1, 2),
+            ne AS (SELECT cn.* FROM cn
+                   WHERE NOT EXISTS (SELECT 1 FROM e
+                                     WHERE e.a = cn.a AND e.b = cn.b))
+            SELECT ne.a, ne.b, ne.cn, da.d AS deg_a, db.d AS deg_b,
+                   CAST(da.d + db.d - ne.cn AS BIGINT) AS jac_den
+            FROM ne JOIN deg da ON da.node = ne.a
+                    JOIN deg db ON db.node = ne.b
+            ORDER BY ne.cn DESC, ne.a, ne.b LIMIT 25
+        """,
+        "q283_bool_and": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents)
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE (SELECT COUNT(DISTINCT term) FROM tok
+                   WHERE tok.doc_id = d.doc_id
+                     AND term IN ('hash', 'merge', 'window', 'scan')) = 4
+            ORDER BY d.doc_id
+        """,
+        "q284_k_anonymity": """
+            WITH g AS (SELECT c_nationkey, c_mktsegment,
+                              CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS ab,
+                              COUNT(*) AS c
+                       FROM customer GROUP BY 1, 2, 3)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS risky_groups,
+                   CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                        AS BIGINT) AS risky_rows,
+                   CAST(MIN(c) AS BIGINT) AS min_size,
+                   CAST(MAX(c) AS BIGINT) AS max_size
+            FROM g
+        """,
+        "q285_linkage": """
+            WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                              CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+                                  AS cents
+                       FROM customer),
+            p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                         CAST((CASE WHEN a.c_mktsegment = b.c_mktsegment
+                                    THEN 4 ELSE 0 END)
+                              + (CASE WHEN ABS(a.cents - b.cents) <= 10000
+                                      THEN 2 ELSE 0 END)
+                              + (CASE WHEN (a.cents >= 0) = (b.cents >= 0)
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                             AS score
+                  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+                                   AND a.c_custkey < b.c_custkey)
+            SELECT id_a, id_b, score FROM p WHERE score >= 6
+            ORDER BY id_a, id_b
+        """,
+        "q286_lttb": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              CAST(ROUND(value * 100.0) AS BIGINT) AS y
+                       FROM events),
+            m AS (SELECT user_id, MIN(us) AS mn, COUNT(*) AS n
+                  FROM e GROUP BY 1),
+            r AS (SELECT e.user_id, e.y, m.n,
+                         (e.us - m.mn) // 60000000 AS x,
+                         (ROW_NUMBER() OVER (PARTITION BY e.user_id
+                             ORDER BY e.us, e.event_id) - 1) AS rk
+                  FROM e JOIN m USING (user_id) WHERE m.n >= 6),
+            rb AS (SELECT *, rk * 6 // n AS bucket FROM r),
+            b AS (SELECT user_id, bucket, COUNT(*) AS nb,
+                         SUM(x) AS sx, SUM(y) AS sy
+                  FROM rb GROUP BY 1, 2),
+            mid AS (SELECT rb.user_id, rb.bucket, rb.x, rb.y, rb.rk,
+                           ABS((p.sx * c.nb - c.sx * p.nb)
+                               * (p.nb * rb.y - p.sy)
+                               - (p.sx - p.nb * rb.x)
+                               * (p.sy * c.nb - c.sy * p.nb)) AS a
+                    FROM rb
+                    JOIN b p ON p.user_id = rb.user_id
+                            AND p.bucket = rb.bucket - 1
+                    JOIN b c ON c.user_id = rb.user_id
+                            AND c.bucket = rb.bucket + 1
+                    WHERE rb.bucket BETWEEN 1 AND 4),
+            pick AS (SELECT user_id, bucket, x, y,
+                            ROW_NUMBER() OVER (PARTITION BY user_id,
+                                bucket ORDER BY a DESC, rk) AS rn
+                     FROM mid)
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(x AS BIGINT) AS x_min, y AS y_cents
+            FROM rb WHERE (bucket = 0 AND rk = 0)
+                       OR (bucket = 5 AND rk = n - 1)
+            UNION ALL
+            SELECT user_id, CAST(bucket AS BIGINT), CAST(x AS BIGINT), y
+            FROM pick WHERE rn = 1
+            ORDER BY user_id, bucket
+        """,
+        "q287_priority_sample": """
+            WITH w AS (SELECT o_orderkey,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                                  AS w_cents,
+                              (o_orderkey * 2654435761) % 1048576 + 1 AS u
+                       FROM orders)
+            SELECT o_orderkey, w_cents,
+                   CAST(w_cents AS DOUBLE) / u AS priority
+            FROM w ORDER BY priority DESC, o_orderkey LIMIT 200
+        """,
+        "q288_pq_assign": """
+            WITH t AS (SELECT vec_id, unnest(embedding) AS xx,
+                              unnest(generate_series(0,
+                                  len(embedding) - 1)) AS i
+                       FROM embeddings),
+            q AS (SELECT vec_id, i, i // 16 AS sub,
+                         CAST(FLOOR(xx * 1000.0 + 0.5) AS BIGINT) AS v
+                  FROM t),
+            cb AS (SELECT vec_id AS code, sub, i, v FROM q
+                   WHERE vec_id < 16),
+            d AS (SELECT a.vec_id, a.sub, c.code,
+                         CAST(SUM((a.v - c.v) * (a.v - c.v)) AS BIGINT)
+                             AS sq
+                  FROM q a JOIN cb c ON c.i = a.i GROUP BY 1, 2, 3),
+            best AS (SELECT vec_id, sub, code, sq,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY sq, code) AS rn
+                     FROM d)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS c0,
+                   CAST(MAX(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS c1,
+                   CAST(MAX(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS c2,
+                   CAST(MAX(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS c3,
+                   CAST(SUM(sq) AS BIGINT) AS err
+            FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "q289_compact_cells": """
+            WITH l4 AS (SELECT DISTINCT (l_partkey * 31 + l_suppkey * 7
+                               + l_orderkey) % 9604 AS c
+                        FROM lineitem),
+            p3 AS (SELECT c // 7 AS c FROM l4 GROUP BY 1
+                   HAVING COUNT(*) = 7),
+            k4 AS (SELECT c FROM l4
+                   WHERE c // 7 NOT IN (SELECT c FROM p3)),
+            p2 AS (SELECT c // 7 AS c FROM p3 GROUP BY 1
+                   HAVING COUNT(*) = 7),
+            k3 AS (SELECT c FROM p3
+                   WHERE c // 7 NOT IN (SELECT c FROM p2)),
+            p1 AS (SELECT c // 7 AS c FROM p2 GROUP BY 1
+                   HAVING COUNT(*) = 7),
+            k2 AS (SELECT c FROM p2
+                   WHERE c // 7 NOT IN (SELECT c FROM p1)),
+            p0 AS (SELECT c // 7 AS c FROM p1 GROUP BY 1
+                   HAVING COUNT(*) = 7),
+            k1 AS (SELECT c FROM p1
+                   WHERE c // 7 NOT IN (SELECT c FROM p0))
+            SELECT CAST(4 AS BIGINT) AS res, c AS cell FROM k4
+            UNION ALL SELECT 3, c FROM k3
+            UNION ALL SELECT 2, c FROM k2
+            UNION ALL SELECT 1, c FROM k1
+            UNION ALL SELECT 0, c FROM p0
+            ORDER BY 1, 2
+        """,
+        "q290_lead_lag": """
+            WITH s AS (SELECT user_id, event_type,
+                              epoch_us(ts) // 3600000000 AS t
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+            ca AS (SELECT user_id, t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s WHERE event_type = 'click' GROUP BY 1, 2),
+            cb AS (SELECT user_id, t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s WHERE event_type = 'view' GROUP BY 1, 2),
+            lg AS (SELECT generate_series AS lag
+                   FROM generate_series(-3, 3)),
+            corr AS (SELECT ca.user_id, lg.lag,
+                            CAST(SUM(ca.c * cb.c) AS BIGINT) AS corr
+                     FROM ca JOIN lg ON TRUE
+                             JOIN cb ON cb.user_id = ca.user_id
+                                    AND cb.t = ca.t + lg.lag
+                     GROUP BY 1, 2),
+            best AS (SELECT user_id, lag, corr,
+                            ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY corr DESC, lag) AS rn
+                     FROM corr)
+            SELECT user_id, CAST(lag AS BIGINT) AS best_lag,
+                   corr AS best_corr
+            FROM best WHERE rn = 1 AND corr > 0 ORDER BY user_id
+        """,
+        "q291_zone_adjacency": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 211 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           ((ks.k * 37 + x.x * 3 + y.y * 5) % 48) // 8 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            pr AS (SELECT d.k, LEAST(d.v, r.v) AS za,
+                          GREATEST(d.v, r.v) AS zb
+                   FROM dem d JOIN dem r ON r.k = d.k AND r.y = d.y
+                                        AND r.x = d.x + 1
+                   WHERE d.v <> r.v
+                   UNION ALL
+                   SELECT d.k, LEAST(d.v, r.v), GREATEST(d.v, r.v)
+                   FROM dem d JOIN dem r ON r.k = d.k AND r.x = d.x
+                                        AND r.y = d.y + 1
+                   WHERE d.v <> r.v)
+            SELECT k AS o_orderkey, CAST(za AS BIGINT) AS za,
+                   CAST(zb AS BIGINT) AS zb,
+                   CAST(COUNT(*) AS BIGINT) AS boundary_px
+            FROM pr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q292_euler": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 223 = 0),
+            px AS (SELECT ks.k, x.x, y.y,
+                          CASE WHEN (ks.k * 41 + x.x * 7 + y.y * 3)
+                                    % 256 >= 128
+                               THEN 1 ELSE 0 END AS fg
+                   FROM ks
+                   CROSS JOIN (SELECT generate_series AS x
+                               FROM generate_series(0, 15)) x
+                   CROSS JOIN (SELECT generate_series AS y
+                               FROM generate_series(0, 11)) y),
+            qd AS (SELECT ks.k,
+                          COALESCE(tl.fg, 0) AS tl, COALESCE(tr.fg, 0) AS tr,
+                          COALESCE(bl.fg, 0) AS bl, COALESCE(br.fg, 0) AS br
+                   FROM ks
+                   CROSS JOIN (SELECT generate_series AS x
+                               FROM generate_series(-1, 15)) qx
+                   CROSS JOIN (SELECT generate_series AS y
+                               FROM generate_series(-1, 11)) qy
+                   LEFT JOIN px tl ON tl.k = ks.k AND tl.x = qx.x
+                                  AND tl.y = qy.y
+                   LEFT JOIN px tr ON tr.k = ks.k AND tr.x = qx.x + 1
+                                  AND tr.y = qy.y
+                   LEFT JOIN px bl ON bl.k = ks.k AND bl.x = qx.x
+                                  AND bl.y = qy.y + 1
+                   LEFT JOIN px br ON br.k = ks.k AND br.x = qx.x + 1
+                                  AND br.y = qy.y + 1),
+            agg AS (SELECT k,
+                           CAST(SUM(CASE WHEN tl + tr + bl + br = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+                           CAST(SUM(CASE WHEN tl + tr + bl + br = 3
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS q3,
+                           CAST(SUM(CASE WHEN tl + tr + bl + br = 2
+                                         AND tl = br AND tl <> tr
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS qd
+                    FROM qd GROUP BY 1)
+            SELECT k AS o_orderkey, q1, q3, qd,
+                   CAST((q1 - q3 + 2 * qd) // 4 AS BIGINT) AS euler4,
+                   CAST((q1 - q3 - 2 * qd) // 4 AS BIGINT) AS euler8
+            FROM agg ORDER BY 1
+        """,
+        "q293_hist_pairs": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 227 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 43 + x.x * 9 + y.y * 7) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            h AS (SELECT k, v // 16 AS bin,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM dem GROUP BY 1, 2),
+            dm AS (SELECT k, bin AS dom FROM
+                       (SELECT k, bin, ROW_NUMBER() OVER (PARTITION BY k
+                            ORDER BY c DESC, bin) AS rn FROM h)
+                   WHERE rn = 1),
+            pr AS (SELECT da.k AS id_a, db.k AS id_b, da.dom
+                   FROM dm da JOIN dm db ON db.dom = da.dom
+                                        AND da.k < db.k)
+            SELECT pr.id_a, pr.id_b, CAST(pr.dom AS BIGINT) AS dom,
+                   CAST(SUM(LEAST(ha.c, hb.c)) AS BIGINT) AS sim
+            FROM pr JOIN h ha ON ha.k = pr.id_a
+                    JOIN h hb ON hb.k = pr.id_b AND hb.bin = ha.bin
+            GROUP BY 1, 2, 3 ORDER BY 1, 2
+        """,
+        "q294_latency_hist": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                       FROM events),
+            d AS (SELECT us - LAG(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS d FROM e)
+            SELECT CAST(CASE WHEN d = 0 THEN 0
+                             ELSE length(bin(d)) END AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d WHERE d IS NOT NULL GROUP BY 1 ORDER BY 1
+        """,
+        "q295_zonemap": """
+            WITH w AS (SELECT o_orderkey // 512 AS blk,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            b AS (SELECT blk, COUNT(*) AS n, MAX(cents) AS mx
+                  FROM w GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN mx < 40000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS skip_blocks,
+                   CAST(SUM(CASE WHEN mx < 40000000 THEN n ELSE 0 END)
+                        AS BIGINT) AS skip_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+                    WHERE cents >= 40000000) AS match_rows
+            FROM b
+        """,
+        "q296_covariance": """
+            WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                              l_partkey % 1000 AS y,
+                              CAST(ROUND(l_discount * 100.0) AS BIGINT)
+                                  AS z
+                       FROM lineitem),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(z) AS BIGINT) AS sz,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * z) AS BIGINT) AS sxz,
+                         CAST(SUM(y * z) AS BIGINT) AS syz
+                  FROM f)
+            SELECT n, sx, sy, sz,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS cxy,
+                   CAST(n * sxz - sx * sz AS BIGINT) AS cxz,
+                   CAST(n * syz - sy * sz AS BIGINT) AS cyz
+            FROM s
+        """,
+        "q297_sat_rects": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 229 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 47 + x.x * 11 + y.y * 9) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            qs AS (SELECT ks.k, j.j,
+                          (3 * ks.k + 5 * j.j) % 10 AS x1,
+                          (7 * ks.k + 3 * j.j) % 8 AS y1
+                   FROM ks CROSS JOIN (SELECT generate_series AS j
+                                       FROM generate_series(0, 4)) j)
+            SELECT qs.k AS o_orderkey, CAST(qs.j AS BIGINT) AS j,
+                   CAST(SUM(d.v) AS BIGINT) AS rect_sum
+            FROM qs JOIN dem d ON d.k = qs.k
+                 AND d.x BETWEEN qs.x1 AND qs.x1 + 2 + (qs.j % 3)
+                 AND d.y BETWEEN qs.y1 AND qs.y1 + 1 + (qs.j % 2)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q298_late_events": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              epoch_us(ts) + ((event_id * 2654435761)
+                                  % 14400) * CAST(1000000 AS BIGINT)
+                                  AS arr
+                       FROM events),
+            r AS (SELECT user_id, us,
+                         MAX(us) OVER (PARTITION BY user_id
+                             ORDER BY arr, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS wm
+                  FROM e),
+            l AS (SELECT user_id, wm - us AS late FROM r
+                  WHERE wm - us > 3600000000)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_late,
+                   CAST(MAX(late) AS BIGINT) AS max_late_us
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "q299_compass": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              (event_id * 48271) % 1024 AS x,
+                              (event_id * 69621) % 1024 AS y
+                       FROM events),
+            d AS (SELECT x - LAG(x) OVER w AS dx,
+                         y - LAG(y) OVER w AS dy
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY us, event_id)),
+            s AS (SELECT CASE WHEN dx = 0 AND dy = 0 THEN 8
+                              WHEN dy > -dx AND dy <= dx THEN 0
+                              WHEN dx >= -dy AND dx < dy THEN 2
+                              WHEN dy >= dx AND dy < -dx THEN 4
+                              ELSE 6 END AS sector
+                  FROM d WHERE dx IS NOT NULL)
+            SELECT CAST(sector AS BIGINT) AS sector,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),
             d AS (SELECT user_id, v,

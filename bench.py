@@ -87,6 +87,15 @@ def run_bench() -> dict:
     synth.write_images_ray(images, n, fragments=BENCH_FRAGMENTS)
     synth.write_catchment_suite(vector, max(n // 20, 200))
 
+    if os.environ.get("GRAFT_BENCH_GEN_ONLY"):
+        # fixture-cache pre-warm only (run_scaling spawns this at full
+        # parallelism so the low-CPU leg never pays generation time)
+        ray.shutdown()
+        return {"metric": "fixture generation", "value": 0.0,
+                "unit": "sec", "queries": {}, "sf": SF_DIR,
+                "num_cpus": NUM_CPUS, "images": n,
+                "synth_version": synth.SYNTH_VERSION}
+
     # untimed warm read (page cache)
     ray.data.read_parquet(images).count()
 
@@ -290,6 +299,14 @@ def run_scaling(mode: str = "build") -> None:
     # host-load noise on this shared VM is large (observed 3× drift in
     # minutes); interleave repetitions and take the best per level
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    # pre-generate the shared fixture at FULL parallelism (untimed):
+    # without this the first low-CPU leg pays the whole multi-GB
+    # JPEG-encode generation at `lo` cpus (measured ~80 min for a 240k
+    # fixture at 4 cpus vs ~10 min at 32)
+    gen_env = dict(os.environ, RAY_GRAFT_CPUS="32",
+                   GRAFT_BENCH_N=str(n4), GRAFT_BENCH_GEN_ONLY="1")
+    subprocess.run([sys.executable, me], env=gen_env,
+                   capture_output=True, text=True, check=True)
     results = {lo: None, hi: None}
     probes = {lo: [], hi: []}
     for _rep in range(reps):

@@ -22,6 +22,10 @@ probe_quiet() {
 
 step() { # name, env..., args...
     local name=$1; shift
+    # resume: a step already recorded in OUT is done — skip it, so a
+    # killed/restarted campaign (or a probe blip) never re-pays
+    # completed steps inside a quiet window
+    if grep -q "\"step\": \"$name\"" "$OUT" 2>/dev/null; then return 0; fi
     if ! probe_quiet; then echo "$(date -Is) window closed before $name" >> "$LOG"; return 1; fi
     echo "$(date -Is) running $name" >> "$LOG"
     local line
@@ -47,11 +51,11 @@ for i in $(seq 1 2000); do
         # 3. zonal scaling at sf1 scale (x8 -> 600k)
         BENCH_ARGS="--scaling-zonal" step sf1_zonal_scaling GRAFT_BENCH_N=75000 GRAFT_SCALING_REPS=2 || continue
         # 4. join comparison (custom vs native) at sf0.1 and ~sf1
-        if probe_quiet; then
+        if ! grep -q '"step": "join_compare_sf01"' "$OUT" 2>/dev/null && probe_quiet; then
             j1=$(python tools/join_compare.py /root/testdata/sf0.1 3 2>>"$LOG" | tail -1)
             echo "{\"step\": \"join_compare_sf01\", \"ts\": \"$(date -Is)\", \"result\": $j1}" >> "$OUT"
         fi
-        if probe_quiet; then
+        if ! grep -q '"step": "join_compare_sf1x"' "$OUT" 2>/dev/null && probe_quiet; then
             j2=$(GRAFT_JOIN_MULT=10 python tools/join_compare.py /root/testdata/sf0.1 2 2>>"$LOG" | tail -1)
             echo "{\"step\": \"join_compare_sf1x\", \"ts\": \"$(date -Is)\", \"result\": $j2}" >> "$OUT"
         fi
