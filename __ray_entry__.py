@@ -6207,6 +6207,139 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mining.compass_rose(ds, "user_id", "us", "event_id",
                                    "x", "y")
 
+    def q300_join_estimate(sf):  # spatial-join cardinality planning
+        """Join-size estimation from grid histograms — the planner
+        primitive behind zonal salting: exact equal-cell pair count on
+        the 64×64 grid vs the 8×8-coarse estimate
+        (pipelines/mining.py:join_cardinality_estimate)."""
+        from hand_index_ray.pipelines import mining
+
+        def cells_l(t: pa.Table) -> pa.Table:
+            k = (t.column("l_orderkey").to_numpy() * 8
+                 + t.column("l_linenumber").to_numpy()).astype(np.int64)
+            cx = ((k * 2654435761) % 1048576) // 16384
+            cy = ((k * 976369) % 1048576) // 16384
+            return pa.table({"cell": pa.array(cx * 64 + cy)})
+
+        def cells_o(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy().astype(np.int64)
+            cx = ((k * 2654435761) % 1048576) // 16384
+            cy = ((k * 976369) % 1048576) // 16384
+            return pa.table({"cell": pa.array(cx * 64 + cy)})
+
+        a = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber"]).map_batches(
+            cells_l, batch_format="pyarrow")
+        b = _t(sf, "orders").select_columns(["o_orderkey"]).map_batches(
+            cells_o, batch_format="pyarrow")
+        return mining.join_cardinality_estimate(a, b, "cell", dim=64,
+                                                coarse_shift=3)
+
+    def q301_census(sf):  # census transform (stereo-matching local op)
+        """8-bit census codes over interior pixels (bit b set when
+        D8 neighbor b exceeds the center), distinct/sum/max per raster
+        (pipelines/mining.py:census_stats)."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 233, 16, 12, 53, 13, 11, 64,
+                            compression="deflate", predictor=2)
+        out = mining.census_stats(ds)
+        return (out.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
+    def q302_top_paths(sf):  # clickstream 3-step path mining
+        """Top-10 consecutive 3-step event-type paths across all
+        users (pipelines/mining.py:top_paths)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64()),
+                             "event_type": t.column("event_type")})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        return mining.top_paths(ds, "user_id", "us", "event_id",
+                                "event_type", k=10)
+
+    def q303_fk_audit(sf):  # referential-integrity audit
+        """Orphan-key audit of lineitem→part against a deliberately
+        corrupted parent set (parts with p_partkey % 7 = 0 removed):
+        orphan rows/keys + parent coverage, parent keys broadcast once
+        (pipelines/mining.py:fk_audit; bloom_prefilter is the
+        documented at-scale path)."""
+        from hand_index_ray.pipelines import mining
+
+        def par(t: pa.Table) -> pa.Table:
+            k = t.column("p_partkey").to_numpy().astype(np.int64)
+            return pa.table({"p_partkey": pa.array(k[k % 7 != 0])})
+
+        parent = _t(sf, "part").select_columns(["p_partkey"]).map_batches(
+            par, batch_format="pyarrow")
+        child = _t(sf, "lineitem").select_columns(["l_partkey"])
+        return mining.fk_audit(child, "l_partkey", parent, "p_partkey")
+
+    def q304_triangle_threshold(sf):  # Zack triangle binarization
+        """Triangle-method threshold per raster (the geometric sibling
+        of q206's Otsu) over quadratic-residue rasters — peak→last-bin
+        line, exact integer cross-product argmax
+        (pipelines/mining.py:triangle_threshold)."""
+        from hand_index_ray.kernels.geotiff import encode_geotiff
+        from hand_index_ray.pipelines import mining
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy, xx = np.meshgrid(np.arange(12, dtype=np.int64),
+                             np.arange(16, dtype=np.int64),
+                             indexing="ij")
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = keys[keys % 239 == 0]
+            blobs = [encode_geotiff(
+                ((int(k) * 59 + xx * xx * 17 + yy * yy * 13) % 64)
+                .astype(np.int32), compression="deflate", predictor=2)
+                for k in keys]
+            return pa.table({"o_orderkey": pa.array(
+                [int(k) for k in keys], pa.int64()),
+                "bytes": pa.array(blobs, pa.binary())})
+
+        ds = orders.map_batches(gen, batch_format="pyarrow")
+        out = mining.triangle_threshold(ds, nlevels=64)
+        return (out.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
+    def q305_assortativity(sf):  # degree-assortativity numerators
+        """Degree assortativity of the derived graph (q279's edges) as
+        exact integer Pearson numerator/denominator over directed edge
+        endpoints (pipelines/mining.py:assortativity_partials)."""
+        from hand_index_ray.pipelines import mining
+
+        def edges(t: pa.Table) -> pa.Table:
+            p = t.column("l_partkey").to_numpy().astype(np.int64)
+            s = t.column("l_suppkey").to_numpy().astype(np.int64)
+            return pa.table({"u": pa.array(p * 17 % 2000),
+                             "v": pa.array((s * 131 + p) % 2000)})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey"]).map_batches(
+            edges, batch_format="pyarrow")
+        return mining.assortativity_partials(ds, "u", "v")
+
+    def q306_dominant_period(sf):  # recurring-visit periodicity
+        """Per-user dominant inter-arrival gap in hours (mode of
+        consecutive deltas, tie → smallest gap) with support
+        (pipelines/mining.py:dominant_period)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64())})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        out = mining.dominant_period(ds, "user_id", "us", "event_id",
+                                     unit_us=3_600_000_000)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6501,6 +6634,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q297_sat_rects": q297_sat_rects,
         "q298_late_events": q298_late_events,
         "q299_compass": q299_compass,
+        "q300_join_estimate": q300_join_estimate,
+        "q301_census": q301_census,
+        "q302_top_paths": q302_top_paths,
+        "q303_fk_audit": q303_fk_audit,
+        "q304_triangle_threshold": q304_triangle_threshold,
+        "q305_assortativity": q305_assortativity,
+        "q306_dominant_period": q306_dominant_period,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -8337,6 +8477,178 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sector AS BIGINT) AS sector,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "q300_join_estimate": """
+            WITH a AS (SELECT (((l_orderkey * 8 + l_linenumber)
+                               * 2654435761) % 1048576) // 16384 AS cx,
+                              (((l_orderkey * 8 + l_linenumber)
+                               * 976369) % 1048576) // 16384 AS cy
+                       FROM lineitem),
+            b AS (SELECT ((o_orderkey * 2654435761) % 1048576) // 16384
+                             AS cx,
+                         ((o_orderkey * 976369) % 1048576) // 16384
+                             AS cy
+                  FROM orders),
+            ha AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM a GROUP BY 1, 2),
+            hb AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b GROUP BY 1, 2),
+            ca AS (SELECT cx // 8 AS cx, cy // 8 AS cy,
+                          CAST(SUM(n) AS BIGINT) AS n
+                   FROM ha GROUP BY 1, 2),
+            cb AS (SELECT cx // 8 AS cx, cy // 8 AS cy,
+                          CAST(SUM(n) AS BIGINT) AS n
+                   FROM hb GROUP BY 1, 2)
+            SELECT (SELECT CAST(SUM(ha.n * hb.n) AS BIGINT) FROM ha
+                    JOIN hb ON hb.cx = ha.cx AND hb.cy = ha.cy)
+                       AS exact_pairs,
+                   (SELECT CAST(SUM(ca.n * cb.n) AS BIGINT) FROM ca
+                    JOIN cb ON cb.cx = ca.cx AND cb.cy = ca.cy)
+                       AS coarse_estimate
+        """,
+        "q301_census": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 233 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 53 + x.x * 13 + y.y * 11) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            offs(w, dx, dy) AS (VALUES (1, 1, 0), (2, 1, 1), (4, 0, 1),
+                                       (8, -1, 1), (16, -1, 0),
+                                       (32, -1, -1), (64, 0, -1),
+                                       (128, 1, -1)),
+            codes AS (SELECT d.k, d.x, d.y,
+                             CAST(SUM(CASE WHEN nb.v > d.v THEN o.w
+                                      ELSE 0 END) AS BIGINT) AS code
+                      FROM dem d JOIN offs o ON TRUE
+                      JOIN dem nb ON nb.k = d.k AND nb.x = d.x + o.dx
+                                 AND nb.y = d.y + o.dy
+                      WHERE d.x BETWEEN 1 AND 14
+                        AND d.y BETWEEN 1 AND 10
+                      GROUP BY 1, 2, 3)
+            SELECT k AS o_orderkey,
+                   CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+                   CAST(SUM(code) AS BIGINT) AS code_sum,
+                   CAST(MAX(code) AS BIGINT) AS max_code
+            FROM codes GROUP BY 1 ORDER BY 1
+        """,
+        "q302_top_paths": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS us FROM events),
+            w AS (SELECT event_type AS a,
+                         LEAD(event_type, 1) OVER win AS b,
+                         LEAD(event_type, 2) OVER win AS c
+                  FROM e WINDOW win AS (PARTITION BY user_id
+                                        ORDER BY us, event_id)),
+            p AS (SELECT a || '>' || b || '>' || c AS path FROM w
+                  WHERE c IS NOT NULL)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+        """,
+        "q303_fk_audit": """
+            WITH par AS (SELECT p_partkey FROM part
+                         WHERE p_partkey % 7 <> 0),
+            ch AS (SELECT l_partkey,
+                          CASE WHEN EXISTS (SELECT 1 FROM par
+                                            WHERE p_partkey = l_partkey)
+                               THEN 1 ELSE 0 END AS ok
+                   FROM lineitem)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(1 - ok) AS BIGINT) AS n_orphan_rows,
+                   CAST(COUNT(DISTINCT CASE WHEN ok = 0
+                              THEN l_partkey END) AS BIGINT)
+                       AS n_orphan_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM par)
+                       AS n_parents,
+                   CAST(COUNT(DISTINCT CASE WHEN ok = 1
+                              THEN l_partkey END) AS BIGINT)
+                       AS n_parents_referenced
+            FROM ch
+        """,
+        "q304_triangle_threshold": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 239 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 59 + x.x * x.x * 17
+                            + y.y * y.y * 13) % 64 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            h AS (SELECT k, b.b AS bin,
+                         CAST(COUNT(*) FILTER (WHERE v = b.b)
+                              AS BIGINT) AS c
+                  FROM dem CROSS JOIN (SELECT generate_series AS b
+                                       FROM generate_series(0, 63)) b
+                  GROUP BY 1, 2),
+            pk AS (SELECT k, bin AS p, c AS hp FROM
+                       (SELECT k, bin, c, ROW_NUMBER() OVER
+                            (PARTITION BY k ORDER BY c DESC, bin) rn
+                        FROM h) WHERE rn = 1),
+            lst AS (SELECT k, MAX(bin) AS e FROM h WHERE c > 0
+                    GROUP BY 1),
+            sc AS (SELECT h.k, h.bin AS t,
+                          ABS((lst.e - pk.p) * (h.c - pk.hp)
+                              - (h.bin - pk.p) * (he.c - pk.hp))
+                              AS cr
+                   FROM h JOIN pk ON pk.k = h.k
+                          JOIN lst ON lst.k = h.k
+                          JOIN h he ON he.k = h.k AND he.bin = lst.e
+                   WHERE h.bin BETWEEN pk.p AND lst.e)
+            SELECT sc.k AS o_orderkey, pk.p AS peak,
+                   CAST(lst.e AS BIGINT) AS last,
+                   CAST(sc.t AS BIGINT) AS thr,
+                   CAST(sc.cr AS BIGINT) AS cross_abs
+            FROM sc JOIN pk ON pk.k = sc.k JOIN lst ON lst.k = sc.k
+            WHERE NOT EXISTS (SELECT 1 FROM sc s2 WHERE s2.k = sc.k
+                AND (s2.cr > sc.cr
+                     OR (s2.cr = sc.cr AND s2.t < sc.t)))
+            ORDER BY 1
+        """,
+        "q305_assortativity": """
+            WITH e0 AS (SELECT DISTINCT l_partkey * 17 % 2000 AS u,
+                               (l_suppkey * 131 + l_partkey) % 2000 AS v
+                        FROM lineitem),
+            e AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b
+                  FROM e0 WHERE u <> v GROUP BY 1, 2),
+            s AS (SELECT a AS node, b AS nbr FROM e
+                  UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM s GROUP BY 1),
+            x AS (SELECT du.d AS xu, dv.d AS xv
+                  FROM s JOIN deg du ON du.node = s.node
+                         JOIN deg dv ON dv.node = s.nbr),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(xu) AS BIGINT) AS sx,
+                           CAST(SUM(xu * xu) AS BIGINT) AS sxx,
+                           CAST(SUM(xu * xv) AS BIGINT) AS sxy
+                    FROM x)
+            SELECT n, sx, sxx, sxy,
+                   CAST(n * sxy - sx * sx AS BIGINT) AS num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS den
+            FROM agg
+        """,
+        "q306_dominant_period": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                       FROM events),
+            d AS (SELECT user_id,
+                         (us - LAG(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id)) // 3600000000
+                             AS gap
+                  FROM e),
+            g AS (SELECT user_id, gap, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM d WHERE gap IS NOT NULL GROUP BY 1, 2),
+            b AS (SELECT user_id, gap, c,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY c DESC, gap) AS rn
+                  FROM g)
+            SELECT user_id, CAST(gap AS BIGINT) AS period,
+                   c AS support
+            FROM b WHERE rn = 1 ORDER BY user_id
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

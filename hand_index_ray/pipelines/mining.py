@@ -788,6 +788,254 @@ def compass_rose(events: ray.data.Dataset, key: str, ts_us: str,
 
 
 # ---------------------------------------------------------------------------
+# batch 4: planner/audit ledgers, CV transforms, path mining -----------------
+
+def join_cardinality_estimate(a: ray.data.Dataset, b: ray.data.Dataset,
+                              cell: str, dim: int = 64,
+                              coarse_shift: int = 3) -> pd.DataFrame:
+    """Spatial-join output-size estimation from per-cell histograms —
+    the planner primitive behind the engine's zonal salting decision:
+    exact pair count at the fine ``dim``×``dim`` grid (Σ ca·cb over
+    equal cells, cell = cx·dim + cy) vs the estimate from a
+    ``2^coarse_shift``-times-coarser grid (cx,cy each shifted — true
+    spatial coarsening, not a bit-shift of the packed key). Both sides
+    reduce to (cell, n) via the hash-bucket groupby (bounded by the
+    cell domain), so nothing bigger than the histogram ever moves."""
+    ha = rel.grouped_agg_hash(a, [cell], count=True).to_pandas()
+    hb = rel.grouped_agg_hash(b, [cell], count=True).to_pandas()
+    m = ha.merge(hb, on=cell, suffixes=("_a", "_b"))
+    exact = int((m["n_a"].to_numpy().astype(np.int64)
+                 * m["n_b"].to_numpy()).sum())
+
+    def coarsen(h: pd.DataFrame) -> pd.DataFrame:
+        c = h[cell].to_numpy().astype(np.int64)
+        key = ((c // dim) >> coarse_shift) * (dim >> coarse_shift) \
+            + ((c % dim) >> coarse_shift)
+        return (h.assign(c=key)
+                .groupby("c", as_index=False)["n"].sum())
+
+    mc = coarsen(ha).merge(coarsen(hb), on="c", suffixes=("_a", "_b"))
+    est = int((mc["n_a"].to_numpy().astype(np.int64)
+               * mc["n_b"].to_numpy()).sum())
+    return pd.DataFrame({"exact_pairs": [exact],
+                         "coarse_estimate": [est]}).astype("int64")
+
+
+def census_stats(blobs: ray.data.Dataset, id_col: str = "o_orderkey",
+                 bytes_col: str = "bytes") -> ray.data.Dataset:
+    """Census transform ledger (the non-parametric local transform of
+    stereo matching): per interior pixel an 8-bit code, bit b set when
+    neighbor b exceeds the center (fixed E,SE,S,SW,W,NW,N,NE order).
+    Emits distinct-code count, code sum and max code per raster —
+    map-only shifted slices, exact ints."""
+    from .terrain import D8_OFFSETS, _decode_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = {id_col: [], "n_codes": [], "code_sum": [], "max_code": []}
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            c = v[1:-1, 1:-1]
+            code = np.zeros_like(c)
+            for bit, (dx, dy) in enumerate(D8_OFFSETS):
+                nb = v[1 + dy:v.shape[0] - 1 + dy,
+                       1 + dx:v.shape[1] - 1 + dx]
+                code |= (nb > c).astype(np.int64) << bit
+            rows[id_col].append(rid)
+            rows["n_codes"].append(int(len(np.unique(code))))
+            rows["code_sum"].append(int(code.sum()))
+            rows["max_code"].append(int(code.max()))
+        return pa.table({k: pa.array(vv, pa.int64())
+                         for k, vv in rows.items()})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
+def top_paths(events: ray.data.Dataset, key: str, ts_us: str,
+              tiebreak: str, step_col: str, k: int = 10,
+              num_buckets: int = 64) -> pd.DataFrame:
+    """Clickstream path mining: per key, consecutive 3-step paths
+    (order ts, tiebreak) joined as 'a>b>c'; global counts; top-k by
+    count with lexicographic tie-break. One keyed shuffle for the
+    per-series triples, one hash-bucket count, bounded top-k merge."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_us, tiebreak], kind="stable")
+        s = g[step_col].to_numpy().astype(str)
+        if len(s) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype="object")})
+        path = np.char.add(np.char.add(np.char.add(
+            np.char.add(s[:-2], ">"), s[1:-1]), ">"), s[2:])
+        return pd.DataFrame({"path": path})
+
+    trips = rel.grouped_apply_bucketed(events, [key], per_key,
+                                       num_buckets=num_buckets)
+    counts = rel.grouped_agg_hash(trips, ["path"], count=True)
+    out = rel.topk(counts, "n", k, descending=True, tiebreak="path")
+    return out[["path", "n"]].reset_index(drop=True)
+
+
+def fk_audit(child: ray.data.Dataset, child_key: str,
+             parent: ray.data.Dataset, parent_key: str) -> pd.DataFrame:
+    """Referential-integrity audit: orphan child rows (no matching
+    parent key), distinct orphan keys, and parent coverage (parents
+    referenced by ≥1 child). Parent keys broadcast once via ray.put
+    (bloom_prefilter is the documented at-scale path); child side is
+    one streaming membership pass + a small distinct."""
+    import ray as _ray
+
+    pk = parent.select_columns([parent_key]).to_pandas()
+    pkeys = np.unique(pk[parent_key].to_numpy().astype(np.int64))
+    ref = _ray.put(pkeys)
+
+    def part(t: pa.Table) -> pa.Table:
+        keys_sorted = _ray.get(ref)
+        keys = t.column(child_key).to_numpy().astype(np.int64)
+        idx = np.searchsorted(keys_sorted, keys)
+        ok = idx < len(keys_sorted)
+        ok[ok] = keys_sorted[idx[ok]] == keys[ok]
+        # parent coverage as a packed bitmap over key positions
+        # (|parents|/8 bytes per batch — the driver merge is an OR)
+        cover = np.zeros(len(keys_sorted), dtype=bool)
+        cover[idx[ok]] = True
+        orph = np.unique(keys[~ok])
+        return pa.table({
+            "n_rows": pa.array([len(keys)], pa.int64()),
+            "n_orphan_rows": pa.array([int((~ok).sum())], pa.int64()),
+            "orph": pa.array([orph.tolist()], pa.list_(pa.int64())),
+            "cover": pa.array([np.packbits(cover).tobytes()],
+                              pa.binary())})
+
+    p = child.map_batches(part, batch_format="pyarrow").to_pandas()
+    cover = np.zeros(len(pkeys), dtype=bool)
+    for blob in p["cover"]:
+        cover |= np.unpackbits(
+            np.frombuffer(blob, np.uint8))[:len(pkeys)].astype(bool)
+    orph_lists = [np.asarray(x, dtype=np.int64) for x in p["orph"]]
+    orph = (np.unique(np.concatenate(orph_lists)) if orph_lists
+            else np.array([], dtype=np.int64))
+    return pd.DataFrame({
+        "n_rows": [int(p["n_rows"].sum())],
+        "n_orphan_rows": [int(p["n_orphan_rows"].sum())],
+        "n_orphan_keys": [len(orph)],
+        "n_parents": [len(pkeys)],
+        "n_parents_referenced": [int(cover.sum())]}).astype("int64")
+
+
+def triangle_threshold(blobs: ray.data.Dataset, nlevels: int = 64,
+                       id_col: str = "o_orderkey",
+                       bytes_col: str = "bytes") -> ray.data.Dataset:
+    """Triangle (Zack) threshold per raster — the geometric sibling of
+    q206's Otsu: draw the line from the histogram PEAK (max count, tie
+    smallest bin) to the LAST nonzero bin and pick the bin between
+    them maximizing the perpendicular distance, which shares its
+    argmax with the exact integer cross product
+    |(e−p)·(h_t−h_p) − (t−p)·(h_e−h_p)| (tie → smallest t)."""
+    from .terrain import _decode_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = {id_col: [], "peak": [], "last": [], "thr": [],
+                "cross_abs": []}
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            h = np.bincount(arr.ravel().astype(np.int64),
+                            minlength=nlevels)[:nlevels].astype(np.int64)
+            p = int(h.argmax())
+            nz = np.flatnonzero(h)
+            e = int(nz[-1])
+            ts = np.arange(p, e + 1, dtype=np.int64)
+            cross = np.abs((e - p) * (h[ts] - h[p])
+                           - (ts - p) * (h[e] - h[p]))
+            j = int(np.argmax(cross))
+            rows[id_col].append(rid)
+            rows["peak"].append(p)
+            rows["last"].append(e)
+            rows["thr"].append(int(ts[j]))
+            rows["cross_abs"].append(int(cross[j]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
+def assortativity_partials(edges: ray.data.Dataset, u: str,
+                           v: str) -> pd.DataFrame:
+    """Degree-assortativity numerators over the undirected simple
+    graph: with each edge counted in both directions, r =
+    (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) where x, y are endpoint degrees
+    — emitted as exact int64 numerator/denominator. Degrees broadcast
+    once; per-edge products stream as 1-row partials."""
+    import ray as _ray
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(u).to_numpy().astype(np.int64)
+        b = t.column(v).to_numpy().astype(np.int64)
+        m = a != b
+        a, b = a[m], b[m]
+        return pa.table({"a": pa.array(np.minimum(a, b)),
+                         "b": pa.array(np.maximum(a, b))})
+
+    e = rel.distinct(edges.map_batches(canon, batch_format="pyarrow"),
+                     ["a", "b"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "nbr": pa.array(np.concatenate([b, a]))})
+
+    s = e.map_batches(sym, batch_format="pyarrow")
+    deg_df = rel.grouped_agg_hash(s, ["node"], count=True).to_pandas()
+    dn = deg_df["node"].to_numpy().astype(np.int64)
+    dc = deg_df["n"].to_numpy().astype(np.int64)
+    order = np.argsort(dn)
+    dn, dc = dn[order], dc[order]
+    ref = _ray.put((dn, dc))
+
+    def part(t: pa.Table) -> pa.Table:
+        nodes, cnts = _ray.get(ref)
+        du = cnts[np.searchsorted(nodes, t.column("node").to_numpy())]
+        dv = cnts[np.searchsorted(nodes, t.column("nbr").to_numpy())]
+        return pa.table({
+            "n": pa.array([len(du)], pa.int64()),
+            "sx": pa.array([int(du.sum())], pa.int64()),
+            "sxx": pa.array([int((du * du).sum())], pa.int64()),
+            "sxy": pa.array([int((du * dv).sum())], pa.int64())})
+
+    p = s.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sxx, sxy = (int(p[c].sum()) for c in ("sx", "sxx", "sxy"))
+    return pd.DataFrame({
+        "n": [n], "sx": [sx], "sxx": [sxx], "sxy": [sxy],
+        "num": [n * sxy - sx * sx],
+        "den": [n * sxx - sx * sx]}).astype("int64")
+
+
+def dominant_period(events: ray.data.Dataset, key: str, ts_us: str,
+                    tiebreak: str, unit_us: int,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Periodicity detection: per key, the most common inter-arrival
+    gap in ``unit_us`` units (mode of consecutive deltas, tie →
+    smallest gap) with its support count — the weekly/daily recurring-
+    visit detector. One keyed shuffle, vectorized per series."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_us, tiebreak], kind="stable")
+        us = g[ts_us].to_numpy().astype(np.int64)
+        if len(us) < 2:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "period": pd.Series([], dtype="int64"),
+                                 "support": pd.Series([], dtype="int64")})
+        d = np.diff(us) // unit_us
+        vals, cnts = np.unique(d, return_counts=True)
+        j = int(np.argmax(cnts))  # unique() sorts → first max = smallest
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "period": [int(vals[j])],
+                             "support": [int(cnts[j])]})
+
+    return rel.grouped_apply_bucketed(events, [key], per_key,
+                                      num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # raster topology ledgers ----------------------------------------------------
 
 def zone_adjacency(blobs: ray.data.Dataset, id_col: str = "o_orderkey",

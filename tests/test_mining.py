@@ -261,3 +261,63 @@ def test_link_prediction_small(ray_session):
         [1, 3, 1], [1, 4, 1], [3, 4, 1]]
     row = out[(out["a"] == 1) & (out["b"] == 3)].iloc[0]
     assert row["deg_a"] == 1 and row["deg_b"] == 1 and row["jac_den"] == 1
+
+
+def test_join_cardinality_estimate(ray_session):
+    ta = pa.table({"cell": pa.array([0, 0, 65, 65, 65, 130], pa.int64())})
+    tb = pa.table({"cell": pa.array([0, 65, 130, 130], pa.int64())})
+    out = mining.join_cardinality_estimate(_ds(ta), _ds(tb), "cell",
+                                           dim=64, coarse_shift=3)
+    # exact: 2*1 + 3*1 + 1*2 = 7
+    assert out["exact_pairs"].tolist() == [7]
+    # coarse 8x8: cells (0,0),(1,1),(2,2) -> coarse (0,0) all -> 6*4=24
+    assert out["coarse_estimate"].tolist() == [24]
+
+
+def test_fk_audit(ray_session):
+    child = pa.table({"k": pa.array([1, 2, 2, 7, 9], pa.int64())})
+    parent = pa.table({"p": pa.array([1, 2, 3, 4], pa.int64())})
+    out = mining.fk_audit(_ds(child), "k", _ds(parent), "p")
+    assert out.iloc[0].to_dict() == {
+        "n_rows": 5, "n_orphan_rows": 2, "n_orphan_keys": 2,
+        "n_parents": 4, "n_parents_referenced": 2}
+
+
+def test_top_paths(ray_session):
+    tbl = pa.table({"u": pa.array([1] * 4 + [2] * 3, pa.int64()),
+                    "e": pa.array(range(7), pa.int64()),
+                    "us": pa.array(range(7), pa.int64()),
+                    "t": pa.array(["a", "b", "c", "a", "a", "b", "c"])})
+    out = mining.top_paths(_ds(tbl), "u", "us", "e", "t", k=5)
+    assert out.values.tolist() == [["a>b>c", 2], ["b>c>a", 1]]
+
+
+def test_triangle_threshold_brute(ray_session):
+    import ray.data
+
+    from hand_index_ray.kernels.geotiff import encode_geotiff
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 32, size=(10, 14)).astype(np.int32)
+    img[img < 8] = 3  # make a peak
+    ds = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([4], pa.int64()),
+        "bytes": pa.array([encode_geotiff(img)], pa.binary())}))
+    out = mining.triangle_threshold(ds, nlevels=32).to_pandas()
+    h = np.bincount(img.ravel(), minlength=32).astype(np.int64)
+    p = int(h.argmax())
+    e = int(np.flatnonzero(h)[-1])
+    ts = np.arange(p, e + 1)
+    cross = np.abs((e - p) * (h[ts] - h[p]) - (ts - p) * (h[e] - h[p]))
+    assert out["thr"].tolist() == [int(ts[np.argmax(cross)])]
+    assert out["cross_abs"].tolist() == [int(cross.max())]
+
+
+def test_dominant_period(ray_session):
+    tbl = pa.table({"u": pa.array([1] * 5, pa.int64()),
+                    "e": pa.array(range(5), pa.int64()),
+                    "us": pa.array([0, 10, 20, 35, 45], pa.int64())})
+    out = mining.dominant_period(_ds(tbl), "u", "us", "e",
+                                 unit_us=10).to_pandas()
+    # gaps: 1,1,1(15//10),1 -> wait: 10,10,15,10 -> units 1,1,1,1
+    assert out.values.tolist() == [[1, 1, 4]]
