@@ -6340,6 +6340,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("user_id")
                 .reset_index(drop=True))
 
+    def q307_pyramid_error(sf):  # overview reconstruction QA
+        """Pyramid-level QA: 2×2 floor-mean downsample (sum // 4, the
+        COG overview rule), repeat-upsample, Σ|v−up| and max per
+        raster (pipelines/mining.py:pyramid_error)."""
+        from hand_index_ray.pipelines import mining
+        ds = _terrain_blobs(sf, 241, 16, 12, 61, 19, 15, 256,
+                            compression="deflate", predictor=2)
+        out = mining.pyramid_error(ds)
+        return (out.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
+    def q308_top_keyword(sf):  # per-document keyness extraction
+        """Keyword extraction: per doc the term maximizing the exact
+        rational tf/ctf (corpus term frequency broadcast once; doc
+        constants cancel, so the argmax is an integer cross-multiplied
+        compare, ties → smaller term)
+        (pipelines/mining.py:top_keyword)."""
+        from hand_index_ray.pipelines import mining
+        out = mining.top_keyword(_t(sf, "documents"))
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def q309_nearest_city(sf):  # reverse-geocode assignment
+        """Each derived event position assigned to the nearest of 8
+        derived centers by exact integer L1 (tie → smallest id);
+        per-center counts + total distance
+        (pipelines/mining.py:nearest_center)."""
+        from hand_index_ray.pipelines import mining
+        ii = np.arange(8, dtype=np.int64)
+        centers = np.stack([(ii * 2654435761) % 1024,
+                            (ii * 976369) % 1024], axis=1)
+
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy().astype(np.int64)
+            return pa.table({"x": pa.array((eid * 48271) % 1024),
+                             "y": pa.array((eid * 69621) % 1024)})
+
+        ds = _t(sf, "events").select_columns(["event_id"]).map_batches(
+            prep, batch_format="pyarrow")
+        return mining.nearest_center(ds, "x", "y", centers)
+
+    def q310_radius_gyration(sf):  # mobility radius of gyration
+        """Radius-of-gyration numerators per user over derived integer
+        positions — rog² = (n·(Σx²+Σy²) − Σx² − Σy²)/n² as exact
+        integer numerator + n; pure grouped sums, no per-series pass
+        (pipelines/mining.py:radius_gyration)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy().astype(np.int64)
+            return pa.table({"user_id": t.column("user_id"),
+                             "x": pa.array((eid * 48271) % 1024),
+                             "y": pa.array((eid * 69621) % 1024)})
+
+        ds = _t(sf, "events").select_columns(
+            ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow")
+        out = mining.radius_gyration(ds, "user_id", "x", "y")
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def q311_burstiness(sf):  # Fano-style burstiness numerators
+        """Burstiness per user over nonzero hourly buckets:
+        n·Σc² − (Σc)² numerators, exact ints — two chained
+        hash-bucket groupbys (pipelines/mining.py:burstiness)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64())})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        out = mining.burstiness(ds, "user_id", "us",
+                                bucket_us=3_600_000_000)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def q312_contribution(sf):  # percent-of-total contribution ledger
+        """Exact-ppm contribution ledger over (priority, status):
+        cents, ppm of the priority subtotal, the subtotal, its ppm of
+        the grand total — all integer floor division
+        (pipelines/mining.py:contribution_ledger)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = rel.round_half_away(
+                t.column("o_totalprice").to_numpy() * 100.0)
+            return pa.table({"pri": t.column("o_orderpriority"),
+                             "st": t.column("o_orderstatus"),
+                             "cents": pa.array(cents.astype(np.int64))})
+
+        ds = _t(sf, "orders").map_batches(prep, batch_format="pyarrow")
+        return mining.contribution_ledger(ds, "pri", "st", "cents")
+
+    def q313_cooccurrence(sf):  # temporal co-occurrence mining
+        """Unordered event-type pairs within 10 minutes in the same
+        user stream, counted exactly once per event pair
+        (pipelines/mining.py:cooccurrence)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64()),
+                             "event_type": t.column("event_type")})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        return mining.cooccurrence(ds, "user_id", "us", "event_id",
+                                   "event_type", w_us=600_000_000)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6641,6 +6751,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q304_triangle_threshold": q304_triangle_threshold,
         "q305_assortativity": q305_assortativity,
         "q306_dominant_period": q306_dominant_period,
+        "q307_pyramid_error": q307_pyramid_error,
+        "q308_top_keyword": q308_top_keyword,
+        "q309_nearest_city": q309_nearest_city,
+        "q310_radius_gyration": q310_radius_gyration,
+        "q311_burstiness": q311_burstiness,
+        "q312_contribution": q312_contribution,
+        "q313_cooccurrence": q313_cooccurrence,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -8649,6 +8766,127 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(gap AS BIGINT) AS period,
                    c AS support
             FROM b WHERE rn = 1 ORDER BY user_id
+        """,
+        "q307_pyramid_error": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 241 = 0),
+            dem AS (SELECT ks.k, x.x, y.y,
+                           (ks.k * 61 + x.x * 19 + y.y * 15) % 256 AS v
+                    FROM ks
+                    CROSS JOIN (SELECT generate_series AS x
+                                FROM generate_series(0, 15)) x
+                    CROSS JOIN (SELECT generate_series AS y
+                                FROM generate_series(0, 11)) y),
+            blk AS (SELECT k, x // 2 AS bx, y // 2 AS by,
+                           CAST(SUM(v) // 4 AS BIGINT) AS up
+                    FROM dem GROUP BY 1, 2, 3),
+            e AS (SELECT d.k, ABS(d.v - b.up) AS d
+                  FROM dem d JOIN blk b ON b.k = d.k
+                       AND b.bx = d.x // 2 AND b.by = d.y // 2)
+            SELECT k AS o_orderkey, CAST(SUM(d) AS BIGINT) AS abs_err,
+                   CAST(MAX(d) AS BIGINT) AS max_err
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "q308_top_keyword": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            ctf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM tok GROUP BY 1),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            j AS (SELECT tf.doc_id, tf.term, tf.tf, ctf.c
+                  FROM tf JOIN ctf USING (term))
+            SELECT doc_id, term, tf, c AS ctf FROM j a
+            WHERE NOT EXISTS (SELECT 1 FROM j b
+                WHERE b.doc_id = a.doc_id
+                  AND (b.tf * a.c > a.tf * b.c
+                       OR (b.tf * a.c = a.tf * b.c
+                           AND b.term < a.term)))
+            ORDER BY doc_id
+        """,
+        "q309_nearest_city": """
+            WITH p AS (SELECT event_id,
+                              (event_id * 48271) % 1024 AS x,
+                              (event_id * 69621) % 1024 AS y
+                       FROM events),
+            c AS (SELECT i.i AS city,
+                         (i.i * 2654435761) % 1024 AS cx,
+                         (i.i * 976369) % 1024 AS cy
+                  FROM (SELECT generate_series AS i
+                        FROM generate_series(0, 7)) i),
+            d AS (SELECT p.event_id, c.city,
+                         ABS(p.x - c.cx) + ABS(p.y - c.cy) AS l1,
+                         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                             ORDER BY ABS(p.x - c.cx)
+                                 + ABS(p.y - c.cy), c.city) AS rn
+                  FROM p CROSS JOIN c)
+            SELECT CAST(city AS BIGINT) AS city,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l1) AS BIGINT) AS sum_l1
+            FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "q310_radius_gyration": """
+            WITH p AS (SELECT user_id,
+                              (event_id * 48271) % 1024 AS x,
+                              (event_id * 69621) % 1024 AS y
+                       FROM events),
+            g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy
+                  FROM p GROUP BY 1)
+            SELECT user_id, n,
+                   CAST(n * (sxx + syy) - sx * sx - sy * sy AS BIGINT)
+                       AS rog_num
+            FROM g ORDER BY 1
+        """,
+        "q311_burstiness": """
+            WITH b AS (SELECT user_id,
+                              epoch_us(ts) // 3600000000 AS b,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            g AS (SELECT user_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                         CAST(SUM(c) AS BIGINT) AS sum_c,
+                         CAST(SUM(c * c) AS BIGINT) AS scc
+                  FROM b GROUP BY 1)
+            SELECT user_id, n_buckets, sum_c,
+                   CAST(n_buckets * scc - sum_c * sum_c AS BIGINT)
+                       AS fano_num
+            FROM g ORDER BY 1
+        """,
+        "q312_contribution": """
+            WITH w AS (SELECT o_orderpriority AS pri,
+                              o_orderstatus AS st,
+                              CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            g AS (SELECT pri, st, CAST(SUM(cents) AS BIGINT) AS cents
+                  FROM w GROUP BY 1, 2),
+            s AS (SELECT pri, CAST(SUM(cents) AS BIGINT) AS lvl1_cents
+                  FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM g)
+            SELECT g.pri, g.st, g.cents, s.lvl1_cents,
+                   CAST(g.cents * 1000000 // s.lvl1_cents AS BIGINT)
+                       AS ppm_of_lvl1,
+                   CAST(s.lvl1_cents * 1000000 // t.total AS BIGINT)
+                       AS ppm_of_total
+            FROM g JOIN s USING (pri) CROSS JOIN t ORDER BY 1, 2
+        """,
+        "q313_cooccurrence": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS us FROM events),
+            pr AS (SELECT LEAST(a.event_type, b.event_type) AS ta,
+                          GREATEST(a.event_type, b.event_type) AS tb
+                   FROM e a JOIN e b ON b.user_id = a.user_id
+                        AND (b.us > a.us
+                             OR (b.us = a.us
+                                 AND b.event_id > a.event_id))
+                        AND b.us <= a.us + 600000000)
+            SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -1036,6 +1036,259 @@ def dominant_period(events: ray.data.Dataset, key: str, ts_us: str,
 
 
 # ---------------------------------------------------------------------------
+# batch 5: pyramid QA, keyness, mobility/telemetry stats ---------------------
+
+def pyramid_error(blobs: ray.data.Dataset, id_col: str = "o_orderkey",
+                  bytes_col: str = "bytes") -> ray.data.Dataset:
+    """Overview-pyramid reconstruction error: downsample 2×2 by
+    floor-mean (sum // 4 — the gdaladdo-style level the engine's COG
+    chains store), upsample by repetition, and ledger Σ|v − up| and
+    max|v − up| per raster — the QA number that decides whether a
+    pyramid level is servable. Map-only, exact ints."""
+    from .terrain import _decode_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = {id_col: [], "abs_err": [], "max_err": []}
+        for rid, arr, _ in _decode_batch(t, bytes_col, id_col):
+            v = arr.astype(np.int64)
+            h2, w2 = v.shape[0] // 2, v.shape[1] // 2
+            q = v[:h2 * 2, :w2 * 2]
+            down = (q[0::2, 0::2] + q[0::2, 1::2]
+                    + q[1::2, 0::2] + q[1::2, 1::2]) // 4
+            up = np.repeat(np.repeat(down, 2, axis=0), 2, axis=1)
+            d = np.abs(q - up)
+            rows[id_col].append(rid)
+            rows["abs_err"].append(int(d.sum()))
+            rows["max_err"].append(int(d.max()))
+        return pa.table({k: pa.array(v_, pa.int64())
+                         for k, v_ in rows.items()})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
+def top_keyword(docs: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Keyness extraction: per document the term maximizing
+    tf_doc/ctf_corpus (the log-free keyness ratio — document A and dl
+    cancel inside a doc, so the argmax is the exact integer
+    cross-multiplied compare tf₁·ctf₂ > tf₂·ctf₁, ties → smaller
+    term). Corpus term frequencies reduce via the hash-bucket groupby
+    (vocabulary-bounded) and broadcast once."""
+    import ray as _ray
+
+    def toks(t: pa.Table) -> pa.Table:
+        vals, offs = _tokens_flat(t, text_col)
+        return pa.table({"term": vals})
+
+    ctf_df = rel.grouped_agg_hash(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        ["term"], count=True).to_pandas()
+    terms = ctf_df["term"].to_numpy().astype(str)
+    order = np.argsort(terms)
+    ref = _ray.put((terms[order],
+                    ctf_df["n"].to_numpy().astype(np.int64)[order]))
+
+    def pick(t: pa.Table) -> pa.Table:
+        vocab, ctf = _ray.get(ref)
+        vals, offs = _tokens_flat(t, text_col)
+        base = offs[0]
+        va = vals.to_numpy(zero_copy_only=False).astype(str)
+        doc = np.repeat(np.arange(t.num_rows),
+                        (offs[1:] - offs[:-1]))
+        # per (doc, term) tf via lexsort run-lengths
+        tid = np.searchsorted(vocab, va)
+        key = doc * (len(vocab) + 1) + tid
+        sk = np.sort(key)
+        uniq, tf = np.unique(sk, return_counts=True)
+        udoc = uniq // (len(vocab) + 1)
+        utid = uniq % (len(vocab) + 1)
+        uctf = ctf[utid]
+        best = np.full(t.num_rows, -1, dtype=np.int64)
+        bt = np.zeros(t.num_rows, dtype=np.int64)
+        bc = np.ones(t.num_rows, dtype=np.int64)
+        if len(uniq):
+            # vectorized float preselect (per-doc max of tf/ctf), then
+            # an EXACT cross-multiplied confirm over the few survivors
+            # — float alone could merge distinct rationals at 2⁻⁵³
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(udoc)) + 1))
+            gidx = np.cumsum(np.isin(np.arange(len(uniq)), starts)) - 1
+            f = tf / uctf
+            gmax = np.maximum.reduceat(f, starts)
+            cand = np.flatnonzero(f >= gmax[gidx] * (1.0 - 1e-9))
+            for i in cand:  # candidates: ~1 per doc
+                d = udoc[i]
+                if best[d] < 0 or tf[i] * bc[d] > bt[d] * uctf[i]:
+                    best[d], bt[d], bc[d] = utid[i], tf[i], uctf[i]
+        m = best >= 0
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(m)),
+            "term": pa.array(vocab[best[m]]),
+            "tf": pa.array(bt[m]), "ctf": pa.array(bc[m])})
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def nearest_center(pts: ray.data.Dataset, x: str, y: str,
+                   centers: "np.ndarray") -> pd.DataFrame:
+    """Reverse-geocode assignment: each point to its nearest of K
+    centers by exact integer L1 distance (tie → smallest center id),
+    emitting per-center counts and total distance. Centers broadcast
+    in the task closure (K is small); assignment is a (B × K)
+    vectorized argmin; global counts are K-row partials."""
+    cx = centers[:, 0].astype(np.int64)
+    cy = centers[:, 1].astype(np.int64)
+    k = len(cx)
+
+    def part(t: pa.Table) -> pa.Table:
+        px = t.column(x).to_numpy().astype(np.int64)
+        py = t.column(y).to_numpy().astype(np.int64)
+        d = (np.abs(px[:, None] - cx[None, :])
+             + np.abs(py[:, None] - cy[None, :]))
+        a = d.argmin(axis=1)
+        dist = d[np.arange(len(px)), a]
+        n = np.bincount(a, minlength=k)
+        s = np.bincount(a, weights=dist, minlength=k).astype(np.int64)
+        return pa.table({"city": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "sum_l1": pa.array(s)})
+
+    p = pts.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = (p.groupby("city", as_index=False)[["n", "sum_l1"]].sum()
+           .sort_values("city").reset_index(drop=True))
+    return out[out["n"] > 0].reset_index(drop=True).astype("int64")
+
+
+def radius_gyration(pts: ray.data.Dataset, key: str, x: str, y: str
+                    ) -> ray.data.Dataset:
+    """Radius-of-gyration numerators per key (the classic mobility
+    metric): with n points and integer coordinates, rog² =
+    (n·(Σx²+Σy²) − (Σx)² − (Σy)²) / n² — emitted as exact integer
+    numerator + n. Pure grouped sums: per-batch Arrow partials, one
+    hash-bucket groupby, no per-series pass at all."""
+    def prep(t: pa.Table) -> pa.Table:
+        px = t.column(x).to_numpy().astype(np.int64)
+        py = t.column(y).to_numpy().astype(np.int64)
+        return pa.table({key: t.column(key),
+                         "sx": pa.array(px), "sy": pa.array(py),
+                         "sxx": pa.array(px * px),
+                         "syy": pa.array(py * py)})
+
+    g = rel.grouped_agg_hash(pts.map_batches(prep, batch_format="pyarrow"),
+                             [key], sum_cols=["sx", "sy", "sxx", "syy"],
+                             count=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        sx = t.column("sx").to_numpy().astype(np.int64)
+        sy = t.column("sy").to_numpy().astype(np.int64)
+        sxx = t.column("sxx").to_numpy().astype(np.int64)
+        syy = t.column("syy").to_numpy().astype(np.int64)
+        return pa.table({key: t.column(key), "n": pa.array(n),
+                         "rog_num": pa.array(n * (sxx + syy)
+                                             - sx * sx - sy * sy)})
+
+    return g.map_batches(final, batch_format="pyarrow")
+
+
+def burstiness(events: ray.data.Dataset, key: str, ts_us: str,
+               bucket_us: int) -> ray.data.Dataset:
+    """Burstiness numerators per key: over the NONZERO activity
+    buckets, the Fano-style variance/mean numerators n·Σc² − (Σc)²
+    (den = n·Σc) as exact ints — distinguishes periodic from bursty
+    streams. Two chained hash-bucket groupbys (key+bucket counts,
+    then per-key sums)."""
+    def prep(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.cast(t.column(ts_us), pa.int64()),
+                      pa.scalar(bucket_us, pa.int64()))
+        return pa.table({key: t.column(key), "b": b})
+
+    per_bucket = rel.grouped_agg_hash(
+        events.map_batches(prep, batch_format="pyarrow"),
+        [key, "b"], count=True)
+
+    def prep2(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy().astype(np.int64)
+        return pa.table({key: t.column(key), "sc": pa.array(c),
+                         "scc": pa.array(c * c)})
+
+    g = rel.grouped_agg_hash(
+        per_bucket.map_batches(prep2, batch_format="pyarrow"),
+        [key], sum_cols=["sc", "scc"], count=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        sc = t.column("sc").to_numpy().astype(np.int64)
+        scc = t.column("scc").to_numpy().astype(np.int64)
+        return pa.table({key: t.column(key), "n_buckets": pa.array(n),
+                         "sum_c": pa.array(sc),
+                         "fano_num": pa.array(n * scc - sc * sc)})
+
+    return g.map_batches(final, batch_format="pyarrow")
+
+
+def contribution_ledger(ds: ray.data.Dataset, lvl1: str, lvl2: str,
+                        cents: str) -> pd.DataFrame:
+    """Percent-of-total contribution ledger (exact ppm by integer
+    floor division): per (lvl1, lvl2) cents, its ppm of the lvl1
+    subtotal, the subtotal, and the subtotal's ppm of the grand total.
+    One grouped partial pass; the two rollup levels are derived on the
+    driver from the (lvl1, lvl2) table (bounded by group count)."""
+    g = rel.grouped_agg_hash(ds.map_batches(
+        lambda t: t.select([lvl1, lvl2, cents]),
+        batch_format="pyarrow"), [lvl1, lvl2],
+        sum_cols=[cents], count=False).to_pandas()
+    g[cents] = g[cents].astype("int64")
+    sub = g.groupby(lvl1, as_index=False)[cents].sum() \
+        .rename(columns={cents: "lvl1_cents"})
+    total = int(g[cents].sum())
+    out = g.merge(sub, on=lvl1)
+    out["ppm_of_lvl1"] = (out[cents] * 1000000) // out["lvl1_cents"]
+    out["ppm_of_total"] = (out["lvl1_cents"] * 1000000) // total
+    out = out.sort_values([lvl1, lvl2]).reset_index(drop=True)
+    out["ppm_of_lvl1"] = out["ppm_of_lvl1"].astype("int64")
+    out["ppm_of_total"] = out["ppm_of_total"].astype("int64")
+    out["lvl1_cents"] = out["lvl1_cents"].astype("int64")
+    return out
+
+
+def cooccurrence(events: ray.data.Dataset, key: str, ts_us: str,
+                 tiebreak: str, type_col: str, w_us: int,
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """Temporal co-occurrence mining: unordered event-type pairs
+    occurring within ``w_us`` of each other in the same key's stream,
+    counted exactly once per event pair (strict (ts, tiebreak)
+    ordering). Per-series pair emission is searchsorted ranges +
+    np.repeat (bounded by stream density × window); counts ride the
+    hash-bucket groupby."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_us, tiebreak], kind="stable")
+        us = g[ts_us].to_numpy().astype(np.int64)
+        et = g[type_col].to_numpy().astype(str)
+        n = len(us)
+        if n < 2:
+            return pd.DataFrame({"ta": pd.Series([], dtype="object"),
+                                 "tb": pd.Series([], dtype="object")})
+        hi = np.searchsorted(us, us + w_us, side="right")
+        cnt = hi - np.arange(n) - 1
+        ii = np.repeat(np.arange(n), np.maximum(cnt, 0))
+        jj = (np.concatenate([np.arange(i + 1, h) for i, h in
+                              enumerate(hi)])
+              if cnt.sum() else np.array([], dtype=np.int64))
+        a, b = et[ii], et[jj]
+        lo = a <= b
+        return pd.DataFrame({"ta": np.where(lo, a, b),
+                             "tb": np.where(lo, b, a)})
+
+    pairs = rel.grouped_apply_bucketed(events, [key], per_key,
+                                       num_buckets=num_buckets)
+    counts = rel.grouped_agg_hash(pairs, ["ta", "tb"],
+                                  count=True).to_pandas()
+    return (counts.sort_values(["ta", "tb"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # raster topology ledgers ----------------------------------------------------
 
 def zone_adjacency(blobs: ray.data.Dataset, id_col: str = "o_orderkey",
