@@ -321,3 +321,53 @@ def test_dominant_period(ray_session):
                                  unit_us=10).to_pandas()
     # gaps: 1,1,1(15//10),1 -> wait: 10,10,15,10 -> units 1,1,1,1
     assert out.values.tolist() == [[1, 1, 4]]
+
+
+def test_pyramid_error_brute(ray_session):
+    import ray.data
+
+    from hand_index_ray.kernels.geotiff import encode_geotiff
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(6, 8)).astype(np.int32)
+    ds = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([3], pa.int64()),
+        "bytes": pa.array([encode_geotiff(img)], pa.binary())}))
+    out = mining.pyramid_error(ds).to_pandas()
+    v = img.astype(np.int64)
+    down = (v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2]
+            + v[1::2, 1::2]) // 4
+    up = np.repeat(np.repeat(down, 2, 0), 2, 1)
+    assert out["abs_err"].tolist() == [int(np.abs(v - up).sum())]
+
+
+def test_radius_gyration(ray_session):
+    tbl = pa.table({"u": pa.array([1, 1, 1, 2], pa.int64()),
+                    "x": pa.array([0, 3, 6, 5], pa.int64()),
+                    "y": pa.array([0, 0, 0, 5], pa.int64())})
+    out = (mining.radius_gyration(_ds(tbl), "u", "x", "y")
+           .to_pandas().sort_values("u"))
+    # user 1: n=3, sxx=45, sx=9 -> 3*45 - 81 = 54; user 2: 0
+    assert out[["u", "n", "rog_num"]].values.tolist() == [
+        [1, 3, 54], [2, 1, 0]]
+
+
+def test_cooccurrence_hand(ray_session):
+    tbl = pa.table({"u": pa.array([1, 1, 1, 1], pa.int64()),
+                    "e": pa.array([0, 1, 2, 3], pa.int64()),
+                    "us": pa.array([0, 5, 11, 100], pa.int64()),
+                    "t": pa.array(["a", "b", "a", "c"])})
+    out = mining.cooccurrence(_ds(tbl), "u", "us", "e", "t", w_us=10)
+    # pairs within 10: (0,1) a-b, (0,2)? 11-0=11 > 10 no, (1,2) b-a
+    assert out.values.tolist() == [["a", "b", 2]]
+
+
+def test_top_keyword(ray_session):
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["rare common common",
+                                      "common common common"])})
+    out = (mining.top_keyword(_ds(tbl)).to_pandas()
+           .sort_values("doc_id"))
+    # ctf: rare=1, common=5; doc1: rare 1/1 > common 2/5; doc2: common
+    assert out[["doc_id", "term"]].values.tolist() == [
+        [1, "rare"], [2, "common"]]
