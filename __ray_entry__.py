@@ -6450,6 +6450,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mining.cooccurrence(ds, "user_id", "us", "event_id",
                                    "event_type", w_us=600_000_000)
 
+    def q314_haar_energy(sf):  # 2-level Haar wavelet subband energies
+        """Integer lifting Haar over channel 0 of the arithmetic
+        corpus — subband detail energies + LL2 mass per image
+        (pipelines/image_embed.py:haar_stats)."""
+        from hand_index_ray.pipelines.image_embed import haar_stats
+
+        return haar_stats(_arith_images(sf), channel=0)
+
+    def q315_dhash(sf):  # difference-hash duplicate buckets
+        """56-bit dHash (8x8 exact block sums, row-adjacent compare)
+        packed into int64, counted per hash value
+        (pipelines/image_embed.py:dhash_counts)."""
+        from hand_index_ray.pipelines.image_embed import dhash_counts
+
+        return dhash_counts(_arith_images(sf), channel=0)
+
+    def q316_vocab_growth(sf):  # Heaps-law vocabulary growth curve
+        """Distinct-token count after the first T docs in id order,
+        T at quarters of the corpus (pipelines/text.py:vocab_growth —
+        one token-keyed min shuffle, curve from slim partials)."""
+        from hand_index_ray.pipelines.text import vocab_growth
+
+        docs = _t(sf, "documents").select_columns(["doc_id", "text"])
+        n = docs.count()
+        ts = [-(-n * j // 4) for j in (1, 2, 3, 4)]
+        return vocab_growth(docs, ts)
+
+    def q317_dag_layers(sf):  # DAG longest-path layering (wave relaxation)
+        """Critical-path depth per node of a level-structured synthetic
+        DAG (edges always climb the level ladder ⇒ acyclic, depth ≤ 7)
+        via broadcast wave relaxation (pipelines/graph.py:dag_layers)."""
+        from hand_index_ray.pipelines.graph import dag_layers
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            a = ((k * 2654435761) // 8) % 4096
+            b = ((k * 2246822519) // 8) % 4096
+            keep = (a % 8) != (b % 8)
+            a, b = a[keep], b[keep]
+            lo_first = (a % 8) < (b % 8)
+            return pa.table({
+                "u": pa.array(np.where(lo_first, a, b), pa.int64()),
+                "v": pa.array(np.where(lo_first, b, a), pa.int64())})
+
+        edges = _t(sf, "orders").select_columns(["o_orderkey"]) \
+            .map_batches(mk, batch_format="pyarrow")
+        return dag_layers(edges, "u", "v", max_rounds=8)
+
+    def q318_sax(sf):  # SAX symbolic series words
+        """PAA(4 frames) + global-quartile binning of each order's
+        quantity series into an a-d word, counted per word — exact
+        cross-multiplied integer comparisons throughout
+        (pipelines/mining.py:sax_words)."""
+        from hand_index_ray.pipelines import mining
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_quantity"])
+        return mining.sax_words(ds, "l_orderkey", "l_linenumber",
+                                "l_quantity", frames=4)
+
+    def q319_phrase(sf):  # positional phrase query (adjacent tokens)
+        """Per-doc count of the exact phrase "data group" — the
+        positional-index adjacency query computed scan-side, map-only
+        (pipelines/text.py:phrase_counts)."""
+        from hand_index_ray.pipelines.text import phrase_counts
+
+        return phrase_counts(_t(sf, "documents"), "data", "group")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6758,6 +6826,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q311_burstiness": q311_burstiness,
         "q312_contribution": q312_contribution,
         "q313_cooccurrence": q313_cooccurrence,
+        "q314_haar_energy": q314_haar_energy,
+        "q315_dhash": q315_dhash,
+        "q316_vocab_growth": q316_vocab_growth,
+        "q317_dag_layers": q317_dag_layers,
+        "q318_sax": q318_sax,
+        "q319_phrase": q319_phrase,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -8887,6 +8961,135 @@ def oracle_sql() -> dict[str, str]:
                         AND b.us <= a.us + 600000000)
             SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
             FROM pr GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q314_haar_energy": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            l1 AS (SELECT k, y.by AS by, x.bx AS bx,
+                     ((k + 14*y.by + 6*x.bx     ) % 256) AS pa,
+                     ((k + 14*y.by + 6*x.bx +  3) % 256) AS pb,
+                     ((k + 14*y.by + 6*x.bx +  7) % 256) AS pc,
+                     ((k + 14*y.by + 6*x.bx + 10) % 256) AS pd
+                   FROM ks, generate_series(0, 11) y(by),
+                        generate_series(0, 15) x(bx)),
+            d1 AS (SELECT k, by, bx,
+                     pa+pb+pc+pd AS ll,
+                     (pa+pb)-(pc+pd) AS lh,
+                     (pa-pb)+(pc-pd) AS hl,
+                     (pa-pb)-(pc-pd) AS hh FROM l1),
+            e1 AS (SELECT k, SUM(lh*lh) AS e_lh1, SUM(hl*hl) AS e_hl1,
+                          SUM(hh*hh) AS e_hh1 FROM d1 GROUP BY k),
+            l2 AS (SELECT k, by//2 AS b2y, bx//2 AS b2x,
+                     SUM(ll) AS ll2,
+                     SUM(CASE WHEN (by%2)=(bx%2) THEN ll ELSE -ll END)
+                       AS hh2
+                   FROM d1 GROUP BY k, by//2, bx//2),
+            e2 AS (SELECT k, SUM(ll2) AS ll2_sum, SUM(hh2*hh2) AS e_hh2
+                   FROM l2 GROUP BY k)
+            SELECT 'img-' || lpad(CAST(e1.k AS VARCHAR), 9, '0')
+                     AS image_id,
+                   CAST(e_lh1 AS BIGINT) AS e_lh1,
+                   CAST(e_hl1 AS BIGINT) AS e_hl1,
+                   CAST(e_hh1 AS BIGINT) AS e_hh1,
+                   CAST(ll2_sum AS BIGINT) AS ll2_sum,
+                   CAST(e_hh2 AS BIGINT) AS e_hh2
+            FROM e1 JOIN e2 ON e1.k = e2.k
+        """,
+        "q315_dhash": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            s AS (SELECT k, r.r AS r, c.c AS c,
+                    SUM((k + 7*(3*r.r + dy.dy) + 3*(4*c.c + dx.dx)) % 256)
+                      AS sv
+                  FROM ks, generate_series(0, 7) r(r),
+                       generate_series(0, 7) c(c),
+                       generate_series(0, 2) dy(dy),
+                       generate_series(0, 3) dx(dx)
+                  GROUP BY k, r.r, c.c),
+            h AS (SELECT a.k,
+                    SUM(CASE WHEN a.sv > b.sv
+                        THEN (CAST(1 AS BIGINT) << (a.r*7 + a.c))
+                        ELSE 0 END) AS dhash
+                  FROM s a JOIN s b
+                    ON b.k = a.k AND b.r = a.r AND b.c = a.c + 1
+                  WHERE a.c < 7
+                  GROUP BY a.k)
+            SELECT CAST(dhash AS BIGINT) AS dhash,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM h GROUP BY dhash
+        """,
+        "q316_vocab_growth": """
+            WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            m AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok
+                  WHERE tok <> '' GROUP BY tok),
+            cps AS (SELECT ((SELECT c FROM nn) * j.j + 3) // 4 AS t
+                    FROM generate_series(1, 4) j(j))
+            SELECT t AS n_docs,
+                   CAST(SUM(CASE WHEN first_doc < t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab
+            FROM cps, m GROUP BY t
+        """,
+        "q317_dag_layers": """
+            WITH RECURSIVE e0 AS (SELECT DISTINCT
+                   ((o_orderkey * 2654435761) // 8) % 4096 AS a,
+                   ((o_orderkey * 2246822519) // 8) % 4096 AS b
+                 FROM orders),
+            ed AS (SELECT DISTINCT
+                     CASE WHEN a%8 < b%8 THEN a ELSE b END AS u,
+                     CASE WHEN a%8 < b%8 THEN b ELSE a END AS v
+                   FROM e0 WHERE a%8 <> b%8),
+            n AS (SELECT DISTINCT x AS node FROM
+                    (SELECT u AS x FROM ed UNION SELECT v FROM ed)),
+            walk(node, len) AS (
+              SELECT node, 0 FROM n
+              UNION
+              SELECT ed.v, walk.len + 1 FROM walk
+              JOIN ed ON ed.u = walk.node)
+            SELECT node, CAST(MAX(len) AS BIGINT) AS layer
+            FROM walk GROUP BY node
+        """,
+        "q318_sax": """
+            WITH q AS (SELECT
+                 CAST(percentile_disc(0.25) WITHIN GROUP
+                      (ORDER BY l_quantity) AS BIGINT) AS q1,
+                 CAST(percentile_disc(0.50) WITHIN GROUP
+                      (ORDER BY l_quantity) AS BIGINT) AS q2,
+                 CAST(percentile_disc(0.75) WITHIN GROUP
+                      (ORDER BY l_quantity) AS BIGINT) AS q3
+               FROM lineitem),
+            s AS (SELECT l_orderkey AS k,
+                    CAST(l_quantity AS BIGINT) AS v,
+                    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber,
+                                                l_quantity) - 1 AS i,
+                    COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt
+                  FROM lineitem),
+            f AS (SELECT k, (4*i) // cnt AS frame, SUM(v) AS sv,
+                         COUNT(*) AS c
+                  FROM s GROUP BY k, (4*i) // cnt),
+            sym AS (SELECT k, frame,
+                      CASE WHEN sv < q.q1 * c THEN 'a'
+                           WHEN sv < q.q2 * c THEN 'b'
+                           WHEN sv < q.q3 * c THEN 'c'
+                           ELSE 'd' END AS sym
+                    FROM f, q),
+            w AS (SELECT k, string_agg(sym, '' ORDER BY frame) AS word
+                  FROM sym GROUP BY k)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY word
+        """,
+        "q319_phrase": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            p AS (SELECT doc_id, unnest(l) AS tok,
+                         generate_subscripts(l, 1) AS pos FROM t)
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+            FROM p a JOIN p b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'data' AND b.tok = 'group'
+            GROUP BY a.doc_id
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -937,3 +937,68 @@ def reciprocity(edges: ray.data.Dataset, u: str = "u", v: str = "v",
                                    whole_bucket=True).to_pandas()
     out = parts.sum().to_frame().T.astype("int64")
     return out.reset_index(drop=True)
+
+
+def dag_layers(edges: ray.data.Dataset, u: str = "u", v: str = "v",
+               max_rounds: int = 32) -> ray.data.Dataset:
+    """Longest-path layering of a DAG: layer(x) = length (in edges) of
+    the longest path ending at x — the critical-path depth used to
+    schedule dependency graphs (build systems, feature DAGs) into
+    parallel waves.
+
+    Algorithm: wave relaxation. Round r broadcasts the current layer
+    table and streams the EDGES (the big side) through ``map_batches``,
+    emitting per-batch (v, layer(u)+1) max-partials; a tiny grouped max
+    merges them and raises layers. Converges in depth(G) rounds; each
+    round is one map over edges plus a |V|-sized reduce — edges never
+    shuffle and never leave their blocks.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the layer table is the SMALL side (|V| bounded — here the node-id
+    domain; at 100 TB a layer table of billions of nodes would move to
+    a hash-partitioned join per wave instead of a broadcast). Rounds
+    are bounded by ``max_rounds`` and stop at the first fixpoint.
+    """
+    from .. import relational as rel
+
+    e = rel.distinct(edges.select_columns([u, v]), [u, v])
+    nodes = rel.distinct(
+        e.map_batches(lambda t: pa.table(
+            {"node": pa.concat_arrays([
+                t[u].combine_chunks().cast(pa.int64()),
+                t[v].combine_chunks().cast(pa.int64())])}),
+            batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    if "node" not in nodes.columns or not len(nodes):  # empty graph
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "layer": pa.array([], pa.int64())}))
+    nodes = np.sort(nodes["node"].to_numpy().astype(np.int64))
+    layer = np.zeros(len(nodes), np.int64)
+
+    for _ in range(max_rounds):
+        ref = ray.put((nodes, layer))
+
+        def relax(t: pa.Table) -> pa.Table:
+            nd, ly = ray.get(ref)
+            uu = t[u].to_numpy(zero_copy_only=False).astype(np.int64)
+            vv = t[v].to_numpy(zero_copy_only=False).astype(np.int64)
+            cand = ly[np.searchsorted(nd, uu)] + 1
+            f = pd.DataFrame({"node": vv, "cand": cand})
+            g = f.groupby("node", sort=False, as_index=False)["cand"].max()
+            return pa.table({"node": pa.array(g["node"], pa.int64()),
+                             "cand": pa.array(g["cand"], pa.int64())})
+
+        got = rel.grouped_agg(
+            e.map_batches(relax, batch_format="pyarrow"),
+            ["node"], max_cols=["cand"], count=False).to_pandas()
+        new = layer.copy()
+        idx = np.searchsorted(nodes, got["node"].to_numpy())
+        np.maximum.at(new, idx, got["max_cand"].to_numpy())
+        if np.array_equal(new, layer):
+            break
+        layer = new
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "layer": pa.array(layer, pa.int64())}))

@@ -653,3 +653,99 @@ def equalize_stats(source: "str | ray.data.Dataset", channel: int = 0,
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size,
                           concurrency=pool_size(cfg.encode_concurrency))
+
+
+def haar_stats(source: "str | ray.data.Dataset", channel: int = 0,
+               cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Per-image 2-level integer Haar wavelet subband statistics over
+    one channel — the un-normalized lifting transform (sums and
+    differences, no sqrt(2) scaling) so every subband coefficient is
+    an exact int64 and the oracle can recompute it from the pixel
+    formula. Level-1 over 2x2 pixel blocks:
+
+        LL = a+b+c+d   LH = (a+b)-(c+d)
+        HL = (a-b)+(c-d)   HH = (a-b)-(c-d)
+
+    (a,b = top row, c,d = bottom row); level-2 applies the same
+    butterfly to the LL grid. Emits detail energies (sum of squared
+    coefficients) per level plus the LL2 mass — the texture/smoothness
+    fingerprint used to stratify image corpora before training.
+
+    Scale: map-only (one row out per image), rides the decode actor
+    pool; wavelet energy never shuffles. Reference analog: the raster
+    stats family (/root/reference/load.py raster summaries)."""
+    from .build import list_fragments, pool_size
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        cols = {k: np.zeros(t.num_rows, np.int64)
+                for k in ("e_lh1", "e_hl1", "e_hh1", "ll2_sum", "e_hh2")}
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64)
+            h2, w2 = p.shape[0] // 2, p.shape[1] // 2
+            q = p[:2 * h2, :2 * w2].reshape(h2, 2, w2, 2)
+            a, b = q[:, 0, :, 0], q[:, 0, :, 1]
+            c, d = q[:, 1, :, 0], q[:, 1, :, 1]
+            ll = a + b + c + d
+            lh = (a + b) - (c + d)
+            hl = (a - b) + (c - d)
+            hh = (a - b) - (c - d)
+            cols["e_lh1"][i] = (lh * lh).sum()
+            cols["e_hl1"][i] = (hl * hl).sum()
+            cols["e_hh1"][i] = (hh * hh).sum()
+            h4, w4 = h2 // 2, w2 // 2
+            q2 = ll[:2 * h4, :2 * w4].reshape(h4, 2, w4, 2)
+            a2, b2 = q2[:, 0, :, 0], q2[:, 0, :, 1]
+            c2, d2 = q2[:, 1, :, 0], q2[:, 1, :, 1]
+            ll2 = a2 + b2 + c2 + d2
+            hh2 = (a2 - b2) - (c2 - d2)
+            cols["ll2_sum"][i] = ll2.sum()
+            cols["e_hh2"][i] = (hh2 * hh2).sum()
+        out = {"image_id": pa.array(ids, pa.string())}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size,
+                          concurrency=pool_size(cfg.encode_concurrency))
+
+
+def dhash_counts(source: "str | ray.data.Dataset", channel: int = 0,
+                 grid: int = 8, cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Difference-hash (dHash) duplicate buckets: downsample one
+    channel to a ``grid x grid`` lattice of EXACT block sums (integer
+    — no resampling filter, so the oracle reproduces it), set bit
+    (r*(grid-1)+c) when block(r,c) > block(r,c+1), pack into one
+    int64, and count images per hash. dHash survives brightness
+    shifts and re-encodes, making it the standard cheap near-dup key
+    for web image corpora (phash's gradient-domain sibling).
+
+    Scale: map-only hash + a slim (hash, count) partial per batch
+    into a tiny grouped sum — the same shuffle-free shape as
+    ``luma_histogram``; bucket joins downstream use the hash as the
+    equi-join key."""
+    from .build import list_fragments, pool_size
+    from .. import relational as rel
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+    g = grid
+
+    def hashes(t: pa.Table) -> pa.Table:
+        out = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img[:, :, channel].astype(np.int64)
+            bh, bw = p.shape[0] // g, p.shape[1] // g
+            s = p[:g * bh, :g * bw].reshape(g, bh, g, bw).sum(axis=(1, 3))
+            bits = (s[:, :-1] > s[:, 1:]).ravel()
+            w = np.int64(1) << np.arange(g * (g - 1), dtype=np.int64)
+            out[i] = int((bits * w).sum())
+        return pa.table({"dhash": pa.array(out, pa.int64())})
+
+    hs = ds.map_batches(hashes, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=cfg.decode_batch_size,
+                        concurrency=pool_size(cfg.encode_concurrency))
+    return rel.grouped_agg(hs, ["dhash"], count=True)

@@ -1368,3 +1368,74 @@ def euler_stats(blobs: ray.data.Dataset, thresh: int,
                          for k, v in rows.items()})
 
     return blobs.map_batches(f, batch_format="pyarrow")
+
+
+def sax_words(ds: ray.data.Dataset, key: str, ord_col: str, val: str,
+              frames: int = 4, num_buckets: int = 64) -> ray.data.Dataset:
+    """SAX symbolization (Lin et al., "A Symbolic Representation of
+    Time Series"): each key's ordered integer series is PAA-reduced to
+    ``frames`` segments (frame(i) = frames*i // n) and each segment
+    mean is binned against the GLOBAL quartiles of the value
+    distribution into symbols a-d; emits (word, n) — how many series
+    share each symbolic shape. All comparisons are exact integers:
+    mean < q  ⇔  sum < q*count (cross-multiplication, no division),
+    and the quartiles are percentile_disc picks (sorted element at
+    ceil(p*n), DuckDB parity) read off an exact value histogram.
+
+    Scale: the histogram is a shuffle-free bincount partial per batch
+    (value domain bounded); the series pass is ONE keyed hash-bucket
+    shuffle with whole-bucket vectorized frame sums (sort + groupby
+    cumcount — no per-group Python); the word count is a tiny grouped
+    sum (≤ 4^frames distinct words)."""
+    from .. import relational as rel
+
+    # pass 1: exact global quartiles from a value histogram
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    hs = rel.grouped_agg(ds.map_batches(hist, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["v"], sum_cols=["c"], count=False).to_pandas()
+    hs = hs.sort_values("v").reset_index(drop=True)
+    cum = hs["c"].to_numpy().cumsum()
+    n_total = int(cum[-1])
+    qs = []
+    for j in (1, 2, 3):
+        rank = -(-j * n_total // 4)  # ceil(j*n/4), 1-based
+        qs.append(int(hs["v"].to_numpy()[np.searchsorted(cum, rank)]))
+    q1, q2, q3 = qs
+
+    def words(g: pd.DataFrame) -> pd.DataFrame:
+        # tiebreak on the value itself: rows tied on (key, ord, val) are
+        # interchangeable, so frame sums are well-defined even when the
+        # ordering column repeats within a series
+        g = g.sort_values([key, ord_col, val], kind="mergesort")
+        gk = g.groupby(key, sort=False)
+        i = gk.cumcount().to_numpy()
+        n = gk[ord_col].transform("size").to_numpy()
+        f = pd.DataFrame({
+            "k": g[key].to_numpy(),
+            "frame": frames * i // n,
+            "v": g[val].to_numpy().astype(np.int64)})
+        fr = f.groupby(["k", "frame"], sort=True, as_index=False).agg(
+            s=("v", "sum"), c=("v", "size"))
+        s, c = fr["s"].to_numpy(), fr["c"].to_numpy()
+        sym = np.where(s < q1 * c, "a",
+                       np.where(s < q2 * c, "b",
+                                np.where(s < q3 * c, "c", "d")))
+        fr["sym"] = sym
+        w = fr.groupby("k", sort=False)["sym"].agg("".join)
+        return pd.DataFrame({"word": w.to_numpy()})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key],
+                         ord_col: t[ord_col],
+                         val: pc.cast(t[val], pa.int64())})
+
+    ws = rel.grouped_apply_bucketed(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [key], words, num_buckets=num_buckets, whole_bucket=True)
+    return rel.grouped_agg(ws, ["word"], count=True)

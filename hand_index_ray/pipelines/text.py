@@ -1556,3 +1556,85 @@ def containment_pairs(ds: ray.data.Dataset, col: str = "text",
 
     return grouped_apply_bucketed(both, ["id_a"], resolve,
                                   whole_bucket=True)
+
+
+def vocab_growth(ds: ray.data.Dataset, thresholds: list[int],
+                 col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Heaps'-law vocabulary growth curve: for each doc-id threshold T,
+    the number of distinct tokens whose FIRST occurrence (minimum doc
+    id) is below T — i.e. the vocabulary size after ingesting the
+    first T documents in id order. The curve is the standard corpus
+    diagnostic for deciding when a crawl stops contributing new
+    vocabulary.
+
+    Scale: per-batch (token, min id) Arrow partials collapse each
+    batch to its distinct tokens before the ONE keyed exchange
+    (``grouped_agg_hash`` min — hash-bucketed, high-cardinality-safe);
+    the curve itself is a ≤|thresholds|-row partial per batch summed
+    in a tiny final groupby. Empty tokens are excluded (DuckDB
+    ``string_split`` parity)."""
+    from .. import relational as rel
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(off))
+        keep = words != ""  # elementwise on the object array, no loop
+        f = pd.DataFrame({"tok": words[keep], "first_doc": doc[keep]})
+        g = f.groupby("tok", sort=False, as_index=False)["first_doc"].min()
+        return pa.table({"tok": pa.array(g["tok"], pa.string()),
+                         "first_doc": pa.array(g["first_doc"], pa.int64())})
+
+    firsts = rel.grouped_agg_hash(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], min_cols=["first_doc"], count=False,
+        num_buckets=num_buckets)
+    ts = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def curve(t: pa.Table) -> pa.Table:
+        fd = t["min_first_doc"].to_numpy(zero_copy_only=False)
+        vocab = (fd[None, :] < ts[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"n_docs": pa.array(ts, pa.int64()),
+                         "vocab": pa.array(vocab, pa.int64())})
+
+    return rel.grouped_agg(
+        firsts.map_batches(curve, batch_format="pyarrow"),
+        ["n_docs"], sum_cols=["vocab"], count=False)
+
+
+def phrase_counts(ds: ray.data.Dataset, first: str, second: str,
+                  col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact two-token phrase frequency per document: the number of
+    positions p with token[p] == first and token[p+1] == second inside
+    the same document — the positional-index phrase query (retrieval's
+    "adjacent terms" operator) computed scan-side without building the
+    index. Emits only matching docs (doc_id, n_phrase).
+
+    Scale: map-only — two Arrow equality kernels over the flat token
+    array, one cumsum, and an offsets gather; never a shuffle, never a
+    per-row loop. The cross-document boundary (last token of doc j vs
+    first of doc j+1) is excluded by evaluating the cumulative count
+    on [start, end-1) per document."""
+    from ..pipelines.mining import _tokens_flat
+
+    def f(t: pa.Table) -> pa.Table:
+        vals, offs = _tokens_flat(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vals)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_phrase": pa.array([], pa.int64())})
+        m1 = pc.equal(vals, first).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(vals, second).to_numpy(zero_copy_only=False)
+        adj = np.zeros(n, dtype=np.int64)
+        adj[:-1] = (m1[:-1] & m2[1:]).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(adj)))
+        o = offs - offs[0]
+        end = np.maximum(o[1:] - 1, o[:-1])  # [start, end-1): empty-safe
+        cnt = cs[end] - cs[o[:-1]]
+        keep = cnt > 0
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_phrase": pa.array(cnt[keep], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,126 @@
+"""Unit tests for the round-3 batch-9 operators: Haar subband stats,
+dHash buckets, vocabulary growth, DAG layering, SAX words, phrase
+counts — each against a hand-computed or brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hand_index_ray.pipelines import mining
+from hand_index_ray.pipelines.graph import dag_layers
+from hand_index_ray.pipelines.text import phrase_counts, vocab_growth
+
+
+def _ds(tbl: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(3)
+
+
+def _img_ds(arrays):
+    from hand_index_ray.kernels import image as imk
+
+    n = len(arrays)
+    return _ds(pa.table({
+        "image_id": pa.array([f"t{i}" for i in range(n)], pa.string()),
+        "bytes": pa.array([imk.encode(a, "raw") for a in arrays],
+                          pa.binary()),
+        "w": pa.array([a.shape[1] for a in arrays], pa.int32()),
+        "h": pa.array([a.shape[0] for a in arrays], pa.int32()),
+        "fmt": pa.array(["raw"] * n, pa.string())}))
+
+
+def _haar_ref(p):
+    """Brute-force 2-level lifting Haar reference."""
+    def lvl(m):
+        a, b = m[0::2, 0::2], m[0::2, 1::2]
+        c, d = m[1::2, 0::2], m[1::2, 1::2]
+        return (a + b + c + d, (a + b) - (c + d),
+                (a - b) + (c - d), (a - b) - (c - d))
+
+    ll1, lh1, hl1, hh1 = lvl(p.astype(np.int64))
+    ll2, _, _, hh2 = lvl(ll1)
+    return {"e_lh1": int((lh1 ** 2).sum()), "e_hl1": int((hl1 ** 2).sum()),
+            "e_hh1": int((hh1 ** 2).sum()), "ll2_sum": int(ll2.sum()),
+            "e_hh2": int((hh2 ** 2).sum())}
+
+
+def test_haar_stats(ray_session):
+    from hand_index_ray.pipelines.image_embed import haar_stats
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
+            for _ in range(3)]
+    out = (haar_stats(_img_ds(imgs), channel=1).to_pandas()
+           .set_index("image_id").sort_index())
+    for i, img in enumerate(imgs):
+        ref = _haar_ref(img[:, :, 1])
+        row = out.loc[f"t{i}"]
+        for k, v in ref.items():
+            assert int(row[k]) == v, (i, k)
+
+
+def test_dhash_bit_layout(ray_session):
+    from hand_index_ray.pipelines.image_embed import dhash_counts
+
+    # gradient image: every row strictly decreasing -> all 56 bits set
+    dec = np.repeat(np.tile(np.arange(255, 255 - 32, -1,
+                                      dtype=np.uint8)[None, :],
+                            (24, 1))[:, :, None], 3, axis=2)
+    # constant image -> no strict > anywhere -> hash 0
+    flat = np.full((24, 32, 3), 9, np.uint8)
+    out = (dhash_counts(_img_ds([dec, flat, flat]), channel=0)
+           .to_pandas().sort_values("dhash").reset_index(drop=True))
+    assert out["dhash"].tolist() == [0, (1 << 56) - 1]
+    assert out["n"].tolist() == [2, 1]
+
+
+def test_vocab_growth_brute(ray_session):
+    texts = ["a b c", "b c d", "e", "a f f"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(texts)})
+    out = (vocab_growth(_ds(tbl), [1, 2, 4]).to_pandas()
+           .sort_values("n_docs"))
+    # first docs: a,b,c @0; d @1; e @2; f @3
+    assert out[["n_docs", "vocab"]].values.tolist() == [
+        [1, 3], [2, 4], [4, 6]]
+
+
+def test_dag_layers_hand(ray_session):
+    # 0->1->2->3 chain plus shortcut 0->2: layer = longest path
+    tbl = pa.table({"u": pa.array([0, 1, 2, 0], pa.int64()),
+                    "v": pa.array([1, 2, 3, 2], pa.int64())})
+    out = (dag_layers(_ds(tbl), "u", "v").to_pandas()
+           .sort_values("node"))
+    assert out[["node", "layer"]].values.tolist() == [
+        [0, 0], [1, 1], [2, 2], [3, 3]]
+
+
+def test_sax_words_hand(ray_session):
+    # 8 series of one value each fix quartiles: values 1..8 ->
+    # q1=2, q2=4, q3=6 (percentile_disc = ceil(p*n) 1-based)
+    ks = list(range(1, 9))
+    tbl = pa.table({"k": pa.array(ks, pa.int64()),
+                    "o": pa.array([0] * 8, pa.int64()),
+                    "v": pa.array(ks, pa.int64())})
+    out = mining.sax_words(_ds(tbl), "k", "o", "v", frames=4).to_pandas()
+    got = dict(zip(out["word"], out["n"]))
+    # v<2 -> a (k=1); v<4 -> b (2,3); v<6 -> c (4,5); else d (6,7,8)
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 3}
+
+
+def test_phrase_counts_no_boundary_bleed(ray_session):
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["x data group y data group",
+                                      "ends with data",
+                                      "group starts"])})
+    # doc1 has 2 matches; doc2's trailing "data" must NOT pair with
+    # doc3's leading "group" (cross-document adjacency)
+    out = phrase_counts(_ds(tbl), "data", "group").to_pandas()
+    assert out.values.tolist() == [[1, 2]]
+
+
+def test_phrase_counts_single_token_docs(ray_session):
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["data", "group"])})
+    assert len(phrase_counts(_ds(tbl), "data", "group").to_pandas()) == 0
