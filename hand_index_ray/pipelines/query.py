@@ -733,22 +733,49 @@ def _catalog_state(path: str, filesystem=None) -> tuple:
     return (p, os.path.getmtime(p), os.path.getsize(p))
 
 
+def _pack_catalog(rag_all: "wkb.Ragged") -> dict:
+    """Flatten a multi-geometry Ragged into the zero-copy broadcast
+    catalog: per-geometry bounds/area plus ONE global edge array
+    (start, end rows) with per-geometry offsets. Everything is a plain
+    numpy array, so each actor's ``ray.get`` is a zero-copy plasma
+    view — no per-polygon pickles to deserialize per actor per call
+    (the r3 zonal-scaling fix: per-actor catalog unpickling multiplied
+    with pool size and serialized the 4→16-CPU legs)."""
+    c = rag_all.coords
+    ro = rag_all.ring_coord_off.astype(np.int64)
+    po = rag_all.part_ring_off.astype(np.int64)
+    go = rag_all.geom_part_off.astype(np.int64)
+    # edge starts = every coord index except each ring's last.
+    # Degenerate rings stay correct: a 1-coord ring excludes its own
+    # single index; a 0-coord ring's (e-1) is the previous ring's last
+    # index, which that ring's own rule already excluded.
+    valid = np.ones(max(len(c) - 1, 0), dtype=bool)
+    last = ro[1:] - 1
+    valid[last[last < len(valid)]] = False
+    starts = np.flatnonzero(valid)
+    # per-geometry edge offsets via per-ring edge counts (len-1, >=0)
+    ring_edges = np.maximum(np.diff(ro) - 1, 0)
+    ce = np.concatenate([[0], np.cumsum(ring_edges)]).astype(np.int64)
+    edge_off = ce[po[go]]
+    return {"coords": c, "ring_off": ro, "part_off": po, "geom_off": go,
+            "bounds": geom.bounds(rag_all), "area": geom.area(rag_all),
+            "e1": c[starts], "e2": c[starts + 1], "edge_off": edge_off}
+
+
 def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
-                          level: int, filesystem=None) -> ray.data.Dataset:
+                          level: int, filesystem=None,
+                          pool_hint: int = 0) -> ray.data.Dataset:
     """Broadcast spatial join — the NO-SHUFFLE zonal path.
 
     When the catchment catalog fits the broadcast budget, there is no
     reason to move the footprints at all: the catalog's covering-cell
-    index (flat sorted arrays) and once-prepared polygons broadcast via
-    the object store, and ONE map_batches over the footprint table
-    looks up candidates locally and runs the exact predicate. Pair
-    dedup is intra-batch (each footprint row lives in exactly one
-    batch), so the canonical-cell machinery of the shuffle path is
-    unnecessary. Index files are cell-partitioned, so batches are
-    spatially local and each task unpickles only the few polygons it
-    actually touches."""
-    import pickle
-
+    index and geometry store (flat numpy arrays — zero-copy through
+    the object store) broadcast once, and ONE map_batches over the
+    footprint table looks up candidates locally and runs the exact
+    predicate. Pair dedup is intra-batch (each footprint row lives in
+    exactly one batch), so the canonical-cell machinery of the shuffle
+    path is unnecessary. Index files are cell-partitioned, so batches
+    are spatially local and each task touches few polygons."""
     # include the Ray session in the key: an ObjectRef from a previous
     # ray.init() is dead after shutdown/re-init and must not be served
     _session = ray.get_runtime_context().get_job_id()
@@ -756,7 +783,7 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
                   _session)
     _cached = _ZONAL_BCAST_CACHE.get(_cache_key)
     if _cached is not None:
-        return _zonal_join_broadcast_map(foot, _cached)
+        return _zonal_join_broadcast_map(foot, _cached, pool_hint)
 
     _cat_tbl = pq.read_table(catchments_path,
                              columns=["catchment_id", "geometry"],
@@ -766,7 +793,7 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
 
     @ray.remote(num_cpus=1)
     def _prep_chunk(blobs_c: list) -> tuple:
-        """Prepared polygons + the projected padded covering bbox per
+        """Reprojected chunk geometry + the padded covering bbox per
         blob — ONE vectorized decode/reproject pass over the whole
         chunk serves both (per-blob decode dominated before)."""
         rag5070_all = wkb.decode(blobs_c)
@@ -781,22 +808,33 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
                          lons.max(axis=1) + pad, lats.max(axis=1) + pad], axis=1)
         lon, lat = proj.albers_to_lonlat(rag5070_all.coords[:, 0],
                                          rag5070_all.coords[:, 1])
-        rag_all = wkb.Ragged(np.stack([lon, lat], axis=1),
-                             rag5070_all.ring_coord_off,
-                             rag5070_all.part_ring_off,
-                             rag5070_all.geom_part_off)
-        out = [pickle.dumps(geom.PreparedPolygon(rag_all, i))
-               for i in range(len(blobs_c))]
-        return out, bbox
+        coords = np.stack([lon, lat], axis=1)
+        return (coords, rag5070_all.ring_coord_off,
+                rag5070_all.part_ring_off, rag5070_all.geom_part_off,
+                bbox)
 
     step = max(1, (len(blobs) + 63) // 64)
     futs = [_prep_chunk.remote(blobs[i:i + step])
             for i in range(0, len(blobs), step)]
-    preps: list = []
-    bboxes: list = []
-    for chunk, bbox in ray.get(futs):
-        preps.extend(chunk)
+    chunks = ray.get(futs)
+    # concatenate the chunk raggeds into ONE catalog ragged (offset
+    # arrays shift by the running coord/ring/part totals)
+    coords_l, ring_l, part_l, geom_l, bboxes = [], [[0]], [[0]], [[0]], []
+    cb = rb = pb = 0
+    for coords, ro, po, go, bbox in chunks:
+        coords_l.append(coords)
+        ring_l.append(ro[1:].astype(np.int64) + cb)
+        part_l.append(po[1:].astype(np.int64) + rb)
+        geom_l.append(go[1:].astype(np.int64) + pb)
+        cb += len(coords)
+        rb += len(ro) - 1
+        pb += len(po) - 1
         bboxes.append(bbox)
+    rag_all = wkb.Ragged(
+        np.concatenate(coords_l) if coords_l else np.empty((0, 2)),
+        np.concatenate(ring_l).astype(np.int64),
+        np.concatenate(part_l).astype(np.int64),
+        np.concatenate(geom_l).astype(np.int64))
     bb = (np.concatenate(bboxes) if bboxes
           else np.empty((0, 4), dtype=np.float64))
     ci, cc = lattice_cover(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], level)
@@ -805,12 +843,12 @@ def _zonal_join_broadcast(foot: ray.data.Dataset, catchments_path: str,
     ucell, ustart = np.unique(cc_s, return_index=True)
     uoff = np.append(ustart, len(cc_s)).astype(np.int64)
     idx_ref = ray.put((ucell, uoff, ci_s, np.array(cids, dtype=object),
-                       np.array(preps, dtype=object)))
+                       _pack_catalog(rag_all)))
     cached = (idx_ref, level)
     while len(_ZONAL_BCAST_CACHE) >= 4:  # bound pinned object-store refs
         _ZONAL_BCAST_CACHE.pop(next(iter(_ZONAL_BCAST_CACHE)))
     _ZONAL_BCAST_CACHE[_cache_key] = cached
-    return _zonal_join_broadcast_map(foot, cached)
+    return _zonal_join_broadcast_map(foot, cached, pool_hint)
 
 
 _ZONAL_OUT = pa.schema([("image_id", pa.string()), ("catchment_id", pa.string())])
@@ -818,24 +856,43 @@ _ZONAL_OUT = pa.schema([("image_id", pa.string()), ("catchment_id", pa.string())
 
 class ZonalBroadcastJoiner:
     """Actor-pool map stage of the broadcast spatial join: the
-    broadcast catalog index is fetched ONCE per actor in __init__ and
-    each catchment's PreparedPolygon is unpickled at most once per
-    actor (per-actor cache) instead of once per (catchment, batch) —
-    VERDICT r2 'what's wrong' 5."""
+    broadcast catalog (flat numpy arrays) is fetched ONCE per actor in
+    __init__ as zero-copy plasma views, and each catchment's
+    PreparedPolygon is materialized at most once per actor as pure
+    ARRAY VIEWS into the shared catalog — no pickle bytes anywhere, so
+    actor init cost no longer multiplies with pool size (the r2
+    per-(catchment,batch) unpickle fix, upgraded in r3 after the
+    4→16-CPU scaling probe showed per-actor deserialization
+    serializing the join)."""
 
     def __init__(self, idx_ref, level):
         (self.ucell, self.uoff, self.cat_of,
-         self.cid_arr, self.prep_arr) = ray.get(idx_ref)
+         self.cid_arr, pk) = ray.get(idx_ref)
         self.level = level
+        self.rag = wkb.Ragged(pk["coords"], pk["ring_off"],
+                              pk["part_off"], pk["geom_off"])
+        self.bounds_arr = pk["bounds"]
+        self.area_arr = pk["area"]
+        self.e1_all, self.e2_all = pk["e1"], pk["e2"]
+        self.edge_off = pk["edge_off"]
         self._pcache: dict = {}
         self.n_unpickles = 0  # test hook: one per (actor, catchment)
 
     def _prep(self, c: int):
         p = self._pcache.get(c)
         if p is None:
-            import pickle
             self.n_unpickles += 1
-            p = self._pcache[c] = pickle.loads(self.prep_arr[c])
+            g = self.rag.geom_slice(c)
+            p = geom.PreparedPolygon.__new__(geom.PreparedPolygon)
+            p.geom = g
+            p.bounds = self.bounds_arr[c]
+            p.area = float(self.area_arr[c])
+            s, e = self.edge_off[c], self.edge_off[c + 1]
+            p.e1 = self.e1_all[s:e]
+            p.e2 = self.e2_all[s:e]
+            p.vx = g.coords[:, 0]
+            p.vy = g.coords[:, 1]
+            self._pcache[c] = p
         return p
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -882,18 +939,27 @@ class ZonalBroadcastJoiner:
                         schema=_ZONAL_OUT)
 
 
-def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple) -> ray.data.Dataset:
+def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple,
+                              pool_hint: int = 0) -> ray.data.Dataset:
     """The map stage of the broadcast spatial join over a (possibly
-    cached) broadcast catalog index."""
+    cached) broadcast catalog index.
+
+    Pool sizing: actor init is zero-copy-cheap after the packed-catalog
+    fix, so when the caller knows the input spans many files
+    (``pool_hint``) the pool is FIXED at min(cpus, hint) — an
+    autoscaling pool ramps too slowly to reach full width inside a
+    seconds-long join, which capped measured 4→16-CPU scaling."""
     idx_ref, level = cached
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
+    conc = (min(cpus, max(2, int(pool_hint))) if pool_hint
+            else (1, max(2, cpus)))
     return foot.map_batches(
         ZonalBroadcastJoiner,
         fn_constructor_kwargs={"idx_ref": idx_ref, "level": level},
-        concurrency=(1, max(2, cpus)),
+        concurrency=conc,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -946,7 +1012,8 @@ def zonal_join(index_dir: str, catchments_path: str,
             else os.path.getsize(catchments_path)
     if _cat_bytes <= cfg.zonal_broadcast_bytes:
         return _zonal_join_broadcast(foot, catchments_path, level,
-                                     filesystem=filesystem)
+                                     filesystem=filesystem,
+                                     pool_hint=len(files))
 
     _SCHEMA = pa.schema([
         ("cell", pa.uint64()), ("salt", pa.int32()), ("side", pa.int8()),

@@ -266,27 +266,39 @@ def test_polygons_intersect_one_matches_pairwise():
 
 def test_zonal_broadcast_joiner_unpickles_once_per_catchment():
     """Per-actor PreparedPolygon cache: repeated batches touching the
-    same catchments must not re-unpickle (one load per catchment per
-    actor)."""
-    import pickle
-
+    same catchments must not re-materialize the prepared views (one
+    construction per catchment per actor), and the packed catalog's
+    view-based polygons must give the same predicate results as
+    directly-prepared ones."""
     import numpy as np
     import pyarrow as pa
     import ray
 
     from hand_index_ray.kernels import geom, wkb
-    from hand_index_ray.pipelines.query import ZonalBroadcastJoiner
+    from hand_index_ray.pipelines.query import (ZonalBroadcastJoiner,
+                                                _pack_catalog)
     from hand_index_ray.pipelines.query import lattice_cover
 
     level = 7
-    # two catchment squares
+    # two catchment squares in ONE multi-geometry catalog ragged
+    rings = []
     polys = []
     for x0 in (0.0, 2.0):
-        polys.append(wkb.from_parts([[[np.array(
+        ring = np.array(
             [[x0, 0], [x0 + 1.5, 0], [x0 + 1.5, 1.5], [x0, 1.5], [x0, 0]],
-            float)]]]))
-    preps = np.array([pickle.dumps(geom.PreparedPolygon(p, 0))
-                      for p in polys], dtype=object)
+            float)
+        rings.append([[ring]])
+        polys.append(wkb.from_parts([[[ring]]]))
+    rag_all = wkb.from_parts(rings)
+    packed = _pack_catalog(rag_all)
+    # packed views must reproduce the directly-prepared edge arrays
+    for i, p in enumerate(polys):
+        ref = geom.PreparedPolygon(p, 0)
+        s, e = packed["edge_off"][i], packed["edge_off"][i + 1]
+        assert np.array_equal(packed["e1"][s:e], ref.e1)
+        assert np.array_equal(packed["e2"][s:e], ref.e2)
+        assert np.allclose(packed["bounds"][i], ref.bounds)
+        assert np.isclose(packed["area"][i], ref.area)
     bb = np.stack([geom.bounds(p)[0] for p in polys])
     ci, cc = lattice_cover(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], level)
     o = np.argsort(cc, kind="stable")
@@ -294,7 +306,7 @@ def test_zonal_broadcast_joiner_unpickles_once_per_catchment():
     ucell, ustart = np.unique(cc_s, return_index=True)
     uoff = np.append(ustart, len(cc_s)).astype(np.int64)
     idx_ref = ray.put((ucell, uoff, ci_s,
-                       np.array(["c0", "c1"], dtype=object), preps))
+                       np.array(["c0", "c1"], dtype=object), packed))
 
     j = ZonalBroadcastJoiner(idx_ref, level)
     batch = pa.table({"image_id": pa.array(["a", "b"], pa.string()),
