@@ -6518,6 +6518,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_counts(_t(sf, "documents"), "data", "group")
 
+    def q320_trigram_lm(sf):  # trigram LM next-token argmax table
+        """Most frequent next token per bigram context (count >= 3,
+        lexicographic tie-break) — pipelines/text.py:trigram_lm, one
+        context-keyed shuffle of per-batch count partials."""
+        from hand_index_ray.pipelines.text import trigram_lm
+
+        return trigram_lm(_t(sf, "documents"), min_n=3)
+
+    def q321_chunking(sf):  # RAG context-window chunk ledger
+        """Window-32/stride-24 token chunking of every document:
+        per-chunk index, token count, first/last token — map-only
+        (pipelines/text.py:chunk_ledger)."""
+        from hand_index_ray.pipelines.text import chunk_ledger
+
+        return chunk_ledger(_t(sf, "documents"), window=32, stride=24)
+
+    def q322_ttr(sf):  # type-token ratio partials
+        """Lexical diversity: distinct vs total tokens per document as
+        exact integers (pipelines/text.py:ttr_scores)."""
+        from hand_index_ray.pipelines.text import ttr_scores
+
+        return ttr_scores(_t(sf, "documents"))
+
+    def q323_repeated_ngrams(sf):  # boilerplate repeated-n-gram screen
+        """Largest n in {1,2,4,8} whose token n-gram repeats within the
+        doc — exact lexsort window dedup, no hashing
+        (pipelines/text.py:repeated_ngram_max)."""
+        from hand_index_ray.pipelines.text import repeated_ngram_max
+
+        return repeated_ngram_max(_t(sf, "documents"))
+
+    def q324_silence(sf):  # silence-run ledger over REAL WAV decode
+        """PCM16 payloads synthesized with deliberate silent blocks
+        (|v| < 2048 when ((i//16)+k)%4 = 0), decoded by the from-spec
+        WAV codec and run-length analyzed
+        (stages/multimodal.py:silence_runs). Oracle recomputes the
+        runs with a gaps-and-islands window over the sample formula."""
+        import ray.data as rd
+
+        from hand_index_ray.kernels.audio import encode_wav
+        from hand_index_ray.stages.multimodal import silence_runs
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 89 == 0])
+            ids, bufs, ns = [], [], []
+            for k in keys.tolist():
+                n = 300 + k % 200
+                i = np.arange(n, dtype=np.int64)
+                quiet = ((i // 16) + k) % 4 == 0
+                vq = (k * 31 + i * 7) % 4095 - 2047
+                m = 2048 + (k * 7919 + i * 104729) % 30720
+                vl = np.where(i % 2 == 0, m, -m)
+                v = np.where(quiet, vq, vl)
+                ids.append(f"clip-{k:09d}")
+                bufs.append(encode_wav(v / 32768.0, 16000, bits=16))
+                ns.append(n)
+            nn = len(ids)
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sample_rate": pa.array([16000] * nn, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "codec": pa.array(["wav"] * nn, pa.string())})
+
+        clips = orders.map_batches(gen, batch_format="pyarrow")
+        return silence_runs(clips, threshold=2048, min_run=8)
+
+    def q325_freeze(sf):  # frozen-frame detector over REAL Y4M decode
+        """Y4M clips with deliberately repeated frames (frame f copies
+        f-1 when (k+f)%4 < 2), detected by exact decoded-frame
+        comparison (stages/multimodal.py:freeze_frames); oracle
+        recomputes the freeze pattern + islands."""
+        from hand_index_ray.kernels.video import encode_y4m
+        from hand_index_ray.stages.multimodal import freeze_frames
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 101 == 0])
+            ids, bufs, nfs = [], [], []
+            h, w = 6, 8
+            yy = 3 * np.arange(h, dtype=np.int64)[:, None]
+            xx = 2 * np.arange(w, dtype=np.int64)[None, :]
+            for k in keys.tolist():
+                n = 8 + k % 5
+                frames = np.zeros((n, h, w, 3), np.uint8)
+                eff = 0
+                for f in range(n):
+                    if not (f > 0 and (k + f) % 4 < 2):
+                        eff = f
+                    g = ((k + 5 * eff + yy + xx) % 256).astype(np.uint8)
+                    frames[f] = g[:, :, None]
+                ids.append(f"vid-{k:09d}")
+                bufs.append(encode_y4m(frames))
+                nfs.append(n)
+            nn = len(ids)
+            return pa.table({
+                "video_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array([w] * nn, pa.int32()),
+                "h": pa.array([h] * nn, pa.int32()),
+                "fps": pa.array([30.0] * nn, pa.float64()),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "codec": pa.array(["y4m"] * nn, pa.string())})
+
+        vids = orders.map_batches(gen, batch_format="pyarrow")
+        return freeze_frames(vids)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6832,6 +6944,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q317_dag_layers": q317_dag_layers,
         "q318_sax": q318_sax,
         "q319_phrase": q319_phrase,
+        "q320_trigram_lm": q320_trigram_lm,
+        "q321_chunking": q321_chunking,
+        "q322_ttr": q322_ttr,
+        "q323_repeated_ngrams": q323_repeated_ngrams,
+        "q324_silence": q324_silence,
+        "q325_freeze": q325_freeze,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -9090,6 +9208,114 @@ def oracle_sql() -> dict[str, str]:
               ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             WHERE a.tok = 'data' AND b.tok = 'group'
             GROUP BY a.doc_id
+        """,
+        "q320_trigram_lm": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            p AS (SELECT doc_id, unnest(l) AS tok,
+                         generate_subscripts(l, 1) AS pos FROM t),
+            tri AS (SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3,
+                           COUNT(*) AS cnt
+                    FROM p a
+                    JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                    GROUP BY 1, 2, 3),
+            best AS (SELECT w1, w2, w3, cnt FROM tri
+                     QUALIFY ROW_NUMBER() OVER
+                       (PARTITION BY w1, w2
+                        ORDER BY cnt DESC, w3) = 1)
+            SELECT w1, w2, w3, CAST(cnt AS BIGINT) AS n
+            FROM best WHERE cnt >= 3
+        """,
+        "q321_chunking": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (SELECT doc_id, l, i.i AS chunk_idx, i.i * 24 AS st,
+                         LEAST(i.i * 24 + 32, len(l)) AS en
+                  FROM t, generate_series(0, 127) i(i)
+                  WHERE i.i * 24 < len(l))
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(en - st AS BIGINT) AS n_tokens,
+                   l[st + 1] AS first_tok,
+                   l[en] AS last_tok
+            FROM c
+        """,
+        "q322_ttr": """
+            WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM p WHERE tok <> '' GROUP BY doc_id
+        """,
+        "q323_repeated_ngrams": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            p AS (SELECT doc_id, l, generate_subscripts(l, 1) AS pos,
+                         unnest(l) AS tok FROM t),
+            ns AS (SELECT unnest([1, 2, 4, 8]) AS n),
+            g AS (SELECT p.doc_id, ns.n,
+                         array_to_string(p.l[p.pos : p.pos + ns.n - 1],
+                                         ' ') AS gram
+                  FROM p, ns WHERE p.pos + ns.n - 1 <= len(p.l)),
+            rep AS (SELECT doc_id, n FROM g
+                    GROUP BY doc_id, n, gram HAVING COUNT(*) > 1)
+            SELECT t.doc_id,
+                   CAST(COALESCE(MAX(rep.n), 0) AS BIGINT) AS max_rep
+            FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id
+            GROUP BY t.doc_id
+        """,
+        "q324_silence": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 89 = 0),
+            s AS (SELECT k, i.i AS i,
+                    CASE WHEN ((i.i // 16) + k) % 4 = 0
+                         THEN (k*31 + i.i*7) % 4095 - 2047
+                         WHEN i.i % 2 = 0
+                         THEN 2048 + (k*7919 + i.i*104729) % 30720
+                         ELSE -(2048 + (k*7919 + i.i*104729) % 30720)
+                    END AS v
+                  FROM ks, generate_series(0, 499) i(i)
+                  WHERE i.i < 300 + k % 200),
+            sil AS (SELECT k, i FROM s WHERE abs(v) < 2048),
+            isl AS (SELECT k,
+                      i - ROW_NUMBER() OVER (PARTITION BY k ORDER BY i)
+                        AS grp
+                    FROM sil),
+            runs AS (SELECT k, COUNT(*) AS c FROM isl GROUP BY k, grp),
+            agg AS (SELECT k,
+                      CAST(COUNT(*) FILTER (c >= 8) AS BIGINT) AS n_runs,
+                      CAST(COALESCE(SUM(c) FILTER (c >= 8), 0)
+                           AS BIGINT) AS silent_samples,
+                      CAST(COALESCE(MAX(c) FILTER (c >= 8), 0)
+                           AS BIGINT) AS longest_run
+                    FROM runs GROUP BY k)
+            SELECT 'clip-' || lpad(CAST(ks.k AS VARCHAR), 9, '0')
+                     AS clip_id,
+                   COALESCE(n_runs, 0) AS n_runs,
+                   COALESCE(silent_samples, 0) AS silent_samples,
+                   COALESCE(longest_run, 0) AS longest_run
+            FROM ks LEFT JOIN agg ON agg.k = ks.k
+        """,
+        "q325_freeze": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 101 = 0),
+            f AS (SELECT k, f.f AS f FROM ks, generate_series(1, 12) f(f)
+                  WHERE f.f < 8 + k % 5),
+            froz AS (SELECT k, f FROM f WHERE (k + f) % 4 < 2),
+            isl AS (SELECT k,
+                      f - ROW_NUMBER() OVER (PARTITION BY k ORDER BY f)
+                        AS grp
+                    FROM froz),
+            runs AS (SELECT k, COUNT(*) AS c FROM isl GROUP BY k, grp),
+            agg AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n_freeze,
+                           CAST(MAX(c) AS BIGINT) AS longest_freeze
+                    FROM runs GROUP BY k)
+            SELECT 'vid-' || lpad(CAST(ks.k AS VARCHAR), 9, '0')
+                     AS video_id,
+                   COALESCE(n_freeze, 0) AS n_freeze,
+                   COALESCE(longest_freeze, 0) AS longest_freeze
+            FROM ks LEFT JOIN agg ON agg.k = ks.k
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

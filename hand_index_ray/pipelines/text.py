@@ -1638,3 +1638,161 @@ def phrase_counts(ds: ray.data.Dataset, first: str, second: str,
                          "n_phrase": pa.array(cnt[keep], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def trigram_lm(ds: ray.data.Dataset, col: str = "text",
+               min_n: int = 3, num_buckets: int = 64) -> ray.data.Dataset:
+    """Trigram language-model MLE table: for every bigram context
+    (w1, w2), the most frequent next token w3 (ties broken
+    lexicographically) among contexts seen at least ``min_n`` times —
+    the count-based next-token predictor used to QA corpora before
+    training (degenerate contexts signal boilerplate).
+
+    Scale: per-batch triple-count partials (pandas C groupby) collapse
+    each batch before ONE hash-bucket shuffle keyed on the CONTEXT
+    (w1, w2) — w3 rides as a payload column, so every row of a context
+    co-locates and the per-context sum + argmax is a whole-bucket
+    vectorized sort + drop_duplicates, never a per-group UDF."""
+    from .. import relational as rel
+
+    def triples(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        n = len(words)
+        if n < 3:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "w3": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        valid = np.ones(n - 2, dtype=bool)
+        ends = off - off[0]
+        for d in (1, 2):  # starts whose triple crosses a doc boundary
+            bad = ends[1:] - d
+            bad = bad[(bad >= 0) & (bad < n - 2)]
+            valid[bad] = False
+        idx = np.flatnonzero(valid)
+        f = pd.DataFrame({"w1": words[idx], "w2": words[idx + 1],
+                          "w3": words[idx + 2]})
+        g = f.groupby(["w1", "w2", "w3"], sort=False).size()
+        g = g.reset_index(name="c")
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "w3": pa.array(g["w3"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    counts = ds.map_batches(triples, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["w1", "w2", "w3"], sort=False, as_index=False)["c"].sum()
+        s = s[s["c"] >= min_n]
+        s = s.sort_values(["w1", "w2", "c", "w3"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        s = s.drop_duplicates(["w1", "w2"], keep="first")
+        return s.rename(columns={"c": "n"})
+
+    # shuffle on the CONTEXT so each (w1, w2) lands whole in one bucket
+    return rel.grouped_apply_bucketed(counts, ["w1", "w2"], argmax,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+
+def chunk_ledger(ds: ray.data.Dataset, window: int = 32, stride: int = 24,
+                 col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """RAG-style context-window chunking ledger: split each document's
+    token stream into windows of ``window`` tokens advancing by
+    ``stride`` (overlap = window - stride), and emit per chunk its
+    index, token count, and first/last token — the metadata a
+    retrieval indexer stores per chunk without materializing chunk
+    text. Map-only: lengths from the split offsets, one gather per
+    boundary column; chunks never shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        nch = np.where(lens > 0, (np.maximum(lens - 1, 0)) // stride + 1, 0)
+        doc_i = np.repeat(np.arange(len(ids)), nch)
+        # chunk index within each doc: global arange minus each doc's base
+        base = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        ci = np.arange(int(nch.sum()), dtype=np.int64) - np.repeat(base, nch)
+        start = ci * stride
+        end = np.minimum(start + window, lens[doc_i])
+        o0 = (off - off[0])[doc_i]
+        return pa.table({
+            "doc_id": pa.array(ids[doc_i], pa.int64()),
+            "chunk_idx": pa.array(ci, pa.int64()),
+            "n_tokens": pa.array(end - start, pa.int64()),
+            "first_tok": pa.array(words[o0 + start], pa.string()),
+            "last_tok": pa.array(words[o0 + end - 1], pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ttr_scores(ds: ray.data.Dataset, col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Type-token ratio partials per document: distinct-token count
+    (types) and total token count — the lexical-diversity screen
+    (near-1 ratios flag word-salad, near-0 flag repetition). Emitted
+    as exact integer numerator/denominator. Map-only (a document
+    never spans batches); empty tokens excluded (string_split
+    parity)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, np.diff(off))
+        keep = words != ""
+        f2 = pd.DataFrame({"doc_id": doc[keep], "tok": words[keep]})
+        g = f2.groupby("doc_id", sort=False)["tok"].agg(["nunique", "size"])
+        g = g.reset_index()
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "n_types": pa.array(g["nunique"].to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repeated_ngram_max(ds: ray.data.Dataset, ns: tuple = (1, 2, 4, 8),
+                       col: str = "text",
+                       id_col: str = "doc_id") -> ray.data.Dataset:
+    """Boilerplate screen: for each document, the largest tested n
+    such that some token n-gram occurs at least twice (0 when even no
+    single token repeats) — repeated long n-grams are the classic
+    template/boilerplate signal in web corpora (the detector behind
+    'remove docs whose 8-gram repeats').
+
+    Exact and vectorized: tokens factorize to int codes once per
+    batch; for each n, candidate windows sort with ONE batch-wide
+    lexsort (doc id + the n shifted code columns) and adjacent equal
+    rows mark their document — no hashing, so no collision caveat.
+    Map-only (documents never span batches)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, _u = pd.factorize(words)
+        codes = codes.astype(np.int64)
+        doc = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(off))
+        N = len(codes)
+        best = np.zeros(len(ids), np.int64)
+        for n in sorted(ns):
+            if N < n:
+                break
+            m = N - n + 1
+            valid = doc[:m] == doc[n - 1:]
+            w = np.flatnonzero(valid)
+            if len(w) < 2:
+                continue
+            keys = [codes[w + j] for j in range(n - 1, -1, -1)] + [doc[w]]
+            order = np.lexsort(keys)  # primary = doc, then code cols
+            ws = w[order]
+            eq = doc[ws[1:]] == doc[ws[:-1]]
+            for j in range(n):
+                eq &= codes[ws[1:] + j] == codes[ws[:-1] + j]
+            hit = np.unique(doc[ws[1:][eq]])
+            best[hit] = n  # ns ascending: later (larger) n overwrites
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "max_rep": pa.array(best, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

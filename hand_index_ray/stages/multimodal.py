@@ -196,3 +196,88 @@ class FrameSampler:
             "frame_idx": pa.array(frames, pa.int32()),
             "frame_phash": pa.array(phashes, pa.int64()),
         })
+
+
+def silence_runs(ds, threshold: int = 2048, min_run: int = 8):
+    """Silence-trim ledger over REAL WAV payloads (AUDIO_SCHEMA rows):
+    decode PCM16, mark samples with |v| < ``threshold``, and report
+    per clip the number of silent runs of at least ``min_run``
+    samples, the total samples inside those runs, and the longest run
+    — the detector behind 'trim leading/trailing silence' and 'drop
+    dead-air clips' in audio-corpus curation.
+
+    Map-only: decode + one np.diff run-length pass per clip inside the
+    batch; one slim row out per clip; never a shuffle."""
+    import pyarrow as pa
+
+    from ..kernels.audio import decode_wav
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("clip_id").to_pylist()
+        bts = t.column("bytes")
+        n_runs = np.zeros(t.num_rows, np.int64)
+        n_silent = np.zeros(t.num_rows, np.int64)
+        longest = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            x, _rate = decode_wav(bytes(bts[i].as_buffer()))
+            v = np.round(x * 32768.0).astype(np.int64)
+            s = np.abs(v) < threshold
+            if not s.any():
+                continue
+            d = np.diff(np.concatenate(([0], s.view(np.int8), [0])))
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            runs = ends - starts
+            runs = runs[runs >= min_run]
+            n_runs[i] = len(runs)
+            n_silent[i] = int(runs.sum())
+            longest[i] = int(runs.max()) if len(runs) else 0
+        return pa.table({"clip_id": pa.array(ids, pa.string()),
+                         "n_runs": pa.array(n_runs, pa.int64()),
+                         "silent_samples": pa.array(n_silent, pa.int64()),
+                         "longest_run": pa.array(longest, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def freeze_frames(ds):
+    """Frozen-frame detector over REAL Y4M payloads (VIDEO_SCHEMA
+    rows): decode every frame, compare each to its predecessor
+    (exact array equality — no fingerprint, no collision caveat), and
+    report per clip the number of frozen frames and the longest
+    consecutive frozen run — the curation screen for stalled
+    screen-recordings and corrupt transcodes.
+
+    Map-only per clip (frames of one clip decode inside one task);
+    at 100 TB the clip column partitions the corpus and this stage
+    rides the same actor pool as FrameSampler."""
+    import pyarrow as pa
+
+    from ..kernels.video import decode_y4m_frame
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("video_id").to_pylist()
+        bts = t.column("bytes")
+        nf = t.column("n_frames").to_numpy()
+        n_freeze = np.zeros(t.num_rows, np.int64)
+        longest = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            buf = bytes(bts[i].as_buffer())
+            prev = None
+            run = best = total = 0
+            for fidx in range(int(nf[i])):
+                fr = decode_y4m_frame(buf, fidx)
+                if prev is not None and np.array_equal(fr, prev):
+                    total += 1
+                    run += 1
+                    best = max(best, run)
+                else:
+                    run = 0
+                prev = fr
+            n_freeze[i] = total
+            longest[i] = best
+        return pa.table({"video_id": pa.array(ids, pa.string()),
+                         "n_freeze": pa.array(n_freeze, pa.int64()),
+                         "longest_freeze": pa.array(longest, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

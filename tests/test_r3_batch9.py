@@ -124,3 +124,94 @@ def test_phrase_counts_single_token_docs(ray_session):
     tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                     "text": pa.array(["data", "group"])})
     assert len(phrase_counts(_ds(tbl), "data", "group").to_pandas()) == 0
+
+
+def test_trigram_lm_hand(ray_session):
+    from hand_index_ray.pipelines.text import trigram_lm
+
+    # "a b c" x3 and "a b d" x2 -> context (a,b) argmax = c (n=3)
+    texts = ["a b c", "a b c", "a b c", "a b d", "a b d"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts)})
+    out = trigram_lm(_ds(tbl), min_n=3).to_pandas()
+    assert out[["w1", "w2", "w3", "n"]].values.tolist() == [
+        ["a", "b", "c", 3]]
+
+
+def test_trigram_lm_tie_break(ray_session):
+    from hand_index_ray.pipelines.text import trigram_lm
+
+    texts = ["x y a", "x y b", "x y a", "x y b", "x y a", "x y b"]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "text": pa.array(texts)})
+    out = trigram_lm(_ds(tbl), min_n=3).to_pandas()
+    # tie 3-3 -> lexicographically smaller w3 wins
+    assert out[["w1", "w2", "w3", "n"]].values.tolist() == [
+        ["x", "y", "a", 3]]
+
+
+def test_chunk_ledger_hand(ray_session):
+    from hand_index_ray.pipelines.text import chunk_ledger
+
+    toks = [f"t{i}" for i in range(10)]
+    tbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array([" ".join(toks)])})
+    out = (chunk_ledger(_ds(tbl), window=4, stride=3).to_pandas()
+           .sort_values("chunk_idx"))
+    # starts 0,3,6,9: lengths 4,4,4,1
+    assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert out["first_tok"].tolist() == ["t0", "t3", "t6", "t9"]
+    assert out["last_tok"].tolist() == ["t3", "t6", "t9", "t9"]
+
+
+def test_repeated_ngram_max_hand(ray_session):
+    from hand_index_ray.pipelines.text import repeated_ngram_max
+
+    texts = ["a b c d e f g h",          # no repeats -> 0
+             "a b c a b c x y",          # "a b c" repeats -> max tested 2
+             "p q r s p q r s",          # 4-gram repeats -> 4
+             "z z z z z z z z z"]        # 8-gram repeats -> 8
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (repeated_ngram_max(_ds(tbl)).to_pandas()
+           .sort_values("doc_id"))
+    assert out["max_rep"].tolist() == [0, 2, 4, 8]
+
+
+def test_silence_runs_hand(ray_session):
+    from hand_index_ray.kernels.audio import encode_wav
+    from hand_index_ray.stages.multimodal import silence_runs
+
+    v = np.concatenate([
+        np.full(10, 5000), np.zeros(12), np.full(5, -4000),
+        np.zeros(7), np.full(6, 3000)]).astype(np.int64)
+    tbl = pa.table({"clip_id": pa.array(["c"], pa.string()),
+                    "bytes": pa.array([encode_wav(v / 32768.0, 16000,
+                                                  bits=16)], pa.binary()),
+                    "sample_rate": pa.array([16000], pa.int32()),
+                    "n_samples": pa.array([len(v)], pa.int64()),
+                    "codec": pa.array(["wav"], pa.string())})
+    out = silence_runs(_ds(tbl), threshold=2048, min_run=8).to_pandas()
+    # runs of silence: 12 (kept) and 7 (below min_run 8 -> dropped)
+    assert out[["n_runs", "silent_samples", "longest_run"]].values.tolist() \
+        == [[1, 12, 12]]
+
+
+def test_freeze_frames_hand(ray_session):
+    from hand_index_ray.kernels.video import encode_y4m
+    from hand_index_ray.stages.multimodal import freeze_frames
+
+    h, w = 6, 8
+    base = (np.arange(h * w).reshape(h, w) % 256).astype(np.uint8)
+    frames = np.stack([base, base, base + 1, base + 1, base + 1, base])
+    frames = np.repeat(frames[:, :, :, None], 3, axis=3)
+    tbl = pa.table({"video_id": pa.array(["v"], pa.string()),
+                    "bytes": pa.array([encode_y4m(frames)], pa.binary()),
+                    "w": pa.array([w], pa.int32()),
+                    "h": pa.array([h], pa.int32()),
+                    "fps": pa.array([30.0], pa.float64()),
+                    "n_frames": pa.array([len(frames)], pa.int32()),
+                    "codec": pa.array(["y4m"], pa.string())})
+    out = freeze_frames(_ds(tbl)).to_pandas()
+    # frozen: frame1 (==0), frame3, frame4 (==2) -> 3 total, run of 2
+    assert out[["n_freeze", "longest_freeze"]].values.tolist() == [[3, 2]]
