@@ -6630,6 +6630,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vids = orders.map_batches(gen, batch_format="pyarrow")
         return freeze_frames(vids)
 
+    def q326_polyline(sf):  # Google encoded-polyline wire-cost ledger
+        """REAL polyline codec (kernels/polyline.py — spec example
+        bit-exact) over per-user fixed-point tracks; oracle recomputes
+        byte length + byte-value sum from the zigzag/5-bit-chunk
+        arithmetic (pipelines/mining.py:polyline_ledger)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "la": pa.array((e * 2654435761) % 17000000 - 8500000,
+                               pa.int64()),
+                "lg": pa.array((e * 976369) % 35000000 - 17500000,
+                               pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["user_id", "event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.polyline_ledger(ds, "user_id", "event_id",
+                                      "la", "lg")
+
+    def q327_survivorship(sf):  # golden-record merge (MDM survivorship)
+        """Latest non-null attribute per entity with a -1 sentinel for
+        never-set (pipelines/mining.py:survivorship)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep2(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            a = (e * 7) % 997
+            b = (e * 13) % 991
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "a": pa.array(a.astype(float), mask=(e % 3 == 0)),
+                "b": pa.array(b.astype(float), mask=(e % 5 == 0))})
+
+        ds = _t(sf, "events").select_columns(["user_id", "event_id"]) \
+            .map_batches(prep2, batch_format="pyarrow")
+        out = mining.survivorship(ds, "user_id", "event_id", ["a", "b"])
+
+        def seal(t: pa.Table) -> pa.Table:
+            cols = {n: t.column(n) for n in t.column_names}
+            for c in ("last_a", "last_b"):
+                v = t.column(c).to_pandas().fillna(-1).astype("int64")
+                cols[c] = pa.array(v, pa.int64())
+            return pa.table(cols)
+
+        return out.map_batches(seal, batch_format="pyarrow")
+
+    def q328_payload_audit(sf):  # metadata-vs-decoded-payload audit
+        """Clips whose catalog n_samples disagrees with the REAL WAV
+        decode (stages/multimodal.py:payload_audit); the corpus plants
+        +10 drift on k%5==0 clips."""
+        from hand_index_ray.kernels.audio import encode_wav
+        from hand_index_ray.stages.multimodal import payload_audit
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 97 == 0])
+            ids, bufs, metas = [], [], []
+            for k in keys.tolist():
+                n = 200 + k % 300
+                i = np.arange(n, dtype=np.int64)
+                v = (k * 7919 + i * 104729) % 65536 - 32768
+                ids.append(f"clip-{k:09d}")
+                bufs.append(encode_wav(v / 32768.0, 16000, bits=16))
+                metas.append(n + (10 if k % 5 == 0 else 0))
+            nn = len(ids)
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sample_rate": pa.array([16000] * nn, pa.int32()),
+                "n_samples": pa.array(metas, pa.int64()),
+                "codec": pa.array(["wav"] * nn, pa.string())})
+
+        clips = orders.map_batches(gen, batch_format="pyarrow")
+        return payload_audit(clips)
+
+    def q329_edit2_pairs(sf):  # Levenshtein<=2 near-dup pairs
+        """SymSpell d=2 delete-neighborhood join + banded DP verify
+        (pipelines/text.py:edit2_pairs); brute levenshtein SQL oracle."""
+        from hand_index_ray.pipelines.text import edit2_pairs
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            n = (k * 2654435761) % 1500
+            sfx = np.where(n % 4 == 0, "xy",
+                           np.where(n % 4 == 1, "x", ""))
+            s = np.array([f"itm{v}{x}" for v, x in
+                          zip(n.tolist(), sfx.tolist())], dtype=object)
+            return pa.table({"s": pa.array(s, pa.string())})
+
+        dom = rel.distinct(
+            _t(sf, "orders").select_columns(["o_orderkey"])
+            .map_batches(mk, batch_format="pyarrow"), ["s"])
+        return edit2_pairs(dom, "s")
+
+    def q330_rolling_ols(sf):  # rolling regression numerators
+        """Trailing-8 least-squares slope num/den per event, exact
+        integers (pipelines/mining.py:rolling_ols); SQL ROWS-frame
+        oracle."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "x": pa.array((e * 31) % 1009, pa.int64()),
+                "y": pa.array((e * 53) % 997, pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["user_id", "event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.rolling_ols(ds, "user_id", "event_id", "x", "y",
+                                  window=8)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -6950,6 +7069,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q323_repeated_ngrams": q323_repeated_ngrams,
         "q324_silence": q324_silence,
         "q325_freeze": q325_freeze,
+        "q326_polyline": q326_polyline,
+        "q327_survivorship": q327_survivorship,
+        "q328_payload_audit": q328_payload_audit,
+        "q329_edit2_pairs": q329_edit2_pairs,
+        "q330_rolling_ols": q330_rolling_ols,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -9316,6 +9440,101 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_freeze, 0) AS n_freeze,
                    COALESCE(longest_freeze, 0) AS longest_freeze
             FROM ks LEFT JOIN agg ON agg.k = ks.k
+        """,
+        "q326_polyline": """
+            WITH e AS (SELECT user_id, event_id,
+                         (event_id*2654435761) % 17000000 - 8500000 AS la,
+                         (event_id*976369) % 35000000 - 17500000 AS lg
+                       FROM events),
+            d AS (SELECT user_id, event_id,
+                    la - COALESCE(LAG(la) OVER w, 0) AS dl,
+                    lg - COALESCE(LAG(lg) OVER w, 0) AS dg
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+            v AS (SELECT user_id, event_id, 0 AS ax,
+                    CASE WHEN dl >= 0 THEN 2*dl ELSE -2*dl - 1 END AS zz
+                  FROM d
+                  UNION ALL
+                  SELECT user_id, event_id, 1,
+                    CASE WHEN dg >= 0 THEN 2*dg ELSE -2*dg - 1 END
+                  FROM d),
+            c AS (SELECT user_id, event_id, ax, zz,
+                    CASE WHEN zz = 0 THEN 1
+                         ELSE (length(bin(zz)) + 4) // 5 END AS nc
+                  FROM v),
+            ch AS (SELECT user_id, event_id, ax, nc,
+                     SUM((zz // (CAST(1 AS BIGINT) << (5*i.i))) % 32)
+                       AS csum
+                   FROM c, generate_series(0, 6) i(i)
+                   WHERE i.i < nc
+                   GROUP BY user_id, event_id, ax, zz, nc)
+            SELECT user_id,
+                   CAST(COUNT(*) / 2 AS BIGINT) AS n_pts,
+                   CAST(SUM(nc) AS BIGINT) AS enc_len,
+                   CAST(SUM(csum + 63*nc + 32*(nc - 1)) AS BIGINT)
+                     AS char_sum
+            FROM ch GROUP BY user_id
+        """,
+        "q327_survivorship": """
+            WITH s AS (SELECT user_id, event_id,
+                         CASE WHEN event_id % 3 <> 0
+                              THEN (event_id*7) % 997 END AS a,
+                         CASE WHEN event_id % 5 <> 0
+                              THEN (event_id*13) % 991 END AS b
+                       FROM events)
+            SELECT user_id,
+                   CAST(MAX(event_id) AS BIGINT) AS last_ord,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(arg_max(a, event_id)
+                                   FILTER (a IS NOT NULL), -1)
+                        AS BIGINT) AS last_a,
+                   CAST(COALESCE(arg_max(b, event_id)
+                                   FILTER (b IS NOT NULL), -1)
+                        AS BIGINT) AS last_b
+            FROM s GROUP BY user_id
+        """,
+        "q328_payload_audit": """
+            SELECT 'clip-' || lpad(CAST(k AS VARCHAR), 9, '0')
+                     AS clip_id,
+                   CAST(n + 10 AS BIGINT) AS meta_samples,
+                   CAST(n AS BIGINT) AS actual_samples
+            FROM (SELECT o_orderkey AS k,
+                         200 + o_orderkey % 300 AS n
+                  FROM orders WHERE o_orderkey % 97 = 0)
+            WHERE k % 5 = 0
+        """,
+        "q329_edit2_pairs": """
+            WITH d AS (SELECT DISTINCT
+                 'itm' || CAST((o_orderkey * 2654435761) % 1500
+                               AS VARCHAR)
+                 || CASE WHEN ((o_orderkey * 2654435761) % 1500) % 4 = 0
+                         THEN 'xy'
+                         WHEN ((o_orderkey * 2654435761) % 1500) % 4 = 1
+                         THEN 'x' ELSE '' END AS s
+                 FROM orders)
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+        """,
+        "q330_rolling_ols": """
+            WITH s AS (SELECT user_id, event_id,
+                         (event_id*31) % 1009 AS x,
+                         (event_id*53) % 997 AS y
+                       FROM events),
+            w AS (SELECT user_id, event_id,
+                    COUNT(*) OVER win AS c,
+                    SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+                    SUM(x*y) OVER win AS sxy, SUM(x*x) OVER win AS sxx
+                  FROM s
+                  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN 7 PRECEDING
+                                          AND CURRENT ROW))
+            SELECT user_id, event_id,
+                   CAST(8*sxy - sx*sy AS BIGINT) AS s_num,
+                   CAST(8*sxx - sx*sx AS BIGINT) AS s_den
+            FROM w WHERE c = 8
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

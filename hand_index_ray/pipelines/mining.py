@@ -1439,3 +1439,112 @@ def sax_words(ds: ray.data.Dataset, key: str, ord_col: str, val: str,
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         [key], words, num_buckets=num_buckets, whole_bucket=True)
     return rel.grouped_agg(ws, ["word"], count=True)
+
+
+def polyline_ledger(events: ray.data.Dataset, key: str, ord_col: str,
+                    lat5: str, lng5: str,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Encode each key's ordered coordinate track with the REAL Google
+    Encoded Polyline codec (kernels/polyline.py — spec-example
+    bit-exact) and emit the wire-cost ledger per track: point count,
+    encoded byte length, and the byte-value sum (an order-sensitive
+    checksum the oracle reproduces arithmetically from the delta/
+    zigzag/5-bit-chunk spec). The planning input for 'how much smaller
+    do tracks get on the wire' — polyline vs raw 8-byte coords.
+
+    Scale: one keyed hash-bucket shuffle; encoding is whole-bucket
+    vectorized (the codec encodes every delta of every track in the
+    bucket in one chunk-matrix pass)."""
+    from .. import relational as rel
+    from ..kernels import polyline as pl
+
+    def enc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ord_col], kind="mergesort")
+        ks, la, lg = g[key].to_numpy(), g[lat5].to_numpy(), g[lng5].to_numpy()
+        out_k, out_n, out_len, out_sum = [], [], [], []
+        bnd = np.concatenate([[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1,
+                              [len(ks)]])
+        for s, e in zip(bnd[:-1], bnd[1:]):
+            buf = pl.encode_track(la[s:e], lg[s:e])
+            out_k.append(ks[s])
+            out_n.append(e - s)
+            out_len.append(len(buf))
+            out_sum.append(int(np.frombuffer(buf, np.uint8)
+                               .astype(np.int64).sum()))
+        return pd.DataFrame({key: out_k, "n_pts": out_n,
+                             "enc_len": out_len, "char_sum": out_sum})
+
+    return rel.grouped_apply_bucketed(events, [key], enc,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+
+def survivorship(ds: ray.data.Dataset, key: str, ord_col: str,
+                 cols: list, num_buckets: int = 64) -> ray.data.Dataset:
+    """Golden-record merge (survivorship): per entity, each attribute
+    survives from the LATEST row (by ``ord_col``) where it is
+    non-null — the master-data-management step after CDC lands
+    partial updates. Emits one row per key: last_<col> for every
+    attribute, plus last_ord and n_rows.
+
+    Scale: one keyed hash-bucket shuffle; inside each bucket one
+    descending sort and, per column, a vectorized first-valid pick
+    (groupby + first on the non-null subframe) — no per-entity loop."""
+    from .. import relational as rel
+
+    def golden(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ord_col], ascending=[True, False],
+                          kind="mergesort")
+        gk = g.groupby(key, sort=False)
+        out = gk.agg(last_ord=(ord_col, "max"), n_rows=(ord_col, "size"))
+        for c in cols:
+            sub = g[~g[c].isna()]
+            first = sub.groupby(key, sort=False)[c].first()
+            out[f"last_{c}"] = first  # aligned on the key index; NaN if never set
+        return out.reset_index()
+
+    return rel.grouped_apply_bucketed(ds, [key], golden,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+
+def rolling_ols(events: ray.data.Dataset, key: str, ord_col: str,
+                x: str, y: str, window: int = 8,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Rolling least-squares slope numerator/denominator per event over
+    the trailing ``window`` rows of its key's series — emitted as the
+    EXACT integers s_num = n·Σxy − Σx·Σy and s_den = n·Σx² − (Σx)²
+    (the caller divides; this engine never rounds). Only positions
+    with a full window emit (SQL ROWS BETWEEN parity via COUNT = n).
+
+    Scale: one keyed shuffle; rolling sums are cumulative-sum
+    differences per series, vectorized across the whole bucket."""
+    from .. import relational as rel
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ord_col], kind="mergesort")
+        ks = g[key].to_numpy()
+        xv = g[x].to_numpy().astype(np.int64)
+        yv = g[y].to_numpy().astype(np.int64)
+        pos = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(np.concatenate([[True], ks[1:] != ks[:-1]]),
+                     np.arange(len(g)), 0))
+        w = window
+
+        def rsum(v):
+            c = np.concatenate([[0], np.cumsum(v)])
+            return c[1:] - c[np.maximum(np.arange(len(v)) + 1 - w, 0)]
+
+        # windows that would cross a series boundary are masked below,
+        # so the cumsum bleeding across keys never reaches the output
+        sx, sy = rsum(xv), rsum(yv)
+        sxy, sxx = rsum(xv * yv), rsum(xv * xv)
+        full = pos >= w - 1
+        return pd.DataFrame({
+            key: ks[full], ord_col: g[ord_col].to_numpy()[full],
+            "s_num": (w * sxy - sx * sy)[full],
+            "s_den": (w * sxx - sx * sx)[full]})
+
+    return rel.grouped_apply_bucketed(events, [key], roll,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)

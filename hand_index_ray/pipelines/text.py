@@ -1796,3 +1796,85 @@ def repeated_ngram_max(ds: ray.data.Dataset, ns: tuple = (1, 2, 4, 8),
                          "max_rep": pa.array(best, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lev_le2(a: str, b: str) -> int:
+    """Exact Levenshtein distance when known ≤ 2, else 3 — banded DP
+    with band half-width 2 (O(5·L)); strings here are short distinct
+    vocabulary entries, not corpus rows."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 2:
+        return 3
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [3] * lb
+        lo, hi = max(1, i - 2), min(lb, i + 2)
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb] if prev[lb] <= 2 else 3
+
+
+def edit2_pairs(ds: ray.data.Dataset, col: str = "s",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact edit-distance-≤2 pairs over a DISTINCT string column —
+    ``edit1_pairs`` widened one ring: symmetric-delete neighborhoods
+    of up to TWO deletions (the SymSpell d=2 candidate map). Two
+    strings within two edits always share a ≤2-deletion variant, so
+    candidates are still a hash join on variants; every candidate pair
+    verifies with a banded ≤2 DP. Neighborhood size is 1 + |s| +
+    C(|s|,2) per DISTINCT value — vocabulary-sized, the documented
+    trade for never scanning all pairs.
+
+    Output: (s_a, s_b, dist:int64), s_a < s_b, 1 ≤ dist ≤ 2."""
+    from .. import relational as rel
+
+    def variants(t: pa.Table) -> pa.Table:
+        out_v, out_s = [], []
+        for s in t.column(col).to_pylist():
+            seen = {s}
+            d1 = set()
+            for i in range(len(s)):
+                d1.add(s[:i] + s[i + 1:])
+            seen |= d1
+            for v in d1:
+                for i in range(len(v)):
+                    seen.add(v[:i] + v[i + 1:])
+            out_v.extend(seen)
+            out_s.extend([s] * len(seen))
+        return pa.table({"__v": pa.array(out_v, pa.string()),
+                         col: pa.array(out_s, pa.string())})
+
+    cand = ds.select_columns([col]).map_batches(
+        variants, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        strs = g[col].to_numpy()
+        if len(strs) < 2:
+            return pd.DataFrame({"s_a": pd.Series(dtype="object"),
+                                 "s_b": pd.Series(dtype="object")})
+        strs = np.unique(strs)
+        iu, ju = np.triu_indices(len(strs), k=1)
+        return pd.DataFrame({"s_a": strs[iu], "s_b": strs[ju]})
+
+    cand_pairs = rel.grouped_apply_bucketed(cand, ["__v"], pairs,
+                                            num_buckets=num_buckets,
+                                            min_group_size=2)
+    uniq = rel.distinct(cand_pairs, ["s_a", "s_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t.column("s_a").to_pylist()
+        sb = t.column("s_b").to_pylist()
+        d = np.array([_lev_le2(a, b) for a, b in zip(sa, sb)],
+                     dtype=np.int64)
+        keep = (d >= 1) & (d <= 2)
+        return pa.table({
+            "s_a": pa.array([s for s, k in zip(sa, keep) if k], pa.string()),
+            "s_b": pa.array([s for s, k in zip(sb, keep) if k], pa.string()),
+            "dist": pa.array(d[keep], pa.int64())})
+
+    return uniq.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)

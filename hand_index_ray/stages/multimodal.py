@@ -281,3 +281,32 @@ def freeze_frames(ds):
                          "longest_freeze": pa.array(longest, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def payload_audit(ds):
+    """Metadata-vs-payload integrity audit over REAL WAV decode: decode
+    every clip and emit the rows whose actual decoded sample count
+    disagrees with the table's ``n_samples`` metadata column — the
+    ingestion screen that catches truncated uploads and stale
+    catalogs before they poison training shards. Map-only; emits only
+    mismatches (empty result = healthy corpus)."""
+    import pyarrow as pa
+
+    from ..kernels.audio import decode_wav
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("clip_id").to_pylist()
+        bts = t.column("bytes")
+        meta = t.column("n_samples").to_numpy()
+        actual = np.empty(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            x, _rate = decode_wav(bytes(bts[i].as_buffer()))
+            actual[i] = len(x)
+        bad = actual != meta
+        return pa.table({
+            "clip_id": pa.array([s for s, b in zip(ids, bad) if b],
+                                pa.string()),
+            "meta_samples": pa.array(meta[bad], pa.int64()),
+            "actual_samples": pa.array(actual[bad], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -215,3 +215,124 @@ def test_freeze_frames_hand(ray_session):
     out = freeze_frames(_ds(tbl)).to_pandas()
     # frozen: frame1 (==0), frame3, frame4 (==2) -> 3 total, run of 2
     assert out[["n_freeze", "longest_freeze"]].values.tolist() == [[3, 2]]
+
+
+def test_polyline_spec_vector():
+    """The published spec example must encode bit-exactly."""
+    from hand_index_ray.kernels import polyline as pl
+
+    lat5 = np.array([3850000, 4070000, 4325200])
+    lng5 = np.array([-12020000, -12095000, -12645300])
+    enc = pl.encode_track(lat5, lng5)
+    assert enc == b"_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    la, lg = pl.decode_track(enc)
+    assert np.array_equal(la, lat5) and np.array_equal(lg, lng5)
+
+
+def test_polyline_roundtrip_fuzz():
+    from hand_index_ray.kernels import polyline as pl
+
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n = int(rng.integers(1, 40))
+        a = rng.integers(-2**28, 2**28, n)
+        b = rng.integers(-2**28, 2**28, n)
+        la, lg = pl.decode_track(pl.encode_track(a, b))
+        assert np.array_equal(la, a) and np.array_equal(lg, b)
+
+
+def test_polyline_ledger(ray_session):
+    from hand_index_ray.kernels import polyline as pl
+
+    tbl = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                    "o": pa.array([0, 1, 2, 0], pa.int64()),
+                    "la": pa.array([3850000, 4070000, 4325200, 5], pa.int64()),
+                    "lg": pa.array([-12020000, -12095000, -12645300, 9],
+                                   pa.int64())})
+    out = (mining.polyline_ledger(_ds(tbl), "k", "o", "la", "lg")
+           .to_pandas().sort_values("k"))
+    spec = b"_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    assert out["n_pts"].tolist() == [3, 1]
+    assert out["enc_len"].tolist()[0] == len(spec)
+    assert out["char_sum"].tolist()[0] == sum(spec)
+
+
+def test_survivorship_hand(ray_session):
+    tbl = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                    "o": pa.array([10, 20, 30], pa.int64()),
+                    "a": pa.array([7.0, None, None]),
+                    "b": pa.array([None, 8.0, 9.0])})
+    out = mining.survivorship(_ds(tbl), "k", "o", ["a", "b"]).to_pandas()
+    assert out["last_ord"].tolist() == [30]
+    assert out["n_rows"].tolist() == [3]
+    assert out["last_a"].tolist() == [7.0]   # only row 10 set a
+    assert out["last_b"].tolist() == [9.0]   # latest non-null b
+
+
+def test_lev_le2_brute():
+    from hand_index_ray.pipelines.text import _lev_le2
+
+    def brute(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(d[i-1][j] + 1, d[i][j-1] + 1,
+                              d[i-1][j-1] + (a[i-1] != b[j-1]))
+        return d[la][lb]
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        a = "".join(chr(97 + c) for c in rng.integers(0, 4, rng.integers(0, 8)))
+        b = "".join(chr(97 + c) for c in rng.integers(0, 4, rng.integers(0, 8)))
+        want = min(brute(a, b), 3)
+        assert _lev_le2(a, b) == want, (a, b)
+
+
+def test_edit2_pairs_brute(ray_session):
+    from hand_index_ray.pipelines.text import _lev_le2, edit2_pairs
+
+    strs = ["cat", "cut", "cast", "dog", "dg", "doge", "kitten", "cats"]
+    tbl = pa.table({"s": pa.array(strs, pa.string())})
+    out = edit2_pairs(_ds(tbl), "s").to_pandas()
+    got = {(r.s_a, r.s_b, r.dist) for r in out.itertuples()}
+    want = set()
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            a, b = sorted((strs[i], strs[j]))
+            d = _lev_le2(a, b)
+            if 1 <= d <= 2:
+                want.add((a, b, d))
+    assert got == want
+
+
+def test_rolling_ols_hand(ray_session):
+    tbl = pa.table({"k": pa.array([1] * 4, pa.int64()),
+                    "o": pa.array([1, 2, 3, 4], pa.int64()),
+                    "x": pa.array([1, 2, 3, 4], pa.int64()),
+                    "y": pa.array([2, 4, 6, 8], pa.int64())})
+    out = (mining.rolling_ols(_ds(tbl), "k", "o", "x", "y", window=3)
+           .to_pandas().sort_values("o"))
+    # perfect slope 2: num/den = 2 at both full windows
+    assert out["o"].tolist() == [3, 4]
+    assert (out["s_num"] == 2 * out["s_den"]).all()
+    assert (out["s_den"] > 0).all()
+
+
+def test_payload_audit_hand(ray_session):
+    from hand_index_ray.kernels.audio import encode_wav
+    from hand_index_ray.stages.multimodal import payload_audit
+
+    v = np.arange(100, dtype=np.int64) * 100 - 5000
+    buf = encode_wav(v / 32768.0, 16000, bits=16)
+    tbl = pa.table({"clip_id": pa.array(["ok", "drift"], pa.string()),
+                    "bytes": pa.array([buf, buf], pa.binary()),
+                    "sample_rate": pa.array([16000] * 2, pa.int32()),
+                    "n_samples": pa.array([100, 110], pa.int64()),
+                    "codec": pa.array(["wav"] * 2, pa.string())})
+    out = payload_audit(_ds(tbl)).to_pandas()
+    assert out.values.tolist() == [["drift", 110, 100]]
