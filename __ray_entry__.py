@@ -6749,6 +6749,141 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mining.rolling_ols(ds, "user_id", "event_id", "x", "y",
                                   window=8)
 
+    def q331_hgt(sf):  # SRTM .hgt DEM window ledger
+        """Raw big-endian headerless DEM tiles (kernels/hgt.py — the
+        public SRTM format) with planted voids, decoded and reduced to
+        exact window stats (pipelines/terrain.py:hgt_window_stats)."""
+        from hand_index_ray.kernels import hgt as hgtk
+        from hand_index_ray.pipelines.terrain import hgt_window_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 61 == 0])
+            yy = 13 * np.arange(32, dtype=np.int64)[:, None]
+            xx = 9 * np.arange(32, dtype=np.int64)[None, :]
+            lin = (np.arange(32)[:, None] * 32
+                   + np.arange(32)[None, :]).astype(np.int64)
+            ids, bufs = [], []
+            for k in keys.tolist():
+                g = ((k + yy + xx) % 4000 - 500).astype(np.int64)
+                g[(lin + k) % 97 == 0] = hgtk.VOID
+                ids.append(f"hgt-{k:09d}")
+                bufs.append(hgtk.encode_hgt(g.astype(np.int16)))
+            return pa.table({"tile_id": pa.array(ids, pa.string()),
+                             "bytes": pa.array(bufs, pa.binary())})
+
+        tiles = orders.map_batches(gen, batch_format="pyarrow")
+        return hgt_window_stats(tiles, 4, 28, 6, 30)
+
+    def q332_slippy(sf):  # slippy z/x/y.png tile tree publish + scan
+        """End-to-end web-map publishing: REAL PNGs written one per
+        tile under z/x/y.png (tmp+rename, rerun-skips), read back with
+        path-regex z/x/y extraction and real PNG decode
+        (pipelines/terrain.py:write_slippy_png_tiles /
+        read_slippy_png_tiles). Pixel formula seeded by MAX(o_orderkey)
+        so the tree is sf-dependent; oracle recomputes sums
+        arithmetically."""
+        import ray.data as rd
+
+        from hand_index_ray.pipelines.terrain import (
+            read_slippy_png_tiles, write_slippy_png_tiles)
+
+        kmax = int(pc.max(_tbl(sf, "orders").column("o_orderkey")).as_py())
+        rows = []
+        for z in (2, 3):
+            for x in range(1 << z):
+                for y in range(1 << z):
+                    rr = np.arange(8, dtype=np.int64)[:, None, None]
+                    cc = np.arange(8, dtype=np.int64)[None, :, None]
+                    ch = np.arange(3, dtype=np.int64)[None, None, :]
+                    px = ((kmax + 37 * z + 11 * x + 7 * y
+                           + 3 * rr + 2 * cc + ch) % 256).astype(np.uint8)
+                    rows.append({"z": z, "x": x, "y": y, "w": 8, "h": 8,
+                                 "px": px.tobytes()})
+        out_dir = f"/tmp/hand_index_ray_slippy_{kmax}"
+        write_slippy_png_tiles(rd.from_items(rows), out_dir)
+        return read_slippy_png_tiles(out_dir)
+
+    def q333_g711(sf):  # G.711 mu-law companding ledger
+        """REAL mu-law codec (kernels/g711.py — spec XOR masks, 0xFF =
+        +0, full scale ±32124): per-clip decoded-sample sum + code-byte
+        sum, oracle recomputed via length(bin()) segment arithmetic
+        (stages/multimodal.py:ulaw_ledger)."""
+        from hand_index_ray.kernels.g711 import encode_ulaw
+        from hand_index_ray.stages.multimodal import ulaw_ledger
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 83 == 0])
+            ids, bufs, ns = [], [], []
+            for k in keys.tolist():
+                n = 150 + k % 250
+                i = np.arange(n, dtype=np.int64)
+                x = (k * 7919 + i * 104729) % 65536 - 32768
+                ids.append(f"clip-{k:09d}")
+                bufs.append(encode_ulaw(x).tobytes())
+                ns.append(n)
+            nn = len(ids)
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "sample_rate": pa.array([8000] * nn, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "codec": pa.array(["ulaw"] * nn, pa.string())})
+
+        clips = orders.map_batches(gen, batch_format="pyarrow")
+        return ulaw_ledger(clips)
+
+    def q334_pnm(sf):  # Netpbm P5 decode (header comments) checksum
+        """Gray P5 payloads WITH header comment lines, decoded by the
+        robust Netpbm parser (kernels/pnm.py) through the standard
+        image contract (gray → RGB replicate); x-weighted checksum
+        catches a mis-parsed header offset."""
+        from hand_index_ray.kernels import pnm as pnmk
+        from hand_index_ray.pipelines.image_embed import channel_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 16 == 0])
+            yy = 7 * np.arange(24, dtype=np.int64)[:, None]
+            xx = 3 * np.arange(32, dtype=np.int64)[None, :]
+            ids, bufs = [], []
+            for k in keys.tolist():
+                g = ((k + yy + xx) % 256).astype(np.uint8)
+                blob = pnmk.encode_pnm(g)
+                # plant a legal header comment to exercise the parser
+                blob = blob[:2] + b"\n# synthetic tile\n" + blob[3:]
+                ids.append(f"img-{k:09d}")
+                bufs.append(blob)
+            n = len(ids)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "bytes": pa.array(bufs, pa.binary()),
+                "w": pa.array([32] * n, pa.int32()),
+                "h": pa.array([24] * n, pa.int32()),
+                "fmt": pa.array(["pnm"] * n, pa.string())})
+
+        return channel_stats(orders.map_batches(gen, batch_format="pyarrow"))
+
+    def q335_confusion(sf):  # language-ID confusion matrix
+        """LangId predictions (q21's SQL-expressible scorer) crossed
+        with the corpus's true lang column — the per-pair confusion
+        counts a curation run reviews before trusting the filter."""
+        from hand_index_ray.pipelines import text as textops
+
+        ds = _t(sf, "documents").map_batches(
+            textops.LangId, batch_format="pyarrow", concurrency=2)
+        return rel.grouped_agg(
+            ds.select_columns(["lang", "lang_pred"]),
+            ["lang", "lang_pred"], count=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7074,6 +7209,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q328_payload_audit": q328_payload_audit,
         "q329_edit2_pairs": q329_edit2_pairs,
         "q330_rolling_ols": q330_rolling_ols,
+        "q331_hgt": q331_hgt,
+        "q332_slippy": q332_slippy,
+        "q333_g711": q333_g711,
+        "q334_pnm": q334_pnm,
+        "q335_confusion": q335_confusion,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -9536,6 +9676,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8*sxx - sx*sx AS BIGINT) AS s_den
             FROM w WHERE c = 8
         """,
+        "q331_hgt": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 61 = 0),
+            c AS (SELECT k, y.y AS y, x.x AS x,
+                    (k + 13*y.y + 9*x.x) % 4000 - 500 AS v,
+                    ((y.y*32 + x.x + k) % 97 = 0) AS void
+                  FROM ks, generate_series(4, 27) y(y),
+                       generate_series(6, 29) x(x))
+            SELECT 'hgt-' || lpad(CAST(k AS VARCHAR), 9, '0') AS tile_id,
+                   CAST(COALESCE(SUM(v) FILTER (NOT void), 0) AS BIGINT)
+                     AS win_sum,
+                   CAST(COALESCE(MIN(v) FILTER (NOT void), 0) AS BIGINT)
+                     AS win_min,
+                   CAST(COALESCE(MAX(v) FILTER (NOT void), 0) AS BIGINT)
+                     AS win_max,
+                   CAST(SUM(CASE WHEN void THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_void
+            FROM c GROUP BY k
+        """,
+        "q332_slippy": """
+            WITH km AS (SELECT MAX(o_orderkey) AS km FROM orders),
+            t AS (SELECT z.z AS z, x.x AS x, y.y AS y
+                  FROM generate_series(2, 3) z(z),
+                       generate_series(0, 7) x(x),
+                       generate_series(0, 7) y(y)
+                  WHERE x.x < (1 << z.z) AND y.y < (1 << z.z)),
+            p AS (SELECT t.z, t.x, t.y, cc.cc AS col,
+                    ((SELECT km FROM km) + 37*t.z + 11*t.x + 7*t.y
+                     + 3*rr.rr + 2*cc.cc + ch.ch) % 256 AS v
+                  FROM t, generate_series(0, 7) rr(rr),
+                       generate_series(0, 7) cc(cc),
+                       generate_series(0, 2) ch(ch))
+            SELECT z, x, y,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(v * col) AS BIGINT) AS px_xw
+            FROM p GROUP BY z, x, y
+        """,
+        "q333_g711": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 83 = 0),
+            s AS (SELECT k, (k*7919 + i.i*104729) % 65536 - 32768 AS x
+                  FROM ks, generate_series(0, 399) i(i)
+                  WHERE i.i < 150 + k % 250),
+            e AS (SELECT k, x < 0 AS neg,
+                         LEAST(abs(x), 32635) // 4 + 33 AS v FROM s),
+            f AS (SELECT k, neg, v, length(bin(v)) - 6 AS seg FROM e),
+            g AS (SELECT k, neg, seg,
+                         (v // (CAST(1 AS BIGINT) << (seg + 1))) % 16
+                           AS man
+                  FROM f),
+            h AS (SELECT k,
+                    CASE WHEN neg THEN 127 - (seg*16 + man)
+                         ELSE 255 - (seg*16 + man) END AS code,
+                    CASE WHEN neg
+                         THEN -(((2*man + 33) * (CAST(1 AS BIGINT) << seg))
+                                - 33) * 4
+                         ELSE (((2*man + 33) * (CAST(1 AS BIGINT) << seg))
+                               - 33) * 4 END AS dec
+                  FROM g)
+            SELECT 'clip-' || lpad(CAST(k AS VARCHAR), 9, '0') AS clip_id,
+                   CAST(SUM(dec) AS BIGINT) AS dec_sum,
+                   CAST(SUM(code) AS BIGINT) AS code_sum
+            FROM h GROUP BY k
+        """,
+        "q334_pnm": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            p AS (SELECT k, (k + 7*y.y + 3*x.x) % 256 AS g
+                  FROM ks, generate_series(0, 23) y(y),
+                       generate_series(0, 31) x(x))
+            SELECT CAST(ch.c AS BIGINT) AS c,
+                   CAST(SUM(g) AS BIGINT) AS s,
+                   CAST(SUM(g*g) AS BIGINT) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p, (SELECT unnest([0, 1, 2]) AS c) ch
+            GROUP BY ch.c
+        """,
+        "q335_confusion": ("WITH pred AS (" + _LANGID_SQL + """)
+            SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """),
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),
             d AS (SELECT user_id, v,

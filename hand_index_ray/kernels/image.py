@@ -89,6 +89,14 @@ def decode(buf: bytes, fmt: str, w: int | None = None, h: int | None = None) -> 
         pw, ph = int(dims[0]), int(dims[1])
         payload = parts[3]
         return np.frombuffer(payload, dtype=np.uint8, count=pw * ph * 3).reshape(ph, pw, 3)
+    if fmt == "pnm":
+        # robust Netpbm parser (kernels/pnm.py): P5 + P6, header
+        # comments; gray replicates to the H×W×3 contract
+        from . import pnm as pnmlib
+        out = pnmlib.decode_pnm(buf)
+        if out.ndim == 2:
+            out = np.repeat(out[:, :, None], 3, axis=2)
+        return out
     if fmt == "png":
         # full from-spec decoder (kernels/png.py): gray/RGB/palette/
         # alpha, depths 1-16, Adam7 — normalized to the H×W×3 contract.
@@ -155,6 +163,8 @@ def sniff_format(buf: bytes) -> "str | None":
         return "png"
     if head[:2] == b"P6":
         return "ppm"
+    if head[:2] == b"P5":
+        return "pnm"
     if head[:4] == b"QJPG":
         return "qjpg"
     if head[:4] in (b"II*\x00", b"MM\x00*"):

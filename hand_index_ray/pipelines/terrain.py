@@ -1964,3 +1964,118 @@ def blob_stats(ds, thresh: int, bytes_col: str = "bytes",
                          "max_blob": pa.array(mx, pa.int64()),
                          "label_checksum": pa.array(ck, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hgt_window_stats(ds, r0: int, r1: int, c0: int, c1: int,
+                     bytes_col: str = "bytes", id_col: str = "tile_id"):
+    """SRTM .hgt window ledger: decode the raw big-endian DEM tile
+    (kernels/hgt.py — the public headerless n×n int16 format) and emit
+    exact window statistics (sum / min / max over non-void samples +
+    void count) for rows [r0,r1) × cols [c0,c1). Map-only; one ledger
+    row per tile; at 100 TB the decode streams with the payload
+    partitioning like every raster stage here."""
+    from ..kernels import hgt as hgtk
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        bts = t.column(bytes_col)
+        s = np.zeros(t.num_rows, np.int64)
+        vmin = np.zeros(t.num_rows, np.int64)
+        vmax = np.zeros(t.num_rows, np.int64)
+        nv = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            g = hgtk.decode_hgt(bytes(bts[i].as_buffer()))
+            win = g[r0:r1, c0:c1].astype(np.int64)
+            void = win == hgtk.VOID
+            ok = win[~void]
+            nv[i] = int(void.sum())
+            s[i] = int(ok.sum()) if ok.size else 0
+            vmin[i] = int(ok.min()) if ok.size else 0
+            vmax[i] = int(ok.max()) if ok.size else 0
+        return pa.table({id_col: pa.array(ids, pa.string()),
+                         "win_sum": pa.array(s, pa.int64()),
+                         "win_min": pa.array(vmin, pa.int64()),
+                         "win_max": pa.array(vmax, pa.int64()),
+                         "n_void": pa.array(nv, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_slippy_png_tiles(ds, out_dir: str,
+                           bytes_col: str = "px") -> int:
+    """Publish tiles as the standard slippy-map directory layout —
+    one REAL PNG per (z, x, y) under ``out_dir/z/x/y.png`` (the layout
+    every web map client reads). Input rows: (z, x, y, px) where px is
+    the H×W×3 raw pixel buffer plus w/h columns. Files write
+    tmp+rename per tile (resume-safe: rerun skips tiles already
+    present), one directory per z/x so a 256-node run never contends
+    on one directory. Returns tiles written."""
+    import os
+
+    from ..kernels import png as pnglib
+
+    def w(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy()
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        ww = t.column("w").to_numpy()
+        hh = t.column("h").to_numpy()
+        px = t.column(bytes_col)
+        n = 0
+        for i in range(t.num_rows):
+            d = os.path.join(out_dir, str(int(z[i])), str(int(x[i])))
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{int(y[i])}.png")
+            if os.path.exists(path):
+                continue
+            img = np.frombuffer(px[i].as_buffer(), np.uint8).reshape(
+                int(hh[i]), int(ww[i]), 3)
+            blob = pnglib.encode(img)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(w, batch_format="pyarrow", zero_copy_batch=True)
+    return int(parts.to_pandas()["n"].sum())
+
+
+def read_slippy_png_tiles(root: str):
+    """Read a slippy z/x/y.png tree back as a Dataset of decoded tile
+    stats rows (z, x, y from the PATH — the M8 regex-extract pattern —
+    plus exact pixel sum and x-weighted sum from the REAL PNG decode).
+    One file per read task via the glob fan-out."""
+    import glob
+    import os
+    import re
+
+    import ray.data
+
+    from ..kernels import png as pnglib
+
+    files = sorted(glob.glob(os.path.join(root, "*", "*", "*.png")))
+    rx = re.compile(r"[/\\](\d+)[/\\](\d+)[/\\](\d+)\.png$")
+
+    def rd(batch: pa.Table) -> pa.Table:
+        zs, xs, ys, ps, xw = [], [], [], [], []
+        for path in batch.column("path").to_pylist():
+            m = rx.search(path)
+            with open(path, "rb") as f:
+                img = pnglib.decode_rgb(f.read())
+            zs.append(int(m.group(1)))
+            xs.append(int(m.group(2)))
+            ys.append(int(m.group(3)))
+            a = img.astype(np.int64)
+            ps.append(int(a.sum()))
+            xw.append(int((a.sum(axis=(0, 2))
+                           * np.arange(img.shape[1])).sum()))
+        return pa.table({"z": pa.array(zs, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "px_sum": pa.array(ps, pa.int64()),
+                         "px_xw": pa.array(xw, pa.int64())})
+
+    src = ray.data.from_items([{"path": f} for f in files])
+    return src.map_batches(rd, batch_format="pyarrow")

@@ -310,3 +310,34 @@ def payload_audit(ds):
             "actual_samples": pa.array(actual[bad], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ulaw_ledger(ds):
+    """G.711 μ-law payload ledger: decode each clip's μ-law byte
+    stream with the REAL companding kernel (kernels/g711.py) and emit
+    the exact decoded-sample sum plus the raw code-byte sum — the
+    wire-vs-linear reconciliation a telephony-ingest pipeline runs per
+    shard. Map-only, fully vectorized per batch (one concatenated
+    decode over every clip's codes, then offset segment sums)."""
+    import pyarrow as pa
+
+    from ..kernels.g711 import decode_ulaw
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("clip_id").to_pylist()
+        bts = t.column("bytes")
+        lens = np.array([len(bts[i].as_buffer()) for i in range(t.num_rows)],
+                        dtype=np.int64)
+        flat = np.frombuffer(
+            b"".join(bytes(bts[i].as_buffer()) for i in range(t.num_rows)),
+            dtype=np.uint8)
+        dec = decode_ulaw(flat)
+        cs = np.concatenate(([0], np.cumsum(dec)))
+        ks = np.concatenate(([0], np.cumsum(flat.astype(np.int64))))
+        off = np.concatenate(([0], np.cumsum(lens)))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "dec_sum": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+            "code_sum": pa.array(ks[off[1:]] - ks[off[:-1]], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

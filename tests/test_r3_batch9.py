@@ -336,3 +336,86 @@ def test_payload_audit_hand(ray_session):
                     "codec": pa.array(["wav"] * 2, pa.string())})
     out = payload_audit(_ds(tbl)).to_pandas()
     assert out.values.tolist() == [["drift", 110, 100]]
+
+
+def test_g711_spec_properties():
+    from hand_index_ray.kernels.g711 import decode_ulaw, encode_ulaw
+
+    assert encode_ulaw(np.array([0]))[0] == 0xFF  # spec: +0 -> 0xFF
+    codes = np.arange(256, dtype=np.uint8)
+    dec = decode_ulaw(codes)
+    assert dec.min() == -32124 and dec.max() == 32124  # full scale
+    # every code re-encodes to itself except 0x7F (mu-law negative
+    # zero, which canonicalizes to 0xFF — spec-correct collapse)
+    re = encode_ulaw(dec)
+    bad = codes[re != codes]
+    assert bad.tolist() == [0x7F]
+    # quantizer is idempotent and monotone
+    x = np.arange(-32768, 32768, 7)
+    q = decode_ulaw(encode_ulaw(x))
+    assert np.array_equal(q, decode_ulaw(encode_ulaw(q)))
+    assert np.all(np.diff(q) >= 0)
+
+
+def test_hgt_roundtrip_and_name():
+    from hand_index_ray.kernels import hgt
+
+    g = (np.arange(16 * 16).reshape(16, 16) % 5000 - 600).astype(np.int16)
+    g[3, 4] = hgt.VOID
+    back = hgt.decode_hgt(hgt.encode_hgt(g))
+    assert np.array_equal(back, g)
+    assert hgt.corner_from_name("N34W119.hgt") == (34, -119)
+    assert hgt.corner_from_name("s05e112.HGT".lower()) == (-5, 112)
+
+
+def test_pnm_roundtrip_and_comments():
+    from hand_index_ray.kernels.pnm import decode_pnm, encode_pnm
+
+    rng = np.random.RandomState(1)
+    g = rng.randint(0, 256, (9, 7), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(g)), g)
+    rgb = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    # comment lines anywhere in header whitespace are legal
+    blob = encode_pnm(g)
+    blob = blob[:2] + b"\n# a comment\n# another\n" + blob[3:]
+    assert np.array_equal(decode_pnm(blob), g)
+
+
+def test_pnm_routes_through_image_decode():
+    from hand_index_ray.kernels import image as imk
+    from hand_index_ray.kernels.pnm import encode_pnm
+
+    g = (np.arange(24 * 32).reshape(24, 32) % 256).astype(np.uint8)
+    blob = encode_pnm(g)
+    assert imk.sniff_format(blob) == "pnm"
+    out = imk.decode(blob, "pnm")
+    assert out.shape == (24, 32, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+
+def test_slippy_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hand_index_ray.pipelines.terrain import (read_slippy_png_tiles,
+                                                  write_slippy_png_tiles)
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for z, x, y in [(1, 0, 0), (1, 1, 0), (2, 3, 2)]:
+        px = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        rows.append({"z": z, "x": x, "y": y, "w": 8, "h": 8,
+                     "px": px.tobytes(), "want": px})
+    ds = rd.from_items([{k: v for k, v in r.items() if k != "want"}
+                        for r in rows])
+    n = write_slippy_png_tiles(ds, str(tmp_path))
+    assert n == 3
+    # rerun skips existing tiles (resume-safe)
+    assert write_slippy_png_tiles(ds, str(tmp_path)) == 0
+    out = (read_slippy_png_tiles(str(tmp_path)).to_pandas()
+           .sort_values(["z", "x", "y"]).reset_index(drop=True))
+    for i, r in enumerate(rows):
+        a = r["want"].astype(np.int64)
+        assert out.loc[i, "px_sum"] == a.sum()
+        assert out.loc[i, "px_xw"] == (a.sum(axis=(0, 2))
+                                       * np.arange(8)).sum()
