@@ -946,15 +946,18 @@ def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple,
 
     Pool sizing: actor init is zero-copy-cheap after the packed-catalog
     fix, so when the caller knows the input spans many files
-    (``pool_hint``) the pool is FIXED at min(cpus, hint) — an
-    autoscaling pool ramps too slowly to reach full width inside a
-    seconds-long join, which capped measured 4→16-CPU scaling."""
+    (``pool_hint``) the pool is FIXED — an autoscaling pool ramps too
+    slowly to reach full width inside a seconds-long join, which
+    capped measured 4→16-CPU scaling. The pool is capped at
+    ``cpus - 1``: a fixed pool that reserves EVERY CPU deadlocks the
+    pipeline (the upstream ReadParquet task never gets a slot —
+    observed live as 0 blocks flowing with all actors idle)."""
     idx_ref, level = cached
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    conc = (min(cpus, max(2, int(pool_hint))) if pool_hint
+    conc = (max(1, min(int(pool_hint), cpus - 1)) if pool_hint
             else (1, max(2, cpus)))
     return foot.map_batches(
         ZonalBroadcastJoiner,
