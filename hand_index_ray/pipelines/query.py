@@ -939,31 +939,39 @@ class ZonalBroadcastJoiner:
                         schema=_ZONAL_OUT)
 
 
+_WORKER_ZONAL_CACHE: dict = {}
+
+
 def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple,
                               pool_hint: int = 0) -> ray.data.Dataset:
     """The map stage of the broadcast spatial join over a (possibly
     cached) broadcast catalog index.
 
-    Pool sizing: actor init is zero-copy-cheap after the packed-catalog
-    fix, so when the caller knows the input spans many files
-    (``pool_hint``) the pool is FIXED — an autoscaling pool ramps too
-    slowly to reach full width inside a seconds-long join, which
-    capped measured 4→16-CPU scaling. The pool is capped at
-    ``cpus - 1``: a fixed pool that reserves EVERY CPU deadlocks the
-    pipeline (the upstream ReadParquet task never gets a slot —
-    observed live as 0 blocks flowing with all actors idle)."""
+    This is a TASK-pool map, not an actor pool: a broadcast-read-only
+    stage needs no per-actor identity, and with the packed zero-copy
+    catalog the "setup" is one plasma-view ``ray.get`` — cheap enough
+    to do lazily per worker PROCESS (module-global cache keyed by the
+    broadcast ref, so long-lived Ray workers pay it once). Tasks fuse
+    with the upstream ReadParquet, which removes the two failure modes
+    measured with pools here: an autoscaling pool never reached full
+    width inside a seconds-long join (raw 0.50 scaling, 4→16 CPUs),
+    and a fixed pool either starved the single upstream read slot or —
+    when sized to every CPU — deadlocked the pipeline outright."""
     idx_ref, level = cached
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    conc = (max(1, min(int(pool_hint), cpus - 1)) if pool_hint
-            else (1, max(2, cpus)))
-    return foot.map_batches(
-        ZonalBroadcastJoiner,
-        fn_constructor_kwargs={"idx_ref": idx_ref, "level": level},
-        concurrency=conc,
-        batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_fn(t: pa.Table) -> pa.Table:
+        key = (idx_ref.hex() if hasattr(idx_ref, "hex") else id(idx_ref),
+               level)
+        st = _WORKER_ZONAL_CACHE.get(key)
+        if st is None:
+            while len(_WORKER_ZONAL_CACHE) >= 2:  # bound worker memory
+                _WORKER_ZONAL_CACHE.pop(next(iter(_WORKER_ZONAL_CACHE)))
+            st = _WORKER_ZONAL_CACHE[key] = ZonalBroadcastJoiner(
+                idx_ref, level)
+        return st(t)
+
+    return foot.map_batches(join_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def zonal_join(index_dir: str, catchments_path: str,
