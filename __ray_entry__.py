@@ -6884,6 +6884,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.select_columns(["lang", "lang_pred"]),
             ["lang", "lang_pred"], count=True)
 
+    def q336_fits(sf):  # FITS CCD dark-frame calibration ledger
+        """REAL FITS frames (primary HDU, BITPIX 16, BZERO-32768
+        unsigned convention) minus a broadcast master dark, clamped at
+        0 (pipelines/terrain.py:fits_dark_subtract)."""
+        from hand_index_ray.kernels.fits import encode_fits
+        from hand_index_ray.pipelines.terrain import fits_dark_subtract
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy = 17 * np.arange(16, dtype=np.int64)[:, None]
+        xx = 23 * np.arange(20, dtype=np.int64)[None, :]
+        dark = ((11 * np.arange(16, dtype=np.int64)[:, None]
+                 + 13 * np.arange(20, dtype=np.int64)[None, :]) % 300)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 73 == 0])
+            ids, bufs = [], []
+            for k in keys.tolist():
+                v = (k + yy + xx) % 60000
+                ids.append(f"ccd-{k:09d}")
+                bufs.append(encode_fits(v, bzero=32768))
+            return pa.table({"frame_id": pa.array(ids, pa.string()),
+                             "bytes": pa.array(bufs, pa.binary())})
+
+        frames = orders.map_batches(gen, batch_format="pyarrow")
+        return fits_dark_subtract(frames, dark)
+
+    def q337_ascgrid(sf):  # Esri ASCII grid ingest ledger
+        """Text-format DEM tiles (kernels/ascgrid.py) with planted
+        NODATA, parsed and reduced to exact valid-cell stats
+        (pipelines/terrain.py:asc_grid_stats)."""
+        from hand_index_ray.kernels.ascgrid import encode_asc
+        from hand_index_ray.pipelines.terrain import asc_grid_stats
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        yy = 19 * np.arange(10, dtype=np.int64)[:, None]
+        xx = 7 * np.arange(14, dtype=np.int64)[None, :]
+        lin = (np.arange(10)[:, None] * 14
+               + np.arange(14)[None, :]).astype(np.int64)
+
+        def gen(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey").to_numpy()
+            keys = np.sort(keys[keys % 67 == 0])
+            ids, bufs = [], []
+            for k in keys.tolist():
+                g = (k + yy + xx) % 3000 - 400
+                g[(lin + k) % 53 == 0] = -9999
+                ids.append(f"asc-{k:09d}")
+                bufs.append(encode_asc(g, xll=100, yll=200, cellsize=30))
+            return pa.table({"grid_id": pa.array(ids, pa.string()),
+                             "bytes": pa.array(bufs, pa.binary())})
+
+        grids = orders.map_batches(gen, batch_format="pyarrow")
+        return asc_grid_stats(grids)
+
+    def q338_composite(sf):  # Porter-Duff watermark compositing
+        """Integer 'over' blend of a broadcast RGBA overlay at (4,6)
+        onto the arithmetic corpus — round-half-up fixed point, exact
+        (pipelines/image_embed.py:composite_stats)."""
+        from hand_index_ray.pipelines.image_embed import composite_stats
+
+        ly = np.arange(8, dtype=np.int64)[:, None]
+        lx = np.arange(10, dtype=np.int64)[None, :]
+        ch = np.arange(3, dtype=np.int64)[None, None, :]
+        fg = (40 + 5 * ly[:, :, None] + 3 * lx[:, :, None] + 7 * ch) % 256
+        alpha = (ly * 10 + lx) * 255 // 79
+        return composite_stats(_arith_images(sf), fg, alpha, ox=4, oy=6)
+
+    def q339_percent_rank(sf):  # exact PERCENT_RANK fractions
+        """Tie-aware (rank-1, n-1) integer pairs per event within its
+        user's value distribution (pipelines/mining.py:
+        percent_rank_exact)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "v": pa.array((e * 17) % 1000, pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["user_id", "event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.percent_rank_exact(ds, "user_id", "event_id", "v")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7214,6 +7298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q333_g711": q333_g711,
         "q334_pnm": q334_pnm,
         "q335_confusion": q335_confusion,
+        "q336_fits": q336_fits,
+        "q337_ascgrid": q337_ascgrid,
+        "q338_composite": q338_composite,
+        "q339_percent_rank": q339_percent_rank,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -9758,6 +9846,77 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN pred p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
         """),
+        "q336_fits": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 73 = 0),
+            p AS (SELECT k,
+                    (k + 17*y.y + 23*x.x) % 60000 AS v,
+                    (11*y.y + 13*x.x) % 300 AS dark
+                  FROM ks, generate_series(0, 15) y(y),
+                       generate_series(0, 19) x(x))
+            SELECT 'ccd-' || lpad(CAST(k AS VARCHAR), 9, '0')
+                     AS frame_id,
+                   CAST(SUM(GREATEST(v - dark, 0)) AS BIGINT) AS cal_sum,
+                   CAST(SUM(CASE WHEN v < dark THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clamped
+            FROM p GROUP BY k
+        """,
+        "q337_ascgrid": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 67 = 0),
+            p AS (SELECT k,
+                    CASE WHEN (y.y*14 + x.x + k) % 53 = 0 THEN -9999
+                         ELSE (k + 19*y.y + 7*x.x) % 3000 - 400
+                    END AS v
+                  FROM ks, generate_series(0, 9) y(y),
+                       generate_series(0, 13) x(x))
+            SELECT 'asc-' || lpad(CAST(k AS VARCHAR), 9, '0') AS grid_id,
+                   CAST(COALESCE(SUM(v) FILTER (v <> -9999), 0)
+                        AS BIGINT) AS v_sum,
+                   CAST(COALESCE(MIN(v) FILTER (v <> -9999), 0)
+                        AS BIGINT) AS v_min,
+                   CAST(COALESCE(MAX(v) FILTER (v <> -9999), 0)
+                        AS BIGINT) AS v_max,
+                   CAST(SUM(CASE WHEN v = -9999 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nodata,
+                   CAST(30 AS BIGINT) AS cellsize
+            FROM p GROUP BY k
+        """,
+        "q338_composite": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            px AS (SELECT k, y.y AS y, x.x AS x, c.c AS c,
+                     (k + 7*y.y + 3*x.x + 11*c.c) % 256 AS bg,
+                     (y.y BETWEEN 6 AND 13) AND (x.x BETWEEN 4 AND 13)
+                       AS inw
+                   FROM ks, generate_series(0, 23) y(y),
+                        generate_series(0, 31) x(x),
+                        generate_series(0, 2) c(c)),
+            b AS (SELECT k, bg, inw,
+                    CASE WHEN inw THEN
+                      ((40 + 5*(y-6) + 3*(x-4) + 7*c) % 256
+                         * (((y-6)*10 + (x-4)) * 255 // 79)
+                       + bg * (255 - ((y-6)*10 + (x-4)) * 255 // 79)
+                       + 127) // 255
+                    ELSE bg END AS outv
+                  FROM px)
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0')
+                     AS image_id,
+                   CAST(SUM(outv) AS BIGINT) AS out_sum,
+                   CAST(SUM(CASE WHEN inw AND outv <> bg
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+            FROM b GROUP BY k
+        """,
+        "q339_percent_rank": """
+            WITH s AS (SELECT user_id, event_id,
+                         (event_id*17) % 1000 AS v FROM events)
+            SELECT event_id,
+                   CAST(RANK() OVER (PARTITION BY user_id ORDER BY v)
+                        - 1 AS BIGINT) AS pr_num,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) - 1
+                        AS BIGINT) AS pr_den
+            FROM s
+        """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),
             d AS (SELECT user_id, v,

@@ -749,3 +749,42 @@ def dhash_counts(source: "str | ray.data.Dataset", channel: int = 0,
                         batch_size=cfg.decode_batch_size,
                         concurrency=pool_size(cfg.encode_concurrency))
     return rel.grouped_agg(hs, ["dhash"], count=True)
+
+
+def composite_stats(source: "str | ray.data.Dataset", overlay_rgb,
+                    overlay_alpha, ox: int = 0, oy: int = 0,
+                    cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Porter-Duff 'over' watermark compositing checksum: blend a
+    broadcast RGBA overlay onto each image at (ox, oy) with the exact
+    integer formula out = (fg·a + bg·(255−a) + 127) // 255 (round-half-
+    up fixed point — the reference blend every compositor implements),
+    and emit the composited pixel sum + the changed-pixel count. The
+    overlay ships once via ``ray.put``; the map is task-pooled."""
+    from .build import list_fragments
+
+    ds = source if isinstance(source, ray.data.Dataset) else \
+        ray.data.read_parquet(list_fragments(source))
+    ref = ray.put((np.asarray(overlay_rgb, np.int64),
+                   np.asarray(overlay_alpha, np.int64)))
+
+    def stats(t: pa.Table) -> pa.Table:
+        fg, al = ray.get(ref)
+        oh, ow = al.shape
+        ids = t.column("image_id").to_pylist()
+        out_sum = np.zeros(t.num_rows, np.int64)
+        changed = np.zeros(t.num_rows, np.int64)
+        for i, img in _decode_rows(t):
+            p = img.astype(np.int64)
+            win = p[oy:oy + oh, ox:ox + ow]
+            blend = (fg * al[:, :, None]
+                     + win * (255 - al[:, :, None]) + 127) // 255
+            changed[i] = int((blend != win).sum())
+            q = p.copy()
+            q[oy:oy + oh, ox:ox + ow] = blend
+            out_sum[i] = int(q.sum())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "out_sum": pa.array(out_sum, pa.int64()),
+                         "n_changed": pa.array(changed, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.decode_batch_size)

@@ -1548,3 +1548,25 @@ def rolling_ols(events: ray.data.Dataset, key: str, ord_col: str,
     return rel.grouped_apply_bucketed(events, [key], roll,
                                       num_buckets=num_buckets,
                                       whole_bucket=True)
+
+
+def percent_rank_exact(ds: ray.data.Dataset, key: str, id_col: str,
+                       val: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """SQL PERCENT_RANK as EXACT integers: per key, each row's
+    (rank−1, n−1) pair where rank is the tie-aware RANK() of its value
+    — the caller divides (single-row groups emit (0, 0), matching
+    SQL's defined 0). One keyed hash-bucket shuffle; ranks are one
+    whole-bucket pandas rank(method='min') pass."""
+    from .. import relational as rel
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        gk = g.groupby(key, sort=False)
+        rank = gk[val].rank(method="min").astype(np.int64)
+        n = gk[val].transform("size").astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "pr_num": (rank - 1).to_numpy(),
+                             "pr_den": (n - 1).to_numpy()})
+
+    return rel.grouped_apply_bucketed(ds, [key], pr,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)

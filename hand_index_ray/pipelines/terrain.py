@@ -2079,3 +2079,71 @@ def read_slippy_png_tiles(root: str):
 
     src = ray.data.from_items([{"path": f} for f in files])
     return src.map_batches(rd, batch_format="pyarrow")
+
+
+def fits_dark_subtract(ds, dark, bytes_col: str = "bytes",
+                       id_col: str = "frame_id"):
+    """CCD calibration ledger over REAL FITS frames (kernels/fits.py —
+    primary HDU, BITPIX 16, BZERO unsigned convention): subtract the
+    broadcast master dark frame, clamp at 0, and emit the exact
+    calibrated sum + the count of pixels that hit the clamp (the
+    under-bias diagnostic). The dark broadcasts via ``ray.put`` once;
+    the map is a task pool (worker-global ``ray.get`` is zero-copy)."""
+    import ray
+
+    from ..kernels import fits as fitsk
+
+    dark_ref = ray.put(np.asarray(dark, dtype=np.int64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+
+        dark = ray.get(dark_ref)
+        ids = t.column(id_col).to_pylist()
+        bts = t.column(bytes_col)
+        cal = np.zeros(t.num_rows, np.int64)
+        clamped = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            img = fitsk.decode_fits(bytes(bts[i].as_buffer()))
+            d = img - dark
+            clamped[i] = int((d < 0).sum())
+            cal[i] = int(np.maximum(d, 0).sum())
+        return pa.table({id_col: pa.array(ids, pa.string()),
+                         "cal_sum": pa.array(cal, pa.int64()),
+                         "n_clamped": pa.array(clamped, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asc_grid_stats(ds, bytes_col: str = "bytes", id_col: str = "grid_id"):
+    """Esri ASCII-grid ledger (kernels/ascgrid.py): parse the text
+    raster, respect NODATA, and emit exact sum/min/max over valid
+    cells + the nodata count + the parsed cellsize — the quick-look
+    pass a DEM-catalog ingest runs per file. Map-only."""
+    from ..kernels import ascgrid as asck
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        bts = t.column(bytes_col)
+        s = np.zeros(t.num_rows, np.int64)
+        vmin = np.zeros(t.num_rows, np.int64)
+        vmax = np.zeros(t.num_rows, np.int64)
+        nd = np.zeros(t.num_rows, np.int64)
+        cs = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            g, hdr = asck.decode_asc(bytes(bts[i].as_buffer()))
+            bad = g == hdr["nodata_value"]
+            ok = g[~bad]
+            nd[i] = int(bad.sum())
+            cs[i] = hdr["cellsize"]
+            s[i] = int(ok.sum()) if ok.size else 0
+            vmin[i] = int(ok.min()) if ok.size else 0
+            vmax[i] = int(ok.max()) if ok.size else 0
+        return pa.table({id_col: pa.array(ids, pa.string()),
+                         "v_sum": pa.array(s, pa.int64()),
+                         "v_min": pa.array(vmin, pa.int64()),
+                         "v_max": pa.array(vmax, pa.int64()),
+                         "n_nodata": pa.array(nd, pa.int64()),
+                         "cellsize": pa.array(cs, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

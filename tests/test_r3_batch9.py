@@ -419,3 +419,63 @@ def test_slippy_roundtrip(ray_session, tmp_path):
         assert out.loc[i, "px_sum"] == a.sum()
         assert out.loc[i, "px_xw"] == (a.sum(axis=(0, 2))
                                        * np.arange(8)).sum()
+
+
+def test_fits_roundtrip_and_bzero():
+    from hand_index_ray.kernels.fits import decode_fits, encode_fits
+
+    rng = np.random.RandomState(4)
+    g = rng.randint(-30000, 30000, (12, 9))
+    assert np.array_equal(decode_fits(encode_fits(g)), g)
+    u = rng.randint(0, 65000, (7, 5))  # unsigned via BZERO convention
+    assert np.array_equal(decode_fits(encode_fits(u, bzero=32768)), u)
+
+
+def test_asc_roundtrip():
+    from hand_index_ray.kernels.ascgrid import decode_asc, encode_asc
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(-500, 4000, (6, 11))
+    a[2, 3] = -9999
+    dec, hdr = decode_asc(encode_asc(a, xll=100, yll=200, cellsize=30))
+    assert np.array_equal(dec, a)
+    assert hdr["cellsize"] == 30 and hdr["nodata_value"] == -9999
+
+
+def test_fits_dark_subtract(ray_session):
+    from hand_index_ray.kernels.fits import encode_fits
+    from hand_index_ray.pipelines.terrain import fits_dark_subtract
+
+    img = np.array([[100, 5], [80, 300]], dtype=np.int64)
+    dark = np.array([[50, 10], [80, 100]], dtype=np.int64)
+    tbl = pa.table({"frame_id": pa.array(["f"], pa.string()),
+                    "bytes": pa.array([encode_fits(img)], pa.binary())})
+    out = fits_dark_subtract(_ds(tbl), dark).to_pandas()
+    # residuals: 50, -5->0 (clamped), 0, 200
+    assert out[["cal_sum", "n_clamped"]].values.tolist() == [[250, 1]]
+
+
+def test_composite_stats_hand(ray_session):
+    from hand_index_ray.pipelines.image_embed import composite_stats
+
+    base = np.full((4, 4, 3), 100, np.uint8)
+    fg = np.full((2, 2, 3), 200, np.int64)
+    alpha = np.array([[0, 255], [128, 255]], np.int64)
+    out = composite_stats(_img_ds([base]), fg, alpha, ox=1, oy=1) \
+        .to_pandas()
+    # a=0 -> unchanged; a=255 -> 200; a=128 -> (200*128+100*127+127)//255;
+    # counts are per CHANNEL value (3 per pixel), matching the oracle
+    mid = (200 * 128 + 100 * 127 + 127) // 255
+    want = 100 * 48 + (200 - 100) * 2 * 3 + (mid - 100) * 3
+    assert out[["out_sum", "n_changed"]].values.tolist() == [[want, 9]]
+
+
+def test_percent_rank_exact_hand(ray_session):
+    tbl = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                    "i": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                    "v": pa.array([5, 5, 7, 3, 9], pa.int64())})
+    out = (mining.percent_rank_exact(_ds(tbl), "k", "i", "v")
+           .to_pandas().sort_values("i"))
+    # k=1 ranks (min): 3->1, 5->2, 5->2, 7->4 ; n-1=3. single row -> (0,0)
+    assert out[["pr_num", "pr_den"]].values.tolist() == [
+        [1, 3], [1, 3], [3, 3], [0, 3], [0, 0]]
