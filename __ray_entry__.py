@@ -6968,6 +6968,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(prep, batch_format="pyarrow")
         return mining.percent_rank_exact(ds, "user_id", "event_id", "v")
 
+    def q340_crossing_points(sf):  # planar-overlay node-ing points
+        """Exact rational intersection coordinates (x_num, y_num, den>0)
+        of every properly-crossing segment pair — q226's join upgraded
+        to the node-ing step (pipelines/overlay.py:crossing_points)."""
+        from hand_index_ray.pipelines.overlay import crossing_points
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+
+        def seg(side):
+            def fn(t: pa.Table) -> pa.Table:
+                ok = t.column("o_orderkey").to_numpy()
+                ok = ok[(ok % 7 == 0) & (ok % 2 == side)]
+                return pa.table({
+                    "id": pa.array(ok, pa.int64()),
+                    "x1": pa.array((ok * 3) % 97, pa.int64()),
+                    "y1": pa.array((ok * 7) % 97, pa.int64()),
+                    "x2": pa.array((ok * 5 + 13) % 97, pa.int64()),
+                    "y2": pa.array((ok * 11 + 29) % 97, pa.int64())})
+            return fn
+
+        la = orders.map_batches(seg(0), batch_format="pyarrow")
+        lb = orders.map_batches(seg(1), batch_format="pyarrow")
+        return crossing_points(la, lb, cs=16)
+
+    def q341_roaring(sf):  # roaring-bitmap container planning ledger
+        """Per-2^16-chunk container choice (array/run/bitmap by the
+        public cost model) over the distinct derived value set
+        (pipelines/mining.py:roaring_ledger)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"v": pa.array((e * 2654435761) % 4194304,
+                                           pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.roaring_ledger(ds, "v")
+
+    def q342_cidr(sf):  # longest-prefix CIDR classification
+        """32-bit addresses vs a broadcast 20-block prefix table, most
+        specific match wins, unmatched → /0
+        (pipelines/mining.py:cidr_assign)."""
+        from hand_index_ray.pipelines import mining
+
+        blocks = []
+        for j in range(1, 21):
+            plen = 8 + (j * 5) % 17
+            raw = (j * 2654435761) % 4294967296
+            net = (raw >> (32 - plen)) << (32 - plen)
+            blocks.append((plen, net))
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"ip": pa.array((e * 2654435761) % 4294967296,
+                                            pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.cidr_assign(ds, "ip", blocks)
+
+    def q343_iso_week(sf):  # ISO-8601 week revenue rollup
+        """Exact integer ISO week/year from days-since-epoch (Thursday
+        rule + civil_from_days), quantity sums per (iso_year, iso_week)
+        (pipelines/mining.py:iso_week_rollup)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ts": t.column("l_shipdate"),
+                "q": pc.cast(t.column("l_quantity"), pa.int64())})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_shipdate", "l_quantity"]).map_batches(
+            prep, batch_format="pyarrow")
+        return mining.iso_week_rollup(ds, "ts", "q")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7302,6 +7379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q337_ascgrid": q337_ascgrid,
         "q338_composite": q338_composite,
         "q339_percent_rank": q339_percent_rank,
+        "q340_crossing_points": q340_crossing_points,
+        "q341_roaring": q341_roaring,
+        "q342_cidr": q342_cidr,
+        "q343_iso_week": q343_iso_week,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -9916,6 +9997,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY user_id) - 1
                         AS BIGINT) AS pr_den
             FROM s
+        """,
+        "q340_crossing_points": """
+            WITH s AS (SELECT o_orderkey AS id, o_orderkey % 2 AS side,
+                         (o_orderkey*3) % 97 AS x1,
+                         (o_orderkey*7) % 97 AS y1,
+                         (o_orderkey*5 + 13) % 97 AS x2,
+                         (o_orderkey*11 + 29) % 97 AS y2
+                       FROM orders WHERE o_orderkey % 7 = 0),
+            pr AS (SELECT a.id AS a_id, b.id AS b_id,
+                     (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)
+                       AS d1,
+                     (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)
+                       AS d2,
+                     (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)
+                       AS d3,
+                     (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)
+                       AS d4,
+                     b.x1 AS bx1, b.y1 AS by1,
+                     b.x2 - b.x1 AS dbx, b.y2 - b.y1 AS dby
+                   FROM s a JOIN s b ON a.side = 0 AND b.side = 1),
+            hit AS (SELECT a_id, b_id, d1 - d2 AS den,
+                      bx1*(d1 - d2) + d1*dbx AS x_num,
+                      by1*(d1 - d2) + d1*dby AS y_num
+                    FROM pr WHERE d1*d2 < 0 AND d3*d4 < 0)
+            SELECT a_id, b_id,
+                   CAST(CASE WHEN den < 0 THEN -x_num ELSE x_num END
+                        AS BIGINT) AS x_num,
+                   CAST(CASE WHEN den < 0 THEN -y_num ELSE y_num END
+                        AS BIGINT) AS y_num,
+                   CAST(abs(den) AS BIGINT) AS den
+            FROM hit
+        """,
+        "q341_roaring": """
+            WITH dv AS (SELECT DISTINCT
+                          (event_id * 2654435761) % 4194304 AS v
+                        FROM events),
+            r AS (SELECT v // 65536 AS chunk, v,
+                    CASE WHEN v - LAG(v) OVER (PARTITION BY v // 65536
+                                               ORDER BY v) = 1
+                         THEN 0 ELSE 1 END AS rs
+                  FROM dv),
+            a AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(rs) AS BIGINT) AS runs
+                  FROM r GROUP BY chunk),
+            b AS (SELECT chunk, n, runs,
+                    CASE WHEN n <= 4096 THEN 2*n
+                         ELSE 1099511627776 END AS sa,
+                    2 + 4*runs AS sr
+                  FROM a)
+            SELECT chunk, n, runs,
+                   CASE WHEN sa = LEAST(sa, sr, 8192) THEN 'array'
+                        WHEN sr = LEAST(sa, sr, 8192) THEN 'run'
+                        ELSE 'bitmap' END AS container,
+                   CAST(LEAST(sa, sr, 8192) AS BIGINT) AS bytes
+            FROM b
+        """,
+        "q342_cidr": """
+            WITH bl AS (SELECT DISTINCT
+                   8 + (j.j*5) % 17 AS plen,
+                   (((j.j*2654435761) % 4294967296)
+                      // (CAST(1 AS BIGINT) << (32 - (8 + (j.j*5) % 17))))
+                    * (CAST(1 AS BIGINT) << (32 - (8 + (j.j*5) % 17)))
+                     AS net
+                 FROM generate_series(1, 20) j(j)),
+            ips AS (SELECT event_id,
+                      (event_id * 2654435761) % 4294967296 AS ip
+                    FROM events),
+            m AS (SELECT i.event_id, bl.plen, bl.net
+                  FROM ips i JOIN bl
+                    ON i.ip // (CAST(1 AS BIGINT) << (32 - bl.plen))
+                     = bl.net // (CAST(1 AS BIGINT) << (32 - bl.plen))),
+            best AS (SELECT event_id, plen, net FROM m
+                     QUALIFY ROW_NUMBER() OVER
+                       (PARTITION BY event_id
+                        ORDER BY plen DESC, net) = 1),
+            lab AS (SELECT i.event_id,
+                      COALESCE(b.net, 0) AS net,
+                      COALESCE(b.plen, 0) AS plen
+                    FROM ips i LEFT JOIN best b
+                      ON b.event_id = i.event_id)
+            SELECT net, plen, CAST(COUNT(*) AS BIGINT) AS n_ips
+            FROM lab GROUP BY net, plen
+        """,
+        "q343_iso_week": """
+            SELECT CAST(isoyear(l_shipdate) AS BIGINT) AS iso_year,
+                   CAST(week(l_shipdate) AS BIGINT) AS iso_week,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total
+            FROM lineitem GROUP BY 1, 2
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -1570,3 +1570,163 @@ def percent_rank_exact(ds: ray.data.Dataset, key: str, id_col: str,
     return rel.grouped_apply_bucketed(ds, [key], pr,
                                       num_buckets=num_buckets,
                                       whole_bucket=True)
+
+
+def roaring_ledger(ds: ray.data.Dataset, val: str,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Roaring-bitmap container planning ledger (the public format's
+    cost model): distinct values split into 2^16-value chunks; each
+    chunk chooses the cheapest container — sorted array (2 bytes/value,
+    only when n ≤ 4096), run container (2 + 4·runs bytes), or fixed
+    bitmap (8192 bytes) — ties broken array > run > bitmap. Emits per
+    chunk (n distinct, runs, container, bytes): the decision table an
+    index builder materializes before writing postings.
+
+    Scale: per-batch distinct partials, ONE chunk-keyed hash shuffle,
+    whole-bucket vectorized run counting (sort + diff)."""
+    from .. import relational as rel
+
+    def parts(t: pa.Table) -> pa.Table:
+        v = np.unique(t[val].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"chunk": pa.array(v >> 16, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    dv = rel.distinct(ds.map_batches(parts, batch_format="pyarrow",
+                                     zero_copy_batch=True), ["chunk", "v"])
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk", "v"], kind="mergesort")
+        ch = g["chunk"].to_numpy()
+        v = g["v"].to_numpy()
+        new_chunk = np.concatenate([[True], ch[1:] != ch[:-1]])
+        run_start = new_chunk | np.concatenate([[True], v[1:] != v[:-1] + 1])
+        f = pd.DataFrame({"chunk": ch, "one": 1,
+                          "rs": run_start.astype(np.int64)})
+        agg = f.groupby("chunk", sort=False, as_index=False).agg(
+            n=("one", "sum"), runs=("rs", "sum"))
+        n = agg["n"].to_numpy()
+        r = agg["runs"].to_numpy()
+        size_arr = np.where(n <= 4096, 2 * n, np.int64(1) << 40)
+        size_run = 2 + 4 * r
+        size_bmp = np.full(len(n), 8192, np.int64)
+        best = np.minimum(np.minimum(size_arr, size_run), size_bmp)
+        kind = np.where(size_arr == best, "array",
+                        np.where(size_run == best, "run", "bitmap"))
+        return pd.DataFrame({"chunk": agg["chunk"], "n": n, "runs": r,
+                             "container": kind, "bytes": best})
+
+    return rel.grouped_apply_bucketed(dv, ["chunk"], plan,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+
+def cidr_assign(ds: ray.data.Dataset, ip_col: str, blocks,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Longest-prefix CIDR classification: each 32-bit address matches
+    the most specific block of a broadcast prefix table (the routing /
+    geo-IP join of network-log pipelines); unmatched addresses report
+    prefix length 0. Emits (net, plen, n_ips) counts.
+
+    Scale: the block table broadcasts once (``ray.put``); matching is
+    one (rows × blocks) vectorized shift-compare per batch — never a
+    shuffle for the join itself, one tiny grouped sum for the counts."""
+    import ray as _ray
+
+    from .. import relational as rel
+
+    bl = sorted({(int(plen), int(net)) for plen, net in blocks})
+    plens = np.array([p for p, _ in bl], dtype=np.int64)
+    nets = np.array([n for _, n in bl], dtype=np.int64)
+    ref = _ray.put((plens, nets))
+
+    def match(t: pa.Table) -> pa.Table:
+        pl, nt = _ray.get(ref)
+        ip = t[ip_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (ip[:, None] >> (32 - pl[None, :])) == \
+             (nt[None, :] >> (32 - pl[None, :]))
+        score = np.where(ok, pl[None, :], -1)
+        bi = score.argmax(axis=1)
+        hit = score[np.arange(len(ip)), bi] >= 0
+        net = np.where(hit, nt[bi], 0)
+        plen = np.where(hit, pl[bi], 0)
+        f = pd.DataFrame({"net": net, "plen": plen, "one": 1})
+        g = f.groupby(["net", "plen"], sort=False, as_index=False)["one"].sum()
+        return pa.table({"net": pa.array(g["net"], pa.int64()),
+                         "plen": pa.array(g["plen"], pa.int64()),
+                         "c": pa.array(g["one"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(match, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = rel.grouped_agg(parts, ["net", "plen"], sum_cols=["c"],
+                          count=False)
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["n_ips" if n == "c" else n for n in t.column_names])
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+def _civil_from_days(days: np.ndarray):
+    """Days-since-epoch → (year, month, day), the public
+    era-of-400-years integer algorithm (Howard Hinnant's civil_from_days
+    — published public-domain date arithmetic)."""
+    z = days + 719468
+    era = np.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = np.where(mp < 10, mp + 3, mp - 9)
+    return np.where(m <= 2, y + 1, y), m, d
+
+
+def _days_from_civil(y: np.ndarray, m: np.ndarray, d: np.ndarray):
+    yy = np.where(m <= 2, y - 1, y)
+    era = np.floor_divide(yy, 400)
+    yoe = yy - era * 400
+    doy = (153 * np.where(m > 2, m - 3, m + 9) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def iso_week_rollup(ds: ray.data.Dataset, ts_col: str, val: str,
+                    out_val: str = "total") -> ray.data.Dataset:
+    """ISO-8601 week rollup with EXACT integer calendar arithmetic:
+    the ISO (year, week) of a date is derived from its week's Thursday
+    (dow from days-since-epoch — 1970-01-01 was a Thursday — then
+    civil_from_days for the Thursday's year and Jan-1 ordinal). Sums
+    ``val`` per (iso_year, iso_week). Per-batch partials collapse to
+    ≤53 rows/year before the tiny grouped sum — shuffle-free at any
+    corpus size."""
+    from .. import relational as rel
+
+    def part(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 3) % 7  # 0 = Monday
+        thu = days - dow + 3
+        y, _m, _d = _civil_from_days(thu)
+        jan1 = _days_from_civil(y, np.ones_like(y), np.ones_like(y))
+        week = (thu - jan1) // 7 + 1
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"iso_year": y, "iso_week": week, "v": v})
+        g = f.groupby(["iso_year", "iso_week"], sort=False,
+                      as_index=False)["v"].sum()
+        return pa.table({"iso_year": pa.array(g["iso_year"], pa.int64()),
+                         "iso_week": pa.array(g["iso_week"], pa.int64()),
+                         "v": pa.array(g["v"].to_numpy(), pa.int64())})
+
+    out = rel.grouped_agg(ds.map_batches(part, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["iso_year", "iso_week"], sum_cols=["v"],
+                          count=False)
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [out_val if n == "v" else n for n in t.column_names])
+
+    return out.map_batches(ren, batch_format="pyarrow")

@@ -229,3 +229,78 @@ def segment_crossings(layer_a: ray.data.Dataset,
 
     return grouped_apply_bucketed(both, ["cell"], per_cell,
                                   num_buckets=num_buckets)
+
+
+def crossing_points(layer_a: ray.data.Dataset,
+                    layer_b: ray.data.Dataset, cs: int,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """``segment_crossings`` upgraded to emit the intersection POINT of
+    every properly-crossing pair as EXACT RATIONALS — the node-ing
+    step of planar overlay, where float coordinates would break
+    downstream snapping. For segments A=(a1,a2), B=(b1,b2) the point is
+    a1 + t·(a2−a1) with t = d1/(d1−d2) (orientation cross-products), so
+
+        x = (x1·den + t_num·dax) / den,  den = d1 − d2
+
+    emitted as (x_num, y_num, den) with den > 0 canonical sign. Same
+    exactly-once rule as segment_crossings (canonical cell of the
+    bbox-intersection corner); same one cell-keyed shuffle;
+    |coord| < 2^20 keeps every product in int64."""
+    from ..relational import grouped_apply_bucketed
+
+    ea = layer_a.map_batches(_seg_explode(0, cs), batch_format="pyarrow")
+    eb = layer_b.map_batches(_seg_explode(1, cs), batch_format="pyarrow")
+    both = ea.union(eb)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            "x_num": pd.Series([], dtype="int64"),
+            "y_num": pd.Series([], dtype="int64"),
+            "den": pd.Series([], dtype="int64")})
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        key = int(g["cell"].iloc[0])
+        cellx = (key >> 32) - _OFF
+        celly = (key & 0xFFFFFFFF) - _OFF
+        ax1 = a["x1"].to_numpy()[:, None]; ay1 = a["y1"].to_numpy()[:, None]
+        ax2 = a["x2"].to_numpy()[:, None]; ay2 = a["y2"].to_numpy()[:, None]
+        bx1 = b["x1"].to_numpy()[None, :]; by1 = b["y1"].to_numpy()[None, :]
+        bx2 = b["x2"].to_numpy()[None, :]; by2 = b["y2"].to_numpy()[None, :]
+        ox = np.maximum(np.minimum(ax1, ax2), np.minimum(bx1, bx2))
+        oy = np.maximum(np.minimum(ay1, ay2), np.minimum(by1, by2))
+        canon = (ox // cs == cellx) & (oy // cs == celly)
+        dax = ax2 - ax1; day = ay2 - ay1
+        dbx = bx2 - bx1; dby = by2 - by1
+        d1 = dax * (by1 - ay1) - day * (bx1 - ax1)
+        d2 = dax * (by2 - ay1) - day * (bx2 - ax1)
+        d3 = dbx * (ay1 - by1) - dby * (ax1 - bx1)
+        d4 = dbx * (ay2 - by1) - dby * (ax2 - bx1)
+        hit = canon & (d1 * d2 < 0) & (d3 * d4 < 0)
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        # point = b1 + u·(b2−b1), u = d1/(d1−d2) along B (d1,d2 are
+        # B-endpoint orientations vs A) — exact rationals over den
+        den = (d1 - d2)[hit]
+        u_num = d1[hit]
+        bx1h = np.broadcast_to(bx1, hit.shape)[hit]
+        by1h = np.broadcast_to(by1, hit.shape)[hit]
+        dbxh = np.broadcast_to(dbx, hit.shape)[hit]
+        dbyh = np.broadcast_to(dby, hit.shape)[hit]
+        x_num = bx1h * den + u_num * dbxh
+        y_num = by1h * den + u_num * dbyh
+        neg = den < 0
+        den = np.where(neg, -den, den)
+        x_num = np.where(neg, -x_num, x_num)
+        y_num = np.where(neg, -y_num, y_num)
+        return pd.DataFrame({"a_id": a["id"].to_numpy()[ii],
+                             "b_id": b["id"].to_numpy()[jj],
+                             "x_num": x_num, "y_num": y_num,
+                             "den": den})
+
+    return grouped_apply_bucketed(both, ["cell"], per_cell,
+                                  num_buckets=num_buckets)

@@ -479,3 +479,96 @@ def test_percent_rank_exact_hand(ray_session):
     # k=1 ranks (min): 3->1, 5->2, 5->2, 7->4 ; n-1=3. single row -> (0,0)
     assert out[["pr_num", "pr_den"]].values.tolist() == [
         [1, 3], [1, 3], [3, 3], [0, 3], [0, 0]]
+
+
+def test_crossing_points_brute(ray_session):
+    import ray.data as rd
+
+    from hand_index_ray.pipelines.overlay import crossing_points
+
+    rng = np.random.RandomState(6)
+    def layer(n, seed):
+        r = np.random.RandomState(seed)
+        return pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "x1": pa.array(r.randint(0, 60, n), pa.int64()),
+            "y1": pa.array(r.randint(0, 60, n), pa.int64()),
+            "x2": pa.array(r.randint(0, 60, n), pa.int64()),
+            "y2": pa.array(r.randint(0, 60, n), pa.int64())})
+
+    ta, tb = layer(25, 1), layer(25, 2)
+    out = crossing_points(rd.from_arrow(ta).repartition(3),
+                          rd.from_arrow(tb).repartition(3),
+                          cs=8).to_pandas()
+    got = {(r.a_id, r.b_id): (r.x_num, r.y_num, r.den)
+           for r in out.itertuples()}
+    # brute reference
+    want = {}
+    A = ta.to_pandas().to_numpy()
+    B = tb.to_pandas().to_numpy()
+    for ai, ax1, ay1, ax2, ay2 in A:
+        for bi, bx1, by1, bx2, by2 in B:
+            dax, day = ax2 - ax1, ay2 - ay1
+            dbx, dby = bx2 - bx1, by2 - by1
+            d1 = dax * (by1 - ay1) - day * (bx1 - ax1)
+            d2 = dax * (by2 - ay1) - day * (bx2 - ax1)
+            d3 = dbx * (ay1 - by1) - dby * (ax1 - bx1)
+            d4 = dbx * (ay2 - by1) - dby * (ax2 - bx1)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                den = d1 - d2
+                xn = bx1 * den + d1 * dbx
+                yn = by1 * den + d1 * dby
+                if den < 0:
+                    den, xn, yn = -den, -xn, -yn
+                want[(ai, bi)] = (xn, yn, den)
+    assert got == want and len(want) > 0
+
+
+def test_roaring_ledger_hand(ray_session):
+    # chunk 0: dense run 0..9999 (run container: 2+4 bytes);
+    # chunk 1: 5000 scattered evens (bitmap: array too big, runs 5000)
+    v = np.concatenate([np.arange(10000),
+                        65536 + 2 * np.arange(5000)])
+    tbl = pa.table({"v": pa.array(v, pa.int64())})
+    out = (mining.roaring_ledger(_ds(tbl), "v").to_pandas()
+           .sort_values("chunk").reset_index(drop=True))
+    assert out["container"].tolist() == ["run", "bitmap"]
+    assert out["bytes"].tolist() == [6, 8192]
+    assert out["n"].tolist() == [10000, 5000]
+    assert out["runs"].tolist() == [1, 5000]
+
+
+def test_cidr_assign_hand(ray_session):
+    # /8 block 10.0.0.0 and nested /16 10.1.0.0 -> longest wins
+    blocks = [(8, 10 << 24), (16, (10 << 24) | (1 << 16))]
+    ips = [(10 << 24) | 5,              # /8 only
+           (10 << 24) | (1 << 16) | 7,  # both -> /16
+           (192 << 24)]                 # none -> /0
+    tbl = pa.table({"ip": pa.array(ips, pa.int64())})
+    out = (mining.cidr_assign(_ds(tbl), "ip", blocks).to_pandas()
+           .sort_values(["plen", "net"]).reset_index(drop=True))
+    assert out[["net", "plen", "n_ips"]].values.tolist() == [
+        [0, 0, 1], [10 << 24, 8, 1], [(10 << 24) | (1 << 16), 16, 1]]
+
+
+def test_iso_week_vs_isocalendar(ray_session):
+    import datetime
+
+    from hand_index_ray.pipelines.mining import iso_week_rollup
+
+    # boundary-heavy dates: year starts/ends across several years
+    days = []
+    for y in (1998, 1999, 2000, 2004, 2005, 2020, 2021):
+        for md in ((1, 1), (1, 4), (12, 28), (12, 31)):
+            days.append(datetime.date(y, *md))
+    us = [int((d - datetime.date(1970, 1, 1)).days) * 86_400_000_000
+          for d in days]
+    tbl = pa.table({"ts": pa.array(us, pa.timestamp("us")),
+                    "q": pa.array([1] * len(us), pa.int64())})
+    out = iso_week_rollup(_ds(tbl), "ts", "q").to_pandas()
+    got = {(r.iso_year, r.iso_week): r.total for r in out.itertuples()}
+    want: dict = {}
+    for d in days:
+        iy, iw, _ = d.isocalendar()
+        want[(iy, iw)] = want.get((iy, iw), 0) + 1
+    assert got == want
