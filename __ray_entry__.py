@@ -7045,6 +7045,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             prep, batch_format="pyarrow")
         return mining.iso_week_rollup(ds, "ts", "q")
 
+    def q344_debounce(sf):  # greedy idempotency-window dedup
+        """Keep events > 20 min after the LAST KEPT one per user — the
+        sequential-carry debounce, vectorized via packed searchsorted
+        jumps + orbit advance (pipelines/mining.py:debounce); oracle
+        walks the chain with a recursive LATERAL."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_id": t.column("event_id"),
+                             "us": pc.cast(t.column("ts"), pa.int64())})
+
+        ds = _t(sf, "events").map_batches(prep, batch_format="pyarrow")
+        return mining.debounce(ds, "user_id", "us", "event_id",
+                               gap_us=1_200_000_000)
+
+    def q345_hdr(sf):  # HDR log-bucketed latency histogram
+        """HdrHistogram bucketing arithmetic (bucket = bitlen−5, 32
+        sub-buckets per power of two), exact lower bounds
+        (pipelines/mining.py:hdr_buckets)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"v": pa.array((e * 7919) % 1000000,
+                                           pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.hdr_buckets(ds, "v", sub_bits=5)
+
+    def q346_oov(sf):  # tokenizer OOV-rate audit
+        """Top-16 global tokens as the vocabulary (count desc, token
+        asc ties), per-doc OOV counts via one Arrow is_in
+        (pipelines/mining.py:oov_audit)."""
+        from hand_index_ray.pipelines import mining
+
+        return mining.oov_audit(_t(sf, "documents"), vocab_k=16)
+
+    def q347_dhash_pairs(sf):  # near-dup image pairs by dHash hamming
+        """Hash-level pair generation: band LSH (4×14 bits, pigeonhole
+        for hamming≤3) + vectorized popcount verify, exactly-once from
+        the first equal band
+        (pipelines/image_embed.py:dhash_hamming_pairs)."""
+        from hand_index_ray.pipelines.image_embed import dhash_hamming_pairs
+
+        return dhash_hamming_pairs(_arith_images(sf), channel=0,
+                                   max_hamming=3)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7383,6 +7432,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q341_roaring": q341_roaring,
         "q342_cidr": q342_cidr,
         "q343_iso_week": q343_iso_week,
+        "q344_debounce": q344_debounce,
+        "q345_hdr": q345_hdr,
+        "q346_oov": q346_oov,
+        "q347_dhash_pairs": q347_dhash_pairs,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10086,6 +10139,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
                      AS total
             FROM lineitem GROUP BY 1, 2
+        """,
+        "q344_debounce": """
+            WITH RECURSIVE e AS (SELECT user_id, event_id,
+                                        epoch_us(ts) AS us FROM events),
+            seed AS (SELECT user_id, event_id, us FROM e
+                     QUALIFY ROW_NUMBER() OVER
+                       (PARTITION BY user_id ORDER BY us, event_id) = 1),
+            rec(user_id, event_id, us) AS (
+              SELECT * FROM seed
+              UNION ALL
+              SELECT l.user_id, l.event_id, l.us FROM rec r, LATERAL (
+                SELECT e.user_id, e.event_id, e.us FROM e
+                WHERE e.user_id = r.user_id
+                  AND e.us > r.us + 1200000000
+                ORDER BY e.us, e.event_id LIMIT 1) l)
+            SELECT user_id, event_id, us FROM rec
+        """,
+        "q345_hdr": """
+            WITH v AS (SELECT (event_id * 7919) % 1000000 AS v
+                       FROM events),
+            b AS (SELECT v, CASE WHEN v = 0 THEN 0
+                                 ELSE GREATEST(length(bin(v)) - 5, 0)
+                            END AS bucket FROM v),
+            s AS (SELECT bucket,
+                         v // (CAST(1 AS BIGINT) << bucket) AS sub
+                  FROM b)
+            SELECT bucket, sub,
+                   CAST(sub * (CAST(1 AS BIGINT) << bucket) AS BIGINT)
+                     AS lb,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY bucket, sub
+        """,
+        "q346_oov": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            tk AS (SELECT tok FROM
+                     (SELECT tok, COUNT(*) AS c FROM tok
+                      WHERE tok <> '' GROUP BY tok)
+                   QUALIFY ROW_NUMBER() OVER
+                     (ORDER BY c DESC, tok) <= 16)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN tok IN (SELECT tok FROM tk)
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM tok WHERE tok <> '' GROUP BY doc_id
+        """,
+        "q347_dhash_pairs": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            s AS (SELECT k, r.r AS r, c.c AS c,
+                    SUM((k + 7*(3*r.r + dy.dy) + 3*(4*c.c + dx.dx)) % 256)
+                      AS sv
+                  FROM ks, generate_series(0, 7) r(r),
+                       generate_series(0, 7) c(c),
+                       generate_series(0, 2) dy(dy),
+                       generate_series(0, 3) dx(dx)
+                  GROUP BY k, r.r, c.c),
+            h AS (SELECT a.k,
+                    CAST(SUM(CASE WHEN a.sv > b.sv
+                        THEN (CAST(1 AS BIGINT) << (a.r*7 + a.c))
+                        ELSE 0 END) AS BIGINT) AS dhash
+                  FROM s a JOIN s b
+                    ON b.k = a.k AND b.r = a.r AND b.c = a.c + 1
+                  WHERE a.c < 7
+                  GROUP BY a.k),
+            cg AS (SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM h GROUP BY dhash)
+            SELECT a.dhash AS h_a, b.dhash AS h_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+                     AS hamming,
+                   CAST(a.n * b.n AS BIGINT) AS n_pairs
+            FROM cg a JOIN cg b ON a.dhash < b.dhash
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

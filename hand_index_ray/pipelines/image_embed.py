@@ -788,3 +788,81 @@ def composite_stats(source: "str | ray.data.Dataset", overlay_rgb,
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.decode_batch_size)
+
+
+def dhash_hamming_pairs(source: "str | ray.data.Dataset",
+                        channel: int = 0, grid: int = 8,
+                        max_hamming: int = 3,
+                        cfg: EngineConfig = DEFAULT) -> ray.data.Dataset:
+    """Near-duplicate image pair generation by dHash hamming distance:
+    the distinct (dhash, n) table pairs up every two hash values
+    within ``max_hamming`` bits and reports the pair multiplicity
+    n_a·n_b — the candidate-pair pass of image dedup at the HASH
+    level, which is the only level that scales (pairing raw images
+    within an equal hash is quadratic in duplicates; pairing hash
+    VALUES is quadratic only in distinct hashes).
+
+    Scale shape: band LSH — each 56-bit hash explodes to 4 14-bit
+    bands; hamming ≤ 3 guarantees (pigeonhole) one equal band, so
+    candidates come from a band-keyed shuffle, verified by one
+    vectorized XOR popcount, deduped by emitting only from the FIRST
+    matching band (exactly-once, no distinct pass)."""
+    from .. import relational as rel
+
+    hs = dhash_counts(source, channel=channel, grid=grid, cfg=cfg)
+    nb, bw = 4, 14
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["dhash"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        bands, hh, nn, bi = [], [], [], []
+        for b in range(nb):
+            bands.append((h >> (b * bw)) & ((1 << bw) - 1))
+            hh.append(h)
+            nn.append(n)
+            bi.append(np.full(len(h), b, np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(bi) * (1 << bw)
+                             + np.concatenate(bands), pa.int64()),
+            "dhash": pa.array(np.concatenate(hh), pa.int64()),
+            "n": pa.array(np.concatenate(nn), pa.int64())})
+
+    ex = hs.map_batches(explode, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # empty/singleton buckets reach fn as-is
+            return pd.DataFrame({"h_a": pd.Series(dtype="int64"),
+                                 "h_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        h = g["dhash"].to_numpy()
+        n = g["n"].to_numpy()
+        band = int(g["band"].iloc[0]) >> bw  # band index of this group
+        order = np.argsort(h, kind="mergesort")
+        h, n = h[order], n[order]
+        iu, ju = np.triu_indices(len(h), k=1)
+        ha, hb = h[iu], h[ju]
+        x = ha ^ hb
+        # vectorized popcount on int64
+        pop = np.zeros(len(x), np.int64)
+        t = x.copy()
+        while True:
+            pop += t & 1
+            t >>= 1
+            if not t.any():
+                break
+        ok = pop <= max_hamming
+        # exactly-once: emit only when THIS band is the first equal one
+        first = np.zeros(len(x), np.int64)
+        for b in range(nb):
+            eq = ((ha >> (b * bw)) & ((1 << bw) - 1)) == \
+                 ((hb >> (b * bw)) & ((1 << bw) - 1))
+            first = np.where((first == 0) & eq, b + 1, first)
+        ok &= first == band + 1
+        return pd.DataFrame({"h_a": ha[ok], "h_b": hb[ok],
+                             "hamming": pop[ok],
+                             "n_pairs": (n[iu] * n[ju])[ok]})
+
+    return rel.grouped_apply_bucketed(ex, ["band"], pairs,
+                                      min_group_size=2)

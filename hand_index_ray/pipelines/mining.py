@@ -1730,3 +1730,159 @@ def iso_week_rollup(ds: ray.data.Dataset, ts_col: str, val: str,
             [out_val if n == "v" else n for n in t.column_names])
 
     return out.map_batches(ren, batch_format="pyarrow")
+
+
+def debounce(events: ray.data.Dataset, key: str, ts_us: str,
+             id_col: str, gap_us: int,
+             num_buckets: int = 64) -> ray.data.Dataset:
+    """Greedy debounce dedup (retry / double-fire suppression): per
+    key, keep the first event, then each event whose timestamp exceeds
+    the LAST KEPT timestamp by more than ``gap_us`` — the sequential
+    carry every ingest pipeline needs for idempotency windows, NOT the
+    LAG approximation (which re-admits an event suppressed by a
+    suppressed predecessor).
+
+    Vectorized despite being sequential: within one bucket sorted by
+    (key, ts, id), jump(i) = first index of the same series with
+    ts > ts(i) + gap comes from ONE packed searchsorted (series index
+    × rebased-span + ts — disjoint ranges per series), and the kept
+    set is the orbit of each series' first index under jump, advanced
+    for ALL series at once (rounds = max kept per series, each round a
+    single gather). Falls back to per-series searchsorted only if the
+    packing would overflow int64."""
+    from .. import relational as rel
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_us, id_col], kind="mergesort")
+        ks = g[key].to_numpy()
+        ts = g[ts_us].to_numpy().astype(np.int64)
+        n = len(g)
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        sid = np.cumsum(new) - 1           # series index per row
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        base = ts.min() if n else 0
+        span = int(ts.max() - base) + 1 if n else 1
+        gap = int(gap_us)
+        if (sid.max() + 1) * (span + gap + 1) < (1 << 62):
+            packed = sid * (span + gap + 1) + (ts - base)
+            q = sid * (span + gap + 1) + np.minimum(ts - base + gap,
+                                                    span + gap)
+            jump = np.searchsorted(packed, q, side="right")
+        else:  # pathological span: per-series exact fallback
+            jump = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                jump[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + gap,
+                                                side="right")
+        jump = np.minimum(jump, ends[sid])  # never cross the series
+        kept = np.zeros(n, dtype=bool)
+        frontier = starts
+        while len(frontier):
+            kept[frontier] = True
+            nxt = jump[frontier]
+            frontier = nxt[nxt < ends[sid[frontier]]]
+        out = g[kept]
+        return pd.DataFrame({key: out[key].to_numpy(),
+                             id_col: out[id_col].to_numpy(),
+                             ts_us: out[ts_us].to_numpy()})
+
+    return rel.grouped_apply_bucketed(events, [key], keep,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)
+
+
+def hdr_buckets(ds: ray.data.Dataset, val: str, sub_bits: int = 5) -> ray.data.Dataset:
+    """HdrHistogram-style log-bucketed latency histogram (the public
+    HDR bucketing arithmetic): value v lands in bucket
+    b = max(0, bit_length(v) − sub_bits) with sub-index v >> b — fixed
+    RELATIVE precision (2^sub_bits sub-buckets per power of two), the
+    standard shape for latency SLO ledgers. Emits per (bucket, sub):
+    count + exact lower bound (sub << bucket).
+
+    Shuffle-free: per-batch (bucket, sub) partials (≤ 64·2^sub_bits
+    rows) into one tiny grouped sum."""
+    from .. import relational as rel
+
+    k = sub_bits
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = np.zeros(len(v), np.int64)
+        tv = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = tv >= (np.int64(1) << shift)
+            bl[m] += shift
+            tv[m] >>= shift
+        bl[v > 0] += 1  # bit length; v=0 -> 0
+        b = np.maximum(bl - k, 0)
+        sub = v >> b
+        f = pd.DataFrame({"bucket": b, "sub": sub, "one": 1})
+        g = f.groupby(["bucket", "sub"], sort=False, as_index=False)["one"].sum()
+        return pa.table({"bucket": pa.array(g["bucket"], pa.int64()),
+                         "sub": pa.array(g["sub"], pa.int64()),
+                         "c": pa.array(g["one"].to_numpy(), pa.int64())})
+
+    out = rel.grouped_agg(ds.map_batches(part, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["bucket", "sub"], sum_cols=["c"], count=False)
+
+    def fin(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        s = t["sub"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": t["bucket"], "sub": t["sub"],
+                         "lb": pa.array(s << b, pa.int64()),
+                         "n": t["c"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def oov_audit(docs: ray.data.Dataset, vocab_k: int = 16,
+              col: str = "text", id_col: str = "doc_id",
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Tokenizer-vocabulary coverage audit: the corpus's top-K tokens
+    by global frequency (ties broken lexicographically) form the
+    vocabulary; each document reports its out-of-vocabulary token
+    count and total — the OOV-rate screen run before committing a
+    tokenizer to a corpus.
+
+    Two passes: a token-count shuffle (per-batch partials →
+    grouped_agg_hash) whose top-K collapses driver-side (K rows,
+    bounded), then a map-only membership count via one Arrow is_in."""
+    from ..pipelines.text import _tokenize_batch
+
+    from .. import relational as rel
+
+    def parts(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        keep = words != ""
+        f = pd.DataFrame({"tok": words[keep], "one": 1})
+        g = f.groupby("tok", sort=False, as_index=False)["one"].sum()
+        return pa.table({"tok": pa.array(g["tok"], pa.string()),
+                         "c": pa.array(g["one"].to_numpy(), pa.int64())})
+
+    counts = rel.grouped_agg_hash(
+        docs.map_batches(parts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["tok"], sum_cols=["c"], count=False,
+        num_buckets=num_buckets).to_pandas()
+    counts = counts.sort_values(["c", "tok"], ascending=[False, True],
+                                kind="mergesort")
+    vocab = counts["tok"].to_numpy()[:vocab_k].tolist()
+    vocab_arr = pa.array(vocab, pa.string())
+
+    def audit(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = words != ""
+        doc = np.repeat(np.arange(len(ids)), np.diff(off))[keep]
+        inv = pc.is_in(pa.array(words[keep], pa.string()),
+                       value_set=vocab_arr).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(doc, minlength=len(ids)).astype(np.int64)
+        n_in = np.bincount(doc, weights=inv.astype(np.float64),
+                           minlength=len(ids)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_oov": pa.array(n_tok - n_in, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    return docs.map_batches(audit, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -572,3 +572,81 @@ def test_iso_week_vs_isocalendar(ray_session):
         iy, iw, _ = d.isocalendar()
         want[(iy, iw)] = want.get((iy, iw), 0) + 1
     assert got == want
+
+
+def test_debounce_sequential_carry(ray_session):
+    # t=0 keep; t=3 drop; t=6 KEEP (>(0)+5 — the LAG approximation
+    # would re-admit nothing here); t=9 drop; t=12 keep
+    tbl = pa.table({"k": pa.array([1] * 5, pa.int64()),
+                    "i": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                    "us": pa.array([0, 3, 6, 9, 12], pa.int64())})
+    out = (mining.debounce(_ds(tbl), "k", "us", "i", gap_us=5)
+           .to_pandas().sort_values("us"))
+    assert out["us"].tolist() == [0, 6, 12]
+
+
+def test_debounce_ties_and_series(ray_session):
+    tbl = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                    "i": pa.array([5, 4, 9, 7], pa.int64()),
+                    "us": pa.array([100, 100, 200, 50], pa.int64())})
+    out = (mining.debounce(_ds(tbl), "k", "us", "i", gap_us=10)
+           .to_pandas().sort_values(["k", "us"]))
+    # equal ts: min id kept; 200 > 100+10 kept; series 2 independent
+    assert out[["k", "i"]].values.tolist() == [[1, 4], [1, 9], [2, 7]]
+
+
+def test_hdr_buckets_hand(ray_session):
+    vals = [0, 1, 31, 32, 33, 63, 64, 1000]
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    out = mining.hdr_buckets(_ds(tbl), "v", sub_bits=5).to_pandas()
+    got = {(r.bucket, r.sub): (r.lb, r.n) for r in out.itertuples()}
+    # 0,1,31 -> bucket 0 subs 0,1,31; 32,33 -> bucket 1 subs 16 (lb 32);
+    # 63 -> bucket 1 sub 31 (lb 62); 64 -> bucket 2 sub 16 (lb 64);
+    # 1000 (bitlen 10) -> bucket 5 sub 31 (lb 992)
+    assert got[(0, 0)] == (0, 1) and got[(0, 31)] == (31, 1)
+    assert got[(1, 16)] == (32, 2) and got[(1, 31)] == (62, 1)
+    assert got[(2, 16)] == (64, 1) and got[(5, 31)] == (992, 1)
+
+
+def test_oov_audit_hand(ray_session):
+    texts = ["a a a b", "a c", "d d"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts)})
+    out = (mining.oov_audit(_ds(tbl), vocab_k=2).to_pandas()
+           .sort_values("doc_id"))
+    # counts: a=4, d=2, b=1, c=1 -> vocab {a, d}
+    assert out[["n_oov", "n_tokens"]].values.tolist() == [
+        [1, 4], [1, 2], [0, 2]]
+
+
+def test_dhash_hamming_pairs_brute(ray_session):
+    from hand_index_ray.pipelines.image_embed import dhash_hamming_pairs
+
+    # images whose dhashes differ in controlled bit counts
+    base = np.tile(np.arange(255, 255 - 32, -1, dtype=np.uint8)[None, :],
+                   (24, 1))  # strictly decreasing rows -> all bits set
+    imgs = []
+    for flips in (0, 0, 2, 5):
+        g = base.copy().astype(np.int64)
+        # flipping block-sum comparisons: raise `flips` columns so some
+        # adjacent compares invert — construct via direct value bumps
+        for f in range(flips):
+            g[:, 4 * (f + 1)] += 200  # bump one column per flip
+        imgs.append(np.repeat(np.clip(g, 0, 255).astype(np.uint8)
+                              [:, :, None], 3, axis=2))
+    out = dhash_hamming_pairs(_img_ds(imgs), channel=0,
+                              max_hamming=3).to_pandas()
+    # compute expected pairs brute from the actual hashes
+    from hand_index_ray.pipelines.image_embed import dhash_counts
+    hs = dhash_counts(_img_ds(imgs), channel=0).to_pandas()
+    vals = hs["dhash"].tolist()
+    cnt = dict(zip(hs["dhash"], hs["n"]))
+    want = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = sorted((vals[i], vals[j]))
+            ham = bin(a ^ b).count("1")
+            if ham <= 3:
+                want.add((a, b, ham, cnt[a] * cnt[b]))
+    got = {(r.h_a, r.h_b, r.hamming, r.n_pairs) for r in out.itertuples()}
+    assert got == want
