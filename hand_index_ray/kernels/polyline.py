@@ -36,12 +36,16 @@ def _unzigzag(v: np.ndarray) -> np.ndarray:
     return np.where(v & 1, -((v + 1) >> 1), v >> 1).astype(np.int64)
 
 
-def encode_values(vals: np.ndarray) -> bytes:
-    """Encode a flat array of already-delta'd signed values."""
+def encode_values(vals: np.ndarray, return_counts: bool = False):
+    """Encode a flat array of already-delta'd signed values.
+
+    With ``return_counts`` also returns the per-value byte count —
+    lets a caller encode MANY tracks' deltas in one call and split the
+    byte stream afterwards (the vectorized bucket path)."""
     v = _zigzag(np.asarray(vals, dtype=np.int64))
     n = len(v)
     if n == 0:
-        return b""
+        return (b"", np.empty(0, np.int64)) if return_counts else b""
     sh = (v[:, None] >> (5 * np.arange(_MAX_CHUNKS)[None, :])) & 31
     # chunk i is emitted iff any chunk >= i is nonzero (always chunk 0)
     live = sh > 0
@@ -51,7 +55,8 @@ def encode_values(vals: np.ndarray) -> bytes:
     keep = np.arange(_MAX_CHUNKS)[None, :] < nchunks[:, None]
     cont = np.arange(_MAX_CHUNKS)[None, :] < (nchunks - 1)[:, None]
     chars = (sh + 63 + 32 * cont).astype(np.uint8)
-    return chars[keep].tobytes()
+    out = chars[keep].tobytes()
+    return (out, nchunks.astype(np.int64)) if return_counts else out
 
 
 def decode_values(buf: bytes) -> np.ndarray:

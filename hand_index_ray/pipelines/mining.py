@@ -1460,19 +1460,36 @@ def polyline_ledger(events: ray.data.Dataset, key: str, ord_col: str,
 
     def enc(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ord_col], kind="mergesort")
-        ks, la, lg = g[key].to_numpy(), g[lat5].to_numpy(), g[lng5].to_numpy()
-        out_k, out_n, out_len, out_sum = [], [], [], []
-        bnd = np.concatenate([[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1,
-                              [len(ks)]])
-        for s, e in zip(bnd[:-1], bnd[1:]):
-            buf = pl.encode_track(la[s:e], lg[s:e])
-            out_k.append(ks[s])
-            out_n.append(e - s)
-            out_len.append(len(buf))
-            out_sum.append(int(np.frombuffer(buf, np.uint8)
-                               .astype(np.int64).sum()))
-        return pd.DataFrame({key: out_k, "n_pts": out_n,
-                             "enc_len": out_len, "char_sum": out_sum})
+        ks = g[key].to_numpy()
+        la = g[lat5].to_numpy().astype(np.int64)
+        lg = g[lng5].to_numpy().astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key: pd.Series(dtype=ks.dtype),
+                                 "n_pts": pd.Series(dtype="int64"),
+                                 "enc_len": pd.Series(dtype="int64"),
+                                 "char_sum": pd.Series(dtype="int64")})
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        sid = np.cumsum(new) - 1
+        # per-track deltas (first point deltas from 0), interleaved
+        # lat/lng — one global arrays pass, tracks stay contiguous
+        dl = la - np.where(new, 0, np.concatenate([[0], la[:-1]]))
+        dg = lg - np.where(new, 0, np.concatenate([[0], lg[:-1]]))
+        vals = np.empty(2 * n, np.int64)
+        vals[0::2] = dl
+        vals[1::2] = dg
+        buf, nc = pl.encode_values(vals, return_counts=True)
+        vsid = np.repeat(sid, 2)
+        nseries = int(sid[-1]) + 1
+        enc_len = np.bincount(vsid, weights=nc,
+                              minlength=nseries).astype(np.int64)
+        bytes_sid = np.repeat(vsid, nc)
+        bvals = np.frombuffer(buf, np.uint8).astype(np.int64)
+        char_sum = np.bincount(bytes_sid, weights=bvals,
+                               minlength=nseries).astype(np.int64)
+        n_pts = np.bincount(sid, minlength=nseries).astype(np.int64)
+        return pd.DataFrame({key: ks[new], "n_pts": n_pts,
+                             "enc_len": enc_len, "char_sum": char_sum})
 
     return rel.grouped_apply_bucketed(events, [key], enc,
                                       num_buckets=num_buckets,
