@@ -7094,6 +7094,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dhash_hamming_pairs(_arith_images(sf), channel=0,
                                    max_hamming=3)
 
+    def q348_csv(sf):  # CSV sink + source roundtrip (quoted fields)
+        """Engine-written CSV (Arrow writer, fields with embedded
+        commas quoted) read back through ray.data.read_csv and
+        aggregated — the plain-text interchange ingest the format
+        battery lacked. Oracle recomputes from the orders view."""
+        import os
+
+        import ray.data as rd
+
+        orders = _t(sf, "orders").select_columns(["o_orderkey"])
+        kmax = int(pc.max(_tbl(sf, "orders").column("o_orderkey")).as_py())
+        out_dir = f"/tmp/hand_index_ray_csv_{kmax}"
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            tag = np.array([f"g,{v % 5}" for v in k.tolist()],
+                           dtype=object)
+            return pa.table({"k": pa.array(k, pa.int64()),
+                             "tag": pa.array(tag, pa.string())})
+
+        if not os.path.isdir(out_dir):
+            orders.map_batches(mk, batch_format="pyarrow") \
+                .write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+        return rel.grouped_agg(back, ["tag"], sum_cols=["k"], count=True)
+
+    def q349_feature_hash(sf):  # hashing-trick featurization
+        """Sparse (doc, bucket, ±count) triplets via md5 bucket+sign —
+        DuckDB md5_number_lower parity
+        (pipelines/text.py:feature_hash)."""
+        from hand_index_ray.pipelines.text import feature_hash
+
+        return feature_hash(_t(sf, "documents"), buckets=64)
+
+    def q350_bipartite(sf):  # per-component bipartiteness audit
+        """Distributed CC + multi-source BFS parity + equal-parity edge
+        audit (pipelines/graph.py:bipartite_check); oracle = parity
+        reachability closure (both-parities-reachable ⇔ odd cycle)."""
+        from hand_index_ray.pipelines.graph import bipartite_check
+
+        def mk(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            k = k[k % 11 == 0]
+            u = ((k * 2654435761) // 8) % 1024
+            v = ((k * 2246822519) // 8) % 1024
+            keep = u != v
+            return pa.table({"u": pa.array(u[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        edges = _t(sf, "orders").select_columns(["o_orderkey"]) \
+            .map_batches(mk, batch_format="pyarrow")
+        return bipartite_check(edges, "u", "v")
+
+    def q351_topic_scores(sf):  # broadcast linear-scorer inference
+        """Per-doc argmax of md5-derived per-topic token weights — the
+        batched linear-model scoring shape
+        (pipelines/text.py:topic_scores)."""
+        from hand_index_ray.pipelines.text import topic_scores
+
+        return topic_scores(_t(sf, "documents"), n_topics=4)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7436,6 +7497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q345_hdr": q345_hdr,
         "q346_oov": q346_oov,
         "q347_dhash_pairs": q347_dhash_pairs,
+        "q348_csv": q348_csv,
+        "q349_feature_hash": q349_feature_hash,
+        "q350_bipartite": q350_bipartite,
+        "q351_topic_scores": q351_topic_scores,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10213,6 +10278,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.n * b.n AS BIGINT) AS n_pairs
             FROM cg a JOIN cg b ON a.dhash < b.dhash
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        """,
+        "q348_csv": """
+            SELECT 'g,' || CAST(o_orderkey % 5 AS VARCHAR) AS tag,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q349_feature_hash": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS hv
+                  FROM tok WHERE tok <> ''),
+            s AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+                    CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END
+                      AS sg
+                  FROM h)
+            SELECT doc_id, bucket, CAST(SUM(sg) AS BIGINT) AS v
+            FROM s GROUP BY doc_id, bucket HAVING SUM(sg) <> 0
+        """,
+        "q350_bipartite": """
+            WITH RECURSIVE e0 AS (SELECT DISTINCT
+                   ((o_orderkey*2654435761) // 8) % 1024 AS ua,
+                   ((o_orderkey*2246822519) // 8) % 1024 AS vb
+                 FROM orders WHERE o_orderkey % 11 = 0),
+            ed AS (SELECT DISTINCT u, v FROM (
+                     SELECT ua AS u, vb AS v FROM e0 WHERE ua <> vb
+                     UNION ALL
+                     SELECT vb, ua FROM e0 WHERE ua <> vb)),
+            n AS (SELECT DISTINCT u AS node FROM ed),
+            reach(node, r) AS (
+              SELECT node, node FROM n
+              UNION
+              SELECT reach.node, ed.v FROM reach
+              JOIN ed ON ed.u = reach.r),
+            nc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+            pw(node, par) AS (
+              SELECT comp, 0 FROM (SELECT DISTINCT comp FROM nc)
+              UNION
+              SELECT ed.v, 1 - pw.par FROM pw JOIN ed ON ed.u = pw.node),
+            twop AS (SELECT node FROM pw GROUP BY node
+                     HAVING COUNT(DISTINCT par) = 2),
+            badc AS (SELECT DISTINCT nc.comp FROM twop
+                     JOIN nc ON nc.node = twop.node)
+            SELECT nc.comp,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(CASE WHEN nc.comp IN (SELECT comp FROM badc)
+                        THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
+            FROM nc GROUP BY nc.comp
+        """,
+        "q351_topic_scores": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS hv
+                  FROM tok WHERE tok <> ''),
+            sc AS (SELECT doc_id, t.t AS topic,
+                     CAST(SUM(CAST((hv // CAST(CASE t.t
+                            WHEN 0 THEN 1 WHEN 1 THEN 7
+                            WHEN 2 THEN 49 ELSE 343 END AS UBIGINT))
+                          % 5 AS BIGINT)) AS BIGINT) AS score
+                   FROM h, generate_series(0, 3) t(t)
+                   GROUP BY doc_id, t.t)
+            SELECT doc_id, CAST(topic AS BIGINT) AS topic, score
+            FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, topic) = 1
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -1002,3 +1002,58 @@ def dag_layers(edges: ray.data.Dataset, u: str = "u", v: str = "v",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
         "layer": pa.array(layer, pa.int64())}))
+
+
+def bipartite_check(edges: ray.data.Dataset, a: str = "u",
+                    b: str = "v") -> ray.data.Dataset:
+    """Per-component bipartiteness: compose the engine's distributed
+    CC (min-label waves) with multi-source BFS from each component's
+    root (its min node); a component is bipartite iff NO edge joins
+    two nodes of equal BFS-layer parity (an equal-parity edge closes
+    an odd cycle). Emits (comp, n_nodes, is_bipartite).
+
+    Scale shape: CC and BFS are the existing raw-task wave operators
+    (edges partitioned once, labels never on the driver); the final
+    parity audit broadcasts the (node → comp, parity) table — the
+    SMALL side, |V|-bounded like dag_layers — and streams the edges
+    through one map_batches."""
+    from .. import relational as rel
+
+    cc = connected_components(edges, a=a, b=b).to_pandas()
+    roots = np.unique(cc["comp"].to_numpy().astype(np.int64))
+    dist = bfs_hops(edges, roots, a=a, b=b).to_pandas()
+    node = dist["node"].to_numpy().astype(np.int64)
+    order = np.argsort(node)
+    node = node[order]
+    par = (dist["hops"].to_numpy().astype(np.int64) % 2)[order]
+    comp_map = cc.set_index("node")["comp"]
+    comp_of = comp_map.reindex(node).to_numpy().astype(np.int64)
+    ref = ray.put((node, par, comp_of))
+
+    def audit(t: pa.Table) -> pa.Table:
+        nd, pr, cp = ray.get(ref)
+        uu = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        pu = pr[np.searchsorted(nd, uu)]
+        pv = pr[np.searchsorted(nd, vv)]
+        cu = cp[np.searchsorted(nd, uu)]
+        bad = pu == pv
+        u2, c2 = np.unique(cu[bad], return_counts=True)
+        return pa.table({"comp": pa.array(u2, pa.int64()),
+                         "n_bad": pa.array(c2, pa.int64())})
+
+    bad = rel.grouped_agg(
+        edges.map_batches(audit, batch_format="pyarrow"),
+        ["comp"], sum_cols=["n_bad"], count=False).to_pandas()
+    if "n_bad" not in bad.columns:  # all-empty result drops columns
+        bad_set: set = set()
+    else:
+        bad_set = set(bad.loc[bad["n_bad"] > 0, "comp"].astype(int))
+    sizes = cc.groupby("comp", sort=True).size()
+    return ray.data.from_arrow(pa.table({
+        "comp": pa.array(sizes.index.to_numpy().astype(np.int64),
+                         pa.int64()),
+        "n_nodes": pa.array(sizes.to_numpy().astype(np.int64), pa.int64()),
+        "is_bipartite": pa.array(
+            [0 if int(c) in bad_set else 1 for c in sizes.index],
+            pa.int64())}))

@@ -1878,3 +1878,71 @@ def edit2_pairs(ds: ray.data.Dataset, col: str = "s",
 
     return uniq.map_batches(verify, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def feature_hash(ds: ray.data.Dataset, buckets: int = 64,
+                 col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Hashing-trick featurization (the vocabulary-free vectorizer):
+    every token occurrence lands in bucket md5_lower(tok) % buckets
+    with sign ± from the next hash bit, accumulated per document —
+    emits the sparse nonzero (doc_id, bucket, v) triplets a linear
+    model trains on. Exactly the DuckDB-md5 hash (oracle parity).
+
+    Map-only: unique tokens hash once per batch, occurrences reduce
+    with one flat bincount over doc*buckets + bucket."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = words != ""
+        doc = np.repeat(np.arange(len(ids)), np.diff(off))[keep]
+        w = words[keep]
+        uniq, inv = np.unique(w, return_inverse=True)
+        h = _md5_u64(uniq)
+        bk = (h % np.uint64(buckets)).astype(np.int64)[inv]
+        sg = np.where(((h // np.uint64(buckets)) % np.uint64(2)) == 0,
+                      1, -1).astype(np.int64)[inv]
+        flat = doc * buckets + bk
+        v = np.bincount(flat, weights=sg,
+                        minlength=len(ids) * buckets).astype(np.int64)
+        nz = np.flatnonzero(v)
+        return pa.table({
+            "doc_id": pa.array(ids[nz // buckets], pa.int64()),
+            "bucket": pa.array(nz % buckets, pa.int64()),
+            "v": pa.array(v[nz], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topic_scores(ds: ray.data.Dataset, n_topics: int = 4,
+                 col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Broadcast linear-scorer "inference" stage: each token carries a
+    deterministic per-topic weight w(tok, t) = (md5_lower(tok) // 7^t)
+    % 5; a document's topic is the argmax of its summed occurrence
+    weights (ties → smallest topic id). The shape of batched linear
+    model scoring over a corpus — map-only, weights derived per unique
+    token per batch (a real model would ``ray.put`` its matrix once).
+
+    Emits (doc_id, topic, score) — exact integers."""
+
+    def f(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = words != ""
+        doc = np.repeat(np.arange(len(ids)), np.diff(off))[keep]
+        w = words[keep]
+        uniq, inv = np.unique(w, return_inverse=True)
+        h = _md5_u64(uniq)
+        scores = np.zeros((len(ids), n_topics), np.int64)
+        for tt in range(n_topics):
+            wt = ((h // np.uint64(7 ** tt)) % np.uint64(5)) \
+                .astype(np.int64)[inv]
+            scores[:, tt] = np.bincount(doc, weights=wt,
+                                        minlength=len(ids))
+        topic = scores.argmax(axis=1)  # first max = smallest topic id
+        best = scores[np.arange(len(ids)), topic]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "topic": pa.array(topic, pa.int64()),
+                         "score": pa.array(best, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -650,3 +650,51 @@ def test_dhash_hamming_pairs_brute(ray_session):
                 want.add((a, b, ham, cnt[a] * cnt[b]))
     got = {(r.h_a, r.h_b, r.hamming, r.n_pairs) for r in out.itertuples()}
     assert got == want
+
+
+def test_feature_hash_hand(ray_session):
+    import hashlib
+
+    from hand_index_ray.pipelines.text import feature_hash
+
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["ab ab cd"])})
+    out = feature_hash(_ds(tbl), buckets=64).to_pandas()
+    def hb(s):
+        h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+        return h % 64, 1 if (h // 64) % 2 == 0 else -1
+    b1, s1 = hb("ab")
+    b2, s2 = hb("cd")
+    want = {}
+    want[b1] = want.get(b1, 0) + 2 * s1
+    want[b2] = want.get(b2, 0) + s2
+    want = {b: v for b, v in want.items() if v != 0}
+    got = dict(zip(out["bucket"], out["v"]))
+    assert got == want
+
+
+def test_bipartite_check_hand(ray_session):
+    from hand_index_ray.pipelines.graph import bipartite_check
+
+    # comp {0,1,2}: triangle (odd cycle) -> not bipartite
+    # comp {10,11,12,13}: 4-cycle -> bipartite
+    tbl = pa.table({"u": pa.array([0, 1, 2, 10, 11, 12, 13], pa.int64()),
+                    "v": pa.array([1, 2, 0, 11, 12, 13, 10], pa.int64())})
+    out = (bipartite_check(_ds(tbl), "u", "v").to_pandas()
+           .sort_values("comp"))
+    assert out[["comp", "n_nodes", "is_bipartite"]].values.tolist() == [
+        [0, 3, 0], [10, 4, 1]]
+
+
+def test_topic_scores_tie_break(ray_session):
+    from hand_index_ray.pipelines.text import topic_scores
+
+    tbl = pa.table({"doc_id": pa.array([5], pa.int64()),
+                    "text": pa.array(["zz zz"])})
+    out = topic_scores(_ds(tbl), n_topics=4).to_pandas()
+    import hashlib
+    h = int.from_bytes(hashlib.md5(b"zz").digest()[8:16], "little")
+    scores = [2 * ((h // (7 ** t)) % 5) for t in range(4)]
+    best = max(scores)
+    want_topic = scores.index(best)
+    assert out[["topic", "score"]].values.tolist() == [[want_topic, best]]
