@@ -7155,6 +7155,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return topic_scores(_t(sf, "documents"), n_topics=4)
 
+    def q352_base64(sf):  # from-scratch base64 vs DuckDB's own
+        """RFC 4648 armoring of each document (kernels/polyline.py:
+        base64_encode — stdlib-parity fuzz-tested) reduced to encoded
+        length + tail; the oracle is DuckDB's NATIVE base64() — an
+        external implementation, not a self-derived formula."""
+        from hand_index_ray.kernels.polyline import base64_encode
+
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            texts = t["text"].to_pylist()
+            encs = [base64_encode(s.encode("utf-8")) for s in texts]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "enc_len": pa.array([len(e) for e in encs], pa.int64()),
+                "tail4": pa.array([e[-4:].decode("ascii") for e in encs],
+                                  pa.string())})
+
+        return _t(sf, "documents").select_columns(["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    def q353_urls(sf):  # URL parsing / host rollup
+        """Synthetic request-log URLs parsed with one vectorized Arrow
+        extract_regex (host + path segment), rolled up per host — the
+        standard web-log ETL split."""
+        def f(t: pa.Table) -> pa.Table:
+            e = t["event_id"].to_numpy()
+            urls = pa.array(
+                [f"https://h{k % 7}.example.com/p/{k % 13}?q={k % 3}"
+                 for k in e.tolist()], pa.string())
+            m = pc.extract_regex(
+                urls, r"^https://(?P<host>[^/]+)/p/(?P<seg>\d+)")
+            host = pc.struct_field(m, "host")
+            seg = pc.cast(pc.struct_field(m, "seg"), pa.int64())
+            return pa.table({"host": host, "seg": seg})
+
+        ds = _t(sf, "events").select_columns(["event_id"]) \
+            .map_batches(f, batch_format="pyarrow")
+        return rel.grouped_agg(ds, ["host"], sum_cols=["seg"], count=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7501,6 +7540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q349_feature_hash": q349_feature_hash,
         "q350_bipartite": q350_bipartite,
         "q351_topic_scores": q351_topic_scores,
+        "q352_base64": q352_base64,
+        "q353_urls": q353_urls,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10345,6 +10386,22 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, topic) = 1
+        """,
+        "q352_base64": """
+            SELECT doc_id,
+                   CAST(length(base64(CAST(text AS BLOB))) AS BIGINT)
+                     AS enc_len,
+                   right(base64(CAST(text AS BLOB)), 4) AS tail4
+            FROM documents
+        """,
+        "q353_urls": """
+            WITH u AS (SELECT 'h' || CAST(event_id % 7 AS VARCHAR)
+                              || '.example.com' AS host,
+                              event_id % 13 AS seg
+                       FROM events)
+            SELECT host, CAST(SUM(seg) AS BIGINT) AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM u GROUP BY host
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -97,3 +97,28 @@ def decode_track(buf: bytes) -> "tuple[np.ndarray, np.ndarray]":
     lat = np.cumsum(vals[0::2])
     lng = np.cumsum(vals[1::2])
     return lat, lng
+
+
+_B64 = np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+    dtype=np.uint8)
+
+
+def base64_encode(data: bytes) -> bytes:
+    """RFC 4648 base64, vectorized: reshape to 3-byte groups, emit the
+    four 6-bit symbols per group, '=' padding. (Lives beside the
+    polyline codec as the second from-scratch text-armoring kernel.)"""
+    a = np.frombuffer(data, dtype=np.uint8)
+    n = len(a)
+    if n == 0:
+        return b""
+    pad = (-n) % 3
+    a3 = np.concatenate([a, np.zeros(pad, np.uint8)]).reshape(-1, 3) \
+        .astype(np.uint32)
+    word = (a3[:, 0] << 16) | (a3[:, 1] << 8) | a3[:, 2]
+    idx = np.stack([(word >> 18) & 63, (word >> 12) & 63,
+                    (word >> 6) & 63, word & 63], axis=1)
+    out = _B64[idx.ravel()]
+    if pad:
+        out[-pad:] = ord("=")
+    return out.tobytes()

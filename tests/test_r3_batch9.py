@@ -698,3 +698,14 @@ def test_topic_scores_tie_break(ray_session):
     best = max(scores)
     want_topic = scores.index(best)
     assert out[["topic", "score"]].values.tolist() == [[want_topic, best]]
+
+
+def test_base64_stdlib_parity():
+    import base64 as b64
+
+    from hand_index_ray.kernels.polyline import base64_encode
+
+    rng = np.random.default_rng(2)
+    for n in (0, 1, 2, 3, 4, 17, 100, 997):
+        b = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert base64_encode(b) == b64.b64encode(b), n
