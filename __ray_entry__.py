@@ -7194,6 +7194,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(f, batch_format="pyarrow")
         return rel.grouped_agg(ds, ["host"], sum_cols=["seg"], count=True)
 
+    def q354_rules(sf):  # association rules with exact confidence
+        """Directed A→B rules over co-purchased parts (support ≥ 5),
+        confidence as exact (n_ab, n_a) fractions
+        (pipelines/mining.py:association_rules)."""
+        from hand_index_ray.pipelines import mining
+
+        li = _t(sf, "lineitem").select_columns(
+            ["l_orderkey", "l_partkey"])
+        return mining.association_rules(li, "l_orderkey", "l_partkey",
+                                        min_pair=5)
+
+    def q355_luhn(sf):  # Luhn check-digit intake audit
+        """Mod-10 double-every-second-digit validation over synthetic
+        account numbers — vectorized divmod digit extraction,
+        shuffle-free ledger (pipelines/mining.py:luhn_audit)."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            e = t.column("event_id").to_numpy()
+            return pa.table({"acct": pa.array(
+                100000 + (e * 7919) % 900000000, pa.int64())})
+
+        ds = _t(sf, "events").select_columns(["event_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        return mining.luhn_audit(ds, "acct")
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7542,6 +7568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q351_topic_scores": q351_topic_scores,
         "q352_base64": q352_base64,
         "q353_urls": q353_urls,
+        "q354_rules": q354_rules,
+        "q355_luhn": q355_luhn,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10402,6 +10430,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, CAST(SUM(seg) AS BIGINT) AS seg,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM u GROUP BY host
+        """,
+        "q354_rules": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                       FROM lineitem),
+            pr AS (SELECT a.p AS pa_, b.p AS pb_, COUNT(*) AS n
+                   FROM d a JOIN d b ON a.k = b.k AND a.p < b.p
+                   GROUP BY 1, 2),
+            s AS (SELECT p, COUNT(*) AS np FROM d GROUP BY p),
+            f AS (SELECT pa_, pb_, n FROM pr WHERE n >= 5)
+            SELECT pa_ AS antecedent, pb_ AS consequent,
+                   CAST(n AS BIGINT) AS conf_num,
+                   CAST(sa.np AS BIGINT) AS conf_den
+            FROM f JOIN s sa ON sa.p = f.pa_
+            UNION ALL
+            SELECT pb_, pa_, CAST(n AS BIGINT), CAST(sb.np AS BIGINT)
+            FROM f JOIN s sb ON sb.p = f.pb_
+        """,
+        "q355_luhn": """
+            WITH v AS (SELECT event_id,
+                         100000 + (event_id * 7919) % 900000000 AS acct
+                       FROM events),
+            dg AS (SELECT event_id, p.p AS p,
+                     (acct // CAST(POWER(10, p.p) AS BIGINT)) % 10 AS d
+                   FROM v, generate_series(0, 17) p(p)),
+            t AS (SELECT event_id,
+                    SUM(CASE WHEN p % 2 = 1 THEN
+                          CASE WHEN 2*d > 9 THEN 2*d - 9 ELSE 2*d END
+                        ELSE d END) AS total
+                  FROM dg GROUP BY event_id)
+            SELECT CAST(SUM(CASE WHEN total % 10 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN total % 10 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_invalid
+            FROM t
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -1903,3 +1903,96 @@ def oov_audit(docs: ray.data.Dataset, vocab_k: int = 16,
 
     return docs.map_batches(audit, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def association_rules(baskets: ray.data.Dataset, key: str, item: str,
+                      min_pair: int = 5,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """A-priori round 2: directed association rules A→B over basket
+    pairs with support ≥ ``min_pair``, with confidence as the EXACT
+    fraction (conf_num = n_ab, conf_den = n_a — the caller divides).
+    Both directions emit (the rule miner's table before lift ranking).
+
+    Scale: per-basket distinct-pair emission inside the basket-keyed
+    shuffle (bounded by items-per-basket²), pair counts as slim
+    partials through a hash-bucket groupby; item supports are a second
+    slim shuffle joined in via broadcast (item supports are
+    vocabulary-sized)."""
+    import ray as _ray
+
+    from .. import relational as rel
+
+    dk = rel.distinct(baskets.select_columns([key, item]), [key, item])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        it = np.sort(g[item].to_numpy())
+        if len(it) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        iu, ju = np.triu_indices(len(it), k=1)
+        return pd.DataFrame({"a": it[iu], "b": it[ju]})
+
+    pair_counts = rel.grouped_agg_hash(
+        rel.grouped_apply_bucketed(dk, [key], pairs,
+                                   num_buckets=num_buckets,
+                                   min_group_size=2),
+        ["a", "b"], count=True, num_buckets=num_buckets)
+    supports = rel.grouped_agg_hash(dk, [item], count=True,
+                                    num_buckets=num_buckets).to_pandas()
+    sup = dict(zip(supports[item].astype(int), supports["n"].astype(int)))
+    ref = _ray.put(sup)
+
+    def rules(t: pa.Table) -> pa.Table:
+        s = _ray.get(ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= min_pair
+        a, b, n = a[keep], b[keep], n[keep]
+        na = np.array([s[int(x)] for x in a], dtype=np.int64)
+        nb = np.array([s[int(x)] for x in b], dtype=np.int64)
+        return pa.table({
+            "antecedent": pa.array(np.concatenate([a, b]), pa.int64()),
+            "consequent": pa.array(np.concatenate([b, a]), pa.int64()),
+            "conf_num": pa.array(np.concatenate([n, n]), pa.int64()),
+            "conf_den": pa.array(np.concatenate([na, nb]), pa.int64())})
+
+    return pair_counts.map_batches(rules, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
+def luhn_audit(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Luhn check-digit validation (the public mod-10 algorithm behind
+    card/ID validation): per value, double every second digit from the
+    right (summing the digit pair when > 9) and accept when the total
+    is ≡ 0 (mod 10). Emits the ledger (n_valid, n_invalid) — the ETL
+    intake screen. Fully vectorized digit extraction (repeated
+    divmod on the integer column), shuffle-free 1-row partials."""
+    from .. import relational as rel
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.zeros(len(v), np.int64)
+        x = v.copy()
+        pos = 0
+        while (x > 0).any():
+            d = x % 10
+            if pos % 2 == 1:
+                d = d * 2
+                d = np.where(d > 9, d - 9, d)
+            total += d
+            x //= 10
+            pos += 1
+        ok = (total % 10 == 0) & (v > 0)
+        return pa.table({
+            "n_valid": pa.array([int(ok.sum())], pa.int64()),
+            "n_invalid": pa.array([int((~ok).sum())], pa.int64())})
+
+    out = rel.grouped_agg(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda t: t.append_column(
+            "g", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["g"], sum_cols=["n_valid", "n_invalid"], count=False)
+    return out.map_batches(lambda t: t.drop_columns(["g"]),
+                           batch_format="pyarrow")

@@ -709,3 +709,30 @@ def test_base64_stdlib_parity():
     for n in (0, 1, 2, 3, 4, 17, 100, 997):
         b = bytes(rng.integers(0, 256, n, dtype=np.uint8))
         assert base64_encode(b) == b64.b64encode(b), n
+
+
+def test_association_rules_hand(ray_session):
+    # baskets: {1,2} x5, {1,3} x1 -> pair (1,2) n=5 passes min 5
+    ks, it = [], []
+    for b in range(5):
+        ks += [b, b]
+        it += [1, 2]
+    ks += [9, 9]
+    it += [1, 3]
+    tbl = pa.table({"k": pa.array(ks, pa.int64()),
+                    "p": pa.array(it, pa.int64())})
+    out = (mining.association_rules(_ds(tbl), "k", "p", min_pair=5)
+           .to_pandas().sort_values(["antecedent"]))
+    # 1->2: conf 5/6 (1 appears in 6 baskets); 2->1: 5/5
+    assert out[["antecedent", "consequent", "conf_num",
+                "conf_den"]].values.tolist() == [[1, 2, 5, 6],
+                                                 [2, 1, 5, 5]]
+
+
+def test_luhn_known_numbers(ray_session):
+    # 79927398713 is the canonical valid Luhn test number
+    vals = [79927398713, 79927398710, 4539148803436467, 1234]
+    tbl = pa.table({"acct": pa.array(vals, pa.int64())})
+    out = mining.luhn_audit(_ds(tbl), "acct").to_pandas()
+    # 4539148803436467 is a textbook valid card number; 1234 invalid
+    assert out[["n_valid", "n_invalid"]].values.tolist() == [[2, 2]]
