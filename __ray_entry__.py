@@ -7220,6 +7220,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(prep, batch_format="pyarrow")
         return mining.luhn_audit(ds, "acct")
 
+    def q356_wow(sf):  # week-over-week delta report
+        """ISO-week totals + delta vs the previous calendar week
+        (year-rollover aware) — pipelines/mining.py:wow_delta."""
+        from hand_index_ray.pipelines import mining
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ts": t.column("l_shipdate"),
+                "q": pc.cast(t.column("l_quantity"), pa.int64())})
+
+        ds = _t(sf, "lineitem").select_columns(
+            ["l_shipdate", "l_quantity"]).map_batches(
+            prep, batch_format="pyarrow")
+        return mining.wow_delta(ds, "ts", "q")
+
+    def q357_adler(sf):  # Adler-32 ledger (RFC 1950)
+        """zlib's rolling checksum per document, one vectorized pass
+        over the batch's contiguous Arrow byte buffer
+        (pipelines/mining.py:adler32_ledger). Unit test pins zlib
+        parity; the oracle recomputes A/B sums from character codes."""
+        from hand_index_ray.pipelines import mining
+
+        return mining.adler32_ledger(
+            _t(sf, "documents").select_columns(["doc_id", "text"]),
+            "text")
+
+    def q358_diversity(sf):  # Simpson diversity per source
+        """Exact (Σ n_c(n_c−1), N(N−1)) fractions per document source
+        over its language mix (pipelines/mining.py:simpson_diversity)."""
+        from hand_index_ray.pipelines import mining
+
+        return mining.simpson_diversity(
+            _t(sf, "documents").select_columns(["source", "lang"]),
+            "source", "lang")
+
+    def q359_bytescreen(sf):  # payload compressibility screen
+        """Per-payload byte-histogram stats (distinct byte values +
+        max byte frequency) over the raw image payloads — the
+        already-compressed / low-entropy intake screen; one bincount
+        per blob, map-only."""
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            bts = t["bytes"]
+            nd = np.zeros(t.num_rows, np.int64)
+            mf = np.zeros(t.num_rows, np.int64)
+            for i in range(t.num_rows):
+                b = np.frombuffer(bts[i].as_buffer(), np.uint8)
+                cnt = np.bincount(b, minlength=256)
+                nd[i] = int((cnt > 0).sum())
+                mf[i] = int(cnt.max())
+            return pa.table({"image_id": pa.array(ids, pa.string()),
+                             "n_distinct": pa.array(nd, pa.int64()),
+                             "max_freq": pa.array(mf, pa.int64())})
+
+        return _arith_images(sf).map_batches(f, batch_format="pyarrow",
+                                             zero_copy_batch=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7570,6 +7627,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q353_urls": q353_urls,
         "q354_rules": q354_rules,
         "q355_luhn": q355_luhn,
+        "q356_wow": q356_wow,
+        "q357_adler": q357_adler,
+        "q358_diversity": q358_diversity,
+        "q359_bytescreen": q359_bytescreen,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10464,6 +10525,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN total % 10 = 0 THEN 0 ELSE 1 END)
                         AS BIGINT) AS n_invalid
             FROM t
+        """,
+        "q356_wow": """
+            WITH w AS (SELECT date_trunc('week', l_shipdate) AS mon,
+                              CAST(SUM(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS total
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(isoyear(a.mon) AS BIGINT) AS iso_year,
+                   CAST(week(a.mon) AS BIGINT) AS iso_week,
+                   a.total,
+                   CAST(a.total - COALESCE(p.total, 0) AS BIGINT)
+                     AS delta
+            FROM w a LEFT JOIN w p
+              ON p.mon = a.mon - INTERVAL 7 DAY
+        """,
+        "q357_adler": """
+            WITH t AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            d AS (SELECT doc_id, n, i.i AS i,
+                    ascii(substr(text, i.i, 1)) AS b
+                  FROM t, generate_series(1, 1024) i(i)
+                  WHERE i.i <= n),
+            ab AS (SELECT doc_id,
+                     (1 + COALESCE(SUM(b), 0)) % 65521 AS a,
+                     (MAX(n) + COALESCE(SUM((n - i + 1) * b), 0))
+                       % 65521 AS bb
+                   FROM d GROUP BY doc_id),
+            alld AS (SELECT t.doc_id,
+                       COALESCE(ab.a, 1) AS a,
+                       COALESCE(ab.bb, t.n % 65521) AS bb
+                     FROM t LEFT JOIN ab ON ab.doc_id = t.doc_id)
+            SELECT doc_id,
+                   CAST(bb * 65536 + a AS BIGINT) AS adler32
+            FROM alld
+        """,
+        "q358_diversity": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(n * (n - 1)) AS BIGINT) AS num,
+                   CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS den
+            FROM c GROUP BY source
+        """,
+        "q359_bytescreen": """
+            WITH ks AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey % 16 = 0),
+            px AS (SELECT k,
+                     (k + 7*y.y + 3*x.x + 11*c.c) % 256 AS v
+                   FROM ks, generate_series(0, 23) y(y),
+                        generate_series(0, 31) x(x),
+                        generate_series(0, 2) c(c)),
+            h AS (SELECT k, v, COUNT(*) AS c FROM px GROUP BY k, v)
+            SELECT 'img-' || lpad(CAST(k AS VARCHAR), 9, '0')
+                     AS image_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS max_freq
+            FROM h GROUP BY k
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -1996,3 +1996,113 @@ def luhn_audit(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         ["g"], sum_cols=["n_valid", "n_invalid"], count=False)
     return out.map_batches(lambda t: t.drop_columns(["g"]),
                            batch_format="pyarrow")
+
+
+def wow_delta(ds: ray.data.Dataset, ts_col: str, val: str) -> ray.data.Dataset:
+    """Week-over-week delta report keyed on the week's MONDAY (pure
+    integer day arithmetic — the previous week is always monday−7, so
+    no 52-vs-53-week ISO rollover cases exist). Weeks with no data the
+    week before report delta = total. Labels (iso_year, iso_week) come
+    from the week's Thursday via the exact civil calendar. The weekly
+    table is ≤53 rows/year — the delta join happens on the tiny rollup
+    after shuffle-free partials."""
+    from .. import relational as rel
+
+    def part(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        monday = days - (days + 3) % 7
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"monday": monday, "v": v})
+        g = f.groupby("monday", sort=False, as_index=False)["v"].sum()
+        return pa.table({"monday": pa.array(g["monday"], pa.int64()),
+                         "v": pa.array(g["v"].to_numpy(), pa.int64())})
+
+    weekly = rel.grouped_agg(ds.map_batches(part, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                             ["monday"], sum_cols=["v"],
+                             count=False).to_pandas()
+    weekly = weekly.sort_values("monday").reset_index(drop=True)
+    mon = weekly["monday"].to_numpy().astype(np.int64)
+    t = weekly["v"].to_numpy().astype(np.int64)
+    prev_map = dict(zip(mon.tolist(), t.tolist()))
+    prev = np.array([prev_map.get(int(m) - 7, 0) for m in mon],
+                    dtype=np.int64)
+    thu = mon + 3
+    y, _m, _d = _civil_from_days(thu)
+    jan1 = _days_from_civil(y, np.ones_like(y), np.ones_like(y))
+    week = (thu - jan1) // 7 + 1
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "iso_year": pa.array(y, pa.int64()),
+        "iso_week": pa.array(week, pa.int64()),
+        "total": pa.array(t, pa.int64()),
+        "delta": pa.array(t - prev, pa.int64())}))
+
+
+def adler32_ledger(ds: ray.data.Dataset, col: str,
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Adler-32 (the zlib/rsync rolling checksum, public RFC 1950):
+    A = 1 + Σ bytes (mod 65521), B = n + Σ (n−i)·byte_i (mod 65521),
+    checksum = B·65536 + A. Computed for every document in ONE
+    vectorized pass over the batch's concatenated UTF-8 bytes
+    (offsets + cumsum — no per-doc loop). Map-only."""
+    M = 65521
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col_arr = t[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        # zero-copy byte access: large_binary = int64 offsets + one
+        # contiguous data buffer (no per-doc .as_py() materialization)
+        la = pc.cast(col_arr, pa.large_binary())
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        ob = np.frombuffer(la.buffers()[1], np.int64)
+        ob = ob[la.offset:la.offset + len(la) + 1]
+        data = np.frombuffer(la.buffers()[2], np.uint8)
+        flat = data[ob[0]:ob[-1]].astype(np.int64)
+        off = (ob - ob[0]).astype(np.int64)
+        lens = np.diff(off)
+        cs = np.concatenate([[0], np.cumsum(flat)])
+        # weighted sum Σ (n-i)·b_i per doc via two cumsums:
+        # Σ_{j=s..e-1} (e - j)·b_j = Σ (C(e) - C(j))·... use position-
+        # weighted cumsum: W(j) = Σ_{<j} j·b_j
+        pw = np.concatenate([[0], np.cumsum(np.arange(len(flat)) * flat)])
+        s, e = off[:-1], off[1:]
+        sums = cs[e] - cs[s]
+        wsum = (e * (cs[e] - cs[s])) - (pw[e] - pw[s])  # Σ (e-j)·b_j
+        A = (1 + sums) % M
+        B = (lens + wsum) % M
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "adler32": pa.array(B * 65536 + A, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simpson_diversity(ds: ray.data.Dataset, group: str, cat: str,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Simpson diversity index per group as EXACT integer fractions:
+    num = Σ_c n_c·(n_c−1), den = N·(N−1) (probability two random
+    members share a category — content-mix audit for corpus sources).
+    One (group, cat)-keyed partial shuffle, then a slim per-group
+    reduce."""
+    from .. import relational as rel
+
+    counts = rel.grouped_agg(ds.select_columns([group, cat]),
+                             [group, cat], count=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gk = g.groupby(group, sort=False)
+        n = gk["n"].sum()
+        num = gk["n"].apply(lambda s: int((s * (s - 1)).sum()))
+        return pd.DataFrame({group: n.index.to_numpy(),
+                             "num": num.to_numpy().astype(np.int64),
+                             "den": (n * (n - 1)).to_numpy()
+                             .astype(np.int64)})
+
+    return rel.grouped_apply_bucketed(counts, [group], fold,
+                                      num_buckets=num_buckets,
+                                      whole_bucket=True)

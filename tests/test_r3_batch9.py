@@ -736,3 +736,46 @@ def test_luhn_known_numbers(ray_session):
     out = mining.luhn_audit(_ds(tbl), "acct").to_pandas()
     # 4539148803436467 is a textbook valid card number; 1234 invalid
     assert out[["n_valid", "n_invalid"]].values.tolist() == [[2, 2]]
+
+
+def test_adler32_zlib_parity(ray_session):
+    import zlib
+
+    from hand_index_ray.pipelines.mining import adler32_ledger
+
+    texts = ["hello world", "", "a", "x" * 300, "the quick brown fox"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (adler32_ledger(_ds(tbl), "text").to_pandas()
+           .sort_values("doc_id"))
+    assert out["adler32"].tolist() == [
+        zlib.adler32(s.encode()) for s in texts]
+
+
+def test_wow_delta_rollover(ray_session):
+    import datetime
+
+    from hand_index_ray.pipelines.mining import wow_delta
+
+    # two consecutive weeks spanning a year boundary (2020-W53 ->
+    # 2021-W1: 2020 is a 53-week ISO year)
+    days = [datetime.date(2020, 12, 30), datetime.date(2021, 1, 5)]
+    us = [int((d - datetime.date(1970, 1, 1)).days) * 86_400_000_000
+          for d in days]
+    tbl = pa.table({"ts": pa.array(us, pa.timestamp("us")),
+                    "q": pa.array([10, 4], pa.int64())})
+    out = (wow_delta(_ds(tbl), "ts", "q").to_pandas()
+           .sort_values(["iso_year", "iso_week"]))
+    assert out[["iso_year", "iso_week", "total", "delta"]].values \
+        .tolist() == [[2020, 53, 10, 10], [2021, 1, 4, -6]]
+
+
+def test_simpson_diversity_hand(ray_session):
+    from hand_index_ray.pipelines.mining import simpson_diversity
+
+    tbl = pa.table({"g": pa.array(["s", "s", "s", "t"], pa.string()),
+                    "c": pa.array(["x", "x", "y", "z"], pa.string())})
+    out = (simpson_diversity(_ds(tbl), "g", "c").to_pandas()
+           .sort_values("g"))
+    # s: counts {x:2, y:1} -> num 2, den 3*2=6; t: single -> 0/0
+    assert out[["num", "den"]].values.tolist() == [[2, 6], [0, 0]]
