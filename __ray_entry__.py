@@ -7277,6 +7277,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _arith_images(sf).map_batches(f, batch_format="pyarrow",
                                              zero_copy_batch=True)
 
+    def q360_warc(sf):  # WARC (Common Crawl) ingest
+        """Documents packed into REAL WARC/1.0 files (gzip member per
+        record — the splittable Common Crawl layout, kernels/warc.py),
+        parsed back through the extraction stage
+        (stages/multimodal.py:warc_extract): response records only,
+        (uri, payload_len, adler32) per page."""
+        from hand_index_ray.kernels.warc import encode_warc
+        from hand_index_ray.stages.multimodal import warc_extract
+
+        docs = _t(sf, "documents").select_columns(["doc_id", "text"])
+
+        def gen(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            texts = t["text"].to_pylist()
+            order = np.argsort(ids)
+            groups: dict = {}
+            for j in order.tolist():
+                groups.setdefault(int(ids[j]) // 50, []).append(j)
+            wids, bufs = [], []
+            for gid, idxs in sorted(groups.items()):
+                recs = [("metadata", f"warc://{gid}", b"synthetic")]
+                for j in idxs:
+                    recs.append(("response",
+                                 f"http://corpus/doc/{int(ids[j])}",
+                                 texts[j].encode("utf-8")))
+                wids.append(f"warc-{gid:06d}")
+                bufs.append(encode_warc(recs, gzip_members=True))
+            return pa.table({"warc_id": pa.array(wids, pa.string()),
+                             "bytes": pa.array(bufs, pa.binary())})
+
+        files = docs.map_batches(gen, batch_format="pyarrow")
+        return warc_extract(files)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7631,6 +7664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q357_adler": q357_adler,
         "q358_diversity": q358_diversity,
         "q359_bytescreen": q359_bytescreen,
+        "q360_warc": q360_warc,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10581,6 +10615,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_distinct,
                    CAST(MAX(c) AS BIGINT) AS max_freq
             FROM h GROUP BY k
+        """,
+        "q360_warc": """
+            WITH t AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            d AS (SELECT doc_id, n, i.i AS i,
+                    ascii(substr(text, i.i, 1)) AS b
+                  FROM t, generate_series(1, 1024) i(i)
+                  WHERE i.i <= n),
+            ab AS (SELECT doc_id,
+                     (1 + COALESCE(SUM(b), 0)) % 65521 AS a,
+                     (MAX(n) + COALESCE(SUM((n - i + 1) * b), 0))
+                       % 65521 AS bb
+                   FROM d GROUP BY doc_id),
+            alld AS (SELECT t.doc_id, t.n,
+                       COALESCE(ab.a, 1) AS a,
+                       COALESCE(ab.bb, t.n % 65521) AS bb
+                     FROM t LEFT JOIN ab ON ab.doc_id = t.doc_id)
+            SELECT 'http://corpus/doc/' || CAST(doc_id AS VARCHAR)
+                     AS uri,
+                   CAST(n AS BIGINT) AS payload_len,
+                   CAST(bb * 65536 + a AS BIGINT) AS adler32
+            FROM alld
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

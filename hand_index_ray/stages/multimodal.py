@@ -341,3 +341,32 @@ def ulaw_ledger(ds):
             "code_sum": pa.array(ks[off[1:]] - ks[off[:-1]], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def warc_extract(ds, id_col: str = "warc_id"):
+    """Web-archive ingest: parse each WARC blob (kernels/warc.py —
+    gzip-member or plain), keep response records, and emit per record
+    (uri, payload_len, payload adler32) — the extraction pass a
+    Common-Crawl-scale text pipeline runs before language ID and
+    dedup. Map-only: one WARC file per row; at fleet scale the gzip-
+    member framing is what makes these files splittable."""
+    import pyarrow as pa
+    import zlib as _z
+
+    from ..kernels.warc import decode_warc
+
+    def f(t: pa.Table) -> pa.Table:
+        bts = t.column("bytes")
+        uris, lens, adl = [], [], []
+        for i in range(t.num_rows):
+            for r in decode_warc(bytes(bts[i].as_buffer())):
+                if r["type"] != "response":
+                    continue
+                uris.append(r["uri"])
+                lens.append(len(r["payload"]))
+                adl.append(_z.adler32(r["payload"]))
+        return pa.table({"uri": pa.array(uris, pa.string()),
+                         "payload_len": pa.array(lens, pa.int64()),
+                         "adler32": pa.array(adl, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -779,3 +779,26 @@ def test_simpson_diversity_hand(ray_session):
            .sort_values("g"))
     # s: counts {x:2, y:1} -> num 2, den 3*2=6; t: single -> 0/0
     assert out[["num", "den"]].values.tolist() == [[2, 6], [0, 0]]
+
+
+def test_warc_roundtrip_and_extract(ray_session):
+    import zlib
+
+    from hand_index_ray.kernels.warc import decode_warc, encode_warc
+    from hand_index_ray.stages.multimodal import warc_extract
+
+    recs = [("metadata", "warc://0", b"info"),
+            ("response", "http://a/1", b"hello page"),
+            ("response", "http://a/2", b"x" * 777)]
+    for gz in (True, False):
+        back = decode_warc(encode_warc(recs, gzip_members=gz))
+        assert [(r["type"], r["uri"], r["payload"]) for r in back] == recs
+    tbl = pa.table({"warc_id": pa.array(["w0"], pa.string()),
+                    "bytes": pa.array([encode_warc(recs)], pa.binary())})
+    out = (warc_extract(_ds(tbl)).to_pandas()
+           .sort_values("uri").reset_index(drop=True))
+    # metadata record filtered; responses extracted with adler parity
+    assert out["uri"].tolist() == ["http://a/1", "http://a/2"]
+    assert out["payload_len"].tolist() == [10, 777]
+    assert out["adler32"].tolist() == [zlib.adler32(b"hello page"),
+                                       zlib.adler32(b"x" * 777)]
