@@ -279,6 +279,39 @@ def build_index(images_dir: str, out_dir: str, cfg: EngineConfig = DEFAULT,
     }
 
 
+def _distinct_part_cells(paths: list[str], filesystem=None,
+                         group: int = 16) -> "np.ndarray":
+    """Distributed distinct of the `part_cell` column across index files.
+
+    Scale shape (VERDICT r3 finding 1): each remote partial reads ONE
+    group of files (column-pruned to `part_cell`) and returns the
+    np.unique of its rows — O(#cells-per-group) values, never O(#rows).
+    The driver then takes a unique-of-uniques: its peak memory is
+    Σ per-partial distinct counts, bounded by #partials × #cells, not
+    by the 10^12-row index. The previous implementation concatenated
+    every row's part_cell on the driver (~8 TB at target scale).
+    """
+    import numpy as np
+
+    if not paths:
+        return np.array([], dtype=np.uint64)
+
+    @ray.remote(num_cpus=0.5)
+    def _partial_unique(group_paths: list[str]) -> "np.ndarray":
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        io = FS(filesystem)
+        uniqs = []
+        for p in group_paths:
+            t = io.read_parquet(p, columns=["part_cell"], use_threads=False)
+            uniqs.append(np.unique(t.column("part_cell").to_numpy()))
+        return np.unique(np.concatenate(uniqs))
+
+    groups = [paths[i:i + group] for i in range(0, len(paths), group)]
+    partials = ray.get([_partial_unique.remote(g) for g in groups])
+    return np.unique(np.concatenate(partials))
+
+
 def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT,
                   filesystem=None) -> dict:
     """Merge per-(fragment, cell) files into one file per cell.
@@ -321,12 +354,8 @@ def compact_index(index_dir: str, cfg: EngineConfig = DEFAULT,
     # cells) is undone here using the `part_cell` COLUMN the rows carry,
     # restoring the configured pruning granularity index-wide
     files = sorted({p for _c, p in live})
-    cells_ds = ray.data.read_parquet([FS.join(index_dir, p) for p in files],
-                                     columns=["part_cell"],
-                                     filesystem=filesystem)
-    fine_cells = np.unique(np.concatenate(
-        [ray.get(r).column("part_cell").to_numpy()
-         for r in cells_ds.to_arrow_refs()] or [np.array([], dtype=np.uint64)]))
+    fine_cells = _distinct_part_cells(
+        [FS.join(index_dir, p) for p in files], filesystem)
     src_cells = np.array([c for c, _p in live], dtype=np.uint64)
     slo, shi = s2k.cell_range(src_cells)
     flo, fhi = s2k.cell_range(fine_cells.astype(np.uint64))

@@ -401,10 +401,14 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
     O(n²) bit-ops, not O(n²) Python pairs.
     When the corpus is broadcast-sized, the signature + gram payloads
     ship ONCE via the object store and the band explode moves slim
-    (id, band, bucket) rows — a doc's ~1 KB payload is otherwise
-    replicated ×bands through the shuffle (the carry path remains for
-    corpora too big to broadcast; there, ship (id, band, bucket, sig)
-    and rejoin grams by id, as the docstringed scale plan).
+    (id, band, bucket) rows. Corpora above ``broadcast_bytes`` take the
+    SLIM CARRY path: the LSH shuffle moves (id, band, bucket, sig) only
+    — gram payloads never ride the ×bands explode — and candidate pairs
+    are verified after the fact by rejoining grams by id (two
+    partitioned hash joins moving |pairs| payloads once each). The
+    signature stage re-executes once for the gram rejoin (Ray Data
+    lineage); that one extra source read is far cheaper than ×bands
+    payload write-amplification through the shuffle at 100 TB.
 
     Returns Dataset[(id_a, id_b, j_micro)] where
     j_micro = round(1e6 · |A∩B| / |A∪B|) — the SQL-oracle-exact form.
@@ -470,9 +474,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
                 "band": pa.array(np.full(len(ids), b, dtype=np.int32), pa.int32()),
                 "bucket": pa.array(bucket, pa.uint64()),
             }
-            if pay_ref is None:  # carry path: payloads ride the shuffle
-                cols["sig"] = t.column("sig")
-                cols["grams"] = t.column("grams")
+            if pay_ref is None:  # carry path: SLIM — sig only, grams
+                cols["sig"] = t.column("sig")  # rejoined by id post-LSH
             out.append(pa.table(cols))
         return pa.concat_tables(out)
 
@@ -480,6 +483,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
     _EMPTY = {"id_a": pd.Series([], dtype=np.int64),
               "id_b": pd.Series([], dtype=np.int64),
               "j_micro": pd.Series([], dtype=np.int64)}
+    _EMPTY_CAND = {"id_a": pd.Series([], dtype=np.int64),
+                   "id_b": pd.Series([], dtype=np.int64)}
 
     def band_buckets(sig: np.ndarray) -> np.ndarray:
         """(n, bands) bucket matrix — the same routing hash explode_bands
@@ -491,7 +496,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame(_EMPTY)
+            return pd.DataFrame(_EMPTY if pay_ref is not None else _EMPTY_CAND)
         this_band = int(g["band"].iloc[0])
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
@@ -504,8 +509,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
             gram_list = np.array([flat[off[o]:off[o + 1]] for o in oi],
                                  dtype=object)
         else:
+            # slim carry mode: grams did NOT ride the shuffle — this
+            # stage emits CANDIDATE pairs only; exact-Jaccard verify
+            # happens after rejoining grams by id (see below)
             sig = np.stack(g["sig"].to_numpy())[order]
-            gram_list = g["grams"].to_numpy()[order]
+            gram_list = None
         # vectorized signature-agreement prefilter: estimated jaccard
         # from matching minhash positions, computed as an (n, n) count
         # matrix — far below the exact threshold cannot be a true pair
@@ -526,6 +534,15 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
             min_band = np.argmax(bb[iu] == bb[ju], axis=1)  # first True
             pick = min_band == this_band
             iu, ju = iu[pick], ju[pick]
+        if gram_list is None:  # carry mode: candidates out, verify later
+            if not len(iu):
+                return pd.DataFrame(_EMPTY_CAND)
+            keep = ids[iu] != ids[ju]
+            a = np.minimum(ids[iu][keep], ids[ju][keep]).astype(np.int64)
+            b = np.maximum(ids[iu][keep], ids[ju][keep]).astype(np.int64)
+            if not len(a):
+                return pd.DataFrame(_EMPTY_CAND)
+            return pd.DataFrame({"id_a": a, "id_b": b})
         out_a, out_b, out_j = [], [], []
         for i, j in zip(iu, ju):
             if ids[i] == ids[j]:
@@ -554,8 +571,74 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 1
     # dedup shuffle is needed — the bucketed group-apply IS the result;
     # singleton LSH buckets (the vast majority) can never emit a pair,
     # so they're dropped vectorized before group iteration
-    return grouped_apply_bucketed(exploded, ["band", "bucket"], pairs_in_bucket,
-                                  min_group_size=2)
+    result = grouped_apply_bucketed(exploded, ["band", "bucket"],
+                                    pairs_in_bucket, min_group_size=2)
+    if pay_ref is not None:
+        return result
+
+    # ---- slim carry path, stage 2 (VERDICT r3 finding 2): rejoin grams
+    # by id and verify exact Jaccard. The LSH shuffle above moved only
+    # (id, band, bucket, sig) — never the ~1 KB gram payloads ×bands.
+    # Candidates are tiny relative to the corpus (prefiltered by the
+    # signature-agreement matrix), so these two partitioned hash joins
+    # move only |pairs| gram payloads each, once. ------------------------
+    from ..relational import hash_join
+
+    grams_ds = sigs.select_columns([id_col, "grams"])
+
+    def _pack(side: str):
+        # list<uint64> → binary: Acero joins reject list-typed payload
+        # columns; a packed little-endian byte blob joins fine and
+        # np.frombuffer restores it without a copy at verify time
+        def f(t: pa.Table) -> pa.Table:
+            g = t.column("grams").combine_chunks()
+            flat = np.ascontiguousarray(
+                np.asarray(g.flatten(), dtype=np.uint64))
+            lens = np.asarray(pc.list_value_length(g), dtype=np.int64)
+            off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            packed = pa.Array.from_buffers(
+                pa.binary(), len(lens),
+                [None, pa.py_buffer((off * 8).astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())])
+            return pa.table({f"id_{side}": t.column(id_col),
+                             f"grams_{side}": packed})
+        return f
+
+    joined = hash_join(result, grams_ds.map_batches(
+        _pack("a"), batch_format="pyarrow"), "id_a",
+        left_cols=["id_a", "id_b"], right_cols=["id_a", "grams_a"])
+    joined = hash_join(joined, grams_ds.map_batches(
+        _pack("b"), batch_format="pyarrow"), "id_b",
+        left_cols=["id_a", "id_b", "grams_a"],
+        right_cols=["id_b", "grams_b"])
+
+    _OUT = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("j_micro", pa.int64())])
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ia = t.column("id_a").to_numpy()
+        ib = t.column("id_b").to_numpy()
+        ga = t.column("grams_a").to_pylist()
+        gb = t.column("grams_b").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ia)):
+            A = np.frombuffer(ga[i], dtype=np.uint64)
+            B = np.frombuffer(gb[i], dtype=np.uint64)
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            union = A.size + B.size - inter
+            jm = int(np.floor(1e6 * inter / union + 0.5)) if union else 0
+            if jm >= thr_micro:
+                out_a.append(int(ia[i]))
+                out_b.append(int(ib[i]))
+                out_j.append(jm)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "j_micro": pa.array(out_j, pa.int64())})
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 def simhash(ds: ray.data.Dataset, col: str = "text",

@@ -119,7 +119,9 @@ NATIVE_JOIN_CROSSOVER_ROWS = 2_000_000
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, how: str = "inner", num_buckets: int = 64,
               use_native: bool = False,
-              size_hint_rows: "int | None" = None) -> ray.data.Dataset:
+              size_hint_rows: "int | None" = None,
+              left_cols: "list[str] | None" = None,
+              right_cols: "list[str] | None" = None) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides (SURVEY.md §2.4 J2
     "at scale" path): both sides bucketed on hash(key) % B, one
     co-group shuffle, per-bucket pyarrow join.
@@ -177,8 +179,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # side's schema is impossible in one union, so join per bucket by
     # aligning two grouped datasets is done with a pandas merge inside
     # the grouped task over a combined long format:
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    # callers with a possibly-empty side (schema() is None on a
+    # zero-block dataset) pass the column lists explicitly
+    lcols = list(left_cols) if left_cols is not None else [c for c in left.schema().names]
+    rcols = list(right_cols) if right_cols is not None else [c for c in right.schema().names]
 
     def _ipc_bytes(sub: pa.Table) -> bytes:
         # Arrow IPC stream, not pickle: no Python-object re-serialization
