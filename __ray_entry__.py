@@ -1546,8 +1546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Tile counts per real Uber-H3 res-7 cell over the image index
         (kernels/h3exact.py — golden-vector-validated ids; reference
         h3_latlng_to_cell + GROUP BY parity, load.py:164-168/279-283).
-        No SQL oracle: H3 is not SQL-expressible in this sandbox's
-        DuckDB; parity is pinned by tests/test_h3_exact.py instead."""
+        Oracle: H3 is not SQL-computable, but the frozen golden fixture
+        tests/data/h3_golden_tpch.parquet (tools/gen_h3_fixture.py,
+        published-vector-pinned) makes it a plain DuckDB join/group."""
         from hand_index_ray.pipelines.query import hex_cell_stats
 
         idx = _image_index_tpch(sf)
@@ -12221,6 +12222,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE g.i < o.n
             GROUP BY o.o_orderkey, o.n
             ORDER BY o.o_orderkey
+        """,
+        # q119: H3 ids are not SQL-computable, but the FROZEN golden
+        # fixture (tests/data/h3_golden_tpch.parquet — generated once by
+        # tools/gen_h3_fixture.py from the published-vector-pinned
+        # h3exact kernel) maps every tpch image key to its res-7 id, so
+        # the oracle is a plain join + group-by (VERDICT r3 item 3)
+        "q119_h3_cell_stats": """
+            SELECT g.h3_r7, COUNT(*) AS n
+            FROM (SELECT o_orderkey AS k FROM orders
+                  WHERE o_orderkey % 4 = 0) ks
+            JOIN read_parquet('/root/repo/tests/data/h3_golden_tpch.parquet') g
+              USING (k)
+            GROUP BY g.h3_r7
         """,
         # q120: FLAC is lossless, so the decoded sums equal the
         # synthesized-PCM sums — same oracle shape as q35

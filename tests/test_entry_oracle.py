@@ -101,10 +101,8 @@ def test_query_vs_oracle(entry_mod, con, name):
 # rows-only check; parity pinned by dedicated tests instead). Keep this
 # list MINIMAL — every other queries() entry must ship a DuckDB oracle
 # (VERDICT r1 item 2).
-NO_ORACLE_ALLOWED = {
-    "q119_h3_cell_stats",  # real Uber-H3 ids; H3 is not SQL-expressible
-                           # here — parity via tests/test_h3_exact.py
-}
+NO_ORACLE_ALLOWED = set()  # empty since r4: q119 gained a frozen-fixture
+                           # oracle (tests/data/h3_golden_tpch.parquet)
 
 
 def test_every_query_has_an_oracle(entry_mod):
