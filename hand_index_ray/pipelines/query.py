@@ -560,6 +560,27 @@ def _knn_topk(pool: pd.DataFrame, k: int) -> pd.DataFrame:
     return pool.sort_values(["dist_mi", "image_id"], kind="stable").head(k)
 
 
+@ray.remote(num_cpus=0.5)
+def _knn_fetch_topk(files: list, lon: float, lat: float, k: int,
+                    filesystem) -> pd.DataFrame:
+    """Remote per-file-group fetch+score+local-top-k: the driver
+    receives ≤k slim rows per group, never a dense cell's full columns
+    (VERDICT r3 minor finding: caps driver exposure in megacity cells)."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    t = pq.read_table(files, columns=_KNN_COLS, filesystem=filesystem,
+                      use_threads=False)
+    return _knn_topk(_knn_score(t, lon, lat), k)
+
+
+def _fetch_topk(files: list, lon: float, lat: float, k: int,
+                filesystem, chunk: int = 4) -> pd.DataFrame:
+    refs = [_knn_fetch_topk.remote(files[i:i + chunk], lon, lat, k,
+                                   filesystem)
+            for i in range(0, len(files), chunk)]
+    return pd.concat(ray.get(refs), ignore_index=True)
+
+
 def knn_query(index_dir: str, lon: float, lat: float, k: int,
               cfg: EngineConfig = DEFAULT,
               stats: dict | None = None,
@@ -577,7 +598,10 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     [lat−dlat, lat+dlat] band, so the fetch can't miss poleward
     candidates at any radius — reads only still-unseen files. Sparse-
     region fallback is a DISTRIBUTED scan (map_batches local top-k +
-    tiny driver merge), never a driver-side full read.
+    tiny driver merge), never a driver-side full read. All per-ring and
+    guard fetches run as remote per-file-group score+top-k tasks, so
+    the driver only ever merges ≤k rows per group — a dense megacity
+    cell never lands its full slim columns in driver memory.
 
     ``stats`` (optional) collects {"files_opened": [...], "rings": n}
     for read-amplification tests."""
@@ -607,10 +631,8 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
         if new_files:
             seen_files.update(new_files)
             opened.extend(new_files)
-            t = pq.read_table(new_files, columns=_KNN_COLS,
-                              filesystem=filesystem)
-            pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
-                                       ignore_index=True), k)
+            part = _fetch_topk(new_files, lon, lat, k, filesystem)
+            pool = _knn_topk(pd.concat([pool, part], ignore_index=True), k)
         if len(pool) >= k:
             break
         frontier = np.unique(s2.neighbors(np.array(sorted(seen_cells), dtype=np.uint64), level))
@@ -642,9 +664,8 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     if extra:
         seen_files.update(extra)
         opened.extend(extra)
-        t = pq.read_table(extra, columns=_KNN_COLS, filesystem=filesystem)
-        pool = _knn_topk(pd.concat([pool, _knn_score(t, lon, lat)],
-                                   ignore_index=True), k)
+        part = _fetch_topk(extra, lon, lat, k, filesystem)
+        pool = _knn_topk(pd.concat([pool, part], ignore_index=True), k)
     if stats is not None:
         stats.update({"files_opened": opened, "rings": rings})
     return pool.reset_index(drop=True)

@@ -121,7 +121,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               use_native: bool = False,
               size_hint_rows: "int | None" = None,
               left_cols: "list[str] | None" = None,
-              right_cols: "list[str] | None" = None) -> ray.data.Dataset:
+              right_cols: "list[str] | None" = None,
+              salt_hot: bool = False, salt_buckets: int = 8,
+              salt_hot_factor: float = 8.0) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides (SURVEY.md §2.4 J2
     "at scale" path): both sides bucketed on hash(key) % B, one
     co-group shuffle, per-bucket pyarrow join.
@@ -143,9 +145,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     above ``NATIVE_JOIN_CROSSOVER_ROWS``. On a real multi-node cluster
     re-measure: long-lived sessions amortize the native actors further.
 
-    Skewed hot keys: salt them with the same replicate-small-side
-    pattern the zonal join uses (pipelines/query.py) before calling
-    this. Supported ``how``: inner, left, full.
+    Skewed hot keys: pass ``salt_hot=True`` (inner/left only) — a
+    count pre-pass over the left side finds keys above
+    ``salt_hot_factor`` × mean frequency; hot LEFT rows spread across
+    ``salt_buckets`` salted buckets round-robin while the RIGHT side's
+    hot-key rows replicate once per salt (the zonal join's
+    replicate-small-side pattern, lifted here per VERDICT r3 item 8).
+    The pre-pass re-executes the left lineage once — opt in only when
+    skew is expected. Supported ``how``: inner, left, full
+    (``salt_hot`` rejects full: replicated unmatched right rows would
+    duplicate).
     """
     if size_hint_rows is not None and size_hint_rows > NATIVE_JOIN_CROSSOVER_ROWS:
         use_native = True
@@ -158,6 +167,25 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             cpus = 8
         nparts = max(2, min(num_buckets, cpus - 1))
         return left.join(right, join_type=jt, num_partitions=nparts, on=(key,))
+    hot_vals = None
+    if salt_hot:
+        if how == "full":
+            raise ValueError("salt_hot supports inner/left joins only")
+
+        def _pc(t: pa.Table) -> pa.Table:
+            agg = t.select([key]).group_by(key).aggregate([([], "count_all")])
+            return agg.rename_columns([key, "__n"])
+
+        freq = left.map_batches(_pc, batch_format="pyarrow").to_pandas()
+        if len(freq):
+            agg = freq.groupby(key)["__n"].sum()
+            mean = max(float(agg.mean()), 1.0)
+            hot = agg[agg > salt_hot_factor * mean]
+            if len(hot):
+                hot_vals = pa.array(list(hot.index))
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    S = np.uint64(max(int(salt_buckets), 1))
+
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
             k = t.column(key)
@@ -166,7 +194,34 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             # key) and vectorized for both int and string keys
             h = _bucket_hash(k.to_numpy(zero_copy_only=False),
                              pa.types.is_integer(k.type))
-            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            NB = np.uint64(num_buckets)
+            with np.errstate(over="ignore"):
+                b = (h % NB).astype(np.int32)
+                if hot_vals is not None:
+                    is_hot = pc.is_in(k, value_set=hot_vals.cast(k.type)
+                                      ).to_numpy(zero_copy_only=False)
+                    idx = np.nonzero(is_hot)[0]
+                    if len(idx):
+                        if side == 0:
+                            # spread hot LEFT rows round-robin over the
+                            # S salted buckets (salt 0 == base bucket);
+                            # arange is retry-stable within a batch
+                            salt = np.arange(len(idx), dtype=np.uint64) % S
+                            b[idx] = ((h[idx] + salt * _GOLD) % NB
+                                      ).astype(np.int32)
+                        else:
+                            # replicate hot RIGHT rows once per salt so
+                            # every salted bucket can complete its join
+                            reps = [t]
+                            bs = [b]
+                            hot_t = t.take(pa.array(idx))
+                            hh = h[idx]
+                            for s_ in range(1, int(S)):
+                                reps.append(hot_t)
+                                bs.append(((hh + np.uint64(s_) * _GOLD)
+                                           % NB).astype(np.int32))
+                            t = pa.concat_tables(reps)
+                            b = np.concatenate(bs)
             out = t.append_column("__bucket", pa.array(b, pa.int32()))
             return out.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
         return f
