@@ -7311,6 +7311,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         files = docs.map_batches(gen, batch_format="pyarrow")
         return warc_extract(files)
 
+    def q361_chunk_dedup(sf):  # C4-style corpus chunk-dedup ledger
+        """Non-overlapping 10-token chunks deduped corpus-wide (first
+        occurrence by (doc_id, chunk_idx) wins); per-doc total vs
+        surviving chunk counts (pipelines/text.py:chunk_dedup) — the
+        rewrite statistic of a line/paragraph dedup pass."""
+        return textops.chunk_dedup(_t(sf, "documents"), window=10)
+
+    def q362_term_commonness(sf):  # unigram-LM commonness score
+        """Integer perplexity proxy: corpus term frequencies (one
+        vocab-sized grouped sum, broadcast once) then map-only per-doc
+        (n_tokens, Σ freq[token]) (pipelines/text.py:term_commonness)."""
+        return textops.term_commonness(_t(sf, "documents"))
+
+    def q363_cms_counts(sf):  # count-min sketch point frequencies
+        """Event-type frequencies through mergeable count-min sketches
+        — one fixed-size matrix per batch, no shuffle; exact regime
+        (distinct << width) so plain GROUP BY oracles it
+        (relational.py:cms_key_counts, kernels/sketch.py cms_*)."""
+        df = rel.cms_key_counts(_t(sf, "events"), "event_type")
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    def q364_knn_graph(sf):  # exact cosine kNN graph over embeddings
+        """Every vector's top-3 neighbors (self excluded): broadcast
+        normalized corpus matrix, per-batch matmul + partial top-k,
+        (sim desc, dst asc) ranking in integer micro-units
+        (pipelines/ann.py:knn_graph); vec_id < 600 keeps the O(n²)
+        DuckDB oracle tractable."""
+        from hand_index_ray.pipelines.ann import knn_graph
+
+        out = knn_graph(_t(sf, "embeddings"), k=3, max_id=600).to_pandas()
+        return out.sort_values(["src", "rank"]).reset_index(drop=True)
+
+    def q365_tfidf_topk(sf):  # per-doc top-3 tf-idf terms, integer-exact
+        """tf from one tokenize pass, df broadcast once, ranking by the
+        integer surrogate tf*1e6 // df with term tie-break
+        (pipelines/mining.py:tfidf_topk)."""
+        from hand_index_ray.pipelines.mining import tfidf_topk
+
+        out = tfidf_topk(_t(sf, "documents"), k=3).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7666,6 +7707,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q358_diversity": q358_diversity,
         "q359_bytescreen": q359_bytescreen,
         "q360_warc": q360_warc,
+        "q361_chunk_dedup": q361_chunk_dedup,
+        "q362_term_commonness": q362_term_commonness,
+        "q363_cms_counts": q363_cms_counts,
+        "q364_knn_graph": q364_knn_graph,
+        "q365_tfidf_topk": q365_tfidf_topk,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10638,6 +10684,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS payload_len,
                    CAST(bb * 65536 + a AS BIGINT) AS adler32
             FROM alld
+        """,
+        "q361_chunk_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id, g.i AS chunk_idx,
+                         array_to_string(ws[g.i * 10 + 1 : g.i * 10 + 10],
+                                         ' ') AS chunk
+                  FROM w CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 31)) g
+                  WHERE g.i * 10 < len(ws)),
+            k AS (SELECT chunk,
+                         MIN(doc_id * 1048576 + chunk_idx) AS mp
+                  FROM c GROUP BY chunk),
+            kept AS (SELECT mp // 1048576 AS doc_id,
+                            COUNT(*) AS n_kept
+                     FROM k GROUP BY 1),
+            tot AS (SELECT doc_id, COUNT(*) AS n_chunks
+                    FROM c GROUP BY doc_id)
+            SELECT t.doc_id, t.n_chunks,
+                   CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept
+            FROM tot t LEFT JOIN kept kp USING (doc_id)
+        """,
+        "q362_term_commonness": """
+            WITH words AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+            freq AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w)
+            SELECT wo.doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(f.f) AS BIGINT) AS common_sum
+            FROM words wo JOIN freq f USING (w)
+            GROUP BY wo.doc_id
+        """,
+        # q363: exact regime — distinct event_type << sketch width, so
+        # every key has a collision-free row and est == exact count
+        "q363_cms_counts": """
+            SELECT event_type, COUNT(*) AS est
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q364_knn_graph": """
+            WITH sub AS (SELECT vec_id,
+                                CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings WHERE vec_id < 600),
+            p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                    CAST(ROUND(list_cosine_similarity(a.v, b.v)
+                               * 1000000.0) AS BIGINT) AS sim_micro
+                  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY sim_micro DESC, dst) AS rank FROM p)
+            SELECT src, rank, dst, sim_micro FROM r
+            WHERE rank <= 3 ORDER BY src, rank
+        """,
+        "q365_tfidf_topk": """
+            WITH words AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+            tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+                   FROM words GROUP BY doc_id, w),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf * 1000000 // df.df DESC,
+                                      tf.term) AS rank
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

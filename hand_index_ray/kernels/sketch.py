@@ -310,3 +310,57 @@ def mg_deserialize(buf: bytes):
 
     items, counts = pickle.loads(buf)
     return np.asarray(items, dtype=object), np.asarray(counts, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): depth x width counter
+# matrix, point estimate = min over rows. Mergeable by elementwise sum —
+# the shuffle-free frequency sibling of the HLL above and the
+# Misra-Gries summary below. In the engine's test regime (distinct keys
+# << width) every key has at least one collision-free row, so estimates
+# are EXACT and a plain COUNT GROUP BY oracles them; the sketch's value
+# at 100 TB is that each batch contributes one fixed-size matrix
+# regardless of row count.
+
+
+def cms_empty(width: int = 2048, depth: int = 4) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_rows(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices for pre-hashed uint64 keys — row d
+    re-mixes with splitmix64(h ^ seed_d) so rows are independent."""
+    from ..sources.synth import splitmix64
+
+    out = np.empty((depth, len(hashes)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            out[d] = (splitmix64(hashes ^ np.uint64(0xC0FFEE + d * 0x9E37))
+                      % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_add_hashed(sk: np.ndarray, hashes: np.ndarray,
+                   counts: "np.ndarray | None" = None) -> np.ndarray:
+    depth, width = sk.shape
+    idx = _cms_rows(np.asarray(hashes, dtype=np.uint64), width, depth)
+    w = np.ones(len(hashes), np.int64) if counts is None \
+        else np.asarray(counts, dtype=np.int64)
+    for d in range(depth):
+        np.add.at(sk[d], idx[d], w)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query_hashed(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (upper bounds; exact when some row is
+    collision-free for the key) for pre-hashed uint64 keys."""
+    depth, width = sk.shape
+    idx = _cms_rows(np.asarray(hashes, dtype=np.uint64), width, depth)
+    est = sk[0][idx[0]]
+    for d in range(1, depth):
+        est = np.minimum(est, sk[d][idx[d]])
+    return est.astype(np.int64)

@@ -344,3 +344,81 @@ def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
                            zero_copy_batch=True).to_pandas()
     return (parts.sort_values(["sim", id_col], ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True))
+
+
+def knn_graph(ds: ray.data.Dataset, k: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_id: "int | None" = None) -> ray.data.Dataset:
+    """Exact k-nearest-neighbor GRAPH by cosine: every vector's top-k
+    neighbors (self excluded) — the precursor to embedding dedup
+    clustering and diversity pruning. The corpus matrix ships ONCE via
+    ``ray.put`` (ids + row-normalized float64 matrix, packed flat);
+    each batch then runs one (batch × corpus) matmul and a per-row
+    partial top-k — no pairwise shuffle, no driver O(n²). At corpus
+    sizes past broadcast the IVF route (``ivf_build``/``ivf_topk``)
+    replaces the dense matmul; the per-batch shape is identical.
+
+    Emits (src, rank, dst, sim_micro) with rank 1..k ordered by
+    (sim_micro desc, dst asc) — integer micro-units, oracle-exact.
+    ``max_id`` restricts both sides to vec_id < max_id (keeps the
+    DuckDB O(n²) oracle tractable at bench scale)."""
+    sub = ds if max_id is None else ds.filter(
+        expr=f"{id_col} < {int(max_id)}")
+
+    @ray.remote(num_cpus=0.5)
+    def _chunk(block: pa.Table) -> tuple:
+        if block.num_rows == 0 or id_col not in block.schema.names:
+            return (np.empty(0, np.int64), np.empty((0, 0)))
+        ids = block.column(id_col).to_numpy()
+        m = _stack(block.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        m = m / np.where(n == 0, 1.0, n)[:, None]
+        return ids.astype(np.int64), m
+
+    mat = sub.materialize()
+    parts = [p for p in ray.get([_chunk.remote(r)
+                                 for r in mat.to_arrow_refs()])
+             if len(p[0])]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64())}))
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_m = np.concatenate([p[1] for p in parts])
+    corpus_ref = ray.put((all_ids, all_m))
+
+    def scorer(t: pa.Table) -> pa.Table:
+        cids, cm = ray.get(corpus_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        m = _stack(t.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        m = m / np.where(n == 0, 1.0, n)[:, None]
+        sims = m @ cm.T
+        micro = np.round(sims * 1e6).astype(np.int64)
+        # exclude self matches by id; sentinel must survive the -micro
+        # negation below (negating int64.min overflows back to itself,
+        # which would sort self matches FIRST instead of last)
+        self_mask = ids[:, None] == cids[None, :]
+        micro[self_mask] = -(np.int64(1) << np.int64(62))
+        # per-row top-k by (sim desc, dst asc): lexsort per row
+        kk = min(k, micro.shape[1] - 1)
+        if kk <= 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "sim_micro": pa.array([], pa.int64())})
+        # argsort with dst tie-break: sort by (-micro, cid)
+        order = np.lexsort((np.broadcast_to(cids, micro.shape), -micro),
+                           axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = order.ravel()
+        return pa.table({
+            "src": pa.array(np.repeat(ids, kk), pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1), len(ids)),
+                             pa.int64()),
+            "dst": pa.array(cids[cols], pa.int64()),
+            "sim_micro": pa.array(micro[rows, cols], pa.int64())})
+
+    return mat.map_batches(scorer, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -2106,3 +2106,73 @@ def simpson_diversity(ds: ray.data.Dataset, group: str, cat: str,
     return rel.grouped_apply_bucketed(counts, [group], fold,
                                       num_buckets=num_buckets,
                                       whole_bucket=True)
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 3,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-document top-k tf-idf terms, integer-exact: tf from one
+    tokenize pass, document frequency (df) from a distinct-(term, doc)
+    grouped count whose shuffle moves only unique pairs, and ranking by
+    the integer surrogate ``tf * 1_000_000 // df`` (monotone in tf/df;
+    DuckDB ``//`` truncation == numpy floor for the positive operands
+    here) with (term asc) tie-break — so the oracle is plain SQL with a
+    ROW_NUMBER window, no floats anywhere.
+
+    Scale shape: df is vocabulary-sized and broadcast once; the per-doc
+    ranking is map-only (a doc never spans batches).
+
+    Emits (doc_id, rank, term, tf, df) with rank 1..k.
+    """
+    from .text import _tokenize_batch
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(ids)), np.diff(off))
+        if not len(words):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        df_ = pd.DataFrame({"d": doc, "w": words})
+        g = df_.groupby(["d", "w"], sort=False).size().reset_index(name="tf")
+        return pa.table({id_col: pa.array(ids[g["d"].to_numpy()], pa.int64()),
+                         "term": pa.array(g["w"].to_numpy(dtype=object),
+                                          pa.string()),
+                         "tf": pa.array(g["tf"].to_numpy(np.int64),
+                                        pa.int64())})
+
+    pairs = docs.map_batches(tf_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # df: count of docs per term — pairs are already distinct (term, doc)
+    dfreq = rel.grouped_agg(pairs.select_columns(["term"]), ["term"]) \
+        .to_pandas()
+    _terms = dfreq["term"].to_numpy(dtype=object)
+    _dfv = dfreq["n"].to_numpy(np.int64)
+    _o = np.argsort(_terms)
+    import ray as _ray
+    ref = _ray.put((_terms[_o], _dfv[_o]))
+
+    def rank(t: pa.Table) -> pa.Table:
+        terms_s, dfv_s = _ray.get(ref)
+        ids = t.column(id_col).to_numpy()
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy()
+        df_vals = dfv_s[np.searchsorted(terms_s, terms)]
+        score = tf.astype(np.int64) * 1_000_000 // df_vals
+        dd = pd.DataFrame({id_col: ids, "term": terms, "tf": tf,
+                           "df": df_vals, "s": score})
+        dd = dd.sort_values([id_col, "s", "term"],
+                            ascending=[True, False, True], kind="stable")
+        dd["rank"] = dd.groupby(id_col, sort=False).cumcount() + 1
+        dd = dd[dd["rank"] <= k]
+        return pa.table({
+            id_col: pa.array(dd[id_col].to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(dd["rank"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(dd["term"].to_numpy(dtype=object), pa.string()),
+            "tf": pa.array(dd["tf"].to_numpy(np.int64), pa.int64()),
+            "df": pa.array(dd["df"].to_numpy(np.int64), pa.int64())})
+
+    # batch_size=None → whole blocks: a document's (term, tf) rows stay
+    # together (they never span tf_pairs input batches)
+    return pairs.map_batches(rank, batch_format="pyarrow", batch_size=None)

@@ -2029,3 +2029,124 @@ def topic_scores(ds: ray.data.Dataset, n_topics: int = 4,
                          "score": pa.array(best, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_dedup(ds: ray.data.Dataset, window: int = 10,
+                col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """C4/RefinedWeb-style corpus-level chunk dedup ledger: split every
+    document into non-overlapping ``window``-token chunks and keep each
+    distinct chunk STRING only at its first occurrence (minimal
+    (doc_id, chunk_idx)); emit per document its total chunk count and
+    how many of its chunks survive — the rewrite statistic a
+    line/paragraph-dedup pass reports before materializing cleaned text.
+
+    Scale shape: the shuffle moves (chunk, packed_position) pairs once
+    — chunks are ≤ window tokens, and the winner reduction is a plain
+    grouped MIN (partial per batch), so no doc text is replicated. The
+    final per-doc rollups are two small grouped counts joined map-side.
+    """
+    PACK = np.int64(1 << 20)  # chunk_idx < 2^20 (docs are << 10M tokens)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        nch = np.where(lens > 0, (lens + window - 1) // window, 0)
+        doc_i = np.repeat(np.arange(len(ids)), nch)
+        base = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        ci = np.arange(int(nch.sum()), dtype=np.int64) - np.repeat(base, nch)
+        start = ci * window
+        end = np.minimum(start + window, lens[doc_i])
+        o0 = (off - off[0])[doc_i]
+        txt = [" ".join(words[s:e])
+               for s, e in zip((o0 + start).tolist(), (o0 + end).tolist())]
+        return pa.table({
+            id_col: pa.array(ids[doc_i], pa.int64()),
+            "chunk_idx": pa.array(ci, pa.int64()),
+            "chunk": pa.array(txt, pa.string()),
+            "packed": pa.array(ids[doc_i] * PACK + ci, pa.int64())})
+
+    from ..relational import grouped_agg, hash_join
+
+    ch = ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    # winner per distinct chunk string = minimal packed (doc, idx)
+    winners = grouped_agg(ch.select_columns(["chunk", "packed"]),
+                          ["chunk"], min_cols=["packed"], count=False)
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        d = (t.column("min_packed").to_numpy() // PACK).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({id_col: pa.array(u, pa.int64()),
+                         "n_kept": pa.array(c, pa.int64())})
+
+    kept = grouped_agg(winners.map_batches(kept_partial,
+                                           batch_format="pyarrow"),
+                       [id_col], sum_cols=["n_kept"], count=False)
+    totals = grouped_agg(ch.select_columns([id_col]), [id_col])  # n rows
+    tot = totals.map_batches(
+        lambda t: t.rename_columns([id_col, "n_chunks"]),
+        batch_format="pyarrow")
+    joined = hash_join(tot, kept, id_col, how="left",
+                       left_cols=[id_col, "n_chunks"],
+                       right_cols=[id_col, "n_kept"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t.column("n_kept").to_numpy(zero_copy_only=False)
+        nk = np.where(pd.isna(nk), 0, nk).astype(np.int64)
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "n_chunks": t.column("n_chunks").cast(pa.int64()),
+                         "n_kept": pa.array(nk, pa.int64())})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def term_commonness(ds: ray.data.Dataset, col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Unigram-LM commonness score in exact integers: phase 1 computes
+    corpus term frequencies (per-batch factorize+bincount partials, one
+    vocabulary-sized grouped sum); phase 2 broadcasts the frequency
+    table once (``ray.put``) and scores every document map-only with
+    (n_tokens, Σ freq[token]) — the integer-exact core of the
+    "common-token / perplexity" quality screens (rare-token-heavy docs
+    score low). At open-vocabulary scale the broadcast side becomes a
+    hash_join on token — the phase split is the same.
+    """
+    from ..relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, _ = _tokenize_batch(t, col)
+        if not len(words):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "f": pa.array([], pa.int64())})
+        inv, uniq = pd.factorize(words, sort=False)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"w": pa.array(uniq.astype(object), pa.string()),
+                         "f": pa.array(cnt, pa.int64())})
+
+    freq = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["w"], sum_cols=["f"], count=False).to_pandas()
+    _vocab = freq["w"].to_numpy(dtype=object)
+    _fvals = freq["f"].to_numpy(dtype=np.int64)
+    _order = np.argsort(_vocab)
+    fmap_ref = ray.put((_vocab[_order], _fvals[_order]))  # sorted once
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_s, fvals_s = ray.get(fmap_ref)
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        if len(words):
+            pos = np.searchsorted(vocab_s, words)
+            per_tok = fvals_s[pos]
+            o = off - off[0]
+            csum = np.concatenate([[0], np.cumsum(per_tok)])
+            sums = csum[o[1:]] - csum[o[:-1]]
+        else:
+            sums = np.zeros(len(ids), np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(lens, pa.int64()),
+                         "common_sum": pa.array(sums.astype(np.int64),
+                                                pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

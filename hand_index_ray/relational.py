@@ -1620,6 +1620,57 @@ def approx_top_k(ds: ray.data.Dataset, col: str, k: int,
                      "n": pa.array(counts, pa.int64())}).to_pandas()
 
 
+def cms_key_counts(ds: ray.data.Dataset, col: str, width: int = 2048,
+                   depth: int = 4) -> pd.DataFrame:
+    """Per-key frequency estimates through mergeable count-min sketches
+    (kernels/sketch.py cms_*): one fixed-size (depth × width) counter
+    matrix per batch, elementwise-summed on the driver — shuffle-free
+    like ``approx_top_k``'s Misra–Gries, but answering POINT frequency
+    queries for every observed key instead of top-k membership.
+    Estimates are upper bounds, EXACT when some row is collision-free
+    for the key — guaranteed in the oracle-checked regime (distinct
+    keys << width). Output: (col, est) for every distinct key, sorted.
+
+    The distinct-key list rides the same pass as one per-batch unique
+    set (vocabulary-bounded); at open-key scale the caller would query
+    specific keys instead of enumerating."""
+    from .kernels import sketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        h = _bucket_hash(uniq, pa.types.is_integer(t.schema.field(col).type))
+        sk = sketch.cms_add_hashed(sketch.cms_empty(width, depth), h, cnt)
+        import pickle
+        return pa.table({"sk": pa.array([pickle.dumps((sk, uniq.tolist()))],
+                                        pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    import pickle
+    sk = sketch.cms_empty(width, depth)
+    keys: set = set()
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if "sk" not in t.schema.names:
+            continue
+        for b in t.column("sk").to_pylist():
+            s_, u_ = pickle.loads(b)
+            sk = sketch.cms_merge(sk, s_)
+            keys.update(u_)
+    uniq = np.array(sorted(keys), dtype=object)
+    if not len(uniq):
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "est": pd.Series([], dtype=np.int64)})
+    is_int = all(isinstance(u, (int, np.integer)) for u in uniq)
+    h = _bucket_hash(uniq if not is_int else uniq.astype(np.int64), is_int)
+    est = sketch.cms_query_hashed(sk, h)
+    typ = ds.schema().base_schema.field(col).type
+    return pa.table({col: pa.array(uniq.tolist(), typ),
+                     "est": pa.array(est, pa.int64())}).to_pandas()
+
+
 def skyline(ds: ray.data.Dataset, x: str, y: str) -> pd.DataFrame:
     """2-D Pareto frontier over distinct (x, y) points, maximizing
     both: a point survives iff no other point is ≥ in both dims and
