@@ -7352,6 +7352,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tfidf_topk(_t(sf, "documents"), k=3).to_pandas()
         return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
+    def q366_contamination(sf):  # benchmark-contamination screen
+        """Test-set leakage check: docs sharing ≥1 word-3-gram with the
+        held-out benchmark slice (doc_id % 50 == 0) are flagged; the
+        benchmark gram set broadcasts once, the screen is map-only
+        (pipelines/text.py:contamination_screen)."""
+        return textops.contamination_screen(_t(sf, "documents"),
+                                            every=50, n=3)
+
+    def q367_int8_calib(sf):  # int8 quantization calibration + audit
+        """Per-dim min/max bounds (one dim-sized reduce) broadcast once;
+        map-only quantize q = floor((x-mn)*255/(mx-mn)+0.5); integer
+        audit (sum_q, saturated-cell count)
+        (pipelines/ann.py:int8_calibration)."""
+        from hand_index_ray.pipelines.ann import int8_calibration
+
+        return int8_calibration(_t(sf, "embeddings"))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7712,6 +7729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q363_cms_counts": q363_cms_counts,
         "q364_knn_graph": q364_knn_graph,
         "q365_tfidf_topk": q365_tfidf_topk,
+        "q366_contamination": q366_contamination,
+        "q367_int8_calib": q367_int8_calib,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10750,6 +10769,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
                    CAST(df AS BIGINT) AS df
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "q366_contamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(ws[g.i + 1 : g.i + 3], ' ') AS gram
+                  FROM w CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 127)) g
+                  WHERE g.i + 3 <= len(ws)
+                     OR (g.i = 0 AND len(ws) < 3)),
+            gd AS (SELECT DISTINCT doc_id, gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM gd
+                      WHERE doc_id % 50 = 0),
+            hits AS (SELECT doc_id, COUNT(*) AS n_shared
+                     FROM gd JOIN bench USING (gram)
+                     WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(h.n_shared, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "q367_int8_calib": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (SELECT generate_series AS i
+                     FROM generate_series(1, 64)),
+            el AS (SELECT vec_id, i, v[i] AS x FROM e CROSS JOIN dims),
+            b AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+                  FROM el GROUP BY i),
+            q AS (SELECT el.vec_id,
+                         FLOOR((el.x - b.mn) * 255.0 / (b.mx - b.mn)
+                               + 0.5) AS qq
+                  FROM el JOIN b USING (i))
+            SELECT vec_id, CAST(SUM(qq) AS BIGINT) AS sum_q,
+                   CAST(SUM(CASE WHEN qq = 0 OR qq = 255
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+            FROM q GROUP BY vec_id
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -422,3 +422,57 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
 
     return mat.map_batches(scorer, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def int8_calibration(ds: ray.data.Dataset,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> ray.data.Dataset:
+    """Per-dimension int8 quantization calibration + apply — the
+    embedding-compression step before an ANN index ships: phase 1
+    computes per-dimension min/max (per-batch partials, one dim-sized
+    grouped reduce); phase 2 broadcasts the 2×dim bounds once and
+    quantizes map-only with q = floor((x-mn)·255/(mx-mn) + 0.5)
+    (constant dims quantize to 0). Emits integer audit columns
+    (vec_id, sum_q, n_sat) — n_sat counts saturated cells (q∈{0,255}),
+    the calibration-quality signal.
+
+    Float discipline: the quantization expression is evaluated in the
+    exact IEEE order DuckDB uses (((x−mn)·255)/(mx−mn)+0.5 then floor),
+    so the oracle matches bit-for-bit."""
+    from ..relational import grouped_agg
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        m = _stack(t.column(vec_col))
+        if not len(m):
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    b = grouped_agg(ds.map_batches(bounds_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    ["dim"], min_cols=["mn"], max_cols=["mx"],
+                    count=False).to_pandas().sort_values("dim")
+    mn = b["min_mn"].to_numpy(np.float64)
+    mx = b["max_mx"].to_numpy(np.float64)
+    ref = ray.put((mn, mx))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        mn_, mx_ = ray.get(ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        m = _stack(t.column(vec_col))
+        rng = mx_ - mn_
+        safe = np.where(rng == 0, 1.0, rng)
+        q = np.floor((m - mn_) * 255.0 / safe + 0.5)
+        q[:, rng == 0] = 0.0
+        sum_q = q.sum(axis=1).astype(np.int64)
+        n_sat = ((q == 0.0) | (q == 255.0)).sum(axis=1).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sum_q": pa.array(sum_q, pa.int64()),
+                         "n_sat": pa.array(n_sat, pa.int64())})
+
+    return ds.map_batches(quantize, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -2150,3 +2150,81 @@ def term_commonness(ds: ray.data.Dataset, col: str = "text",
                                                 pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_screen(ds: ray.data.Dataset, every: int = 50, n: int = 3,
+                         col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Benchmark-contamination screen: docs whose id is divisible by
+    ``every`` form the held-out "benchmark"; every OTHER doc is flagged
+    if it shares ≥1 distinct word-``n``-gram with any benchmark doc —
+    the pre-training hygiene check (test-set leakage) run before a
+    corpus ships. Gram convention matches q24/q254: single-space
+    tokens, gram i = tokens[i:i+n] joined by spaces; a doc shorter than
+    n tokens contributes its whole token list as one gram.
+
+    Scale shape: the benchmark side is a small fraction (1/every) of
+    the corpus, so its distinct-gram set broadcasts ONCE via ``ray.put``
+    (sorted string array; membership by searchsorted) and the screen is
+    map-only over the corpus — no pair join, unlike the intra-corpus
+    q254 machinery. At benchmark sizes past broadcast, the same screen
+    runs as a semi-join on gram (slim (gram, doc) rows).
+
+    Emits (doc_id, n_shared, contaminated) for non-benchmark docs.
+    """
+    def _doc_grams(t: pa.Table):
+        """Per-row list of distinct gram STRINGS (oracle-identical)."""
+        words, off = _tokenize_batch(t, col)
+        out = []
+        for d in range(len(off) - 1):
+            toks = words[off[d] - off[0]:off[d + 1] - off[0]]
+            if len(toks) < n:
+                out.append({" ".join(toks)} if len(toks) else set())
+            else:
+                out.append({" ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1)})
+        return out
+
+    def _is_bench(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % every == 0))
+
+    bench = ds.map_batches(_is_bench, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    @ray.remote(num_cpus=0.5)
+    def _bench_grams(block: pa.Table) -> np.ndarray:
+        if block.num_rows == 0 or col not in block.schema.names:
+            return np.empty(0, dtype=object)
+        gs: set = set()
+        for s in _doc_grams(block):
+            gs |= s
+        return np.array(sorted(gs), dtype=object)
+
+    parts = [p for p in ray.get([_bench_grams.remote(r) for r in
+                                 bench.materialize().to_arrow_refs()])
+             if len(p)]
+    bench_sorted = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=object)
+    ref = ray.put(bench_sorted)
+
+    def screen(t: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % every != 0
+        grams = _doc_grams(t)
+        n_shared = np.zeros(len(ids), np.int64)
+        if len(bg):
+            for d in np.nonzero(keep)[0]:
+                g = np.array(sorted(grams[d]), dtype=object)
+                if len(g):
+                    pos = np.searchsorted(bg, g)
+                    pos = np.minimum(pos, len(bg) - 1)
+                    n_shared[d] = int((bg[pos] == g).sum())
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_shared": pa.array(n_shared[keep], pa.int64()),
+            "contaminated": pa.array(n_shared[keep] >= 1, pa.bool_())})
+
+    return ds.map_batches(screen, batch_format="pyarrow",
+                          zero_copy_batch=True)
