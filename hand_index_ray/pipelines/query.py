@@ -573,8 +573,19 @@ def _knn_fetch_topk(files: list, lon: float, lat: float, k: int,
     return _knn_topk(_knn_score(t, lon, lat), k)
 
 
+# driver-side fetch bound: ≤ this many slim 5-column rows (~5 MB) may
+# be read directly on the driver — below it the remote task round-trip
+# (~10 ms/ring) dominates an interactive query; above it the fetch
+# distributes so a dense megacity cell never lands in driver memory
+KNN_DRIVER_ROWS_MAX = 100_000
+
+
 def _fetch_topk(files: list, lon: float, lat: float, k: int,
-                filesystem, chunk: int = 4) -> pd.DataFrame:
+                filesystem, chunk: int = 4,
+                known_rows: "int | None" = None) -> pd.DataFrame:
+    if known_rows is not None and known_rows <= KNN_DRIVER_ROWS_MAX:
+        t = pq.read_table(files, columns=_KNN_COLS, filesystem=filesystem)
+        return _knn_topk(_knn_score(t, lon, lat), k)
     refs = [_knn_fetch_topk.remote(files[i:i + chunk], lon, lat, k,
                                    filesystem)
             for i in range(0, len(files), chunk)]
@@ -607,6 +618,12 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     for read-amplification tests."""
     man = Manifest(index_dir, filesystem=filesystem)
     level = cfg.part_level
+    # per-file row counts from partition stats: lets the fetch prove a
+    # ring's rows are few enough for a bounded driver read (fast path)
+    # without opening any file
+    from ..state.fsio import FS as _FS
+    _rows_of = {_FS.join(index_dir, p.path): p.row_count
+                for p in man._live_partitions()}
     start = s2.lonlat_to_cell(np.array([lon]), np.array([lat]), level)
     seen_cells: set[int] = set()
     seen_files: set[str] = set()
@@ -631,7 +648,9 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
         if new_files:
             seen_files.update(new_files)
             opened.extend(new_files)
-            part = _fetch_topk(new_files, lon, lat, k, filesystem)
+            part = _fetch_topk(new_files, lon, lat, k, filesystem,
+                               known_rows=sum(_rows_of.get(f, 1 << 40)
+                                              for f in new_files))
             pool = _knn_topk(pd.concat([pool, part], ignore_index=True), k)
         if len(pool) >= k:
             break
@@ -664,7 +683,9 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     if extra:
         seen_files.update(extra)
         opened.extend(extra)
-        part = _fetch_topk(extra, lon, lat, k, filesystem)
+        part = _fetch_topk(extra, lon, lat, k, filesystem,
+                           known_rows=sum(_rows_of.get(f, 1 << 40)
+                                          for f in extra))
         pool = _knn_topk(pd.concat([pool, part], ignore_index=True), k)
     if stats is not None:
         stats.update({"files_opened": opened, "rings": rings})
