@@ -7369,6 +7369,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return int8_calibration(_t(sf, "embeddings"))
 
+    def q368_mixture_sample(sf):  # pretraining mixture token quotas
+        """Per-source token-quota fill in deterministic md5(doc_id)
+        order (Pile/ROOTS mixture weighting): slim rows, one
+        groupby-source shuffle, in-group sort+cumsum
+        (pipelines/text.py:mixture_sample)."""
+        return textops.mixture_sample(_t(sf, "documents"),
+                                      quota_tokens=600)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7731,6 +7739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q365_tfidf_topk": q365_tfidf_topk,
         "q366_contamination": q366_contamination,
         "q367_int8_calib": q367_int8_calib,
+        "q368_mixture_sample": q368_mixture_sample,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10807,6 +10816,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN qq = 0 OR qq = 255
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
             FROM q GROUP BY vec_id
+        """,
+        "q368_mixture_sample": """
+            WITH d AS (SELECT doc_id, source,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              md5_number_lower(CAST(doc_id AS VARCHAR))
+                                % 1000000 AS ord
+                       FROM documents),
+            c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+                      PARTITION BY source ORDER BY ord, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+                  FROM d)
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < 600
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -2228,3 +2228,54 @@ def contamination_screen(ds: ray.data.Dataset, every: int = 50, n: int = 3,
 
     return ds.map_batches(screen, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def mixture_sample(ds: ray.data.Dataset, quota_tokens: int = 600,
+                   col: str = "text", id_col: str = "doc_id",
+                   source_col: str = "source") -> ray.data.Dataset:
+    """Pretraining mixture sampling: fill each source's TOKEN quota by
+    selecting docs in deterministic md5(doc_id) order until the running
+    token total crosses the quota (the doc that crosses is included) —
+    the per-source weighting step (Pile/ROOTS-style mixtures) between
+    curation and packing. Deterministic: same corpus → same sample, no
+    RNG state to ship.
+
+    Scale shape: the selection needs only slim (id, source, n_tokens,
+    order) rows — one tokenize-free length pass (split offsets), one
+    groupby-source shuffle of 24-byte rows, an in-group sort+cumsum.
+    Per-source groups at 100 TB re-partition by order-range first
+    (quota prefixes are order-prefix-closed), so no single task ever
+    holds a whole source.
+
+    Emits (doc_id, source, n_tokens, cum_tokens) for selected docs.
+    """
+    import hashlib
+
+    def slim(t: pa.Table) -> pa.Table:
+        _, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        md5, fb = hashlib.md5, int.from_bytes
+        h = np.fromiter(
+            (fb(md5(str(int(i)).encode()).digest()[8:16], "little")
+             for i in ids), dtype=np.uint64, count=len(ids))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            source_col: t.column(source_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "ord": pa.array((h % np.uint64(1_000_000)).astype(np.int64),
+                            pa.int64())})
+
+    from ..relational import grouped_apply_bucketed
+
+    s = ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ord", id_col], kind="stable")
+        cum = g["n_tokens"].cumsum()
+        keep = (cum - g["n_tokens"]) < quota_tokens
+        out = g.loc[keep, [id_col, source_col, "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep].astype(np.int64)
+        return out
+
+    return grouped_apply_bucketed(s, [source_col], take)
