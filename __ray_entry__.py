@@ -7377,6 +7377,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textops.mixture_sample(_t(sf, "documents"),
                                       quota_tokens=600)
 
+    def q369_editdist_pairs(sf):  # blocked Levenshtein near-dup pairs
+        """Record-linkage / title-dedup screen: exact edit distance ≤ 5
+        over 60-char prefixes, blocked by first token + length band
+        (pipelines/text.py:editdist_pairs; banded row-vectorized DP).
+        Oracle: DuckDB's native levenshtein() under the same blocking
+        rule — an external reference implementation."""
+        df = textops.editdist_pairs(_t(sf, "documents"),
+                                    max_dist=5).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7740,6 +7750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q366_contamination": q366_contamination,
         "q367_int8_calib": q367_int8_calib,
         "q368_mixture_sample": q368_mixture_sample,
+        "q369_editdist_pairs": q369_editdist_pairs,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10831,6 +10842,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
                    cum_tokens
             FROM c WHERE cum_tokens - n_tokens < 600
+        """,
+        "q369_editdist_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 60) AS s,
+                              string_split(text, ' ')[1] AS ft
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id AND a.ft = b.ft
+            WHERE abs(length(a.s) - length(b.s)) <= 5
+              AND levenshtein(a.s, b.s) <= 5
+            ORDER BY id_a, id_b
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -2279,3 +2279,94 @@ def mixture_sample(ds: ray.data.Dataset, quota_tokens: int = 600,
         return out
 
     return grouped_apply_bucketed(s, [source_col], take)
+
+
+def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
+                   prefix_chars: int = 60, col: str = "text",
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Blocked edit-distance (Levenshtein) near-dup pairs over a string
+    prefix — the record-linkage/title-dedup screen for short strings
+    where token-set methods (Jaccard, minhash) miss transposition-level
+    edits. Blocking rule (documented, oracle-identical): candidates
+    share their FIRST TOKEN and differ in prefix length by ≤ max_dist
+    (both necessary-ish for small distances in practice; the standard
+    linkage assumption — a first-token edit escapes the block, like any
+    blocking scheme's residual). Within a block the exact DP runs
+    row-vectorized (one numpy row per DP iteration, all pairs of the
+    block batched by the bucketed group-apply).
+
+    Scale shape: only (id, prefix, first-token) slim rows shuffle —
+    one groupby-block exchange; blocks are first-token-bounded so no
+    all-pairs explosion. Emits (id_a, id_b, dist) with dist ≤ max_dist.
+    """
+    def slim(t: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(t[col], 0, prefix_chars)
+        words, off = _tokenize_batch(t, col)
+        lens = np.diff(off)
+        first = np.array([words[o - off[0]] if n > 0 else ""
+                          for o, n in zip(off[:-1], lens)], dtype=object)
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "s": s,
+                         "ft": pa.array(first, pa.string())})
+
+    from ..relational import grouped_apply_bucketed
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _lev_le(a: str, b: str, k: int) -> int:
+        """Banded Levenshtein; returns dist if ≤ k else k+1."""
+        la, lb = len(a), len(b)
+        if abs(la - lb) > k:
+            return k + 1
+        prev = np.arange(lb + 1, dtype=np.int32)
+        bv = np.frombuffer(b.encode("utf-8"), dtype=np.uint8) \
+            if b.isascii() else None
+        for i in range(1, la + 1):
+            cur = np.empty(lb + 1, dtype=np.int32)
+            cur[0] = i
+            if bv is not None and a.isascii():
+                cost = (bv != ord(a[i - 1])).astype(np.int32)
+            else:
+                cost = np.array([a[i - 1] != b[j] for j in range(lb)],
+                                dtype=np.int32)
+            # vectorized row: deletion / substitution elementwise;
+            # insertion needs the running minimum — one short scan
+            best = np.minimum(prev[:-1] + cost, prev[1:] + 1)
+            run = cur[0]
+            for j in range(1, lb + 1):
+                run = min(int(best[j - 1]), run + 1)
+                cur[j] = run
+            if cur.min() > k:  # banded early exit
+                return k + 1
+            prev = cur
+        return int(prev[-1])
+
+    _EMPTY = {"id_a": pd.Series([], dtype=np.int64),
+              "id_b": pd.Series([], dtype=np.int64),
+              "dist": pd.Series([], dtype=np.int64)}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ss = g["s"].to_numpy(dtype=object)
+        ls = np.array([len(x) for x in ss])
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if abs(int(ls[i]) - int(ls[j])) > max_dist:
+                    continue
+                d = _lev_le(ss[i], ss[j], max_dist)
+                if d <= max_dist:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_d.append(d)
+        if not out_a:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame({"id_a": np.array(out_a, np.int64),
+                             "id_b": np.array(out_b, np.int64),
+                             "dist": np.array(out_d, np.int64)})
+
+    return grouped_apply_bucketed(slimmed, ["ft"], pairs, min_group_size=2)

@@ -147,3 +147,40 @@ def test_contamination_screen_bipartite(ray_session):
     assert bool(got.loc[3, "contaminated"]) is False
     assert bool(got.loc[5, "contaminated"]) is True
     assert got.loc[1, "n_shared"] == 1 and got.loc[5, "n_shared"] == 1
+
+
+def test_editdist_pairs_matches_bruteforce(ray_session):
+    from hand_index_ray.pipelines.text import editdist_pairs
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for d in range(30):
+        toks = ["w%d" % i for i in rng.integers(0, 4, rng.integers(2, 8))]
+        rows.append((d, " ".join(toks), "s"))
+    got = editdist_pairs(_docs_ds(rows), max_dist=3).to_pandas()
+    got_set = {(a, b): int(x) for a, b, x in
+               zip(got["id_a"], got["id_b"], got["dist"])}
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = np.zeros((la + 1, lb + 1), int)
+        dp[:, 0] = np.arange(la + 1)
+        dp[0, :] = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                dp[i, j] = min(dp[i - 1, j] + 1, dp[i, j - 1] + 1,
+                               dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[la, lb]
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i][1][:60], rows[j][1][:60]
+            if a.split(" ")[0] != b.split(" ")[0]:
+                continue
+            if abs(len(a) - len(b)) > 3:
+                continue
+            d = lev(a, b)
+            if d <= 3:
+                want[(i, j)] = int(d)
+    assert got_set == want
