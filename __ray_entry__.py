@@ -7387,6 +7387,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     max_dist=5).to_pandas()
         return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def q370_exact_substr(sf):  # ExactSubstr dedup (Lee et al. 2022)
+        """Longest shared token substring per doc pair (≥12 tokens):
+        positional 8-gram anchors → cross-doc diagonal islands — the
+        variable-length verbatim-quote dedup a fixed-k gram screen
+        can't grade (pipelines/text.py:exact_substr_pairs)."""
+        df = textops.exact_substr_pairs(_t(sf, "documents"), k=8,
+                                        min_tokens=12).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7751,6 +7760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q367_int8_calib": q367_int8_calib,
         "q368_mixture_sample": q368_mixture_sample,
         "q369_editdist_pairs": q369_editdist_pairs,
+        "q370_exact_substr": q370_exact_substr,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10854,6 +10864,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(length(a.s) - length(b.s)) <= 5
               AND levenshtein(a.s, b.s) <= 5
             ORDER BY id_a, id_b
+        """,
+        "q370_exact_substr": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, i.i AS pos,
+                         array_to_string(ws[i.i + 1 : i.i + 8], ' ') AS gram
+                  FROM w CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 127)) i
+                  WHERE i.i + 8 <= len(ws)),
+            j AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                         a.pos AS pa, a.pos - b.pos AS diag
+                  FROM g a JOIN g b USING (gram)
+                  WHERE a.doc_id < b.doc_id),
+            isl AS (SELECT ida, idb, diag, pa,
+                       pa - ROW_NUMBER() OVER (PARTITION BY ida, idb, diag
+                                               ORDER BY pa) AS grp
+                    FROM j),
+            runs AS (SELECT ida, idb, COUNT(*) + 7 AS shared
+                     FROM isl GROUP BY ida, idb, diag, grp)
+            SELECT ida AS id_a, idb AS id_b,
+                   CAST(MAX(shared) AS BIGINT) AS max_shared_tokens
+            FROM runs GROUP BY ida, idb
+            HAVING MAX(shared) >= 12
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -184,3 +184,39 @@ def test_editdist_pairs_matches_bruteforce(ray_session):
             if d <= 3:
                 want[(i, j)] = int(d)
     assert got_set == want
+
+
+def test_exact_substr_matches_bruteforce(ray_session):
+    from hand_index_ray.pipelines.text import exact_substr_pairs
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(10)]
+    docs = []
+    for d in range(12):
+        docs.append([words[i] for i in rng.integers(0, 10, 30)])
+    # plant a verbatim 15-token quote from doc 0 into docs 5 and 9
+    docs[5][3:18] = docs[0][2:17]
+    docs[9][10:25] = docs[0][2:17]
+    rows = [(d, " ".join(t), "s") for d, t in enumerate(docs)]
+    got = exact_substr_pairs(_docs_ds(rows), k=4, min_tokens=6).to_pandas()
+    got_map = {(a, b): int(x) for a, b, x in
+               zip(got["id_a"], got["id_b"], got["max_shared_tokens"])}
+
+    def lcs_tokens(a, b):
+        best = 0
+        dp = np.zeros((len(a) + 1, len(b) + 1), int)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    dp[i, j] = dp[i - 1, j - 1] + 1
+                    best = max(best, dp[i, j])
+        return best
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            m = lcs_tokens(docs[i], docs[j])
+            if m >= 6:
+                want[(i, j)] = m
+    assert got_map == want
+    assert got_map[(0, 5)] >= 15 and got_map[(0, 9)] >= 15
