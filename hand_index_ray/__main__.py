@@ -240,18 +240,26 @@ def main(argv: list[str] | None = None) -> int:
         out = validate_roi(args.catchments, ring, args.threshold)
         out.pop("kept_ids")
         if args.geojson_out or args.html_out:
+            import contextlib
             import tempfile
 
-            gj_path = args.geojson_out or os.path.join(
-                tempfile.mkdtemp(prefix="hixviz"), "validation.geojson")
-            out["geojson"] = export_validation_geojson(
-                args.catchments, ring, gj_path, args.threshold)
-            if args.html_out:
-                from .viz import render_validation_html_from_file
+            with contextlib.ExitStack() as stack:
+                if args.geojson_out:
+                    gj_path = args.geojson_out
+                else:  # intermediate only — cleaned up with the stack
+                    tmpd = stack.enter_context(
+                        tempfile.TemporaryDirectory(prefix="hixviz"))
+                    gj_path = os.path.join(tmpd, "validation.geojson")
+                gj = export_validation_geojson(
+                    args.catchments, ring, gj_path, args.threshold)
+                if args.geojson_out:
+                    out["geojson"] = gj
+                if args.html_out:
+                    from .viz import render_validation_html_from_file
 
-                out["html"] = {"path": args.html_out,
-                               "sets": render_validation_html_from_file(
-                                   gj_path, args.html_out)}
+                    out["html"] = {"path": args.html_out,
+                                   "sets": render_validation_html_from_file(
+                                       gj_path, args.html_out)}
         print(json.dumps(out))
     elif args.cmd == "bbox":
         from .pipelines.query import bbox_scan

@@ -395,7 +395,9 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
         n = np.linalg.norm(m, axis=1)
         m = m / np.where(n == 0, 1.0, n)[:, None]
         sims = m @ cm.T
-        micro = np.round(sims * 1e6).astype(np.int64)
+        # floor(x+0.5): half-away-from-zero, matching DuckDB ROUND
+        # (np.round is half-to-even; house convention, text.py j_micro)
+        micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         # exclude self matches by id; sentinel must survive the -micro
         # negation below (negating int64.min overflows back to itself,
         # which would sort self matches FIRST instead of last)
@@ -431,8 +433,10 @@ def int8_calibration(ds: ray.data.Dataset,
     embedding-compression step before an ANN index ships: phase 1
     computes per-dimension min/max (per-batch partials, one dim-sized
     grouped reduce); phase 2 broadcasts the 2×dim bounds once and
-    quantizes map-only with q = floor((x-mn)·255/(mx-mn) + 0.5)
-    (constant dims quantize to 0). Emits integer audit columns
+    quantizes map-only with q = floor((x-mn)·255/(mx-mn) + 0.5).
+    Constant dimensions (mx == mn) are EXCLUDED from both audit sums —
+    mirroring the SQL oracle, where 0/0 yields NULL and NULL-skipping
+    aggregates drop the cell. Emits integer audit columns
     (vec_id, sum_q, n_sat) — n_sat counts saturated cells (q∈{0,255}),
     the calibration-quality signal.
 
@@ -465,11 +469,13 @@ def int8_calibration(ds: ray.data.Dataset,
         ids = t.column(id_col).to_numpy().astype(np.int64)
         m = _stack(t.column(vec_col))
         rng = mx_ - mn_
-        safe = np.where(rng == 0, 1.0, rng)
+        live = rng != 0
+        safe = np.where(live, rng, 1.0)
         q = np.floor((m - mn_) * 255.0 / safe + 0.5)
-        q[:, rng == 0] = 0.0
-        sum_q = q.sum(axis=1).astype(np.int64)
-        n_sat = ((q == 0.0) | (q == 255.0)).sum(axis=1).astype(np.int64)
+        # constant dims: NULL in the oracle's 0/0 → excluded from sums
+        sum_q = q[:, live].sum(axis=1).astype(np.int64)
+        n_sat = ((q[:, live] == 0.0) |
+                 (q[:, live] == 255.0)).sum(axis=1).astype(np.int64)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "sum_q": pa.array(sum_q, pa.int64()),
                          "n_sat": pa.array(n_sat, pa.int64())})

@@ -2154,10 +2154,15 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 3,
     ref = _ray.put((_terms[_o], _dfv[_o]))
 
     def rank(t: pa.Table) -> pa.Table:
+        # ranks over DOCUMENTS rows (one row per doc — a doc can never
+        # split across blocks, unlike the exploded tf_pairs output,
+        # which Ray's dynamic block splitting may slice mid-document),
+        # recomputing the doc-local tf from the text column
         terms_s, dfv_s = _ray.get(ref)
-        ids = t.column(id_col).to_numpy()
-        terms = t.column("term").to_numpy(zero_copy_only=False)
-        tf = t.column("tf").to_numpy()
+        tp = tf_pairs(t)
+        ids = tp.column(id_col).to_numpy()
+        terms = tp.column("term").to_numpy(zero_copy_only=False)
+        tf = tp.column("tf").to_numpy()
         df_vals = dfv_s[np.searchsorted(terms_s, terms)]
         score = tf.astype(np.int64) * 1_000_000 // df_vals
         dd = pd.DataFrame({id_col: ids, "term": terms, "tf": tf,
@@ -2173,6 +2178,5 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 3,
             "tf": pa.array(dd["tf"].to_numpy(np.int64), pa.int64()),
             "df": pa.array(dd["df"].to_numpy(np.int64), pa.int64())})
 
-    # batch_size=None → whole blocks: a document's (term, tf) rows stay
-    # together (they never span tf_pairs input batches)
-    return pairs.map_batches(rank, batch_format="pyarrow", batch_size=None)
+    return docs.map_batches(rank, batch_format="pyarrow",
+                            zero_copy_batch=True)

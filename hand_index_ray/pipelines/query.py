@@ -623,7 +623,8 @@ def knn_query(index_dir: str, lon: float, lat: float, k: int,
     # without opening any file
     from ..state.fsio import FS as _FS
     _rows_of = {_FS.join(index_dir, p.path): p.row_count
-                for p in man._live_partitions()}
+                for p in man._stats_arrays()[0]}  # cached — no 2nd
+    # full manifest parse per query (review r4 finding)
     start = s2.lonlat_to_cell(np.array([lon]), np.array([lat]), level)
     seen_cells: set[int] = set()
     seen_files: set[str] = set()

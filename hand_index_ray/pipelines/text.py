@@ -2249,16 +2249,11 @@ def mixture_sample(ds: ray.data.Dataset, quota_tokens: int = 600,
 
     Emits (doc_id, source, n_tokens, cum_tokens) for selected docs.
     """
-    import hashlib
-
     def slim(t: pa.Table) -> pa.Table:
         _, off = _tokenize_batch(t, col)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(off)
-        md5, fb = hashlib.md5, int.from_bytes
-        h = np.fromiter(
-            (fb(md5(str(int(i)).encode()).digest()[8:16], "little")
-             for i in ids), dtype=np.uint64, count=len(ids))
+        h = _md5_u64(np.array([str(int(i)) for i in ids], dtype=object))
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             source_col: t.column(source_col),

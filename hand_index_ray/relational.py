@@ -210,18 +210,32 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                             b[idx] = ((h[idx] + salt * _GOLD) % NB
                                       ).astype(np.int32)
                         else:
-                            # replicate hot RIGHT rows once per salt so
-                            # every salted bucket can complete its join
-                            reps = [t]
-                            bs = [b]
-                            hot_t = t.take(pa.array(idx))
+                            # replicate hot RIGHT rows once per DISTINCT
+                            # salted bucket: two salts can collide on
+                            # the same bucket (e.g. NB | (s1-s2)*GOLD),
+                            # and a duplicate copy there would duplicate
+                            # every matched join row — dedupe per
+                            # (row, bucket) before replicating
                             hh = h[idx]
-                            for s_ in range(1, int(S)):
-                                reps.append(hot_t)
-                                bs.append(((hh + np.uint64(s_) * _GOLD)
-                                           % NB).astype(np.int32))
-                            t = pa.concat_tables(reps)
-                            b = np.concatenate(bs)
+                            bmat = np.stack([((hh + np.uint64(s_) * _GOLD)
+                                              % NB).astype(np.int64)
+                                             for s_ in range(1, int(S))])
+                            base_b = b[idx].astype(np.int64)
+                            rows_l, bs_l = [], []
+                            for r in range(len(idx)):
+                                extra = np.setdiff1d(
+                                    np.unique(bmat[:, r]),
+                                    np.array([base_b[r]]))
+                                rows_l.append(np.full(len(extra), idx[r]))
+                                bs_l.append(extra)
+                            rows = np.concatenate(rows_l) if rows_l \
+                                else np.empty(0, np.int64)
+                            if len(rows):
+                                t = pa.concat_tables(
+                                    [t, t.take(pa.array(rows))])
+                                b = np.concatenate(
+                                    [b, np.concatenate(bs_l)
+                                        .astype(np.int32)])
             out = t.append_column("__bucket", pa.array(b, pa.int32()))
             return out.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
         return f

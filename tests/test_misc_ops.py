@@ -361,3 +361,27 @@ def test_hash_join_salt_hot_rejects_full(ray_session):
     r = ray.data.from_items([{"k": 1, "r": 1}])
     with pytest.raises(ValueError):
         hash_join(l, r, "k", how="full", salt_hot=True)
+
+
+def test_hash_join_salt_hot_colliding_buckets_no_dups(ray_session):
+    """Regression: salts colliding on the same bucket (num_buckets
+    divides (s1-s2)*GOLD, e.g. NB=10) must not duplicate join rows —
+    hot right rows replicate once per DISTINCT salted bucket."""
+    import numpy as np
+    import ray.data
+
+    from hand_index_ray.relational import hash_join
+
+    n = 1000
+    keys = np.where(np.arange(n) % 2 == 0, 0, np.arange(n) % 31 + 1)
+    left = ray.data.from_items(
+        [{"k": int(k), "l": i} for i, k in enumerate(keys)])
+    right = ray.data.from_items([{"k": i, "r": i * 10} for i in range(32)])
+    base = hash_join(left, right, "k", how="inner",
+                     num_buckets=10).to_pandas()
+    salted = hash_join(left, right, "k", how="inner", num_buckets=10,
+                       salt_hot=True, salt_buckets=8).to_pandas()
+    ca = base.sort_values(["k", "l"]).reset_index(drop=True)[sorted(base.columns)]
+    cb = salted.sort_values(["k", "l"]).reset_index(drop=True)[sorted(salted.columns)]
+    assert len(cb) == len(ca)
+    assert ca.equals(cb)

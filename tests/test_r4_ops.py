@@ -220,3 +220,40 @@ def test_exact_substr_matches_bruteforce(ray_session):
                 want[(i, j)] = m
     assert got_map == want
     assert got_map[(0, 5)] >= 15 and got_map[(0, 9)] >= 15
+
+
+def test_int8_calibration_constant_dim_matches_oracle_nulls(ray_session):
+    """A constant dimension yields 0/0 → NULL in the SQL oracle; the
+    engine must exclude it from sum_q and n_sat the same way."""
+    import duckdb
+    import ray.data
+
+    from hand_index_ray.pipelines.ann import int8_calibration
+
+    rng = np.random.default_rng(23)
+    m = rng.standard_normal((20, 6))
+    m[:, 2] = 1.25  # constant dim
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float64()))}))
+    got = int8_calibration(ds).to_pandas().set_index("vec_id").sort_index()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES " + ",".join(
+        f"({i}, {list(map(float, m[i]))})" for i in range(20)) +
+        ") t(vec_id, v)")
+    o = con.execute("""
+        WITH dims AS (SELECT generate_series AS i FROM generate_series(1, 6)),
+        el AS (SELECT vec_id, i, v[i] AS x FROM e CROSS JOIN dims),
+        b AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i),
+        q AS (SELECT el.vec_id,
+                     FLOOR((el.x - b.mn) * 255.0 / (b.mx - b.mn) + 0.5) AS qq
+              FROM el JOIN b USING (i))
+        SELECT vec_id, CAST(SUM(qq) AS BIGINT) AS sum_q,
+               CAST(SUM(CASE WHEN qq = 0 OR qq = 255 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sat
+        FROM q GROUP BY vec_id ORDER BY vec_id
+    """).fetchdf().set_index("vec_id")
+    assert got["sum_q"].tolist() == o["sum_q"].tolist()
+    assert got["n_sat"].tolist() == o["n_sat"].tolist()

@@ -17,7 +17,7 @@ import ray
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=int(os.environ.get(
             "RAY_GRAFT_CPUS", "32")), include_dashboard=False)
@@ -33,7 +33,7 @@ def main() -> None:
     for name in ("q26_roi_footprints", "q28_zonal_pairs",
                  "q24_minhash_pairs", "q01_groupby_sum"):
         t0 = time.time()
-        res = qs[name]("/root/testdata/sf0.01")
+        res = qs[name](sf)
         if hasattr(res, "stats"):
             res = res.materialize()
             print(f"\n===== {name} ({time.time()-t0:.2f}s) =====")
