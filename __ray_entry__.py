@@ -7396,6 +7396,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         min_tokens=12).to_pandas()
         return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def q371_neighbor_agg(sf):  # one GNN layer: kNN-edge label gather
+        """Scatter-gather neighborhood aggregation (one message-passing
+        layer of graph feature prep): each vector's top-3 cosine
+        neighbors (q364's exact kNN graph) contribute their int label —
+        per-node (n_nbrs, label_sum). Labels broadcast once; the edge
+        list is the only shuffled state (pipelines/ann.py:knn_graph +
+        broadcast gather)."""
+        from hand_index_ray.pipelines.ann import knn_graph, neighbor_label_agg
+
+        edges = knn_graph(_t(sf, "embeddings"), k=3, max_id=600)
+        return neighbor_label_agg(edges, _t(sf, "embeddings"))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7761,6 +7773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q368_mixture_sample": q368_mixture_sample,
         "q369_editdist_pairs": q369_editdist_pairs,
         "q370_exact_substr": q370_exact_substr,
+        "q371_neighbor_agg": q371_neighbor_agg,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10887,6 +10900,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(shared) AS BIGINT) AS max_shared_tokens
             FROM runs GROUP BY ida, idb
             HAVING MAX(shared) >= 12
+        """,
+        "q371_neighbor_agg": """
+            WITH sub AS (SELECT vec_id,
+                                CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings WHERE vec_id < 600),
+            p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                    CAST(ROUND(list_cosine_similarity(a.v, b.v)
+                               * 1000000.0) AS BIGINT) AS sim_micro
+                  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY sim_micro DESC, dst) AS rank FROM p)
+            SELECT r.src, COUNT(*) AS n_nbrs,
+                   CAST(SUM(e.label) AS BIGINT) AS label_sum
+            FROM r JOIN embeddings e ON e.vec_id = r.dst
+            WHERE r.rank <= 3 GROUP BY r.src
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

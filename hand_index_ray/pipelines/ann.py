@@ -482,3 +482,51 @@ def int8_calibration(ds: ray.data.Dataset,
 
     return ds.map_batches(quantize, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def neighbor_label_agg(edges: ray.data.Dataset,
+                       nodes: ray.data.Dataset,
+                       id_col: str = "vec_id",
+                       label_col: str = "label") -> ray.data.Dataset:
+    """One message-passing layer (GNN data prep): aggregate each node's
+    neighbors' integer labels over an edge list — per-src (n_nbrs,
+    label_sum). The label table broadcasts once (``ray.put`` of sorted
+    flat arrays, the small-side pattern); the gather is then map-only
+    over edge blocks followed by one grouped-sum of per-batch partials.
+    At open-node-set scale the broadcast becomes a hash_join on dst —
+    the aggregation shape is unchanged."""
+    from ..relational import grouped_agg
+
+    @ray.remote(num_cpus=0.5)
+    def _labels(block: pa.Table) -> tuple:
+        if block.num_rows == 0 or id_col not in block.schema.names:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        return (block.column(id_col).to_numpy().astype(np.int64),
+                block.column(label_col).to_numpy().astype(np.int64))
+
+    parts = [p for p in ray.get([_labels.remote(r) for r in
+                                 nodes.materialize().to_arrow_refs()])
+             if len(p[0])]
+    ids = np.concatenate([p[0] for p in parts])
+    labs = np.concatenate([p[1] for p in parts])
+    o = np.argsort(ids)
+    ref = ray.put((ids[o], labs[o]))
+
+    def gather(t: pa.Table) -> pa.Table:
+        nid, nlab = ray.get(ref)
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        lab = nlab[np.searchsorted(nid, dst)]
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "src": pa.array(u.astype(np.int64), pa.int64()),
+            "n_nbrs": pa.array(np.bincount(inv).astype(np.int64),
+                               pa.int64()),
+            "label_sum": pa.array(
+                np.bincount(inv, weights=lab).astype(np.int64),
+                pa.int64())})
+
+    partials = edges.map_batches(gather, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return grouped_agg(partials, ["src"], sum_cols=["n_nbrs", "label_sum"],
+                       count=False)
