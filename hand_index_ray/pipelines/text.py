@@ -2369,7 +2369,8 @@ def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
 
 def exact_substr_pairs(ds: ray.data.Dataset, k: int = 8,
                        min_tokens: int = 12, col: str = "text",
-                       id_col: str = "doc_id") -> ray.data.Dataset:
+                       id_col: str = "doc_id",
+                       max_gram_docs: "int | None" = None) -> ray.data.Dataset:
     """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): for every doc pair, the length of
     the LONGEST shared token substring, reported when ≥ ``min_tokens``
@@ -2385,6 +2386,13 @@ def exact_substr_pairs(ds: ray.data.Dataset, k: int = 8,
     substring length. No doc text ever replicates; both shuffles move
     16–32-byte rows; singleton-gram groups (almost all) drop
     vectorized before pairing.
+
+    Scale knob: ``max_gram_docs`` drops gram-anchor groups seen in more
+    than that many docs (boilerplate grams — "all rights reserved" —
+    would otherwise pair quadratically; the dropped grams cost only
+    recall on matches made ENTIRELY of boilerplate, since any
+    distinctive flank re-anchors the diagonal). None = exact (the
+    oracle-checked mode).
 
     Emits (id_a, id_b, max_shared_tokens)."""
     C = [np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
@@ -2429,8 +2437,11 @@ def exact_substr_pairs(ds: ray.data.Dataset, k: int = 8,
     def match(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         pos = g["pos"].to_numpy()
-        if len(np.unique(ids)) < 2:
+        uniq_docs = np.unique(ids)
+        if len(uniq_docs) < 2:
             return pd.DataFrame(_EMPTY_M)
+        if max_gram_docs is not None and len(uniq_docs) > max_gram_docs:
+            return pd.DataFrame(_EMPTY_M)  # boilerplate gram — skip
         i, j = np.meshgrid(np.arange(len(ids)), np.arange(len(ids)),
                            indexing="ij")
         i, j = i.ravel(), j.ravel()
