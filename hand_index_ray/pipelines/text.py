@@ -2068,7 +2068,12 @@ def chunk_dedup(ds: ray.data.Dataset, window: int = 10,
 
     from ..relational import grouped_agg, hash_join
 
-    ch = ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize ONCE: winners and totals both consume the chunk rows;
+    # without this the tokenize+chunk lineage re-executes per consumer.
+    # Rows are slim (id, idx, chunk≤window tokens, packed) — object-store
+    # resident and spillable at corpus scale.
+    ch = ds.map_batches(chunks, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
     # winner per distinct chunk string = minimal packed (doc, idx)
     winners = grouped_agg(ch.select_columns(["chunk", "packed"]),
                           ["chunk"], min_cols=["packed"], count=False)
