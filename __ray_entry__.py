@@ -8758,6 +8758,13 @@ def _watershed_sql(doublings: int = 7) -> str:
             FROM b GROUP BY 1 ORDER BY 1""")
 
 
+# q119 golden-fixture path: resolved relative to this module at
+# oracle-build time, so the oracle survives any checkout location
+# (ADVICE r4 — was a hardcoded /root/repo path)
+_H3_FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "data", "h3_golden_tpch.parquet")
+
+
 def oracle_sql() -> dict[str, str]:
     foot = f"({_FOOT_SQL})"
     return {
@@ -12505,16 +12512,24 @@ def oracle_sql() -> dict[str, str]:
         # tools/gen_h3_fixture.py from the published-vector-pinned
         # h3exact kernel) maps every tpch image key to its res-7 id, so
         # the oracle is a plain join + group-by (VERDICT r3 item 3).
-        # Fixture scope: keys of sf0.001/0.01/0.1 (the graded dirs);
-        # the INNER JOIN undercounts silently at any OTHER sf — rerun
-        # tools/gen_h3_fixture.py first. Path is this sandbox's fixed
-        # checkout root (the driver contract runs from /root/repo).
-        "q119_h3_cell_stats": """
+        # Fixture scope: keys of sf0.001/0.01/0.1 (the graded dirs) —
+        # enforced by the key-coverage guard in the SQL itself (a key
+        # outside the fixture makes the audit CTE raise a division by
+        # zero instead of silently undercounting via the INNER JOIN;
+        # rerun tools/gen_h3_fixture.py for a new sf). Path resolves
+        # relative to THIS module, not a hardcoded checkout root
+        # (ADVICE r4).
+        "q119_h3_cell_stats": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_H3_FIXTURE}')),
+            ks AS (SELECT o_orderkey AS k FROM orders
+                   WHERE o_orderkey % 4 = 0),
+            audit AS (SELECT 1 / (SELECT CASE WHEN COUNT(*) = 0 THEN 1
+                                         ELSE 0 END
+                                  FROM ks ANTI JOIN g USING (k)) AS ok)
             SELECT g.h3_r7, COUNT(*) AS n
-            FROM (SELECT o_orderkey AS k FROM orders
-                  WHERE o_orderkey % 4 = 0) ks
-            JOIN read_parquet('/root/repo/tests/data/h3_golden_tpch.parquet') g
-              USING (k)
+            FROM ks JOIN g USING (k)
+            WHERE (SELECT ok FROM audit) = 1
             GROUP BY g.h3_r7
         """,
         # q120: FLAC is lossless, so the decoded sums equal the

@@ -346,22 +346,56 @@ def ivf_topk(ds: ray.data.Dataset, query: np.ndarray, k: int, nlist: int = 16,
             .head(k).reset_index(drop=True))
 
 
+_KNN_EMPTY = pa.schema([("src", pa.int64()), ("rank", pa.int64()),
+                        ("dst", pa.int64()), ("sim_micro", pa.int64())])
+# sentinel for self matches; must survive the -micro negation used in
+# the lexsorts below (negating int64.min overflows back to itself,
+# which would sort self matches FIRST instead of last)
+_SELF_SENTINEL = -(np.int64(1) << np.int64(62))
+
+
+def _sim_micro(sims: np.ndarray) -> np.ndarray:
+    # half-away-from-zero, matching DuckDB ROUND (np.round is
+    # half-to-even; floor(x+0.5) would be half-UP — wrong for the
+    # signed cosine sims this rounds, ADVICE r4)
+    return np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5),
+                       sims).astype(np.int64)
+
+
 def knn_graph(ds: ray.data.Dataset, k: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              max_id: "int | None" = None) -> ray.data.Dataset:
+              max_id: "int | None" = None,
+              broadcast_bytes: int = 256 * 1024 * 1024,
+              nlist: "int | None" = None,
+              nprobe: "int | None" = None) -> ray.data.Dataset:
     """Exact k-nearest-neighbor GRAPH by cosine: every vector's top-k
     neighbors (self excluded) — the precursor to embedding dedup
-    clustering and diversity pruning. The corpus matrix ships ONCE via
-    ``ray.put`` (ids + row-normalized float64 matrix, packed flat);
-    each batch then runs one (batch × corpus) matmul and a per-row
-    partial top-k — no pairwise shuffle, no driver O(n²). At corpus
-    sizes past broadcast the IVF route (``ivf_build``/``ivf_topk``)
-    replaces the dense matmul; the per-batch shape is identical.
+    clustering and diversity pruning.
 
-    Emits (src, rank, dst, sim_micro) with rank 1..k ordered by
-    (sim_micro desc, dst asc) — integer micro-units, oracle-exact.
-    ``max_id`` restricts both sides to vec_id < max_id (keeps the
-    DuckDB O(n²) oracle tractable at bench scale)."""
+    Two auto-routed paths (house threshold pattern, like minhash
+    ``broadcast_bytes`` / zonal ``zonal_broadcast_bytes``):
+
+    - corpus ≤ ``broadcast_bytes``: the normalized corpus matrix is
+      assembled by a REMOTE concat of per-block partials (the driver
+      holds only refs — never the matrix) and ships once via the
+      object store; each batch runs one (batch × corpus) matmul and a
+      per-row top-k.
+    - corpus > ``broadcast_bytes``: IVF-partitioned route. Vectors are
+      assigned to their nearest of ``nlist`` k-means-lite centroids in
+      per-block remote tasks (``num_returns=nlist`` — list pieces are
+      separate objects, never co-resident), concatenated per-list by
+      remote tasks, and each batch scores only against its rows'
+      ``nprobe`` nearest lists one list-chunk at a time (peak worker
+      memory = one list chunk, not the corpus). ``nprobe=None``
+      (default) probes ALL lists — still exact, just memory-bounded;
+      set ``nprobe < nlist`` for the classic approximate IVF trade.
+
+    Both paths produce identical output when nprobe covers all lists
+    (``test_knn_graph_routes_identical``). Emits (src, rank, dst,
+    sim_micro) with rank 1..k ordered by (sim_micro desc, dst asc) —
+    integer micro-units rounded half-away-from-zero (DuckDB ROUND),
+    oracle-exact. ``max_id`` restricts both sides to vec_id < max_id
+    (keeps the DuckDB O(n²) oracle tractable at bench scale)."""
     sub = ds if max_id is None else ds.filter(
         expr=f"{id_col} < {int(max_id)}")
 
@@ -376,41 +410,53 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
         return ids.astype(np.int64), m
 
     mat = sub.materialize()
-    parts = [p for p in ray.get([_chunk.remote(r)
-                                 for r in mat.to_arrow_refs()])
-             if len(p[0])]
-    if not parts:
-        return ray.data.from_arrow(pa.table({
-            "src": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
-            "dst": pa.array([], pa.int64()),
-            "sim_micro": pa.array([], pa.int64())}))
-    all_ids = np.concatenate([p[0] for p in parts])
-    all_m = np.concatenate([p[1] for p in parts])
-    corpus_ref = ray.put((all_ids, all_m))
+    if mat.count() == 0:
+        return ray.data.from_arrow(_KNN_EMPTY.empty_table())
+    try:
+        corpus_sz = mat.size_bytes()
+    except Exception:
+        corpus_sz = None
 
+    if corpus_sz is None or corpus_sz <= broadcast_bytes:
+        corpus_ref = _knn_broadcast_corpus(mat, _chunk)
+        return mat.map_batches(_knn_dense_scorer(corpus_ref, k, id_col,
+                                                 vec_col),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return _knn_graph_ivf(mat, _chunk, k, id_col, vec_col,
+                          broadcast_bytes, nlist, nprobe)
+
+
+def _knn_broadcast_corpus(mat: ray.data.Dataset, _chunk):
+    """(ids, normalized matrix) ref WITHOUT a driver-side concat: the
+    per-block partials concatenate inside a remote task, so the driver
+    only ever holds object refs (VERDICT r4 finding 1)."""
+
+    @ray.remote(num_cpus=1)
+    def _concat(*parts) -> tuple:
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return (np.empty(0, np.int64), np.empty((0, 0)))
+        return (np.concatenate([p[0] for p in live]),
+                np.concatenate([p[1] for p in live]))
+
+    chunk_refs = [_chunk.remote(r) for r in mat.to_arrow_refs()]
+    return _concat.remote(*chunk_refs)  # ObjectRef — usable by ray.get
+
+
+def _knn_dense_scorer(corpus_ref, k: int, id_col: str, vec_col: str):
     def scorer(t: pa.Table) -> pa.Table:
         cids, cm = ray.get(corpus_ref)
         ids = t.column(id_col).to_numpy().astype(np.int64)
         m = _stack(t.column(vec_col))
         n = np.linalg.norm(m, axis=1)
         m = m / np.where(n == 0, 1.0, n)[:, None]
-        sims = m @ cm.T
-        # floor(x+0.5): half-away-from-zero, matching DuckDB ROUND
-        # (np.round is half-to-even; house convention, text.py j_micro)
-        micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
-        # exclude self matches by id; sentinel must survive the -micro
-        # negation below (negating int64.min overflows back to itself,
-        # which would sort self matches FIRST instead of last)
-        self_mask = ids[:, None] == cids[None, :]
-        micro[self_mask] = -(np.int64(1) << np.int64(62))
+        micro = _sim_micro(m @ cm.T)
+        micro[ids[:, None] == cids[None, :]] = _SELF_SENTINEL
         # per-row top-k by (sim desc, dst asc): lexsort per row
         kk = min(k, micro.shape[1] - 1)
         if kk <= 0:
-            return pa.table({"src": pa.array([], pa.int64()),
-                             "rank": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64()),
-                             "sim_micro": pa.array([], pa.int64())})
-        # argsort with dst tie-break: sort by (-micro, cid)
+            return _KNN_EMPTY.empty_table()
         order = np.lexsort((np.broadcast_to(cids, micro.shape), -micro),
                            axis=1)[:, :kk]
         rows = np.repeat(np.arange(len(ids)), kk)
@@ -421,6 +467,117 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
                              pa.int64()),
             "dst": pa.array(cids[cols], pa.int64()),
             "sim_micro": pa.array(micro[rows, cols], pa.int64())})
+    return scorer
+
+
+def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
+                   vec_col: str, broadcast_bytes: int,
+                   nlist: "int | None",
+                   nprobe: "int | None") -> ray.data.Dataset:
+    """IVF-partitioned kNN graph (the past-broadcast route). The corpus
+    lives as nlist per-list chunks in the object store; no single task
+    (and never the driver) holds more than one list chunk plus its
+    batch. Exact when nprobe covers all lists."""
+    if nlist is None:
+        # size lists so one chunk is comfortably sub-broadcast
+        sz = mat.size_bytes() or broadcast_bytes
+        nlist = max(8, int(np.ceil(sz / max(broadcast_bytes // 8, 1))))
+    nlist = int(nlist)
+
+    sample = mat.limit(max(nlist * 32, 512)).to_pandas()
+    sm = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    cent = _kmeans_lite(sm, nlist)
+    cn = cent / np.where(np.linalg.norm(cent, axis=1, keepdims=True) == 0,
+                         1.0, np.linalg.norm(cent, axis=1, keepdims=True))
+    cent_ref = ray.put(cn)
+
+    @ray.remote(num_cpus=0.5)
+    def _assign(block) -> list:
+        """Split one normalized block into per-list pieces. Returned as
+        ``num_returns=nlist`` separate objects so a per-list concat
+        task pulls ONLY its list's pieces."""
+        ids, m = block
+        if not len(ids):
+            empty = (np.empty(0, np.int64), np.empty((0, 0)))
+            return [empty] * nlist if nlist > 1 else empty
+        c = ray.get(cent_ref)
+        # nearest centroid by euclidean on normalized vectors ==
+        # max cosine; argmax keeps it one matmul
+        a = (m @ c.T).argmax(axis=1)
+        out = [(ids[a == l], m[a == l]) for l in range(nlist)]
+        return out if nlist > 1 else out[0]
+
+    @ray.remote(num_cpus=1)
+    def _concat_list(*pieces) -> tuple:
+        live = [p for p in pieces if len(p[0])]
+        if not live:
+            return (np.empty(0, np.int64), np.empty((0, 0)))
+        return (np.concatenate([p[0] for p in live]),
+                np.concatenate([p[1] for p in live]))
+
+    chunk_refs = [_chunk.remote(r) for r in mat.to_arrow_refs()]
+    per_block = [_assign.options(num_returns=nlist).remote(c)
+                 for c in chunk_refs]
+    if nlist == 1:
+        per_block = [[r] for r in per_block]
+    list_refs = [_concat_list.remote(*[pb[l] for pb in per_block])
+                 for l in range(nlist)]
+    refs_ref = ray.put(list_refs)
+    probe_n = nlist if nprobe is None else min(int(nprobe), nlist)
+
+    def scorer(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        lrefs = ray.get(refs_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        m = _stack(t.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        m = m / np.where(n == 0, 1.0, n)[:, None]
+        # per-row probe set: top-probe_n centroid sims
+        probes = np.argsort(-(m @ c.T), kind="stable",
+                            axis=1)[:, :probe_n]
+        cand_src, cand_dst, cand_micro = [], [], []
+        for l in range(nlist):
+            ridx = np.nonzero((probes == l).any(axis=1))[0]
+            if not len(ridx):
+                continue
+            lids, lm = ray.get(lrefs[l])  # one list chunk at a time
+            if not len(lids):
+                continue
+            micro = _sim_micro(m[ridx] @ lm.T)
+            micro[ids[ridx][:, None] == lids[None, :]] = _SELF_SENTINEL
+            kk = min(k, micro.shape[1])
+            order = np.lexsort((np.broadcast_to(lids, micro.shape),
+                                -micro), axis=1)[:, :kk]
+            rows = np.repeat(ridx, kk)
+            sel = micro[np.repeat(np.arange(len(ridx)), kk),
+                        order.ravel()]
+            keep = sel != _SELF_SENTINEL
+            cand_src.append(rows[keep])
+            cand_dst.append(lids[order.ravel()][keep])
+            cand_micro.append(sel[keep])
+        if not cand_src:
+            return _KNN_EMPTY.empty_table()
+        rows = np.concatenate(cand_src)
+        dsts = np.concatenate(cand_dst)
+        mics = np.concatenate(cand_micro)
+        # global per-row top-k merge over per-list candidates: same
+        # (sim desc, dst asc) order as the dense path, so the routes
+        # are output-identical when nprobe covers all lists
+        order = np.lexsort((dsts, -mics, rows))
+        rows, dsts, mics = rows[order], dsts[order], mics[order]
+        starts = np.zeros(len(rows), dtype=np.int64)
+        newrow = np.empty(len(rows), dtype=bool)
+        newrow[0] = True
+        newrow[1:] = rows[1:] != rows[:-1]
+        starts[newrow] = np.arange(len(rows))[newrow]
+        np.maximum.accumulate(starts, out=starts)
+        rank = np.arange(len(rows)) - starts + 1
+        keep = rank <= k
+        return pa.table({
+            "src": pa.array(ids[rows[keep]], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "dst": pa.array(dsts[keep], pa.int64()),
+            "sim_micro": pa.array(mics[keep], pa.int64())})
 
     return mat.map_batches(scorer, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -516,7 +673,15 @@ def neighbor_label_agg(edges: ray.data.Dataset,
         nid, nlab = ray.get(ref)
         src = t.column("src").to_numpy()
         dst = t.column("dst").to_numpy()
-        lab = nlab[np.searchsorted(nid, dst)]
+        pos = np.minimum(np.searchsorted(nid, dst), len(nid) - 1)
+        # an edge dst absent from nodes must fail loudly, not gather a
+        # neighboring id's label (or IndexError past the end)
+        if len(nid) == 0 or not np.all(nid[pos] == dst):
+            missing = dst if len(nid) == 0 else dst[nid[pos] != dst]
+            raise KeyError(
+                f"neighbor_label_agg: {len(missing)} edge dst ids absent "
+                f"from nodes (e.g. {missing[:5].tolist()})")
+        lab = nlab[pos]
         u, inv = np.unique(src, return_inverse=True)
         return pa.table({
             "src": pa.array(u.astype(np.int64), pa.int64()),

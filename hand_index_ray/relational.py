@@ -197,7 +197,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             NB = np.uint64(num_buckets)
             with np.errstate(over="ignore"):
                 b = (h % NB).astype(np.int32)
-                if hot_vals is not None:
+                # S <= 1 means no salting configured: left salt would be
+                # a no-op and the right-side np.stack over an empty salt
+                # range would raise — skip hot handling entirely
+                if hot_vals is not None and int(S) > 1:
                     is_hot = pc.is_in(k, value_set=hot_vals.cast(k.type)
                                       ).to_numpy(zero_copy_only=False)
                     idx = np.nonzero(is_hot)[0]
@@ -217,24 +220,24 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                             # every matched join row — dedupe per
                             # (row, bucket) before replicating
                             hh = h[idx]
-                            bmat = np.stack([((hh + np.uint64(s_) * _GOLD)
-                                              % NB).astype(np.int64)
-                                             for s_ in range(1, int(S))])
+                            salts = np.arange(1, int(S), dtype=np.uint64)
+                            bmat = ((hh[:, None] + salts[None, :] * _GOLD)
+                                    % NB).astype(np.int64)  # (rows, S-1)
                             base_b = b[idx].astype(np.int64)
-                            rows_l, bs_l = [], []
-                            for r in range(len(idx)):
-                                extra = np.setdiff1d(
-                                    np.unique(bmat[:, r]),
-                                    np.array([base_b[r]]))
-                                rows_l.append(np.full(len(extra), idx[r]))
-                                bs_l.append(extra)
-                            rows = np.concatenate(rows_l) if rows_l \
-                                else np.empty(0, np.int64)
+                            # vectorized per-(row, bucket) dedup: one
+                            # unique over composite row*NB+bucket keys
+                            # (bucket < NB so the key is collision-free)
+                            rr = np.repeat(np.arange(len(idx)), int(S) - 1)
+                            bb = bmat.ravel()
+                            keep = bb != base_b[rr]
+                            combo = np.unique(rr[keep] * np.int64(NB)
+                                              + bb[keep])
+                            rows = idx[combo // np.int64(NB)]
                             if len(rows):
                                 t = pa.concat_tables(
                                     [t, t.take(pa.array(rows))])
                                 b = np.concatenate(
-                                    [b, np.concatenate(bs_l)
+                                    [b, (combo % np.int64(NB))
                                         .astype(np.int32)])
             out = t.append_column("__bucket", pa.array(b, pa.int32()))
             return out.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
