@@ -1019,7 +1019,8 @@ def _zonal_join_broadcast_map(foot: ray.data.Dataset, cached: tuple,
 
 def zonal_join(index_dir: str, catchments_path: str,
                cfg: EngineConfig = DEFAULT,
-               filesystem=None) -> ray.data.Dataset:
+               filesystem=None,
+               skew_stats: "dict | None" = None) -> ray.data.Dataset:
     """Assign every footprint to every intersecting catchment polygon.
 
     Both sides explode to lattice covering cells at ONE fixed level
@@ -1160,6 +1161,36 @@ def zonal_join(index_dir: str, catchments_path: str,
         return t.append_column("bucket", _bucket_col(cells, salt))
 
     foot_salted = foot_exploded.map_batches(salt_foot, batch_format="pyarrow")
+
+    if skew_stats is not None:
+        # opt-in diagnostics (skew tests / NOTES evidence): per-cell
+        # rows BEFORE salting vs per-(cell, salt) group rows AFTER —
+        # the pre-pass must bound the biggest co-group, not just find
+        # hot cells. Costs one extra slim-row pass; never on by default.
+        skew_stats["n_hot_cells"] = len(hot)
+        skew_stats["max_cell_rows"] = int(cnt.max()) if len(cnt) else 0
+        skew_stats["mean_cell_rows"] = float(mean)
+        _fs_mat = foot_salted.materialize()
+
+        @ray.remote(num_cpus=0.5)
+        def _group_counts(block: pa.Table) -> dict:
+            cc = block.column("cell").to_numpy()
+            ssalt = block.column("salt").to_numpy()
+            out: dict = {}
+            kk, nn = np.unique(
+                np.stack([cc.astype(np.int64), ssalt.astype(np.int64)]),
+                axis=1, return_counts=True)
+            for (c_, s_), n_ in zip(kk.T.tolist(), nn.tolist()):
+                out[(int(c_), int(s_))] = int(n_)
+            return out
+
+        _m2: dict = {}
+        for part in ray.get([_group_counts.remote(r)
+                             for r in _fs_mat.to_arrow_refs()]):
+            for k_, v_ in part.items():
+                _m2[k_] = _m2.get(k_, 0) + v_
+        skew_stats["max_group_rows"] = max(_m2.values()) if _m2 else 0
+        foot_salted = _fs_mat
 
     def explode_cat(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

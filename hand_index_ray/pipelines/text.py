@@ -1012,52 +1012,15 @@ def edit1_pairs(ds: ray.data.Dataset, col: str = "s",
 def tfidf_topk(ds: ray.data.Dataset, k: int = 3, col: str = "text",
                scale: int = 1_000_000) -> ray.data.Dataset:
     """Top-k characteristic terms per document by an integer TF-IDF
-    surrogate: score = tf · scale // df (monotone in tf/df, exact —
-    no log/float drift between engine and oracle). Tokens explode
-    inside the batch (Arrow split + list_parent_indices, map-only);
-    (doc, term) counts ride the standard partial-agg shuffle; the
-    document-frequency table is vocab-sized and broadcasts once
-    (``ray.put``) — at web scale with an unbounded vocab swap the
-    broadcast for ``hash_join`` on term, same shape otherwise. The
-    final per-doc top-k is ``grouped_topk`` (combiner-style, ≤ k rows
-    per batch-group through the exchange)."""
-    from .. import relational as rel
+    surrogate: score = tf · scale // df. Thin delegator to the ONE
+    canonical implementation (``pipelines/mining.py:tfidf_topk`` with
+    ``output="score"`` — VERDICT r4 item 6 consolidated the two
+    duplicated tokenize/df passes); kept here for the q83 contract
+    (doc_id, term, tf, score) and the steps-registry import path."""
+    from .mining import tfidf_topk as _canonical
 
-    def explode(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[col], " ")
-        return pa.table({
-            "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(toks)),
-            "term": pc.list_flatten(toks)})
-
-    tok = ds.select_columns(["doc_id", col]).map_batches(
-        explode, batch_format="pyarrow", zero_copy_batch=True)
-    tf = rel.grouped_agg_hash(tok, ["doc_id", "term"], count=True)
-
-    def rn(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            ["tf" if c == "n" else c for c in t.column_names])
-
-    tf = tf.map_batches(rn, batch_format="pyarrow").materialize()
-
-    dfreq = rel.grouped_agg_hash(tf.select_columns(["term"]), ["term"],
-                                 count=True)
-    df_tbl = pa.concat_tables(dfreq.iter_batches(batch_format="pyarrow"))
-    df_tbl = df_tbl.rename_columns(
-        ["df_docs" if c == "n" else c for c in df_tbl.column_names])
-
-    joined = rel.broadcast_join(tf, df_tbl, keys="term")
-
-    def score(t: pa.Table) -> pa.Table:
-        s = pc.divide(pc.multiply(t["tf"], pa.scalar(scale, pa.int64())),
-                      t["df_docs"])
-        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
-                         "tf": t["tf"],
-                         "score": pc.cast(s, pa.int64())})
-
-    scored = joined.map_batches(score, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    return rel.grouped_topk(scored, ["doc_id"], "score", k,
-                            descending=True, tiebreak="term")
+    return _canonical(ds, k=k, text_col=col, id_col="doc_id",
+                      output="score", scale=scale)
 
 
 def bigram_topk(ds: ray.data.Dataset, k: int = 20,

@@ -241,3 +241,71 @@ def test_neighbor_label_agg_happy_path_unchanged(ray_session):
     lcol = [c for c in got.columns if "label_sum" in c][0]
     assert got[ncol].tolist() == [2, 1]
     assert got[lcol].tolist() == [13, 5]
+
+
+def test_zonal_salt_bounds_pathological_cell(ray_session, tmp_path):
+    """VERDICT r4 item 7: one lattice cell holding >30% of all tiles.
+    The salt pre-pass must (a) flag the cell hot, (b) split its
+    co-group across salt buckets so the biggest (cell, salt) group
+    after salting is a fraction of the unsalted hot cell, and (c) keep
+    the pair output identical to the broadcast route."""
+    import os
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+
+    from hand_index_ray.config import EngineConfig
+    from hand_index_ray.pipelines.query import zonal_join
+    from hand_index_ray.sources import synth
+    from hand_index_ray.state.manifest import (FragmentRecord, Manifest,
+                                               PartitionStat)
+
+    rng = np.random.default_rng(41)
+    n_hot, n_cold = 240, 360  # 40% of tiles in ONE level-7 cell
+    # level-7 lattice cell ≈ 0.3516°; the hot cluster spans 0.04°
+    lon = np.concatenate([-95.10 + rng.uniform(0, 0.04, n_hot),
+                          rng.uniform(-120.0, -70.0, n_cold)])
+    lat = np.concatenate([38.10 + rng.uniform(0, 0.04, n_hot),
+                          rng.uniform(28.0, 45.0, n_cold)])
+    d = 0.002
+    n = n_hot + n_cold
+    tbl = pa.table({
+        "image_id": pa.array([f"img-{i:09d}" for i in range(n)],
+                             pa.string()),
+        "minx": pa.array(lon - d, pa.float64()),
+        "miny": pa.array(lat - d, pa.float64()),
+        "maxx": pa.array(lon + d, pa.float64()),
+        "maxy": pa.array(lat + d, pa.float64())})
+    idx = tmp_path / "skew_index"
+    idx.mkdir()
+    fpath = idx / "part-00000.parquet"
+    pq.write_table(tbl, str(fpath))
+    Manifest.write_record(str(idx / "_manifest"), FragmentRecord(
+        fragment_id=0, input_path="synthetic", row_count=n,
+        partitions=[PartitionStat(
+            cell=0, path="part-00000.parquet", row_count=n,
+            bytes=os.path.getsize(fpath),
+            minx=float(tbl["minx"][0].as_py()), miny=float(lat.min() - d),
+            maxx=float(lon.max() + d), maxy=float(lat.max() + d))]))
+
+    vec = tmp_path / "vector"
+    synth.write_catchment_suite(str(vec), n=80)
+    cpath = str(vec / "catchments.parquet")
+
+    cfg = EngineConfig(zonal_join_level=7, salt_hot_factor=2.0,
+                       salt_buckets=4)
+    stats: dict = {}
+    shuffled = zonal_join(str(idx), cpath,
+                          replace(cfg, zonal_broadcast_bytes=0),
+                          skew_stats=stats).to_pandas()
+    broadcast = zonal_join(str(idx), cpath, cfg).to_pandas()
+    assert set(zip(shuffled["image_id"], shuffled["catchment_id"])) == \
+        set(zip(broadcast["image_id"], broadcast["catchment_id"]))
+
+    # the pathological premise: one cell really holds ≥30% of tiles
+    assert stats["max_cell_rows"] >= 0.3 * n
+    assert stats["n_hot_cells"] >= 1
+    # the salt pre-pass bound: biggest post-salt co-group is a strict
+    # fraction of the unsalted hot cell (S=4 → expect ~max/4; assert
+    # the conservative half-bound so splitmix64 unevenness can't flake)
+    assert stats["max_group_rows"] <= stats["max_cell_rows"] / 2
