@@ -43,7 +43,8 @@ def cosine_topk(ds: ray.data.Dataset, query: np.ndarray, k: int,
         m = _stack(t.column(vec_col))
         norms = np.linalg.norm(m, axis=1)
         sims = (m @ qv) / np.where(norms == 0, 1.0, norms)
-        micro = np.round(sims * 1e6).astype(np.int64)  # integer micro-units: oracle-exact
+        # integer micro-units, half-away-from-zero == DuckDB ROUND
+        micro = _sim_micro(sims)
         ids = t.column(id_col).to_numpy()
         order = np.lexsort((ids, -micro))[:k]
         return pa.table({id_col: pa.array(ids[order]),
@@ -214,7 +215,7 @@ def dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.95,
     m = np.stack(small[vec_col].to_numpy()).astype(np.float64)
     n = np.linalg.norm(m, axis=1)
     nm = m / np.where(n == 0, 1.0, n)[:, None]
-    micro = np.round((nm @ nm.T) * 1e6).astype(np.int64)
+    micro = _sim_micro(nm @ nm.T)
     iu, ju = np.triu_indices(len(ids), k=1)
     keep = micro[iu, ju] >= int(round(threshold * 1e6))
     a = np.minimum(ids[iu[keep]], ids[ju[keep]])
