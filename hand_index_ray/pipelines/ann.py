@@ -418,14 +418,22 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
     except Exception:
         corpus_sz = None
 
+    # bound the per-task (batch × corpus) micro matrix to ~64 MB: the
+    # default dynamic batch size (~1k rows) against a 10⁵-row corpus
+    # allocates GBs per task × concurrency — measured as swap collapse
+    # at 200k vectors. lexsort temps scale with the same product.
+    n_rows = mat.count()
+    bs = int(max(32, min(4096, (64 << 20) // max(8 * n_rows, 1))))
+
     if corpus_sz is None or corpus_sz <= broadcast_bytes:
         corpus_ref = _knn_broadcast_corpus(mat, _chunk)
         return mat.map_batches(_knn_dense_scorer(corpus_ref, k, id_col,
                                                  vec_col),
                                batch_format="pyarrow",
+                               batch_size=bs,
                                zero_copy_batch=True)
     return _knn_graph_ivf(mat, _chunk, k, id_col, vec_col,
-                          broadcast_bytes, nlist, nprobe)
+                          broadcast_bytes, nlist, nprobe, bs)
 
 
 def _knn_broadcast_corpus(mat: ray.data.Dataset, _chunk):
@@ -474,7 +482,8 @@ def _knn_dense_scorer(corpus_ref, k: int, id_col: str, vec_col: str):
 def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
                    vec_col: str, broadcast_bytes: int,
                    nlist: "int | None",
-                   nprobe: "int | None") -> ray.data.Dataset:
+                   nprobe: "int | None",
+                   batch_size: int = 4096) -> ray.data.Dataset:
     """IVF-partitioned kNN graph (the past-broadcast route). The corpus
     lives as nlist per-list chunks in the object store; no single task
     (and never the driver) holds more than one list chunk plus its
@@ -581,6 +590,7 @@ def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
             "sim_micro": pa.array(mics[keep], pa.int64())})
 
     return mat.map_batches(scorer, batch_format="pyarrow",
+                           batch_size=batch_size,
                            zero_copy_batch=True)
 
 
