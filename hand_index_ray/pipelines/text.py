@@ -2363,16 +2363,20 @@ def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
                 np.add.at(C[i], bv, 1)
         out_a, out_b, out_d = [], [], []
         for i in range(len(ids)):
-            l1 = np.abs(C[i + 1:] - C[i]).sum(axis=1)
-            for j in range(i + 1, len(ids)):
-                # exactly-once across the two blocks a pair can share:
-                # emit only where the block band == the pair's max band
-                if max(int(bds[i]), int(bds[j])) != blk:
-                    continue
-                if abs(int(ls[i]) - int(ls[j])) > max_dist:
-                    continue
-                if ascii_ok[i] and ascii_ok[j] and                         l1[j - i - 1] > 2 * max_dist:
-                    continue
+            rest = slice(i + 1, None)
+            # all three prefilters vectorized (r5: the j-loop used to be
+            # Python per candidate — 10⁶+ interpreter iterations per hot
+            # block; now only DP survivors reach Python):
+            # 1. exactly-once across the two blocks a pair can share —
+            #    emit only where the block band == the pair's max band;
+            # 2. length window (necessary for dist ≤ max_dist);
+            # 3. byte-histogram lower bound (ascii rows only).
+            keep = ((np.maximum(bds[i], bds[rest]) == blk)
+                    & (np.abs(ls[i] - ls[rest]) <= max_dist))
+            if ascii_ok[i]:
+                l1 = np.abs(C[rest] - C[i]).sum(axis=1)
+                keep &= ~(ascii_ok[rest] & (l1 > 2 * max_dist))
+            for j in (np.nonzero(keep)[0] + i + 1):
                 d = _lev_le(ss[i], ss[j], max_dist)
                 if d <= max_dist:
                     out_a.append(int(ids[i]))
