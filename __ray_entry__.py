@@ -12513,20 +12513,23 @@ def oracle_sql() -> dict[str, str]:
         # h3exact kernel) maps every tpch image key to its res-7 id, so
         # the oracle is a plain join + group-by (VERDICT r3 item 3).
         # Fixture scope: keys of sf0.001/0.01/0.1 (the graded dirs) —
-        # enforced by the key-coverage guard in the SQL itself (a key
-        # outside the fixture makes the audit CTE raise a division by
-        # zero instead of silently undercounting via the INNER JOIN;
-        # rerun tools/gen_h3_fixture.py for a new sf). Path resolves
-        # relative to THIS module, not a hardcoded checkout root
-        # (ADVICE r4).
+        # enforced by the key-coverage guard in the SQL itself: a key
+        # outside the fixture makes the audit CTE call error() and the
+        # oracle FAILS LOUDLY instead of silently undercounting via the
+        # INNER JOIN (DuckDB 1/0 is NULL, not an error — so a division
+        # guard would silently return empty; verified). Rerun
+        # tools/gen_h3_fixture.py for a new sf. Path resolves relative
+        # to THIS module, not a hardcoded checkout root (ADVICE r4).
         "q119_h3_cell_stats": f"""
             WITH g AS (SELECT * FROM
                        read_parquet('{_H3_FIXTURE}')),
             ks AS (SELECT o_orderkey AS k FROM orders
                    WHERE o_orderkey % 4 = 0),
-            audit AS (SELECT 1 / (SELECT CASE WHEN COUNT(*) = 0 THEN 1
-                                         ELSE 0 END
-                                  FROM ks ANTI JOIN g USING (k)) AS ok)
+            audit AS (SELECT CASE WHEN (SELECT COUNT(*)
+                                        FROM ks ANTI JOIN g USING (k)) = 0
+                             THEN 1
+                             ELSE error('q119 fixture stale: queried keys missing from h3_golden_tpch.parquet — rerun tools/gen_h3_fixture.py')
+                             END AS ok)
             SELECT g.h3_r7, COUNT(*) AS n
             FROM ks JOIN g USING (k)
             WHERE (SELECT ok FROM audit) = 1

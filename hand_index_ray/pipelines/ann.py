@@ -418,14 +418,14 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
     except Exception:
         corpus_sz = None
 
-    # bound the per-task (batch × corpus) micro matrix to ~64 MB: the
-    # default dynamic batch size (~1k rows) against a 10⁵-row corpus
-    # allocates GBs per task × concurrency — measured as swap collapse
-    # at 200k vectors. lexsort temps scale with the same product.
     n_rows = mat.count()
-    bs = int(max(32, min(4096, (64 << 20) // max(8 * n_rows, 1))))
-
     if corpus_sz is None or corpus_sz <= broadcast_bytes:
+        # bound the per-task (batch × corpus) micro matrix to ~64 MB:
+        # the default dynamic batch size (~1k rows) against a 10⁵-row
+        # corpus allocates GBs per task × concurrency — measured as
+        # swap collapse at 200k vectors. lexsort temps scale with the
+        # same product. (The IVF route sizes its own bound per list.)
+        bs = int(max(32, min(4096, (64 << 20) // max(8 * n_rows, 1))))
         corpus_ref = _knn_broadcast_corpus(mat, _chunk)
         return mat.map_batches(_knn_dense_scorer(corpus_ref, k, id_col,
                                                  vec_col),
@@ -433,24 +433,27 @@ def knn_graph(ds: ray.data.Dataset, k: int = 3,
                                batch_size=bs,
                                zero_copy_batch=True)
     return _knn_graph_ivf(mat, _chunk, k, id_col, vec_col,
-                          broadcast_bytes, nlist, nprobe, bs)
+                          broadcast_bytes, nlist, nprobe, n_rows)
+
+
+@ray.remote(num_cpus=1)
+def _concat_parts(*parts) -> tuple:
+    """Remote concat of (ids, matrix) partials — shared by the dense
+    broadcast assembly and the per-list IVF assembly, so the corpus is
+    never concatenated on the driver (VERDICT r4 finding 1)."""
+    live = [p for p in parts if len(p[0])]
+    if not live:
+        return (np.empty(0, np.int64), np.empty((0, 0)))
+    return (np.concatenate([p[0] for p in live]),
+            np.concatenate([p[1] for p in live]))
 
 
 def _knn_broadcast_corpus(mat: ray.data.Dataset, _chunk):
     """(ids, normalized matrix) ref WITHOUT a driver-side concat: the
     per-block partials concatenate inside a remote task, so the driver
-    only ever holds object refs (VERDICT r4 finding 1)."""
-
-    @ray.remote(num_cpus=1)
-    def _concat(*parts) -> tuple:
-        live = [p for p in parts if len(p[0])]
-        if not live:
-            return (np.empty(0, np.int64), np.empty((0, 0)))
-        return (np.concatenate([p[0] for p in live]),
-                np.concatenate([p[1] for p in live]))
-
+    only ever holds object refs."""
     chunk_refs = [_chunk.remote(r) for r in mat.to_arrow_refs()]
-    return _concat.remote(*chunk_refs)  # ObjectRef — usable by ray.get
+    return _concat_parts.remote(*chunk_refs)  # ObjectRef for ray.get
 
 
 def _knn_dense_scorer(corpus_ref, k: int, id_col: str, vec_col: str):
@@ -483,18 +486,41 @@ def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
                    vec_col: str, broadcast_bytes: int,
                    nlist: "int | None",
                    nprobe: "int | None",
-                   batch_size: int = 4096) -> ray.data.Dataset:
+                   n_rows: int) -> ray.data.Dataset:
     """IVF-partitioned kNN graph (the past-broadcast route). The corpus
     lives as nlist per-list chunks in the object store; no single task
     (and never the driver) holds more than one list chunk plus its
-    batch. Exact when nprobe covers all lists."""
+    batch. Exact when nprobe covers all lists. Centroids train on a
+    HASH-SPREAD sample (splitmix of the id column), not a row prefix —
+    a prefix of a clustered/sorted corpus would put every centroid in
+    one region and funnel the rest of the corpus into a single
+    near-corpus-sized list, defeating the memory bound. (No post-hoc
+    rebalance: residual list skew from genuinely clustered data is
+    bounded by the batch-size skew allowance below, not eliminated.)"""
     if nlist is None:
-        # size lists so one chunk is comfortably sub-broadcast
-        sz = mat.size_bytes() or broadcast_bytes
-        nlist = max(8, int(np.ceil(sz / max(broadcast_bytes // 8, 1))))
+        # size lists so one chunk is comfortably sub-broadcast. Clamp
+        # both sides: a degenerate threshold (broadcast_bytes=0, the
+        # route-forcing test value) must not request size_bytes-many
+        # lists, and num_returns=nlist must stay sane.
+        sz = mat.size_bytes() or (256 << 20)
+        per_list = max(broadcast_bytes // 8, 32 << 20)
+        nlist = int(min(1024, max(8, int(np.ceil(sz / per_list)))))
     nlist = int(nlist)
 
-    sample = mat.limit(max(nlist * 32, 512)).to_pandas()
+    target = max(nlist * 32, 512)
+    mod = max(n_rows // target, 1)
+
+    def _spread(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            hv = splitmix64(t.column(id_col).to_numpy()
+                            .astype(np.uint64))
+        return t.filter(pa.array((hv % np.uint64(mod)) == 0))
+
+    sample = (mat.map_batches(_spread, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .limit(target * 2).to_pandas())
+    if not len(sample):  # pathological ids — fall back to a prefix
+        sample = mat.limit(min(target, 512)).to_pandas()
     sm = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     cent = _kmeans_lite(sm, nlist)
     cn = cent / np.where(np.linalg.norm(cent, axis=1, keepdims=True) == 0,
@@ -517,23 +543,20 @@ def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
         out = [(ids[a == l], m[a == l]) for l in range(nlist)]
         return out if nlist > 1 else out[0]
 
-    @ray.remote(num_cpus=1)
-    def _concat_list(*pieces) -> tuple:
-        live = [p for p in pieces if len(p[0])]
-        if not live:
-            return (np.empty(0, np.int64), np.empty((0, 0)))
-        return (np.concatenate([p[0] for p in live]),
-                np.concatenate([p[1] for p in live]))
-
     chunk_refs = [_chunk.remote(r) for r in mat.to_arrow_refs()]
     per_block = [_assign.options(num_returns=nlist).remote(c)
                  for c in chunk_refs]
     if nlist == 1:
         per_block = [[r] for r in per_block]
-    list_refs = [_concat_list.remote(*[pb[l] for pb in per_block])
+    list_refs = [_concat_parts.remote(*[pb[l] for pb in per_block])
                  for l in range(nlist)]
     refs_ref = ray.put(list_refs)
     probe_n = nlist if nprobe is None else min(int(nprobe), nlist)
+    # per-task peak here is batch × ONE list chunk (≈ n/nlist rows,
+    # ×4 skew allowance), not batch × corpus — size the 64 MB bound
+    # accordingly or IVF batches shrink ~nlist× below what memory allows
+    est_chunk = max((n_rows // nlist) * 4, 1)
+    batch_size = int(max(32, min(4096, (64 << 20) // (8 * est_chunk))))
 
     def scorer(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -570,6 +593,11 @@ def _knn_graph_ivf(mat: ray.data.Dataset, _chunk, k: int, id_col: str,
         rows = np.concatenate(cand_src)
         dsts = np.concatenate(cand_dst)
         mics = np.concatenate(cand_micro)
+        if not len(rows):
+            # every candidate was a filtered self match (e.g. a batch
+            # of singleton rows) — concatenated-empty, not list-empty;
+            # newrow[0] below would IndexError
+            return _KNN_EMPTY.empty_table()
         # global per-row top-k merge over per-list candidates: same
         # (sim desc, dst asc) order as the dense path, so the routes
         # are output-identical when nprobe covers all lists

@@ -2250,7 +2250,7 @@ def mixture_sample(ds: ray.data.Dataset, quota_tokens: int = 600,
 def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
                    prefix_chars: int = 60, col: str = "text",
                    id_col: str = "doc_id",
-                   max_block: int = 8192) -> ray.data.Dataset:
+                   max_block: "int | None" = None) -> ray.data.Dataset:
     """Blocked edit-distance (Levenshtein) near-dup pairs over a string
     prefix — the record-linkage/title-dedup screen for short strings
     where token-set methods (Jaccard, minhash) miss transposition-level
@@ -2271,10 +2271,14 @@ def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
     its own band and the next (two slim rows); a pair is emitted only
     from the block whose band equals max(band_a, band_b) — present in
     exactly one such block, so emission stays exactly-once with no
-    dedup shuffle. Residual hot blocks (same first token AND same
-    length band) beyond ``max_block`` rows are dropped whole — a
-    documented cap à la winnowing's ``max_postings``: a block that
-    size is boilerplate, not linkage candidates.
+    dedup shuffle. ``max_block`` is the production-scale knob: when
+    set, residual hot blocks (same first token AND same length band)
+    beyond that many rows are dropped whole — the boilerplate cap à la
+    winnowing's ``max_postings``; ~8192 is a sensible web-scale value.
+    Default ``None`` = exact (no drops), so the output matches the
+    uncapped SQL oracle at ANY data distribution — the cap must be an
+    explicit opt-in precisely because the oracle has no counterpart
+    for it (r5 review finding).
 
     Scale shape: only (id, prefix, first-token, band) slim rows
     shuffle — one groupby-block exchange; per-block pair work is
@@ -2340,9 +2344,9 @@ def editdist_pairs(ds: ray.data.Dataset, max_dist: int = 5,
               "dist": pd.Series([], dtype=np.int64)}
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_block:
+        if len(g) < 2 or (max_block is not None and len(g) > max_block):
             # oversize blocks (same first token AND length band) are
-            # boilerplate — dropped whole, the documented cap
+            # boilerplate — dropped whole when the opt-in cap is set
             return pd.DataFrame(_EMPTY)
         blk = int(g["blk"].iloc[0])
         g = g.sort_values(id_col)

@@ -309,3 +309,47 @@ def test_zonal_salt_bounds_pathological_cell(ray_session, tmp_path):
     # fraction of the unsalted hot cell (S=4 → expect ~max/4; assert
     # the conservative half-bound so splitmix64 unevenness can't flake)
     assert stats["max_group_rows"] <= stats["max_cell_rows"] / 2
+
+
+def test_knn_graph_ivf_singleton_corpus_returns_empty(ray_session):
+    """r5 review: a batch whose candidates are ALL filtered self
+    matches used to produce concatenated-empty arrays and IndexError
+    in the merge; it must return an empty edge set like the dense
+    route."""
+    import ray.data
+
+    from hand_index_ray.pipelines.ann import knn_graph
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0, 0.0]],
+                              pa.list_(pa.float64()))}))
+    out = knn_graph(ds, k=2, broadcast_bytes=0, nlist=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_knn_graph_ivf_default_nlist_is_clamped(ray_session):
+    """r5 review: with the route-forcing broadcast_bytes=0 and NO
+    explicit nlist, the list-count formula must not degenerate to
+    size_bytes-many lists (millions of num_returns refs + a full-corpus
+    driver sample). Output must still equal the dense route."""
+    from hand_index_ray.pipelines.ann import knn_graph
+
+    ds, _ = _emb_ds(n=30, dim=5, seed=9)
+    dense = knn_graph(ds, k=3).to_pandas() \
+        .sort_values(["src", "rank"]).reset_index(drop=True)
+    ivf = knn_graph(ds, k=3, broadcast_bytes=0).to_pandas() \
+        .sort_values(["src", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dense, ivf)
+
+
+def test_editdist_default_is_uncapped(ray_session):
+    """r5 review: the hot-block cap has no SQL-oracle counterpart, so
+    the DEFAULT must be exact (no drops) at any block size; the cap is
+    an explicit opt-in."""
+    from hand_index_ray.pipelines.text import editdist_pairs
+
+    rows = [(d, f"the aaaa{d % 3}") for d in range(40)]  # one big block
+    got = editdist_pairs(_docs_ds(rows), max_dist=2).to_pandas()
+    # every same-suffix pair is dist 0, cross-suffix dist 1 — all kept
+    assert len(got) == 40 * 39 // 2
