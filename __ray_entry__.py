@@ -7408,6 +7408,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = knn_graph(_t(sf, "embeddings"), k=3, max_id=600)
         return neighbor_label_agg(edges, _t(sf, "embeddings"))
 
+    def q372_repetition_stats(sf):  # Gopher repetition screens
+        """Per-doc word-repetition counts (Rae et al. 2021 Table A1
+        family): total/distinct words + top-bigram occurrences — the
+        boilerplate/keyword-stuffing screen thresholds. Map-only,
+        integer-exact (pipelines/text.py:repetition_stats)."""
+        return textops.repetition_stats(_t(sf, "documents"))
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7774,6 +7781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q369_editdist_pairs": q369_editdist_pairs,
         "q370_exact_substr": q370_exact_substr,
         "q371_neighbor_agg": q371_neighbor_agg,
+        "q372_repetition_stats": q372_repetition_stats,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10922,6 +10930,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(e.label) AS BIGINT) AS label_sum
             FROM r JOIN embeddings e ON e.vec_id = r.dst
             WHERE r.rank <= 3 GROUP BY r.src
+        """,
+        # q372: Gopher repetition screens — integer counts only, so the
+        # oracle is two grouped aggregates over the same single-space
+        # token stream (top bigram via the fixed-bound series pattern,
+        # q35/q366 style; documents are < 128 tokens at every sf)
+        "q372_repetition_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+            s AS (SELECT doc_id, COUNT(*) AS n_words,
+                         COUNT(DISTINCT t) AS n_distinct
+                  FROM tok GROUP BY doc_id),
+            bg AS (SELECT doc_id,
+                          ws[g.i] || ' ' || ws[g.i + 1] AS b
+                   FROM w CROSS JOIN (SELECT generate_series AS i
+                                      FROM generate_series(1, 127)) g
+                   WHERE g.i + 1 <= len(ws)),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c
+                   FROM bg GROUP BY doc_id, b),
+            top AS (SELECT doc_id, MAX(c) AS top_bigram_n
+                    FROM bc GROUP BY doc_id)
+            SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+                   CAST(s.n_distinct AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n
+            FROM s LEFT JOIN top t USING (doc_id)
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

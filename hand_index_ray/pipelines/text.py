@@ -2507,3 +2507,62 @@ def exact_substr_pairs(ds: ray.data.Dataset, k: int = 8,
             "max_shared_tokens": np.array([best], np.int64)})
 
     return grouped_apply_bucketed(matches, ["id_a", "id_b"], fold)
+
+
+def repetition_stats(ds: ray.data.Dataset, col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Gopher-style per-document repetition screens (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", Table A1 — the word-repetition family), over the
+    single-space token stream: the signals a web-corpus curation run
+    thresholds to drop boilerplate and keyword-stuffing spam before
+    training. Integer-exact counts (no fractions cross the wire) so
+    the SQL oracle is plain GROUP BYs:
+
+    - ``n_words``      total tokens (duplicate-word fraction
+                       = 1 − n_distinct/n_words downstream);
+    - ``n_distinct``   distinct tokens;
+    - ``top_bigram_n`` occurrences of the doc's most frequent word
+                       bigram (0 when the doc has < 2 words) — the
+                       "top n-gram fraction" screen's numerator.
+
+    Scale shape: map-only — one tokenize pass per batch, factorized
+    token codes, grouped counts inside the batch; no shuffle (a doc
+    never spans batches: Ray's dynamic splitting slices the SOURCE
+    rows, the same invariant the tf-idf rank stage relies on)."""
+
+    _OUT = pa.schema([(id_col, pa.int64()), ("n_words", pa.int64()),
+                      ("n_distinct", pa.int64()),
+                      ("top_bigram_n", pa.int64())])
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        words, off = _tokenize_batch(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        n = len(ids)
+        codes, _ = pd.factorize(words, sort=False)
+        doc_of = np.repeat(np.arange(n), lens)
+        dd = pd.DataFrame({"d": doc_of, "c": codes})
+        nd = dd.drop_duplicates().groupby("d", sort=False).size()
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        top = np.zeros(n, dtype=np.int64)
+        if len(codes) >= 2:
+            same = doc_of[:-1] == doc_of[1:]
+            if same.any():
+                bg = pd.DataFrame({"d": doc_of[:-1][same],
+                                   "c1": codes[:-1][same],
+                                   "c2": codes[1:][same]})
+                mx = (bg.groupby(["d", "c1", "c2"], sort=False).size()
+                      .groupby(level=0).max())
+                top[mx.index.to_numpy()] = mx.to_numpy()
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_words": pa.array(lens, pa.int64()),
+                         "n_distinct": pa.array(n_distinct, pa.int64()),
+                         "top_bigram_n": pa.array(top, pa.int64())},
+                        schema=_OUT)
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)

@@ -353,3 +353,28 @@ def test_editdist_default_is_uncapped(ray_session):
     got = editdist_pairs(_docs_ds(rows), max_dist=2).to_pandas()
     # every same-suffix pair is dist 0, cross-suffix dist 1 — all kept
     assert len(got) == 40 * 39 // 2
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    """Gopher repetition screens vs a direct per-doc recomputation."""
+    from hand_index_ray.pipelines.text import repetition_stats
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for d in range(50):
+        toks = [f"w{v}" for v in rng.integers(0, 6, rng.integers(1, 25))]
+        if d % 7 == 0:  # heavy repetition case
+            toks = ["spam", "spam"] * 6
+        rows.append((d, " ".join(toks)))
+    got = repetition_stats(_docs_ds(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    for d, text in rows:
+        toks = text.split(" ")
+        assert got.loc[d, "n_words"] == len(toks)
+        assert got.loc[d, "n_distinct"] == len(set(toks))
+        bgs: dict = {}
+        for a, b in zip(toks, toks[1:]):
+            bgs[(a, b)] = bgs.get((a, b), 0) + 1
+        assert got.loc[d, "top_bigram_n"] == (max(bgs.values())
+                                              if bgs else 0)
