@@ -7415,6 +7415,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         integer-exact (pipelines/text.py:repetition_stats)."""
         return textops.repetition_stats(_t(sf, "documents"))
 
+    def q373_kcenter(sf):  # greedy k-center diversity selection
+        """Farthest-point coreset sampling over embeddings (min-id
+        seed, max-min cosine distance in integer micro-units, ties to
+        the smaller id) — iterative selection as per-chunk remote
+        partial-argmax rounds, the raw-task pattern for loops the
+        Dataset API can't express (pipelines/ann.py:kcenter_select).
+        Oracle: the k=4 greedy unrolled as LEAST-chain CTEs."""
+        from hand_index_ray.pipelines.ann import kcenter_select
+
+        return kcenter_select(_t(sf, "embeddings"), k=4, max_id=400)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7782,6 +7793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q370_exact_substr": q370_exact_substr,
         "q371_neighbor_agg": q371_neighbor_agg,
         "q372_repetition_stats": q372_repetition_stats,
+        "q373_kcenter": q373_kcenter,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -10956,6 +10968,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT)
                        AS top_bigram_n
             FROM s LEFT JOIN top t USING (doc_id)
+        """,
+        # q373: greedy k-center unrolled (k=4): each sN picks the
+        # max-min-distance vector (dist_micro = 1e6 − ROUND(cos·1e6),
+        # ties to the smaller id); dN chains LEAST against the new
+        # center. Engine mirrors the identical integer arithmetic.
+        "q373_kcenter": """
+            WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 400),
+            s1 AS (SELECT MIN(vec_id) AS id FROM e),
+            d1 AS (SELECT e.vec_id,
+                          1000000 - CAST(ROUND(list_cosine_similarity(
+                              e.v, (SELECT v FROM e
+                                    WHERE vec_id = (SELECT id FROM s1)))
+                              * 1000000.0) AS BIGINT) AS d
+                   FROM e WHERE e.vec_id <> (SELECT id FROM s1)),
+            s2 AS (SELECT vec_id AS id, d FROM d1
+                   ORDER BY d DESC, vec_id LIMIT 1),
+            d2 AS (SELECT d1.vec_id,
+                          LEAST(d1.d,
+                                1000000 - CAST(ROUND(list_cosine_similarity(
+                                    e.v, (SELECT v FROM e
+                                          WHERE vec_id = (SELECT id FROM s2)))
+                                    * 1000000.0) AS BIGINT)) AS d
+                   FROM d1 JOIN e USING (vec_id)
+                   WHERE d1.vec_id <> (SELECT id FROM s2)),
+            s3 AS (SELECT vec_id AS id, d FROM d2
+                   ORDER BY d DESC, vec_id LIMIT 1),
+            d3 AS (SELECT d2.vec_id,
+                          LEAST(d2.d,
+                                1000000 - CAST(ROUND(list_cosine_similarity(
+                                    e.v, (SELECT v FROM e
+                                          WHERE vec_id = (SELECT id FROM s3)))
+                                    * 1000000.0) AS BIGINT)) AS d
+                   FROM d2 JOIN e USING (vec_id)
+                   WHERE d2.vec_id <> (SELECT id FROM s3)),
+            s4 AS (SELECT vec_id AS id, d FROM d3
+                   ORDER BY d DESC, vec_id LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS rank,
+                   (SELECT id FROM s1) AS vec_id,
+                   CAST(0 AS BIGINT) AS dist_micro
+            UNION ALL SELECT 2, id, d FROM s2
+            UNION ALL SELECT 3, id, d FROM s3
+            UNION ALL SELECT 4, id, d FROM s4
+            ORDER BY rank
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -734,3 +734,91 @@ def neighbor_label_agg(edges: ray.data.Dataset,
                                  zero_copy_batch=True)
     return grouped_agg(partials, ["src"], sum_cols=["n_nbrs", "label_sum"],
                        count=False)
+
+
+def kcenter_select(ds: ray.data.Dataset, k: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_id: "int | None" = None) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over the
+    embedding column — the coreset-sampling step a curation run uses to
+    pick a maximally-diverse document subset (the greedy 2-approximation
+    of the k-center objective; the SemDeDup/DCLM-style diversity
+    complement to near-dup REMOVAL). Deterministic: seeded at the
+    minimum id; each round adds the vector FARTHEST (max-min cosine
+    distance, integer micro-units, ties to the smaller id) from the
+    selected set.
+
+    Distance: dist_micro = 1e6 − sim_micro(cosine), with the house
+    half-away-from-zero rounding — so the unrolled LEAST-chain DuckDB
+    oracle (q373) matches bit-for-bit.
+
+    Shape: iterative selection is one of the few spots the Dataset API
+    can't express (each round depends on the previous pick), so this is
+    the documented raw-task pattern (like graph.py's wave rounds): the
+    normalized corpus lives as per-block object-store chunks; each of
+    the k−1 rounds runs one tiny remote partial-argmax per chunk
+    against the ≤k broadcast center vectors (k×dim floats — trivially
+    small), and the driver reduces k partials. Driver memory: k rows.
+
+    Returns a k-row DataFrame (rank, vec_id, dist_micro) — bounded
+    output, so a DataFrame (not a Dataset) is the honest contract."""
+    sub = ds if max_id is None else ds.filter(
+        expr=f"{id_col} < {int(max_id)}")
+
+    @ray.remote(num_cpus=0.5)
+    def _norm_chunk(block: pa.Table) -> tuple:
+        if block.num_rows == 0 or id_col not in block.schema.names:
+            return (np.empty(0, np.int64), np.empty((0, 0)))
+        ids = block.column(id_col).to_numpy().astype(np.int64)
+        m = _stack(block.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        return ids, m / np.where(n == 0, 1.0, n)[:, None]
+
+    @ray.remote(num_cpus=0.5)
+    def _seed(chunk) -> tuple:
+        ids, m = chunk
+        if not len(ids):
+            return (None, None)
+        i = int(np.argmin(ids))
+        return int(ids[i]), m[i]
+
+    @ray.remote(num_cpus=0.5)
+    def _farthest(chunk, cents: np.ndarray, taken: np.ndarray) -> tuple:
+        ids, m = chunk
+        if not len(ids):
+            return (None, None, None)
+        mask = ~np.isin(ids, taken)
+        if not mask.any():
+            return (None, None, None)
+        mm, mi = m[mask], ids[mask]
+        micro = _sim_micro(mm @ np.asarray(cents).T)   # (n, |S|)
+        dmin = (1_000_000 - micro).min(axis=1)
+        best = np.lexsort((mi, -dmin))[0]              # max d, tie id asc
+        return int(dmin[best]), int(mi[best]), mm[best]
+
+    mat = sub.materialize()
+    chunks = [_norm_chunk.remote(r) for r in mat.to_arrow_refs()]
+    seeds = [s for s in ray.get([_seed.remote(c) for c in chunks])
+             if s[0] is not None]
+    if not seeds:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "dist_micro": pd.Series([], dtype=np.int64)})
+    s_id, s_vec = min(seeds, key=lambda t: t[0])
+    ranks, sel_ids, dists = [1], [s_id], [0]
+    cents = [s_vec]
+    for rank in range(2, int(k) + 1):
+        parts = [p for p in ray.get([
+            _farthest.remote(c, np.stack(cents),
+                             np.array(sel_ids, dtype=np.int64))
+            for c in chunks]) if p[0] is not None]
+        if not parts:
+            break
+        d, pid, pvec = max(parts, key=lambda t: (t[0], -t[1]))
+        ranks.append(rank)
+        sel_ids.append(pid)
+        dists.append(d)
+        cents.append(pvec)
+    return pd.DataFrame({"rank": np.array(ranks, np.int64),
+                         id_col: np.array(sel_ids, np.int64),
+                         "dist_micro": np.array(dists, np.int64)})

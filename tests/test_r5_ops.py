@@ -378,3 +378,28 @@ def test_repetition_stats_matches_bruteforce(ray_session):
             bgs[(a, b)] = bgs.get((a, b), 0) + 1
         assert got.loc[d, "top_bigram_n"] == (max(bgs.values())
                                               if bgs else 0)
+
+
+def test_kcenter_select_matches_bruteforce(ray_session):
+    """Greedy farthest-point selection vs a direct numpy recomputation
+    of the same integer-micro greedy (min-id seed, max-min dist, ties
+    to smaller id)."""
+    from hand_index_ray.pipelines.ann import _sim_micro, kcenter_select
+
+    ds, m = _emb_ds(n=40, dim=6, seed=17)
+    got = kcenter_select(ds, k=5)
+
+    nm = m / np.linalg.norm(m, axis=1)[:, None]
+    ids = np.arange(len(m))
+    sel = [0]
+    dists = [0]
+    for _ in range(4):
+        rest = np.setdiff1d(ids, sel)
+        micro = _sim_micro(nm[rest] @ nm[sel].T)
+        dmin = (1_000_000 - micro).min(axis=1)
+        j = np.lexsort((rest, -dmin))[0]
+        sel.append(int(rest[j]))
+        dists.append(int(dmin[j]))
+    assert got["vec_id"].tolist() == sel
+    assert got["dist_micro"].tolist() == dists
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
