@@ -7426,6 +7426,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcenter_select(_t(sf, "embeddings"), k=4, max_id=400)
 
+    def q374_semdedup(sf):  # SemDeDup semantic dedup in clusters
+        """SemDeDup (Abbas et al. 2023): deterministic id-seeded
+        clusters, per-cluster drop of items with a lower-id mate at
+        cos ≥ 0.95 — cluster-bucketed shuffle + vectorized triangular
+        max (pipelines/ann.py:semdedup)."""
+        from hand_index_ray.pipelines.ann import semdedup
+
+        out = semdedup(_t(sf, "embeddings"), n_clusters=8,
+                       threshold=0.95, max_id=500).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7794,6 +7805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q371_neighbor_agg": q371_neighbor_agg,
         "q372_repetition_stats": q372_repetition_stats,
         "q373_kcenter": q373_kcenter,
+        "q374_semdedup": q374_semdedup,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -11013,6 +11025,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, id, d FROM s3
             UNION ALL SELECT 4, id, d FROM s4
             ORDER BY rank
+        """,
+        # q374: SemDeDup — clusters seeded at ids 0..7 (argmax cosine,
+        # ties to smaller centroid id), drop when a lower-id cluster
+        # mate reaches 0.95 cosine; −1000001 marks "no lower mate"
+        "q374_semdedup": """
+            WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 500),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e
+                  WHERE vec_id < 8),
+            a AS (SELECT e.vec_id, e.v,
+                         (SELECT c.cid FROM c
+                          ORDER BY CAST(ROUND(list_cosine_similarity(
+                                        e.v, c.cv) * 1000000.0)
+                                   AS BIGINT) DESC, c.cid
+                          LIMIT 1) AS cluster_id
+                  FROM e),
+            s AS (SELECT a.vec_id, a.cluster_id,
+                         (SELECT MAX(CAST(ROUND(list_cosine_similarity(
+                                          a.v, b.v) * 1000000.0)
+                                     AS BIGINT))
+                          FROM a b
+                          WHERE b.cluster_id = a.cluster_id
+                            AND b.vec_id < a.vec_id) AS mx
+                  FROM a)
+            SELECT vec_id, cluster_id,
+                   CAST(COALESCE(mx, -1000001) AS BIGINT)
+                       AS max_lower_sim_micro,
+                   COALESCE(mx, -1000001) < 950000 AS kept
+            FROM s ORDER BY vec_id
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

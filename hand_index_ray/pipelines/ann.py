@@ -822,3 +822,84 @@ def kcenter_select(ds: ray.data.Dataset, k: int = 4,
     return pd.DataFrame({"rank": np.array(ranks, np.int64),
                          id_col: np.array(sel_ids, np.int64),
                          "dist_micro": np.array(dists, np.int64)})
+
+
+def semdedup(ds: ray.data.Dataset, n_clusters: int = 8,
+             threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_id: "int | None" = None) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then inside each cluster drop every item whose
+    cosine similarity to a LOWER-ID member reaches ``threshold`` — the
+    keep-one-per-semantic-duplicate-group rule, id-deterministic.
+
+    Deterministic clustering for the oracle: centroids are the vectors
+    with ids 0..n_clusters−1 (fixed, recomputable in SQL); assignment
+    is argmax cosine in integer micro-units with ties to the smaller
+    centroid id. (A production run swaps in k-means centroids — the
+    assignment/dedup dataflow is identical; SemDeDup's own k is sized
+    so clusters stay small, which is exactly the partitioning
+    assumption the per-cluster pairwise step relies on — documented
+    here as: per-cluster work is O(|cluster|²) and the shuffle carries
+    each vector once to its cluster's bucket.)
+
+    Emits (vec_id, cluster_id, max_lower_sim_micro, kept):
+    ``max_lower_sim_micro`` = max cosine (micro) to any lower-id
+    cluster-mate, −1000001 when none (the cluster's min id is always
+    kept); ``kept`` = that maximum is below the threshold."""
+    thr_micro = int(round(threshold * 1e6))
+    sub = ds if max_id is None else ds.filter(
+        expr=f"{id_col} < {int(max_id)}")
+
+    cent_t = sub.filter(expr=f"{id_col} < {int(n_clusters)}").to_pandas()
+    cent_t = cent_t.sort_values(id_col)
+    cids = cent_t[id_col].to_numpy(np.int64)
+    cm = np.stack(cent_t[vec_col].to_numpy()).astype(np.float64)
+    cm = cm / np.where(np.linalg.norm(cm, axis=1, keepdims=True) == 0,
+                       1.0, np.linalg.norm(cm, axis=1, keepdims=True))
+    cref = ray.put((cids, cm))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cids_, cm_ = ray.get(cref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        m = _stack(t.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        mn = m / np.where(n == 0, 1.0, n)[:, None]
+        micro = _sim_micro(mn @ cm_.T)
+        # argmax picks the FIRST max → smallest centroid id (columns
+        # are cid-ascending) == the oracle's (micro DESC, cid ASC)
+        cl = cids_[np.argmax(micro, axis=1)]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cl, pa.int64()),
+                         vec_col: t.column(vec_col)})
+
+    assigned = sub.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    _EMPTY = {id_col: pd.Series([], dtype=np.int64),
+              "cluster_id": pd.Series([], dtype=np.int64),
+              "max_lower_sim_micro": pd.Series([], dtype=np.int64),
+              "kept": pd.Series([], dtype=bool)}
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy(np.int64)
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        mn = m / np.where(n == 0, 1.0, n)[:, None]
+        micro = _sim_micro(mn @ mn.T)
+        # max over strictly-lower-id mates: strict lower triangle
+        tril = np.tril(np.ones(micro.shape, dtype=bool), k=-1)
+        mx = np.where(tril, micro, np.int64(-1_000_001)).max(axis=1)
+        mx[0] = -1_000_001  # min id: no lower mate
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": g["cluster_id"].to_numpy(np.int64),
+            "max_lower_sim_micro": mx.astype(np.int64),
+            "kept": mx < thr_micro})
+
+    from ..relational import grouped_apply_bucketed
+
+    return grouped_apply_bucketed(assigned, ["cluster_id"],
+                                  dedup_cluster, min_group_size=1)

@@ -403,3 +403,26 @@ def test_kcenter_select_matches_bruteforce(ray_session):
     assert got["vec_id"].tolist() == sel
     assert got["dist_micro"].tolist() == dists
     assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    """SemDeDup rule vs direct recomputation: id-seeded clusters
+    (argmax micro cosine, ties to smaller centroid id), drop when any
+    lower-id cluster mate reaches the threshold."""
+    from hand_index_ray.pipelines.ann import _sim_micro, semdedup
+
+    ds, m = _emb_ds(n=60, dim=6, seed=23)
+    got = semdedup(ds, n_clusters=4, threshold=0.9).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    nm = m / np.linalg.norm(m, axis=1)[:, None]
+    cl = np.argmax(_sim_micro(nm @ nm[:4].T), axis=1)
+    for i in range(len(m)):
+        mates = [j for j in range(i) if cl[j] == cl[i]]
+        mx = max((int(_sim_micro(np.array([nm[i] @ nm[j]]))[0])
+                  for j in mates), default=-1_000_001)
+        row = got.iloc[i]
+        assert row["vec_id"] == i
+        assert row["cluster_id"] == cl[i]
+        assert row["max_lower_sim_micro"] == mx
+        assert bool(row["kept"]) == (mx < 900000)
