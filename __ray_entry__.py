@@ -7437,6 +7437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        threshold=0.95, max_id=500).to_pandas()
         return out.sort_values("vec_id").reset_index(drop=True)
 
+    def q375_source_overlap(sf):  # cross-source gram-overlap matrix
+        """Corpus mixture audit: distinct word-3-grams shared per
+        source pair — slim (gram, source) shuffle, per-gram pair
+        emission, grouped count (pipelines/text.py:source_overlap)."""
+        return textops.source_overlap(_t(sf, "documents"), n=3)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7806,6 +7812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q372_repetition_stats": q372_repetition_stats,
         "q373_kcenter": q373_kcenter,
         "q374_semdedup": q374_semdedup,
+        "q375_source_overlap": q375_source_overlap,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -11055,6 +11062,26 @@ def oracle_sql() -> dict[str, str]:
                        AS max_lower_sim_micro,
                    COALESCE(mx, -1000001) < 950000 AS kept
             FROM s ORDER BY vec_id
+        """,
+        # q375: cross-source distinct-3-gram overlap (q366's gram rule:
+        # whole-doc gram for docs shorter than n)
+        "q375_source_overlap": """
+            WITH w AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT source,
+                         array_to_string(ws[g.i + 1 : g.i + 3], ' ')
+                             AS gram
+                  FROM w CROSS JOIN (SELECT generate_series AS i
+                                     FROM generate_series(0, 127)) g
+                  WHERE g.i + 3 <= len(ws)
+                     OR (g.i = 0 AND len(ws) < 3)),
+            gd AS (SELECT DISTINCT source, gram FROM g)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_grams
+            FROM gd a JOIN gd b USING (gram)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -2566,3 +2566,60 @@ def repetition_stats(ds: ray.data.Dataset, col: str = "text",
 
     return ds.select_columns([id_col, col]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_overlap(ds: ray.data.Dataset, n: int = 3, col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> ray.data.Dataset:
+    """Cross-source contamination audit: for every pair of sources, the
+    number of DISTINCT word-n-grams present in both — the corpus-level
+    overlap matrix a mixture designer reads before weighting sources
+    (heavy overlap between a "web" and a "books" slice means the
+    mixture double-counts that content). Gram identity is the
+    established w.h.p.-injective md5+splitmix hash (q254/minhash), so
+    distinct-hash counts equal distinct-string counts and the SQL
+    oracle over literal gram strings matches.
+
+    Scale shape: slim distinct (gram_hash, source) rows → ONE bucketed
+    shuffle on gram → per-gram sorted source-pair emission (groups are
+    |sources|-bounded, tiny) → a source-pair-keyed grouped count.
+    Document text never moves; the matrix is |sources|² rows."""
+    from ..relational import grouped_agg, grouped_apply_bucketed
+
+    def explode(t: pa.Table) -> pa.Table:
+        sets = _gram_hash_sets(t, col, n)
+        srcs = np.asarray(t[source_col].to_pylist(), dtype=object)
+        if not len(sets):
+            return pa.table({"gram": pa.array([], pa.uint64()),
+                             "source": pa.array([], pa.string())})
+        grams = np.concatenate(sets) if sets else np.array([], np.uint64)
+        rep = np.repeat(srcs, [len(s) for s in sets])
+        dd = pd.DataFrame({"gram": grams, "source": rep}).drop_duplicates()
+        return pa.table({"gram": pa.array(dd["gram"].to_numpy(np.uint64),
+                                          pa.uint64()),
+                         "source": pa.array(dd["source"].to_numpy(object),
+                                            pa.string())})
+
+    exploded = ds.select_columns([id_col, col, source_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY = {"source_a": pd.Series([], dtype=object),
+              "source_b": pd.Series([], dtype=object)}
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = np.unique(g["source"].to_numpy())
+        if len(srcs) < 2:
+            return pd.DataFrame(_EMPTY)
+        iu, ju = np.triu_indices(len(srcs), k=1)
+        return pd.DataFrame({"source_a": srcs[iu], "source_b": srcs[ju]})
+
+    pairs = grouped_apply_bucketed(exploded, ["gram"], per_gram,
+                                   min_group_size=2)
+    counted = grouped_agg(pairs, ["source_a", "source_b"], count=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"source_a": t["source_a"],
+                         "source_b": t["source_b"],
+                         "shared_grams": t["n"].cast(pa.int64())})
+
+    return counted.map_batches(finish, batch_format="pyarrow")

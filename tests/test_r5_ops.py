@@ -426,3 +426,38 @@ def test_semdedup_matches_bruteforce(ray_session):
         assert row["cluster_id"] == cl[i]
         assert row["max_lower_sim_micro"] == mx
         assert bool(row["kept"]) == (mx < 900000)
+
+
+def test_source_overlap_matches_bruteforce(ray_session):
+    """Cross-source distinct-gram overlap vs direct recomputation over
+    literal gram strings (hash identity is w.h.p. injective)."""
+    import ray.data
+
+    from hand_index_ray.pipelines.text import source_overlap
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for d in range(40):
+        toks = [f"w{v}" for v in rng.integers(0, 9, rng.integers(1, 12))]
+        rows.append((d, " ".join(toks), f"s{d % 3}"))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string())}))
+    got = source_overlap(ds, n=3).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    per_src: dict = {}
+    for _d, text, s in rows:
+        toks = text.split(" ")
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else {" ".join(toks)}
+        per_src.setdefault(s, set()).update(grams)
+    want = []
+    keys = sorted(per_src)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            n_shared = len(per_src[keys[i]] & per_src[keys[j]])
+            if n_shared:
+                want.append((keys[i], keys[j], n_shared))
+    assert [tuple(r) for r in got.to_numpy()] == want
