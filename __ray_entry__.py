@@ -7443,6 +7443,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emission, grouped count (pipelines/text.py:source_overlap)."""
         return textops.source_overlap(_t(sf, "documents"), n=3)
 
+    def q376_truncation_dups(sf):  # prefix-truncation duplicate pairs
+        """Same-article-cut-at-different-lengths dedup: exact
+        token-prefix containment, blocked on the first-6-token head
+        (necessarily shared — zero pairs dropped), string-prefix
+        verify (pipelines/text.py:truncation_dups)."""
+        df = textops.truncation_dups(_t(sf, "documents"), k=6) \
+            .to_pandas()
+        return df.sort_values(["id_short", "id_long"]) \
+            .reset_index(drop=True)
+
     return {
         "q01_groupby_sum": q01_groupby_sum,
         "q02_filter_project": q02_filter_project,
@@ -7813,6 +7823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q373_kcenter": q373_kcenter,
         "q374_semdedup": q374_semdedup,
         "q375_source_overlap": q375_source_overlap,
+        "q376_truncation_dups": q376_truncation_dups,
         "q126_zonal_raster": q126_zonal_raster,
         "q127_slope_stats": q127_slope_stats,
         "q128_flow_direction": q128_flow_direction,
@@ -11082,6 +11093,21 @@ def oracle_sql() -> dict[str, str]:
             FROM gd a JOIN gd b USING (gram)
             WHERE a.source < b.source
             GROUP BY 1, 2
+        """,
+        # q376: truncation dups — token-list prefix containment via
+        # DuckDB list slice equality (1-based inclusive ws[1:n])
+        "q376_truncation_dups": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            f AS (SELECT doc_id, ws, len(ws) AS n,
+                         array_to_string(ws[1:6], ' ') AS head
+                  FROM w WHERE len(ws) >= 6)
+            SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+                   CAST(a.n AS BIGINT) AS n_tokens_short
+            FROM f a JOIN f b
+              ON a.head = b.head AND a.n < b.n
+            WHERE b.ws[1:a.n] = a.ws
+            ORDER BY id_short, id_long
         """,
         "q280_delta_varint": """
             WITH s AS (SELECT user_id, epoch_us(ts) AS v FROM events),

@@ -2623,3 +2623,72 @@ def source_overlap(ds: ray.data.Dataset, n: int = 3, col: str = "text",
                          "shared_grams": t["n"].cast(pa.int64())})
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def truncation_dups(ds: ray.data.Dataset, k: int = 6, col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Prefix-truncation duplicate pairs: doc A is a truncated copy of
+    doc B iff A's ENTIRE token sequence equals B's first len(A) tokens
+    (strictly shorter) — the web-scrape artifact where one article is
+    captured cut at different lengths, which fixed-k gram screens grade
+    as "high overlap" but never as the containment it is. Both docs
+    must have ≥ k tokens (the blocking rule needs a k-token head).
+
+    Blocking: the first-k-token string — any truncation pair NECESSARILY
+    shares it, so blocking drops no pairs; boilerplate heads ("all
+    rights reserved …" openers) concentrate, which is the same residual
+    any head-blocking scheme carries (cap by composing with
+    ``editdist_pairs``-style banding if a corpus proves pathological).
+    Verification is EXACT and hash-free: token-list prefix ⟺ string
+    prefix + a space at the cut (text is the single-space token join),
+    so only (id, n_tokens, text, head) rows shuffle and the in-group
+    test is bytes startswith.
+
+    Emits (id_short, id_long, n_tokens_short)."""
+    def slim(t: pa.Table) -> pa.Table:
+        words, off = _tokenize_batch(t, col)
+        lens = np.diff(off)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lens >= k
+        heads = [" ".join(words[off[i]:off[i] + k])
+                 for i in np.nonzero(keep)[0]]
+        tt = t.filter(pa.array(keep))
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "n_tokens": pa.array(lens[keep], pa.int64()),
+                         "head": pa.array(heads, pa.string()),
+                         "text": tt[col]})
+
+    slimmed = ds.select_columns([id_col, col]).map_batches(
+        slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY = {"id_short": pd.Series([], dtype=np.int64),
+              "id_long": pd.Series([], dtype=np.int64),
+              "n_tokens_short": pd.Series([], dtype=np.int64)}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values(["n_tokens", id_col])
+        ids = g[id_col].to_numpy(np.int64)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        tx = g["text"].to_numpy(dtype=object)
+        out_s, out_l, out_n = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if nt[j] <= nt[i]:
+                    continue  # strict: equal-length dups are q20's job
+                if tx[j].startswith(tx[i]) and \
+                        tx[j][len(tx[i])] == " ":
+                    out_s.append(int(ids[i]))
+                    out_l.append(int(ids[j]))
+                    out_n.append(int(nt[i]))
+        if not out_s:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame({"id_short": np.array(out_s, np.int64),
+                             "id_long": np.array(out_l, np.int64),
+                             "n_tokens_short": np.array(out_n, np.int64)})
+
+    from ..relational import grouped_apply_bucketed
+
+    return grouped_apply_bucketed(slimmed, ["head"], pairs,
+                                  min_group_size=2)

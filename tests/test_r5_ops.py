@@ -461,3 +461,35 @@ def test_source_overlap_matches_bruteforce(ray_session):
             if n_shared:
                 want.append((keys[i], keys[j], n_shared))
     assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_truncation_dups_matches_bruteforce(ray_session):
+    """Exact prefix-containment pairs vs direct recomputation,
+    including a truncation family and a shares-head-but-diverges
+    decoy."""
+    from hand_index_ray.pipelines.text import truncation_dups
+
+    base = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    rows = [
+        (0, base),                                   # full article
+        (1, " ".join(base.split()[:7])),             # truncated copy
+        (2, " ".join(base.split()[:6])),             # shorter cut
+        (3, "alpha beta gamma delta eps zeta XX YY"),  # diverges after head
+        (4, "totally different opening words here now"),
+        (5, "alpha beta gamma"),                     # < k tokens: excluded
+        (6, base),                                   # exact same length: excluded (strict)
+    ]
+    got = truncation_dups(_docs_ds(rows), k=6).to_pandas() \
+        .sort_values(["id_short", "id_long"]).reset_index(drop=True)
+
+    want = []
+    for i, (si, ti) in enumerate(rows):
+        for j, (sj, tj) in enumerate(rows):
+            a, b = ti.split(" "), tj.split(" ")
+            if len(a) >= 6 and len(b) > len(a) and b[:len(a)] == a:
+                want.append((si, sj, len(a)))
+    want.sort()
+    assert [tuple(r) for r in got.to_numpy()] == want
+    # the family: 1 and 2 are prefixes of 0 and 3 (head-sharers),
+    # and 2 is a prefix of 1
+    assert (2, 1, 6) in want and (1, 0, 7) in want and (2, 0, 6) in want
