@@ -37,10 +37,12 @@ def _gen(t: pa.Table) -> pa.Table:
     ids = t.column("id").to_numpy().astype(np.int64)
     texts = []
     for i in ids:
-        base = i - (1 if i % 20 == 19 else 0)  # every 20th: near-dup of i-1
-        w = (base * np.uint64(0x9E3779B97F4A7C15)
-             + np.arange(TOKENS, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
-        w ^= w >> np.uint64(31)
+        base = int(i) - (1 if i % 20 == 19 else 0)  # every 20th: near-dup of i-1
+        with np.errstate(over="ignore"):
+            w = (np.uint64(base) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.arange(TOKENS, dtype=np.uint64)
+                 * np.uint64(0xBF58476D1CE4E5B9))
+            w ^= w >> np.uint64(31)
         toks = (w % np.uint64(VOCAB)).astype(np.int64)
         if i % 20 == 19:
             toks = toks.copy()
