@@ -851,8 +851,17 @@ def semdedup(ds: ray.data.Dataset, n_clusters: int = 8,
     thr_micro = int(round(threshold * 1e6))
     sub = ds if max_id is None else ds.filter(
         expr=f"{id_col} < {int(max_id)}")
+    # materialize ONCE: the centroid pull and the assign pass otherwise
+    # each re-execute the upstream read+filter (r5 review)
+    sub = sub.materialize()
 
+    _EMPTY_OUT = pa.schema([(id_col, pa.int64()),
+                            ("cluster_id", pa.int64()),
+                            ("max_lower_sim_micro", pa.int64()),
+                            ("kept", pa.bool_())])
     cent_t = sub.filter(expr=f"{id_col} < {int(n_clusters)}").to_pandas()
+    if not len(cent_t):  # empty corpus (or no seed ids) — empty result
+        return ray.data.from_arrow(_EMPTY_OUT.empty_table())
     cent_t = cent_t.sort_values(id_col)
     cids = cent_t[id_col].to_numpy(np.int64)
     cm = np.stack(cent_t[vec_col].to_numpy()).astype(np.float64)
@@ -883,6 +892,8 @@ def semdedup(ds: ray.data.Dataset, n_clusters: int = 8,
               "kept": pd.Series([], dtype=bool)}
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # bucketed-apply schema probe
+            return pd.DataFrame(_EMPTY)
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy(np.int64)
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)

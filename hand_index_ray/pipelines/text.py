@@ -2592,7 +2592,7 @@ def source_overlap(ds: ray.data.Dataset, n: int = 3, col: str = "text",
         if not len(sets):
             return pa.table({"gram": pa.array([], pa.uint64()),
                              "source": pa.array([], pa.string())})
-        grams = np.concatenate(sets) if sets else np.array([], np.uint64)
+        grams = np.concatenate(sets)  # non-empty: early-returned above
         rep = np.repeat(srcs, [len(s) for s in sets])
         dd = pd.DataFrame({"gram": grams, "source": rep}).drop_duplicates()
         return pa.table({"gram": pa.array(dd["gram"].to_numpy(np.uint64),

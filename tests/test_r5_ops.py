@@ -493,3 +493,17 @@ def test_truncation_dups_matches_bruteforce(ray_session):
     # the family: 1 and 2 are prefixes of 0 and 3 (head-sharers),
     # and 2 is a prefix of 1
     assert (2, 1, 6) in want and (1, 0, 7) in want and (2, 0, 6) in want
+
+
+def test_semdedup_empty_input_returns_empty(ray_session):
+    """r5 review: an empty (or filtered-to-empty) corpus must yield an
+    empty result, not a np.stack ValueError."""
+    import ray.data
+
+    from hand_index_ray.pipelines.ann import semdedup
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    out = semdedup(empty, n_clusters=4).to_pandas()
+    assert len(out) == 0
